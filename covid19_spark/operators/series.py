@@ -1,0 +1,66 @@
+"""Chart-series operators: date spine, pivot series, top-k.
+
+Reference (SURVEY §2.5): the visualizer iterates dates on the driver and
+probes stores per (state, date) (``Visualizer.java:102-107,197-232,250-256``)
+and pivots date×state → series maps. In Spark these are declarative:
+``sequence``+``explode`` generates the spine distributed, the pivot is a
+``groupBy().pivot()``, and top-k is a rank window — no driver loops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def date_spine(
+    df: DataFrame,
+    start_expr,
+    end_expr,
+    date_col: str = "date",
+) -> DataFrame:
+    """One row per day in [start, end] — the distributed date iterator (W5)."""
+    return df.sparkSession.range(1).select(
+        F.explode(F.sequence(start_expr, end_expr)).alias(date_col)
+    )
+
+
+def pivot_series(
+    df: DataFrame,
+    row_col: str,
+    pivot_col: str,
+    value_col: str,
+    pivot_values: Sequence[str] | None = None,
+    agg: str = "sum",
+) -> DataFrame:
+    """date×key → one column per key (W4, ``Visualizer.java:217-232``).
+
+    Passing ``pivot_values`` explicitly avoids the extra distinct-values job —
+    at 100 TB the two-pass pivot (collect distinct, then pivot) is a full
+    extra scan, so callers should supply the dimension values when known.
+    """
+    agg_fn = getattr(F, agg)
+    p = df.groupBy(row_col).pivot(pivot_col, list(pivot_values) if pivot_values else None)
+    return p.agg(agg_fn(value_col))
+
+
+def top_k(
+    df: DataFrame,
+    measure_col: str,
+    k: int,
+    partition_cols: Sequence[str] = (),
+    tiebreak_cols: Sequence[str] = (),
+    rank_col: str = "rank",
+) -> DataFrame:
+    """True top-k by measure (W3's rank variant, vs the hardcoded list).
+
+    With ``partition_cols`` empty this is a global top-k: Spark evaluates a
+    single-partition window, fine for k≪n after pre-aggregation; for raw-row
+    top-k at scale pre-aggregate first (the callers here always rank
+    aggregated frames ≤ |keys| rows).
+    """
+    order = [F.col(measure_col).desc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*partition_cols).orderBy(*order)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)

@@ -1,0 +1,55 @@
+"""Parquet table loaders for the driver's synthetic star schema.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file each under an sf dir.
+
+At 100 TB these would be partitioned parquet/Delta datasets; the loader keeps
+the read declarative (``spark.read.parquet``) so partition pruning, predicate
+pushdown and column pruning all happen in the scan node.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS); Spark's timestamp type is
+        # microsecond. Read nanos as int64 (legacy conf) and floor-divide to
+        # micros — the same truncation DuckDB applies casting TIMESTAMP_NS →
+        # TIMESTAMP, so differential results agree bit-for-bit.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view so operators can use spark.sql."""
+    for name in TABLE_NAMES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)
