@@ -1,0 +1,195 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the whole point — 100 TB corpora can't do O(n²) anything):
+- **exact**: hash-groupBy on md5(text) — one shuffle keyed by digest, skew-free
+  (digests are uniform).
+- **ngram Jaccard**: exact pairwise similarity *within blocking keys only*
+  (caller supplies blocks); used as the verify stage after candidate
+  generation, never as the discovery stage.
+- **MinHash+LSH**: shingle → k minhashes → b bands; docs sharing a band
+  bucket become candidate pairs. Cost is O(n·k) + band self-joins on bucket
+  hashes; collision probability follows the classic (1-(1-j^r)^b) S-curve.
+- **SimHash**: 64-bit weighted-majority signature; candidates share one of
+  four 16-bit sub-bands (≤3-bit Hamming distance guarantee per Manku et al.).
+
+All built on built-in expressions (xxhash64, higher-order array functions) —
+no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from covid19_spark.operators.text import word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct text: canonical (min) id, duplicate count, digest."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    n: int = 2,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-gram shingles for same-block pairs.
+
+    The block join bounds the candidate space; at scale ``block_cols`` is an
+    LSH bucket or a cheap partition key (language, length band), never empty.
+    """
+    sh = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], word_shingles(F.col(text_col), n).alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            *[F.col(f"a.{c}").alias(c) for c in block_cols],
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """id → array of ``num_hashes`` minhash values over word shingles.
+
+    Single pass: explode shingles, one ``min(xxhash64(shingle, seed_i))`` per
+    permutation — map-side combine keeps the shuffle at |docs|·k longs.
+    """
+    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"))
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Band the signatures and self-join on (band, bucket-hash).
+
+    Returns distinct candidate (doc_a, doc_b) pairs with the fraction of
+    agreeing minhashes as ``est_jaccard`` (unbiased Jaccard estimator).
+    """
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(*[F.element_at("sig", bi * rows_per_band + j + 1) for j in range(rows_per_band)]).alias(
+                    "bucket"
+                ),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sig_df.select(id_col, "sig", F.explode(band_structs).alias("bb")).select(
+        id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    return pairs.select(
+        "doc_a", "doc_b", (agree / F.lit(num_hashes)).alias("est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 2) -> DataFrame:
+    """64-bit SimHash per doc: majority vote over shingle hash bits.
+
+    Computed distributed: explode shingles → per-bit ±1 votes via bit tests →
+    sum per doc → sign → reassemble bits. One shuffle keyed by doc id.
+    """
+    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"))
+    h = F.xxhash64("sh")
+
+    def bit_mask(bit: int) -> int:
+        # bit 63 must be the sign bit in a signed 64-bit literal
+        return (1 << bit) if bit < 63 else -(1 << 63)
+
+    votes = [
+        F.sum(F.when(h.bitwiseAND(F.lit(bit_mask(bit))) != 0, 1).otherwise(-1)).alias(f"b{bit}")
+        for bit in range(64)
+    ]
+    per_doc = sh.groupBy(id_col).agg(*votes)
+    sig = None
+    for bit in range(64):
+        term = F.when(F.col(f"b{bit}") > 0, F.lit(bit_mask(bit))).otherwise(F.lit(0))
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return per_doc.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    sig_df: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidates: pairs sharing ≥1 of four 16-bit sub-bands, kept if
+    Hamming distance ≤ ``max_hamming`` (``bit_count(a XOR b)``)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = sig_df.select(id_col, "simhash", F.explode(bands).alias("bb")).select(
+        id_col, "simhash", "bb.band", "bb.key"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )

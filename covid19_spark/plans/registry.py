@@ -563,3 +563,296 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {
         q_dedup_first_within_window, ORACLE_DEDUP_FIRST_WITHIN_WINDOW, "T2 windowed dedup"
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators: text analysis, dedup, similarity (BASELINE.json
+# north-star additions beyond the reference surface)
+# ---------------------------------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring over documents: token stats, punctuation/stopword
+    ratios, composite score — all JVM-side expressions, map-only (no shuffle).
+    """
+    from covid19_spark.operators.text import quality_columns
+
+    docs = _t(spark, sf_dir, "documents")
+    cols = quality_columns(F.col("text"), rounded=False)
+    return docs.select(
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_QUALITY = """
+WITH feat AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> t IN ('the','and','of','to','a','in','is'))) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, n_punct, stop_hits,
+       CASE WHEN n_tokens > 0 THEN (n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) END AS mean_token_len,
+       CASE WHEN n_tokens > 0 THEN stop_hits / CAST(n_tokens AS DOUBLE) END AS stop_ratio,
+       CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) END AS punct_ratio,
+       0.5 * least(coalesce(CASE WHEN n_tokens > 0 THEN stop_hits / CAST(n_tokens AS DOUBLE) END, 0.0) * 4, 1.0)
+       + 0.3 * (CASE WHEN n_tokens > 0
+                      AND (n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) >= 3
+                      AND (n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) <= 12
+                     THEN 1.0 ELSE 0.0 END)
+       + 0.2 * (1 - least(coalesce(CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) END, 0.0) * 5, 1.0))
+         AS quality_score
+FROM feat
+ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID (stopword voting, deterministic tie-break) —
+    map-only CASE chain, no UDF."""
+    from covid19_spark.operators.text import lang_scores, predict_lang
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        predict_lang(F.col("text")).alias("pred_lang"),
+        *[c.alias(f"{lang}_hits") for lang, c in sorted(scores.items())],
+    ).orderBy("doc_id")
+
+
+def _hits_sql(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(string_split(lower(text), ' '), t -> t IN ({inlist})))"
+
+
+def _lang_id_oracle() -> str:
+    from covid19_spark.operators.text import LANG_STOPWORDS
+
+    hits = {lang: _hits_sql(tuple(ws)) for lang, ws in LANG_STOPWORDS.items()}
+    langs = sorted(hits)
+    cases = []
+    for lang in langs[:-1]:
+        conds = " AND ".join(
+            f"{lang}_hits >= {other}_hits" for other in langs if other != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    hit_cols = ",\n         ".join(f"{sql} AS {lang}_hits" for lang, sql in sorted(hits.items()))
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {hit_cols}
+  FROM documents
+)
+SELECT doc_id, labeled_lang, {case_sql} AS pred_lang,
+       de_hits, en_hits, es_hits, fr_hits, zh_hits
+FROM scored
+ORDER BY doc_id
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text, truncated to 16 hex
+    chars (rolling-hash-style canonical key for dedup)."""
+    from covid19_spark.operators.text import fingerprint, normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fingerprint"),
+        F.length(normalize_text(F.col("text"))).alias("norm_len"),
+    ).orderBy("doc_id")
+
+
+ORACLE_DOC_FINGERPRINT = """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nt
+  FROM documents
+)
+SELECT doc_id, substring(md5(nt), 1, 16) AS fingerprint, length(nt) AS norm_len
+FROM norm
+ORDER BY doc_id
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest (hash-groupBy — uniform keys, skew-free
+    at any scale): canonical id + duplicate count per distinct text."""
+    from covid19_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").orderBy("text_hash")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_dupes
+FROM documents
+GROUP BY md5(text)
+ORDER BY text_hash
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs within language blocks (the verify
+    stage of a dedup pipeline; candidate generation at scale is MinHash-LSH,
+    registered separately as a rows-only query)."""
+    from covid19_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_cols=["lang"], n=2, threshold=0.05
+    ).orderBy("doc_a", "doc_b")
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH d AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS sh
+  FROM documents WHERE doc_id < 200
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+       len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.05
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search: query vectors (vec_id < 8)
+    against the whole embeddings corpus; broadcast queries, one corpus scan.
+    Dot products are left-to-right double folds — bit-identical to the
+    oracle's list_reduce."""
+    from covid19_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+ORACLE_COSINE_TOPK = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, 65), i -> qv[i] * v[i]), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(range(1, 65), i -> qv[i] * qv[i]), (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]), (x, y) -> x + y))) AS sim
+  FROM e JOIN q ON e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+def _perturbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id<50) unioned with deterministic near-duplicates
+    (id+100000, first 3 tokens dropped) — gives the candidate-generation
+    queries guaranteed true positives without touching the source data."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    toks = F.split(F.col("text"), " ")
+    variants = (
+        docs.filter(F.col("doc_id") < 50)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(toks, 4, 100000)).alias("text"),
+            "lang",
+        )
+    )
+    return docs.unionByName(variants)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (32 hashes, 8 bands × 4 rows).
+
+    Non-SQL-expressible (xxhash64 permutations) → rows-only driver check;
+    recall/precision vs exact Jaccard is asserted in tests/test_dedup.py.
+    """
+    from covid19_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    base = _perturbed_docs(spark, sf_dir)
+    sigs = minhash_signatures(base, "doc_id", "text", num_hashes=32, shingle_n=3)
+    return (
+        lsh_candidate_pairs(sigs, "doc_id", num_hashes=32, bands=8)
+        .filter(F.col("est_jaccard") >= 0.3)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (64-bit signature, 4×16-bit band probe,
+    Hamming ≤ 12 over 2-gram shingles). Rows-only (xxhash64 not in DuckDB)."""
+    from covid19_spark.operators.dedup import simhash, simhash_candidate_pairs
+
+    base = _perturbed_docs(spark, sf_dir)
+    sigs = simhash(base, "doc_id", "text", shingle_n=2)
+    return simhash_candidate_pairs(sigs, "doc_id", max_hamming=12).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbours (sign-hyperplane buckets,
+    multi-probe Hamming-1). The 100 TB scale path for similarity search;
+    recall vs the exact operator is asserted in tests. Rows-only check."""
+    from covid19_spark.operators.similarity import ann_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_cosine_topk(emb, queries, k=10, dim=64, num_planes=12).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: documents' text bytes treated as an
+    opaque payload, features extracted via Arrow-batched mapInPandas (the
+    decode kernel is the deterministic fake; the real-codec path raises
+    NotImplementedError — see operators/multimodal.py). Rows-only check."""
+    from covid19_spark.operators.multimodal import extract_image_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = extract_image_features(media, use_fake=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+        F.round(F.element_at("feature", 8), 4).alias("f7"),
+    ).orderBy("media_id")
+
+
+QUERY_REGISTRY.update(
+    {
+        "text_quality": QuerySpec(q_text_quality, ORACLE_TEXT_QUALITY, "text quality scoring"),
+        "lang_id": QuerySpec(q_lang_id, _lang_id_oracle(), "heuristic language-ID"),
+        "doc_fingerprint": QuerySpec(q_doc_fingerprint, ORACLE_DOC_FINGERPRINT, "document fingerprint"),
+        "dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT, "exact hash dedup"),
+        "ngram_jaccard": QuerySpec(q_ngram_jaccard, ORACLE_NGRAM_JACCARD, "n-gram Jaccard pairs"),
+        "cosine_topk": QuerySpec(q_cosine_topk, ORACLE_COSINE_TOPK, "brute-force cosine top-k"),
+        "minhash_lsh": QuerySpec(q_minhash_lsh, None, "MinHash+LSH candidates (rows-only)"),
+        "simhash_pairs": QuerySpec(q_simhash_pairs, None, "SimHash candidates (rows-only)"),
+        "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, None, "LSH ANN top-k (rows-only)"),
+        "multimodal_features": QuerySpec(q_multimodal_features, None, "binary payload features (rows-only)"),
+    }
+)

@@ -1,0 +1,88 @@
+"""Dedup family: exact, MinHash-LSH recall vs exact Jaccard, SimHash."""
+
+from pyspark.sql import functions as F
+
+from covid19_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_candidate_pairs,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again", "en"),
+    (1, "the quick brown fox jumps over the lazy dog again and again", "en"),  # exact dup of 0
+    (2, "quick brown fox jumps over the lazy dog again and again today", "en"),  # near dup
+    (3, "completely different words describing machine learning pipelines at scale", "en"),
+    (4, "der schnelle braune fuchs springt ueber den faulen hund schon wieder", "de"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text", "lang"])
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark), "text", "doc_id").collect()
+    by_canon = {r.canonical_id: r.n_dupes for r in out}
+    assert by_canon[0] == 2  # docs 0,1 identical
+    assert len(out) == 4
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    pairs = ngram_jaccard_pairs(
+        _docs(spark), "doc_id", "text", block_cols=["lang"], n=2, threshold=0.3
+    ).collect()
+    found = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    assert found[(0, 1)] == 1.0
+    assert (0, 2) in found and found[(0, 2)] > 0.5
+    assert all(a != 3 and b != 3 for a, b in found)
+
+
+def test_minhash_lsh_recall(spark):
+    docs = _docs(spark)
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=32, shingle_n=2)
+    cands = lsh_candidate_pairs(sigs, "doc_id", num_hashes=32, bands=8).collect()
+    got = {(r.doc_a, r.doc_b): r.est_jaccard for r in cands}
+    # identical docs must collide in every band with est 1.0
+    assert got[(0, 1)] == 1.0
+    # near-dup pair should be a candidate (high jaccard → some band agrees)
+    assert (0, 2) in got
+    # unrelated docs must not estimate high similarity
+    for (a, b), est in got.items():
+        if 3 in (a, b):
+            assert est < 0.5
+
+
+def test_simhash_near_dups(spark):
+    docs = _docs(spark)
+    sigs = simhash(docs, "doc_id", "text", shingle_n=2)
+    rows = {r.doc_id: r.simhash for r in sigs.collect()}
+    assert rows[0] == rows[1]  # identical text → identical signature
+
+    def ham(a, b):
+        return bin((rows[a] ^ rows[b]) & (2**64 - 1)).count("1")
+
+    # similar docs land closer in Hamming space than dissimilar ones
+    assert ham(0, 2) < ham(0, 3)
+    # identical pair must surface as a candidate with distance 0
+    pairs = simhash_candidate_pairs(sigs, "doc_id", max_hamming=16).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert got[(0, 1)] == 0
+
+
+def test_minhash_est_tracks_exact_jaccard(spark):
+    """MinHash estimate within ~0.25 of exact Jaccard for candidate pairs."""
+    docs = _docs(spark)
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", ["lang"], n=2, threshold=0.0
+        ).collect()
+    }
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=32, shingle_n=2)
+    for r in lsh_candidate_pairs(sigs, "doc_id", num_hashes=32, bands=8).collect():
+        if (r.doc_a, r.doc_b) in exact:
+            assert abs(r.est_jaccard - exact[(r.doc_a, r.doc_b)]) < 0.3

@@ -1,0 +1,128 @@
+"""Operator-semantics tests mirroring the reference's conformance points
+(FIXTURES.md §8): delta arithmetic, daily rollup carry, doubling rate,
+as-of lookup, top-k, date spine."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from covid19_spark.operators.asof import latest_within_lookback
+from covid19_spark.operators.delta import running_delta
+from covid19_spark.operators.rates import active_cases, doubling_rate, positivity_rate
+from covid19_spark.operators.rollup import daily_rollup, grand_total_rollup
+from covid19_spark.operators.series import date_spine, top_k
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_running_delta_matches_reference_semantics(spark):
+    # Successive cumulative snapshots → Δ = new − previous; first Δ = value
+    # (reference seeds the aggregate with zeros, Covid19Stats.java:227-242).
+    rows = [
+        ("Assam", ts("2020-04-08T10:00:00"), 10),
+        ("Assam", ts("2020-04-08T11:00:00"), 27),
+        ("Assam", ts("2020-04-08T12:00:00"), 28),
+        ("Delhi", ts("2020-04-08T10:30:00"), 5),
+    ]
+    df = spark.createDataFrame(rows, ["state", "t", "confirmed"])
+    out = running_delta(df, ["state"], ["t"], ["confirmed"])
+    got = {(r.state, r.t): r.delta_confirmed for r in out.collect()}
+    assert got[("Assam", ts("2020-04-08T10:00:00"))] == 10
+    assert got[("Assam", ts("2020-04-08T11:00:00"))] == 17
+    assert got[("Assam", ts("2020-04-08T12:00:00"))] == 1
+    assert got[("Delhi", ts("2020-04-08T10:30:00"))] == 5
+
+
+def test_daily_rollup_sums_deltas_and_carries_latest(spark):
+    # Daily window sums deltas, keeps the latest cumulative
+    # (Covid19Stats.java:244-270).
+    rows = [
+        ("Assam", ts("2020-04-08T10:00:00"), 10, 10),
+        ("Assam", ts("2020-04-08T23:00:00"), 17, 27),
+        ("Assam", ts("2020-04-09T01:00:00"), 1, 28),
+    ]
+    df = spark.createDataFrame(rows, ["state", "t", "delta_confirmed", "cum_confirmed"])
+    out = daily_rollup(
+        df, "t", ["state"], sum_cols=["delta_confirmed"], last_cols=["cum_confirmed"]
+    ).collect()
+    by_date = {str(r.date): r for r in out}
+    assert by_date["2020-04-08"].sum_delta_confirmed == 27
+    assert by_date["2020-04-08"].last_cum_confirmed == 27
+    assert by_date["2020-04-08"].n_updates == 2
+    assert by_date["2020-04-09"].sum_delta_confirmed == 1
+    assert by_date["2020-04-09"].last_cum_confirmed == 28
+
+
+def test_doubling_rate_formula(spark):
+    # Covid19Stats.java:196-203: growth% = 100·Δ/cum; rate = round(70/growth%).
+    # Δ=31, cum=5341 → 70/0.5804 → round(120.61) = 121.
+    df = spark.createDataFrame([(31, 5341)], ["d", "c"])
+    out = df.select(doubling_rate(F.col("d"), F.col("c")).alias("r")).collect()[0].r
+    assert out == 121
+
+    # zero guard (reference returns "0" string — presentation layer's job);
+    # engine emits null for no-growth/no-base keys
+    z = spark.createDataFrame([(0, 100)], ["d", "c"])
+    assert z.select(doubling_rate(F.col("d"), F.col("c")).alias("r")).collect()[0].r is None
+
+
+def test_positivity_and_active(spark):
+    # 3.05% = 100·1621/53166 (AlertTextTests.java:111, BotUtils.java:241-247)
+    df = spark.createDataFrame([(1621, 53166)], ["p", "t"])
+    assert df.select(positivity_rate(F.col("p"), F.col("t")).alias("r")).collect()[0].r == 3.05
+    # active = confirmed − recovered − deaths (BotUtils.java:206): 5341-455-157
+    a = spark.createDataFrame([(5341, 455, 157)], ["c", "r", "d"])
+    assert (
+        a.select(active_cases(F.col("c"), F.col("r"), F.col("d")).alias("x")).collect()[0].x
+        == 4729
+    )
+    # chart clamp (Visualizer.java:455)
+    n = spark.createDataFrame([(1, 5, 0)], ["c", "r", "d"])
+    assert (
+        n.select(active_cases(F.col("c"), F.col("r"), F.col("d"), clamp=True).alias("x"))
+        .collect()[0]
+        .x
+        == 0
+    )
+
+
+def test_asof_latest_within_lookback(spark):
+    # reference probes (state, today-k) k=0..13 until hit
+    # (StateStoresManager.java:212-229)
+    rows = [
+        ("Delhi", dt.date(2020, 4, 20), 100),
+        ("Delhi", dt.date(2020, 4, 25), 200),
+        ("Assam", dt.date(2020, 4, 1), 50),  # outside 14d lookback from 4/26
+    ]
+    df = spark.createDataFrame(rows, ["state", "d", "tested"])
+    out = latest_within_lookback(
+        df,
+        ["state"],
+        "d",
+        lookback_filter=F.col("d") >= F.lit("2020-04-13"),
+    ).collect()
+    got = {r.state: r.tested for r in out}
+    assert got == {"Delhi": 200}
+
+
+def test_top_k_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 10), ("c", 5)], ["k", "v"]
+    )
+    out = top_k(df, "v", 2, tiebreak_cols=["k"]).orderBy("rank").collect()
+    assert [(r.k, r.rank) for r in out] == [("a", 1), ("b", 2)]
+
+
+def test_grand_total_rollup(spark):
+    df = spark.createDataFrame([("x", 1), ("y", 2)], ["state", "v"])
+    out = {r.state: r.sum_v for r in grand_total_rollup(df, "state", ["v"]).collect()}
+    assert out == {"x": 1, "y": 2, "Total": 3}
+
+
+def test_date_spine(spark):
+    df = spark.range(1)
+    out = date_spine(df, F.lit(dt.date(2020, 1, 1)), F.lit(dt.date(2020, 1, 5))).collect()
+    assert len(out) == 5
+    assert out[0].date == dt.date(2020, 1, 1)

@@ -1,0 +1,72 @@
+"""Similarity search: exact brute-force correctness + ANN recall on clustered
+data (where LSH locality exists; random corpora degrade toward scan by
+construction — the exact operator is the gold path there)."""
+
+import math
+
+import numpy as np
+
+from covid19_spark.operators.similarity import ann_cosine_topk, cosine_topk
+
+
+def test_cosine_topk_hand_case(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),   # closest to 0
+        (2, [0.0, 1.0]),   # orthogonal
+        (3, [-1.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter("vec_id = 0")
+    out = cosine_topk(df, q, k=3).orderBy("rank").collect()
+    assert [r.neighbor_id for r in out] == [1, 2, 3]
+    assert abs(out[0].sim - 0.9 / math.sqrt(0.82)) < 1e-12
+    assert out[1].sim == 0.0
+    assert out[2].sim == -1.0
+
+
+def _clustered(spark, n_clusters=8, per_cluster=40, dim=16, noise=0.15):
+    rng = np.random.default_rng(123)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for ci in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[ci] + noise * rng.normal(size=dim)
+            rows.append((vid, [float(x) for x in v], ci))
+            vid += 1
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_ann_recall_on_clustered_data(spark):
+    emb = _clustered(spark)
+    queries = emb.filter("vec_id IN (0, 40, 80, 120)")
+    exact = cosine_topk(emb, queries, k=10).collect()
+    approx = ann_cosine_topk(
+        emb, queries, k=10, dim=16, num_planes=8, num_tables=4
+    ).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_ann_sims_are_exact_for_returned_pairs(spark):
+    """ANN returns true cosine values (only the candidate set is approximate)."""
+    emb = _clustered(spark, n_clusters=4, per_cluster=20)
+    queries = emb.filter("vec_id IN (0, 20)")
+    exact = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in cosine_topk(emb, queries, k=80).collect()
+    }
+    for r in ann_cosine_topk(emb, queries, k=5, dim=16, num_planes=8, num_tables=2).collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert abs(r.sim - exact[key]) < 1e-12
