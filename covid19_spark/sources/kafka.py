@@ -1,0 +1,78 @@
+"""Kafka source/sink adapters (reference S1/S4/S5).
+
+No broker exists in the test environment, so these builders are exercised for
+plan construction only; the JSON-decode/encode transforms they wrap are the
+same ones the file-backed tests drive end-to-end.
+
+Reference mapping:
+- S1 stream source  → ``read_topic_stream`` (``Covid19PatientAnalyzer.java:55``)
+- S2 table source   → ``read_topic_stream`` + ``streaming.table.latest_by_key``
+- S4 stream sink    → ``write_topic`` (``Covid19Stats.java:96,111,129,...``)
+- GSON serdes       → ``from_json`` / ``to_json`` (SURVEY §1.2: one schema per
+  topic, leniently decoded — unknown fields ignored, missing fields null,
+  which is exactly ``from_json``'s PERMISSIVE behavior)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def decode_json_value(df: DataFrame, schema: T.StructType, ts_from_kafka: bool = True) -> DataFrame:
+    """Kafka wire format → typed columns: key string, value via from_json,
+    event time from the Kafka record timestamp (reference T5 uses
+    ``context.timestamp()``)."""
+    out = df.select(
+        F.col("key").cast("string").alias("key"),
+        F.from_json(F.col("value").cast("string"), schema).alias("v"),
+        *([F.col("timestamp").alias("ts")] if ts_from_kafka else []),
+    )
+    return out.select("key", *(["ts"] if ts_from_kafka else []), "v.*")
+
+
+def read_topic_stream(
+    spark: SparkSession,
+    topic: str,
+    schema: T.StructType,
+    bootstrap: str = "localhost:9092",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Streaming source for one topic, JSON values decoded to ``schema``."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return decode_json_value(raw, schema)
+
+
+def encode_json_value(df: DataFrame, key_col: Column) -> DataFrame:
+    """Typed columns → Kafka wire format (key, JSON value)."""
+    payload = F.to_json(F.struct(*[c for c in df.columns]))
+    return df.select(key_col.cast("string").alias("key"), payload.alias("value"))
+
+
+def write_topic(
+    df: DataFrame,
+    topic: str,
+    key_col: Column,
+    bootstrap: str = "localhost:9092",
+    checkpoint: str | None = None,
+    trigger_seconds: int = 10,
+):
+    """Streaming sink to a topic; 10s trigger mirrors the reference's commit
+    interval (``Covid19Stats.java:68``)."""
+    writer = (
+        encode_json_value(df, key_col)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -1,0 +1,81 @@
+"""Streaming running delta: the reference's core stateful aggregator.
+
+Reference (``Covid19Stats.java:227-242``, SURVEY A1/A2): per key, keep the
+previous cumulative snapshot in a store; on each update emit
+``delta = new − previous`` and carry the new cumulative. This is genuinely
+order-sensitive per-key state — the one operator Catalyst can't derive
+(SURVEY §4 "custom strategies needed") — so it uses the state-store API
+(``applyInPandasWithState``), the direct analogue of the reference's
+RocksDB-backed Transformer.
+
+Scale: state is O(|keys| × |value_cols|) longs — for the reference domain
+(~740 keys) trivially tiny; at 100 TB ingest with millions of keys the state
+store shards by the groupBy key across executors (RocksDB provider spills to
+disk), and each micro-batch shuffles only the new records.
+
+Equivalence to the batch ``operators.delta.running_delta`` (lag window) is
+asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_running_delta(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    delta_prefix: str = "delta_",
+) -> DataFrame:
+    """Per-key running delta over a streaming DataFrame.
+
+    Output schema: key_cols + ts_col + value_cols + delta_<value_cols>.
+    Within a micro-batch, records are processed in ``ts_col`` order (the
+    reference processes in offset order; event-time order is the
+    deterministic choice and matches the batch lag operator).
+    """
+    key_cols = list(key_cols)
+    value_cols = list(value_cols)
+    fields = (
+        [f"{c} string" for c in key_cols]
+        + [f"{ts_col} timestamp"]
+        + [f"{c} double" for c in value_cols]
+        + [f"{delta_prefix}{c} double" for c in value_cols]
+    )
+    out_schema = ", ".join(fields)
+    state_schema = ", ".join(f"{c} double" for c in value_cols)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        prev = list(state.get) if state.exists else [0.0] * len(value_cols)
+        frames = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            out = pdf[[*key_cols, ts_col, *value_cols]].copy()
+            deltas: dict[str, list[float]] = {f"{delta_prefix}{c}": [] for c in value_cols}
+            for row in pdf[value_cols].itertuples(index=False):
+                for i, c in enumerate(value_cols):
+                    new = float(getattr(row, c))
+                    deltas[f"{delta_prefix}{c}"].append(new - prev[i])
+                    prev[i] = new
+            for name, vals in deltas.items():
+                out[name] = vals
+            frames.append(out)
+        state.update(tuple(prev))
+        yield from frames
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,229 @@
+"""Structured Streaming tests: file source → pipeline → memory sink, with
+batch-vs-streaming equivalence for the stateful delta (SURVEY §7.3.3)."""
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from covid19_spark.operators.delta import running_delta
+from covid19_spark.streaming.pipelines import (
+    alert_fanout,
+    daily_states_count,
+    doubling_rate_stream,
+    patients_news_sources,
+    stats_delta_stream,
+)
+from covid19_spark.streaming.table import compact_batch_to_table, latest_by_key
+
+SNAP_SCHEMA = T.StructType(
+    [
+        T.StructField("state", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("confirmed", T.DoubleType()),
+        T.StructField("recovered", T.DoubleType()),
+        T.StructField("deaths", T.DoubleType()),
+    ]
+)
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+SNAPSHOTS = [
+    ("Assam", ts("2020-04-08T10:00:00"), 10.0, 0.0, 0.0),
+    ("Assam", ts("2020-04-08T22:00:00"), 27.0, 1.0, 0.0),
+    ("Assam", ts("2020-04-09T02:00:00"), 28.0, 1.0, 1.0),
+    ("Delhi", ts("2020-04-08T12:00:00"), 5.0, 0.0, 0.0),
+    ("Delhi", ts("2020-04-09T12:00:00"), 9.0, 2.0, 0.0),
+]
+
+
+@pytest.fixture()
+def stream_env(spark):
+    d = tempfile.mkdtemp(prefix="c19stream_")
+    src, ckpt = f"{d}/src", f"{d}/ckpt"
+    yield spark, d, src, ckpt
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def run_stream_to_memory(spark, stream_df, name, ckpt, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_delta_equals_batch_lag(stream_env):
+    spark, d, src, ckpt = stream_env
+    batch_df = spark.createDataFrame(SNAPSHOTS, SNAP_SCHEMA)
+    batch_df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(SNAP_SCHEMA).parquet(src)
+
+    out = run_stream_to_memory(
+        spark, stats_delta_stream(stream), "delta_stream", ckpt
+    ).collect()
+
+    expected = {
+        (r.state, r.ts): (r.delta_confirmed, r.delta_recovered, r.delta_deaths)
+        for r in running_delta(
+            batch_df, ["state"], ["ts"], ["confirmed", "recovered", "deaths"]
+        ).collect()
+    }
+    assert len(out) == len(expected)
+    for r in out:
+        assert (
+            r.delta_confirmed,
+            r.delta_recovered,
+            r.delta_deaths,
+        ) == expected[(r.state, r.ts)], r
+
+
+def test_streaming_delta_state_carries_across_batches(stream_env):
+    spark, d, src, ckpt = stream_env
+    import os
+
+    os.makedirs(src)
+    spark.createDataFrame(SNAPSHOTS[:2], SNAP_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(SNAP_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        stats_delta_stream(stream)
+        .writeStream.format("memory")
+        .queryName("delta_s2")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second micro-batch arrives while the query is live; state must
+        # remember confirmed=27 across batches
+        spark.createDataFrame(SNAPSHOTS[2:3], SNAP_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        out = spark.table("delta_s2").collect()
+    finally:
+        q.stop()
+    by_key = {(r.state, r.ts): r.delta_confirmed for r in out}
+    assert by_key[("Assam", ts("2020-04-08T10:00:00"))] == 10.0
+    assert by_key[("Assam", ts("2020-04-09T02:00:00"))] == 1.0  # 28 - 27
+
+
+def test_daily_window_rollup_stream(stream_env):
+    spark, d, src, ckpt = stream_env
+    spark.createDataFrame(SNAPSHOTS, SNAP_SCHEMA).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(SNAP_SCHEMA).parquet(src)
+    daily = daily_states_count(stats_delta_stream(stream))
+    out = run_stream_to_memory(spark, daily, "daily_stream", ckpt, mode="update").collect()
+    got = {(str(r.date), r.state): r for r in out}
+    # Assam 04-08: deltas 10+17=27, latest cumulative 27
+    r = got[("2020-04-08", "Assam")]
+    assert r.sum_delta_confirmed == 27.0 and r.last_confirmed == 27.0
+    r = got[("2020-04-09", "Assam")]
+    assert r.sum_delta_confirmed == 1.0 and r.last_confirmed == 28.0
+    r = got[("2020-04-09", "Delhi")]
+    assert r.sum_delta_confirmed == 4.0
+
+
+def test_doubling_rate_stream(stream_env):
+    spark, d, src, ckpt = stream_env
+    spark.createDataFrame(SNAPSHOTS, SNAP_SCHEMA).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(SNAP_SCHEMA).parquet(src)
+    dr = doubling_rate_stream(daily_states_count(stats_delta_stream(stream)))
+    out = run_stream_to_memory(spark, dr, "dr_stream", ckpt, mode="update").collect()
+    got = {(str(r.date), r.state): r.doubling_days for r in out}
+    # Assam 04-09: delta 1, cum 28 → round(70/(100/28)) = round(19.6) = 20
+    assert got[("2020-04-09", "Assam")] == 20.0
+
+
+PATIENT_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("patientnumber", T.StringType()),
+        T.StructField("currentstatus", T.StringType()),
+        T.StructField("detectedstate", T.StringType()),
+        T.StructField("source1", T.StringType()),
+        T.StructField("source2", T.StringType()),
+        T.StructField("source3", T.StringType()),
+    ]
+)
+
+
+def test_patients_pipeline_filters_coalesces_dedups(stream_env):
+    spark, d, src, ckpt = stream_env
+    rows = [
+        (ts("2020-04-08T10:00:00"), "P1", "Hospitalized", "Assam", "u1", "", ""),
+        (ts("2020-04-08T11:00:00"), "P2", "", "Assam", "u2", "", ""),          # dropped: empty status
+        (ts("2020-04-08T12:00:00"), "P3", "Hospitalized", "Delhi", "", "", ""),  # dropped: no source
+        (ts("2020-04-08T13:00:00"), "P4", "Recovered", "Delhi", "a", "b", "c"),  # news=c (source3 wins)
+        (ts("2020-04-08T14:00:00"), "P5", "Recovered", "Delhi", "x", "", "c"),   # dup of news=c → dropped
+    ]
+    spark.createDataFrame(rows, PATIENT_SCHEMA).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(PATIENT_SCHEMA).parquet(src)
+    out = run_stream_to_memory(
+        spark, patients_news_sources(stream), "patients_stream", ckpt
+    ).collect()
+    got = sorted((r.state, r.news) for r in out)
+    assert got == [("Assam", "u1"), ("Delhi", "c")]
+
+
+def test_latest_by_key_update_mode(stream_env):
+    spark, d, src, ckpt = stream_env
+    spark.createDataFrame(SNAPSHOTS, SNAP_SCHEMA).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(SNAP_SCHEMA).parquet(src)
+    table = latest_by_key(stream, ["state"], "ts", ["confirmed"])
+    out = run_stream_to_memory(spark, table, "ktable", ckpt, mode="complete").collect()
+    got = {r.state: r.confirmed for r in out}
+    assert got == {"Assam": 28.0, "Delhi": 9.0}
+
+
+def test_compact_batch_to_table(spark):
+    old = spark.createDataFrame(
+        [("Assam", ts("2020-04-08T10:00:00"), 10.0)], ["state", "ts", "confirmed"]
+    )
+    new = spark.createDataFrame(
+        [
+            ("Assam", ts("2020-04-09T10:00:00"), 28.0),
+            ("Delhi", ts("2020-04-09T11:00:00"), 9.0),
+        ],
+        ["state", "ts", "confirmed"],
+    )
+    out = compact_batch_to_table(new, old, ["state"], "ts").collect()
+    got = {r.state: r.confirmed for r in out}
+    assert got == {"Assam": 28.0, "Delhi": 9.0}
+
+
+def test_alert_fanout_semantics(stream_env):
+    spark, d, src, ckpt = stream_env
+    deltas = spark.createDataFrame(
+        [
+            ("Assam", ts("2020-04-08T10:00:00"), 1.0, 0.0, 0.0, 28.0),
+            ("Delhi", ts("2020-04-08T11:00:00"), 0.0, 0.0, 0.0, 9.0),  # zero delta → no alert
+        ],
+        ["state", "ts", "delta_confirmed", "delta_recovered", "delta_deaths", "confirmed"],
+    )
+    prefs = spark.createDataFrame(
+        [
+            ("u1", ["Assam", "Delhi"], True),
+            ("u2", ["Delhi"], True),
+            ("u3", ["Assam"], False),  # unsubscribed
+        ],
+        ["userId", "myStates", "subscribed"],
+    )
+    out = alert_fanout(deltas, prefs).collect()
+    assert [(r.userId, r.state) for r in out] == [("u1", "Assam")]
