@@ -897,3 +897,161 @@ QUERY_REGISTRY.update(
         "multimodal_features": QuerySpec(q_multimodal_features, None, "binary payload features (rows-only)"),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Remaining SURVEY §2 join/scan shapes + wider relational coverage
+# ---------------------------------------------------------------------------
+
+def q_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional zip join (J3, ``Utils.zip`` at ``Utils.java:17-28``): pair
+    the i-th row of two aligned sorted lists. The reference throws on length
+    mismatch; here a full-outer join on row index surfaces mismatches as
+    nulls instead of crashing (SURVEY §7.5.4) — this query inner-joins equal
+    lengths. Expressed as row_number on both sides + equi-join on the index.
+    """
+    events = _t(spark, sf_dir, "events")
+    daily_counts = (
+        events.withColumn("date", F.to_date("ts"))
+        .groupBy("date")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    daily_value = (
+        events.withColumn("date", F.to_date("ts"))
+        .groupBy("date")
+        .agg(_dsum(F.col("value")).alias("sum_value"))
+    )
+    wn = Window.orderBy("date")
+    a = daily_counts.withColumn("idx", F.row_number().over(wn))
+    b = daily_value.withColumn("idx", F.row_number().over(wn))
+    return (
+        a.join(b.select("idx", "sum_value"), "idx")
+        .select(
+            "idx",
+            F.date_format("date", "yyyy-MM-dd").alias("date"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("idx")
+    )
+
+
+ORACLE_ZIP_JOIN = """
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS date, count(*) AS n_events
+  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events GROUP BY 1
+), v AS (
+  SELECT CAST(ts AS DATE) AS date, CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events GROUP BY 1
+), a AS (SELECT *, row_number() OVER (ORDER BY date) AS idx FROM c),
+   b AS (SELECT *, row_number() OVER (ORDER BY date) AS idx FROM v)
+SELECT a.idx AS idx, strftime(a.date, '%Y-%m-%d') AS date, a.n_events, b.sum_value
+FROM a JOIN b USING (idx)
+ORDER BY idx
+"""
+
+
+def q_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-side enrichment (J1 family over the remaining dims): lineitem
+    ⋈ supplier ⋈ nation, revenue + fill-rate stats per supplier nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            _dsum(F.col("l_quantity")).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_SUPPLIER_REVENUE = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty,
+       count(*) AS n_lineitems,
+       count(DISTINCT s_suppkey) AS n_suppliers
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-dimension aggregation: per p_type price stats + brand cardinality
+    (completes the star schema coverage; exercises min/max/avg/distinct)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct("p_brand").alias("n_brands"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+            (_dsum(F.col("p_retailprice")) / F.count(F.lit(1))).alias("avg_price"),
+            F.sum("p_size").alias("total_size"),
+        )
+        .orderBy("p_type")
+    )
+
+
+ORACLE_PART_TYPE_STATS = """
+SELECT p_type,
+       count(*) AS n_parts,
+       count(DISTINCT p_brand) AS n_brands,
+       min(p_retailprice) AS min_price,
+       max(p_retailprice) AS max_price,
+       CAST(sum(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_price,
+       sum(p_size) AS total_size
+FROM part
+GROUP BY p_type
+ORDER BY p_type
+"""
+
+
+def q_date_range_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range scan + priority histogram (P2's range-filter shape over the
+    orders fact): predicate pushes into the parquet scan, map-side combine
+    keeps the shuffle at |priorities| rows."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_DATE_RANGE_ORDERS = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+QUERY_REGISTRY.update(
+    {
+        "zip_join": QuerySpec(q_zip_join, ORACLE_ZIP_JOIN, "J3 positional zip join"),
+        "supplier_revenue": QuerySpec(q_supplier_revenue, ORACLE_SUPPLIER_REVENUE, "J1 supplier enrichment"),
+        "part_type_stats": QuerySpec(q_part_type_stats, ORACLE_PART_TYPE_STATS, "part dimension agg"),
+        "date_range_orders": QuerySpec(q_date_range_orders, ORACLE_DATE_RANGE_ORDERS, "P2 date-range scan"),
+    }
+)
