@@ -1,0 +1,73 @@
+"""Physical-plan assertions: the scale properties that make these queries
+viable at 100 TB — predicate pushdown into the parquet scan, column pruning,
+broadcast joins for dimension sides, map-side partial aggregation.
+
+These tests freeze the *plan shape*, not timings: a regression that turns a
+broadcast join into a sort-merge join or drops a pushed filter fails here
+long before it shows up in a benchmark."""
+
+import pytest
+
+from covid19_spark.plans.registry import QUERY_REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name):
+    return QUERY_REGISTRY[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
+    plan = plan_of(spark, "pricing_summary")
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # only the 7 needed columns are read, not all 11 (plan string truncates
+    # ReadSchema ~100 chars in, so assert pruning via the schema prefix:
+    # an unpruned scan would start with l_orderkey)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert read_schema.strip().startswith("struct<l_quantity:")
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    # partial aggregation before the exchange (map-side combine)
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_region_revenue_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    # the fact-fact join may be broadcast at this sf; what matters is that
+    # no dimension join degraded to sort-merge
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_semi_join_stays_semi(spark):
+    plan = plan_of(spark, "semi_join_customers")
+    assert "LeftSemi" in plan
+
+
+def test_text_quality_is_map_only(spark):
+    # quality scoring must not shuffle: a single stage scan→project→sort
+    plan = plan_of(spark, "text_quality")
+    # the only exchange allowed is the final orderBy's range partitioning
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "rangepartitioning" for e in exchanges), exchanges
+
+
+def test_running_delta_single_exchange_on_key(spark):
+    plan = plan_of(spark, "running_delta")
+    # exactly one hash exchange (by user_id) feeds the window sort
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "user_id" in plan.split("Exchange hashpartitioning")[1].splitlines()[0]
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    plan = plan_of(spark, "cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_date_range_orders_prunes_and_pushes(spark):
+    plan = plan_of(spark, "date_range_orders")
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(o_orderdate" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_custkey" not in read_schema  # pruned
