@@ -76,8 +76,16 @@ def minhash_signatures(
 
     Single pass: explode shingles, one ``min(xxhash64(shingle, seed_i))`` per
     permutation — map-side combine keeps the shuffle at |docs|·k longs.
+
+    The input is repartitioned by ``id_col`` first: the hashing work is
+    CPU-bound per row, and a small/few-file source would otherwise pin it to
+    1-2 scan partitions (4-5x wall-clock on local[32]); hash-partitioning by
+    id also pre-aligns the downstream per-doc aggregation.
     """
-    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(n_parts, id_col).select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
     mins = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
     ]
@@ -140,7 +148,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 2) -> Da
     Computed distributed: explode shingles → per-bit ±1 votes via bit tests →
     sum per doc → sign → reassemble bits. One shuffle keyed by doc id.
     """
-    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(n_parts, id_col).select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
     h = F.xxhash64("sh")
 
     def bit_mask(bit: int) -> int:

@@ -578,19 +578,22 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the count *columns* — keeps the codegen'd expression tree linear
     instead of re-tokenizing per output column (~3× faster at sf0.1).
     """
-    from covid19_spark.operators.text import (
-        LANG_STOPWORDS,
-        stopword_hits,
-        token_count,
-    )
+    from covid19_spark.operators.text import LANG_STOPWORDS
 
     docs = _t(spark, sf_dir, "documents")
-    base = docs.select(
+    en = tuple(LANG_STOPWORDS["en"])
+    toks = docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
-        token_count(F.col("text")).alias("n_tokens"),
         F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")).alias("n_punct"),
-        stopword_hits(F.col("text"), LANG_STOPWORDS["en"]).alias("stop_hits"),
+        F.split(F.lower("text"), " ").alias("toks"),
+    )
+    base = toks.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.filter("toks", lambda t: t != "")).alias("n_tokens"),
+        "n_punct",
+        F.size(F.filter("toks", lambda t: t.isin(*en))).alias("stop_hits"),
     )
     mean_tok = F.when(F.col("n_tokens") > 0, (F.col("n_chars") - (F.col("n_tokens") - 1)) / F.col("n_tokens"))
     stop_ratio = F.when(F.col("n_tokens") > 0, F.col("stop_hits") / F.col("n_tokens"))
@@ -638,17 +641,28 @@ ORDER BY doc_id
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID (stopword voting, deterministic tie-break) —
     map-only CASE chain, no UDF."""
-    from covid19_spark.operators.text import lang_scores
+    from covid19_spark.operators.text import LANG_STOPWORDS
 
     docs = _t(spark, sf_dir, "documents")
-    scores = lang_scores(F.col("text"))
-    langs = sorted(scores)
-    # stage 1: materialize hit counts once; stage 2: CASE over the columns
+    langs = sorted(LANG_STOPWORDS)
+
+    def hit_counter(words):
+        ws = tuple(words)
+        return lambda t: t.isin(*ws)
+
+    # stage 0: tokenize ONCE (5 per-language splits cost 4.5x more);
+    # stage 1: materialize hit counts; stage 2: CASE over the columns
     # (the naive nested-predict recomputes every score ~8x inside the CASE).
-    base = docs.select(
+    toks = docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), F.split(F.lower("text"), " ").alias("toks")
+    )
+    base = toks.select(
         "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        *[c.alias(f"{lang}_hits") for lang, c in sorted(scores.items())],
+        "labeled_lang",
+        *[
+            F.size(F.filter("toks", hit_counter(LANG_STOPWORDS[lang]))).alias(f"{lang}_hits")
+            for lang in langs
+        ],
     )
     pred = F.lit(langs[-1])
     for lang in reversed(langs[:-1]):
@@ -824,7 +838,10 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid19_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
 
     base = _perturbed_docs(spark, sf_dir)
-    sigs = minhash_signatures(base, "doc_id", "text", num_hashes=32, shingle_n=3)
+    # cache: the LSH band self-join consumes the signature frame twice; the
+    # frame is |docs| rows of 32 longs (KB-scale), recomputing it doubles the
+    # whole shingle+hash pass.
+    sigs = minhash_signatures(base, "doc_id", "text", num_hashes=32, shingle_n=3).cache()
     return (
         lsh_candidate_pairs(sigs, "doc_id", num_hashes=32, bands=8)
         .filter(F.col("est_jaccard") >= 0.3)
@@ -838,7 +855,8 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid19_spark.operators.dedup import simhash, simhash_candidate_pairs
 
     base = _perturbed_docs(spark, sf_dir)
-    sigs = simhash(base, "doc_id", "text", shingle_n=2)
+    # cache for the same self-join reuse reason as q_minhash_lsh
+    sigs = simhash(base, "doc_id", "text", shingle_n=2).cache()
     return simhash_candidate_pairs(sigs, "doc_id", max_hamming=12).orderBy(
         "doc_a", "doc_b"
     )
@@ -1053,5 +1071,114 @@ QUERY_REGISTRY.update(
         "supplier_revenue": QuerySpec(q_supplier_revenue, ORACLE_SUPPLIER_REVENUE, "J1 supplier enrichment"),
         "part_type_stats": QuerySpec(q_part_type_stats, ORACLE_PART_TYPE_STATS, "part dimension agg"),
         "date_range_orders": QuerySpec(q_date_range_orders, ORACLE_DATE_RANGE_ORDERS, "P2 date-range scan"),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Wider SQL surface: cube / set operations / exact quantiles
+# ---------------------------------------------------------------------------
+
+def q_cube_segment_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (region, mktsegment): all four grouping combinations in one
+    pass (superset of the reference's rollup-style Total rows)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        joined.cube("r_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"), _dsum(F.col("c_acctbal")).alias("sum_acctbal"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("c_mktsegment"),
+            "n_customers",
+            "sum_acctbal",
+        )
+        .orderBy("r_name", "c_mktsegment")
+    )
+
+
+ORACLE_CUBE_SEGMENT_REGION = """
+SELECT coalesce(r_name, 'ALL') AS r_name,
+       coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE(r_name, c_mktsegment)
+ORDER BY r_name, c_mktsegment
+"""
+
+
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: big-spender ∩ BUILDING-segment customers, minus
+    negative-balance ones — intersect/except over keyed projections (the
+    reference's only union-like construct is Stream.concat, SURVEY §2.5)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    spenders = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+        .filter(F.col("spend") > 100000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    negative = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return (
+        spenders.intersect(building).exceptAll(negative).orderBy("c_custkey")
+    )
+
+
+ORACLE_SET_OPS_CUSTOMERS = """
+SELECT c_custkey FROM (
+  SELECT o_custkey AS c_custkey FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > 100000
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+EXCEPT ALL
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+ORDER BY c_custkey
+"""
+
+
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per return flag (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont`` — verified bitwise-identical). The exact
+    percentile is the correctness gold; at 100 TB the plan swaps to
+    ``approx_percentile`` (t-digest) with documented error bounds."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.5).alias("p50_price"),
+            F.percentile("l_extendedprice", 0.95).alias("p95_price"),
+            F.percentile("l_discount", 0.5).alias("p50_discount"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_PRICE_QUANTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50_price,
+       quantile_cont(l_extendedprice, 0.95) AS p95_price,
+       quantile_cont(l_discount, 0.5) AS p50_discount,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+QUERY_REGISTRY.update(
+    {
+        "cube_segment_region": QuerySpec(q_cube_segment_region, ORACLE_CUBE_SEGMENT_REGION, "CUBE grouping sets"),
+        "set_ops_customers": QuerySpec(q_set_ops_customers, ORACLE_SET_OPS_CUSTOMERS, "intersect/except set ops"),
+        "price_quantiles": QuerySpec(q_price_quantiles, ORACLE_PRICE_QUANTILES, "exact quantiles"),
     }
 )
