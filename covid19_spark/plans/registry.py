@@ -1182,3 +1182,45 @@ QUERY_REGISTRY.update(
         "price_quantiles": QuerySpec(q_price_quantiles, ORACLE_PRICE_QUANTILES, "exact quantiles"),
     }
 )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events stream (30-minute timeout):
+    per-user session ids via lag + running sum — one hash exchange on
+    user_id shared by both windows (see operators/sessions.py)."""
+    from covid19_spark.operators.sessions import session_stats
+
+    events = _t(spark, sf_dir, "events")
+    return (
+        session_stats(events, ["user_id"], "ts", gap="30 minutes", tiebreak_cols=["event_id"])
+        .orderBy("user_id", "session_id")
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_start
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id, ts,
+         CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+QUERY_REGISTRY["sessionize"] = QuerySpec(q_sessionize, ORACLE_SESSIONIZE, "gap-based sessionization")
