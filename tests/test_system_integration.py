@@ -1,0 +1,129 @@
+"""Full-system integration: the reference's §3.1 + §3.3 dataflow end-to-end.
+
+snapshot stream → stateful delta → foreachBatch upsert into serving tables
+(compact_batch_to_table) → StoreReader queries → alert fan-out → golden text.
+This is the whole engine in one test: streaming, state, materialization,
+interactive queries, and presentation."""
+
+import datetime as dt
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from covid19_spark.serving.format import build_statewise_alert_text
+from covid19_spark.serving.stores import StoreReader
+from covid19_spark.streaming.pipelines import alert_fanout, stats_delta_stream
+from covid19_spark.streaming.table import compact_batch_to_table
+
+SNAP_SCHEMA = T.StructType(
+    [
+        T.StructField("state", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("confirmed", T.DoubleType()),
+        T.StructField("recovered", T.DoubleType()),
+        T.StructField("deaths", T.DoubleType()),
+    ]
+)
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def env(spark):
+    d = tempfile.mkdtemp(prefix="c19system_")
+    yield spark, d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_to_store_to_alert(env):
+    spark, d = env
+    src, ckpt = f"{d}/src", f"{d}/ckpt"
+    table_path = f"{d}/statewise_delta"
+    os.makedirs(src)
+
+    # --- streaming ingest with foreachBatch upsert (S6 + T7) ---
+    def upsert(batch, batch_id):
+        existing = None
+        if os.path.exists(table_path):
+            existing = spark.read.parquet(table_path)
+        snapshot = compact_batch_to_table(batch, existing, ["state"], "ts")
+        snapshot.write.mode("overwrite").parquet(f"{table_path}__tmp")
+        spark.read.parquet(f"{table_path}__tmp").write.mode("overwrite").parquet(table_path)
+
+    stream = spark.readStream.schema(SNAP_SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        stats_delta_stream(stream)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        spark.createDataFrame(
+            [
+                ("Assam", ts("2020-04-08T10:00:00"), 27.0, 0.0, 0.0),
+                ("Delhi", ts("2020-04-08T12:00:00"), 5.0, 0.0, 0.0),
+            ],
+            SNAP_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [("Assam", ts("2020-04-08T23:00:00"), 28.0, 0.0, 0.0)], SNAP_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # --- serve (T7): latest snapshot per state, cross-batch delta correct ---
+    reader = StoreReader(spark, d)
+    latest = {r.state: r for r in reader._t("statewise_delta").collect()}
+    assert latest["Assam"].confirmed == 28.0
+    assert latest["Assam"].delta_confirmed == 1.0  # 28 - 27, across micro-batches
+    assert latest["Delhi"].delta_confirmed == 5.0
+
+    # --- fan-out (§3.3, J2/P4): only subscribed users with matching states ---
+    deltas = reader._t("statewise_delta").select(
+        "state", "ts", "delta_confirmed", "delta_recovered", "delta_deaths", "confirmed"
+    )
+    prefs = spark.createDataFrame(
+        [("u1", ["Assam"], True), ("u2", ["Kerala"], True), ("u3", ["Assam"], False)],
+        ["userId", "myStates", "subscribed"],
+    )
+    alerts = alert_fanout(deltas, prefs).collect()
+    assert [(r.userId, r.state) for r in alerts] == [("u1", "Assam")]
+
+    # --- presentation: the golden alert string from live pipeline numbers ---
+    a = alerts[0]
+    text = build_statewise_alert_text(
+        "April 08, 11:00 PM",
+        [
+            {
+                "state": a.state,
+                "delta_confirmed": int(a.delta_confirmed),
+                "delta_recovered": int(a.delta_recovered),
+                "delta_deaths": int(a.delta_deaths),
+                "current_confirmed": int(a.confirmed),
+                "current_recovered": 0,
+                "current_deaths": 0,
+            }
+        ],
+        [
+            {
+                "state": a.state,
+                "delta_confirmed": int(a.delta_confirmed),
+                "delta_recovered": 0,
+                "delta_deaths": 0,
+            }
+        ],
+        {},
+        {"Assam": "20"},
+        [],
+    )
+    assert "1 new case in Assam\n" in text
+    assert "Total cases  : (↑1) 28" in text
+    assert "Doubling rate: 20 days" in text
