@@ -1,0 +1,48 @@
+"""Skew primitives: result-identity with the naive plans."""
+
+from pyspark.sql import functions as F
+
+from covid19_spark.operators.skew import salted_join, two_phase_agg
+
+
+def test_salted_join_matches_plain_join(spark):
+    # hot key: 90% of big rows share key 'hot'
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"cold{i}", float(i)) for i in range(1000)],
+        ["row_id", "k", "v"],
+    )
+    small = spark.createDataFrame(
+        [("hot", "H"), ("cold10", "C10"), ("cold20", "C20"), ("missing", "M")],
+        ["k", "label"],
+    )
+    plain = big.join(small, "k").select("row_id", "k", "v", "label")
+    salted = salted_join(big, small, ["k"], salt_source="row_id", buckets=8).select(
+        "row_id", "k", "v", "label"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "a", 1.0), (2, "zzz", 2.0)], ["row_id", "k", "v"])
+    small = spark.createDataFrame([("a", "A")], ["k", "label"])
+    out = salted_join(big, small, ["k"], "row_id", buckets=4, how="left").collect()
+    got = {r.row_id: r.label for r in out}
+    assert got == {1: "A", 2: None}
+
+
+def test_two_phase_agg_matches_plain(spark):
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 5 else f"k{i}", float(i)) for i in range(500)],
+        ["row_id", "k", "v"],
+    )
+    plain = {
+        (r.k,): (r.s, r.n)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    skewsafe = {
+        (r.k,): (r.sum_v, r.n_rows)
+        for r in two_phase_agg(df, ["k"], "row_id", sums=["v"]).collect()
+    }
+    assert plain == skewsafe
