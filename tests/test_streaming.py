@@ -227,3 +227,23 @@ def test_alert_fanout_semantics(stream_env):
     )
     out = alert_fanout(deltas, prefs).collect()
     assert [(r.userId, r.state) for r in out] == [("u1", "Assam")]
+
+
+def test_session_window_stream(stream_env):
+    from covid19_spark.streaming.windowed import session_window_agg
+
+    spark, d, src, ckpt = stream_env
+    rows = [
+        ("Assam", ts("2020-04-08T10:00:00"), 1.0, 0.0, 0.0),
+        ("Assam", ts("2020-04-08T10:10:00"), 2.0, 0.0, 0.0),  # same session
+        ("Assam", ts("2020-04-08T12:00:00"), 3.0, 0.0, 0.0),  # new session
+    ]
+    spark.createDataFrame(rows, SNAP_SCHEMA).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(SNAP_SCHEMA).parquet(src)
+    sessions = session_window_agg(
+        stream, "ts", ["state"], gap="30 minutes", sum_cols=["confirmed"]
+    )
+    out = run_stream_to_memory(spark, sessions, "sessions_stream", ckpt, mode="complete").collect()
+    got = {(r.state, r.session_start): (r.n_events, r.sum_confirmed) for r in out}
+    assert got[("Assam", ts("2020-04-08T10:00:00"))] == (2, 3.0)
+    assert got[("Assam", ts("2020-04-08T12:00:00"))] == (1, 3.0)
