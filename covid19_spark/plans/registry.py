@@ -1224,3 +1224,101 @@ ORDER BY user_id, session_id
 
 
 QUERY_REGISTRY["sessionize"] = QuerySpec(q_sessionize, ORACLE_SESSIONIZE, "gap-based sessionization")
+
+
+def q_running_delta_two_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: running delta with a composite key (the reference's
+    (state, district) aggregator, ``Covid19Stats.java:100-111``) — here
+    (user_id, event_type); still a single exchange on the two key columns."""
+    events = _t(spark, sf_dir, "events")
+    return running_delta(
+        events,
+        key_cols=["user_id", "event_type"],
+        order_cols=["ts", "event_id"],
+        value_cols=["value"],
+    ).select("event_id", "user_id", "event_type", "ts", "value", "delta_value")
+
+
+ORACLE_RUNNING_DELTA_TWO_KEY = """
+SELECT event_id, user_id, event_type, ts, value,
+       value - coalesce(lag(value) OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts, event_id), 0) AS delta_value
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+"""
+
+
+def q_topk_days_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 partitioned variant: top-3 busiest days per event_type — rank
+    window WITH a partition key (the global top-k's scalable sibling)."""
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.withColumn("date", F.to_date("ts"))
+        .groupBy("event_type", "date")
+        .agg(F.count(F.lit(1)).alias("daily_n"))
+    )
+    ranked = top_k(
+        daily, "daily_n", 3, partition_cols=["event_type"], tiebreak_cols=["date"]
+    )
+    return ranked.select(
+        "event_type",
+        "rank",
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        "daily_n",
+    ).orderBy("event_type", "rank")
+
+
+ORACLE_TOPK_DAYS_PER_TYPE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS daily_n
+  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY daily_n DESC, date) AS rank
+  FROM daily
+)
+SELECT event_type, rank, strftime(date, '%Y-%m-%d') AS date, daily_n
+FROM ranked WHERE rank <= 3
+ORDER BY event_type, rank
+"""
+
+
+def q_string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 scalar string surface in one query: concat_ws, substring, upper/
+    lower, format_string, length, conditional pluralization — the alert-text
+    building blocks as engine expressions."""
+    cust = _t(spark, sf_dir, "customer")
+    n_orders = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    joined = cust.join(
+        n_orders, cust.c_custkey == n_orders.o_custkey, "left"
+    ).withColumn("n", F.coalesce("n", F.lit(0)))
+    return joined.select(
+        "c_custkey",
+        F.concat_ws("|", F.upper(F.substring("c_name", 1, 8)), F.lower("c_mktsegment")).alias("tag"),
+        F.format_string("%s placed %d %s", F.col("c_name"), F.col("n"),
+                        F.when(F.col("n") == 1, "order").otherwise("orders")).alias("sentence"),
+        F.length("c_name").alias("name_len"),
+    ).orderBy("c_custkey")
+
+
+ORACLE_STRING_SURFACE = """
+WITH n AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
+SELECT c_custkey,
+       concat_ws('|', upper(substring(c_name, 1, 8)), lower(c_mktsegment)) AS tag,
+       printf('%s placed %d %s', c_name, coalesce(n.n, 0),
+              CASE WHEN coalesce(n.n, 0) = 1 THEN 'order' ELSE 'orders' END) AS sentence,
+       length(c_name) AS name_len
+FROM customer LEFT JOIN n ON c_custkey = o_custkey
+ORDER BY c_custkey
+"""
+
+
+QUERY_REGISTRY.update(
+    {
+        "running_delta_two_key": QuerySpec(q_running_delta_two_key, ORACLE_RUNNING_DELTA_TWO_KEY, "A2 composite-key delta"),
+        "topk_days_per_type": QuerySpec(q_topk_days_per_type, ORACLE_TOPK_DAYS_PER_TYPE, "W3 partitioned top-k"),
+        "string_surface": QuerySpec(q_string_surface, ORACLE_STRING_SURFACE, "§2.6 string functions"),
+    }
+)
