@@ -1322,3 +1322,99 @@ QUERY_REGISTRY.update(
         "string_surface": QuerySpec(q_string_surface, ORACLE_STRING_SURFACE, "§2.6 string functions"),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Event-analytics extensions: funnel + cohort retention
+# ---------------------------------------------------------------------------
+
+def q_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who signed up, then purchased AFTER the signup.
+
+    Per-user min(ts) per stage + ordered comparison — one exchange on
+    user_id; no self-join of raw events (the conditional-min trick keeps it
+    an aggregation, which at 100 TB matters more than anything)."""
+    events = _t(spark, sf_dir, "events")
+    stages = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    per_user = stages.select(
+        "user_id",
+        F.col("first_signup").isNotNull().alias("did_signup"),
+        (
+            F.col("first_signup").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") > F.col("first_signup"))
+        ).alias("converted"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("did_signup").cast("long")).alias("n_signed_up"),
+        F.sum(F.col("converted").cast("long")).alias("n_converted"),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH stages AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+  GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signed_up,
+       sum(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
+                 AND first_purchase > first_signup THEN 1 ELSE 0 END) AS n_converted
+FROM stages
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week; for
+    each (cohort_week, activity_week) the count of distinct active users.
+
+    Two aggregations (first-activity per user, then cohort×week distinct
+    counts) — the broadcast of the per-user cohort map would be the join
+    strategy at dimension scale; at corpus scale both sides shuffle on
+    user_id, which the first groupBy already established."""
+    events = _t(spark, sf_dir, "events")
+    week = lambda c: F.floor(F.datediff(F.to_date(c), F.lit("2024-01-01")) / 7).cast("int")  # noqa: E731
+    cohorts = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohorts = cohorts.select("user_id", week(F.col("first_ts")).alias("cohort_week"))
+    activity = events.select("user_id", week(F.col("ts")).alias("activity_week")).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy("cohort_week", "activity_week")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .withColumn("weeks_since", F.col("activity_week") - F.col("cohort_week"))
+        .orderBy("cohort_week", "activity_week")
+    )
+
+
+ORACLE_COHORT_RETENTION = """
+WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+cohorts AS (
+  SELECT user_id,
+         CAST(floor(datediff('day', DATE '2024-01-01', CAST(min(ts) AS DATE)) / 7.0) AS INT) AS cohort_week
+  FROM e GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS INT) AS activity_week
+  FROM e
+)
+SELECT cohort_week, activity_week, count(DISTINCT a.user_id) AS n_active,
+       activity_week - cohort_week AS weeks_since
+FROM activity a JOIN cohorts c USING (user_id)
+GROUP BY cohort_week, activity_week
+ORDER BY cohort_week, activity_week
+"""
+
+
+QUERY_REGISTRY.update(
+    {
+        "funnel_signup_purchase": QuerySpec(q_funnel_signup_purchase, ORACLE_FUNNEL, "ordered funnel conversion"),
+        "cohort_retention": QuerySpec(q_cohort_retention, ORACLE_COHORT_RETENTION, "weekly cohort retention"),
+    }
+)
