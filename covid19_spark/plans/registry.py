@@ -1418,3 +1418,65 @@ QUERY_REGISTRY.update(
         "cohort_retention": QuerySpec(q_cohort_retention, ORACLE_COHORT_RETENTION, "weekly cohort retention"),
     }
 )
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data curation pipeline over documents: quality gate
+    (token count + stopword ratio) → language allowlist → exact dedup by
+    normalized fingerprint → survivors with their features.
+
+    The capstone composition: every stage is one of the registered operators,
+    fused by Catalyst into scan → map (all gates) → one hash exchange (the
+    dedup groupBy) — i.e. the whole curation pass costs a single shuffle.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    en = ("the", "and", "of", "to", "a", "in", "is")
+    toks = docs.select(
+        "doc_id", "lang", "source",
+        F.length("text").alias("n_chars"),
+        F.split(F.lower("text"), " ").alias("toks"),
+        F.trim(F.regexp_replace(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " ")).alias("norm"),
+    )
+    feats = toks.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.size(F.filter("toks", lambda t: t != "")).alias("n_tokens"),
+        F.size(F.filter("toks", lambda t: t.isin(*en))).alias("stop_hits"),
+        F.substring(F.md5("norm"), 1, 16).alias("fingerprint"),
+    )
+    gated = feats.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("stop_hits") / F.col("n_tokens") >= 0.01)
+        & F.col("lang").isin("en", "de", "fr", "es")
+    )
+    deduped = gated.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return deduped.select("doc_id", "fingerprint", "n_copies", "n_tokens").orderBy("doc_id")
+
+
+ORACLE_CURATION_PIPELINE = """
+WITH feats AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n_tokens,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> t IN ('the','and','of','to','a','in','is'))) AS stop_hits,
+         substring(md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 16) AS fingerprint
+  FROM documents
+), gated AS (
+  SELECT * FROM feats
+  WHERE n_tokens >= 10
+    AND stop_hits / CAST(n_tokens AS DOUBLE) >= 0.01
+    AND lang IN ('en', 'de', 'fr', 'es')
+)
+SELECT min(doc_id) AS doc_id, fingerprint, count(*) AS n_copies, min(n_tokens) AS n_tokens
+FROM gated
+GROUP BY fingerprint
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["curation_pipeline"] = QuerySpec(
+    q_curation_pipeline, ORACLE_CURATION_PIPELINE, "composed curation pipeline (single shuffle)"
+)
