@@ -1480,3 +1480,31 @@ ORDER BY doc_id
 QUERY_REGISTRY["curation_pipeline"] = QuerySpec(
     q_curation_pipeline, ORACLE_CURATION_PIPELINE, "composed curation pipeline (single shuffle)"
 )
+
+
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB aggregation path: approx_count_distinct (HLL++) and
+    approx_percentile (t-digest-style) alongside their exact twins.
+
+    Rows-only driver check (DuckDB's sketches differ bit-wise by design);
+    tests/test_approx.py asserts the approximations land within documented
+    error bounds of the exact values. At scale the exact distinct/percentile
+    plans (two-phase shuffle / full sort) swap for these single-pass
+    sketches — same query shape, bounded memory.
+    """
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.percentile("value", 0.5).alias("exact_p50"),
+            F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERY_REGISTRY["approx_aggregates"] = QuerySpec(
+    q_approx_aggregates, None, "HLL++/t-digest approx aggregates (rows-only)"
+)
