@@ -8,9 +8,13 @@ Scale design (the whole point — 100 TB corpora can't do O(n²) anything):
   generation, never as the discovery stage.
 - **MinHash+LSH**: shingle → k minhashes → b bands; docs sharing a band
   bucket become candidate pairs. Cost is O(n·k) + band self-joins on bucket
-  hashes; collision probability follows the classic (1-(1-j^r)^b) S-curve.
-- **SimHash**: 64-bit weighted-majority signature; candidates share one of
-  four 16-bit sub-bands (≤3-bit Hamming distance guarantee per Manku et al.).
+  hashes; collision probability follows the classic (1-(1-j^r)^b) S-curve
+  (Broder 1997, "On the resemblance and containment of documents"; banding
+  per Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3).
+- **SimHash**: 64-bit weighted-majority signature (Charikar 2002 similarity
+  estimation); candidates share one of four 16-bit sub-bands, the
+  pigeonhole band-probe of Manku/Jain/Sarma 2007 (near-dup detection for
+  web crawling).
 
 All built on built-in expressions (xxhash64, higher-order array functions) —
 no Python UDFs anywhere.
@@ -96,12 +100,23 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str, num_hashes: int = 32, bands: int = 8
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Band the signatures and self-join on (band, bucket-hash).
 
     Returns distinct candidate (doc_a, doc_b) pairs with the fraction of
     agreeing minhashes as ``est_jaccard`` (unbiased Jaccard estimator).
+
+    ``max_bucket`` drops degenerate buckets (e.g. empty/boilerplate
+    documents all hashing identically) before the self-join — a bucket of
+    size B produces B² candidate pairs, so one pathological bucket turns the
+    join quadratic. Dropped buckets are precisely giant duplicate clusters;
+    at scale those are handled by exact-hash dedup first, then sampled.
+    Pass ``None`` to disable.
     """
     rows_per_band = num_hashes // bands
     band_structs = F.array(
@@ -118,6 +133,13 @@ def lsh_candidate_pairs(
     banded = sig_df.select(id_col, "sig", F.explode(band_structs).alias("bb")).select(
         id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        bucket_size = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+        banded = banded.withColumn("__bs", bucket_size).filter(
+            F.col("__bs") <= max_bucket
+        ).drop("__bs")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

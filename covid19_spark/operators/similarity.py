@@ -5,9 +5,10 @@ Two tiers:
   scan the corpus once. Linear in corpus size, no shuffle for the scoring
   itself; the top-k per query is a windowed rank over |queries|·k-ish rows
   after a per-partition prefilter.
-- **random-hyperplane LSH ANN** — the scale path: 16-bit sign signatures
-  bucket the corpus; queries only score candidates in matching buckets
-  (multi-probe over Hamming-adjacent buckets to recover recall). Signature
+- **random-hyperplane LSH ANN** — the scale path: sign signatures
+  (Charikar 2002 random-hyperplane rounding) bucket the corpus; queries only
+  score candidates in matching buckets, multi-probe over Hamming-adjacent
+  buckets (Lv et al. 2007, multi-probe LSH) to recover recall. Signature
   computation is one map pass; the candidate join is a hash join on bucket id.
 
 Dot products use ``zip_with`` + ``aggregate`` (left-to-right fold, JVM-side):

@@ -86,3 +86,26 @@ def test_minhash_est_tracks_exact_jaccard(spark):
     for r in lsh_candidate_pairs(sigs, "doc_id", num_hashes=32, bands=8).collect():
         if (r.doc_a, r.doc_b) in exact:
             assert abs(r.est_jaccard - exact[(r.doc_a, r.doc_b)]) < 0.3
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    """A giant cluster of identical docs must not go quadratic: with
+    max_bucket below the cluster size its pairs are dropped, while the
+    normal near-dup pair still surfaces."""
+    rows = [(i, "same boilerplate text repeated again and again forever", "en") for i in range(20)]
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog today", "en"),
+        (101, "the quick brown fox jumps over the lazy dog tonight", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    sigs = minhash_signatures(df, "doc_id", "text", num_hashes=32, shingle_n=2).cache()
+    capped = lsh_candidate_pairs(sigs, "doc_id", 32, 8, max_bucket=10).collect()
+    uncapped = lsh_candidate_pairs(sigs, "doc_id", 32, 8, max_bucket=None).collect()
+    capped_pairs = {(r.doc_a, r.doc_b) for r in capped}
+    uncapped_pairs = {(r.doc_a, r.doc_b) for r in uncapped}
+    # degenerate 20-doc cluster: 190 pairs uncapped, none capped
+    assert sum(1 for a, b in uncapped_pairs if a < 100) == 190
+    assert all(a >= 100 for a, b in capped_pairs)
+    # the genuine near-dup pair survives the cap
+    assert (100, 101) in capped_pairs
+    sigs.unpersist()
