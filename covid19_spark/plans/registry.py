@@ -1508,3 +1508,89 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERY_REGISTRY["approx_aggregates"] = QuerySpec(
     q_approx_aggregates, None, "HLL++/t-digest approx aggregates (rows-only)"
 )
+
+
+def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: purchases attributed to same-user clicks within
+    30 minutes — the batch form of the stream-stream interval join
+    (streaming/joins.py); identical expression runs over live streams with
+    watermark-bounded state."""
+    from covid19_spark.streaming.joins import click_purchase_attribution
+
+    events = _t(spark, sf_dir, "events")
+    return click_purchase_attribution(events).orderBy("purchase_id", "click_id")
+
+
+ORACLE_ATTRIBUTION_JOIN = """
+WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+c AS (SELECT user_id, ts AS click_ts, event_id AS click_id FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value AS purchase_value
+      FROM e WHERE event_type = 'purchase')
+SELECT c.user_id AS user_id, click_id, purchase_id, click_ts, purchase_ts, purchase_value,
+       CAST(floor(epoch(purchase_ts)) - floor(epoch(click_ts)) AS BIGINT) AS lag_sec
+FROM c JOIN p ON c.user_id = p.user_id
+  AND purchase_ts >= click_ts
+  AND purchase_ts <= click_ts + INTERVAL 30 MINUTE
+ORDER BY purchase_id, click_id
+"""
+
+
+QUERY_REGISTRY["attribution_join"] = QuerySpec(
+    q_attribution_join, ORACLE_ATTRIBUTION_JOIN, "interval/range attribution join"
+)
+
+
+def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function suite over supplier revenue: rank, dense_rank,
+    percent_rank, cume_dist, ntile(4), lead/lag — the full window surface in
+    one partitioned pass (single exchange on the partition key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "s_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("revenue").desc(), F.col("s_name"))
+    return rev.select(
+        "n_name",
+        "s_name",
+        "revenue",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.coalesce(F.lag("s_name").over(w), F.lit("-")).alias("prev_supplier"),
+        F.coalesce(F.lead("s_name").over(w), F.lit("-")).alias("next_supplier"),
+    ).orderBy("n_name", "rnk", "s_name")
+
+
+ORACLE_WINDOW_RANK_SUITE = """
+WITH rev AS (
+  SELECT n_name, s_name,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY n_name, s_name
+)
+SELECT n_name, s_name, revenue,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist()    OVER w AS cdist,
+       ntile(4)       OVER w AS quartile,
+       coalesce(lag(s_name)  OVER w, '-') AS prev_supplier,
+       coalesce(lead(s_name) OVER w, '-') AS next_supplier
+FROM rev
+WINDOW w AS (PARTITION BY n_name ORDER BY revenue DESC, s_name)
+ORDER BY n_name, rnk, s_name
+"""
+
+
+QUERY_REGISTRY["window_rank_suite"] = QuerySpec(
+    q_window_rank_suite, ORACLE_WINDOW_RANK_SUITE, "full analytic-window surface"
+)

@@ -247,3 +247,35 @@ def test_session_window_stream(stream_env):
     got = {(r.state, r.session_start): (r.n_events, r.sum_confirmed) for r in out}
     assert got[("Assam", ts("2020-04-08T10:00:00"))] == (2, 3.0)
     assert got[("Assam", ts("2020-04-08T12:00:00"))] == (1, 3.0)
+
+
+def test_stream_stream_interval_join(stream_env):
+    """Stream-stream attribution: purchases match clicks within the window,
+    across micro-batches, with watermark-bounded state."""
+    from pyspark.sql import types as TT
+
+    from covid19_spark.streaming.joins import click_purchase_attribution
+
+    spark, d, src, ckpt = stream_env
+    EV_SCHEMA = TT.StructType(
+        [
+            TT.StructField("event_id", TT.LongType()),
+            TT.StructField("ts", TT.TimestampType()),
+            TT.StructField("user_id", TT.LongType()),
+            TT.StructField("event_type", TT.StringType()),
+            TT.StructField("value", TT.DoubleType()),
+        ]
+    )
+    rows = [
+        (1, ts("2024-01-01T10:00:00"), 7, "click", 0.0),
+        (2, ts("2024-01-01T10:10:00"), 7, "purchase", 9.99),   # within 30m of click 1
+        (3, ts("2024-01-01T12:00:00"), 7, "purchase", 5.00),   # no click within window
+        (4, ts("2024-01-01T10:05:00"), 8, "click", 0.0),
+        (5, ts("2024-01-01T11:00:00"), 8, "purchase", 1.00),   # 55m after click 4: outside
+    ]
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(EV_SCHEMA).parquet(src)
+    attributed = click_purchase_attribution(stream, attribution_window="30 minutes")
+    out = run_stream_to_memory(spark, attributed, "attribution_stream", ckpt).collect()
+    got = {(r.click_id, r.purchase_id): r.lag_sec for r in out}
+    assert got == {(1, 2): 600}

@@ -39,8 +39,9 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
         for col in a.columns:
             av, bv = a[col], b[col]
             try:
-                eq = (av.astype("object").where(av.notna(), None)
-                      == bv.astype("object").where(bv.notna(), None))
+                # fillna sentinel: pandas treats None==None as False
+                eq = (av.astype("object").where(av.notna(), "__null__")
+                      == bv.astype("object").where(bv.notna(), "__null__"))
             except Exception as e:  # noqa: BLE001
                 problems.append(f"col {col}: compare error {e}")
                 continue
