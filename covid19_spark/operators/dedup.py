@@ -134,12 +134,16 @@ def lsh_candidate_pairs(
         id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     if max_bucket is not None:
-        from pyspark.sql import Window
-
-        bucket_size = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-        banded = banded.withColumn("__bs", bucket_size).filter(
-            F.col("__bs") <= max_bucket
-        ).drop("__bs")
+        # oversized buckets are rare by construction → tiny frame, broadcast
+        # anti-join instead of a window count (which would add a full
+        # shuffle+sort over every banded row)
+        oversized = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") > max_bucket)
+            .select("band", "bucket")
+        )
+        banded = banded.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
