@@ -318,7 +318,10 @@ def q_doubling_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("date")
     return (
         daily.withColumn("cum_n", F.sum("daily_n").over(w))
-        .withColumn("doubling_days", doubling_rate(F.col("daily_n"), F.col("cum_n")))
+        # BIGINT contract: round() yields DOUBLE in both engines but with
+        # divergent null/−0.0 encodings on fetch; day counts are integral, so
+        # pin to long on BOTH sides (oracle casts to BIGINT too).
+        .withColumn("doubling_days", doubling_rate(F.col("daily_n"), F.col("cum_n")).cast("long"))
         .select(
             F.date_format("date", "yyyy-MM-dd").alias("date"),
             "event_type", "daily_n", "cum_n", "doubling_days",
@@ -333,12 +336,12 @@ WITH daily AS (
   FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events GROUP BY 1, 2
 ), cum AS (
   SELECT date, event_type, daily_n,
-         sum(daily_n) OVER (PARTITION BY event_type ORDER BY date) AS cum_n
+         CAST(sum(daily_n) OVER (PARTITION BY event_type ORDER BY date) AS BIGINT) AS cum_n
   FROM daily
 )
 SELECT strftime(date, '%Y-%m-%d') AS date, event_type, daily_n, cum_n,
-       CASE WHEN cum_n > 0 AND daily_n > 0
-            THEN round(70.0 / (100.0 * daily_n / cum_n)) END AS doubling_days
+       CAST(CASE WHEN cum_n > 0 AND daily_n > 0
+            THEN round(70.0 / (100.0 * daily_n / cum_n)) END AS BIGINT) AS doubling_days
 FROM cum
 ORDER BY date, event_type
 """
@@ -1012,10 +1015,13 @@ def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
             F.countDistinct("p_brand").alias("n_brands"),
-            F.min("p_retailprice").alias("min_price"),
-            F.max("p_retailprice").alias("max_price"),
+            # DECIMAL(38,6)→DOUBLE contract on min/max and BIGINT on the int
+            # sum: raw DOUBLE extremes and HUGEINT sums fetch with divergent
+            # encodings between the engines.
+            F.min(F.col("p_retailprice").cast(DEC)).cast("double").alias("min_price"),
+            F.max(F.col("p_retailprice").cast(DEC)).cast("double").alias("max_price"),
             (_dsum(F.col("p_retailprice")) / F.count(F.lit(1))).alias("avg_price"),
-            F.sum("p_size").alias("total_size"),
+            F.sum("p_size").cast("long").alias("total_size"),
         )
         .orderBy("p_type")
     )
@@ -1025,10 +1031,10 @@ ORACLE_PART_TYPE_STATS = """
 SELECT p_type,
        count(*) AS n_parts,
        count(DISTINCT p_brand) AS n_brands,
-       min(p_retailprice) AS min_price,
-       max(p_retailprice) AS max_price,
+       CAST(min(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS min_price,
+       CAST(max(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS max_price,
        CAST(sum(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_price,
-       sum(p_size) AS total_size
+       CAST(sum(p_size) AS BIGINT) AS total_size
 FROM part
 GROUP BY p_type
 ORDER BY p_type
@@ -1364,9 +1370,9 @@ WITH stages AS (
   GROUP BY user_id
 )
 SELECT count(*) AS n_users,
-       sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signed_up,
-       sum(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
-                 AND first_purchase > first_signup THEN 1 ELSE 0 END) AS n_converted
+       CAST(sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+       CAST(sum(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
+                 AND first_purchase > first_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
 FROM stages
 """
 

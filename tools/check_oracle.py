@@ -39,9 +39,13 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
         for col in a.columns:
             av, bv = a[col], b[col]
             try:
-                # fillna sentinel: pandas treats None==None as False
-                eq = (av.astype("object").where(av.notna(), "__null__")
-                      == bv.astype("object").where(bv.notna(), "__null__"))
+                # Stringify values (not plain ==): the driver hashes value
+                # REPRESENTATIONS, so 1500 (int64) vs 1500.0 (float64 from a
+                # HUGEINT fetch) must fail here like it fails there. str()
+                # also distinguishes -0.0 and 'nan'.
+                sa = av.map(lambda v: "__null__" if pd.isna(v) else str(v))
+                sb = bv.map(lambda v: "__null__" if pd.isna(v) else str(v))
+                eq = sa == sb
             except Exception as e:  # noqa: BLE001
                 problems.append(f"col {col}: compare error {e}")
                 continue
