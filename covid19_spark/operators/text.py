@@ -123,9 +123,16 @@ def quality_columns(text: Column, rounded: bool = True) -> dict[str, Column]:
 
 def word_shingles(text: Column, n: int = 2, distinct: bool = True) -> Column:
     """Distinct word n-gram shingles (1-indexed ``element_at`` windows) —
-    the unit set for Jaccard/MinHash similarity."""
+    the unit set for Jaccard/MinHash similarity.
+
+    Docs with fewer than ``n`` tokens yield an empty array: ``sequence(1, 0)``
+    steps downward ([1, 0]) in Spark, so the window indices are only built
+    under a ``size >= n`` guard (CASE branches evaluate lazily per row).
+    """
     toks = tokenize(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
-    sh = F.transform(idx, gram)
+    sh = F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
     return F.array_distinct(sh) if distinct else sh

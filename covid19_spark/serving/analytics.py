@@ -59,14 +59,29 @@ def daily_history_chart(
             - F.col("sum_delta_deaths"),
         ),
     )
-    ordered = base.orderBy("date")
-    return ordered.agg(
-        F.collect_list(F.date_format("date", "dd-MMM")).alias("labels"),
-        F.collect_list("sum_delta_confirmed").alias("confirmed"),
-        F.collect_list("sum_delta_recovered").alias("recovered"),
-        F.collect_list("sum_delta_deaths").alias("deceased"),
-        F.collect_list("active").alias("active"),
-    ).select(F.lit(state).alias("chart_name"), "labels", "confirmed", "recovered", "deceased", "active")
+    # collect_list order after a shuffle is NOT guaranteed: collect structs
+    # and sort by the date key inside the aggregate, then project each series
+    # out of the sorted array — deterministic on any partitioning.
+    rows = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("date").alias("date"),
+                F.date_format("date", "dd-MMM").alias("label"),
+                F.col("sum_delta_confirmed").alias("confirmed"),
+                F.col("sum_delta_recovered").alias("recovered"),
+                F.col("sum_delta_deaths").alias("deceased"),
+                F.col("active").alias("active"),
+            )
+        )
+    )
+    return base.agg(rows.alias("rows")).select(
+        F.lit(state).alias("chart_name"),
+        F.transform("rows", lambda x: x.label).alias("labels"),
+        F.transform("rows", lambda x: x.confirmed).alias("confirmed"),
+        F.transform("rows", lambda x: x.recovered).alias("recovered"),
+        F.transform("rows", lambda x: x.deceased).alias("deceased"),
+        F.transform("rows", lambda x: x.active).alias("active"),
+    )
 
 
 def top_states_series(

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from covid19_spark.functions.scalars import is_within_past_week
 from covid19_spark.operators.rates import doubling_rate
 from covid19_spark.streaming.dedup_stream import dedup_within_watermark
 from covid19_spark.streaming.stateful_delta import streaming_running_delta
@@ -63,13 +64,20 @@ def doubling_rate_stream(daily: DataFrame) -> DataFrame:
 
 
 def patients_news_sources(
-    patients: DataFrame, ts_col: str = "ts", dedup_retention: str = "7 days"
+    patients: DataFrame,
+    ts_col: str = "ts",
+    dedup_retention: str = "7 days",
+    date_col: str = "dateannounced",
+    today=None,
 ) -> DataFrame:
-    """Patient feed → deduplicated best-news-source stream (P1/P8/T2).
+    """Patient feed → deduplicated best-news-source stream (P1/P2/P8/T2).
 
     Filter empty currentstatus (``Covid19PatientAnalyzer.java:58,125-133``),
-    coalesce first non-empty of source3>source2>source1 (``:86,112-123``),
-    drop null news (``:87``), dedup by news source within 7 days
+    keep only records announced within the past week (``:84,101-110``; pass
+    ``today`` explicitly per the SURVEY tz note — defaults to
+    ``current_date()`` in the session timezone), coalesce first non-empty of
+    source3>source2>source1 (``:86,112-123``), drop null news (``:87``),
+    dedup by news source within 7 days
     (``DeduplicationTransformer.java:37-88``), key by detectedstate (``:85``).
     """
     best = F.coalesce(
@@ -77,8 +85,10 @@ def patients_news_sources(
         F.nullif(F.col("source2"), F.lit("")),
         F.nullif(F.col("source1"), F.lit("")),
     )
+    today_col = F.current_date() if today is None else F.lit(today)
     cleaned = (
         patients.filter(F.col("currentstatus").isNotNull() & (F.col("currentstatus") != ""))
+        .filter(is_within_past_week(F.col(date_col), today_col))
         .withColumn("news", best)
         .filter(F.col("news").isNotNull())
     )

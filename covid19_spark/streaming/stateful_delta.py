@@ -56,21 +56,26 @@ def streaming_running_delta(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         prev = list(state.get) if state.exists else [0.0] * len(value_cols)
-        frames = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col, kind="mergesort")
-            out = pdf[[*key_cols, ts_col, *value_cols]].copy()
-            deltas: dict[str, list[float]] = {f"{delta_prefix}{c}": [] for c in value_cols}
-            for row in pdf[value_cols].itertuples(index=False):
-                for i, c in enumerate(value_cols):
-                    new = float(getattr(row, c))
-                    deltas[f"{delta_prefix}{c}"].append(new - prev[i])
-                    prev[i] = new
-            for name, vals in deltas.items():
-                out[name] = vals
-            frames.append(out)
+        # A key's micro-batch may arrive as several Arrow chunks: concatenate
+        # FIRST, sort once globally by event time, then vectorize the delta as
+        # value − shift(value) with the carried state seeding row 0. (A
+        # per-chunk sort would compute deltas out of event-time order and
+        # diverge from the batch lag operator this claims equivalence with.)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update(tuple(prev))
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(ts_col, kind="mergesort", ignore_index=True)
+        out = pdf[[*key_cols, ts_col, *value_cols]].copy()
+        for i, c in enumerate(value_cols):
+            vals = pdf[c].astype("float64")
+            shifted = vals.shift(1)
+            shifted.iloc[0] = prev[i]
+            out[f"{delta_prefix}{c}"] = vals - shifted
+            prev[i] = float(vals.iloc[-1])
         state.update(tuple(prev))
-        yield from frames
+        yield out
 
     return stream.groupBy(*key_cols).applyInPandasWithState(
         fn,

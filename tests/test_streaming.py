@@ -157,6 +157,7 @@ PATIENT_SCHEMA = T.StructType(
         T.StructField("patientnumber", T.StringType()),
         T.StructField("currentstatus", T.StringType()),
         T.StructField("detectedstate", T.StringType()),
+        T.StructField("dateannounced", T.StringType()),
         T.StructField("source1", T.StringType()),
         T.StructField("source2", T.StringType()),
         T.StructField("source3", T.StringType()),
@@ -167,19 +168,24 @@ PATIENT_SCHEMA = T.StructType(
 def test_patients_pipeline_filters_coalesces_dedups(stream_env):
     spark, d, src, ckpt = stream_env
     rows = [
-        (ts("2020-04-08T10:00:00"), "P1", "Hospitalized", "Assam", "u1", "", ""),
-        (ts("2020-04-08T11:00:00"), "P2", "", "Assam", "u2", "", ""),          # dropped: empty status
-        (ts("2020-04-08T12:00:00"), "P3", "Hospitalized", "Delhi", "", "", ""),  # dropped: no source
-        (ts("2020-04-08T13:00:00"), "P4", "Recovered", "Delhi", "a", "b", "c"),  # news=c (source3 wins)
-        (ts("2020-04-08T14:00:00"), "P5", "Recovered", "Delhi", "x", "", "c"),   # dup of news=c → dropped
+        (ts("2020-04-08T10:00:00"), "P1", "Hospitalized", "Assam", "08/04/2020", "u1", "", ""),
+        (ts("2020-04-08T11:00:00"), "P2", "", "Assam", "08/04/2020", "u2", "", ""),          # dropped: empty status
+        (ts("2020-04-08T12:00:00"), "P3", "Hospitalized", "Delhi", "07/04/2020", "", "", ""),  # dropped: no source
+        (ts("2020-04-08T13:00:00"), "P4", "Recovered", "Delhi", "06/04/2020", "a", "b", "c"),  # news=c (source3 wins)
+        (ts("2020-04-08T14:00:00"), "P5", "Recovered", "Delhi", "07/04/2020", "x", "", "c"),   # dup of news=c → dropped
+        (ts("2020-04-08T15:00:00"), "P6", "Recovered", "Goa", "20/03/2020", "old", "", ""),    # dropped: stale (>1 week)
+        (ts("2020-04-08T16:00:00"), "P7", "Recovered", "Goa", "02/04/2020", "edge", "", ""),   # kept: exactly 6 days ago
     ]
     spark.createDataFrame(rows, PATIENT_SCHEMA).coalesce(1).write.parquet(src)
     stream = spark.readStream.schema(PATIENT_SCHEMA).parquet(src)
     out = run_stream_to_memory(
-        spark, patients_news_sources(stream), "patients_stream", ckpt
+        spark,
+        patients_news_sources(stream, today=dt.date(2020, 4, 8)),
+        "patients_stream",
+        ckpt,
     ).collect()
     got = sorted((r.state, r.news) for r in out)
-    assert got == [("Assam", "u1"), ("Delhi", "c")]
+    assert got == [("Assam", "u1"), ("Delhi", "c"), ("Goa", "edge")]
 
 
 def test_latest_by_key_update_mode(stream_env):

@@ -59,3 +59,12 @@ def test_word_shingles(spark):
     assert out == ["a b", "b c", "c d"]
     out3 = one(spark, "a b c d", word_shingles(F.col("t"), 3))
     assert out3 == ["a b c", "b c d"]
+
+
+def test_word_shingles_short_docs(spark):
+    # Docs with fewer than n tokens must yield [] — sequence(1, 0) steps
+    # DOWNWARD in Spark and used to throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT.
+    assert one(spark, "solo", word_shingles(F.col("t"), 2)) == []
+    assert one(spark, "", word_shingles(F.col("t"), 2)) == []
+    assert one(spark, "two words", word_shingles(F.col("t"), 3)) == []
+    assert one(spark, "exactly two", word_shingles(F.col("t"), 2)) == ["exactly two"]
