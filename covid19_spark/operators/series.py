@@ -56,11 +56,24 @@ def top_k(
 ) -> DataFrame:
     """True top-k by measure (W3's rank variant, vs the hardcoded list).
 
-    With ``partition_cols`` empty this is a global top-k: Spark evaluates a
-    single-partition window, fine for k≪n after pre-aggregation; for raw-row
-    top-k at scale pre-aggregate first (the callers here always rank
-    aggregated frames ≤ |keys| rows).
+    Partitioned top-k is a rank window (one exchange on the partition keys).
+
+    Global top-k (``partition_cols`` empty) is two-stage: ``sort + limit``,
+    which Catalyst compiles to ``TakeOrderedAndProject`` — every input
+    partition computes its local top-k and only k rows per partition move to
+    the merge — then the rank window runs over the k survivors only. No
+    single-task sort of the full frame, so this holds for raw-row top-k at
+    any scale, not just pre-aggregated frames.
+
+    Ties at the k boundary are arbitrary unless ``tiebreak_cols`` makes the
+    order total (same contract as ``row_number``).
     """
     order = [F.col(measure_col).desc()] + [F.col(c).asc() for c in tiebreak_cols]
+    if not partition_cols:
+        top = df.orderBy(*order).limit(k)
+        # Window input is ≤ k rows by construction — the "global" window here
+        # is a constant-size merge step, not a full-frame sort.
+        w = Window.orderBy(*order)
+        return top.withColumn(rank_col, F.row_number().over(w))
     w = Window.partitionBy(*partition_cols).orderBy(*order)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)

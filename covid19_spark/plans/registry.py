@@ -1490,22 +1490,23 @@ QUERY_REGISTRY["curation_pipeline"] = QuerySpec(
 
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB aggregation path: approx_count_distinct (HLL++) and
-    approx_percentile (t-digest-style) alongside their exact twins.
+    approx_percentile (t-digest-style) sketches ONLY — single partial-agg
+    pass, bounded sketch state per group, no exact-distinct shuffle and no
+    full per-group sort. (The exact twins live in tests/test_approx.py,
+    which asserts the sketches land within documented error bounds; keeping
+    them here would saddle the scale-path query with the exact-percentile
+    plan it exists to avoid.)
 
-    Rows-only driver check (DuckDB's sketches differ bit-wise by design);
-    tests/test_approx.py asserts the approximations land within documented
-    error bounds of the exact values. At scale the exact distinct/percentile
-    plans (two-phase shuffle / full sort) swap for these single-pass
-    sketches — same query shape, bounded memory.
+    Rows-only driver check (DuckDB's sketches differ bit-wise by design).
     """
     events = _t(spark, sf_dir, "events")
     return (
         events.groupBy("event_type")
         .agg(
-            F.countDistinct("user_id").alias("exact_users"),
             F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-            F.percentile("value", 0.5).alias("exact_p50"),
             F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+            F.percentile_approx("value", 0.95, 10000).alias("approx_p95"),
+            F.approx_count_distinct("event_id", 0.02).alias("approx_events"),
         )
         .orderBy("event_type")
     )

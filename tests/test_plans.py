@@ -66,6 +66,16 @@ def test_cosine_topk_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_topk_users_two_stage_no_full_frame_rank(spark):
+    # Global top-k must compile to TakeOrderedAndProject (per-partition local
+    # top-k, k-row merge), NOT a single-partition sort of the full aggregate.
+    plan = plan_of(spark, "topk_users")
+    assert "TakeOrderedAndProject(limit=10" in plan
+    # The only Window in the plan runs AFTER the limit, i.e. over ≤ k rows:
+    # TakeOrderedAndProject must appear below (deeper than) the Window node.
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
 def test_date_range_orders_prunes_and_pushes(spark):
     plan = plan_of(spark, "date_range_orders")
     assert "PushedFilters" in plan and "GreaterThanOrEqual(o_orderdate" in plan
