@@ -214,6 +214,76 @@ def test_compact_batch_to_table(spark):
     assert got == {"Assam": 28.0, "Delhi": 9.0}
 
 
+def test_upsert_batch_partitioned_rewrites_only_touched_buckets(spark):
+    import glob
+    import os
+
+    from covid19_spark.streaming.table import upsert_batch_partitioned
+
+    d = tempfile.mkdtemp()
+    table = os.path.join(d, "ktable")
+    try:
+        seed = spark.createDataFrame(
+            [(f"k{i}", ts("2020-04-08T10:00:00"), float(i)) for i in range(100)],
+            ["state", "ts", "confirmed"],
+        )
+        first = upsert_batch_partitioned(seed, table, ["state"], "ts", n_buckets=8)
+        assert first  # seeded across buckets
+        before = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(table, "kb=*", "*.parquet"))
+        }
+
+        batch = spark.createDataFrame(
+            [("k3", ts("2020-04-09T10:00:00"), 333.0),
+             ("k999", ts("2020-04-09T11:00:00"), 1.0)],
+            ["state", "ts", "confirmed"],
+        )
+        touched = upsert_batch_partitioned(batch, table, ["state"], "ts", n_buckets=8)
+        # per-batch write cost bounded by the batch's keys, not table size
+        assert 1 <= len(touched) <= 2
+
+        after = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(table, "kb=*", "*.parquet"))
+        }
+        untouched_dirs = [f"kb={b}" for b in first if b not in touched]
+        for f, mtime in before.items():
+            if any(u in f for u in untouched_dirs):
+                assert after.get(f) == mtime, f"untouched bucket rewritten: {f}"
+
+        final = spark.read.parquet(table)
+        got = {r.state: r.confirmed for r in final.collect()}
+        assert got["k3"] == 333.0      # updated
+        assert got["k999"] == 1.0      # inserted
+        assert got["k7"] == 7.0        # untouched key intact
+        assert len(got) == 101
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_upsert_sink_via_foreachbatch(stream_env):
+    import os
+
+    from covid19_spark.streaming.table import make_upsert_sink
+
+    spark, d, src, ckpt = stream_env
+    table = os.path.join(d, "served")
+    spark.createDataFrame(SNAPSHOTS, SNAP_SCHEMA).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(SNAP_SCHEMA).parquet(src)
+    q = (
+        latest_by_key(stream, ["state"], "ts", ["confirmed"])
+        .writeStream.outputMode("update")
+        .foreachBatch(make_upsert_sink(table, ["state"], "ts", n_buckets=8))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.state: r.confirmed for r in spark.read.parquet(table).collect()}
+    assert got == {"Assam": 28.0, "Delhi": 9.0}
+
+
 def test_alert_fanout_semantics(stream_env):
     spark, d, src, ckpt = stream_env
     deltas = spark.createDataFrame(
