@@ -214,6 +214,68 @@ def test_compact_batch_to_table(spark):
     assert got == {"Assam": 28.0, "Delhi": 9.0}
 
 
+def test_late_data_updates_old_window_within_watermark(stream_env):
+    """T4 (``Covid19Stats.java:123,147``): 365-day retention means a late
+    record silently updates its old window. Spark twin: a record older than
+    the max seen event time but inside the watermark re-opens its window's
+    state and re-emits the updated sum; once the watermark passes the window
+    end, late records are dropped."""
+    import os
+
+    from covid19_spark.streaming.windowed import daily_window_agg
+
+    spark, d, src, ckpt = stream_env
+    schema = T.StructType(
+        [
+            T.StructField("state", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("delta", T.DoubleType()),
+        ]
+    )
+    os.makedirs(src)
+
+    def push(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    daily = daily_window_agg(stream, "ts", ["state"], sum_cols=["delta"], watermark="2 days")
+    q = (
+        daily.writeStream.format("memory")
+        .queryName("late_stream")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        # batch 1: establishes windows 04-08 (sum 5) and 04-09 (sum 3)
+        push([("Assam", ts("2020-04-08T10:00:00"), 5.0),
+              ("Assam", ts("2020-04-09T10:00:00"), 3.0)])
+        # batch 2: LATE record for 04-08 (event time < max seen) but inside
+        # the 2-day watermark → the old window must re-emit with sum 7
+        push([("Assam", ts("2020-04-08T15:00:00"), 2.0)])
+        sums = [
+            r.sum_delta
+            for r in spark.table("late_stream").collect()
+            if str(r.date) == "2020-04-08"
+        ]
+        assert 5.0 in sums, sums   # initial emission
+        assert 7.0 in sums, sums   # late-update re-emission
+        # batch 3: advance event time to 04-12 → watermark moves to 04-10,
+        # past the 04-08 window end
+        push([("Assam", ts("2020-04-12T10:00:00"), 1.0)])
+        # batch 4: now-too-late record for 04-08 → dropped, no re-emission
+        push([("Assam", ts("2020-04-08T16:00:00"), 100.0)])
+        sums = [
+            r.sum_delta
+            for r in spark.table("late_stream").collect()
+            if str(r.date) == "2020-04-08"
+        ]
+        assert max(sums) == 7.0, sums  # 100.0 never applied
+    finally:
+        q.stop()
+
+
 def test_upsert_batch_partitioned_rewrites_only_touched_buckets(spark):
     import glob
     import os
