@@ -46,15 +46,39 @@ def ngram_jaccard_pairs(
     block_cols: Sequence[str],
     n: int = 2,
     threshold: float = 0.05,
+    max_block: int | None = 10_000,
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-gram shingles for same-block pairs.
 
     The block join bounds the candidate space; at scale ``block_cols`` is an
-    LSH bucket or a cheap partition key (language, length band), never empty.
+    LSH bucket or a cheap partition key (language, length band). Empty
+    ``block_cols`` is REFUSED — unblocked pairwise Jaccard is the O(n²)
+    discovery stage this operator exists to avoid (use MinHash+LSH for
+    discovery, this for verification).
+
+    ``max_block`` drops blocks larger than the cap before the self-join
+    (same broadcast anti-join guard as ``lsh_candidate_pairs``): a block of
+    size B yields B² pairs, so one degenerate block key turns the verify
+    stage quadratic. Pass ``None`` to disable (e.g. for pre-capped LSH
+    buckets).
     """
+    block_cols = list(block_cols)
+    if not block_cols:
+        raise ValueError(
+            "ngram_jaccard_pairs requires non-empty block_cols: unblocked "
+            "pairwise Jaccard is O(n^2); generate candidates with LSH first"
+        )
     sh = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols], word_shingles(F.col(text_col), n).alias("sh")
     )
+    if max_block is not None:
+        oversized = (
+            sh.groupBy(*block_cols)
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") > max_block)
+            .select(*block_cols)
+        )
+        sh = sh.join(F.broadcast(oversized), block_cols, "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]

@@ -109,3 +109,64 @@ def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
     # the genuine near-dup pair survives the cap
     assert (100, 101) in capped_pairs
     sigs.unpersist()
+
+
+def test_ngram_jaccard_refuses_empty_blocks(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="block_cols"):
+        ngram_jaccard_pairs(_docs(spark), "doc_id", "text", block_cols=[])
+
+
+def test_ngram_jaccard_caps_oversized_blocks(spark):
+    # One degenerate block of 30 docs (would be 435 pairs) is dropped by the
+    # cap; the small block still produces its pairs.
+    rows = [(i, "the quick brown fox jumps over the lazy dog", "big") for i in range(30)]
+    rows += [(100, "alpha beta gamma delta epsilon", "small"),
+             (101, "alpha beta gamma delta zeta", "small")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = ngram_jaccard_pairs(
+        df, "doc_id", "text", block_cols=["lang"], threshold=0.0, max_block=10
+    ).collect()
+    langs = {r.lang for r in out}
+    assert langs == {"small"}, out
+    assert len(out) == 1
+    # cap disabled -> the quadratic block comes back
+    full = ngram_jaccard_pairs(
+        df, "doc_id", "text", block_cols=["lang"], threshold=0.0, max_block=None
+    ).count()
+    assert full == 435 + 1
+
+
+def _assert_matches_fixture(spark, query_name, sort_cols):
+    """Self-oracle: exact value comparison against the checked-in parquet
+    (regenerate via tools/make_fixtures.py after intentional changes)."""
+    import os
+
+    import pandas as pd
+
+    from covid19_spark.plans.registry import QUERY_REGISTRY
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "fixtures", f"{query_name}_sf0.01.parquet"
+    )
+    expected = pd.read_parquet(fixture).sort_values(sort_cols, ignore_index=True)
+    got = (
+        QUERY_REGISTRY[query_name]
+        .fn(spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .sort_values(sort_cols, ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, expected, check_exact=True)
+
+
+def test_minhash_lsh_matches_fixture(spark):
+    _assert_matches_fixture(spark, "minhash_lsh", ["doc_a", "doc_b"])
+
+
+def test_simhash_pairs_matches_fixture(spark):
+    _assert_matches_fixture(spark, "simhash_pairs", ["doc_a", "doc_b"])
+
+
+def test_ann_cosine_topk_matches_fixture(spark):
+    _assert_matches_fixture(spark, "ann_cosine_topk", ["query_id", "rank"])

@@ -1,0 +1,40 @@
+"""Regenerate the self-oracle fixtures for the non-SQL-expressible queries.
+
+DuckDB has no xxhash64, so ``minhash_lsh``, ``simhash_pairs`` and
+``ann_cosine_topk`` get only rows-only driver checks. But their outputs are
+fully deterministic (fixed xxhash64 seeds over fixed sf0.01 parquet), so a
+checked-in expected-output parquet upgrades the pytest coverage to exact
+value assertions — any change to shingling, banding, hashing or candidate
+capping shows up as a fixture diff that must be reviewed and regenerated
+here, never silently.
+
+Usage: python tools/make_fixtures.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from covid19_spark.plans.registry import QUERY_REGISTRY  # noqa: E402
+from covid19_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
+FIXTURE_QUERIES = ("minhash_lsh", "simhash_pairs", "ann_cosine_topk")
+
+
+def main() -> None:
+    spark = get_spark("make_fixtures")
+    os.makedirs(OUT_DIR, exist_ok=True)
+    for name in FIXTURE_QUERIES:
+        df = QUERY_REGISTRY[name].fn(spark, SF_DIR)
+        path = os.path.join(OUT_DIR, f"{name}_sf0.01.parquet")
+        df.toPandas().to_parquet(path, index=False)
+        print(f"wrote {path}: {len(df.columns)} cols")
+
+
+if __name__ == "__main__":
+    main()
