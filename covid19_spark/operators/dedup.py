@@ -102,8 +102,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """id → array of ``num_hashes`` minhash values over word shingles.
 
-    Single pass: explode shingles, one ``min(xxhash64(shingle, seed_i))`` per
-    permutation — map-side combine keeps the shuffle at |docs|·k longs.
+    Single pass: explode shingles, hash each shingle STRING once
+    (``xxhash64(sh)``), then derive the k permutations by re-hashing the
+    8-byte value with per-permutation seeds — k×8-byte hashes instead of
+    k×full-string hashes, the dominant CPU of the signature pass (the
+    string hash is materialized as its own column so it is computed exactly
+    once per shingle, not relying on codegen subexpression elimination).
+    Map-side combine keeps the shuffle at |docs|·k longs.
 
     The input is repartitioned by ``id_col`` first: the hashing work is
     CPU-bound per row, and a small/few-file source would otherwise pin it to
@@ -114,10 +119,11 @@ def minhash_signatures(
     sh = df.repartition(n_parts, id_col).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
     )
+    hashed = sh.select(id_col, F.xxhash64(F.col("sh")).alias("h0"))
     mins = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+        F.min(F.xxhash64(F.col("h0"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
     ]
-    sig = sh.groupBy(id_col).agg(*mins)
+    sig = hashed.groupBy(id_col).agg(*mins)
     return sig.select(
         F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
