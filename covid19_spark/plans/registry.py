@@ -1517,6 +1517,63 @@ QUERY_REGISTRY["approx_aggregates"] = QuerySpec(
 )
 
 
+def q_chart_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chart-series assembly determinism (S7's data half / W4): per-type
+    daily series built the way ``serving.analytics.daily_history_chart``
+    builds chart arrays — ``sort_array(collect_list(struct(...)))`` so the
+    label/value order is deterministic on ANY partitioning — then
+    posexploded back to rows so the driver can hash the values. The oracle
+    expresses the same series as a ``row_number`` ordering."""
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.withColumn("date", F.to_date("ts"))
+        .groupBy("date", "event_type")
+        .agg(_dsum(F.col("value")).alias("v"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("date").alias("date"),
+                    F.date_format("date", "dd-MMM").alias("label"),
+                    F.col("v").alias("v"),
+                )
+            )
+        ).alias("rows")
+    )
+    return (
+        series.select("event_type", F.posexplode("rows").alias("pos", "r"))
+        .select(
+            "event_type",
+            (F.col("pos") + 1).cast("long").alias("idx"),
+            F.col("r.label").alias("label"),
+            F.col("r.v").alias("value"),
+        )
+        .orderBy("event_type", "idx")
+    )
+
+
+ORACLE_CHART_SERIES = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date, event_type,
+         CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(row_number() OVER (PARTITION BY event_type ORDER BY date) AS BIGINT) AS idx,
+       strftime(date, '%d-%b') AS label,
+       v AS value
+FROM daily
+ORDER BY event_type, idx
+"""
+
+
+QUERY_REGISTRY["chart_series"] = QuerySpec(
+    q_chart_series, ORACLE_CHART_SERIES, "S7/W4 deterministic chart-series assembly"
+)
+
+
 def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval (range) join: purchases attributed to same-user clicks within
     30 minutes — the batch form of the stream-stream interval join
