@@ -37,6 +37,62 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_cols=(),
+    allow_full_scan: bool = False,
+    max_block: int | None = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim ≥ threshold).
+
+    The dedup-family verify stage for embeddings (same contract as
+    ``dedup.ngram_jaccard_pairs``): pairwise scoring runs ONLY within
+    ``block_cols`` blocks — at scale the block key is an LSH bucket from
+    ``ann_signatures`` (or a cluster/shard id), never the whole corpus.
+    Unblocked full-scan pairing is O(n²) and must be opted into explicitly
+    with ``allow_full_scan=True`` (small frames / tests only). ``max_block``
+    drops degenerate blocks via the same broadcast anti-join guard as the
+    LSH bucket cap.
+
+    Output: id_a, id_b, block cols, sim — double-fold cosine, bit-identical
+    to the DuckDB ``list_reduce`` oracle formulation.
+    """
+    block_cols = list(block_cols)
+    if not block_cols and not allow_full_scan:
+        raise ValueError(
+            "cosine_near_dup_pairs requires non-empty block_cols (LSH bucket "
+            "or shard key); pass allow_full_scan=True only for small frames"
+        )
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols],
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    if block_cols and max_block is not None:
+        oversized = (
+            base.groupBy(*block_cols)
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") > max_block)
+            .select(*block_cols)
+        )
+        base = base.join(F.broadcast(oversized), block_cols, "left_anti")
+    a, b = base.alias("a"), base.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    return (
+        a.join(b, cond if block_cols else cond[0])
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.{c}").alias(c) for c in block_cols],
+            cosine(F.col("a.__v"), F.col("b.__v")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -815,6 +815,57 @@ ORDER BY query_id, rank
 """
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks (the dedup
+    family's embedding member). Blocks on the cluster label — at corpus
+    scale the block key is an ANN LSH bucket; this is the verify stage.
+    Like ``_perturbed_docs``, deterministic perturbed copies
+    (vec_id+100000, component nudge ``0.02*((i%7)-3)``) give guaranteed
+    true positives. Double-fold cosine ≡ the oracle's ``list_reduce``."""
+    from covid19_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    nudged = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: F.element_at("embedding", i) + F.lit(0.02) * ((i % 7) - 3),
+    )
+    perturbed = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "label", nudged.alias("embedding")
+    )
+    base = emb.unionByName(perturbed)
+    return cosine_near_dup_pairs(
+        base, "vec_id", "embedding", threshold=0.90, block_cols=["label"]
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_EMBEDDING_NEAR_DUP = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), p AS (
+  SELECT vec_id + 100000 AS vec_id, label,
+         list_transform(range(1, 65), i -> v[i] + 0.02*((i % 7) - 3)) AS v
+  FROM e WHERE vec_id < 100
+), u AS (
+  SELECT * FROM e UNION ALL SELECT * FROM p
+), scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+         list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(range(1, 65), i -> a.v[i] * a.v[i]), (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(range(1, 65), i -> b.v[i] * b.v[i]), (x, y) -> x + y))) AS sim
+  FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, label, sim FROM scored WHERE sim >= 0.90
+ORDER BY id_a, id_b
+"""
+
+
+QUERY_REGISTRY["embedding_near_dup"] = QuerySpec(
+    q_embedding_near_dup, ORACLE_EMBEDDING_NEAR_DUP, "embedding-cosine near-dup (blocked verify)"
+)
+
+
 def _perturbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents(doc_id<50) unioned with deterministic near-duplicates
     (id+100000, first 3 tokens dropped) — gives the candidate-generation

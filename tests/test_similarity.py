@@ -70,3 +70,29 @@ def test_ann_sims_are_exact_for_returned_pairs(spark):
         key = (r.query_id, r.neighbor_id)
         if key in exact:
             assert abs(r.sim - exact[key]) < 1e-12
+
+
+def test_cosine_near_dup_guardrails(spark):
+    import pytest
+
+    from covid19_spark.operators.similarity import cosine_near_dup_pairs
+
+    rows = [(i, [1.0, 0.0, 0.0], i % 2) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    with pytest.raises(ValueError, match="block_cols"):
+        cosine_near_dup_pairs(df, "vec_id", "embedding", 0.9)
+    # full-scan opt-in works on small frames: all 15 pairs are identical vecs
+    full = cosine_near_dup_pairs(
+        df, "vec_id", "embedding", 0.9, allow_full_scan=True
+    ).collect()
+    assert len(full) == 15 and all(abs(r.sim - 1.0) < 1e-12 for r in full)
+    # blocked: only within-label pairs (3 per label)
+    blocked = cosine_near_dup_pairs(
+        df, "vec_id", "embedding", 0.9, block_cols=["label"]
+    ).collect()
+    assert len(blocked) == 6
+    # degenerate-block cap drops the oversized label
+    capped = cosine_near_dup_pairs(
+        df, "vec_id", "embedding", 0.9, block_cols=["label"], max_block=2
+    ).count()
+    assert capped == 0
