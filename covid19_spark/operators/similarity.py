@@ -66,9 +66,14 @@ def cosine_near_dup_pairs(
             "cosine_near_dup_pairs requires non-empty block_cols (LSH bucket "
             "or shard key); pass allow_full_scan=True only for small frames"
         )
+    # Normalize ONCE per vector before the join: the per-pair work drops to
+    # a single dot fold (instead of dot + two norm folds) — 3x less of the
+    # dominant cost. Same elementwise/fold order as the DuckDB oracle.
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(dot(v, v))
     base = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols],
-        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.transform(v, lambda x: x / norm).alias("__v"),
     )
     if block_cols and max_block is not None:
         oversized = (
@@ -87,7 +92,7 @@ def cosine_near_dup_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             *[F.col(f"a.{c}").alias(c) for c in block_cols],
-            cosine(F.col("a.__v"), F.col("b.__v")).alias("sim"),
+            dot(F.col("a.__v"), F.col("b.__v")).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

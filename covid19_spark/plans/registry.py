@@ -824,8 +824,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     true positives. Double-fold cosine ≡ the oracle's ``list_reduce``."""
     from covid19_spark.operators.similarity import cosine_near_dup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 1000)  # bounded verify set, like ngram_jaccard's doc_id<200
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding"))
     )
     nudged = F.transform(
         F.sequence(F.lit(1), F.lit(64)),
@@ -843,18 +845,21 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EMBEDDING_NEAR_DUP = """
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id < 1000
 ), p AS (
   SELECT vec_id + 100000 AS vec_id, label,
          list_transform(range(1, 65), i -> v[i] + 0.02*((i % 7) - 3)) AS v
   FROM e WHERE vec_id < 100
 ), u AS (
   SELECT * FROM e UNION ALL SELECT * FROM p
+), n AS (
+  SELECT vec_id, label,
+         list_transform(v, x -> x / sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]), (x, y) -> x + y))) AS vn
+  FROM u
 ), scored AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
-         list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
-         / (sqrt(list_reduce(list_transform(range(1, 65), i -> a.v[i] * a.v[i]), (x, y) -> x + y))
-            * sqrt(list_reduce(list_transform(range(1, 65), i -> b.v[i] * b.v[i]), (x, y) -> x + y))) AS sim
-  FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+         list_reduce(list_transform(range(1, 65), i -> a.vn[i] * b.vn[i]), (x, y) -> x + y) AS sim
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, label, sim FROM scored WHERE sim >= 0.90
 ORDER BY id_a, id_b
