@@ -121,6 +121,43 @@ def quality_columns(text: Column, rounded: bool = True) -> dict[str, Column]:
     }
 
 
+def repetition_stats(df, id_col: str, text_col: str):
+    """Gopher-style repetition gates per document (Rae et al. 2021 §A1.3):
+    most-frequent-token fraction and duplicate-bigram fraction — the
+    standard filters for degenerate/repetitive training text.
+
+    Token counting goes explode → two-level aggregation (partial aggs
+    combine map-side; the shuffle carries (doc, token) group rows, linear in
+    corpus size — never per-doc O(n²) array scans). The bigram duplicate
+    fraction is map-only array math joined back on the doc key.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.filter(tokenize(F.col(text_col)), lambda t: t != "")).alias("tok"),
+    )
+    tok_counts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = tok_counts.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.max("c").cast("long").alias("__max_c"),
+    )
+    sh = word_shingles(F.col(text_col), 2, distinct=False)
+    bigrams = df.select(
+        F.col(id_col),
+        F.when(
+            F.size(sh) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh),
+        ).alias("dup_bigram_frac"),
+    )
+    return per_doc.join(bigrams, id_col).select(
+        id_col,
+        "n_tokens",
+        "n_distinct_tokens",
+        (F.col("__max_c") / F.col("n_tokens")).alias("max_token_frac"),
+        "dup_bigram_frac",
+    )
+
+
 def word_shingles(text: Column, n: int = 2, distinct: bool = True) -> Column:
     """Distinct word n-gram shingles (1-indexed ``element_at`` windows) —
     the unit set for Jaccard/MinHash similarity.

@@ -815,6 +815,124 @@ ORDER BY query_id, rank
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates (max-token fraction, duplicate-bigram
+    fraction) over the documents table — the repetitive-text filter of a
+    training-data pipeline."""
+    from covid19_spark.operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+ORACLE_REPETITION_STATS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+), tc AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct_tokens, CAST(max(c) AS BIGINT) AS mx
+  FROM tc GROUP BY 1
+), big AS (
+  SELECT doc_id,
+         list_transform(range(1, len(string_split(lower(text), ' '))),
+                        i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1]) AS sh
+  FROM documents
+), bstats AS (
+  SELECT doc_id,
+         CASE WHEN len(sh) > 0
+              THEN 1.0 - len(list_distinct(sh)) / CAST(len(sh) AS DOUBLE) END AS dup_bigram_frac
+  FROM big
+)
+SELECT p.doc_id AS doc_id, n_tokens, n_distinct_tokens,
+       mx / CAST(n_tokens AS DOUBLE) AS max_token_frac, dup_bigram_frac
+FROM per_doc p JOIN bstats b ON p.doc_id = b.doc_id
+ORDER BY doc_id
+"""
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus reporting: docs, chars, whitespace tokens —
+    the bookkeeping scan a pipeline runs before/after every curation stage.
+    Map-only token math + one partial-agg exchange on the tiny group key."""
+    from covid19_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", "lang", "n_chars", token_count(F.col("text")).alias("tc"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("tc").cast("long").alias("total_tokens"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+ORACLE_CORPUS_STATS = """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing for training-batch packing: docs grouped
+    into fixed-width token-count buckets with per-bucket and running token
+    budgets. Integer bucket arithmetic (exact cross-engine); the running
+    sum ranks |buckets| rows only."""
+    from covid19_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    bucketed = docs.select(
+        (F.floor(token_count(F.col("text")) / 32)).cast("long").alias("bucket"),
+        token_count(F.col("text")).alias("tc"),
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tc").cast("long").alias("bucket_tokens"),
+    )
+    w = Window.orderBy("bucket")  # |buckets| rows — bounded by max_len/32
+    return (
+        per_bucket.withColumn(
+            "cum_tokens", F.sum("bucket_tokens").over(w).cast("long")
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_LENGTH_BUCKETS = """
+WITH d AS (
+  SELECT CAST(floor(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) / 32) AS BIGINT) AS bucket,
+         len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tc
+  FROM documents
+), per_bucket AS (
+  SELECT bucket, count(*) AS n_docs, CAST(sum(tc) AS BIGINT) AS bucket_tokens
+  FROM d GROUP BY bucket
+)
+SELECT bucket, n_docs, bucket_tokens,
+       CAST(sum(bucket_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens
+FROM per_bucket
+ORDER BY bucket
+"""
+
+
+QUERY_REGISTRY["repetition_stats"] = QuerySpec(
+    q_repetition_stats, ORACLE_REPETITION_STATS, "Gopher repetition gates"
+)
+QUERY_REGISTRY["corpus_stats"] = QuerySpec(
+    q_corpus_stats, ORACLE_CORPUS_STATS, "per-source corpus reporting"
+)
+QUERY_REGISTRY["length_buckets"] = QuerySpec(
+    q_length_buckets, ORACLE_LENGTH_BUCKETS, "sequence-length packing buckets"
+)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within label blocks (the dedup
     family's embedding member). Blocks on the cluster label — at corpus

@@ -68,3 +68,22 @@ def test_word_shingles_short_docs(spark):
     assert one(spark, "", word_shingles(F.col("t"), 2)) == []
     assert one(spark, "two words", word_shingles(F.col("t"), 3)) == []
     assert one(spark, "exactly two", word_shingles(F.col("t"), 2)) == ["exactly two"]
+
+
+def test_repetition_stats_hand_case(spark):
+    from covid19_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # max tok 3/4; bigrams [a a, a a, a b] -> dup 1/3
+            (2, "w x y z"),          # no repetition
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    r1 = rows[1]
+    assert r1.n_tokens == 4 and r1.n_distinct_tokens == 2
+    assert abs(r1.max_token_frac - 0.75) < 1e-12
+    assert abs(r1.dup_bigram_frac - (1 - 2 / 3)) < 1e-12
+    r2 = rows[2]
+    assert r2.max_token_frac == 0.25 and r2.dup_bigram_frac == 0.0
