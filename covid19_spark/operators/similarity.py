@@ -259,3 +259,140 @@ def ann_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "sim")
     )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probes: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probes`` nearest centroids by dot
+    product (cosine order for normalized centroids). Broadcast the centroid
+    table (k rows), score in one map pass, rank per vector — the inverted-
+    file (IVF) partitioning step of Jégou et al. 2011 (product quantization
+    paper's coarse quantizer), minus the PQ codes.
+
+    Output: id_col, centroid_id, vec (double array) — one row per probe.
+    """
+    from pyspark.sql import Window
+
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    c = centroids.select(
+        F.col("centroid_id"), F.col("cvec").cast("array<double>").alias("__c")
+    )
+    scored = v.join(F.broadcast(c)).select(
+        id_col, "centroid_id", "__v", dot(F.col("__v"), F.col("__c")).alias("__s")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__s").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_probes)
+        .select(id_col, "centroid_id", F.col("__v").alias("vec"))
+    )
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 1,
+) -> DataFrame:
+    """Deterministic distributed k-means for the IVF coarse quantizer.
+
+    Seeds: the ``n_centroids`` lowest-id corpus vectors (deterministic, no
+    RNG). Each Lloyd iteration is fully distributed: broadcast-assign every
+    vector to its nearest centroid, then recompute centroids as the
+    element-wise mean via posexplode + (centroid, dim) aggregation — the
+    shuffle carries |corpus|·dim value rows with map-side partial sums, and
+    centroids never leave ~k·dim floats. At 1B vectors per iteration cost
+    is one broadcast-join scan + one partial-agg shuffle; k-means|| seeding
+    would replace the lowest-id seeds at production scale.
+    """
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("__sid"), F.col(vec_col).cast("array<double>").alias("cvec")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("__sid")  # n_centroids rows
+    centroids = seeds.withColumn("centroid_id", F.row_number().over(w)).select(
+        "centroid_id", "cvec"
+    )
+    for _ in range(iterations):
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_probes=1)
+        by_dim = assigned.select(
+            "centroid_id", F.posexplode("vec").alias("__pos", "__x")
+        )
+        means = (
+            by_dim.groupBy("centroid_id", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__pos", "__m"))),
+                    lambda s: s["__m"],
+                ).alias("cvec")
+            )
+        )
+        centroids = means
+    return centroids
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probes: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate nearest neighbours: the clustering twin of the
+    sign-hyperplane ANN (SCALING.md's named production path for 1B+ vectors).
+
+    Corpus vectors live in centroid partitions (1 probe); each query scores
+    only the lists of its ``n_probes`` nearest centroids — the scan shrinks
+    to ~n_probes/n_centroids of the corpus. The candidate join is a hash
+    join on centroid_id; exact cosine re-ranks the candidates.
+
+    Output: query_id, rank, neighbor_id, sim (same shape as ``cosine_topk``
+    for recall comparison).
+    """
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = ivf_train_centroids(corpus, n_centroids, id_col, vec_col)
+    lists = ivf_assign(corpus, centroids, id_col, vec_col, n_probes=1).select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id", F.col("vec").alias("cv")
+    )
+    probes = ivf_assign(queries, centroids, id_col, vec_col, n_probes=n_probes).select(
+        F.col(id_col).alias("query_id"), "centroid_id", F.col("vec").alias("qv")
+    )
+    scored = (
+        lists.join(probes, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("qv"), F.col("cv"))
+                / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("cv"), F.col("cv"))))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )

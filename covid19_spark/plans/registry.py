@@ -1052,6 +1052,26 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (coarse-quantizer) approximate nearest neighbours — the
+    clustering scale path next to the sign-hyperplane LSH ANN. Deterministic
+    lowest-id seeds + one distributed Lloyd iteration; queries probe 3 of 16
+    centroid lists. Rows-only (iterative k-means is not single-statement
+    SQL); recall vs exact is asserted in tests/test_similarity.py."""
+    from covid19_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_cosine_topk(
+        emb, queries, k=10, n_centroids=16, n_probes=3
+    ).orderBy("query_id", "rank")
+
+
+QUERY_REGISTRY["ivf_cosine_topk"] = QuerySpec(
+    q_ivf_cosine_topk, None, "IVF coarse-quantizer ANN top-k (rows-only)"
+)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing: documents' text bytes treated as an
     opaque payload, features extracted via Arrow-batched mapInPandas (the
