@@ -131,6 +131,12 @@ def repetition_stats(df, id_col: str, text_col: str):
     corpus size — never per-doc O(n²) array scans). The bigram duplicate
     fraction is map-only array math joined back on the doc key.
     """
+    # Repartition by doc id first (same as minhash_signatures): a single-file
+    # parquet source would pin the CPU-heavy tokenize+explode to 1-2 scan
+    # partitions; hash-partitioning also pre-aligns the per-doc aggregations
+    # and the bigram join below.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(n_parts, id_col)
     toks = df.select(
         F.col(id_col),
         F.explode(F.filter(tokenize(F.col(text_col)), lambda t: t != "")).alias("tok"),
