@@ -107,6 +107,93 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = "media_id long, mime string, width int, height int, payload binary"
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, mime string, duration_ms long, n_bytes long, "
+    "n_windows int, feature array<float>"
+)
+
+
+def fake_resize(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Deterministic fake resize: fold/repeat the byte stream to exactly
+    ``target_w*target_h`` bytes. Stands in for a real interpolating resize;
+    preserves the binary-in → binary-out contract and output sizing."""
+    size = target_w * target_h
+    if payload is None or len(payload) == 0:
+        return bytes(size)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    reps = -(-size // len(arr))  # ceil division
+    return bytes(np.tile(arr, reps)[:size])
+
+
+def resize_images(media: DataFrame, target_w: int, target_h: int, use_fake: bool = True) -> DataFrame:
+    """Batch image resize via ``mapInPandas``: binary in → binary out with
+    the metadata columns REWRITTEN to the target dimensions (metadata lives
+    outside the blob, so downstream pruning still never decodes). The real
+    path raises where a codec-backed resize plugs in; output payload size is
+    exactly ``target_w*target_h`` per row either way, keeping the shuffle
+    footprint predictable."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not use_fake:
+                decode_image(None)  # raises NotImplementedError at task level
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": [fake_resize(p, target_w, target_h) for p in pdf["payload"]],
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def fake_audio_features(payload: bytes, n_windows: int = 16) -> np.ndarray:
+    """Deterministic fake audio features: window the byte stream into
+    ``n_windows`` frames and emit per-frame mean energy (RMS-ish),
+    normalized. Stands in for MFCC/mel features; fixed output width."""
+    if payload is None or len(payload) == 0:
+        return np.zeros(n_windows, dtype=np.float32)
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32) - 128.0
+    pad = -len(arr) % n_windows
+    if pad:
+        arr = np.pad(arr, (0, pad))
+    frames = arr.reshape(n_windows, -1)
+    rms = np.sqrt((frames * frames).mean(axis=1))
+    peak = float(rms.max())
+    return (rms / peak if peak > 0 else rms).astype(np.float32)
+
+
+def extract_audio_features(media: DataFrame, n_windows: int = 16, use_fake: bool = True) -> DataFrame:
+    """Windowed audio feature extraction via ``mapInPandas`` — same
+    metadata-prunes-before-decode and fixed-width-output contract as the
+    image kernel."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not use_fake:
+                decode_image(None)  # codec stub shared with the image path
+            feats = [fake_audio_features(p, n_windows) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "duration_ms": pdf["duration_ms"],
+                    "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
+                    "n_windows": n_windows,
+                    "feature": [f.tolist() for f in feats],
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        batches, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
 def synthesize_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
     """Deterministic fake media table for tests (payload = seeded bytes)."""
     rows = []

@@ -46,3 +46,49 @@ def test_frame_sample_plan(spark):
         counts[f.media_id] = counts.get(f.media_id, 0) + 1
     assert counts[5] == 6
     assert all(mid % 3 == 2 for mid in counts)  # kind == video
+
+
+def test_resize_images_contract(spark):
+    from covid19_spark.operators.multimodal import resize_images, synthesize_media
+
+    media = synthesize_media(spark, n=30)
+    n_images = media.filter("kind = 'image'").count()
+    out = resize_images(media, 16, 12).collect()
+    assert len(out) == n_images
+    for r in out:
+        assert r.width == 16 and r.height == 12
+        assert len(r.payload) == 16 * 12  # exact output sizing
+    # deterministic
+    again = resize_images(synthesize_media(spark, n=30), 16, 12).collect()
+    assert {r.media_id: bytes(r.payload) for r in out} == {
+        r.media_id: bytes(r.payload) for r in again
+    }
+
+
+def test_audio_features_contract(spark):
+    from covid19_spark.operators.multimodal import extract_audio_features, synthesize_media
+
+    media = synthesize_media(spark, n=30)
+    n_audio = media.filter("kind = 'audio'").count()
+    rows = extract_audio_features(media, n_windows=8).collect()
+    assert len(rows) == n_audio
+    for r in rows:
+        assert r.n_windows == 8 and len(r.feature) == 8
+        assert all(0.0 <= x <= 1.0 for x in r.feature)  # peak-normalized
+        assert r.n_bytes > 0
+
+
+def test_real_codec_paths_raise(spark):
+    import pytest
+
+    from covid19_spark.operators.multimodal import (
+        extract_audio_features,
+        resize_images,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=6)
+    with pytest.raises(Exception, match="NotImplementedError|image codec"):
+        resize_images(media, 8, 8, use_fake=False).collect()
+    with pytest.raises(Exception, match="NotImplementedError|image codec"):
+        extract_audio_features(media, use_fake=False).collect()
