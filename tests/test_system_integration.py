@@ -127,3 +127,63 @@ def test_stream_to_store_to_alert(env):
     assert "1 new case in Assam\n" in text
     assert "Total cases  : (↑1) 28" in text
     assert "Doubling rate: 20 days" in text
+
+
+def test_stream_to_incremental_upsert_to_chart_request(env):
+    """Round-2 chain: stream -> stateful delta -> INCREMENTAL bucketed
+    upsert (the scale path) -> daily rollup store -> chart rows -> Chart.js
+    request document, end to end on live pipeline numbers."""
+    import json
+
+    from covid19_spark.operators.rollup import daily_rollup
+    from covid19_spark.serving.analytics import daily_history_chart
+    from covid19_spark.serving.charts import history_chart_request
+    from covid19_spark.streaming.table import make_upsert_sink
+
+    spark, d = env
+    src, ckpt = f"{d}/src2", f"{d}/ckpt2"
+    table_path = f"{d}/snapshots"
+    os.makedirs(src)
+
+    stream = spark.readStream.schema(SNAP_SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        stats_delta_stream(stream)
+        .writeStream.foreachBatch(
+            make_upsert_sink(table_path, ["state", "ts"], "ts", n_buckets=8)
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        spark.createDataFrame(
+            [
+                ("Goa", ts("2020-04-08T10:00:00"), 5.0, 1.0, 0.0),
+                ("Goa", ts("2020-04-09T10:00:00"), 8.0, 1.0, 1.0),
+            ],
+            SNAP_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [("Goa", ts("2020-04-09T22:00:00"), 10.0, 2.0, 1.0)], SNAP_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    deltas = spark.read.parquet(table_path)
+    assert deltas.count() == 3  # every snapshot upserted, cross-batch state held
+    daily = daily_rollup(
+        deltas,
+        "ts",
+        ["state"],
+        sum_cols=["delta_confirmed", "delta_recovered", "delta_deaths"],
+        last_cols=["confirmed"],
+    )
+    chart = daily_history_chart(daily, "Goa", 2, dt.date(2020, 4, 9))
+    doc = json.loads(history_chart_request(chart).first().request_json)
+    assert doc["chart"]["data"]["labels"] == ["08-Apr", "09-Apr"]
+    series = {s["label"]: s["data"] for s in doc["chart"]["data"]["datasets"]}
+    # day 1: delta 5; day 2: deltas 3 (8-5) + 2 (10-8) = 5 confirmed
+    assert series["Recovered"] == [1.0, 1.0]
+    assert series["Deaths"] == [0.0, 1.0]
+    assert series["Active"] == [4.0, 3.0]  # confirmed - recovered - deaths, clamped
