@@ -170,3 +170,11 @@ def test_simhash_pairs_matches_fixture(spark):
 
 def test_ann_cosine_topk_matches_fixture(spark):
     _assert_matches_fixture(spark, "ann_cosine_topk", ["query_id", "rank"])
+
+
+def test_ivf_cosine_topk_matches_fixture(spark):
+    _assert_matches_fixture(spark, "ivf_cosine_topk", ["query_id", "rank"])
+
+
+def test_multimodal_features_matches_fixture(spark):
+    _assert_matches_fixture(spark, "multimodal_features", ["media_id"])

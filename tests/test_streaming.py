@@ -417,3 +417,42 @@ def test_stream_stream_interval_join(stream_env):
     out = run_stream_to_memory(spark, attributed, "attribution_stream", ckpt).collect()
     got = {(r.click_id, r.purchase_id): r.lag_sec for r in out}
     assert got == {(1, 2): 600}
+
+
+def test_upsert_sequence_equals_global_latest(spark):
+    """Any split of the record stream into micro-batches must converge to
+    the same table as a single global latest-per-key pass (the MERGE
+    semantics), including keys updated across batches and out of order."""
+    import itertools
+    import os
+
+    from covid19_spark.streaming.table import compact_batch_to_table, upsert_batch_partitioned
+
+    records = [
+        (f"k{i % 4}", ts(f"2020-04-{8 + (i % 3):02d}T{10 + i:02d}:00:00"), float(i))
+        for i in range(12)
+    ]
+    cols = ["state", "ts", "confirmed"]
+    expected = {
+        (r.state): (r.ts, r.confirmed)
+        for r in compact_batch_to_table(
+            spark.createDataFrame(records, cols), None, ["state"], "ts"
+        ).collect()
+    }
+    for split in ([3, 4, 2, 3], [12], [1] * 12):
+        d = tempfile.mkdtemp()
+        table = os.path.join(d, "t")
+        try:
+            it = iter(records)
+            for n in split:
+                batch = list(itertools.islice(it, n))
+                upsert_batch_partitioned(
+                    spark.createDataFrame(batch, cols), table, ["state"], "ts", n_buckets=4
+                )
+            got = {
+                r.state: (r.ts, r.confirmed)
+                for r in spark.read.parquet(table).select(*cols).collect()
+            }
+            assert got == expected, split
+        finally:
+            shutil.rmtree(d, ignore_errors=True)

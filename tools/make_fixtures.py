@@ -23,7 +23,13 @@ from covid19_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"
 OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
-FIXTURE_QUERIES = ("minhash_lsh", "simhash_pairs", "ann_cosine_topk")
+FIXTURE_QUERIES = (
+    "minhash_lsh",
+    "simhash_pairs",
+    "ann_cosine_topk",
+    "ivf_cosine_topk",
+    "multimodal_features",
+)
 
 
 def main() -> None:
