@@ -160,8 +160,12 @@ def lsh_candidate_pairs(
             for bi in range(bands)
         ]
     )
-    banded = sig_df.select(id_col, "sig", F.explode(band_structs).alias("bb")).select(
-        id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    # The band self-join carries ONLY (id, band, bucket) — thin fixed-width
+    # rows. Signatures (k longs per doc) are re-joined per UNIQUE candidate
+    # pair afterwards: candidate pairs are orders of magnitude fewer than
+    # banded rows, so this keeps k×8 bytes/row out of the big shuffle.
+    banded = sig_df.select(id_col, F.explode(band_structs).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     if max_bucket is not None:
         # oversized buckets are rare by construction → tiny frame, broadcast
@@ -185,15 +189,16 @@ def lsh_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sig_a = sig_df.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig_df.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
+    scored = pairs.join(sig_a, "doc_a").join(sig_b, "doc_b")
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
     )
-    return pairs.select(
+    return scored.select(
         "doc_a", "doc_b", (agree / F.lit(num_hashes)).alias("est_jaccard")
     )
 

@@ -1124,6 +1124,11 @@ def q_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     mismatch; here a full-outer join on row index surfaces mismatches as
     nulls instead of crashing (SURVEY §7.5.4) — this query inner-joins equal
     lengths. Expressed as row_number on both sides + equi-join on the index.
+
+    Scale note: the two global rank windows run over PRE-AGGREGATED daily
+    frames — cardinality is bounded by the calendar (365·years rows), so the
+    single-partition sort is a constant-size step, not a data-volume one.
+    For unbounded inputs use a keyed join instead of positional alignment.
     """
     events = _t(spark, sf_dir, "events")
     daily_counts = (
