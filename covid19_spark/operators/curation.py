@@ -1,0 +1,228 @@
+"""Corpus-curation operators for training-data pipelines: deterministic hash
+sampling, stratified quotas, domain-mixture resampling, PII redaction and
+benchmark decontamination.
+
+These are the selection/cleaning stages that sit between raw crawl and
+tokenizer in an LLM data pipeline (reference analogue: the per-record clean /
+filter stages of `Covid19StatsIngestor.java` and
+`Covid19PatientAnalyzer.java`, generalized to corpus curation).
+
+Scale design (100 TB):
+- every sampling decision is a *deterministic pure function of the row's id*
+  (md5 prefix), so sampling is map-only — no shuffle, no RNG state, rerunnable,
+  and the same rows are kept on every engine and every run;
+- domain-mixture resampling needs one tiny aggregate (|domains| rows) that is
+  broadcast back — the corpus-side pass stays map-only;
+- PII redaction is a chain of JVM `regexp_replace` calls — whole-stage
+  codegen, embarrassingly parallel;
+- decontamination broadcasts the *benchmark* shingle set (eval suites are
+  MBs, not TBs) so the corpus-side probe is a broadcast-hash semi-join with
+  no corpus shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from covid19_spark.operators.text import word_shingles
+
+# ---------------------------------------------------------------------------
+# Deterministic uniform draws from md5 prefixes
+# ---------------------------------------------------------------------------
+
+#: hex chars drawn from the md5 prefix; 4 → 65536 buckets (rate granularity
+#: 1/65536, plenty for mixture weights while keeping the compare cheap).
+HASH_CHARS = 4
+_BUCKETS = 16**HASH_CHARS
+
+
+def md5_uniform(id_col: Column, chars: int = HASH_CHARS) -> Column:
+    """First ``chars`` lowercase-hex chars of ``md5(cast(id as string))`` — a
+    deterministic uniform draw over ``16**chars`` buckets.
+
+    Fixed-width lowercase hex compares lexicographically == numerically, so a
+    plain string ``<`` against a hex threshold is a Bernoulli keep-decision
+    with no hex→int conversion, identical across engines (DuckDB md5 matches
+    Spark's bit-for-bit).
+    """
+    return F.substring(F.md5(id_col.cast("string")), 1, chars)
+
+
+def hex_threshold(rate: float, chars: int = HASH_CHARS) -> str:
+    """Hex-string threshold such that ``md5_uniform(id) < threshold`` keeps
+    ~``rate`` of rows. ``rate >= 1`` returns ``"g"`` ( > every hex string)."""
+    buckets = 16**chars
+    t = math.floor(rate * buckets)
+    if t >= buckets:
+        return "g"
+    return format(max(t, 0), f"0{chars}x")
+
+
+def hash_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
+    """Deterministic Bernoulli(``rate``) sample keyed on ``md5(id)``.
+
+    Map-only (no shuffle, no RNG state): the same ids survive on every run,
+    every partition layout, and every engine — the property training-data
+    pipelines need for reproducible corpus freezes. Complementary rates
+    partition the corpus exactly: ``keep(r)`` and ``drop(r)`` are disjoint
+    and their union is the input.
+    """
+    return df.filter(md5_uniform(F.col(id_col)) < F.lit(hex_threshold(rate)))
+
+
+def stratified_quota_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    id_col: str,
+    quota: int,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Up to ``quota`` rows per stratum, chosen by md5-of-id order — a
+    deterministic pseudo-random draw with an *exact* per-stratum count.
+
+    One shuffle on the strata key; per-stratum sort is bounded by the stratum
+    size. For massive strata at 100 TB, pre-thin with :func:`hash_sample` at
+    ``~4*quota/|stratum|`` first so the sort sees thousands of rows, not
+    billions — the md5 order of the survivors is a uniform subsample of the
+    md5 order of the stratum, so the final quota set is unchanged as long as
+    the pre-thin keeps ≥ quota rows per stratum.
+    """
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w = Window.partitionBy(*strata_cols).orderBy(*order)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= F.lit(quota)
+    )
+
+
+def weighted_domain_mix(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    weights: Mapping[str, float],
+    target_rows: int,
+) -> DataFrame:
+    """Resample toward a target domain mixture: domain ``d`` keeps
+    ``min(1, share_d * target_rows / |d|)`` of its rows, where ``share_d`` is
+    ``weights[d]`` normalized over the observed domains.
+
+    Plan: one tiny per-domain count aggregate (|domains| rows) joined back by
+    broadcast; the corpus-side keep decision is the same map-only md5 compare
+    as :func:`hash_sample`, with the threshold computed per-domain via
+    ``printf('%04x', ...)``. Domains absent from ``weights`` get weight 0
+    (dropped). No corpus shuffle.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in weights.items()], f"{domain_col} string, weight double"
+    )
+    total_w = sum(float(v) for v in weights.values())
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_domain"))
+    rates = (
+        counts.join(F.broadcast(wdf), domain_col, "left")
+        .withColumn("weight", F.coalesce(F.col("weight"), F.lit(0.0)))
+        .withColumn(
+            "keep_rate",
+            F.least(
+                F.lit(1.0),
+                F.col("weight") / F.lit(total_w) * F.lit(float(target_rows)) / F.col("n_domain"),
+            ),
+        )
+        .withColumn("thr_bucket", F.floor(F.col("keep_rate") * F.lit(_BUCKETS)).cast("long"))
+    )
+    joined = df.join(F.broadcast(rates), domain_col)
+    keep = (F.col("thr_bucket") >= F.lit(_BUCKETS)) | (
+        md5_uniform(F.col(id_col)) < F.format_string(f"%0{HASH_CHARS}x", F.col("thr_bucket"))
+    )
+    return joined.filter(keep).drop("weight", "keep_rate", "thr_bucket", "n_domain")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: (name, pattern, replacement) — patterns restricted to RE2-compatible
+#: syntax (character classes, bounded repeats, \b) so the same pattern string
+#: runs identically under Java regex (Spark) and RE2 (DuckDB oracle).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails, IPv4s, phone and SSN-shaped numbers with typed
+    placeholder tags. Pure ``regexp_replace`` chain — JVM-side, codegen'd,
+    map-only. Order matters: SSN (3-2-4) runs after phone (3-3-4) so each
+    shape gets its own tag."""
+    out = text
+    for _, pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-type PII match counts (audit columns for redaction reports)."""
+    return {
+        f"n_{name}": F.regexp_count(text, F.lit(pattern)).cast("long")
+        for name, pattern, _ in PII_PATTERNS
+    }
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def benchmark_shingles(bench: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Distinct word-``n``-gram set of a benchmark/eval corpus → one
+    ``shingle`` column. Eval suites are tiny relative to the corpus; the
+    result is meant to be broadcast."""
+    return (
+        bench.select(F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def contamination_hits(
+    corpus: DataFrame, bench_shingle_df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Per-document count of benchmark n-grams it contains → rows
+    ``(id_col, bench_hits)`` for contaminated documents only.
+
+    Corpus side is map-only explode; the probe is a broadcast-hash join
+    against the benchmark shingle set, so the only shuffle carries the *hit*
+    rows (contamination is rare by construction), grouped by doc id.
+    """
+    corpus_shingles = corpus.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+    return (
+        corpus_shingles.join(F.broadcast(bench_shingle_df), "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("shingle")).cast("long").alias("bench_hits"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    max_hits: int = 0,
+) -> DataFrame:
+    """Drop corpus documents sharing more than ``max_hits`` distinct word
+    ``n``-grams with a benchmark corpus (n=13 is the common eval-overlap
+    window). Returns the clean corpus.
+
+    The contaminated-id set is tiny → broadcast anti-join back onto the
+    corpus keeps the final pass shuffle-free too.
+    """
+    hits = contamination_hits(corpus, benchmark_shingles(bench, text_col, n), id_col, text_col, n)
+    bad = hits.filter(F.col("bench_hits") > F.lit(max_hits)).select(id_col)
+    return corpus.join(F.broadcast(bad), id_col, "left_anti")

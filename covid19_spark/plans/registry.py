@@ -1857,3 +1857,236 @@ ORDER BY n_name, rnk, s_name
 QUERY_REGISTRY["window_rank_suite"] = QuerySpec(
     q_window_rank_suite, ORACLE_WINDOW_RANK_SUITE, "full analytic-window surface"
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: sampling, mixture, redaction, decontamination
+# ---------------------------------------------------------------------------
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample (rate 0.25) keyed on md5(doc_id) —
+    map-only, no RNG state, same rows on every engine/run (the reproducible
+    corpus-freeze primitive). Filter pushes to the scan's residual; no
+    shuffle at all besides the output sort."""
+    from covid19_spark.operators.curation import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.25).select("doc_id", "source").orderBy("doc_id")
+
+
+ORACLE_DETERMINISTIC_SAMPLE = """
+SELECT doc_id, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["deterministic_sample"] = QuerySpec(
+    q_deterministic_sample, ORACLE_DETERMINISTIC_SAMPLE, "md5 Bernoulli sample (map-only)"
+)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum quota (30 docs per lang) drawn in md5-of-id order —
+    deterministic pseudo-random stratified sampling. One shuffle on the
+    stratum key; see stratified_quota_sample's docstring for the hash_sample
+    pre-thin that bounds the per-stratum sort at 100 TB."""
+    from covid19_spark.operators.curation import stratified_quota_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_quota_sample(docs, ["lang"], "doc_id", 30)
+    return out.select(
+        "lang", "doc_id", F.col("sample_rank").cast("long").alias("sample_rank")
+    ).orderBy("lang", "sample_rank")
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id, CAST(rn AS BIGINT) AS sample_rank
+FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 30
+ORDER BY lang, sample_rank
+"""
+
+
+QUERY_REGISTRY["stratified_sample"] = QuerySpec(
+    q_stratified_sample, ORACLE_STRATIFIED_SAMPLE, "per-stratum quota sample"
+)
+
+
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: per-source keep rate
+    min(1, share_s * K / |s|) with shares derived from a per-source weight,
+    applied as the same map-only md5 compare as hash_sample. The only
+    aggregates touch |domains| rows (counts + total weight), broadcast back;
+    the corpus pass has zero shuffle. Output is per-domain (total, kept)
+    counts so the mixture is directly auditable."""
+    from covid19_spark.operators.curation import HASH_CHARS, _BUCKETS, md5_uniform
+
+    docs = _t(spark, sf_dir, "documents")
+    target_rows = F.lit(200.0)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_domain"))
+    rates = counts.withColumn(
+        "weight",
+        (F.substring(F.col("source"), 4, 8).cast("int") % 3 + 1).cast("double"),
+    )
+    total = rates.agg(F.sum("weight").alias("total_w"))
+    rates = rates.crossJoin(F.broadcast(total)).withColumn(
+        "thr",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.col("weight") / F.col("total_w") * target_rows / F.col("n_domain"),
+            )
+            * F.lit(_BUCKETS)
+        ).cast("long"),
+    )
+    joined = docs.join(F.broadcast(rates), "source")
+    keep = (F.col("thr") >= F.lit(_BUCKETS)) | (
+        md5_uniform(F.col("doc_id")) < F.format_string(f"%0{HASH_CHARS}x", F.col("thr"))
+    )
+    return (
+        joined.filter(keep)
+        .groupBy("source")
+        .agg(
+            F.max("n_domain").cast("long").alias("n_total"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DOMAIN_MIX_SAMPLE = """
+WITH counts AS (SELECT source, count(*) AS n_domain FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_domain,
+         CAST((CAST(substr(source, 4) AS INT) % 3) + 1 AS DOUBLE) AS weight
+  FROM counts
+),
+t AS (SELECT sum(weight) AS total_w FROM w),
+r AS (
+  SELECT source, n_domain,
+         CAST(floor(least(1.0, weight / total_w * 200.0 / n_domain) * 65536) AS BIGINT) AS thr
+  FROM w, t
+),
+kept AS (
+  SELECT d.source, r.n_domain
+  FROM documents d JOIN r USING (source)
+  WHERE r.thr >= 65536
+     OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', r.thr)
+)
+SELECT source, CAST(max(n_domain) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS n_kept
+FROM kept
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERY_REGISTRY["domain_mix_sample"] = QuerySpec(
+    q_domain_mix_sample, ORACLE_DOMAIN_MIX_SAMPLE, "target-mixture domain resampling"
+)
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over synthetic PII-bearing text (emails/IPs/phones/SSNs
+    injected deterministically from doc_id, since the synthetic corpus has
+    none): regexp_replace chain + per-type audit counts. Map-only JVM
+    expressions, codegen'd — embarrassingly parallel at 100 TB."""
+    from covid19_spark.operators.curation import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = F.concat_ws(
+        " ",
+        F.concat(F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        F.concat(F.lit("10."), (F.col("doc_id") % 250 + 1).cast("string"), F.lit(".0.1")),
+        F.lit("call 555-867-5309"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("ssn 123-45-6789")).otherwise(F.lit("no ssn")),
+        F.substring(F.col("text"), 1, 48),
+    )
+    base = docs.select("doc_id", synth.alias("synth"))
+    counts = pii_counts(F.col("synth"))
+    return base.select(
+        "doc_id",
+        redact_pii(F.col("synth")).alias("redacted"),
+        *[expr.alias(name) for name, expr in counts.items()],
+    ).orderBy("doc_id")
+
+
+ORACLE_PII_REDACTION = r"""
+WITH base AS (
+  SELECT doc_id,
+         concat_ws(' ',
+           'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+           '10.' || CAST((doc_id % 250) + 1 AS VARCHAR) || '.0.1',
+           'call 555-867-5309',
+           CASE WHEN doc_id % 3 = 0 THEN 'ssn 123-45-6789' ELSE 'no ssn' END,
+           substr(text, 1, 48)
+         ) AS synth
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(synth,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+           '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+         '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(synth, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(synth, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(synth, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn
+FROM base
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["pii_redaction"] = QuerySpec(
+    q_pii_redaction, ORACLE_PII_REDACTION, "regex PII scrub + audit counts"
+)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-document count of distinct word
+    4-grams shared with a benchmark split (doc_id % 13 == 0 plays the eval
+    set). Benchmark shingle set is broadcast (eval suites are MBs); the
+    corpus side is map-only explode + broadcast-hash probe, so the only
+    shuffle carries hit rows grouped by doc id."""
+    from covid19_spark.operators.curation import benchmark_shingles, contamination_hits
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    corpus = docs.filter(F.col("doc_id") % 13 != 0)
+    hits = contamination_hits(
+        corpus, benchmark_shingles(bench, "text", 4), "doc_id", "text", 4
+    )
+    return hits.orderBy("doc_id")
+
+
+ORACLE_DECONTAMINATE = """
+WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(t[i:i+3], ' ') FOR i IN range(1, len(t) - 2)])) AS shingle
+  FROM tok
+  WHERE len(t) >= 4
+),
+b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 13 = 0),
+c AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 13 <> 0)
+SELECT c.doc_id AS doc_id, CAST(count(DISTINCT c.shingle) AS BIGINT) AS bench_hits
+FROM c JOIN b USING (shingle)
+GROUP BY c.doc_id
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["decontaminate"] = QuerySpec(
+    q_decontaminate, ORACLE_DECONTAMINATE, "benchmark n-gram decontamination"
+)

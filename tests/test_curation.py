@@ -1,0 +1,168 @@
+"""Curation operators: deterministic sampling, quotas, mixture, PII
+redaction, decontamination (operators/curation.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from covid19_spark.operators.curation import (
+    PII_PATTERNS,
+    benchmark_shingles,
+    contamination_hits,
+    decontaminate,
+    hash_sample,
+    hex_threshold,
+    md5_uniform,
+    pii_counts,
+    redact_pii,
+    stratified_quota_sample,
+    weighted_domain_mix,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+
+
+def test_hex_threshold_bounds():
+    assert hex_threshold(0.0) == "0000"
+    assert hex_threshold(0.25) == "4000"
+    assert hex_threshold(1.0) == "g"
+    assert hex_threshold(2.0) == "g"
+    assert hex_threshold(-0.5) == "0000"
+
+
+def test_hash_sample_deterministic_and_unbiased(ids):
+    a = hash_sample(ids, "doc_id", 0.25)
+    b = hash_sample(ids, "doc_id", 0.25)
+    na, nb = a.count(), b.count()
+    assert na == nb
+    # md5 uniformity: 10k draws at p=0.25 → ±5 sigma ≈ ±216
+    assert abs(na - 2500) < 250
+    assert a.exceptAll(b).count() == 0
+
+
+def test_hash_sample_monotone_and_partitioning(ids):
+    small = hash_sample(ids, "doc_id", 0.1)
+    big = hash_sample(ids, "doc_id", 0.5)
+    # a row kept at rate r is kept at every rate ≥ r (nested samples)
+    assert small.exceptAll(big).count() == 0
+    # complement partitions the input exactly
+    dropped = ids.filter(~(md5_uniform(F.col("doc_id")) < F.lit(hex_threshold(0.1))))
+    assert small.count() + dropped.count() == ids.count()
+    assert hash_sample(ids, "doc_id", 1.0).count() == ids.count()
+
+
+def test_stratified_quota_exact(spark):
+    df = spark.range(0, 900).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("lang")
+    )
+    out = stratified_quota_sample(df, ["lang"], "doc_id", 50)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 50, "1": 50, "2": 50}
+    # deterministic: same draw twice
+    again = stratified_quota_sample(df, ["lang"], "doc_id", 50)
+    assert out.exceptAll(again).count() == 0
+
+
+def test_stratified_quota_small_stratum(spark):
+    df = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"), F.lit("only").alias("lang")
+    )
+    assert stratified_quota_sample(df, ["lang"], "doc_id", 50).count() == 10
+
+
+def test_stratified_quota_prethin_stable(spark):
+    """hash_sample pre-thin keeps the same final quota set as ranking the
+    full stratum (md5 order of survivors ⊂ md5 order of stratum)."""
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("lang")
+    )
+    full = stratified_quota_sample(df, ["lang"], "doc_id", 20).select("doc_id")
+    thinned = stratified_quota_sample(
+        hash_sample(df, "doc_id", 0.2), ["lang"], "doc_id", 20
+    ).select("doc_id")
+    # identical iff every final pick survives the pre-thin; with quota 20 and
+    # 0.2*5000=1000 survivors the top-20 md5 prefixes are far below the 0.2
+    # threshold, so the sets coincide.
+    assert sorted(r.doc_id for r in full.collect()) == sorted(
+        r.doc_id for r in thinned.collect()
+    )
+
+
+def test_weighted_domain_mix_rates(spark):
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 3000, "web").otherwise("books").alias("domain"),
+    )
+    # target: 50/50 mixture of 1000 rows → web rate 500/3000, books 500/1000
+    out = weighted_domain_mix(df, "domain", "doc_id", {"web": 1.0, "books": 1.0}, 1000)
+    got = {r["domain"]: r["n"] for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert abs(got["web"] - 500) < 120
+    assert abs(got["books"] - 500) < 120
+    # keep-all branch: weight so large the rate caps at 1.0
+    all_books = weighted_domain_mix(df, "domain", "doc_id", {"books": 1.0}, 10_000)
+    assert all_books.filter(F.col("domain") == "books").count() == 1000
+    # unlisted domain → dropped
+    assert all_books.filter(F.col("domain") == "web").count() == 0
+    assert set(out.columns) == set(df.columns)
+
+
+def test_redact_pii_goldens(spark):
+    rows = spark.createDataFrame(
+        [
+            ("mail bob.smith+x@corp.example.org now", "mail <EMAIL> now"),
+            ("from 192.168.001.1 port", "from <IP> port"),
+            ("call 555-123-4567 or 555-987-6543", "call <PHONE> or <PHONE>"),
+            ("ssn 123-45-6789 end", "ssn <SSN> end"),
+            ("clean text stays clean", "clean text stays clean"),
+            ("a@b.io at 10.0.0.1 tel 111-222-3333", "<EMAIL> at <IP> tel <PHONE>"),
+        ],
+        "raw string, want string",
+    )
+    bad = rows.filter(redact_pii(F.col("raw")) != F.col("want"))
+    assert bad.count() == 0, bad.collect()
+
+
+def test_pii_counts_columns(spark):
+    df = spark.createDataFrame(
+        [("a@b.io c@d.io 10.0.0.1 555-123-4567 123-45-6789",)], "t string"
+    )
+    got = df.select(*[c.alias(k) for k, c in pii_counts(F.col("t")).items()]).first()
+    assert (got.n_email, got.n_ipv4, got.n_phone, got.n_ssn) == (2, 1, 1, 1)
+    assert [name for name, _, _ in PII_PATTERNS] == ["email", "ipv4", "phone", "ssn"]
+
+
+@pytest.fixture(scope="module")
+def contamination_corpus(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta gamma delta suffix words here"),  # shares a 4-gram
+            (2, "totally unrelated content with no overlap at all"),
+            (3, "alpha beta and gamma delta separately mentioned"),  # no shared 4-gram
+            (4, "tiny doc"),  # shorter than the shingle window
+        ],
+        "doc_id long, text string",
+    )
+    return corpus, bench
+
+
+def test_contamination_hits_and_decontaminate(contamination_corpus):
+    corpus, bench = contamination_corpus
+    hits = contamination_hits(
+        corpus, benchmark_shingles(bench, "text", 4), "doc_id", "text", 4
+    )
+    got = {r.doc_id: r.bench_hits for r in hits.collect()}
+    assert got == {1: 1}  # only "alpha beta gamma delta"
+    clean = decontaminate(corpus, bench, "doc_id", "text", n=4)
+    assert sorted(r.doc_id for r in clean.select("doc_id").collect()) == [2, 3, 4]
+    assert clean.columns == corpus.columns
+
+
+def test_decontaminate_empty_benchmark(spark, contamination_corpus):
+    corpus, _ = contamination_corpus
+    empty_bench = spark.createDataFrame([], "doc_id long, text string")
+    assert decontaminate(corpus, empty_bench, "doc_id", "text", n=4).count() == corpus.count()
