@@ -226,3 +226,40 @@ def decontaminate(
     hits = contamination_hits(corpus, benchmark_shingles(bench, text_col, n), id_col, text_col, n)
     bad = hits.filter(F.col("bench_hits") > F.lit(max_hits)).select(id_col)
     return corpus.join(F.broadcast(bad), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    ctx_len: int,
+    shard_chars: int = 1,
+    shard_col: str = "shard",
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget bins for
+    training-batch assembly. Documents are split into ``16**shard_chars``
+    independent shards by md5(id), ordered deterministically within the
+    shard (md5 order = uniform pseudo-random interleave of domains), and
+    packed contiguously: ``bin = floor(exclusive_prefix_tokens / ctx_len)``,
+    i.e. a document opens the next bin once the running total crosses the
+    budget.
+
+    Scale: one shuffle on the shard key, then a per-shard window sum —
+    shards are independent streams, so parallelism = shard count; size
+    ``shard_chars`` so a shard's documents fit one task (2 hex chars → 256
+    shards ≈ 400 GB/shard at 100 TB; pair with date/domain partitioning for
+    finer grain). Deterministic: the same corpus always packs identically.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    out = df.withColumn(shard_col, F.substring(h, 1, shard_chars))
+    w = Window.partitionBy(shard_col).orderBy(h, F.col(id_col))
+    cum = F.sum(F.col(token_col)).over(w)
+    return out.withColumn(
+        bin_col,
+        F.floor((cum - F.col(token_col)) / F.lit(float(ctx_len))).cast("long"),
+    )

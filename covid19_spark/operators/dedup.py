@@ -265,3 +265,72 @@ def simhash_candidate_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over an undirected edge list → ``(node,
+    component)`` where ``component`` is the smallest node id reachable —
+    the cluster-canonicalization stage of a dedup pipeline (near-dup pairs
+    → duplicate clusters → keep one document per cluster).
+
+    Min-label propagation to fixpoint: each round joins current labels
+    across edges and takes the per-node min. Dedup graphs have tiny
+    diameters (LSH+verify emits near-cliques), so convergence is
+    O(diameter) rounds ≈ 2-4; each round is one join + one min-agg shuffle
+    over the *pair graph* (≪ corpus). ``localCheckpoint(eager=True)``
+    truncates lineage per round so the plan stays flat. The per-round
+    fixpoint probe counts changed labels (an action on |nodes| rows — no
+    data is collected). For adversarial long-chain graphs switch to
+    alternating large-star/small-star (Kiveris et al. 2014, "Connected
+    components in MapReduce and beyond") — same join/agg primitives,
+    O(log n) rounds; not needed for dedup-shaped graphs.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["v"] == labels["node"]).select(
+            sym["u"].alias("node"), F.col("comp")
+        )
+        new_labels = (
+            labels.union(nbr).groupBy("node").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b"
+) -> DataFrame:
+    """Near-dup pairs → per-document cluster assignment with size and a
+    canonical-keep flag: ``(doc_id, cluster_id, cluster_size, is_canonical)``.
+    ``is_canonical`` marks the one document per cluster (smallest id) a
+    curation pipeline keeps; the rest are dropped as duplicates."""
+    cc = connected_components(pairs, src=id_a, dst=id_b)
+    sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return (
+        cc.join(F.broadcast(sizes), "comp")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("comp")).cast("long").alias("is_canonical"),
+        )
+    )

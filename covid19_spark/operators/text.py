@@ -173,9 +173,18 @@ def word_shingles(text: Column, n: int = 2, distinct: bool = True) -> Column:
     under a ``size >= n`` guard (CASE branches evaluate lazily per row).
     """
     toks = tokenize(text)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
-    sh = F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def grams(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+        gram = lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])  # noqa: E731
+        return F.when(F.size(t) >= n, F.transform(idx, gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    # Bind the token array to a lambda variable (1-element array + transform)
+    # so the split() runs once per row: codegen does NOT share common
+    # subexpressions inside higher-order-function lambdas, and inlining
+    # `toks` into every element_at re-splits the text O(n·len) times per row
+    # (measured ~6x on the shingle-explode stage).
+    sh = F.flatten(F.transform(F.array(toks), grams))
     return F.array_distinct(sh) if distinct else sh

@@ -2063,7 +2063,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 13 == 0)
-    corpus = docs.filter(F.col("doc_id") % 13 != 0)
+    # Single-file local scans pin the CPU-heavy shingle explode to 1-2 tasks;
+    # spread by id first (a real corpus arrives pre-partitioned — drop this).
+    corpus = docs.filter(F.col("doc_id") % 13 != 0).repartition(F.col("doc_id"))
     hits = contamination_hits(
         corpus, benchmark_shingles(bench, "text", 4), "doc_id", "text", 4
     )
@@ -2089,4 +2091,100 @@ ORDER BY doc_id
 
 QUERY_REGISTRY["decontaminate"] = QuerySpec(
     q_decontaminate, ORACLE_DECONTAMINATE, "benchmark n-gram decontamination"
+)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: blocked Jaccard pairs (threshold 0.1) → connected
+    components → per-document cluster id, size, and the canonical-keep flag.
+    The pair graph is tiny relative to the corpus, so the iterative min-label
+    propagation shuffles only pair rows; the corpus itself is scanned once.
+    Bounded to doc_id < 500 so the pairwise verify stage stays a verify
+    stage at every sf (discovery at scale is MinHash-LSH)."""
+    from covid19_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_cols=["lang"], n=2, threshold=0.1
+    )
+    return dedup_clusters(pairs.select("doc_a", "doc_b")).orderBy("doc_id")
+
+
+ORACLE_DEDUP_CLUSTERS = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS sh
+  FROM documents WHERE doc_id < 500
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.1
+),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+reach AS (
+  SELECT u AS node, v AS r FROM sym
+  UNION
+  SELECT reach.node, sym.v FROM reach JOIN sym ON reach.r = sym.u
+),
+cc AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node),
+sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM cc GROUP BY cluster)
+SELECT node AS doc_id, cluster AS cluster_id, cluster_size,
+       CAST(node = cluster AS BIGINT) AS is_canonical
+FROM cc JOIN sizes USING (cluster)
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["dedup_clusters"] = QuerySpec(
+    q_dedup_clusters, ORACLE_DEDUP_CLUSTERS, "near-dup connected components"
+)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing audit: shard by md5(doc_id), pack documents
+    contiguously into 256-token bins in deterministic md5 order, report
+    per-(shard, bin) doc and token counts. One shuffle on the shard key;
+    per-shard window sum (16 independent streams here; size shard_chars up
+    for cluster parallelism)."""
+    from covid19_spark.operators.curation import pack_greedy
+    from covid19_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    packed = pack_greedy(docs, "doc_id", "n_tokens", ctx_len=256)
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_packed"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH d AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT shard, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id) - n_tokens) / 256.0) AS BIGINT) AS bin
+  FROM d
+)
+SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens_packed
+FROM b
+GROUP BY shard, bin
+ORDER BY shard, bin
+"""
+
+
+QUERY_REGISTRY["pack_sequences"] = QuerySpec(
+    q_pack_sequences, ORACLE_PACK_SEQUENCES, "greedy sequence packing audit"
 )

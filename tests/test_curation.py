@@ -166,3 +166,59 @@ def test_decontaminate_empty_benchmark(spark, contamination_corpus):
     corpus, _ = contamination_corpus
     empty_bench = spark.createDataFrame([], "doc_id long, text string")
     assert decontaminate(corpus, empty_bench, "doc_id", "text", n=4).count() == corpus.count()
+
+
+def test_connected_components_chain_and_islands(spark):
+    from covid19_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (4, 6), (10, 11), (20, 20)],
+        "src long, dst long",
+    )
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_dedup_clusters_canonical_flags(spark):
+    from covid19_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(7, 3), (3, 9), (12, 15)], "doc_a long, doc_b long")
+    rows = {r.doc_id: r for r in dedup_clusters(pairs).collect()}
+    assert rows[3].cluster_id == 3 and rows[3].is_canonical == 1
+    assert rows[7].cluster_id == 3 and rows[7].is_canonical == 0
+    assert rows[9].cluster_size == 3
+    assert rows[12].cluster_id == 12 and rows[15].cluster_size == 2
+    # exactly one canonical doc per cluster
+    assert sum(r.is_canonical for r in rows.values()) == 2
+
+
+def test_pack_greedy_invariants(spark):
+    from covid19_spark.operators.curation import pack_greedy
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 90 + 10).cast("long").alias("n_tokens")
+    )
+    packed = pack_greedy(df, "doc_id", "n_tokens", ctx_len=128)
+    # every document is assigned exactly once; token mass is preserved
+    assert packed.count() == 300
+    assert (
+        packed.agg(F.sum("n_tokens")).first()[0]
+        == df.agg(F.sum("n_tokens")).first()[0]
+    )
+    # bins are contiguous from 0 within each shard
+    per_shard = packed.groupBy("shard").agg(
+        F.min("bin").alias("lo"), F.count_distinct("bin").alias("nbins"), F.max("bin").alias("hi")
+    )
+    bad = per_shard.filter((F.col("lo") != 0) | (F.col("nbins") != F.col("hi") + 1))
+    assert bad.count() == 0
+    # a bin only exceeds the budget by at most one straddling document:
+    # its exclusive prefix start is < (bin+1)*ctx by construction
+    overfull = (
+        packed.groupBy("shard", "bin")
+        .agg(F.sum("n_tokens").alias("tok"), F.max("n_tokens").alias("biggest"))
+        .filter(F.col("tok") - F.col("biggest") >= 128 + 99)
+    )
+    assert overfull.count() == 0
+    # deterministic
+    again = pack_greedy(df, "doc_id", "n_tokens", ctx_len=128)
+    assert packed.exceptAll(again).count() == 0
