@@ -41,6 +41,10 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Queries that self-join cache intermediate frames (LSH signatures,
+        # normalized embeddings); drop them so later queries aren't charged
+        # for eviction/GC of a previous query's working set.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
