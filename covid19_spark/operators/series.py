@@ -46,6 +46,48 @@ def pivot_series(
     return p.agg(agg_fn(value_col))
 
 
+def with_ordered_index(
+    df: DataFrame,
+    order_cols: Sequence,
+    idx_col: str = "idx",
+) -> DataFrame:
+    """Dense 1-based global position by sort order WITHOUT a single-partition
+    window — the DataFrame form of ``RDD.zipWithIndex``.
+
+    A bare ``row_number() OVER (ORDER BY ...)`` forces every row through one
+    task (Spark's "No Partition Defined for Window" warning); at 100 TB that
+    is the job. Instead:
+
+    1. ``orderBy`` range-partitions and sorts, so partition *i* holds rows
+       strictly before partition *i+1* in the global order;
+    2. each partition numbers its own rows (window partitioned by
+       ``spark_partition_id`` — parallel);
+    3. per-partition row counts (one tiny row per partition) are turned into
+       cumulative offsets with a triangular self-join and broadcast back.
+
+    The sorted frame is consumed twice (counts + numbering), so it is cached;
+    partition assignment must not be recomputed differently between the two
+    passes. Ties in ``order_cols`` get arbitrary-but-consistent indices
+    (``row_number`` semantics within a partition).
+    """
+    order = [c if not isinstance(c, str) else F.col(c) for c in order_cols]
+    sdf = df.orderBy(*order).withColumn("_pid", F.spark_partition_id()).cache()
+    counts = sdf.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    lower = counts.select(F.col("_pid").alias("_lo_pid"), F.col("_cnt").alias("_lo_cnt"))
+    offsets = (
+        counts.join(lower, F.col("_lo_pid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_lo_cnt"), F.lit(0)).alias("_off"))
+    )
+    w = Window.partitionBy("_pid").orderBy(*order)
+    return (
+        sdf.withColumn("_local", F.row_number().over(w))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(idx_col, (F.col("_off") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_off")
+    )
+
+
 def top_k(
     df: DataFrame,
     measure_col: str,
@@ -71,9 +113,10 @@ def top_k(
     order = [F.col(measure_col).desc()] + [F.col(c).asc() for c in tiebreak_cols]
     if not partition_cols:
         top = df.orderBy(*order).limit(k)
-        # Window input is ≤ k rows by construction — the "global" window here
-        # is a constant-size merge step, not a full-frame sort.
-        w = Window.orderBy(*order)
-        return top.withColumn(rank_col, F.row_number().over(w))
+        # Ranking the ≤ k survivors through the ordered-index path keeps the
+        # whole operator free of partition-less WindowExec nodes.
+        return with_ordered_index(top, order, idx_col=rank_col).withColumn(
+            rank_col, F.col(rank_col).cast("int")
+        )
     w = Window.partitionBy(*partition_cols).orderBy(*order)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)

@@ -26,7 +26,7 @@ from covid19_spark.operators.asof import latest_within_lookback
 from covid19_spark.operators.delta import running_delta
 from covid19_spark.operators.rates import doubling_rate, moving_average
 from covid19_spark.operators.rollup import daily_rollup
-from covid19_spark.operators.series import date_spine, top_k
+from covid19_spark.operators.series import date_spine, top_k, with_ordered_index
 from covid19_spark.sources.tables import load_table
 
 DEC = "decimal(38,6)"  # exact accumulator type; see module docstring
@@ -1123,12 +1123,13 @@ def q_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the i-th row of two aligned sorted lists. The reference throws on length
     mismatch; here a full-outer join on row index surfaces mismatches as
     nulls instead of crashing (SURVEY §7.5.4) — this query inner-joins equal
-    lengths. Expressed as row_number on both sides + equi-join on the index.
+    lengths. Expressed as a dense ordered index on both sides + equi-join on
+    the index.
 
-    Scale note: the two global rank windows run over PRE-AGGREGATED daily
-    frames — cardinality is bounded by the calendar (365·years rows), so the
-    single-partition sort is a constant-size step, not a data-volume one.
-    For unbounded inputs use a keyed join instead of positional alignment.
+    Scale note: the positional index comes from ``with_ordered_index``
+    (per-partition numbering + broadcast cumulative offsets — the DataFrame
+    ``zipWithIndex``), not a global rank window: no single-partition sort
+    even when the aligned frames are unbounded.
     """
     events = _t(spark, sf_dir, "events")
     daily_counts = (
@@ -1141,13 +1142,12 @@ def q_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("date")
         .agg(_dsum(F.col("value")).alias("sum_value"))
     )
-    wn = Window.orderBy("date")
-    a = daily_counts.withColumn("idx", F.row_number().over(wn))
-    b = daily_value.withColumn("idx", F.row_number().over(wn))
+    a = with_ordered_index(daily_counts, ["date"])
+    b = with_ordered_index(daily_value, ["date"])
     return (
         a.join(b.select("idx", "sum_value"), "idx")
         .select(
-            "idx",
+            F.col("idx").cast("int").alias("idx"),
             F.date_format("date", "yyyy-MM-dd").alias("date"),
             "n_events",
             "sum_value",

@@ -126,3 +126,18 @@ def test_date_spine(spark):
     out = date_spine(df, F.lit(dt.date(2020, 1, 1)), F.lit(dt.date(2020, 1, 5))).collect()
     assert len(out) == 5
     assert out[0].date == dt.date(2020, 1, 1)
+
+
+def test_with_ordered_index_matches_global_rank(spark):
+    from covid19_spark.operators.series import with_ordered_index
+
+    # 1000 rows spread over many partitions with shuffled insert order: the
+    # ordered index must equal the dense global rank by (v, id).
+    rows = [((i * 7919) % 1000, i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "v int, id int").repartition(16)
+    out = with_ordered_index(df, [F.col("v").asc(), F.col("id").asc()]).collect()
+    got = sorted((r.idx, r.v) for r in out)
+    assert [g[0] for g in got] == list(range(1, 1001))
+    assert [g[1] for g in got] == sorted(r[0] for r in rows)
+    # dense, 1-based, no duplicates even with multiple input partitions
+    assert len({g[0] for g in got}) == 1000

@@ -81,3 +81,23 @@ def test_date_range_orders_prunes_and_pushes(spark):
     assert "PushedFilters" in plan and "GreaterThanOrEqual(o_orderdate" in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "o_custkey" not in read_schema  # pruned
+
+
+GLOBAL_WINDOW_RE = r"Window \[[^\[]*windowspecdefinition\((?:[a-zA-Z_#0-9]+ (?:ASC|DESC)|asc|desc)"
+
+
+def _global_windows(plan):
+    """Window nodes whose windowspecdefinition starts with an ORDER BY column
+    (no partition expressions) — the single-partition WindowExec shape."""
+    import re
+
+    hits = [l.strip() for l in plan.splitlines() if re.match(r"^\W*(?:\+-|:-)?\s*Window ", l.strip())]
+    return [h for h in hits if re.search(GLOBAL_WINDOW_RE, h)]
+
+
+def test_no_partitionless_windows_in_topk_and_zip(spark):
+    # VERDICT r1: global rank windows put all rows on one task. topk_users
+    # ranks via the ordered-index path; zip_join's positional index is the
+    # DataFrame zipWithIndex (per-partition numbering + broadcast offsets).
+    for name in ("topk_users", "zip_join"):
+        assert not _global_windows(plan_of(spark, name)), name
