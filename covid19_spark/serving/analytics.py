@@ -148,7 +148,10 @@ def states_history_since(
 
 
 def post_chart_request(chart_request_json: str, service_url: str) -> bytes:
-    """S7 external HTTP sink (``VisualizationService.java:38-43``) — a
-    driver-side POST, not a Spark operator. STUB: no chart service exists in
-    this environment; production plugs ``requests.post`` here."""
-    raise NotImplementedError("chart HTTP service not available in this environment")
+    """S7 external HTTP sink (``VisualizationService.java:38-43``): POST one
+    assembled chart-request document, return the rendered bytes. Driver-side
+    convenience wrapper; the distributed form is
+    ``serving.http_sink.post_chart_documents``."""
+    from covid19_spark.serving.http_sink import post_document
+
+    return post_document(chart_request_json.encode("utf-8"), service_url)

@@ -72,6 +72,8 @@ def test_states_history_since(daily):
     assert [r.cumulative_confirmed for r in out] == [17, 17 + 18, 17 + 18 + 19]
 
 
-def test_chart_post_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        post_chart_request("{}", "http://chart-service")
+def test_chart_post_unreachable_service_raises():
+    # real transport now (see test_http_sink.py for the served path): a
+    # connection failure surfaces after bounded retries, not a stub error
+    with pytest.raises(Exception):
+        post_chart_request("{}", "http://127.0.0.1:9/unroutable")
