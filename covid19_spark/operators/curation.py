@@ -229,6 +229,77 @@ def decontaminate(
 
 
 # ---------------------------------------------------------------------------
+# Unigram-LM quality scoring (CCNet-style perplexity proxy)
+# ---------------------------------------------------------------------------
+
+def unigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus unigram language model: one row per token with its corpus
+    frequency ``tf`` and the corpus ``total`` token count.
+
+    CCNet (Wenzek et al., 2020) filters crawl text by LM perplexity; the
+    unigram LM is the engine-native proxy (no external KenLM binary): one
+    token-keyed aggregation over the corpus, then the |vocab|-row total is
+    broadcast back. At 100 TB the vocab is millions of rows — still a
+    shuffle-on-token groupBy whose output is ≪ the corpus.
+    """
+    from covid19_spark.operators.text import tokenize
+
+    toks = docs.select(F.explode(tokenize(F.col(text_col))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("total"))
+    return vocab.crossJoin(F.broadcast(total))
+
+
+def unigram_logprob_score(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_nats: float | None = None,
+) -> DataFrame:
+    """Per-document negative log-likelihood under a unigram LM: ``n_tokens``,
+    ``neg_logprob_sum`` (nats) and ``nats_per_token`` (lower = more typical).
+
+    The CCNet recipe keeps the middle perplexity band (head = boilerplate,
+    tail = gibberish); this emits the score so callers band it.
+
+    Determinism contract: ``ln`` differs in the last ulp between engines, so
+    each token's ``-ln(tf/total)`` is cast to DECIMAL(38,6) BEFORE the sum
+    (order-independent exact addition), and the per-token mean is an IEEE
+    double division of the exact sum — bit-stable across engines and runs.
+
+    Scale: explode (map-only) → join on token (broadcast when the vocab fits,
+    else a shuffle hash join AQE picks) → one groupBy on ``id_col``. No
+    window, no driver collect. ``oov_nats`` (default: drop OOV tokens) is the
+    charge for tokens absent from ``model`` when scoring against a foreign
+    corpus' LM.
+    """
+    from covid19_spark.operators.text import tokenize
+
+    if model is None:
+        model = unigram_model(docs, text_col)
+    toks = docs.select(id_col, F.explode(tokenize(F.col(text_col))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    nl = -F.log(F.col("tf").cast("double") / F.col("total").cast("double"))
+    if oov_nats is None:
+        scored = toks.join(model, "token")
+    else:
+        scored = toks.join(model, "token", "left")
+        nl = F.coalesce(nl, F.lit(float(oov_nats)))
+    per_token = scored.select(id_col, nl.cast("decimal(38,6)").alias("nl"))
+    return per_token.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("nl").cast("double").alias("neg_logprob_sum"),
+        (F.sum("nl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "nats_per_token"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing
 # ---------------------------------------------------------------------------
 

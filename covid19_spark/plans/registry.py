@@ -2188,3 +2188,78 @@ ORDER BY shard, bin
 QUERY_REGISTRY["pack_sequences"] = QuerySpec(
     q_pack_sequences, ORACLE_PACK_SEQUENCES, "greedy sequence packing audit"
 )
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score (Wenzek et al., 2020): per-document
+    negative log-likelihood under the corpus' own unigram LM, plus the
+    head/middle/tail perplexity band the CCNet recipe filters on.
+
+    Scale: token-keyed vocab aggregation (output ≪ corpus), token-keyed
+    score join (broadcast at this vocab size, AQE shuffle join beyond), one
+    groupBy per doc. Per-token -ln(p) goes through the DECIMAL(38,6)
+    determinism contract before summation (ln differs in the last ulp across
+    engines)."""
+    from covid19_spark.operators.curation import unigram_logprob_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = unigram_logprob_score(docs)
+    # CCNet bands by percentile cutoffs, not fixed thresholds: the 1-row
+    # cutoff frame is broadcast back (Spark percentile ≡ DuckDB quantile_cont
+    # bit-for-bit, so the band edges are engine-identical).
+    cuts = scored.agg(
+        F.expr("percentile(nats_per_token, 0.33)").alias("c_head"),
+        F.expr("percentile(nats_per_token, 0.67)").alias("c_mid"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "neg_logprob_sum",
+            "nats_per_token",
+            F.when(F.col("nats_per_token") < F.col("c_head"), F.lit("head"))
+            .when(F.col("nats_per_token") < F.col("c_mid"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_band"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS token
+  FROM documents
+),
+vocab AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
+tot AS (SELECT sum(tf) AS total FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         CAST(-ln(CAST(v.tf AS DOUBLE) / CAST(tot.total AS DOUBLE)) AS DECIMAL(38,6)) AS nl
+  FROM toks t JOIN vocab v USING (token) CROSS JOIN tot
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(nl) AS DOUBLE) AS neg_logprob_sum,
+         CAST(sum(nl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS nats_per_token
+  FROM scored GROUP BY doc_id
+),
+cuts AS (
+  SELECT quantile_cont(nats_per_token, 0.33) AS c_head,
+         quantile_cont(nats_per_token, 0.67) AS c_mid
+  FROM agg
+)
+SELECT doc_id, n_tokens, neg_logprob_sum, nats_per_token,
+       CASE WHEN nats_per_token < c_head THEN 'head'
+            WHEN nats_per_token < c_mid THEN 'middle'
+            ELSE 'tail' END AS ppl_band
+FROM agg CROSS JOIN cuts
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["unigram_logprob"] = QuerySpec(
+    q_unigram_logprob, ORACLE_UNIGRAM_LOGPROB, "unigram-LM perplexity-proxy quality score"
+)

@@ -222,3 +222,40 @@ def test_pack_greedy_invariants(spark):
     # deterministic
     again = pack_greedy(df, "doc_id", "n_tokens", ctx_len=128)
     assert packed.exceptAll(again).count() == 0
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from covid19_spark.operators.curation import unigram_logprob_score
+
+    # corpus: 6 tokens total — p(a)=3/6, p(b)=2/6, p(c)=1/6
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in unigram_logprob_score(docs).collect()}
+    def dec6(x):  # the per-token DECIMAL(38,6) rounding the contract applies
+        return round(x, 6)
+    exp1 = dec6(-math.log(3 / 6)) * 2 + dec6(-math.log(2 / 6))
+    exp2 = dec6(-math.log(3 / 6)) + dec6(-math.log(2 / 6)) + dec6(-math.log(1 / 6))
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 3
+    assert abs(out[1].neg_logprob_sum - exp1) < 1e-9
+    assert abs(out[2].neg_logprob_sum - exp2) < 1e-9
+    # doc 2 contains the rare token → higher (more surprising) score
+    assert out[2].nats_per_token > out[1].nats_per_token
+
+
+def test_unigram_logprob_oov_handling(spark):
+    from covid19_spark.operators.curation import unigram_logprob_score, unigram_model
+
+    model = unigram_model(
+        spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    )
+    target = spark.createDataFrame([(9, "a zzz")], "doc_id long, text string")
+    # default: OOV tokens dropped from the score
+    dropped = unigram_logprob_score(target, model=model).collect()[0]
+    assert dropped.n_tokens == 1
+    # explicit charge: OOV contributes oov_nats
+    charged = unigram_logprob_score(target, model=model, oov_nats=10.0).collect()[0]
+    assert charged.n_tokens == 2
+    assert charged.neg_logprob_sum > dropped.neg_logprob_sum
