@@ -2263,3 +2263,64 @@ ORDER BY doc_id
 QUERY_REGISTRY["unigram_logprob"] = QuerySpec(
     q_unigram_logprob, ORACLE_UNIGRAM_LOGPROB, "unigram-LM perplexity-proxy quality score"
 )
+
+
+def q_range_join_price_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless points→intervals range join: lineitem unit prices matched to
+    part retail-price brackets (±0.05) — price-anomaly candidate generation
+    with NO equi-key. A naive BETWEEN join is BroadcastNestedLoopJoin
+    (O(points·intervals)); ``binned_range_join`` manufactures a bin equi-key
+    so the plan is one hash shuffle (plan-asserted in test_plans.py).
+
+    All arithmetic in IEEE doubles (no sums), so no decimal contract needed:
+    min/max/count are exact picks."""
+    from covid19_spark.operators.rangejoin import binned_range_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast("double")).alias(
+            "unit_price"
+        )
+    )
+    parts = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice").cast("double") - F.lit(0.05)).alias("lo"),
+        (F.col("p_retailprice").cast("double") + F.lit(0.05)).alias("hi"),
+    )
+    joined = binned_range_join(li, parts, "unit_price", "lo", "hi", bin_width=0.1)
+    return (
+        joined.groupBy("p_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min("unit_price").alias("min_unit_price"),
+            F.max("unit_price").alias("max_unit_price"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+ORACLE_RANGE_JOIN_PRICE_MATCH = """
+WITH pts AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE) AS unit_price
+  FROM lineitem
+),
+iv AS (
+  SELECT p_partkey,
+         CAST(p_retailprice AS DOUBLE) - 0.05 AS lo,
+         CAST(p_retailprice AS DOUBLE) + 0.05 AS hi
+  FROM part
+)
+SELECT p_partkey,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       min(unit_price) AS min_unit_price,
+       max(unit_price) AS max_unit_price
+FROM pts JOIN iv ON unit_price >= lo AND unit_price <= hi
+GROUP BY p_partkey
+ORDER BY p_partkey
+"""
+
+
+QUERY_REGISTRY["range_join_price_match"] = QuerySpec(
+    q_range_join_price_match,
+    ORACLE_RANGE_JOIN_PRICE_MATCH,
+    "keyless binned range join (points→intervals)",
+)

@@ -101,3 +101,11 @@ def test_no_partitionless_windows_in_topk_and_zip(spark):
     # DataFrame zipWithIndex (per-partition numbering + broadcast offsets).
     for name in ("topk_users", "zip_join"):
         assert not _global_windows(plan_of(spark, name)), name
+
+
+def test_range_join_price_match_is_hash_join(spark):
+    # the whole point of binned_range_join: a keyless BETWEEN join must NOT
+    # compile to a nested loop over points×intervals
+    plan = plan_of(spark, "range_join_price_match")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
