@@ -229,6 +229,72 @@ def decontaminate(
 
 
 # ---------------------------------------------------------------------------
+# Line-level corpus dedup (RefinedWeb/MassiveText boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    delim: str = "\n",
+) -> DataFrame:
+    """Remove lines that appear in ≥ ``min_docs`` distinct documents —
+    corpus-level boilerplate stripping (nav bars, cookie banners, footers),
+    the line-dedup stage of RefinedWeb (Penedo et al., 2023) / MassiveText.
+
+    Returns ``(id_col, text, n_lines, n_lines_removed)`` with surviving lines
+    rejoined in original order.
+
+    Scale design:
+    - lines are keyed by ``md5(line)`` so the boilerplate groupBy and the
+      anti-join shuffle fixed-width 32-char keys, not arbitrary-length line
+      text;
+    - the boilerplate set (lines crossing the threshold) is tiny relative to
+      the corpus — it is broadcast, so the corpus-side removal is a
+      broadcast anti-join with no corpus shuffle;
+    - order restoration is ``sort_array(collect_list(struct(pos, line)))``
+      per doc — deterministic regardless of partitioning (the same fix the
+      chart assembly uses), one groupBy on the doc id.
+    """
+    lines = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+    ).withColumn("line_key", F.md5(F.col("line")))
+    boiler = (
+        lines.groupBy("line_key")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line_key")
+    )
+    kept = lines.join(F.broadcast(boiler), "line_key", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            delim,
+        ).alias(text_col),
+        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+    )
+    totals = docs.select(
+        id_col, F.size(F.split(F.col(text_col), delim)).cast("long").alias("n_lines")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("n_lines_kept"), F.lit(0))).alias(
+                "n_lines_removed"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unigram-LM quality scoring (CCNet-style perplexity proxy)
 # ---------------------------------------------------------------------------
 

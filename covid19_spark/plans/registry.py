@@ -2324,3 +2324,71 @@ QUERY_REGISTRY["range_join_price_match"] = QuerySpec(
     ORACLE_RANGE_JOIN_PRICE_MATCH,
     "keyless binned range join (points→intervals)",
 )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style line-level boilerplate removal. The synthetic corpus
+    has no newlines, so lined documents are synthesized deterministically
+    (shared per-source banner + word-slice body lines + footer shared by
+    doc_id%4==0 — same technique as q_pii_redaction's injected PII); then
+    ``line_dedup`` strips every line appearing in ≥2 distinct docs.
+
+    Scale: md5 line keys, broadcast boilerplate set, order restored via
+    sort_array(collect_list(struct)) — see operators/curation.line_dedup."""
+    from covid19_spark.operators.curation import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("src-banner "), F.col("source")),
+            F.array_join(F.slice(words, 1, 8), " "),
+            F.array_join(F.slice(words, 9, 8), " "),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("standard footer line")).otherwise(
+                F.concat(F.lit("sig "), F.col("doc_id").cast("string"))
+            ),
+        ).alias("text"),
+    )
+    return line_dedup(lined, min_docs=2).orderBy("doc_id")
+
+
+ORACLE_LINE_DEDUP = """
+WITH lined AS (
+  SELECT doc_id, concat_ws(chr(10),
+    'src-banner ' || source,
+    array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '),
+    array_to_string(list_slice(string_split(text, ' '), 9, 16), ' '),
+    CASE WHEN doc_id % 4 = 0 THEN 'standard footer line'
+         ELSE 'sig ' || CAST(doc_id AS VARCHAR) END
+  ) AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(parts) + 1),
+                i -> {'pos': i, 'line': parts[i]}), recursive := true)
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM lined)
+),
+boiler AS (
+  SELECT md5(line) AS lk FROM lines GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (SELECT * FROM lines WHERE md5(line) NOT IN (SELECT lk FROM boiler)),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM lined)
+SELECT t.doc_id, coalesce(r.text, '') AS text,
+       CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_removed
+FROM tot t LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["line_dedup"] = QuerySpec(
+    q_line_dedup, ORACLE_LINE_DEDUP, "corpus line-level boilerplate dedup"
+)

@@ -259,3 +259,36 @@ def test_unigram_logprob_oov_handling(spark):
     charged = unigram_logprob_score(target, model=model, oov_nats=10.0).collect()[0]
     assert charged.n_tokens == 2
     assert charged.neg_logprob_sum > dropped.neg_logprob_sum
+
+
+def test_line_dedup_removes_boilerplate(spark):
+    from covid19_spark.operators.curation import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nunique one\nFOOTER"),
+            (2, "COOKIE BANNER\nunique two\nFOOTER"),
+            (3, "COOKIE BANNER\nunique three"),
+            (4, "all mine\nonly here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, min_docs=2).collect()}
+    assert out[1].text == "unique one" and out[1].n_lines_removed == 2
+    assert out[2].text == "unique two"
+    assert out[3].text == "unique three" and out[3].n_lines == 2
+    assert out[4].text == "all mine\nonly here" and out[4].n_lines_removed == 0
+
+
+def test_line_dedup_preserves_order_and_handles_fully_removed(spark):
+    from covid19_spark.operators.curation import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "B\na\nB\nz\nB"), (2, "B\nq"), (3, "B\nB")],
+        "doc_id long, text string",
+    ).repartition(8)
+    out = {r.doc_id: r for r in line_dedup(docs, min_docs=3).collect()}
+    # only 'B' crosses the 3-doc threshold; duplicates within one doc keep order
+    assert out[1].text == "a\nz"
+    assert out[2].text == "q"
+    assert out[3].text == "" and out[3].n_lines_removed == 2
