@@ -97,6 +97,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def blocked_edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    block_cols: Sequence[str],
+    max_distance: int = 2,
+    max_block: int | None = 10_000,
+) -> DataFrame:
+    """Fuzzy-match (entity-resolution) pairs: same-block rows whose
+    ``value_col`` strings are within ``max_distance`` Levenshtein edits.
+
+    The ER companion to ``ngram_jaccard_pairs`` with the SAME blocked-verify
+    contract: empty ``block_cols`` is refused (unblocked pairwise edit
+    distance is the O(n²) trap), oversized blocks are dropped via the
+    broadcast anti-join guard, and pairwise work only runs inside blocks.
+    ``levenshtein`` is a JVM built-in (codegen, no Python), and Spark's
+    three-arg form ``levenshtein(a, b, threshold)`` early-exits the DP once
+    the running distance exceeds the threshold — O(k·min(len)) per pair
+    instead of O(len²).
+    """
+    block_cols = list(block_cols)
+    if not block_cols:
+        raise ValueError(
+            "blocked_edit_distance_pairs requires non-empty block_cols: "
+            "unblocked pairwise edit distance is O(n^2); block on a cheap "
+            "key (phonetic code, sorted-token prefix, LSH bucket) first"
+        )
+    rows = df.select(F.col(id_col), *[F.col(c) for c in block_cols], F.col(value_col))
+    if max_block is not None:
+        oversized = (
+            rows.groupBy(*block_cols)
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") > max_block)
+            .select(*block_cols)
+        )
+        rows = rows.join(F.broadcast(oversized), block_cols, "left_anti")
+    a = rows.alias("a")
+    b = rows.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    dist = F.levenshtein(
+        F.col(f"a.{value_col}"), F.col(f"b.{value_col}"), max_distance
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.{c}").alias(c) for c in block_cols],
+            dist.alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") >= 0)
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:

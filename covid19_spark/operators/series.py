@@ -65,26 +65,32 @@ def with_ordered_index(
     3. per-partition row counts (one tiny row per partition) are turned into
        cumulative offsets with a triangular self-join and broadcast back.
 
-    The sorted frame is consumed twice (counts + numbering), so it is cached;
-    partition assignment must not be recomputed differently between the two
-    passes. Ties in ``order_cols`` get arbitrary-but-consistent indices
+    Ties in ``order_cols`` get arbitrary-but-consistent indices
     (``row_number`` semantics within a partition).
     """
     order = [c if not isinstance(c, str) else F.col(c) for c in order_cols]
-    sdf = df.orderBy(*order).withColumn("_pid", F.spark_partition_id()).cache()
-    counts = sdf.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    sdf = df.orderBy(*order).withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(*order)
+    w_all = Window.partitionBy("_pid")
+    # row_number and the partition size share ONE exchange + sort pass
+    numbered = sdf.withColumn("_local", F.row_number().over(w)).withColumn(
+        "_cnt", F.count(F.lit(1)).over(w_all)
+    )
+    # one row per partition, no extra aggregation shuffle
+    counts = numbered.filter(F.col("_local") == 1).select("_pid", "_cnt")
     lower = counts.select(F.col("_pid").alias("_lo_pid"), F.col("_cnt").alias("_lo_cnt"))
     offsets = (
         counts.join(lower, F.col("_lo_pid") < F.col("_pid"), "left")
         .groupBy("_pid")
         .agg(F.coalesce(F.sum("_lo_cnt"), F.lit(0)).alias("_off"))
     )
-    w = Window.partitionBy("_pid").orderBy(*order)
+    # the offsets branch re-reads the same exchanges (ReusedExchange); range
+    # partition assignment is deterministic for a given input, so both
+    # branches see identical _pid labels even on recompute
     return (
-        sdf.withColumn("_local", F.row_number().over(w))
-        .join(F.broadcast(offsets), "_pid")
+        numbered.join(F.broadcast(offsets), "_pid")
         .withColumn(idx_col, (F.col("_off") + F.col("_local")).cast("long"))
-        .drop("_pid", "_local", "_off")
+        .drop("_pid", "_local", "_cnt", "_off")
     )
 
 

@@ -2392,3 +2392,48 @@ ORDER BY doc_id
 QUERY_REGISTRY["line_dedup"] = QuerySpec(
     q_line_dedup, ORACLE_LINE_DEDUP, "corpus line-level boilerplate dedup"
 )
+
+
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy match: customer-name pairs within ≤2 edits,
+    blocked on (nation, name-prefix) — the sorted-neighborhood blocking a
+    real ER pipeline uses so pairwise edit distance never goes O(n²).
+    Spark's 3-arg ``levenshtein(a, b, k)`` early-exits the DP at k."""
+    from covid19_spark.operators.dedup import blocked_edit_distance_pairs
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.substring(F.col("c_name"), 1, 15).alias("name_blk"),
+    )
+    pairs = blocked_edit_distance_pairs(
+        cust, "c_custkey", "c_name", ["c_nationkey", "name_blk"], max_distance=2
+    )
+    return pairs.select(
+        F.col("id_a").alias("cust_a"),
+        F.col("id_b").alias("cust_b"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("edit_distance").cast("int").alias("edit_distance"),
+    ).orderBy("cust_a", "cust_b")
+
+
+ORACLE_FUZZY_NAME_MATCH = """
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey, substr(c_name, 1, 15) AS name_blk
+  FROM customer
+)
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       CAST(a.c_nationkey AS BIGINT) AS nation,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_distance
+FROM c a JOIN c b
+  ON a.c_nationkey = b.c_nationkey AND a.name_blk = b.name_blk
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+ORDER BY cust_a, cust_b
+"""
+
+
+QUERY_REGISTRY["fuzzy_name_match"] = QuerySpec(
+    q_fuzzy_name_match, ORACLE_FUZZY_NAME_MATCH, "blocked Levenshtein entity resolution"
+)

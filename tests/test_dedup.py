@@ -178,3 +178,44 @@ def test_ivf_cosine_topk_matches_fixture(spark):
 
 def test_multimodal_features_matches_fixture(spark):
     _assert_matches_fixture(spark, "multimodal_features", ["media_id"])
+
+
+def test_blocked_edit_distance_pairs(spark):
+    from covid19_spark.operators.dedup import blocked_edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "b1", "kitten"),
+            (2, "b1", "sitten"),   # 1 edit from kitten
+            (3, "b1", "sittings"), # 3+ edits from kitten/sitten
+            (4, "b2", "kitten"),   # right name, different block → excluded
+        ],
+        "id long, blk string, name string",
+    )
+    out = blocked_edit_distance_pairs(df, "id", "name", ["blk"], max_distance=2).collect()
+    assert [(r.id_a, r.id_b, r.edit_distance) for r in out] == [(1, 2, 1)]
+
+
+def test_blocked_edit_distance_refuses_empty_blocks(spark):
+    import pytest as _pytest
+
+    from covid19_spark.operators.dedup import blocked_edit_distance_pairs
+
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    with _pytest.raises(ValueError, match="non-empty block_cols"):
+        blocked_edit_distance_pairs(df, "id", "name", [])
+
+
+def test_blocked_edit_distance_drops_oversized_blocks(spark):
+    from covid19_spark.operators.dedup import blocked_edit_distance_pairs
+
+    rows = [(i, "big", f"name{i:03d}") for i in range(50)] + [
+        (100, "small", "alpha"),
+        (101, "small", "alphb"),
+    ]
+    df = spark.createDataFrame(rows, "id long, blk string, name string")
+    out = blocked_edit_distance_pairs(
+        df, "id", "name", ["blk"], max_distance=2, max_block=10
+    ).collect()
+    # the 50-row block is dropped by the cap; only the small block pairs
+    assert [(r.id_a, r.id_b) for r in out] == [(100, 101)]
