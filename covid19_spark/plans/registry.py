@@ -2437,3 +2437,70 @@ ORDER BY cust_a, cust_b
 QUERY_REGISTRY["fuzzy_name_match"] = QuerySpec(
     q_fuzzy_name_match, ORACLE_FUZZY_NAME_MATCH, "blocked Levenshtein entity resolution"
 )
+
+
+# ---------------------------------------------------------------------------
+# Generalized as-of join, CDC snapshot diff, SCD2 intervals, interpolation,
+# hashed linear classifier (round-2 warehouse/time-series additions)
+# ---------------------------------------------------------------------------
+
+def q_asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided as-of join (merge_asof semantics): every purchase picks up
+    the latest at-or-before view by the same user. Generalizes the
+    reference's point as-of probe (J5, ``StateStoresManager.java:212-229``)
+    to two full event tables — no broadcast requirement, one hash exchange
+    on user_id, single sort-window pass (see operators/asof.asof_join).
+
+    At 100 TB both sides are facts; the union trick keeps the cost at one
+    shuffle of |L|+|R| rows — an interval-expanded equi-join would multiply
+    rows and a per-key collect would OOM.
+    """
+    from covid19_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["ts", "event_id", "value"],
+        right_tiebreak="event_id",
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+        F.col("event_id_r").alias("view_id"),
+        F.col("ts_r").alias("view_ts"),
+        F.col("value_r").alias("view_value"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_r")).cast("long").alias("lag_sec"),
+    ).orderBy("purchase_id")
+
+
+ORACLE_ASOF_JOIN_ATTRIBUTION = """
+WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+l AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'purchase'),
+r AS (
+  SELECT user_id, ts, max(event_id) AS view_id, arg_max(value, event_id) AS view_value
+  FROM e WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT l.event_id AS purchase_id, l.user_id, l.ts AS purchase_ts,
+       l.value AS purchase_value,
+       r.view_id, r.ts AS view_ts, r.view_value,
+       CAST(floor(epoch(l.ts)) - floor(epoch(r.ts)) AS BIGINT) AS lag_sec
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY purchase_id
+"""
+
+
+QUERY_REGISTRY["asof_join_attribution"] = QuerySpec(
+    q_asof_join_attribution, ORACLE_ASOF_JOIN_ATTRIBUTION, "generalized two-sided as-of join"
+)
