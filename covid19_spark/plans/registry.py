@@ -2504,3 +2504,127 @@ ORDER BY purchase_id
 QUERY_REGISTRY["asof_join_attribution"] = QuerySpec(
     q_asof_join_attribution, ORACLE_ASOF_JOIN_ATTRIBUTION, "generalized two-sided as-of join"
 )
+
+
+def q_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (batch CDC): the insert/update/delete delta between two
+    window-local "latest error per user" snapshots — the change stream a
+    consumer of the reference's materialized KTables (S2/T7) would need.
+
+    Plan: each snapshot is a rank-1 windowed dedup (one exchange on user_id)
+    and the diff is ONE full-outer join on the key; at 100 TB both snapshots
+    would come from a bucketed layout making the join Exchange-free
+    (tests/test_bucketing.py proves the pattern).
+    """
+    from covid19_spark.operators.cdc import snapshot_diff
+
+    ev = _t(spark, sf_dir, "events")
+
+    def snap(lo: str, hi: str) -> DataFrame:
+        e = ev.filter(
+            (F.col("event_type") == "error")
+            & (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        )
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        return (
+            e.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "event_id", "value")
+        )
+
+    old = snap("2024-01-01", "2024-01-06")
+    new = snap("2024-01-06", "2024-01-11")
+    return snapshot_diff(old, new, ["user_id"], ["event_id", "value"]).orderBy("user_id")
+
+
+ORACLE_SNAPSHOT_CDC = """
+WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+a AS (
+  SELECT user_id, event_id, value FROM e
+  WHERE event_type = 'error' AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-06'
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+),
+b AS (
+  SELECT user_id, event_id, value FROM e
+  WHERE event_type = 'error' AND ts >= TIMESTAMP '2024-01-06' AND ts < TIMESTAMP '2024-01-11'
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+),
+d AS (
+  SELECT coalesce(a.user_id, b.user_id) AS user_id,
+         CASE WHEN a.user_id IS NULL THEN 'insert'
+              WHEN b.user_id IS NULL THEN 'delete'
+              WHEN (a.event_id IS DISTINCT FROM b.event_id)
+                   OR (a.value IS DISTINCT FROM b.value) THEN 'update'
+         END AS change_type,
+         a.event_id AS old_event_id, b.event_id AS new_event_id,
+         a.value AS old_value, b.value AS new_value
+  FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+)
+SELECT user_id, change_type, old_event_id, new_event_id, old_value, new_value
+FROM d WHERE change_type IS NOT NULL
+ORDER BY user_id
+"""
+
+
+QUERY_REGISTRY["snapshot_cdc"] = QuerySpec(
+    q_snapshot_cdc, ORACLE_SNAPSHOT_CDC, "batch CDC snapshot diff"
+)
+
+
+def q_scd2_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval build: collapse each user's event-type run into a
+    [valid_from, valid_to) validity interval with version + is_current —
+    the slowly-changing-dimension twin of the reference's latest-state
+    KTable (keeps history instead of overwriting, SURVEY §2.1 S2).
+
+    Plan: gaps-and-islands — lag + running sum share one hash exchange on
+    user_id; the island aggregation is map-side partial; the final lead()
+    window reuses the same partitioning. No UDFs, fully codegen'd.
+    """
+    from covid19_spark.operators.cdc import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    iv = scd2_intervals(ev, ["user_id"], "ts", ["event_type"], tiebreak_cols=["event_id"])
+    return iv.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        "is_current",
+        F.col("n_events").cast("long").alias("n_events"),
+    ).orderBy("user_id", "version")
+
+
+ORACLE_SCD2_USER_TYPE = """
+WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+              THEN 0 ELSE 1 END AS chg
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+),
+iv AS (
+  SELECT user_id, island, event_type, min(ts) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT user_id, CAST(island AS BIGINT) AS version, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL AS is_current,
+       n_events
+FROM iv
+ORDER BY user_id, version
+"""
+
+
+QUERY_REGISTRY["scd2_user_type"] = QuerySpec(
+    q_scd2_user_type, ORACLE_SCD2_USER_TYPE, "SCD2 validity intervals (gaps-and-islands)"
+)
