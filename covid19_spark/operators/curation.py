@@ -400,3 +400,49 @@ def pack_greedy(
         bin_col,
         F.floor((cum - F.col(token_col)) / F.lit(float(ctx_len))).cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear classifier (fasttext-style quality scoring proxy)
+# ---------------------------------------------------------------------------
+
+#: odd bucket count -> integer weights symmetric around 0 in [-1000, 1000].
+CLASSIFIER_BUCKETS = 2001
+
+
+def hashed_token_weight(tok: Column, buckets: int = CLASSIFIER_BUCKETS) -> Column:
+    """Deterministic integer weight in [-(buckets-1)/2, (buckets-1)/2] from
+    the token's md5 prefix — the hashing-trick weight lookup of a linear
+    text classifier, with the weight table replaced by a pure hash function
+    so the score is reproducible on any engine with md5 (fixture-free
+    differential testing; swap in a broadcast real-weight map in production).
+    """
+    bucket = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+    return (bucket % buckets) - (buckets - 1) // 2
+
+
+def linear_classifier_columns(text: Column) -> dict[str, Column]:
+    """fasttext-style linear document score: mean hashed-token weight.
+
+    Integer weight sum (exact, order-independent) via a higher-order
+    ``aggregate`` fold — map-only, no explode shuffle, whole-stage codegen.
+    One double division at the end keeps bit-parity across engines.
+    Returns n_tokens / weight_sum / score (NULL for token-less docs) /
+    label ('keep' iff score > 0).
+    """
+    toks = F.filter(F.split(F.lower(text), " "), lambda t: t != "")
+    # single-arg lambda: F.transform would otherwise bind the element index
+    # to hashed_token_weight's ``buckets`` parameter
+    wsum = F.aggregate(
+        F.transform(toks, lambda t: hashed_token_weight(t)),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + w,
+    )
+    n = F.size(toks)
+    score = F.when(n > 0, wsum / (1000.0 * n))
+    return {
+        "n_tokens": n.cast("long"),
+        "weight_sum": wsum,
+        "score": score,
+        "label": F.when(score > 0, F.lit("keep")).otherwise(F.lit("drop")),
+    }

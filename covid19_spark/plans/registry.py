@@ -2628,3 +2628,53 @@ ORDER BY user_id, version
 QUERY_REGISTRY["scd2_user_type"] = QuerySpec(
     q_scd2_user_type, ORACLE_SCD2_USER_TYPE, "SCD2 validity intervals (gaps-and-islands)"
 )
+
+
+def q_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear classifier (fasttext proxy) over documents: the
+    quality-classifier stage of an LLM curation pipeline as a pure map-only
+    pass — per-token hash → integer weight → exact fold, one division at
+    the end. No explode, no shuffle (only the output sort); whole-stage
+    codegen end to end. At 100 TB this is embarrassingly parallel; swap the
+    hash weight for a broadcast learned-weight map without changing the plan.
+    """
+    from covid19_spark.operators.curation import linear_classifier_columns
+
+    docs = _t(spark, sf_dir, "documents")
+    cols = linear_classifier_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        cols["n_tokens"].alias("n_tokens"),
+        cols["weight_sum"].alias("weight_sum"),
+        cols["score"].alias("score"),
+        cols["label"].alias("label"),
+    ).orderBy("doc_id")
+
+
+ORACLE_HASHED_CLASSIFIER = """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, len(toks) AS n_tokens,
+         coalesce(CAST(list_aggregate(
+             list_transform(toks,
+                 x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % 2001 - 1000),
+             'sum') AS BIGINT), 0) AS weight_sum
+  FROM t
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, weight_sum,
+       CASE WHEN n_tokens > 0 THEN weight_sum / (1000.0 * n_tokens) END AS score,
+       CASE WHEN n_tokens > 0 AND weight_sum / (1000.0 * n_tokens) > 0
+            THEN 'keep' ELSE 'drop' END AS label
+FROM s
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["hashed_classifier"] = QuerySpec(
+    q_hashed_classifier, ORACLE_HASHED_CLASSIFIER, "hashing-trick linear quality classifier"
+)

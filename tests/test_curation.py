@@ -292,3 +292,34 @@ def test_line_dedup_preserves_order_and_handles_fully_removed(spark):
     assert out[1].text == "a\nz"
     assert out[2].text == "q"
     assert out[3].text == "" and out[3].n_lines_removed == 2
+
+
+def test_linear_classifier_score_hand_case(spark):
+    from covid19_spark.operators.curation import linear_classifier_columns
+    import hashlib
+
+    df = spark.createDataFrame([(1, "alpha beta"), (2, ""), (3, "alpha")], "id long, text string")
+    cols = linear_classifier_columns(F.col("text"))
+    out = {r["id"]: r for r in df.select("id", *[v.alias(k) for k, v in cols.items()]).collect()}
+
+    def w(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    expected = w("alpha") + w("beta")
+    assert out[1]["weight_sum"] == expected and out[1]["n_tokens"] == 2
+    assert out[1]["score"] == expected / 2000.0
+    assert out[2]["weight_sum"] == 0 and out[2]["score"] is None and out[2]["label"] == "drop"
+    assert out[3]["weight_sum"] == w("alpha")
+    assert out[3]["label"] == ("keep" if w("alpha") > 0 else "drop")
+
+
+def test_linear_classifier_is_map_only(spark):
+    from covid19_spark.operators.curation import linear_classifier_columns
+
+    df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    cols = linear_classifier_columns(F.col("text"))
+    plan = (
+        df.select("id", *[v.alias(k) for k, v in cols.items()])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure per-row pass: no shuffle at any scale
