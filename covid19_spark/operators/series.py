@@ -126,3 +126,71 @@ def top_k(
         )
     w = Window.partitionBy(*partition_cols).orderBy(*order)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def interpolate_series(
+    daily: DataFrame,
+    key_cols: Sequence[str],
+    date_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Linear-interpolation gap fill over a sparse per-key daily series.
+
+    Builds the full key x day grid over the series' global date range, then
+    fills each missing day by linear interpolation between the nearest known
+    values before and after it. Days outside a key's known range (leading /
+    trailing) stay NULL. Adds boolean ``interpolated``.
+
+    Plan (100 TB): the date spine is at most a few thousand rows — it is
+    BROADCAST against the distinct-keys frame, so grid construction adds no
+    shuffle beyond the key-dedup. The prev/next known neighbors come from two
+    ignore-nulls windows sharing ONE hash exchange on the key. The known
+    (date, value) pair travels as a struct so both fields always come from
+    the same observation.
+    """
+    keys = list(key_cols)
+    bounds = daily.agg(
+        F.min(date_col).alias("__d0"), F.max(date_col).alias("__d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("__d0"), F.col("__d1"))).alias(date_col)
+    )
+    grid = daily.select(*keys).distinct().join(F.broadcast(spine))
+    j = grid.join(daily, on=keys + [date_col], how="left")
+
+    known = F.when(
+        F.col(value_col).isNotNull(),
+        F.struct(F.col(date_col).alias("d"), F.col(value_col).alias("v")),
+    )
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(date_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(date_col).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    j = j.withColumn("__prev", F.last(known, ignorenulls=True).over(w_prev)).withColumn(
+        "__next", F.first(known, ignorenulls=True).over(w_next)
+    )
+    gap_fill = F.when(
+        F.col("__prev").isNotNull() & F.col("__next").isNotNull(),
+        F.col("__prev.v")
+        + (F.col("__next.v") - F.col("__prev.v"))
+        * F.datediff(F.col(date_col), F.col("__prev.d"))
+        / F.datediff(F.col("__next.d"), F.col("__prev.d")),
+    )
+    filled = F.coalesce(F.col(value_col), gap_fill)
+    interpolated = (
+        F.col(value_col).isNull()
+        & F.col("__prev").isNotNull()
+        & F.col("__next").isNotNull()
+    )
+    return j.select(
+        *keys,
+        date_col,
+        filled.alias(value_col),
+        interpolated.alias("interpolated"),
+    )

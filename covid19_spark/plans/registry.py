@@ -2678,3 +2678,71 @@ ORDER BY doc_id
 QUERY_REGISTRY["hashed_classifier"] = QuerySpec(
     q_hashed_classifier, ORACLE_HASHED_CLASSIFIER, "hashing-trick linear quality classifier"
 )
+
+
+def q_interpolate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill over each user's sparse daily purchase
+    revenue — the time-series repair stage between the date-spine fill
+    (W5: zero-fill) and charting: interior gaps interpolate between the
+    nearest known days, edges stay NULL.
+
+    Plan: daily agg (one exchange), tiny broadcast date spine for the grid,
+    then two ignore-nulls windows sharing one exchange on user_id
+    (operators/series.interpolate_series).
+    """
+    from covid19_spark.operators.series import interpolate_series
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("date"))
+        .agg(_dsum(F.col("value")).alias("revenue"))
+    )
+    out = interpolate_series(daily, ["user_id"], "date", "revenue")
+    return out.select(
+        "user_id",
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        "revenue",
+        "interpolated",
+    ).orderBy("user_id", "date")
+
+
+ORACLE_INTERPOLATE_REVENUE = """
+WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS date,
+         CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+b AS (SELECT min(date) AS d0, max(date) AS d1 FROM daily),
+spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS date FROM b),
+grid AS (SELECT u.user_id, s.date FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN spine s),
+j AS (
+  SELECT g.user_id, g.date, d.revenue
+  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.date = d.date
+),
+w AS (
+  SELECT user_id, date, revenue,
+         last_value(CASE WHEN revenue IS NOT NULL THEN {'d': date, 'v': revenue} END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY date
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+         first_value(CASE WHEN revenue IS NOT NULL THEN {'d': date, 'v': revenue} END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY date
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+  FROM j
+)
+SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
+       coalesce(revenue,
+                CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL THEN
+                  prev.v + (nxt.v - prev.v) * datediff('day', prev.d, date)
+                         / datediff('day', prev.d, nxt.d)
+                END) AS revenue,
+       (revenue IS NULL AND prev IS NOT NULL AND nxt IS NOT NULL) AS interpolated
+FROM w
+ORDER BY user_id, date
+"""
+
+
+QUERY_REGISTRY["interpolate_revenue"] = QuerySpec(
+    q_interpolate_revenue, ORACLE_INTERPOLATE_REVENUE, "linear-interpolation series gap fill"
+)

@@ -141,3 +141,30 @@ def test_with_ordered_index_matches_global_rank(spark):
     assert [g[1] for g in got] == sorted(r[0] for r in rows)
     # dense, 1-based, no duplicates even with multiple input partitions
     assert len({g[0] for g in got}) == 1000
+
+
+def test_interpolate_series_interior_gap_and_edges(spark):
+    from covid19_spark.operators.series import interpolate_series
+
+    d = dt.date
+    daily = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 2), 10.0),
+            (1, d(2024, 1, 5), 40.0),   # gap 3,4 -> 20, 30
+            (1, d(2024, 1, 6), 0.0),
+            (2, d(2024, 1, 3), 5.0),    # single point: everything else edges
+        ],
+        "k long, date date, v double",
+    )
+    out = interpolate_series(daily, ["k"], "date", "v")
+    rows = {(r["k"], r["date"].isoformat()): r for r in out.collect()}
+    # global range is 2024-01-02..2024-01-06 -> 5 days x 2 keys
+    assert len(rows) == 10
+    assert rows[(1, "2024-01-03")]["v"] == 20.0 and rows[(1, "2024-01-03")]["interpolated"]
+    assert rows[(1, "2024-01-04")]["v"] == 30.0 and rows[(1, "2024-01-04")]["interpolated"]
+    assert rows[(1, "2024-01-02")]["v"] == 10.0 and not rows[(1, "2024-01-02")]["interpolated"]
+    assert rows[(1, "2024-01-06")]["v"] == 0.0
+    # key 2: leading/trailing edges stay NULL, known day passes through
+    assert rows[(2, "2024-01-03")]["v"] == 5.0
+    assert rows[(2, "2024-01-02")]["v"] is None and not rows[(2, "2024-01-02")]["interpolated"]
+    assert rows[(2, "2024-01-06")]["v"] is None
