@@ -18,6 +18,8 @@ bit-stable across engines.
 
 from __future__ import annotations
 
+from functools import reduce
+
 import numpy as np
 import pandas as pd
 
@@ -45,6 +47,7 @@ def cosine_near_dup_pairs(
     block_cols=(),
     allow_full_scan: bool = False,
     max_block: int | None = 10_000,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim ≥ threshold).
 
@@ -59,6 +62,14 @@ def cosine_near_dup_pairs(
 
     Output: id_a, id_b, block cols, sim — double-fold cosine, bit-identical
     to the DuckDB ``list_reduce`` oracle formulation.
+
+    ``salt_buckets``: when the number of blocks is far below the cluster's
+    core count (few coarse labels, many cores), the blocked self-join runs
+    on |blocks| tasks. Salting splits each block's PAIR SPACE S ways —
+    the left side gets ``hash(id) % S``, the right side is replicated to
+    all S salts, and the join keys on (block, salt) — so parallelism becomes
+    |blocks|·S at the cost of replicating the (small, normalized) right side
+    S times. Pure plan-level change: the pair set and sims are unchanged.
     """
     block_cols = list(block_cols)
     if not block_cols and not allow_full_scan:
@@ -83,11 +94,21 @@ def cosine_near_dup_pairs(
             .select(*block_cols)
         )
         base = base.join(F.broadcast(oversized), block_cols, "left_anti")
-    a, b = base.alias("a"), base.alias("b")
-    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    if salt_buckets is not None and salt_buckets > 1:
+        s = int(salt_buckets)
+        left = base.withColumn("__salt", F.pmod(F.hash(F.col(id_col)), F.lit(s)))
+        right = base.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+        )
+        a, b = left.alias("a"), right.alias("b")
+        cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+        cond.append(F.col("a.__salt") == F.col("b.__salt"))
+    else:
+        a, b = base.alias("a"), base.alias("b")
+        cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
     cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     return (
-        a.join(b, cond if block_cols else cond[0])
+        a.join(b, reduce(lambda x, y: x & y, cond))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
@@ -275,24 +296,42 @@ def ivf_assign(
     paper's coarse quantizer), minus the PQ codes.
 
     Output: id_col, centroid_id, vec (double array) — one row per probe.
-    """
-    from pyspark.sql import Window
 
+    Plan: the k centroids collapse into ONE broadcast row holding a struct
+    array; scoring + probe selection is then a map-only pass per vector
+    (score array → sort_array → slice → explode). No shuffle at all — the
+    earlier row_number-per-vector formulation exchanged |corpus|·k array
+    rows per assignment, which at 1B vectors is the whole corpus ×k on the
+    wire. Probe order (score desc, centroid_id asc) is unchanged.
+    """
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
-    c = centroids.select(
+    c_row = centroids.select(
         F.col("centroid_id"), F.col("cvec").cast("array<double>").alias("__c")
+    ).agg(F.collect_list(F.struct("centroid_id", "__c")).alias("__cs"))
+    scored = v.crossJoin(F.broadcast(c_row)).select(
+        id_col,
+        "__v",
+        F.slice(
+            F.sort_array(
+                F.transform(
+                    "__cs",
+                    lambda cc: F.struct(
+                        (-dot(F.col("__v"), cc["__c"])).alias("negs"),
+                        cc["centroid_id"].alias("centroid_id"),
+                    ),
+                )
+            ),
+            1,
+            n_probes,
+        ).alias("__probes"),
     )
-    scored = v.join(F.broadcast(c)).select(
-        id_col, "centroid_id", "__v", dot(F.col("__v"), F.col("__c")).alias("__s")
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("__s").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= n_probes)
-        .select(id_col, "centroid_id", F.col("__v").alias("vec"))
-    )
+    return scored.select(
+        id_col,
+        F.explode("__probes").alias("__p"),
+        F.col("__v").alias("vec"),
+    ).select(id_col, F.col("__p.centroid_id").alias("centroid_id"), "vec")
 
 
 def ivf_train_centroids(
@@ -313,19 +352,20 @@ def ivf_train_centroids(
     is one broadcast-join scan + one partial-agg shuffle; k-means|| seeding
     would replace the lowest-id seeds at production scale.
     """
-    seeds = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
+    # TakeOrderedAndProject for the seed rows, then number them via one
+    # collected struct array (n_centroids rows) — avoids a global-window
+    # row_number (single-partition WindowExec + its warning).
+    seeds_row = (
+        corpus.select(
             F.col(id_col).alias("__sid"), F.col(vec_col).cast("array<double>").alias("cvec")
         )
+        .orderBy("__sid")
+        .limit(n_centroids)
+        .agg(F.sort_array(F.collect_list(F.struct("__sid", "cvec"))).alias("__ss"))
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy("__sid")  # n_centroids rows
-    centroids = seeds.withColumn("centroid_id", F.row_number().over(w)).select(
-        "centroid_id", "cvec"
-    )
+    centroids = seeds_row.select(
+        F.posexplode("__ss").alias("__pos", "__s")
+    ).select((F.col("__pos") + 1).alias("centroid_id"), F.col("__s.cvec").alias("cvec"))
     for _ in range(iterations):
         assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_probes=1)
         by_dim = assigned.select(

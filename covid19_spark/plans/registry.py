@@ -955,8 +955,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"), "label", nudged.alias("embedding")
     )
     base = emb.unionByName(perturbed)
+    # 10 coarse labels << 32 cores: salt the pair space 16 ways so the
+    # fold-heavy scoring join runs on 160 tasks instead of 10 (result-set
+    # identical; see cosine_near_dup_pairs docstring).
     return cosine_near_dup_pairs(
-        base, "vec_id", "embedding", threshold=0.90, block_cols=["label"]
+        base, "vec_id", "embedding", threshold=0.90, block_cols=["label"], salt_buckets=16
     ).orderBy("id_a", "id_b")
 
 
@@ -1060,7 +1063,11 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL); recall vs exact is asserted in tests/test_similarity.py."""
     from covid19_spark.operators.similarity import ivf_cosine_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # single-file parquet scan pins the fold-heavy centroid scoring to 1-2
+    # cores; spread the corpus across the executor threads first (at cluster
+    # scale the corpus already arrives partitioned and this repartition goes
+    # away)
+    emb = _t(spark, sf_dir, "embeddings").repartition(32, "vec_id")
     queries = emb.filter(F.col("vec_id") < 8)
     return ivf_cosine_topk(
         emb, queries, k=10, n_centroids=16, n_probes=3
