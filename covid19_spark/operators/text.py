@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Minimal per-language stopword sets for the heuristic language-ID.
@@ -188,3 +188,56 @@ def word_shingles(text: Column, n: int = 2, distinct: bool = True) -> Column:
     # (measured ~6x on the shingle-explode stage).
     sh = F.flatten(F.transform(F.array(toks), grams))
     return F.array_distinct(sh) if distinct else sh
+
+
+def tf_idf_top_terms(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 3,
+    idf_mode: str = "rational",
+) -> DataFrame:
+    """Per-document top-N terms by TF-IDF.
+
+    ``idf_mode='log'`` is the textbook ln((N+1)/(df+1)) weighting for
+    production; ``'rational'`` uses (N+1)/(df+1) directly — same exact-int
+    inputs, one double division, reproducible bit-for-bit across engines
+    (ln() differs in the last ulp between libm implementations, so the
+    differential-tested query uses the rational form).
+
+    Plan (100 TB): explode → (doc, term) partial-agg counts; document
+    frequency is a second partial agg keyed by term; the tf⋈df join is a
+    key-key shuffle join on term (both sides pre-aggregated — |doc-term|
+    and |vocab| rows, far below corpus token count); the corpus size N is
+    one broadcast scalar row. Final per-doc top-N is a rank window on the
+    doc key.
+    """
+    if idf_mode not in ("log", "rational"):
+        raise ValueError(f"idf_mode must be log|rational, got {idf_mode!r}")
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.filter(tokenize(F.col(text_col)), lambda t: t != "")).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.countDistinct(F.col(id_col)).alias("__n"))
+    ratio = (F.col("__n") + F.lit(1)) / (F.col("df") + F.lit(1))
+    idf = F.log(ratio) if idf_mode == "log" else ratio
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * idf).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "rank", "term", F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"), "score")
+    )

@@ -2753,3 +2753,172 @@ ORDER BY user_id, date
 QUERY_REGISTRY["interpolate_revenue"] = QuerySpec(
     q_interpolate_revenue, ORACLE_INTERPOLATE_REVENUE, "linear-interpolation series gap fill"
 )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms over the corpus — the keyword-
+    extraction stage of a text pipeline. Rational idf (N+1)/(df+1): exact
+    integer inputs, one double division — bit-reproducible across engines
+    (ln() drifts in the last ulp between libms; operators/text.tf_idf_top_terms
+    offers idf_mode='log' for production). Ties break on term asc.
+    """
+    from covid19_spark.operators.text import tf_idf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tf_idf_top_terms(docs, "doc_id", "text", top_n=3).orderBy("doc_id", "rank")
+
+
+ORACLE_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * ((n.nd + 1) / (dfreq.df + 1.0)) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
+QUERY_REGISTRY["tfidf_top_terms"] = QuerySpec(
+    q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS, "per-doc top-3 TF-IDF keyword extraction"
+)
+
+
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection over the daily event-count
+    series (monitoring twin of the moving average A6): each day's count is
+    scored against the mean/std of the prior 7 observed days.
+
+    Moments come from exact integer sums (count, count²) over a rows-based
+    trailing window — one hash exchange on event_type shared with the sort;
+    the double arithmetic (mean, sample variance, sqrt) happens once per
+    row in the same operation order in both engines, so values are
+    bit-reproducible. Days with fewer than 3 prior observations or zero
+    variance emit NULL z.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("date"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("date").asc())
+        .rowsBetween(-7, -1)
+    )
+    sum7 = F.sum("n").over(w)
+    sumsq7 = F.sum(F.col("n") * F.col("n")).over(w)
+    cnt7 = F.count("n").over(w)
+    scored = daily.select(
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        sum7.cast("long").alias("s1"),
+        sumsq7.cast("long").alias("s2"),
+        cnt7.cast("long").alias("k"),
+    )
+    mean = F.col("s1") / F.col("k")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("k")) / (F.col("k") - 1)
+    z = F.when((F.col("k") >= 3) & (var > 0), (F.col("n") - mean) / F.sqrt(var))
+    return scored.select(
+        "date",
+        "event_type",
+        "n",
+        z.alias("z"),
+        F.when(z.isNotNull() & (F.abs(z) > 2), True).otherwise(False).alias("anomaly"),
+    ).orderBy("event_type", "date")
+
+
+ORACLE_ROLLING_ZSCORE = """
+WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+daily AS (
+  SELECT CAST(ts AS DATE) AS date, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2
+),
+win AS (
+  SELECT date, event_type, n,
+         CAST(sum(n) OVER w AS BIGINT) AS s1,
+         CAST(sum(n * n) OVER w AS BIGINT) AS s2,
+         CAST(count(n) OVER w AS BIGINT) AS k
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY date ASC
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT *,
+         CASE WHEN k >= 3 AND (s2 - s1 * s1 / k) / (k - 1) > 0
+              THEN (n - s1 / k) / sqrt((s2 - s1 * s1 / k) / (k - 1))
+         END AS zv
+  FROM win
+)
+SELECT strftime(date, '%Y-%m-%d') AS date, event_type, n, zv AS z,
+       coalesce(zv IS NOT NULL AND abs(zv) > 2, FALSE) AS anomaly
+FROM z
+ORDER BY event_type, date
+"""
+
+
+QUERY_REGISTRY["rolling_zscore"] = QuerySpec(
+    q_rolling_zscore, ORACLE_ROLLING_ZSCORE, "trailing-window z-score anomaly detection"
+)
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per event type (20 bins of 25
+    over [0, 500), under/overflow clamped into the edge bins) — the
+    distribution-profiling pass of a data-quality report. Map-only binning
+    (floor arithmetic — exact for doubles in both engines) + one partial-agg
+    shuffle carrying |types|×|bins| ≤ 100 group rows regardless of corpus
+    size; bin bounds are emitted for charting.
+    """
+    ev = _t(spark, sf_dir, "events")
+    raw_bin = F.floor(F.col("value") / F.lit(25.0))
+    bin_ = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(19)).cast("long")
+    return (
+        ev.select("event_type", bin_.alias("bin"), "value")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "bin",
+            (F.col("bin") * 25.0).alias("bin_lo"),
+            ((F.col("bin") + 1) * 25.0).alias("bin_hi"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+ORACLE_VALUE_HISTOGRAM = """
+WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+b AS (
+  SELECT event_type,
+         CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT) AS bin,
+         value
+  FROM e
+)
+SELECT event_type, bin, bin * 25.0 AS bin_lo, (bin + 1) * 25.0 AS bin_hi,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM b
+GROUP BY event_type, bin
+ORDER BY event_type, bin
+"""
+
+
+QUERY_REGISTRY["value_histogram"] = QuerySpec(
+    q_value_histogram, ORACLE_VALUE_HISTOGRAM, "fixed-width value histogram profiling"
+)

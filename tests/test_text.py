@@ -87,3 +87,24 @@ def test_repetition_stats_hand_case(spark):
     assert abs(r1.dup_bigram_frac - (1 - 2 / 3)) < 1e-12
     r2 = rows[2]
     assert r2.max_token_frac == 0.25 and r2.dup_bigram_frac == 0.0
+
+
+def test_tfidf_top_terms_hand_case(spark):
+    from covid19_spark.operators.text import tf_idf_top_terms
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian durian banana")],
+        "doc_id long, text string",
+    )
+    out = tf_idf_top_terms(docs, "doc_id", "text", top_n=2)
+    rows = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+    # doc 1: apple tf=2 df=1 -> 2*(4/2)=4.0 beats banana tf=1 df=3 -> 1.0
+    assert rows[(1, 1)]["term"] == "apple" and rows[(1, 1)]["score"] == 4.0
+    assert rows[(1, 2)]["term"] == "banana" and rows[(1, 2)]["score"] == 1.0
+    # doc 2: cherry tf=1 df=1 -> 2.0 beats banana 1.0
+    assert rows[(2, 1)]["term"] == "cherry"
+    # doc 3: durian tf=2 df=1 -> 4.0
+    assert rows[(3, 1)]["term"] == "durian" and rows[(3, 1)]["df"] == 1
+    with _pytest.raises(ValueError, match="idf_mode"):
+        tf_idf_top_terms(docs, "doc_id", "text", idf_mode="bm25")
