@@ -456,3 +456,69 @@ def test_upsert_sequence_equals_global_latest(spark):
             assert got == expected, split
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+ASOF_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+ASOF_EVENTS_B1 = [
+    (1, ts("2024-01-01T10:00:00"), "view", 1, 10.0),
+    (1, ts("2024-01-01T10:30:00"), "purchase", 2, 99.0),   # -> view 1
+    (1, ts("2024-01-01T11:00:00"), "view", 3, 11.0),
+    (2, ts("2024-01-01T10:00:00"), "purchase", 4, 50.0),   # no view yet -> null
+]
+ASOF_EVENTS_B2 = [
+    (1, ts("2024-01-01T12:00:00"), "purchase", 5, 77.0),   # -> view 3 (carried state)
+    (2, ts("2024-01-01T12:00:00"), "view", 6, 20.0),
+    (2, ts("2024-01-01T12:00:00"), "purchase", 7, 60.0),   # equal ts -> inclusive, view 6
+]
+
+
+def test_streaming_asof_enrich_matches_batch_asof_join(stream_env):
+    from covid19_spark.operators.asof import asof_join
+    from covid19_spark.streaming.asof_stream import streaming_asof_enrich
+
+    spark, d, src, ckpt = stream_env
+    import os
+
+    os.makedirs(src)
+    # two micro-batches: state must carry user 1's latest view across them
+    spark.createDataFrame(ASOF_EVENTS_B1, ASOF_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(ASOF_EVENTS_B2, ASOF_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(ASOF_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = run_stream_to_memory(
+        spark,
+        streaming_asof_enrich(
+            stream, "user_id", "ts", "event_type", "event_id", "value", "view"
+        ),
+        "asof_stream",
+        ckpt,
+    ).collect()
+    got = {r["event_id"]: (r["ref_id"], r["ref_value"]) for r in out}
+    assert got == {2: (1, 10.0), 4: (None, None), 5: (3, 11.0), 7: (6, 20.0)}
+
+    # batch twin over the union of both batches gives identical matches
+    all_ev = spark.createDataFrame(ASOF_EVENTS_B1 + ASOF_EVENTS_B2, ASOF_SCHEMA)
+    purchases = all_ev.filter(F.col("event_type") == "purchase")
+    views = all_ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    batch = asof_join(
+        purchases, views, ["user_id"], "ts", "ts",
+        right_payload=["ts", "event_id", "value"], right_tiebreak="event_id",
+    )
+    batch_got = {r["event_id"]: (r["event_id_r"], r["value_r"]) for r in batch.collect()}
+    assert batch_got == got
