@@ -91,3 +91,81 @@ def test_exact_dedup_counts_match_python(spark, texts):
         first = min(j for j, u in rows if u == t)
         expect[first] = expect.get(first, 0) + 1
     assert got == expect
+
+
+asof_strategy = st.tuples(
+    st.lists(  # left rows: (key, minute)
+        st.tuples(st.integers(1, 3), st.integers(0, 500)),
+        min_size=1, max_size=15,
+    ),
+    st.lists(  # right rows: (key, minute, value)
+        st.tuples(st.integers(1, 3), st.integers(0, 500), st.integers(-50, 50)),
+        min_size=0, max_size=15,
+    ),
+)
+
+
+@given(asof_strategy)
+@SETTINGS
+def test_asof_join_matches_python_model(spark, raw):
+    from covid19_spark.operators.asof import asof_join
+
+    left_raw, right_raw = raw
+    lrows = [
+        (k, BASE + dt.timedelta(minutes=m), i)
+        for i, (k, m) in enumerate(sorted(set(left_raw)))
+    ]
+    rrows = [
+        (k, BASE + dt.timedelta(minutes=m), float(v), 1000 + i)
+        for i, (k, m, v) in enumerate(sorted(set(right_raw)))
+    ]
+    left = spark.createDataFrame(lrows, "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(rrows, "k long, ts timestamp, v double, rid long")
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts",
+            right_payload=["rid", "v"], right_tiebreak="rid",
+        ).collect()
+    }
+    assert len(got) == len(lrows)  # left join: every left row survives
+    for k, lts, lid in lrows:
+        cands = [(r[1], r[3]) for r in rrows if r[0] == k and r[1] <= lts]
+        expect = max(cands)[1] if cands else None  # latest ts, then max rid
+        assert got[lid] == expect, (k, lts, cands)
+
+
+@given(st.lists(
+    st.tuples(st.integers(1, 2), st.integers(0, 100), st.sampled_from("ABC")),
+    min_size=1, max_size=20,
+))
+@SETTINGS
+def test_scd2_matches_python_model(spark, raw):
+    from covid19_spark.operators.cdc import scd2_intervals
+
+    seen = {}
+    for k, m, a in raw:
+        seen[(k, m)] = a
+    rows = [
+        (k, BASE + dt.timedelta(minutes=m), a, i)
+        for i, ((k, m), a) in enumerate(sorted(seen.items()))
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, attr string, eid long")
+    got = sorted(
+        ((r["k"], r["version"], r["attr"], r["valid_from"], r["valid_to"], r["n_events"])
+         for r in scd2_intervals(df, ["k"], "ts", ["attr"], ["eid"]).collect()),
+    )
+    # python model: run-collapse per key in ts order
+    expected = []
+    for k in sorted({r[0] for r in rows}):
+        krows = sorted((r for r in rows if r[0] == k), key=lambda r: r[1])
+        runs = []
+        for _, ts, a, _eid in krows:
+            if runs and runs[-1][0] == a:
+                runs[-1][2] += 1
+            else:
+                runs.append([a, ts, 1])
+        for i, (a, ts0, n) in enumerate(runs):
+            nxt = runs[i + 1][1] if i + 1 < len(runs) else None
+            expected.append((k, i + 1, a, ts0, nxt, n))
+    assert got == sorted(expected)
