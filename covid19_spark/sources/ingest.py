@@ -113,3 +113,23 @@ def normalize_to_parquet(
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(path)
+
+
+def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC document reader (Hive-era interchange). ORC carries its own
+    schema + column stats; the explicit schema here only enforces the
+    contract (mismatched files fail fast instead of silently casting).
+    Predicate pushdown and column pruning work as with parquet."""
+    return spark.read.schema(
+        T.StructType([f for f in DOCUMENT_SCHEMA.fields if f.name != "_corrupt"])
+    ).orc(path)
+
+
+def write_documents_orc(df: DataFrame, path: str, max_records_per_file: int = 1_000_000) -> None:
+    """ORC writer with the same file-sizing contract as the parquet
+    normalizer (no 50 GB files, no millions of 1 KB files)."""
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .orc(path)
+    )

@@ -75,3 +75,20 @@ def test_normalize_to_parquet_partitioned(spark, tmp_path):
     # partition pruning: a lang filter reads only that partition directory
     plan = back.filter(F.col("lang") == "en")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or back.filter(F.col("lang") == "en").count() == 2
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from covid19_spark.sources.ingest import read_documents_orc, write_documents_orc
+    from covid19_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    out = str(tmp_path / "docs_orc")
+    write_documents_orc(docs, out)
+    back = read_documents_orc(spark, out)
+    assert back.count() == docs.count()
+    a = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    b = sorted(back.collect(), key=lambda r: r["doc_id"])
+    assert a == b
+    # pushdown reaches the ORC scan like parquet
+    plan = back.filter(F.col("doc_id") == 5)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,5)]" in plan
