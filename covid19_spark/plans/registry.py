@@ -2922,3 +2922,115 @@ ORDER BY event_type, bin
 QUERY_REGISTRY["value_histogram"] = QuerySpec(
     q_value_histogram, ORACLE_VALUE_HISTOGRAM, "fixed-width value histogram profiling"
 )
+
+
+def q_ewma_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.5, 7-day trailing
+    support) of the daily event-count series per type — the smoothing twin
+    of the 5-day moving average (A6). The weights (1-alpha)^i are literal
+    constants and the weighted sum is written term-by-term in the same
+    order in both engines, so values are bit-reproducible; missing lags
+    (series head) renormalize over the present terms, matching pandas
+    ``ewm(adjust=True)`` over a full window.
+
+    Plan: one hash exchange on event_type shared by all seven lag windows
+    (single WindowExec pass — they use the same frame).
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("date"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("date").asc())
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for i in range(7):
+        wi = F.lit(0.5 ** i)
+        xi = F.lag(F.col("n"), i).over(w) if i else F.col("n")
+        num = num + F.when(xi.isNotNull(), wi * xi).otherwise(F.lit(0.0))
+        den = den + F.when(xi.isNotNull(), wi).otherwise(F.lit(0.0))
+    return daily.select(
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (num / den).alias("ewma"),
+    ).orderBy("event_type", "date")
+
+
+def _ewma_terms() -> tuple[str, str]:
+    nums, dens = [], []
+    for i in range(7):
+        wi = repr(0.5 ** i)
+        xi = "n" if i == 0 else f"lag(n, {i}) OVER w"
+        nums.append(f"CASE WHEN {xi} IS NOT NULL THEN {wi} * {xi} ELSE 0.0 END")
+        dens.append(f"CASE WHEN {xi} IS NOT NULL THEN {wi} ELSE 0.0 END")
+    return " + ".join(nums), " + ".join(dens)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms()
+
+ORACLE_EWMA_DAILY_EVENTS = f"""
+WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+daily AS (
+  SELECT CAST(ts AS DATE) AS date, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2
+)
+SELECT strftime(date, '%Y-%m-%d') AS date, event_type, n,
+       (((({_EWMA_NUM}))) / ((({_EWMA_DEN})))) AS ewma
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY date ASC)
+ORDER BY event_type, date
+"""
+
+
+QUERY_REGISTRY["ewma_daily_events"] = QuerySpec(
+    q_ewma_daily_events, ORACLE_EWMA_DAILY_EVENTS, "EWMA smoothing of a daily series"
+)
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling report over orders: exact null/distinct counts per
+    column in ONE aggregation pass, reshaped long with ``stack`` (no second
+    scan). The 100 TB variant flips ``exact=False`` to HLL++ sketches (see
+    operators/profile.py).
+    """
+    from covid19_spark.operators.profile import profile_columns
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_columns(orders).orderBy("column")
+
+
+ORACLE_PROFILE_ORDERS = """
+WITH m AS (SELECT count(*) AS n_rows FROM orders)
+SELECT col AS "column", n_rows, n_nulls, n_distinct
+FROM (
+  SELECT 'o_orderkey' AS col, m.n_rows,
+         (SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS n_nulls,
+         (SELECT count(DISTINCT o_orderkey) FROM orders) AS n_distinct FROM m
+  UNION ALL
+  SELECT 'o_custkey', m.n_rows,
+         (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+         (SELECT count(DISTINCT o_custkey) FROM orders) FROM m
+  UNION ALL
+  SELECT 'o_orderstatus', m.n_rows,
+         (SELECT count(*) FROM orders WHERE o_orderstatus IS NULL),
+         (SELECT count(DISTINCT o_orderstatus) FROM orders) FROM m
+  UNION ALL
+  SELECT 'o_totalprice', m.n_rows,
+         (SELECT count(*) FROM orders WHERE o_totalprice IS NULL),
+         (SELECT count(DISTINCT o_totalprice) FROM orders) FROM m
+  UNION ALL
+  SELECT 'o_orderdate', m.n_rows,
+         (SELECT count(*) FROM orders WHERE o_orderdate IS NULL),
+         (SELECT count(DISTINCT o_orderdate) FROM orders) FROM m
+  UNION ALL
+  SELECT 'o_orderpriority', m.n_rows,
+         (SELECT count(*) FROM orders WHERE o_orderpriority IS NULL),
+         (SELECT count(DISTINCT o_orderpriority) FROM orders) FROM m
+)
+ORDER BY col
+"""
+
+
+QUERY_REGISTRY["profile_orders"] = QuerySpec(
+    q_profile_orders, ORACLE_PROFILE_ORDERS, "per-column profiling report (stack reshape)"
+)

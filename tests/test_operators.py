@@ -168,3 +168,16 @@ def test_interpolate_series_interior_gap_and_edges(spark):
     assert rows[(2, "2024-01-03")]["v"] == 5.0
     assert rows[(2, "2024-01-02")]["v"] is None and not rows[(2, "2024-01-02")]["interpolated"]
     assert rows[(2, "2024-01-06")]["v"] is None
+
+
+def test_profile_columns_exact_and_approx(spark):
+    from covid19_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "x long, s string"
+    )
+    rows = {r["column"]: r for r in profile_columns(df).collect()}
+    assert rows["x"]["n_rows"] == 4 and rows["x"]["n_nulls"] == 1 and rows["x"]["n_distinct"] == 3
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    approx = {r["column"]: r for r in profile_columns(df, exact=False).collect()}
+    assert approx["x"]["n_distinct"] == 3  # HLL++ exact at tiny cardinality
