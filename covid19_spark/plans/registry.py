@@ -3034,3 +3034,46 @@ ORDER BY col
 QUERY_REGISTRY["profile_orders"] = QuerySpec(
     q_profile_orders, ORACLE_PROFILE_ORDERS, "per-column profiling report (stack reshape)"
 )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (the class-centroid reduction used by
+    SemDeDup-style semantic dedup and IVF retraining), emitted long-form as
+    (label, dim, mean): posexplode -> (label, dim) partial agg — the shuffle
+    carries |labels|·64 partial sums, never vectors. Per-dimension sums go
+    through the DECIMAL(38,6) contract so the mean is order-independent and
+    bit-reproducible. (The packed array<double> form is one
+    sort_array(collect_list) away — operators/similarity.ivf_train_centroids
+    uses exactly that re-pack.)
+    """
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    by_dim = emb.select("label", F.posexplode("v").alias("dim", "x"))
+    return (
+        by_dim.groupBy("label", "dim")
+        .agg(
+            (_dsum(F.col("x")) / F.count(F.lit(1))).alias("mean"),
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+by_dim AS (
+  SELECT label, i - 1 AS dim, v[i] AS x
+  FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+)
+SELECT label, CAST(dim AS INT) AS dim,
+       CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mean,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM by_dim GROUP BY 1, 2
+ORDER BY label, dim
+"""
+
+
+QUERY_REGISTRY["label_centroids"] = QuerySpec(
+    q_label_centroids, ORACLE_LABEL_CENTROIDS, "distributed per-label embedding centroids"
+)
