@@ -15,9 +15,41 @@ come from the visualizations table when present (S7 produces them).
 from __future__ import annotations
 
 import datetime as dt
+import json
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from covid19_spark.serving import format as fmt
 from covid19_spark.serving.stores import StoreReader
+
+
+def _one_shot_sections(frames: dict[str, DataFrame]) -> dict[str, list[dict]]:
+    """Collect several small store lookups in ONE Spark job.
+
+    Each lookup is tagged and serialized to a JSON payload column, the
+    frames union into one plan, and a single ``collect`` fans the rows back
+    out per section. The per-state request path batches its six store
+    lookups this way — one driver round-trip instead of six sequential jobs
+    (the reference pays six RocksDB point reads; a Spark job each is the
+    wrong currency for serving-path latency).
+
+    NULL fields are dropped by ``to_json`` — consumers read payload dicts
+    with ``.get``; the serving tables carry no legitimately-NULL columns.
+    """
+    tagged = [
+        df.select(
+            F.lit(name).alias("__section"),
+            F.to_json(F.struct(*df.columns)).alias("__payload"),
+        )
+        for name, df in frames.items()
+    ]
+    union = reduce(lambda a, b: a.unionByName(b), tagged)
+    out: dict[str, list[dict]] = {name: [] for name in frames}
+    for r in union.collect():
+        out[r["__section"]].append(json.loads(r["__payload"]))
+    return out
 
 
 def _delta_row_to_dict(r) -> dict:
@@ -62,34 +94,42 @@ def handle_user_request(
 
     # per-state block: six store lookups -> one summary block
     # (reference: delta, daily, news source, 14d test data, yesterday's
-    # doubling rate, district dailies — UserRequestConsumer.java:108-128)
+    # doubling rate, district dailies — UserRequestConsumer.java:108-128).
+    # All six collect in ONE batched job (_one_shot_sections).
     yesterday = today - dt.timedelta(days=1)
-    delta_rows = reader.delta_stats_for_state(state).collect()
-    if not delta_rows:
+    sections = _one_shot_sections(
+        {
+            "delta": reader.delta_stats_for_state(state),
+            "daily": reader.daily_count_for(date=today, state=state),
+            "test": reader.latest_test_data_within_14d(state, today),
+            "rate": reader.doubling_rate_for(state, yesterday),
+            "districts": reader.district_stats_for(state, daily=True),
+            "news": reader.news_source_for(state),
+        }
+    )
+    if not sections["delta"]:
         return f"No data for {state}"
-    delta = _delta_row_to_dict(delta_rows[0].asDict())
-    daily_rows = reader.daily_count_for(date=today, state=state).collect()
+    delta = _delta_row_to_dict(sections["delta"][0])
     daily = (
-        _delta_row_to_dict(daily_rows[0].asDict())
-        if daily_rows
+        _delta_row_to_dict(sections["daily"][0])
+        if sections["daily"]
         else {"state": state, "delta_confirmed": 0, "delta_recovered": 0, "delta_deaths": 0}
     )
     testing: dict[str, dict] = {}
-    test_rows = reader.latest_test_data_within_14d(state, today).collect()
-    if test_rows:
-        testing[state] = {k: v for k, v in test_rows[0].asDict().items()}
-        testing[state].setdefault("updatedon", str(test_rows[0]["date"]))
-    rate_rows = reader.doubling_rate_for(state, yesterday).collect()
+    if sections["test"]:
+        testing[state] = dict(sections["test"][0])
+        testing[state].setdefault("updatedon", str(sections["test"][0].get("date")))
+    rate_rows = sections["rate"]
     rates = {
         state: (
-            str(int(rate_rows[0].doubling_days))
-            if rate_rows and rate_rows[0].doubling_days is not None
+            str(int(rate_rows[0]["doubling_days"]))
+            if rate_rows and rate_rows[0].get("doubling_days") is not None
             else "0"  # reference emits "0" when unavailable (Covid19Stats.java:198)
         )
     }
     districts = sorted(
-        (r.asDict() for r in reader.district_stats_for(state, daily=True).collect()),
-        key=lambda d: -(d.get("sum_delta_confirmed") or 0),
+        sections["districts"],
+        key=lambda d: (-(d.get("sum_delta_confirmed") or 0), d.get("district") or ""),
     )
     district_dicts = [
         {
@@ -103,7 +143,7 @@ def handle_user_request(
     text = fmt.build_summary_alert_block(
         [delta], [daily], testing, rates, {state: district_dicts}
     )
-    news = reader.news_source_for(state).collect()
+    news = sections["news"]
     if state.lower() != "total" and news:
-        text += f"\nSource: {news[0].url}"
+        text += f"\nSource: {news[0]['url']}"
     return text
