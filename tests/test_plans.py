@@ -109,3 +109,39 @@ def test_range_join_price_match_is_hash_join(spark):
     plan = plan_of(spark, "range_join_price_match")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_asof_join_attribution_single_exchange_no_broadcast(spark):
+    # union-window as-of: ONE hash exchange on the key carries both sides;
+    # no broadcast requirement (both sides may be 100 TB facts)
+    plan = plan_of(spark, "asof_join_attribution")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastExchange" not in plan
+
+
+def test_hashed_classifier_no_shuffle_before_sort(spark):
+    # map-only scoring: the only exchange is the output ordering's range
+    # partitioning
+    plan = plan_of(spark, "hashed_classifier")
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange rangepartitioning") == 1
+
+
+def test_interpolate_revenue_broadcasts_spine(spark):
+    # the date spine joins broadcast against the keys/daily side — grid
+    # construction must not shuffle the key frame a second time
+    plan = plan_of(spark, "interpolate_revenue")
+    assert "BroadcastExchange" in plan
+
+
+def test_ivf_assignment_no_global_window(spark):
+    # centroid assignment is map-only (broadcast struct-array + sort_array);
+    # the only Window is the final per-query rank
+    plan = plan_of(spark, "ivf_cosine_topk")
+    assert not _global_windows(plan)
+
+
+def test_profile_orders_single_scan(spark):
+    # one aggregation pass: the orders parquet appears once in the plan
+    plan = plan_of(spark, "profile_orders")
+    assert plan.count("orders.parquet") <= 1
