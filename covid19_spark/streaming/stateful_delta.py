@@ -27,6 +27,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def delta_kernel(
+    chunks: list[pd.DataFrame],
+    prev: list[float],
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    delta_prefix: str,
+) -> tuple[pd.DataFrame | None, list[float]]:
+    """Vectorized per-key delta kernel shared by both stateful bindings
+    (``applyInPandasWithState`` here, ``transformWithStateInPandas`` in
+    tws_delta.py). A key's micro-batch may arrive as several Arrow chunks:
+    concatenate FIRST, sort once globally by event time, then compute the
+    delta as ``value − shift(value)`` with the carried state seeding row 0.
+    (A per-chunk sort would compute deltas out of event-time order and
+    diverge from the batch lag operator both bindings claim equivalence
+    with.) Returns (output frame or None, updated state)."""
+    prev = list(prev)
+    if not chunks:
+        return None, prev
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    pdf = pdf.sort_values(ts_col, kind="mergesort", ignore_index=True)
+    out = pdf[[*key_cols, ts_col, *value_cols]].copy()
+    for i, c in enumerate(value_cols):
+        vals = pdf[c].astype("float64")
+        shifted = vals.shift(1)
+        shifted.iloc[0] = prev[i]
+        out[f"{delta_prefix}{c}"] = vals - shifted
+        prev[i] = float(vals.iloc[-1])
+    return out, prev
+
+
 def streaming_running_delta(
     stream: DataFrame,
     key_cols: Sequence[str],
@@ -56,26 +87,13 @@ def streaming_running_delta(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         prev = list(state.get) if state.exists else [0.0] * len(value_cols)
-        # A key's micro-batch may arrive as several Arrow chunks: concatenate
-        # FIRST, sort once globally by event time, then vectorize the delta as
-        # value − shift(value) with the carried state seeding row 0. (A
-        # per-chunk sort would compute deltas out of event-time order and
-        # diverge from the batch lag operator this claims equivalence with.)
         chunks = [pdf for pdf in pdfs if len(pdf)]
-        if not chunks:
-            state.update(tuple(prev))
-            return
-        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        pdf = pdf.sort_values(ts_col, kind="mergesort", ignore_index=True)
-        out = pdf[[*key_cols, ts_col, *value_cols]].copy()
-        for i, c in enumerate(value_cols):
-            vals = pdf[c].astype("float64")
-            shifted = vals.shift(1)
-            shifted.iloc[0] = prev[i]
-            out[f"{delta_prefix}{c}"] = vals - shifted
-            prev[i] = float(vals.iloc[-1])
+        out, prev = delta_kernel(
+            chunks, prev, key_cols, ts_col, value_cols, delta_prefix
+        )
         state.update(tuple(prev))
-        yield out
+        if out is not None:
+            yield out
 
     return stream.groupBy(*key_cols).applyInPandasWithState(
         fn,

@@ -522,3 +522,105 @@ def test_streaming_asof_enrich_matches_batch_asof_join(stream_env):
     )
     batch_got = {r["event_id"]: (r["event_id_r"], r["value_r"]) for r in batch.collect()}
     assert batch_got == got
+
+
+def test_delta_kernel_multichunk_unsorted_matches_single_sorted():
+    """The shared stateful-delta kernel (used by BOTH the
+    applyInPandasWithState and transformWithStateInPandas bindings) must
+    concat-then-sort: chunked, out-of-order arrival gives the same deltas as
+    one sorted frame, with state seeding row 0."""
+    import pandas as pd
+
+    from covid19_spark.streaming.stateful_delta import delta_kernel
+
+    rows = [
+        {"state": "Assam", "ts": ts("2020-04-08T22:00:00"), "confirmed": 27.0},
+        {"state": "Assam", "ts": ts("2020-04-08T10:00:00"), "confirmed": 10.0},
+        {"state": "Assam", "ts": ts("2020-04-09T02:00:00"), "confirmed": 28.0},
+    ]
+    chunked = [pd.DataFrame(rows[:2]), pd.DataFrame(rows[2:])]
+    out_c, prev_c = delta_kernel(
+        chunked, [5.0], ["state"], "ts", ["confirmed"], "delta_"
+    )
+    single = [pd.DataFrame(sorted(rows, key=lambda r: r["ts"]))]
+    out_s, prev_s = delta_kernel(
+        single, [5.0], ["state"], "ts", ["confirmed"], "delta_"
+    )
+    assert prev_c == prev_s == [28.0]
+    assert list(out_c["delta_confirmed"]) == list(out_s["delta_confirmed"]) == [
+        5.0,  # 10 − 5 (state seed)
+        17.0,  # 27 − 10
+        1.0,  # 28 − 27
+    ]
+    assert list(out_c["ts"]) == sorted(r["ts"] for r in rows)
+    # empty input: state passes through untouched, no output frame
+    out_e, prev_e = delta_kernel([], [5.0], ["state"], "ts", ["confirmed"], "delta_")
+    assert out_e is None and prev_e == [5.0]
+
+
+def test_tws_delta_equals_batch_lag_and_carries_state(stream_env):
+    """transformWithStateInPandas twin (Spark 4.x StatefulProcessor): same
+    output as the batch lag operator, and state carries across micro-batches
+    on the RocksDB provider. Skips where the protobuf runtime TWS needs is
+    absent (this container); the shared kernel is covered above either way."""
+    from covid19_spark.streaming.tws_delta import (
+        ROCKSDB_PROVIDER,
+        streaming_running_delta_tws,
+        tws_runtime_available,
+    )
+
+    if not tws_runtime_available():
+        pytest.skip("transformWithStateInPandas needs protobuf (not in env)")
+
+    spark, d, src, ckpt = stream_env
+    import os
+
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        os.makedirs(src)
+        spark.createDataFrame(SNAPSHOTS[:2], SNAP_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(SNAP_SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = (
+            streaming_running_delta_tws(
+                stream, ["state"], "ts", ["confirmed", "recovered", "deaths"]
+            )
+            .writeStream.format("memory")
+            .queryName("tws_delta")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # late micro-batch: state must remember Assam confirmed=27
+            spark.createDataFrame(SNAPSHOTS[2:], SNAP_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()
+            out = spark.table("tws_delta").collect()
+        finally:
+            q.stop()
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+
+    batch_df = spark.createDataFrame(SNAPSHOTS, SNAP_SCHEMA)
+    expected = {
+        (r.state, r.ts): (r.delta_confirmed, r.delta_recovered, r.delta_deaths)
+        for r in running_delta(
+            batch_df, ["state"], ["ts"], ["confirmed", "recovered", "deaths"]
+        ).collect()
+    }
+    got = {
+        (r.state, r.ts): (r.delta_confirmed, r.delta_recovered, r.delta_deaths)
+        for r in out
+    }
+    assert got == expected
+    assert got[("Assam", ts("2020-04-09T02:00:00"))][0] == 1.0  # 28 - 27 across batches
