@@ -241,3 +241,60 @@ def tf_idf_top_terms(
         .select(id_col, "rank", "term", F.col("tf").cast("long").alias("tf"),
                 F.col("df").cast("long").alias("df"), "score")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    overlap_tokens: int = 0,
+) -> DataFrame:
+    """Split documents into fixed-size sliding token windows — the context-
+    window chunking step of an LLM training/retrieval pipeline.
+
+    Chunk i covers tokens ``[i·stride, i·stride + chunk_tokens)`` with
+    ``stride = chunk_tokens − overlap_tokens``. Chunks start at every stride
+    multiple ``s`` with ``s == 0`` or ``s + overlap_tokens < n_tokens`` —
+    the second condition drops trailing starts whose window would be fully
+    contained in the previous chunk, while guaranteeing every token appears
+    in at least one chunk. Empty documents produce no chunks.
+
+    Tokens are non-empty single-space splits of the raw text (case
+    preserved), so ``concat_ws`` reconstructs the exact chunk text for
+    single-spaced input.
+
+    Scale: map-only — scan → project → posexplode → project; no shuffle, no
+    Python. Output rows ≈ n_tokens/stride per doc regardless of corpus size,
+    so this runs at 100 TB as a pure streaming map over parquet splits.
+
+    Output: id_col, chunk_id (0-based LONG), chunk_text, chunk_n_tokens.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("overlap_tokens must satisfy 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    toks = F.filter(tokenize(F.col(text_col), lowercase=False), lambda t: t != "")
+    with_toks = docs.select(F.col(id_col), toks.alias("__t")).filter(
+        F.size("__t") > 0
+    )
+    n = F.size("__t")
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1, F.lit(stride)),
+        lambda s: (s == 0) | (s + overlap_tokens < n),
+    )
+    return with_toks.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_id", "__s"),
+        F.col("__t"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", F.slice("__t", F.col("__s") + 1, chunk_tokens)).alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(chunk_tokens), F.size("__t") - F.col("__s"))
+        .cast("long")
+        .alias("chunk_n_tokens"),
+    )

@@ -3077,3 +3077,86 @@ ORDER BY label, dim
 QUERY_REGISTRY["label_centroids"] = QuerySpec(
     q_label_centroids, ORACLE_LABEL_CENTROIDS, "distributed per-label embedding centroids"
 )
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (32-token chunks, 16-token overlap) —
+    the context-window split step of a training/retrieval pipeline
+    (operators/text.chunk_documents).
+
+    Plan: map-only — scan → tokenize → posexplode(starts) → slice/concat; no
+    shuffle except the final presentation sort (which the pipeline form
+    drops). Every token lands in ≥1 chunk; trailing starts whose window is
+    fully contained in the previous chunk are dropped.
+    """
+    from covid19_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", 32, 16).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+# DuckDB mirrors the same windows: starts at stride multiples, kept while
+# s == 0 OR s + overlap < n; 1-based inclusive list slice == Spark slice.
+ORACLE_DOC_CHUNKS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, t, CAST(u.s AS BIGINT) AS s
+  FROM toks, unnest(range(0, len(t), 16)) AS u(s)
+  WHERE len(t) > 0 AND (u.s = 0 OR u.s + 16 < len(t))
+)
+SELECT doc_id,
+       CAST(s / 16 AS BIGINT) AS chunk_id,
+       array_to_string(t[s + 1 : s + 32], ' ') AS chunk_text,
+       CAST(least(32, len(t) - s) AS BIGINT) AS chunk_n_tokens
+FROM starts
+ORDER BY doc_id, chunk_id
+"""
+
+
+QUERY_REGISTRY["doc_chunks"] = QuerySpec(
+    q_doc_chunks, ORACLE_DOC_CHUNKS, "sliding token-window document chunking"
+)
+
+
+def q_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters: top-50 tokens by global frequency.
+
+    Plan: tokenize (map-only) → explode → partial-agg per partition →
+    |vocab|-sized shuffle → final agg → TakeOrderedAndProject(50) with the
+    term itself as tiebreaker. The shuffle carries one row per distinct term
+    per partition (vocab-bounded), never per token — at 100 TB the vocab is
+    the working set, not the corpus. The approximate scale path for when
+    even the vocab is too wide (df.stat.freqItems, KPS95 one-pass) is pinned
+    by a superset-property test in tests/test_text.py.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("term")
+    )
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("term")).limit(50)
+
+
+ORACLE_FREQUENT_TERMS = """
+WITH terms AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term
+  FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS n
+FROM terms
+GROUP BY term
+ORDER BY n DESC, term
+LIMIT 50
+"""
+
+
+QUERY_REGISTRY["frequent_terms"] = QuerySpec(
+    q_frequent_terms, ORACLE_FREQUENT_TERMS, "exact corpus heavy hitters (top-50 terms)"
+)

@@ -108,3 +108,74 @@ def test_tfidf_top_terms_hand_case(spark):
     assert rows[(3, 1)]["term"] == "durian" and rows[(3, 1)]["df"] == 1
     with _pytest.raises(ValueError, match="idf_mode"):
         tf_idf_top_terms(docs, "doc_id", "text", idf_mode="bm25")
+
+
+def test_chunk_documents_hand_case_and_coverage(spark):
+    import pytest as _pytest
+
+    from covid19_spark.operators.text import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(words)),  # 10 tokens
+            (2, "a b c"),  # shorter than one chunk
+            (3, ""),  # empty -> no chunks
+            (4, "solo"),  # single token
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=4, overlap_tokens=2)
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["chunk_n_tokens"])
+        for r in out.collect()
+    )
+    # doc 1, stride 2: starts 0,2,4,6 kept (s+2 < 10), s=8 dropped (8+2 >= 10,
+    # window fully inside previous chunk's coverage)
+    assert rows == [
+        (1, 0, "w0 w1 w2 w3", 4),
+        (1, 1, "w2 w3 w4 w5", 4),
+        (1, 2, "w4 w5 w6 w7", 4),
+        (1, 3, "w6 w7 w8 w9", 4),
+        (2, 0, "a b c", 3),
+        (4, 0, "solo", 1),
+    ]
+    # coverage property: every token of every doc appears in >= 1 chunk
+    # (reconstruct token positions covered by each chunk)
+    covered = {}
+    for doc_id, chunk_id, _text, n in rows:
+        s = chunk_id * 2
+        covered.setdefault(doc_id, set()).update(range(s, s + n))
+    assert covered[1] == set(range(10))
+    assert covered[2] == set(range(3))
+    assert covered[4] == {0}
+
+    with _pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(docs, "doc_id", "text", 0)
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, "doc_id", "text", 4, 4)
+
+
+def test_chunk_documents_is_map_only(spark):
+    from covid19_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    plan = chunk_documents(docs, "doc_id", "text", 4, 2)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan  # chunking must never shuffle
+
+
+def test_freq_items_superset_of_exact_heavy_hitters(spark):
+    """Approximate heavy-hitters scale path (df.stat.freqItems, one-pass
+    KPS95): guaranteed superset of every term with frequency > support."""
+    terms = spark.createDataFrame(
+        [("common",)] * 60 + [("mid",)] * 25 + [("rare%d" % i,) for i in range(15)],
+        "term string",
+    )
+    support = 0.2
+    approx = set(terms.stat.freqItems(["term"], support).collect()[0][0])
+    exact = {
+        r["term"]
+        for r in terms.groupBy("term").count().filter(F.col("count") > 100 * support).collect()
+    }
+    assert exact <= approx  # no false negatives above the support threshold
