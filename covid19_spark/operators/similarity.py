@@ -436,3 +436,65 @@ def ivf_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "sim")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    threshold: float = 0.95,
+    iterations: int = 1,
+    max_block: int | None = 10_000,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): k-means-cluster the embeddings, score
+    cosine similarity ONLY within each cluster, connect pairs ≥ threshold
+    into duplicate groups, keep one representative per group.
+
+    Composition of the existing scale-safe stages — nothing new shuffles:
+      1. ``ivf_train_centroids`` (deterministic Lloyd, lowest-id seeds);
+      2. ``ivf_assign`` — map-only nearest-centroid labeling (broadcast
+         centroids, no shuffle);
+      3. ``cosine_near_dup_pairs`` blocked on ``centroid_id`` — the cluster
+         IS the block, so the pair space is Σ|cluster|² ≈ n²/k for balanced
+         clusters, with the degenerate-cluster ``max_block`` cap and
+         optional pair-space salting;
+      4. ``dedup_clusters`` (min-label connected components) for transitive
+         closure + canonical flag.
+
+    Keep policy: smallest id per duplicate group (deterministic). The paper
+    keeps the example with LOWEST cosine similarity to its centroid; that
+    policy is one extra ``max_by`` projection over step 2's scores if wanted
+    — the cluster structure this returns is policy-independent.
+
+    Output: one row per corpus vector — (id_col, cluster_id, cluster_size,
+    is_canonical); singletons keep their own id with cluster_size 1.
+    """
+    from covid19_spark.operators.dedup import dedup_clusters
+
+    centroids = ivf_train_centroids(corpus, n_centroids, id_col, vec_col, iterations)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_probes=1)
+    pairs = cosine_near_dup_pairs(
+        assigned.select(F.col(id_col), "centroid_id", F.col("vec").alias(vec_col)),
+        id_col,
+        vec_col,
+        threshold,
+        block_cols=["centroid_id"],
+        max_block=max_block,
+        salt_buckets=salt_buckets,
+    )
+    clusters = dedup_clusters(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    out = corpus.select(F.col(id_col)).join(
+        clusters.withColumnRenamed("doc_id", id_col), id_col, "left"
+    )
+    return out.select(
+        F.col(id_col),
+        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+        F.coalesce(
+            F.col("is_canonical").cast("long"), F.lit(1)
+        ).alias("is_canonical"),
+    )

@@ -219,3 +219,7 @@ def test_blocked_edit_distance_drops_oversized_blocks(spark):
     ).collect()
     # the 50-row block is dropped by the cap; only the small block pairs
     assert [(r.id_a, r.id_b) for r in out] == [(100, 101)]
+
+
+def test_semantic_dedup_matches_fixture(spark):
+    _assert_matches_fixture(spark, "semantic_dedup", ["vec_id"])

@@ -135,3 +135,36 @@ def test_ivf_centroids_deterministic_and_refined(spark):
     assigned = ivf_assign(emb, c1, n_probes=1)
     assert assigned.count() == emb.count()
     assert assigned.select("vec_id").distinct().count() == emb.count()
+
+
+def test_semantic_dedup_hand_clusters(spark):
+    """Two tight semantic groups + two isolated vectors: groups collapse to
+    min-id clusters, singletons stay canonical, every input labeled once."""
+    from covid19_spark.operators.similarity import semantic_dedup
+
+    def vec(axis, nudge=0.0):
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[axis] = 1.0
+        v[(axis + 1) % 4] = nudge
+        return v
+
+    # seeds are the two lowest ids: 1 (group A, axis 0) and 2 (group B, axis 1)
+    rows = [
+        (1, vec(0)), (3, vec(0, 0.02)), (4, vec(0, -0.02)), (5, vec(0, 0.04)),
+        (2, vec(1)), (10, vec(1, 0.03)), (11, vec(1, -0.03)),
+        (20, vec(2)), (21, vec(3)),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        corpus, "vec_id", "embedding", n_centroids=2, threshold=0.99
+    )
+    got = {r["vec_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+           for r in out.collect()}
+    assert len(got) == len(rows)  # every vector labeled exactly once
+    assert got[1] == (1, 4, 1)
+    assert got[3] == (1, 4, 0) and got[4] == (1, 4, 0) and got[5] == (1, 4, 0)
+    assert got[2] == (2, 3, 1)
+    assert got[10] == (2, 3, 0) and got[11] == (2, 3, 0)
+    assert got[20] == (20, 1, 1) and got[21] == (21, 1, 1)
+    # dedup keeps exactly one canonical per cluster
+    assert sum(v[2] for v in got.values()) == 4

@@ -29,13 +29,16 @@ FIXTURE_QUERIES = (
     "ann_cosine_topk",
     "ivf_cosine_topk",
     "multimodal_features",
+    "semantic_dedup",
 )
 
 
 def main() -> None:
+    # optional argv subset: regenerate only the named fixtures
+    subset = sys.argv[1:] or FIXTURE_QUERIES
     spark = get_spark("make_fixtures")
     os.makedirs(OUT_DIR, exist_ok=True)
-    for name in FIXTURE_QUERIES:
+    for name in subset:
         df = QUERY_REGISTRY[name].fn(spark, SF_DIR)
         path = os.path.join(OUT_DIR, f"{name}_sf0.01.parquet")
         df.toPandas().to_parquet(path, index=False)
