@@ -3206,3 +3206,61 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERY_REGISTRY["semantic_dedup"] = QuerySpec(
     q_semantic_dedup, None, "SemDeDup k-means-blocked embedding dedup"
 )
+
+
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report over orders (operators/quality):
+    five constraints — not-null, key uniqueness, price range, status
+    membership, priority format — ALL evaluated in one map-side-combined
+    aggregation pass (the shuffle carries one partial row per partition),
+    then stacked long-form. The quarantine row-split twin is pinned by
+    tests/test_quality.py."""
+    from covid19_spark.operators.quality import (
+        expect_in_range,
+        expect_in_set,
+        expect_matches,
+        expect_not_null,
+        expect_unique,
+        quality_report,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    rules = [
+        expect_not_null("o_custkey"),
+        expect_unique("o_orderkey"),
+        expect_in_range("o_totalprice", 0.0, 400000.0),
+        expect_in_set("o_orderstatus", ["O", "F", "P"]),
+        expect_matches("o_orderpriority", "^[1-5]-"),
+    ]
+    return quality_report(orders, rules).orderBy("rule")
+
+
+ORACLE_QUALITY_REPORT = """
+WITH wide AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_null,
+         count(*) - count(DISTINCT o_orderkey) AS v_uniq,
+         sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0.0
+                       OR o_totalprice > 400000.0 THEN 1 ELSE 0 END) AS v_range,
+         sum(CASE WHEN o_orderstatus IS NULL
+                       OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS v_set,
+         sum(CASE WHEN o_orderpriority IS NULL
+                       OR NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS v_re
+  FROM orders
+), long AS (
+  SELECT 'o_custkey_not_null' AS rule, v_null AS violations, n FROM wide
+  UNION ALL SELECT 'unique_o_orderkey', v_uniq, n FROM wide
+  UNION ALL SELECT 'o_totalprice_in_range', v_range, n FROM wide
+  UNION ALL SELECT 'o_orderstatus_in_set', v_set, n FROM wide
+  UNION ALL SELECT 'o_orderpriority_matches', v_re, n FROM wide
+)
+SELECT rule, CAST(violations AS BIGINT) AS violations, CAST(n AS BIGINT) AS n_rows,
+       CASE WHEN n = 0 THEN 1.0 ELSE 1.0 - violations / n END AS pass_rate
+FROM long
+ORDER BY rule
+"""
+
+
+QUERY_REGISTRY["quality_report"] = QuerySpec(
+    q_quality_report, ORACLE_QUALITY_REPORT, "single-pass declarative data-quality report"
+)
