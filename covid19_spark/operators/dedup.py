@@ -184,6 +184,34 @@ def minhash_signatures(
     )
 
 
+def band_buckets(
+    sig_df: DataFrame, id_col: str, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Banded LSH bucket keys for a signature frame: (id, band, bucket) —
+    one row per band, ``bucket = xxhash64`` of the band's signature slice.
+    Map-only; the shared candidate-keying step of both the batch self-join
+    (``lsh_candidate_pairs``) and the streaming history probe
+    (``streaming/dedup_lsh_stream``)."""
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.element_at("sig", bi * rows_per_band + j + 1)
+                        for j in range(rows_per_band)
+                    ]
+                ).alias("bucket"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return sig_df.select(id_col, F.explode(band_structs).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str,
@@ -203,25 +231,11 @@ def lsh_candidate_pairs(
     at scale those are handled by exact-hash dedup first, then sampled.
     Pass ``None`` to disable.
     """
-    rows_per_band = num_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(*[F.element_at("sig", bi * rows_per_band + j + 1) for j in range(rows_per_band)]).alias(
-                    "bucket"
-                ),
-            )
-            for bi in range(bands)
-        ]
-    )
     # The band self-join carries ONLY (id, band, bucket) — thin fixed-width
     # rows. Signatures (k longs per doc) are re-joined per UNIQUE candidate
     # pair afterwards: candidate pairs are orders of magnitude fewer than
     # banded rows, so this keeps k×8 bytes/row out of the big shuffle.
-    banded = sig_df.select(id_col, F.explode(band_structs).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    banded = band_buckets(sig_df, id_col, num_hashes, bands)
     if max_bucket is not None:
         # oversized buckets are rare by construction → tiny frame, broadcast
         # anti-join instead of a window count (which would add a full

@@ -1,0 +1,154 @@
+"""Continuous-ingestion near-dup filtering: streaming MinHash/LSH dedup.
+
+The streaming counterpart of the batch MinHash+LSH family: each micro-batch
+of documents is checked against a persistent signature store — documents
+near-duplicating ANYTHING already accepted (or an earlier document in the
+same batch) are dropped, everything else is appended to the corpus and its
+signatures to the store. "First wins", exactly the reference's
+``DeduplicationTransformer`` contract (`DeduplicationTransformer.java:37-88`:
+first occurrence passes, later duplicates are swallowed), generalized from
+exact event-id equality to Jaccard-threshold near-duplication.
+
+Store layout (parquet, append-only):
+- ``<store>/sigs``:    (id, sig array<long>)            — verify stage
+- ``<store>/buckets``: (id, band, bucket)               — candidate stage
+
+Scale design — the point is what does NOT happen:
+- The history is probed by an equi-join on (band, bucket): the batch's
+  banded keys (|batch|·bands rows) join the bucket store; only bucket
+  collisions reach the signature-verify join. Never a batch×history scan.
+- Signature verify joins fetch ONLY the colliding history ids' signatures
+  (|candidates| rows), compare with one ``zip_with`` fold.
+- Within-batch dedup reuses the batch operators (``lsh_candidate_pairs`` +
+  ``dedup_clusters``) on the micro-batch alone.
+- The store grows O(accepted·bands); on a real deployment the parquet
+  append becomes a Delta/Iceberg append (same plan), and the bucket store
+  is range-clustered by bucket (sources/layout.write_clustered) so the
+  probe join prunes files.
+
+Exactly-once caveat: parquet append + foreachBatch is at-least-once across
+driver crashes (a replayed batch re-checks against the store — re-appends
+of the same ids are possible; Delta MERGE or idempotent-by-id sinks close
+this). Replayed duplicates are *self-healing* for dedup semantics: a
+re-appended signature only ever causes extra drops, never false accepts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from covid19_spark.operators.dedup import (
+    band_buckets,
+    dedup_clusters,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+
+
+def _try_read(spark, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None  # first batch: store not created yet
+
+
+def make_lsh_dedup_sink(
+    out_path: str,
+    store_path: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int | None = 10_000,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body: near-dup-filter each micro-batch against the
+    persistent store, append survivors to ``out_path`` and their
+    signatures/buckets to ``store_path``.
+
+    Drop rule per batch: (a) any doc whose estimated Jaccard vs an already-
+    accepted doc ≥ threshold; (b) within the batch, every non-canonical
+    member of a near-dup cluster (smallest id wins, transitively closed).
+    """
+
+    def body(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.persist()
+        cached = [batch]
+        try:
+            if batch.isEmpty():
+                return
+            sigs = minhash_signatures(
+                batch, id_col, text_col, num_hashes, shingle_n
+            ).persist()
+            cached.append(sigs)
+            banded = band_buckets(sigs, id_col, num_hashes, bands)
+
+            # (a) history probe: bucket collisions → signature verify
+            hist_sigs = _try_read(spark, f"{store_path}/sigs")
+            dup_vs_history = None
+            if hist_sigs is not None:
+                hist_buckets = spark.read.parquet(f"{store_path}/buckets")
+                cand = (
+                    banded.join(
+                        hist_buckets.withColumnRenamed(id_col, "__hist_id"),
+                        ["band", "bucket"],
+                    )
+                    .select(id_col, "__hist_id")
+                    .dropDuplicates([id_col, "__hist_id"])
+                )
+                agree = F.size(
+                    F.filter(
+                        F.zip_with("sig", "__hist_sig", lambda x, y: x == y),
+                        lambda m: m,
+                    )
+                )
+                dup_vs_history = (
+                    cand.join(sigs, id_col)
+                    .join(
+                        hist_sigs.select(
+                            F.col(id_col).alias("__hist_id"),
+                            F.col("sig").alias("__hist_sig"),
+                        ),
+                        "__hist_id",
+                    )
+                    .filter(agree / F.lit(num_hashes) >= threshold)
+                    .select(id_col)
+                    .distinct()
+                )
+
+            # (b) within-batch: candidate pairs → transitive clusters →
+            # drop non-canonical members
+            pairs = lsh_candidate_pairs(
+                sigs, id_col, num_hashes, bands, max_bucket
+            ).filter(F.col("est_jaccard") >= threshold)
+            in_batch_drops = (
+                dedup_clusters(pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
+                .filter(F.col("is_canonical") == 0)
+                .select(F.col("doc_id").alias(id_col))
+            )
+
+            drops = in_batch_drops
+            if dup_vs_history is not None:
+                drops = drops.union(dup_vs_history).distinct()
+            drops = drops.persist()
+            cached.append(drops)
+
+            accepted = batch.join(drops, id_col, "left_anti")
+            accepted.write.mode("append").parquet(out_path)
+            kept_sigs = sigs.join(drops, id_col, "left_anti").persist()
+            cached.append(kept_sigs)
+            kept_sigs.write.mode("append").parquet(f"{store_path}/sigs")
+            band_buckets(kept_sigs, id_col, num_hashes, bands).write.mode(
+                "append"
+            ).parquet(f"{store_path}/buckets")
+        finally:
+            for df in cached:
+                df.unpersist()
+
+    return body

@@ -624,3 +624,68 @@ def test_tws_delta_equals_batch_lag_and_carries_state(stream_env):
     }
     assert got == expected
     assert got[("Assam", ts("2020-04-09T02:00:00"))][0] == 1.0  # 28 - 27 across batches
+
+
+def test_streaming_lsh_dedup_first_wins_across_batches(stream_env):
+    """Continuous near-dup filter: batch 2's near-copy of a batch-1 doc is
+    dropped against the persistent signature store; an in-batch near-dup
+    pair keeps only its smallest id; distinct docs always pass."""
+    from covid19_spark.streaming.dedup_lsh_stream import make_lsh_dedup_sink
+
+    spark, d, src, ckpt = stream_env
+    import os
+
+    os.makedirs(src)
+    text_a = " ".join(f"alpha{i}" for i in range(20))
+    text_a_near = text_a.replace("alpha9", "beta9")  # 1 of 20 words changed
+    text_b = " ".join(f"bravo{i}" for i in range(20))
+    text_c = " ".join(f"charlie{i}" for i in range(20))
+    text_d = " ".join(f"delta{i}" for i in range(20))
+    text_d_near = text_d.replace("delta3", "omega3")
+
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, text_a), (2, text_b)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, text_a_near), (4, text_c), (5, text_d), (6, text_d_near)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out_path, store = f"{d}/accepted", f"{d}/store"
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            make_lsh_dedup_sink(
+                out_path, store, "doc_id", "text", threshold=0.5
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    accepted = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
+    assert accepted == {1, 2, 4, 5}  # 3 ≈ 1 (history), 6 ≈ 5 (in batch)
+    # store holds signatures/buckets ONLY for accepted docs
+    sig_ids = {r["doc_id"] for r in spark.read.parquet(f"{store}/sigs").collect()}
+    assert sig_ids == {1, 2, 4, 5}
+    # a third batch re-offering a dropped text is still rejected
+    spark.createDataFrame([(7, text_a)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(
+            make_lsh_dedup_sink(out_path, store, "doc_id", "text", threshold=0.5)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    accepted = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
+    assert accepted == {1, 2, 4, 5}  # 7 == text_a verbatim -> dropped
