@@ -53,3 +53,54 @@ def profile_columns(
         F.col("n_nulls").cast("long").alias("n_nulls"),
         F.col("n_distinct").cast("long").alias("n_distinct"),
     )
+
+
+DEC = "decimal(38,6)"
+
+
+def pairwise_correlations(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pearson correlation for every pair of numeric columns, exactly.
+
+    Built from exact sufficient statistics (Σx, Σy, Σxy, Σx², Σy² with
+    per-row DECIMAL(38,6) casts) rather than the engine's streaming ``corr``
+    aggregate — engines disagree in the last bits of one-pass covariance
+    updates, exact sums make the result order-independent and
+    bit-reproducible across engines.
+
+    Scale: ONE aggregation pass for all C(n,2) pairs — 2n + n(n−1) partial
+    sums in the agg buffer, one partial row per partition on the shuffle;
+    the pair reshape is a literal-array explode over the single aggregated
+    row. Never a second scan, never a row-pair join.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("pairwise_correlations needs at least two columns")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        x = F.col(c).cast(DEC)
+        aggs.append(F.sum(x).cast("double").alias(f"__s_{c}"))
+        aggs.append(F.sum((F.col(c) * F.col(c)).cast(DEC)).cast("double").alias(f"__ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(
+            F.sum((F.col(a) * F.col(b)).cast(DEC))
+            .cast("double")
+            .alias(f"__sp_{a}_{b}")
+        )
+    wide = df.agg(*aggs)
+    n = F.col("__n")
+    out_structs = []
+    for a, b in pairs:
+        cov = n * F.col(f"__sp_{a}_{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}")
+        var_a = n * F.col(f"__ss_{a}") - F.col(f"__s_{a}") * F.col(f"__s_{a}")
+        var_b = n * F.col(f"__ss_{b}") - F.col(f"__s_{b}") * F.col(f"__s_{b}")
+        out_structs.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                (cov / F.sqrt(var_a * var_b)).alias("corr"),
+            )
+        )
+    return wide.select(
+        F.explode(F.array(*out_structs)).alias("p"), n.alias("n_rows")
+    ).select("p.col_a", "p.col_b", "p.corr", "n_rows")

@@ -3264,3 +3264,128 @@ ORDER BY rule
 QUERY_REGISTRY["quality_report"] = QuerySpec(
     q_quality_report, ORACLE_QUALITY_REPORT, "single-pass declarative data-quality report"
 )
+
+
+def q_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend: slope/intercept of the daily event-count series
+    per event type — the generalization of the reference's doubling-rate
+    growth analytics (``Covid19Stats.java:196-203``) from a 1-point growth
+    ratio to a least-squares fit over the whole series.
+
+    Plan: two partial-agg shuffles — (event_type, date) daily counts, then
+    the four OLS sufficient statistics per type (Σx, Σy, Σxy, Σx²). x is
+    the epoch-day index and y the daily count, so ALL sums are exact
+    BIGINTs; slope = (n·Σxy − Σx·Σy)/(n·Σx² − Σx²) is one double division
+    over exact integers — bit-reproducible with no DECIMAL contract needed.
+    At 100 TB the shuffles carry |types|·|days| then |types| rows.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("date"), "event_type").agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    pt = daily.select(
+        "event_type",
+        F.datediff("date", F.lit("1970-01-01")).cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+    )
+    stats = pt.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slope = (
+        (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    ).cast("double")
+    return (
+        stats.select(
+            "event_type",
+            "n_days",
+            slope.alias("slope_per_day"),
+            ((F.col("sy") - slope * F.col("sx")) / F.col("n_days"))
+            .cast("double")
+            .alias("intercept"),
+            (F.col("sy") / F.col("n_days")).cast("double").alias("mean_daily"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_TREND_SLOPES = """
+WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+daily AS (
+  SELECT CAST(ts AS DATE) AS date, event_type, CAST(count(*) AS BIGINT) AS y
+  FROM e GROUP BY 1, 2
+),
+pt AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '1970-01-01', date) AS BIGINT) AS x, y
+  FROM daily
+),
+stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pt GROUP BY event_type
+)
+SELECT event_type, n_days,
+       CAST((n_days * sxy - sx * sy) AS DOUBLE) / (n_days * sxx - sx * sx) AS slope_per_day,
+       (sy - (CAST((n_days * sxy - sx * sy) AS DOUBLE) / (n_days * sxx - sx * sx)) * sx) / n_days AS intercept,
+       CAST(sy AS DOUBLE) / n_days AS mean_daily
+FROM stats
+ORDER BY event_type
+"""
+
+
+QUERY_REGISTRY["trend_slopes"] = QuerySpec(
+    q_trend_slopes, ORACLE_TREND_SLOPES, "per-group OLS trend over daily series"
+)
+
+
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over lineitem's numeric columns
+    (operators/profile.pairwise_correlations): all six pairs from ONE
+    aggregation pass over exact DECIMAL sufficient statistics — see the
+    operator docstring for why engine-native ``corr`` isn't used."""
+    from covid19_spark.operators.profile import pairwise_correlations
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pairwise_correlations(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ).orderBy("col_a", "col_b")
+
+
+def _corr_sql(a: str, b: str) -> str:
+    s = lambda c: f"CAST(sum(CAST({c} AS DECIMAL(38,6))) AS DOUBLE)"
+    ss = lambda c: f"CAST(sum(CAST({c} * {c} AS DECIMAL(38,6))) AS DOUBLE)"
+    sp = f"CAST(sum(CAST({a} * {b} AS DECIMAL(38,6))) AS DOUBLE)"
+    return (
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"(n * {sp} - {s(a)} * {s(b)}) / "
+        f"sqrt((n * {ss(a)} - {s(a)} * {s(a)}) * (n * {ss(b)} - {s(b)} * {s(b)}))"
+        f" AS corr, n AS n_rows "
+        f"FROM lineitem, (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem) "
+        f"GROUP BY n"
+    )
+
+
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_quantity", "l_tax"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+    ("l_discount", "l_tax"),
+]
+ORACLE_CORRELATION_MATRIX = (
+    " UNION ALL ".join(_corr_sql(a, b) for a, b in _CORR_PAIRS)
+    + " ORDER BY col_a, col_b"
+)
+
+
+QUERY_REGISTRY["correlation_matrix"] = QuerySpec(
+    q_correlation_matrix, ORACLE_CORRELATION_MATRIX, "exact pairwise Pearson correlations"
+)

@@ -181,3 +181,23 @@ def test_profile_columns_exact_and_approx(spark):
     assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
     approx = {r["column"]: r for r in profile_columns(df, exact=False).collect()}
     assert approx["x"]["n_distinct"] == 3  # HLL++ exact at tiny cardinality
+
+
+def test_pairwise_correlations_hand_case_and_single_pass(spark):
+    import pytest as _pytest
+
+    from covid19_spark.operators.profile import pairwise_correlations
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0), (4.0, 8.0, -4.0)],
+        "x double, y double, z double",
+    )
+    out = pairwise_correlations(df, ["x", "y", "z"])
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in out.collect()}
+    assert got[("x", "y")] == _pytest.approx(1.0)
+    assert got[("x", "z")] == _pytest.approx(-1.0)
+    assert got[("y", "z")] == _pytest.approx(-1.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and plan.count("Scan") <= 1  # one pass, no self-join
+    with _pytest.raises(ValueError, match="two columns"):
+        pairwise_correlations(df, ["x"])
