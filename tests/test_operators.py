@@ -198,6 +198,7 @@ def test_pairwise_correlations_hand_case_and_single_pass(spark):
     assert got[("x", "z")] == _pytest.approx(-1.0)
     assert got[("y", "z")] == _pytest.approx(-1.0)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan and plan.count("Scan") <= 1  # one pass, no self-join
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes the initial plan too
+    assert "Join" not in final and final.count("Scan") <= 1  # one pass, no self-join
     with _pytest.raises(ValueError, match="two columns"):
         pairwise_correlations(df, ["x"])
