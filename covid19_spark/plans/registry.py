@@ -3389,3 +3389,100 @@ ORACLE_CORRELATION_MATRIX = (
 QUERY_REGISTRY["correlation_matrix"] = QuerySpec(
     q_correlation_matrix, ORACLE_CORRELATION_MATRIX, "exact pairwise Pearson correlations"
 )
+
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (``DataFrame.unpivot`` / ANSI UNPIVOT): lineitem's
+    four measure columns melted to (key, measure, value) rows. Map-only —
+    the Expand node emits 4 rows per input row with no shuffle; the id
+    projection and measure casts ride the same codegen stage.
+
+    The reshape twin of ``profile_columns``' stack: pivot (W4) goes
+    long→wide, this goes wide→long."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("quantity"),
+            F.col("l_extendedprice").cast("double").alias("extendedprice"),
+            F.col("l_discount").cast("double").alias("discount"),
+            F.col("l_tax").cast("double").alias("tax"),
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["quantity", "extendedprice", "discount", "tax"],
+            "measure",
+            "value",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
+
+
+ORACLE_UNPIVOT_MEASURES = """
+WITH src AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS DOUBLE) AS quantity,
+         CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+         CAST(l_discount AS DOUBLE) AS discount,
+         CAST(l_tax AS DOUBLE) AS tax
+  FROM lineitem WHERE l_orderkey <= 100
+)
+SELECT l_orderkey, l_linenumber, measure, value
+FROM src
+UNPIVOT (value FOR measure IN (quantity, extendedprice, discount, tax))
+ORDER BY l_orderkey, l_linenumber, measure
+"""
+
+
+QUERY_REGISTRY["unpivot_measures"] = QuerySpec(
+    q_unpivot_measures, ORACLE_UNPIVOT_MEASURES, "wide-to-long unpivot reshape"
+)
+
+
+def q_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of distinct users ever seen, per day — via the
+    first-touch trick: min(event date) per user (one shuffle on user_id,
+    map-side combined), count users per first-date, running sum over the
+    date series. Exact, with state O(|days|) instead of the naive running
+    ``count(DISTINCT)`` whose window state is O(|days|·|users|) — the
+    pattern that keeps 'total unique X to date' queries alive at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_date"))
+    daily_new = first.groupBy("first_date").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("first_date").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily_new.select(
+            F.date_format("first_date", "yyyy-MM-dd").alias("date"),
+            "new_users",
+            F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+        )
+        .orderBy("date")
+    )
+
+
+ORACLE_CUMULATIVE_UNIQUE_USERS = """
+WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_date FROM e GROUP BY user_id
+),
+daily_new AS (
+  SELECT first_date, CAST(count(*) AS BIGINT) AS new_users
+  FROM first GROUP BY first_date
+)
+SELECT strftime(first_date, '%Y-%m-%d') AS date, new_users,
+       CAST(sum(new_users) OVER (ORDER BY first_date
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM daily_new
+ORDER BY date
+"""
+
+
+QUERY_REGISTRY["cumulative_unique_users"] = QuerySpec(
+    q_cumulative_unique_users,
+    ORACLE_CUMULATIVE_UNIQUE_USERS,
+    "running distinct-users via first-touch trick",
+)
