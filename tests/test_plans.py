@@ -145,3 +145,40 @@ def test_profile_orders_single_scan(spark):
     # one aggregation pass: the orders parquet appears once in the plan
     plan = plan_of(spark, "profile_orders")
     assert plan.count("orders.parquet") <= 1
+
+
+def test_runtime_bloom_filter_prunes_selective_fact_join(spark):
+    """100 TB scale property: when a selective filter sits on one side of a
+    shuffle join, Catalyst's runtime bloom-filter injection (Spark 3.3+,
+    spark.sql.optimizer.runtime.bloomFilter.*) pre-filters the big probe
+    side at the scan, shrinking the exchange before it happens. Pin that
+    our plain equi-join shapes stay eligible for it."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prior = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = (
+            spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+        )
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloomfilter" in plan.lower()
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
