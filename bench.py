@@ -31,8 +31,13 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("covid19_spark_bench")
 
-    # Warm the JVM/FS/codegen paths so the first query isn't charged startup.
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm the JVM/FS/codegen paths so the first query isn't charged startup:
+    # count() over each fact table touches every parquet footer + page-cache
+    # block once, and the toy groupBy compiles the codegen pipeline.
+    from covid19_spark.sources.tables import load_table
+
+    for t in ("region", "lineitem", "orders", "documents", "embeddings", "events"):
+        load_table(spark, t, sf_dir).count()  # events needs the nanos loader
     spark.range(1000).groupBy((F.col("id") % 2).alias("k")).count().collect()
 
     timings: dict[str, float] = {}

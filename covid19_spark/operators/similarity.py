@@ -82,7 +82,14 @@ def cosine_near_dup_pairs(
     # dominant cost. Same elementwise/fold order as the DuckDB oracle.
     v = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(dot(v, v))
-    base = df.select(
+    # Repartition BEFORE normalizing: the downstream self-join is CPU-bound
+    # (a dot fold per matched pair) but byte-tiny, so Spark broadcasts one
+    # side and pins the fold onto the probe side's scan partitions — for a
+    # few-file source that is 1-2 tasks with 30 cores idle (same failure
+    # mode minhash_signatures documents). One KB-scale exchange buys
+    # full-cluster parallelism for the scoring stage.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col), *[F.col(c) for c in block_cols],
         F.transform(v, lambda x: x / norm).alias("__v"),
     )
