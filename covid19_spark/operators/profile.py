@@ -75,6 +75,15 @@ def pairwise_correlations(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     cols = list(cols)
     if len(cols) < 2:
         raise ValueError("pairwise_correlations needs at least two columns")
+    # The 2n + C(n,2) DECIMAL(38,6) partial sums are CPU-heavy and run
+    # pipelined on the scan partitions; a few-file source would pin them to
+    # 1-3 tasks. Project the needed columns first (thin rows), then fan out
+    # to cluster parallelism — the exchange carries |cols| doubles per row,
+    # the partial aggs then use every core. On a real many-split table the
+    # scan already provides the parallelism and the exchange coalesces to
+    # the same shape.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    df = df.select(*cols).repartition(n_parts)
     aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
     for c in cols:
         x = F.col(c).cast(DEC)
