@@ -10,6 +10,7 @@ conversion.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -48,8 +49,13 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         # Queries that self-join cache intermediate frames (LSH signatures,
         # normalized embeddings); drop them so later queries aren't charged
-        # for eviction/GC of a previous query's working set.
+        # for eviction/GC of a previous query's working set. clearCache does
+        # NOT free localCheckpoint RDDs (connected-components rounds) — those
+        # are cleaned by the ContextCleaner only after the Python-side
+        # DataFrame refs die, so collect Python garbage explicitly to keep
+        # block-manager pressure from bleeding into later queries' timings.
         spark.catalog.clearCache()
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -41,7 +41,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs the whole "cluster" in the driver JVM: size the heap
+        # for 32 concurrent tasks doing decimal/array-heavy aggregation or
+        # GC pauses dominate query variance (the box has 128 GiB).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         # Streaming state: RocksDB provider = disk-backed per-key state, the
         # analogue of the reference's RocksDB stores (SURVEY §4).
         .config(
