@@ -14,6 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLE_NAMES = (
     "region",
@@ -35,13 +36,18 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); Spark's timestamp type is
-        # microsecond. Read nanos as int64 (legacy conf) and floor-divide to
-        # micros — the same truncation DuckDB applies casting TIMESTAMP_NS →
-        # TIMESTAMP, so differential results agree bit-for-bit.
+        # events.parquet has shipped as both TIMESTAMP(NANOS) and
+        # TIMESTAMP(MICROS) across testdata generations. Nanos: read as int64
+        # (legacy conf) and floor-divide to micros — the same truncation DuckDB
+        # applies casting TIMESTAMP_NS → TIMESTAMP, so differential results
+        # agree bit-for-bit. Micros: arrives as TIMESTAMP_NTZ; cast to the
+        # session-zoned timestamp (UTC session ⇒ value-identical) so every
+        # downstream consumer sees one ts type regardless of file encoding.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
