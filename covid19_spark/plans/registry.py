@@ -3486,3 +3486,60 @@ QUERY_REGISTRY["cumulative_unique_users"] = QuerySpec(
     ORACLE_CUMULATIVE_UNIQUE_USERS,
     "running distinct-users via first-touch trick",
 )
+
+
+# --- Registration order: least-driver-verified first -------------------------
+#
+# The driver's per-round correctness sweep walks the registry in insertion
+# order and may only cover a prefix of it (round 2's artifact stopped at the
+# 50th entry, leaving the newest 29 with no driver row even though they pass
+# the same differential check locally).  Rebuild the dict so queries that have
+# never appeared in a driver CORRECTNESS artifact register FIRST; the 50
+# already-hash-green ones follow.  Pure reordering — the key set, specs, and
+# oracles are untouched (pinned by tests/test_registry_order.py).
+_DRIVER_UNVERIFIED_FIRST = [
+    # round-3 additions (no driver row yet)
+    "dedup_pipeline_e2e",
+    "bmp_image_features",
+    # round-2 second wave (registered after CORRECTNESS_r02's 50-query prefix)
+    "stratified_sample",
+    "domain_mix_sample",
+    "pii_redaction",
+    "decontaminate",
+    "dedup_clusters",
+    "pack_sequences",
+    "unigram_logprob",
+    "range_join_price_match",
+    "line_dedup",
+    "fuzzy_name_match",
+    "asof_join_attribution",
+    "snapshot_cdc",
+    "scd2_user_type",
+    "hashed_classifier",
+    "interpolate_revenue",
+    "tfidf_top_terms",
+    "rolling_zscore",
+    "value_histogram",
+    "ewma_daily_events",
+    "profile_orders",
+    "label_centroids",
+    "doc_chunks",
+    "frequent_terms",
+    "semantic_dedup",
+    "quality_report",
+    "trend_slopes",
+    "correlation_matrix",
+    "unpivot_measures",
+    "cumulative_unique_users",
+]
+
+
+def _reorder_registry() -> None:
+    front = {n: QUERY_REGISTRY[n] for n in _DRIVER_UNVERIFIED_FIRST if n in QUERY_REGISTRY}
+    rest = {n: s for n, s in QUERY_REGISTRY.items() if n not in front}
+    QUERY_REGISTRY.clear()
+    QUERY_REGISTRY.update(front)
+    QUERY_REGISTRY.update(rest)
+
+
+_reorder_registry()
