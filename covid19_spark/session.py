@@ -41,10 +41,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        # local[N] runs the whole "cluster" in the driver JVM: size the heap
-        # for 32 concurrent tasks doing decimal/array-heavy aggregation or
-        # GC pauses dominate query variance (the box has 128 GiB).
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # local[N] runs the whole "cluster" in the driver JVM. Heap sizing is
+        # a measured trade-off: 32 concurrent tasks need room for decimal/
+        # array-heavy aggregation, but an oversized heap makes G1 mixed
+        # cycles long enough to bleed multi-second pauses into *later*
+        # queries (measured on the 79-query bench at sf0.1: 32 g heap →
+        # 133 s total with 8-10 s outliers; 16 g → 90 s, stable). 16 g is
+        # the sweet spot for this box; override via SPARK_GRAFT_DRIVER_MEM.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # Streaming state: RocksDB provider = disk-backed per-key state, the
         # analogue of the reference's RocksDB stores (SURVEY §4).
         .config(
