@@ -336,6 +336,69 @@ def simhash_candidate_pairs(
     )
 
 
+def lsh_dedup_pipeline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """End-to-end near-duplicate removal at corpus scale: MinHash-LSH
+    discovery → exact n-gram-Jaccard verification of ONLY the candidate
+    pairs → connected components → per-document cluster assignment.
+
+    This is the composition SCALING.md promises (the reference's
+    DeduplicationTransformer generalized from exact-key first-wins to
+    similarity clusters): no stage is quadratic in the corpus —
+      1. ``minhash_signatures``: O(n·k) map + one |docs|·k-long shuffle;
+      2. ``lsh_candidate_pairs``: banded self-join on THIN (id, band,
+         bucket) rows with the degenerate-bucket cap;
+      3. verify: candidate pairs (≪ corpus²) join the per-doc shingle
+         arrays twice — each surviving pair is scored exactly ONCE. This
+         beats re-blocking ``ngram_jaccard_pairs`` on (band, bucket): that
+         would replicate every doc's (large) shingle array ``bands``×
+         into the self-join shuffle and verify shared-in-many-buckets
+         pairs repeatedly; here the heavy arrays ship once per side and
+         the pair set is already distinct.
+      4. ``dedup_clusters``: min-label propagation over the verified pair
+         graph only.
+
+    Output: one row per input document — (id_col, cluster_id,
+    cluster_size, is_canonical); singletons keep their own id with
+    cluster_size 1. Keep policy: smallest id per cluster.
+    """
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, max_bucket).select(
+        "doc_a", "doc_b"
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sh_b"))
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size(F.array_union("__sh_a", "__sh_b"))
+    verified = (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"), union.alias("__u"))
+        .filter((F.col("__u") > 0) & (F.col("jaccard") >= threshold))
+    )
+    clusters = dedup_clusters(verified.select("doc_a", "doc_b"))
+    out = df.select(F.col(id_col)).join(
+        clusters.withColumnRenamed("doc_id", id_col), id_col, "left"
+    )
+    return out.select(
+        F.col(id_col),
+        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+        F.coalesce(F.col("is_canonical").cast("long"), F.lit(1)).alias("is_canonical"),
+    )
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
 ) -> DataFrame:
@@ -394,8 +457,13 @@ def dedup_clusters(
     curation pipeline keeps; the rest are dropped as duplicates."""
     cc = connected_components(pairs, src=id_a, dst=id_b)
     sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    # No broadcast hint on sizes: it is O(#clusters) and a pathological corpus
+    # (everything near-duplicated) makes it as big as the clustered-doc set,
+    # past any safe broadcast bound. AQE picks broadcast at runtime whenever
+    # the aggregated frame is actually small — the common case — without
+    # hard-failing the degenerate one.
     return (
-        cc.join(F.broadcast(sizes), "comp")
+        cc.join(sizes, "comp")
         .select(
             F.col("node").alias("doc_id"),
             F.col("comp").alias("cluster_id"),

@@ -2162,6 +2162,73 @@ QUERY_REGISTRY["dedup_clusters"] = QuerySpec(
 )
 
 
+def q_dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full discovery→verify→cluster dedup over the WHOLE documents table —
+    no doc_id caps, no cheap-key blocking: MinHash-LSH (32 hashes, 8 bands)
+    generates candidates, exact 3-gram Jaccard ≥ 0.5 verifies only those
+    pairs, connected components assign clusters; singletons keep themselves.
+
+    The oracle is exact all-pairs Jaccard + recursive-CTE closure: it matches
+    because LSH recall at this banding is ~1 for the j ≥ 0.9 near-dup pairs
+    the corpus actually contains (P(miss) = (1-j^4)^8 ≈ 2e-5 per pair), and
+    the pipeline verifies candidates with the same exact Jaccard the oracle
+    computes — LSH false positives are filtered identically on both sides.
+    Reference capability: DeduplicationTransformer.java:37-88 generalized
+    from exact-key first-wins to similarity clusters."""
+    from covid19_spark.operators.dedup import lsh_dedup_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    return lsh_dedup_pipeline(
+        docs, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3, threshold=0.5
+    ).orderBy("doc_id")
+
+
+ORACLE_DEDUP_PIPELINE_E2E = """
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(string_split(lower(text), ' ')) - 2, 0) + 1),
+             i -> string_split(lower(text), ' ')[i] || ' ' ||
+                  string_split(lower(text), ' ')[i+1] || ' ' ||
+                  string_split(lower(text), ' ')[i+2])) AS sh
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(a.sh || b.sh)) > 0
+    AND len(list_intersect(a.sh, b.sh))
+        / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.5
+),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+reach AS (
+  SELECT u AS node, v AS r FROM sym
+  UNION
+  SELECT reach.node, sym.v FROM reach JOIN sym ON reach.r = sym.u
+),
+cc AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node),
+sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM cc GROUP BY cluster),
+clustered AS (
+  SELECT node, cluster, cluster_size FROM cc JOIN sizes USING (cluster)
+)
+SELECT documents.doc_id,
+       COALESCE(clustered.cluster, documents.doc_id) AS cluster_id,
+       CAST(COALESCE(clustered.cluster_size, 1) AS BIGINT) AS cluster_size,
+       CAST(COALESCE(documents.doc_id = clustered.cluster, TRUE) AS BIGINT)
+         AS is_canonical
+FROM documents LEFT JOIN clustered ON documents.doc_id = clustered.node
+ORDER BY documents.doc_id
+"""
+
+
+QUERY_REGISTRY["dedup_pipeline_e2e"] = QuerySpec(
+    q_dedup_pipeline_e2e,
+    ORACLE_DEDUP_PIPELINE_E2E,
+    "full-table MinHash-LSH discovery -> exact-Jaccard verify -> clusters",
+)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing audit: shard by md5(doc_id), pack documents
     contiguously into 256-token bins in deterministic md5 order, report

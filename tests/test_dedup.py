@@ -223,3 +223,70 @@ def test_blocked_edit_distance_drops_oversized_blocks(spark):
 
 def test_semantic_dedup_matches_fixture(spark):
     _assert_matches_fixture(spark, "semantic_dedup", ["vec_id"])
+
+
+def test_lsh_dedup_pipeline_matches_exact_all_pairs(spark):
+    """End-to-end discovery→verify→cluster equals exact all-pairs clustering
+    on the real documents table (sf0.001): LSH recall is 1 for the j≥0.9
+    near-dups the corpus contains, and verification is the same exact Jaccard
+    — so the pipeline must reproduce the brute-force result exactly."""
+    from covid19_spark.operators.dedup import dedup_clusters, lsh_dedup_pipeline
+    from covid19_spark.operators.text import word_shingles
+    from covid19_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in lsh_dedup_pipeline(
+            docs, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3, threshold=0.5
+        ).collect()
+    }
+
+    # brute-force truth: all-pairs exact Jaccard >= 0.5 -> components
+    sh = docs.select("doc_id", word_shingles(F.col("text"), 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_union("sa", "sb"))
+    pairs = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", (inter / union).alias("j"), union.alias("u"))
+        .filter((F.col("u") > 0) & (F.col("j") >= 0.5))
+    )
+    truth_clusters = dedup_clusters(pairs.select("doc_a", "doc_b"))
+    truth = {
+        r.doc_id: (r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in truth_clusters.collect()
+    }
+    n_docs = docs.count()
+    assert len(got) == n_docs
+    clustered = {k: v for k, v in got.items() if v[1] > 1}
+    assert clustered, "corpus should contain at least one near-dup cluster"
+    for doc_id, vals in truth.items():
+        assert got[doc_id] == vals
+    # non-clustered docs are singletons pointing at themselves
+    for doc_id, (cid, size, canon) in got.items():
+        if doc_id not in truth:
+            assert (cid, size, canon) == (doc_id, 1, 1)
+
+
+def test_dedup_clusters_survives_giant_cluster_without_forced_broadcast(spark):
+    """The per-cluster size frame is O(#clusters) and must NOT carry a forced
+    broadcast hint (a pathological everything-is-a-dup corpus would exceed
+    broadcast limits); AQE decides at runtime. Correctness pinned on a graph
+    with one giant cluster plus scattered small ones."""
+    from covid19_spark.operators.dedup import dedup_clusters
+
+    # dedup-shaped graph: LSH+verify emits near-cliques, so the giant cluster
+    # is a star around its min node (a 500-hop chain is NOT a dedup shape —
+    # that regime is documented as needing large-star/small-star instead)
+    edges = [(0, i) for i in range(1, 501)] + [(1000 + 2 * i, 1001 + 2 * i) for i in range(50)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    out = dedup_clusters(pairs).collect()
+    by_doc = {r.doc_id: r for r in out}
+    assert by_doc[500].cluster_id == 0 and by_doc[500].cluster_size == 501
+    assert by_doc[1001].cluster_id == 1000 and by_doc[1001].cluster_size == 2
+    assert sum(1 for r in out if r.is_canonical) == 1 + 50
+    # plan-level: no user-forced ResolvedHint survives to the optimized plan
+    plan = dedup_clusters(pairs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "UnresolvedHint" not in plan and "ResolvedHint" not in plan
