@@ -1105,6 +1105,61 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec multimodal path end-to-end: synthesize valid uncompressed
+    24-bpp BMP payloads whose pixels derive deterministically from doc_id
+    (seeded generator inside a mapInPandas kernel), decode them with the
+    pure-numpy BMP reader (``use_fake=False`` — no fake anywhere), and
+    featurize the decoded pixel arrays. Bounded to 500 blobs so the payload
+    synthesis stays a demo; the decode/feature plumbing is the production
+    path. Non-SQL-expressible (binary format parsing) → rows-only driver
+    check + exact checked-in fixture."""
+    import numpy as np
+    import pandas as pd
+
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        extract_image_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 500)
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                rng = np.random.default_rng(int(did))
+                h, w = 8 + int(did) % 8, 8 + int(did) % 5
+                img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                rows.append(
+                    (int(did), "image", "image/bmp", w, h, None, encode_bmp(img))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "mime", "width", "height",
+                    "duration_ms", "payload",
+                ],
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    feats = extract_image_features(media, use_fake=False)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+        F.round(F.element_at("feature", 8), 4).alias("f7"),
+    ).orderBy("media_id")
+
+
+QUERY_REGISTRY["bmp_image_features"] = QuerySpec(
+    q_bmp_image_features, None, "real BMP decode -> features (rows-only)"
+)
+
+
 QUERY_REGISTRY.update(
     {
         "text_quality": QuerySpec(q_text_quality, ORACLE_TEXT_QUALITY, "text quality scoring"),

@@ -290,3 +290,7 @@ def test_dedup_clusters_survives_giant_cluster_without_forced_broadcast(spark):
     # plan-level: no user-forced ResolvedHint survives to the optimized plan
     plan = dedup_clusters(pairs)._jdf.queryExecution().optimizedPlan().toString()
     assert "UnresolvedHint" not in plan and "ResolvedHint" not in plan
+
+
+def test_bmp_image_features_matches_fixture(spark):
+    _assert_matches_fixture(spark, "bmp_image_features", ["media_id"])

@@ -92,3 +92,58 @@ def test_real_codec_paths_raise(spark):
         resize_images(media, 8, 8, use_fake=False).collect()
     with pytest.raises(Exception, match="NotImplementedError|image codec"):
         extract_audio_features(media, use_fake=False).collect()
+
+
+def test_bmp_roundtrip_exact():
+    from covid19_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(11)
+    for h, w in [(5, 3), (4, 4), (7, 2), (1, 1)]:  # w=3,2,1 exercise row padding
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_bmp_top_down_and_rejects():
+    import struct
+
+    import pytest
+
+    from covid19_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    buf = bytearray(encode_bmp(img))
+    # flip height negative -> top-down row order; rows must come out reversed
+    h = struct.unpack_from("<i", buf, 22)[0]
+    struct.pack_into("<i", buf, 22, -h)
+    assert np.array_equal(decode_bmp(bytes(buf)), img[::-1])
+    with pytest.raises(ValueError):
+        decode_bmp(b"\x89PNG")
+    bad = bytearray(encode_bmp(img))
+    struct.pack_into("<H", bad, 28, 8)  # 8-bpp paletted
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(bad))
+
+
+def test_real_decode_path_end_to_end_exact_features(spark):
+    """use_fake=False exercised for real: generated BMPs decode through the
+    pure-numpy reader inside mapInPandas and produce the exact features
+    computed locally from the known pixel arrays."""
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        image_features_from_pixels,
+    )
+
+    rng = np.random.default_rng(23)
+    imgs = {i: rng.integers(0, 256, size=(6 + i, 5 + i, 3), dtype=np.uint8) for i in range(8)}
+    rows = [
+        (i, "image", "image/bmp", int(imgs[i].shape[1]), int(imgs[i].shape[0]), None, encode_bmp(imgs[i]))
+        for i in range(8)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in extract_image_features(media, use_fake=False).collect()}
+    assert len(out) == 8
+    for i, img in imgs.items():
+        expected = image_features_from_pixels(img)
+        assert np.allclose(out[i].feature, expected, atol=1e-6), i
+        assert out[i].n_bytes == len(encode_bmp(img))

@@ -30,6 +30,7 @@ FIXTURE_QUERIES = (
     "ivf_cosine_topk",
     "multimodal_features",
     "semantic_dedup",
+    "bmp_image_features",
 )
 
 
