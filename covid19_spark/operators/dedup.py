@@ -429,13 +429,20 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr = sym.join(labels, sym["v"] == labels["node"]).select(
             sym["u"].alias("node"), F.col("comp")
         )
         new_labels = (
             labels.union(nbr).groupBy("node").agg(F.min("comp").alias("comp"))
         ).localCheckpoint(eager=True)
+        if i == 0:
+            # Round 1 always changes a label on a nonempty edge set (for
+            # every edge (u,v), max(u,v)'s label drops to min(u,v) or less),
+            # so the fixpoint probe — an extra join + count action — is pure
+            # overhead here; start probing from round 2.
+            labels = new_labels
+            continue
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

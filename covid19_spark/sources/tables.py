@@ -46,6 +46,19 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
+            # LongType here only ever means "nanos read through the legacy
+            # conf" — but an int64 ts written in any OTHER unit (epoch
+            # millis, say) would be silently misscaled by div-1000. Assert
+            # the parquet logical type really is timestamp[ns] before
+            # truncating; fail loudly on anything unrecognized.
+            import pyarrow.parquet as pq
+
+            arrow_type = pq.read_schema(f"{sf_dir}/{name}.parquet").field("ts").type
+            if str(arrow_type) != "timestamp[ns]":
+                raise ValueError(
+                    f"events.ts read as int64 but parquet logical type is "
+                    f"{arrow_type}; refusing to guess the time unit"
+                )
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -182,3 +182,47 @@ def test_runtime_bloom_filter_prunes_selective_fact_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bounded_global_windows_read_aggregated_inputs(spark):
+    """The only deliberately-global (partitionless) windows in the registry
+    run over provably-bounded inputs: length_buckets' running sum reads the
+    per-bucket aggregate (≤ max_len/32 rows) and cumulative_unique_users
+    reads the per-first-date aggregate (≤ |days| rows). Pin that the Window
+    sits ABOVE a HashAggregate on the bounding key — if a refactor widens
+    either input to per-row grain (aggregate removed or keys widened), this
+    fails before the single-partition WindowExec becomes a scale bug."""
+    import re
+
+    for name, key in (("length_buckets", "bucket"), ("cumulative_unique_users", "first_date")):
+        plan = plan_of(spark, name)
+        assert "Window" in plan, name
+        below_window = plan[plan.index("Window"):]
+        agg = re.search(rf"HashAggregate\(keys=\[{key}#\d+[^\]]*\]", below_window)
+        scan = re.search(r"Scan parquet", below_window)
+        assert agg, f"{name}: no {key}-grain aggregate below the global window"
+        assert scan and agg.start() < scan.start(), (
+            f"{name}: global window must consume the aggregate, not the scan"
+        )
+
+
+def test_events_int64_ts_requires_nanos_logical_type(spark, tmp_path):
+    """An int64 events.ts whose parquet logical type is NOT timestamp[ns]
+    must be refused, not silently div-1000 misscaled (ADVICE r2)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    sf_dir = tmp_path / "sf_bogus"
+    sf_dir.mkdir()
+    # plain int64 ts (e.g. epoch millis) — ambiguous unit, must raise
+    pq.write_table(
+        pa.table({"user_id": pa.array([1], pa.int64()), "ts": pa.array([1700000000000], pa.int64())}),
+        str(sf_dir / "events.parquet"),
+    )
+    from covid19_spark.sources.tables import load_table
+
+    with pytest.raises(Exception, match="refusing to guess|logical type"):
+        load_table(spark, "events", str(sf_dir)).collect()
