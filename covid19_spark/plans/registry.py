@@ -2284,6 +2284,73 @@ QUERY_REGISTRY["dedup_pipeline_e2e"] = QuerySpec(
 )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: screen a NEW document batch (doc_id % 4 == 3)
+    against the EXISTING corpus (doc_id % 4 < 3) — exact digest first-wins
+    plus LSH probe + exact-Jaccard/containment verify, never pairing
+    corpus↔corpus or batch↔batch. The production pattern for continuously
+    arriving data: cost scales with the batch, the corpus side is a
+    precomputed bucket index. Oracle = exhaustive batch×corpus compare
+    (same recall-1 argument as dedup_pipeline_e2e)."""
+    from covid19_spark.operators.dedup import incremental_dedup_against_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 < 3)
+    batch = docs.filter(F.col("doc_id") % 4 == 3)
+    return incremental_dedup_against_corpus(
+        corpus, batch, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3,
+        threshold=0.5,
+    ).orderBy("doc_id")
+
+
+ORACLE_DEDUP_INCREMENTAL = """
+WITH shingled AS (
+  SELECT doc_id, md5(text) AS th,
+         list_distinct(list_transform(
+             range(1, greatest(len(string_split(lower(text), ' ')) - 2, 0) + 1),
+             i -> string_split(lower(text), ' ')[i] || ' ' ||
+                  string_split(lower(text), ' ')[i+1] || ' ' ||
+                  string_split(lower(text), ' ')[i+2])) AS sh
+  FROM documents
+),
+c AS (SELECT * FROM shingled WHERE doc_id % 4 < 3),
+b AS (SELECT * FROM shingled WHERE doc_id % 4 = 3),
+cd AS (SELECT DISTINCT th FROM c),
+verified AS (
+  SELECT b.doc_id AS bid, c.doc_id AS cid,
+         len(list_intersect(b.sh, c.sh))
+           / CAST(len(list_distinct(b.sh || c.sh)) AS DOUBLE) AS j,
+         CASE WHEN len(b.sh) > 0
+              THEN len(list_intersect(b.sh, c.sh)) / CAST(len(b.sh) AS DOUBLE)
+              ELSE 0.0 END AS cont
+  FROM b CROSS JOIN c
+  WHERE len(list_distinct(b.sh || c.sh)) > 0
+    AND len(list_intersect(b.sh, c.sh))
+        / CAST(len(list_distinct(b.sh || c.sh)) AS DOUBLE) >= 0.5
+),
+hits AS (
+  SELECT bid, CAST(min(cid) AS BIGINT) AS ndof, max(j) AS bj, max(cont) AS bc
+  FROM verified GROUP BY bid
+)
+SELECT b.doc_id,
+       CAST(CASE WHEN cd.th IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_exact_dup,
+       CAST(COALESCE(hits.ndof, -1) AS BIGINT) AS near_dup_of,
+       COALESCE(hits.bj, 0.0) AS best_jaccard,
+       COALESCE(hits.bc, 0.0) AS best_containment,
+       CAST(CASE WHEN cd.th IS NULL AND hits.ndof IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS keep
+FROM b LEFT JOIN cd ON b.th = cd.th LEFT JOIN hits ON b.doc_id = hits.bid
+ORDER BY b.doc_id
+"""
+
+
+QUERY_REGISTRY["dedup_incremental"] = QuerySpec(
+    q_dedup_incremental,
+    ORACLE_DEDUP_INCREMENTAL,
+    "new-batch screening against an existing corpus index (exact + LSH)",
+)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing audit: shard by md5(doc_id), pack documents
     contiguously into 256-token bins in deterministic md5 order, report
@@ -3623,6 +3690,7 @@ _DRIVER_UNVERIFIED_FIRST = [
     # round-3 additions (no driver row yet)
     "dedup_pipeline_e2e",
     "bmp_image_features",
+    "dedup_incremental",
     # round-2 second wave (registered after CORRECTNESS_r02's 50-query prefix)
     "stratified_sample",
     "domain_mix_sample",

@@ -294,3 +294,42 @@ def test_dedup_clusters_survives_giant_cluster_without_forced_broadcast(spark):
 
 def test_bmp_image_features_matches_fixture(spark):
     _assert_matches_fixture(spark, "bmp_image_features", ["media_id"])
+
+
+def test_incremental_dedup_against_corpus(spark):
+    """Batch screening against a corpus: exact dup flagged, near-dup matched
+    to the smallest corpus id, subset doc surfaces high containment, unique
+    doc keeps. Corpus↔corpus dups must NOT affect the batch verdicts."""
+    from covid19_spark.operators.dedup import incremental_dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again"),
+            (1, "the quick brown fox jumps over the lazy dog again and again"),  # corpus-internal dup
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 0/1
+            (11, "the quick brown fox jumps over the lazy dog again and again today"),  # near dup
+            (12, "machine learning pipelines at petabyte scale need partitioning"),  # unique
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in incremental_dedup_against_corpus(
+            corpus, batch, "doc_id", "text", shingle_n=2, threshold=0.5
+        ).collect()
+    }
+    assert out[10].is_exact_dup == 1 and out[10].near_dup_of == 0 and out[10].keep == 0
+    assert out[10].best_jaccard == 1.0 and out[10].best_containment == 1.0
+    assert out[11].is_exact_dup == 0 and out[11].near_dup_of == 0 and out[11].keep == 0
+    assert 0.5 <= out[11].best_jaccard < 1.0
+    # the batch doc's shingles are a strict superset -> containment of the
+    # batch doc in the corpus doc is below 1 but above jaccard
+    assert out[11].best_containment >= out[11].best_jaccard
+    assert out[12].is_exact_dup == 0 and out[12].near_dup_of == -1 and out[12].keep == 1
+    assert out[12].best_jaccard == 0.0
