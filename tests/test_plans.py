@@ -226,3 +226,18 @@ def test_events_int64_ts_requires_nanos_logical_type(spark, tmp_path):
 
     with pytest.raises(Exception, match="refusing to guess|logical type"):
         load_table(spark, "events", str(sf_dir)).collect()
+
+
+def test_dedup_pipelines_never_go_quadratic(spark):
+    """The end-to-end and incremental dedup pipelines must stay equi-join
+    compositions: no CartesianProduct / BroadcastNestedLoopJoin anywhere, and
+    the LSH probe is a hash-keyed (band, bucket) equi-join."""
+    for name in ("dedup_pipeline_e2e", "dedup_incremental"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # dedup_pipeline_e2e's connected-components stage checkpoints eagerly, so
+    # its executed plan only shows the post-CC tail; the (band, bucket) probe
+    # shape is asserted on the incremental pipeline, whose plan is end-to-end.
+    plan = plan_of(spark, "dedup_incremental")
+    assert "band" in plan and "bucket" in plan
