@@ -399,39 +399,23 @@ def lsh_dedup_pipeline(
     )
 
 
-def incremental_dedup_against_corpus(
-    corpus: DataFrame,
+def _screen_batch_against_index(
     batch: DataFrame,
+    c_digests: DataFrame,  # (__th)
+    c_buckets: DataFrame,  # (__cid, band, bucket)
+    c_shingles: DataFrame,  # (__cid, __csh)
     id_col: str,
     text_col: str,
-    num_hashes: int = 32,
-    bands: int = 8,
-    shingle_n: int = 3,
-    threshold: float = 0.5,
-    max_bucket: int | None = 10_000,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    threshold: float,
+    max_bucket: int | None,
 ) -> DataFrame:
-    """Batch twin of the streaming LSH dedup filter
-    (``streaming/dedup_lsh_stream``): screen a NEW batch of documents against
-    an EXISTING deduplicated corpus without ever pairing corpus↔corpus or
-    batch↔batch rows — the cost is proportional to the batch, not the corpus.
-
-    Stages (all batch-bounded):
-      1. exact first-wins: anti-probe of md5(text) against the corpus digest
-         set (the reference's DeduplicationTransformer semantics,
-         DeduplicationTransformer.java:37-88, generalized to a second corpus);
-      2. near-dup probe: batch band buckets hash-join the corpus bucket
-         index on (band, bucket) — at scale the corpus side is a
-         precomputed, persisted index, so only the batch is signed fresh;
-      3. exact verify on candidates only: n-gram Jaccard PLUS containment
-         (|batch∩corpus| / |batch|), which catches a new doc that is a
-         near-subset of an existing one even when symmetric Jaccard is low.
-
-    Output: one row per batch document —
-    (id_col, is_exact_dup, near_dup_of, best_jaccard, best_containment, keep)
-    where ``near_dup_of`` is the smallest corpus id with Jaccard ≥ threshold
-    (-1 if none), and ``keep`` = not exact-dup and no near-dup hit.
-    """
-    c_digests = corpus.select(F.md5(F.col(text_col)).alias("__th")).distinct()
+    """Shared core of the incremental screen: probe a new batch against a
+    corpus index given as three frames (digest set, bucket index, shingle
+    store) — inline-derived by ``incremental_dedup_against_corpus``, loaded
+    from parquet by ``incremental_dedup_against_index``."""
     b_base = batch.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("__th")
     ).join(
@@ -440,11 +424,7 @@ def incremental_dedup_against_corpus(
         F.col(id_col), F.coalesce("__exact", F.lit(0)).cast("long").alias("is_exact_dup")
     )
 
-    c_sig = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_n)
-    b_sig = minhash_signatures(batch, id_col, text_col, num_hashes, shingle_n)
-    cb = band_buckets(c_sig, id_col, num_hashes, bands).select(
-        F.col(id_col).alias("__cid"), "band", "bucket"
-    )
+    cb = c_buckets
     if max_bucket is not None:
         oversized = (
             cb.groupBy("band", "bucket")
@@ -453,15 +433,12 @@ def incremental_dedup_against_corpus(
             .select("band", "bucket")
         )
         cb = cb.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
+    b_sig = minhash_signatures(batch, id_col, text_col, num_hashes, shingle_n)
     bb = band_buckets(b_sig, id_col, num_hashes, bands).select(
         F.col(id_col).alias("__bid"), "band", "bucket"
     )
     cands = bb.join(cb, ["band", "bucket"]).select("__bid", "__cid").distinct()
 
-    c_sh = corpus.select(
-        F.col(id_col).alias("__cid"),
-        word_shingles(F.col(text_col), shingle_n).alias("__csh"),
-    )
     b_sh = batch.select(
         F.col(id_col).alias("__bid"),
         word_shingles(F.col(text_col), shingle_n).alias("__bsh"),
@@ -470,7 +447,7 @@ def incremental_dedup_against_corpus(
     union = F.size(F.array_union("__bsh", "__csh"))
     scored = (
         cands.join(b_sh, "__bid")
-        .join(c_sh, "__cid")
+        .join(c_shingles, "__cid")
         .select(
             "__bid",
             "__cid",
@@ -504,6 +481,113 @@ def incremental_dedup_against_corpus(
         ).cast("long").alias("keep"),
     )
     return out
+
+
+def incremental_dedup_against_corpus(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Batch twin of the streaming LSH dedup filter
+    (``streaming/dedup_lsh_stream``): screen a NEW batch of documents against
+    an EXISTING deduplicated corpus without ever pairing corpus↔corpus or
+    batch↔batch rows — the cost is proportional to the batch, not the corpus.
+
+    Stages (all batch-bounded):
+      1. exact first-wins: anti-probe of md5(text) against the corpus digest
+         set (the reference's DeduplicationTransformer semantics,
+         DeduplicationTransformer.java:37-88, generalized to a second corpus);
+      2. near-dup probe: batch band buckets hash-join the corpus bucket
+         index on (band, bucket) — at scale the corpus side is a
+         precomputed, persisted index, so only the batch is signed fresh;
+      3. exact verify on candidates only: n-gram Jaccard PLUS containment
+         (|batch∩corpus| / |batch|), which catches a new doc that is a
+         near-subset of an existing one even when symmetric Jaccard is low.
+
+    Output: one row per batch document —
+    (id_col, is_exact_dup, near_dup_of, best_jaccard, best_containment, keep)
+    where ``near_dup_of`` is the smallest corpus id with Jaccard ≥ threshold
+    (-1 if none), and ``keep`` = not exact-dup and no near-dup hit.
+    """
+    c_digests = corpus.select(F.md5(F.col(text_col)).alias("__th")).distinct()
+    c_sig = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_n)
+    c_buckets = band_buckets(c_sig, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("__cid"), "band", "bucket"
+    )
+    c_shingles = corpus.select(
+        F.col(id_col).alias("__cid"),
+        word_shingles(F.col(text_col), shingle_n).alias("__csh"),
+    )
+    return _screen_batch_against_index(
+        batch, c_digests, c_buckets, c_shingles,
+        id_col, text_col, num_hashes, bands, shingle_n, threshold, max_bucket,
+    )
+
+
+def build_dedup_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> None:
+    """Persist the corpus dedup index the incremental screen probes — the
+    write-once artifact that makes admitting a new batch O(batch) instead of
+    O(corpus):
+
+      ``{path}/digests``  — distinct md5 text digests (exact first-wins set);
+      ``{path}/buckets``  — (band, bucket, id) rows PARTITIONED BY band, so a
+                            probe's (band, bucket) equi-join prunes to the
+                            band's files before any IO;
+      ``{path}/shingles`` — (id, shingle array) for the exact-verify stage.
+
+    The streaming twin (``streaming/dedup_lsh_stream``) maintains the same
+    index incrementally per micro-batch; this is the batch bootstrap.
+    """
+    corpus.select(F.md5(F.col(text_col)).alias("__th")).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{path}/digests")
+    sig = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_n)
+    band_buckets(sig, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("__cid"), "band", "bucket"
+    ).write.mode("overwrite").partitionBy("band").parquet(f"{path}/buckets")
+    corpus.select(
+        F.col(id_col).alias("__cid"),
+        word_shingles(F.col(text_col), shingle_n).alias("__csh"),
+    ).write.mode("overwrite").parquet(f"{path}/shingles")
+
+
+def incremental_dedup_against_index(
+    batch: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Screen a new batch against a PERSISTED corpus index written by
+    ``build_dedup_index`` — identical output to
+    ``incremental_dedup_against_corpus`` without touching corpus text at all;
+    the hash parameters must match the ones the index was built with."""
+    spark = batch.sparkSession
+    return _screen_batch_against_index(
+        batch,
+        spark.read.parquet(f"{index_path}/digests"),
+        spark.read.parquet(f"{index_path}/buckets").select("__cid", "band", "bucket"),
+        spark.read.parquet(f"{index_path}/shingles"),
+        id_col, text_col, num_hashes, bands, shingle_n, threshold, max_bucket,
+    )
 
 
 def connected_components(

@@ -113,3 +113,42 @@ def pairwise_correlations(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return wide.select(
         F.explode(F.array(*out_structs)).alias("p"), n.alias("n_rows")
     ).select("p.col_a", "p.col_b", "p.corr", "n_rows")
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Key-distribution diagnostic for partitioning decisions: per-key row
+    counts reduced to one stats row — key count, max/mean per-key load, exact
+    p50/p90/p99 of the count distribution, the max/mean skew ratio, and the
+    smallest key carrying the max load. This is the report you run BEFORE
+    picking a shuffle key, a salting factor, or an AQE skew threshold: a
+    skew_ratio near 1 means hash partitioning is safe; 100× means the top
+    key needs salting/two-phase aggregation (operators/skew.py).
+
+    Plan: one groupBy(key) with map-side partial counts (shuffle carries
+    |keys| rows), then a single-row global aggregate — no windows, no sort.
+    The top-key lookup joins the (tiny) max back against per-key counts.
+    """
+    per_key = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    stats = per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("__cnt").cast("long").alias("total_rows"),
+        F.max("__cnt").cast("long").alias("max_cnt"),
+        F.percentile("__cnt", F.lit(0.5)).alias("p50_cnt"),
+        F.percentile("__cnt", F.lit(0.9)).alias("p90_cnt"),
+        F.percentile("__cnt", F.lit(0.99)).alias("p99_cnt"),
+    ).select(
+        "n_keys",
+        "total_rows",
+        "max_cnt",
+        (F.col("total_rows") / F.col("n_keys")).alias("mean_cnt"),
+        "p50_cnt",
+        "p90_cnt",
+        "p99_cnt",
+        (F.col("max_cnt") / (F.col("total_rows") / F.col("n_keys"))).alias("skew_ratio"),
+    )
+    max_cnt = per_key.agg(F.max("__cnt").alias("__mx"))
+    top = (
+        per_key.join(F.broadcast(max_cnt), per_key["__cnt"] == max_cnt["__mx"])
+        .agg(F.min(key_col).cast("long").alias("top_key"))
+    )
+    return stats.crossJoin(top)

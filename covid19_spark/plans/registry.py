@@ -3238,6 +3238,44 @@ QUERY_REGISTRY["profile_orders"] = QuerySpec(
 )
 
 
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic over events.user_id: the report run before
+    choosing a shuffle key / salting factor / AQE skew threshold. One
+    partial-agg shuffle of |keys| rows + a single-row reduce; exact
+    interpolated percentiles of the per-key load distribution."""
+    from covid19_spark.operators.profile import key_skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_report(ev, "user_id")
+
+
+ORACLE_KEY_SKEW_REPORT = """
+WITH pk AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS total_rows,
+         CAST(max(cnt) AS BIGINT) AS max_cnt,
+         quantile_cont(cnt, 0.5) AS p50_cnt,
+         quantile_cont(cnt, 0.9) AS p90_cnt,
+         quantile_cont(cnt, 0.99) AS p99_cnt
+  FROM pk
+),
+t AS (SELECT CAST(min(user_id) AS BIGINT) AS top_key FROM pk
+      WHERE cnt = (SELECT max(cnt) FROM pk))
+SELECT n_keys, total_rows, max_cnt,
+       total_rows / CAST(n_keys AS DOUBLE) AS mean_cnt,
+       p50_cnt, p90_cnt, p99_cnt,
+       max_cnt / (total_rows / CAST(n_keys AS DOUBLE)) AS skew_ratio,
+       top_key
+FROM s, t
+"""
+
+
+QUERY_REGISTRY["key_skew_report"] = QuerySpec(
+    q_key_skew_report, ORACLE_KEY_SKEW_REPORT, "pre-partitioning key-skew diagnostic"
+)
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (the class-centroid reduction used by
     SemDeDup-style semantic dedup and IVF retraining), emitted long-form as
@@ -3691,6 +3729,7 @@ _DRIVER_UNVERIFIED_FIRST = [
     "dedup_pipeline_e2e",
     "bmp_image_features",
     "dedup_incremental",
+    "key_skew_report",
     # round-2 second wave (registered after CORRECTNESS_r02's 50-query prefix)
     "stratified_sample",
     "domain_mix_sample",

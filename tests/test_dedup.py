@@ -333,3 +333,37 @@ def test_incremental_dedup_against_corpus(spark):
     assert out[11].best_containment >= out[11].best_jaccard
     assert out[12].is_exact_dup == 0 and out[12].near_dup_of == -1 and out[12].keep == 1
     assert out[12].best_jaccard == 0.0
+
+
+def test_persisted_dedup_index_equals_inline_screen(spark, tmp_path):
+    """build_dedup_index -> incremental_dedup_against_index reproduces the
+    inline screen exactly, the bucket store is partitioned by band (partition
+    pruning for probes), and screening never reads corpus text."""
+    import os
+
+    from covid19_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_against_corpus,
+        incremental_dedup_against_index,
+    )
+    from covid19_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    corpus = docs.filter(F.col("doc_id") % 4 < 3)
+    batch = docs.filter(F.col("doc_id") % 4 == 3)
+    idx = str(tmp_path / "dedup_index")
+    build_dedup_index(corpus, "doc_id", "text", idx)
+    assert os.path.isdir(os.path.join(idx, "buckets", "band=0"))
+    assert os.path.isdir(os.path.join(idx, "digests"))
+
+    inline = {
+        r.doc_id: r
+        for r in incremental_dedup_against_corpus(corpus, batch, "doc_id", "text").collect()
+    }
+    from_index = {
+        r.doc_id: r
+        for r in incremental_dedup_against_index(batch, idx, "doc_id", "text").collect()
+    }
+    assert set(inline) == set(from_index)
+    for k in inline:
+        assert inline[k] == from_index[k], k

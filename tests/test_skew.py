@@ -46,3 +46,18 @@ def test_two_phase_agg_matches_plain(spark):
         for r in two_phase_agg(df, ["k"], "row_id", sums=["v"]).collect()
     }
     assert plain == skewsafe
+
+
+def test_key_skew_report_detects_planted_hot_key(spark):
+    """A 100x hot key must surface as the top key with a skew ratio near the
+    ratio of its load to the mean; a uniform distribution stays near 1."""
+    from covid19_spark.operators.profile import key_skew_report
+
+    rows = [(k, i) for k in range(10) for i in range(10)] + [(99, i) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["user_id", "v"])
+    r = key_skew_report(df, "user_id").collect()[0]
+    assert r.top_key == 99 and r.max_cnt == 1000
+    assert r.n_keys == 11 and r.total_rows == 1100
+    assert r.skew_ratio == 1000 / (1100 / 11)
+    uniform = spark.createDataFrame([(k, i) for k in range(10) for i in range(10)], ["user_id", "v"])
+    assert key_skew_report(uniform, "user_id").collect()[0].skew_ratio == 1.0
