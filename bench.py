@@ -40,6 +40,25 @@ def main() -> None:
     for t in ("region", "lineitem", "orders", "documents", "embeddings", "events"):
         load_table(spark, t, sf_dir).count()  # events needs the nanos loader
     spark.range(1000).groupBy((F.col("id") % 2).alias("k")).count().collect()
+    # Warm the shared codegen/executor machinery (hash join, window, explode,
+    # array exprs, sort, shuffle write) with one tiny compound query so the
+    # FIRST timed query isn't charged for compiling templates every later
+    # query reuses. Toy data — runs in well under a second.
+    from pyspark.sql import Window as _W
+
+    a = spark.range(5000).select(
+        "id", (F.col("id") % 7).alias("k"),
+        F.array_repeat(F.col("id").cast("string"), 3).alias("arr"),
+    )
+    b = spark.range(500).select(F.col("id").alias("bid"), (F.col("id") % 7).alias("k"))
+    (
+        a.join(b, "k")
+        .select("id", "k", F.explode("arr").alias("x"))
+        .groupBy("k").agg(F.count(F.lit(1)).alias("c"), F.sum("id").alias("s"))
+        .withColumn("r", F.row_number().over(_W.partitionBy(F.lit(1)).orderBy(F.col("c").desc())))
+        .orderBy("k")
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -169,3 +169,96 @@ def test_scd2_matches_python_model(spark, raw):
             nxt = runs[i + 1][1] if i + 1 < len(runs) else None
             expected.append((k, i + 1, a, ts0, nxt, n))
     assert got == sorted(expected)
+
+
+texts_strategy = st.lists(
+    st.lists(
+        st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split()),
+        min_size=0,
+        max_size=12,
+    ).map(" ".join),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(texts_strategy)
+@SETTINGS
+def test_lsh_dedup_pipeline_invariants(spark, texts):
+    """Structural invariants on random corpora: exactly one row per doc,
+    exactly one canonical per cluster, cluster_size consistent with the
+    actual member count, cluster_id is the min member id, and exact
+    duplicates always share a cluster."""
+    from covid19_spark.operators.dedup import lsh_dedup_pipeline
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = lsh_dedup_pipeline(df, "doc_id", "text", shingle_n=2, threshold=0.5).collect()
+    assert sorted(r.doc_id for r in out) == list(range(len(texts)))
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m.doc_id for m in members)
+        assert sum(m.is_canonical for m in members) == 1
+        assert all(m.cluster_size == len(members) for m in members)
+    # exact duplicates (identical non-trivial text => jaccard 1) co-cluster
+    first_by_text = {}
+    cluster_of = {r.doc_id: r.cluster_id for r in out}
+    for i, t in enumerate(texts):
+        if len(t.split()) >= 2:
+            if t in first_by_text:
+                assert cluster_of[i] == cluster_of[first_by_text[t]], (i, t)
+            else:
+                first_by_text[t] = i
+
+
+@given(texts_strategy)
+@SETTINGS
+def test_incremental_screen_matches_python_model(spark, texts):
+    """The incremental screen agrees with a pure-Python exhaustive model on
+    random corpora (exact-dup flag, near-dup target, keep verdict)."""
+    from covid19_spark.operators.dedup import incremental_dedup_against_corpus
+
+    rows = list(enumerate(texts))
+    corpus = [(i, t) for i, t in rows if i % 2 == 0]
+    batch = [(i, t) for i, t in rows if i % 2 == 1]
+    if not batch or not corpus:
+        return
+    cdf = spark.createDataFrame(corpus, ["doc_id", "text"])
+    bdf = spark.createDataFrame(batch, ["doc_id", "text"])
+    got = {
+        r.doc_id: r
+        for r in incremental_dedup_against_corpus(
+            cdf, bdf, "doc_id", "text", shingle_n=2, threshold=0.5
+        ).collect()
+    }
+
+    def shingles(t):
+        toks = t.lower().split(" ")
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)} if len(toks) >= 2 else set()
+
+    corpus_texts = {t for _, t in corpus}
+    for bid, bt in batch:
+        exact = int(bt in corpus_texts)
+        jac = {}
+        for cid, ct in corpus:
+            bs, cs = shingles(bt), shingles(ct)
+            if bs | cs:
+                jac[cid] = len(bs & cs) / len(bs | cs)
+        r = got[bid]
+        # md5 exact-dup flag is deterministic — always asserted
+        assert r.is_exact_dup == exact, (bid, bt)
+        # PRECISION is exact (candidates are verified with true Jaccard): any
+        # reported near-dup must really be >= threshold, and the reported
+        # target must be a true hit
+        if r.near_dup_of != -1:
+            assert jac.get(r.near_dup_of, 0.0) >= 0.5, (bid, r.near_dup_of)
+            assert r.best_jaccard >= 0.5
+        # RECALL is only probabilistically guaranteed; assert it where the
+        # banding makes a miss essentially impossible (j >= 0.9 =>
+        # P(miss) = (1-0.9^4)^8 ~ 2e-5) — never for borderline pairs
+        high = [cid for cid, j in jac.items() if j >= 0.9]
+        if high:
+            assert r.near_dup_of != -1, (bid, bt, high)
+            assert r.near_dup_of <= min(high)
+        assert r.keep == int(exact == 0 and r.near_dup_of == -1)
