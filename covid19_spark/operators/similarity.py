@@ -445,6 +445,239 @@ def ivf_cosine_topk(
     )
 
 
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 1,
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou/Douze/Schmid 2011, "Product
+    quantization for nearest neighbor search"): split the vector into ``m``
+    subspaces and k-means each independently — a corpus vector then stores as
+    ``m`` code bytes instead of ``dim`` floats (64 floats → 8 bytes here).
+
+    Fully distributed and deterministic, mirroring ``ivf_train_centroids``:
+    seeds are the k lowest-id vectors' subvectors; each Lloyd round is one
+    broadcast-assign map pass + one (subspace, code, dim) partial-agg
+    shuffle. ALL subspaces train in a single pass per round (the subvector
+    explode keys the shuffle by subspace) — m never multiplies the job count.
+
+    Output: (subspace, code, cvec array<double>) — m·k rows.
+    """
+    # subvector frame: (id, sub, sv) — m rows per vector, map-only
+    subs = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col("__v"),
+    ).select(
+        F.col(id_col),
+        "sub",
+        F.slice(
+            "__v",
+            (F.col("sub") * (F.size("__v") / m).cast("int") + 1).cast("int"),
+            (F.size("__v") / m).cast("int"),
+        ).alias("sv"),
+    )
+    # Deterministic seeding without a collect: rank the k lowest ids via a
+    # bounded sort (TakeOrderedAndProject), then join their subvectors.
+    low_ids = (
+        corpus.select(F.col(id_col).alias("__sid"))
+        .orderBy("__sid")
+        .limit(k)
+        .agg(F.sort_array(F.collect_list("__sid")).alias("__ids"))
+        .select(F.posexplode("__ids").alias("code", "__sid"))
+    )
+    codebooks = subs.join(
+        F.broadcast(low_ids), subs[id_col] == low_ids["__sid"]
+    ).select("sub", "code", F.col("sv").alias("cvec"))
+    for _ in range(iterations):
+        assigned = _pq_assign(subs, codebooks, id_col)
+        by_dim = assigned.select(
+            "sub", "code", F.posexplode("sv").alias("__pos", "__x")
+        )
+        codebooks = (
+            by_dim.groupBy("sub", "code", "__pos")
+            .agg(F.avg("__x").alias("__mn"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__pos", "__mn"))),
+                    lambda s: s["__mn"],
+                ).alias("cvec")
+            )
+        )
+    return codebooks
+
+
+def _pq_assign(subs: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
+    """Nearest codeword per (vector, subspace) by squared L2 — broadcast the
+    m·k codebook rows collapsed into one struct-array row, score map-only
+    (same no-shuffle shape as ``ivf_assign``). Ties break to the lowest code."""
+    cb_row = codebooks.select(
+        F.struct("sub", "code", "cvec").alias("__e")
+    ).agg(F.collect_list("__e").alias("__cb"))
+    sq = lambda d: F.aggregate(d, F.lit(0.0), lambda a, x: a + x * x)  # noqa: E731
+    return subs.crossJoin(F.broadcast(cb_row)).select(
+        F.col(id_col),
+        "sub",
+        "sv",
+        F.element_at(
+            F.sort_array(
+                F.transform(
+                    F.filter("__cb", lambda e: e["sub"] == F.col("sub")),
+                    lambda e: F.struct(
+                        sq(F.zip_with("sv", e["cvec"], lambda a, b: a - b)).alias("d2"),
+                        e["code"].alias("code"),
+                    ),
+                )
+            ),
+            1,
+        )["code"].alias("code"),
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes: (id, codes array<int> of length m) —
+    the 64-byte→8-byte compressed representation a 1B-vector index stores.
+    Map-only given broadcast codebooks; normalization happens BEFORE
+    encoding so ADC dot products approximate cosine."""
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x))
+    normed = corpus.select(
+        F.col(id_col), F.transform(v, lambda x: x / norm).alias("__nv")
+    )
+    subs = normed.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col("__nv"),
+    ).select(
+        F.col(id_col),
+        "sub",
+        F.slice(
+            "__nv",
+            (F.col("sub") * (F.size("__nv") / m).cast("int") + 1).cast("int"),
+            (F.size("__nv") / m).cast("int"),
+        ).alias("sv"),
+    )
+    assigned = _pq_assign(subs, codebooks, id_col)
+    return assigned.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("sub", "code"))), lambda s: s["code"]
+        ).alias("codes")
+    )
+
+
+def pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """PQ-ADC approximate top-k: the memory-scale path for 1B+ vectors.
+
+    The corpus lives as m-byte PQ codes (64× smaller than raw floats); each
+    query builds an m×k dot-product table against the broadcast codebooks
+    (ADC — asymmetric distance computation, Jégou et al. 2011 §IV), scores
+    every code vector with m table lookups (JVM-side fold, no Python), and
+    exact cosine re-ranks only the ``shortlist`` best candidates. Join
+    shape: codes ⋈ broadcast(query tables) — the full-precision corpus is
+    touched ONLY for the shortlist rows.
+
+    Output: (query_id, rank, neighbor_id, sim) — same contract as
+    ``cosine_topk``/``ivf_cosine_topk`` for recall comparison.
+    """
+    from pyspark.sql import Window
+
+    if codebooks is None:
+        codebooks = pq_train_codebooks(corpus, m, n_codes, id_col, vec_col)
+    codes = pq_encode(corpus, codebooks, m, id_col, vec_col)
+
+    qv = F.col(vec_col).cast("array<double>")
+    qnorm = F.sqrt(F.aggregate(F.zip_with(qv, qv, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x))
+    qn = queries.select(
+        F.col(id_col).alias("query_id"), F.transform(qv, lambda x: x / qnorm).alias("__qn")
+    )
+    cb_row = codebooks.select(F.struct("sub", "code", "cvec").alias("__e")).agg(
+        F.collect_list("__e").alias("__cb")
+    )
+    # ADC table: for sub s, code c → dot(q_sub, codeword). Stored as a flat
+    # array indexed [s * n_codes + c] for O(1) element_at lookups.
+    sub_slice = lambda s: F.slice(  # noqa: E731
+        "__qn",
+        (s * (F.size("__qn") / m).cast("int") + 1).cast("int"),
+        (F.size("__qn") / m).cast("int"),
+    )
+    q_tabs = qn.crossJoin(F.broadcast(cb_row)).select(
+        "query_id",
+        "__qn",
+        F.transform(
+            F.sort_array(F.transform("__cb", lambda e: F.struct(e["sub"], e["code"], e["cvec"]))),
+            lambda e: F.aggregate(
+                F.zip_with(sub_slice(e["sub"]), e["cvec"], lambda a, b: a * b),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        ).alias("__tab"),
+    )
+    adc = (
+        codes.crossJoin(F.broadcast(q_tabs.select("query_id", "__tab")))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, s: acc
+                + F.element_at(
+                    "__tab", (s * n_codes + F.element_at("codes", (s + 1).cast("int")) + 1).cast("int")
+                ),
+            ).alias("adc_score"),
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        adc.withColumn("__r", F.row_number().over(w_short))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    c_full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    q_full = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    reranked = (
+        short.join(c_full, "neighbor_id")
+        .join(F.broadcast(q_full), "query_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -1079,6 +1079,28 @@ QUERY_REGISTRY["ivf_cosine_topk"] = QuerySpec(
 )
 
 
+def q_pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) — the MEMORY scale path:
+    the corpus lives as 8 code bytes per vector (64× smaller than raw
+    floats), queries score codes via ADC table lookups, and only the
+    shortlist touches full-precision vectors. Deterministic lowest-id
+    codebook seeding + one distributed Lloyd round per subspace (all
+    subspaces in one shuffle). Rows-only (iterative k-means); recall vs
+    exact asserted in tests/test_similarity.py, values pinned by fixture."""
+    from covid19_spark.operators.similarity import pq_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return pq_cosine_topk(
+        emb, queries, k=10, m=8, n_codes=16, shortlist=50
+    ).orderBy("query_id", "rank")
+
+
+QUERY_REGISTRY["pq_cosine_topk"] = QuerySpec(
+    q_pq_cosine_topk, None, "product-quantization ADC ANN top-k (rows-only)"
+)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing: documents' text bytes treated as an
     opaque payload, features extracted via Arrow-batched mapInPandas (the
@@ -3730,6 +3752,7 @@ _DRIVER_UNVERIFIED_FIRST = [
     "bmp_image_features",
     "dedup_incremental",
     "key_skew_report",
+    "pq_cosine_topk",
     # round-2 second wave (registered after CORRECTNESS_r02's 50-query prefix)
     "stratified_sample",
     "domain_mix_sample",

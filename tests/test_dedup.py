@@ -367,3 +367,7 @@ def test_persisted_dedup_index_equals_inline_screen(spark, tmp_path):
     assert set(inline) == set(from_index)
     for k in inline:
         assert inline[k] == from_index[k], k
+
+
+def test_pq_cosine_topk_matches_fixture(spark):
+    _assert_matches_fixture(spark, "pq_cosine_topk", ["query_id", "rank"])

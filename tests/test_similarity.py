@@ -168,3 +168,44 @@ def test_semantic_dedup_hand_clusters(spark):
     assert got[20] == (20, 1, 1) and got[21] == (21, 1, 1)
     # dedup keeps exactly one canonical per cluster
     assert sum(v[2] for v in got.values()) == 4
+
+
+def test_pq_recall_vs_exact_and_determinism(spark):
+    from covid19_spark.operators.similarity import cosine_topk, pq_cosine_topk
+    from covid19_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    queries = emb.filter("vec_id < 8")
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=10).collect()}
+    approx = pq_cosine_topk(emb, queries, k=10, m=8, n_codes=16, shortlist=50)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact & a) / len(exact)
+    # 8-byte codes + 50-candidate rerank: recall must beat any shortlist-
+    # sized random draw by a wide margin (50/N is ~0.01 here)
+    assert recall >= 0.6, recall
+    a2 = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_cosine_topk(emb, queries, k=10, m=8, n_codes=16, shortlist=50).collect()
+    }
+    assert a == a2
+    # reported sims are the EXACT cosine of the reranked pairs
+    ex_sims = {(r.query_id, r.neighbor_id): r.sim for r in cosine_topk(emb, queries, k=10).collect()}
+    for r in approx.collect():
+        if (r.query_id, r.neighbor_id) in ex_sims:
+            assert abs(r.sim - ex_sims[(r.query_id, r.neighbor_id)]) < 1e-12
+
+
+def test_pq_codes_contract(spark):
+    """Codes are m ints in [0, k); codebooks are m*k vectors of dim/m; the
+    whole pipeline is collect-free until the caller materializes."""
+    from covid19_spark.operators.similarity import pq_encode, pq_train_codebooks
+    from covid19_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    cb = pq_train_codebooks(emb, m=8, k=16)
+    rows = cb.collect()
+    assert len(rows) == 8 * 16
+    assert all(len(r.cvec) == 8 for r in rows)  # 64 dims / 8 subspaces
+    codes = pq_encode(emb, cb, 8).collect()
+    assert len(codes) == emb.count()
+    assert all(len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes) for r in codes)
