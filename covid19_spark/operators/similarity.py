@@ -445,6 +445,113 @@ def ivf_cosine_topk(
     )
 
 
+def ivfpq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probes: int = 3,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the standard extreme-scale ANN layout (Jégou et al. 2011 §V —
+    coarse quantizer + product codes), composed from the two existing tiers:
+
+      - IVF partitions the corpus into centroid lists (map-only broadcast
+        assign), shrinking each query's scan to ~n_probes/n_centroids;
+      - inside the probed lists the corpus exists ONLY as m-byte PQ codes —
+        ADC table-lookup scoring, no full vectors touched;
+      - exact cosine reranks the per-query shortlist.
+
+    At 1B vectors: codes (8 GB) + centroids (KB) are the resident index;
+    the full-precision corpus is cold storage hit for ~shortlist rows per
+    query. Both quantizers train deterministically (lowest-id seeds).
+    """
+    from pyspark.sql import Window
+
+    centroids = ivf_train_centroids(corpus, n_centroids, id_col, vec_col)
+    codebooks = pq_train_codebooks(corpus, m, n_codes, id_col, vec_col)
+    lists = ivf_assign(corpus, centroids, id_col, vec_col, n_probes=1).select(
+        F.col(id_col), "centroid_id"
+    )
+    codes = pq_encode(corpus, codebooks, m, id_col, vec_col).join(lists, id_col)
+
+    qv = F.col(vec_col).cast("array<double>")
+    qnorm = F.sqrt(F.aggregate(F.zip_with(qv, qv, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x))
+    qn = queries.select(
+        F.col(id_col).alias("query_id"), F.transform(qv, lambda x: x / qnorm).alias("__qn")
+    )
+    probes = ivf_assign(queries, centroids, id_col, vec_col, n_probes=n_probes).select(
+        F.col(id_col).alias("query_id"), "centroid_id"
+    )
+    cb_row = codebooks.select(F.struct("sub", "code", "cvec").alias("__e")).agg(
+        F.collect_list("__e").alias("__cb")
+    )
+    sub_slice = lambda s: F.slice(  # noqa: E731
+        "__qn",
+        (s * (F.size("__qn") / m).cast("int") + 1).cast("int"),
+        (F.size("__qn") / m).cast("int"),
+    )
+    q_tabs = qn.crossJoin(F.broadcast(cb_row)).select(
+        "query_id",
+        F.transform(
+            F.sort_array(F.transform("__cb", lambda e: F.struct(e["sub"], e["code"], e["cvec"]))),
+            lambda e: F.aggregate(
+                F.zip_with(sub_slice(e["sub"]), e["cvec"], lambda a, b: a * b),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        ).alias("__tab"),
+    )
+    # probe join: only codes in the query's probed lists are scored
+    probe_tabs = probes.join(F.broadcast(q_tabs), "query_id")
+    adc = (
+        codes.join(F.broadcast(probe_tabs), "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, s: acc
+                + F.element_at(
+                    "__tab", (s * n_codes + F.element_at("codes", (s + 1).cast("int")) + 1).cast("int")
+                ),
+            ).alias("adc_score"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        adc.withColumn("__r", F.row_number().over(w_short))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    c_full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    q_full = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    reranked = (
+        short.join(c_full, "neighbor_id")
+        .join(F.broadcast(q_full), "query_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
 def pq_train_codebooks(
     corpus: DataFrame,
     m: int = 8,

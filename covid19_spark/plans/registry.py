@@ -1101,6 +1101,26 @@ QUERY_REGISTRY["pq_cosine_topk"] = QuerySpec(
 )
 
 
+def q_ivfpq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition — the standard 1B+-vector index layout: coarse
+    quantizer prunes to n_probes/n_centroids of the corpus, PQ codes make
+    the resident index 64× smaller, ADC scores only probed lists, exact
+    cosine reranks the shortlist. Rows-only (iterative training); recall
+    asserted in tests, values pinned by fixture."""
+    from covid19_spark.operators.similarity import ivfpq_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivfpq_cosine_topk(
+        emb, queries, k=10, n_centroids=16, n_probes=3, m=8, n_codes=16, shortlist=50
+    ).orderBy("query_id", "rank")
+
+
+QUERY_REGISTRY["ivfpq_cosine_topk"] = QuerySpec(
+    q_ivfpq_cosine_topk, None, "IVF-PQ composed ANN top-k (rows-only)"
+)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing: documents' text bytes treated as an
     opaque payload, features extracted via Arrow-batched mapInPandas (the
@@ -3787,6 +3807,7 @@ _DRIVER_UNVERIFIED_FIRST = [
     "dedup_incremental",
     "bmp_image_features",
     "pq_cosine_topk",
+    "ivfpq_cosine_topk",
 ]
 
 

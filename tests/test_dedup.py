@@ -371,3 +371,7 @@ def test_persisted_dedup_index_equals_inline_screen(spark, tmp_path):
 
 def test_pq_cosine_topk_matches_fixture(spark):
     _assert_matches_fixture(spark, "pq_cosine_topk", ["query_id", "rank"])
+
+
+def test_ivfpq_cosine_topk_matches_fixture(spark):
+    _assert_matches_fixture(spark, "ivfpq_cosine_topk", ["query_id", "rank"])

@@ -209,3 +209,27 @@ def test_pq_codes_contract(spark):
     codes = pq_encode(emb, cb, 8).collect()
     assert len(codes) == emb.count()
     assert all(len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes) for r in codes)
+
+
+def test_ivfpq_recall_and_determinism(spark):
+    from covid19_spark.operators.similarity import cosine_topk, ivfpq_cosine_topk
+    from covid19_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    queries = emb.filter("vec_id < 8")
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=10).collect()}
+    approx = ivfpq_cosine_topk(
+        emb, queries, k=10, n_centroids=16, n_probes=3, m=8, n_codes=16, shortlist=50
+    )
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # composed losses (3/16 probes AND 8-byte codes AND 50-shortlist) must
+    # still beat the 3/16 ≈ 0.19 probe-only random floor decisively
+    recall = len(exact & a) / len(exact)
+    assert recall >= 0.5, recall
+    a2 = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_cosine_topk(
+            emb, queries, k=10, n_centroids=16, n_probes=3, m=8, n_codes=16, shortlist=50
+        ).collect()
+    }
+    assert a == a2

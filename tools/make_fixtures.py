@@ -32,6 +32,7 @@ FIXTURE_QUERIES = (
     "semantic_dedup",
     "bmp_image_features",
     "pq_cosine_topk",
+    "ivfpq_cosine_topk",
 )
 
 
