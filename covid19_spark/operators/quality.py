@@ -130,3 +130,43 @@ def quarantine_split(
     clean = tagged.filter(F.size("violated_rules") == 0).drop("violated_rules")
     quarantine = tagged.filter(F.size("violated_rules") > 0)
     return clean, quarantine
+
+
+def mad_outlier_report(df, group_col: str, value_col: str, k: float = 3.0):
+    """Robust per-group outlier report via median absolute deviation (MAD):
+    a value is an outlier when |x - median| > k * 1.4826 * MAD (the 1.4826
+    factor makes MAD a consistent sigma estimator under normality — the
+    standard robust-zscore rule, immune to the outliers themselves unlike
+    mean/stddev).
+
+    Two exact-percentile passes (median, then MAD), each a |groups|-row
+    aggregate broadcast back onto the fact — no windows, no sorts of the
+    full table. Output: one row per group with n_rows, n_outliers, med, mad,
+    outlier_rate.
+    """
+    from pyspark.sql import functions as F
+
+    med = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("med")
+    )
+    with_med = df.join(F.broadcast(med), group_col).withColumn(
+        "__absdev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = with_med.groupBy(group_col).agg(
+        F.percentile("__absdev", F.lit(0.5)).alias("mad")
+    )
+    flagged = with_med.join(F.broadcast(mad), group_col)
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.col("__absdev") > F.lit(k) * F.lit(1.4826) * F.col("mad"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+        )
+        .withColumn("outlier_rate", F.col("n_outliers") / F.col("n_rows"))
+    )

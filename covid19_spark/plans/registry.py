@@ -3318,6 +3318,49 @@ QUERY_REGISTRY["key_skew_report"] = QuerySpec(
 )
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier report per event type: |x - median| > 3·1.4826·MAD
+    (robust z-score — the quality gate that, unlike mean/stddev, is not
+    dragged by the outliers it hunts). Two |groups|-row percentile passes
+    broadcast back onto the fact; no windows or full sorts."""
+    from covid19_spark.operators.quality import mad_outlier_report
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_outlier_report(ev, "event_type", "value", k=3.0).orderBy("event_type")
+
+
+ORACLE_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+wm AS (
+  SELECT e.event_type, e.value, med.med, abs(e.value - med.med) AS absdev
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+  FROM wm GROUP BY event_type
+)
+SELECT wm.event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN wm.absdev > 3 * 1.4826 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       min(wm.med) AS med,
+       min(mad.mad) AS mad,
+       sum(CASE WHEN wm.absdev > 3 * 1.4826 * mad.mad THEN 1 ELSE 0 END)
+         / CAST(count(*) AS DOUBLE) AS outlier_rate
+FROM wm JOIN mad USING (event_type)
+GROUP BY wm.event_type
+ORDER BY wm.event_type
+"""
+
+
+QUERY_REGISTRY["mad_outliers"] = QuerySpec(
+    q_mad_outliers, ORACLE_MAD_OUTLIERS, "robust MAD outlier report per group"
+)
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (the class-centroid reduction used by
     SemDeDup-style semantic dedup and IVF retraining), emitted long-form as
@@ -3771,6 +3814,7 @@ _DRIVER_UNVERIFIED_FIRST = [
     # cheap and absorbs the fresh-JVM cold start that would otherwise be
     # charged to the heavyweight pipeline queries in timing artifacts.
     "key_skew_report",
+    "mad_outliers",
     # round-2 second wave (registered after CORRECTNESS_r02's 50-query prefix)
     "stratified_sample",
     "domain_mix_sample",

@@ -68,3 +68,18 @@ def test_quarantine_split_semantics(spark):
     assert clean.count() + quarantine.count() == df.count()
     with pytest.raises(ValueError, match="row-level"):
         quarantine_split(df, [expect_unique("id")])
+
+
+def test_mad_outlier_report_flags_planted_outliers(spark):
+    """MAD is robust: one wild value per group is flagged without dragging
+    the threshold the way mean/stddev would; a clean group reports zero."""
+    from covid19_spark.operators.quality import mad_outlier_report
+
+    rows = [("a", float(v)) for v in [10, 11, 12, 10, 11, 12, 10, 11, 1000]]
+    rows += [("b", float(v)) for v in [5, 5, 6, 6, 5, 6]]
+    df = spark.createDataFrame(rows, ["grp", "value"])
+    out = {r.grp: r for r in mad_outlier_report(df, "grp", "value", k=3.0).collect()}
+    assert out["a"].n_outliers == 1 and out["a"].n_rows == 9
+    assert out["a"].med == 11.0
+    assert out["b"].n_outliers == 0
+    assert out["b"].outlier_rate == 0.0
