@@ -375,3 +375,10 @@ def test_pq_cosine_topk_matches_fixture(spark):
 
 def test_ivfpq_cosine_topk_matches_fixture(spark):
     _assert_matches_fixture(spark, "ivfpq_cosine_topk", ["query_id", "rank"])
+
+
+def test_approx_aggregates_matches_fixture(spark):
+    # sketches (HLL++, t-digest-ish percentile) are deterministic for fixed
+    # input — merge order does not change the result (verified across
+    # parallelism levels), so exact value pinning is sound
+    _assert_matches_fixture(spark, "approx_aggregates", ["event_type"])

@@ -33,6 +33,7 @@ FIXTURE_QUERIES = (
     "bmp_image_features",
     "pq_cosine_topk",
     "ivfpq_cosine_topk",
+    "approx_aggregates",
 )
 
 
