@@ -456,6 +456,7 @@ def ivfpq_cosine_topk(
     shortlist: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the standard extreme-scale ANN layout (Jégou et al. 2011 §V —
     coarse quantizer + product codes), composed from the two existing tiers:
@@ -472,8 +473,9 @@ def ivfpq_cosine_topk(
     """
     from pyspark.sql import Window
 
-    centroids = ivf_train_centroids(corpus, n_centroids, id_col, vec_col)
-    codebooks = pq_train_codebooks(corpus, m, n_codes, id_col, vec_col)
+    train = quantizer_training_sample(corpus, id_col, train_sample_mod)
+    centroids = ivf_train_centroids(train, n_centroids, id_col, vec_col)
+    codebooks = pq_train_codebooks(train, m, n_codes, id_col, vec_col)
     lists = ivf_assign(corpus, centroids, id_col, vec_col, n_probes=1).select(
         F.col(id_col), "centroid_id"
     )
@@ -685,6 +687,22 @@ def pq_encode(
     )
 
 
+def quantizer_training_sample(
+    corpus: DataFrame, id_col: str, sample_mod: int | None
+) -> DataFrame:
+    """Deterministic training subset for quantizer fitting: keep rows where
+    ``xxhash64(id) % sample_mod == 0`` (~1/sample_mod of the corpus, map-only,
+    no RNG state). Quantizer training needs a representative sample, not the
+    corpus — at 1B vectors, fitting codebooks/centroids on every row per
+    index build is pure waste (FAISS-style practice: train on 10⁵-10⁶
+    samples, encode everything). ``None`` → full corpus."""
+    if sample_mod is None or sample_mod <= 1:
+        return corpus
+    return corpus.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
+    )
+
+
 def pq_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -695,6 +713,7 @@ def pq_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks: DataFrame | None = None,
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """PQ-ADC approximate top-k: the memory-scale path for 1B+ vectors.
 
@@ -712,7 +731,10 @@ def pq_cosine_topk(
     from pyspark.sql import Window
 
     if codebooks is None:
-        codebooks = pq_train_codebooks(corpus, m, n_codes, id_col, vec_col)
+        codebooks = pq_train_codebooks(
+            quantizer_training_sample(corpus, id_col, train_sample_mod),
+            m, n_codes, id_col, vec_col,
+        )
     codes = pq_encode(corpus, codebooks, m, id_col, vec_col)
 
     qv = F.col(vec_col).cast("array<double>")

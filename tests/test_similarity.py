@@ -233,3 +233,35 @@ def test_ivfpq_recall_and_determinism(spark):
         ).collect()
     }
     assert a == a2
+
+
+def test_pq_sample_trained_codebooks(spark):
+    """Quantizers can train on a deterministic hash-sample of the corpus
+    (the production practice at 1B vectors — fit on a sample, encode
+    everything). At sf0.01 a half-sample still gives useful recall and the
+    result stays fully deterministic; the sample must remain >> n_codes per
+    subspace, which is why the tiny-SF registry queries train on the full
+    corpus."""
+    from covid19_spark.operators.similarity import (
+        cosine_topk,
+        pq_cosine_topk,
+        quantizer_training_sample,
+    )
+    from covid19_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    n = emb.count()
+    sampled = quantizer_training_sample(emb, "vec_id", 2).count()
+    assert 0.3 * n < sampled < 0.7 * n  # ~1/2, deterministic
+    queries = emb.filter("vec_id < 8")
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=10).collect()}
+    a = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_cosine_topk(emb, queries, k=10, shortlist=50, train_sample_mod=2).collect()
+    }
+    assert len(exact & a) / len(exact) >= 0.4
+    a2 = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_cosine_topk(emb, queries, k=10, shortlist=50, train_sample_mod=2).collect()
+    }
+    assert a == a2
