@@ -565,6 +565,40 @@ def build_dedup_index(
     ).write.mode("overwrite").parquet(f"{path}/shingles")
 
 
+def append_to_dedup_index(
+    accepted: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> None:
+    """Index maintenance: after screening a batch, append the ACCEPTED
+    documents' digests/buckets/shingles to the persisted index so the next
+    batch screens against them too — the steady-state ingestion loop:
+
+        screen batch N → keep survivors → append survivors to index →
+        screen batch N+1 → ...
+
+    Appends are idempotent for dedup semantics (a replayed append can only
+    cause extra drops, never false accepts — same argument as the streaming
+    sink). On a real deployment the parquet appends become Delta/Iceberg
+    appends with the identical plan.
+    """
+    accepted.select(F.md5(F.col(text_col)).alias("__th")).distinct().write.mode(
+        "append"
+    ).parquet(f"{path}/digests")
+    sig = minhash_signatures(accepted, id_col, text_col, num_hashes, shingle_n)
+    band_buckets(sig, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("__cid"), "band", "bucket"
+    ).write.mode("append").partitionBy("band").parquet(f"{path}/buckets")
+    accepted.select(
+        F.col(id_col).alias("__cid"),
+        word_shingles(F.col(text_col), shingle_n).alias("__csh"),
+    ).write.mode("append").parquet(f"{path}/shingles")
+
+
 def incremental_dedup_against_index(
     batch: DataFrame,
     index_path: str,

@@ -382,3 +382,43 @@ def test_approx_aggregates_matches_fixture(spark):
     # input — merge order does not change the result (verified across
     # parallelism levels), so exact value pinning is sound
     _assert_matches_fixture(spark, "approx_aggregates", ["event_type"])
+
+
+def test_index_maintenance_loop_catches_cross_batch_dups(spark, tmp_path):
+    """The steady-state ingestion loop: screen batch1, append its survivors
+    to the index, screen batch2 — batch2's dup OF A BATCH1 DOC must now be
+    caught, and batch2's fresh doc must keep."""
+    from covid19_spark.operators.dedup import (
+        append_to_dedup_index,
+        build_dedup_index,
+        incremental_dedup_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")], ["doc_id", "text"]
+    )
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, "doc_id", "text", idx)
+
+    batch1 = spark.createDataFrame(
+        [
+            (10, "machine learning pipelines need careful partitioning design"),
+            (11, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of corpus
+        ],
+        ["doc_id", "text"],
+    )
+    r1 = {r.doc_id: r for r in incremental_dedup_against_index(batch1, idx, "doc_id", "text").collect()}
+    assert r1[10].keep == 1 and r1[11].keep == 0
+    kept1 = batch1.filter(F.col("doc_id").isin([d for d, r in r1.items() if r.keep == 1]))
+    append_to_dedup_index(kept1, "doc_id", "text", idx)
+
+    batch2 = spark.createDataFrame(
+        [
+            (20, "machine learning pipelines need careful partitioning design"),  # dup of 10
+            (21, "completely novel content about stream processing watermarks"),
+        ],
+        ["doc_id", "text"],
+    )
+    r2 = {r.doc_id: r for r in incremental_dedup_against_index(batch2, idx, "doc_id", "text").collect()}
+    assert r2[20].keep == 0 and r2[20].is_exact_dup == 1 and r2[20].near_dup_of == 10
+    assert r2[21].keep == 1
