@@ -241,3 +241,10 @@ def test_dedup_pipelines_never_go_quadratic(spark):
     # shape is asserted on the incremental pipeline, whose plan is end-to-end.
     plan = plan_of(spark, "dedup_incremental")
     assert "band" in plan and "bucket" in plan
+
+
+def test_promo_revenue_ratio_pushes_date_and_broadcasts_part(spark):
+    plan = plan_of(spark, "promo_revenue_ratio")
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan  # map-side combine before the 1-row reduce
