@@ -3410,6 +3410,50 @@ QUERY_REGISTRY["promo_revenue_ratio"] = QuerySpec(
 )
 
 
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join with conditional counts keyed by a
+    JOIN-SIDE attribute — late-shipped lines (shipped > 30 days after the
+    order date) split into urgent vs other order priorities per return
+    flag. The shuffle joins on orderkey; counts are CASE sums with
+    map-side partial aggregation."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30)
+    )
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.sum(urgent).cast("long").alias("urgent_lines"),
+            F.sum(1 - urgent).cast("long").alias("other_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_LATE_SHIPMENT_PRIORITY = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
+         AS urgent_lines,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END) AS BIGINT)
+         AS other_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+QUERY_REGISTRY["late_shipment_priority"] = QuerySpec(
+    q_late_shipment_priority,
+    ORACLE_LATE_SHIPMENT_PRIORITY,
+    "Q12-shape join-side conditional counts",
+)
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (the class-centroid reduction used by
     SemDeDup-style semantic dedup and IVF retraining), emitted long-form as
@@ -3865,6 +3909,7 @@ _DRIVER_UNVERIFIED_FIRST = [
     "key_skew_report",
     "mad_outliers",
     "promo_revenue_ratio",
+    "late_shipment_priority",
     # round-2 second wave (registered after CORRECTNESS_r02's 50-query prefix)
     "stratified_sample",
     "domain_mix_sample",
