@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -152,10 +153,28 @@ def blocked_edit_distance_pairs(
     )
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_n: int = 3
+def shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
 ) -> DataFrame:
-    """id → array of ``num_hashes`` minhash values over word shingles.
+    """``(id_col, __sh)`` — each document's distinct word-shingle array.
+
+    The SINGLE tokenize+shingle pass the dedup pipelines share: signatures
+    (``minhash_signatures_from_shingles``) and the exact-Jaccard verify stage
+    both derive from this frame, so the corpus text is scanned and shingled
+    exactly once per pipeline (persist the result when more than one consumer
+    will evaluate it — Spark plans are trees, and an unmaterialized common
+    subframe is recomputed per branch).
+    """
+    return df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+
+
+def minhash_signatures_from_shingles(
+    sh_df: DataFrame, id_col: str, shingle_col: str = "__sh", num_hashes: int = 32
+) -> DataFrame:
+    """id → array of ``num_hashes`` minhash values, from a precomputed
+    shingle-array frame (``shingle_frame``).
 
     Single pass: explode shingles, hash each shingle STRING once
     (``xxhash64(sh)``), then derive the k permutations by re-hashing the
@@ -169,10 +188,13 @@ def minhash_signatures(
     CPU-bound per row, and a small/few-file source would otherwise pin it to
     1-2 scan partitions (4-5x wall-clock on local[32]); hash-partitioning by
     id also pre-aligns the downstream per-doc aggregation.
+
+    Docs with an empty shingle array (< n tokens) get no signature row —
+    identical to the direct-from-text path (explode drops empty arrays).
     """
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    sh = df.repartition(n_parts, id_col).select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    n_parts = sh_df.sparkSession.sparkContext.defaultParallelism
+    sh = sh_df.repartition(n_parts, id_col).select(
+        F.col(id_col), F.explode(F.col(shingle_col)).alias("sh")
     )
     hashed = sh.select(id_col, F.xxhash64(F.col("sh")).alias("h0"))
     mins = [
@@ -181,6 +203,21 @@ def minhash_signatures(
     sig = hashed.groupBy(id_col).agg(*mins)
     return sig.select(
         F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """id → array of ``num_hashes`` minhash values over word shingles.
+
+    Thin wrapper: ``shingle_frame`` → ``minhash_signatures_from_shingles``.
+    Pipelines that ALSO need the shingle arrays (verify stages) should build
+    the shingle frame themselves, persist it, and call the ``_from_shingles``
+    variant so the text is shingled once, not twice.
+    """
+    return minhash_signatures_from_shingles(
+        shingle_frame(df, id_col, text_col, shingle_n), id_col, "__sh", num_hashes
     )
 
 
@@ -336,6 +373,49 @@ def simhash_candidate_pairs(
     )
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """MinHash-LSH discovery → exact-Jaccard verification: the shared
+    pre-clustering stage of ``lsh_dedup_pipeline``, exposed so its plan can
+    be audited end-to-end (the pipeline's own plan is truncated by the
+    connected-components checkpoints).
+
+    One shingle pass: ``shingle_frame`` is persisted and feeds BOTH the
+    signature derivation and the two verify-join sides, so the plan contains
+    zero uncached shingle computations — every shingle expression sits under
+    an ``InMemoryTableScan`` (pinned by ``test_plans.py``).
+
+    Output: verified pairs ``(doc_a, doc_b, jaccard)`` with jaccard ≥
+    ``threshold``.
+    """
+    sh = shingle_frame(df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures_from_shingles(sh, id_col, "__sh", num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, max_bucket).select(
+        "doc_a", "doc_b"
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sh_b"))
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size(F.array_union("__sh_a", "__sh_b"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"), union.alias("__u"))
+        .filter((F.col("__u") > 0) & (F.col("jaccard") >= threshold))
+        .drop("__u")
+    )
+
+
 def lsh_dedup_pipeline(
     df: DataFrame,
     id_col: str,
@@ -353,39 +433,31 @@ def lsh_dedup_pipeline(
     This is the composition SCALING.md promises (the reference's
     DeduplicationTransformer generalized from exact-key first-wins to
     similarity clusters): no stage is quadratic in the corpus —
-      1. ``minhash_signatures``: O(n·k) map + one |docs|·k-long shuffle;
-      2. ``lsh_candidate_pairs``: banded self-join on THIN (id, band,
+      1. ``shingle_frame``: ONE tokenize+shingle scan of the corpus text,
+         persisted (memory-and-disk) because three consumers read it —
+         the signature pass and both sides of the verify join; without the
+         persist Spark's tree-shaped plans would re-shingle the corpus per
+         branch, doubling the most expensive pass at 100 TB;
+      2. ``minhash_signatures_from_shingles``: O(n·k) map + one
+         |docs|·k-long shuffle, derived from the cached shingle arrays;
+      3. ``lsh_candidate_pairs``: banded self-join on THIN (id, band,
          bucket) rows with the degenerate-bucket cap;
-      3. verify: candidate pairs (≪ corpus²) join the per-doc shingle
+      4. verify: candidate pairs (≪ corpus²) join the per-doc shingle
          arrays twice — each surviving pair is scored exactly ONCE. This
          beats re-blocking ``ngram_jaccard_pairs`` on (band, bucket): that
          would replicate every doc's (large) shingle array ``bands``×
          into the self-join shuffle and verify shared-in-many-buckets
          pairs repeatedly; here the heavy arrays ship once per side and
          the pair set is already distinct.
-      4. ``dedup_clusters``: min-label propagation over the verified pair
+      5. ``dedup_clusters``: min-label propagation over the verified pair
          graph only.
 
     Output: one row per input document — (id_col, cluster_id,
     cluster_size, is_canonical); singletons keep their own id with
     cluster_size 1. Keep policy: smallest id per cluster.
     """
-    sh = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh")
-    )
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, max_bucket).select(
-        "doc_a", "doc_b"
-    )
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sh_a"))
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sh_b"))
-    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
-    union = F.size(F.array_union("__sh_a", "__sh_b"))
-    verified = (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select("doc_a", "doc_b", (inter / union).alias("jaccard"), union.alias("__u"))
-        .filter((F.col("__u") > 0) & (F.col("jaccard") >= threshold))
+    verified = lsh_verified_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, threshold, max_bucket
     )
     clusters = dedup_clusters(verified.select("doc_a", "doc_b"))
     out = df.select(F.col(id_col)).join(
@@ -411,11 +483,18 @@ def _screen_batch_against_index(
     shingle_n: int,
     threshold: float,
     max_bucket: int | None,
+    containment_threshold: float | None = None,
 ) -> DataFrame:
     """Shared core of the incremental screen: probe a new batch against a
     corpus index given as three frames (digest set, bucket index, shingle
     store) — inline-derived by ``incremental_dedup_against_corpus``, loaded
-    from parquet by ``incremental_dedup_against_index``."""
+    from parquet by ``incremental_dedup_against_index``.
+
+    ``c_digests`` is deduplicated on ``__th`` before the probe join: the
+    persisted-index path appends digests per batch and a REPLAYED append
+    duplicates digest rows; without the distinct the left join would fan out
+    one output row per duplicate digest instead of flagging once."""
+    c_digests = c_digests.dropDuplicates(["__th"])
     b_base = batch.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("__th")
     ).join(
@@ -433,15 +512,20 @@ def _screen_batch_against_index(
             .select("band", "bucket")
         )
         cb = cb.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
-    b_sig = minhash_signatures(batch, id_col, text_col, num_hashes, shingle_n)
+    # ONE shingle pass over the batch text, persisted: the signature pass and
+    # the verify join both read it (the batch side is small relative to the
+    # corpus, but the no-double-scan contract is the same as the e2e pipeline).
+    b_shingles = shingle_frame(batch, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    b_sig = minhash_signatures_from_shingles(b_shingles, id_col, "__sh", num_hashes)
     bb = band_buckets(b_sig, id_col, num_hashes, bands).select(
         F.col(id_col).alias("__bid"), "band", "bucket"
     )
     cands = bb.join(cb, ["band", "bucket"]).select("__bid", "__cid").distinct()
 
-    b_sh = batch.select(
-        F.col(id_col).alias("__bid"),
-        word_shingles(F.col(text_col), shingle_n).alias("__bsh"),
+    b_sh = b_shingles.select(
+        F.col(id_col).alias("__bid"), F.col("__sh").alias("__bsh")
     )
     inter = F.size(F.array_intersect("__bsh", "__csh"))
     union = F.size(F.array_union("__bsh", "__csh"))
@@ -457,12 +541,19 @@ def _screen_batch_against_index(
             .alias("__c"),
         )
     )
-    # Aggregate ONLY over verified pairs (j ≥ threshold): candidate-set
-    # membership below the threshold is an LSH implementation detail a SQL
-    # oracle cannot reproduce, but the ≥-threshold pair set is deterministic
-    # (recall ≈ 1 at this banding for the j ≥ 0.9 dups real corpora plant).
+    # Aggregate ONLY over verified pairs: candidate-set membership below the
+    # threshold is an LSH implementation detail a SQL oracle cannot reproduce,
+    # but the ≥-threshold pair set is deterministic (recall ≈ 1 at this
+    # banding for the j ≥ 0.9 dups real corpora plant). A pair verifies on
+    # Jaccard ≥ threshold, or — when ``containment_threshold`` is set — on
+    # containment |batch∩corpus|/|batch| ≥ containment_threshold, which
+    # catches a new doc that is a near-subset of an existing one even when
+    # symmetric Jaccard is low (the subset mode Jaccard alone misses).
+    verify_cond = F.col("__j") >= threshold
+    if containment_threshold is not None:
+        verify_cond = verify_cond | (F.col("__c") >= containment_threshold)
     hits = (
-        scored.filter(F.col("__j") >= threshold)
+        scored.filter(verify_cond)
         .groupBy("__bid")
         .agg(
             F.min("__cid").alias("__ndof"),
@@ -493,6 +584,7 @@ def incremental_dedup_against_corpus(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket: int | None = 10_000,
+    containment_threshold: float | None = None,
 ) -> DataFrame:
     """Batch twin of the streaming LSH dedup filter
     (``streaming/dedup_lsh_stream``): screen a NEW batch of documents against
@@ -506,27 +598,38 @@ def incremental_dedup_against_corpus(
       2. near-dup probe: batch band buckets hash-join the corpus bucket
          index on (band, bucket) — at scale the corpus side is a
          precomputed, persisted index, so only the batch is signed fresh;
-      3. exact verify on candidates only: n-gram Jaccard PLUS containment
-         (|batch∩corpus| / |batch|), which catches a new doc that is a
-         near-subset of an existing one even when symmetric Jaccard is low.
+      3. exact verify on candidates only: n-gram Jaccard, plus containment
+         (|batch∩corpus| / |batch|) as a second verify axis when
+         ``containment_threshold`` is set — that is what catches a new doc
+         that is a near-subset of an existing one even when symmetric
+         Jaccard is low. With the default ``containment_threshold=None``,
+         pairs verify on Jaccard alone and ``best_containment`` is reported
+         only for Jaccard-verified pairs.
 
     Output: one row per batch document —
     (id_col, is_exact_dup, near_dup_of, best_jaccard, best_containment, keep)
-    where ``near_dup_of`` is the smallest corpus id with Jaccard ≥ threshold
-    (-1 if none), and ``keep`` = not exact-dup and no near-dup hit.
+    where ``near_dup_of`` is the smallest corpus id among verified hits
+    (-1 if none), and ``keep`` = not exact-dup and no verified hit.
     """
     c_digests = corpus.select(F.md5(F.col(text_col)).alias("__th")).distinct()
-    c_sig = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_n)
+    # ONE shingle pass over the corpus text: the bucket index and the verify
+    # shingle store both derive from this persisted frame (at real scale both
+    # are precomputed by build_dedup_index; inline derivation must not pay a
+    # second corpus scan either).
+    c_sh = shingle_frame(corpus, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    c_sig = minhash_signatures_from_shingles(c_sh, id_col, "__sh", num_hashes)
     c_buckets = band_buckets(c_sig, id_col, num_hashes, bands).select(
         F.col(id_col).alias("__cid"), "band", "bucket"
     )
-    c_shingles = corpus.select(
-        F.col(id_col).alias("__cid"),
-        word_shingles(F.col(text_col), shingle_n).alias("__csh"),
+    c_shingles = c_sh.select(
+        F.col(id_col).alias("__cid"), F.col("__sh").alias("__csh")
     )
     return _screen_batch_against_index(
         batch, c_digests, c_buckets, c_shingles,
         id_col, text_col, num_hashes, bands, shingle_n, threshold, max_bucket,
+        containment_threshold,
     )
 
 
@@ -555,14 +658,20 @@ def build_dedup_index(
     corpus.select(F.md5(F.col(text_col)).alias("__th")).distinct().write.mode(
         "overwrite"
     ).parquet(f"{path}/digests")
-    sig = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_n)
+    # One shingle pass: write the shingle store first, then derive the
+    # signature/bucket index by READING IT BACK — the second pass scans the
+    # (already tokenized) parquet arrays, not the raw corpus text.
+    sh = shingle_frame(corpus, id_col, text_col, shingle_n).select(
+        F.col(id_col).alias("__cid"), F.col("__sh").alias("__csh")
+    )
+    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    sh_back = corpus.sparkSession.read.parquet(f"{path}/shingles").select(
+        F.col("__cid").alias(id_col), F.col("__csh").alias("__sh")
+    )
+    sig = minhash_signatures_from_shingles(sh_back, id_col, "__sh", num_hashes)
     band_buckets(sig, id_col, num_hashes, bands).select(
         F.col(id_col).alias("__cid"), "band", "bucket"
     ).write.mode("overwrite").partitionBy("band").parquet(f"{path}/buckets")
-    corpus.select(
-        F.col(id_col).alias("__cid"),
-        word_shingles(F.col(text_col), shingle_n).alias("__csh"),
-    ).write.mode("overwrite").parquet(f"{path}/shingles")
 
 
 def append_to_dedup_index(
@@ -589,14 +698,17 @@ def append_to_dedup_index(
     accepted.select(F.md5(F.col(text_col)).alias("__th")).distinct().write.mode(
         "append"
     ).parquet(f"{path}/digests")
-    sig = minhash_signatures(accepted, id_col, text_col, num_hashes, shingle_n)
+    sh = shingle_frame(accepted, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = minhash_signatures_from_shingles(sh, id_col, "__sh", num_hashes)
     band_buckets(sig, id_col, num_hashes, bands).select(
         F.col(id_col).alias("__cid"), "band", "bucket"
     ).write.mode("append").partitionBy("band").parquet(f"{path}/buckets")
-    accepted.select(
-        F.col(id_col).alias("__cid"),
-        word_shingles(F.col(text_col), shingle_n).alias("__csh"),
+    sh.select(
+        F.col(id_col).alias("__cid"), F.col("__sh").alias("__csh")
     ).write.mode("append").parquet(f"{path}/shingles")
+    sh.unpersist()
 
 
 def incremental_dedup_against_index(
@@ -609,6 +721,7 @@ def incremental_dedup_against_index(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket: int | None = 10_000,
+    containment_threshold: float | None = None,
 ) -> DataFrame:
     """Screen a new batch against a PERSISTED corpus index written by
     ``build_dedup_index`` — identical output to
@@ -621,6 +734,7 @@ def incremental_dedup_against_index(
         spark.read.parquet(f"{index_path}/buckets").select("__cid", "band", "bucket"),
         spark.read.parquet(f"{index_path}/shingles"),
         id_col, text_col, num_hashes, bands, shingle_n, threshold, max_bucket,
+        containment_threshold,
     )
 
 

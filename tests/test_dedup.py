@@ -422,3 +422,71 @@ def test_index_maintenance_loop_catches_cross_batch_dups(spark, tmp_path):
     r2 = {r.doc_id: r for r in incremental_dedup_against_index(batch2, idx, "doc_id", "text").collect()}
     assert r2[20].keep == 0 and r2[20].is_exact_dup == 1 and r2[20].near_dup_of == 10
     assert r2[21].keep == 1
+
+
+def test_replayed_append_is_duplicate_safe(spark, tmp_path):
+    """A REPLAYED append (failure-retry writing the same batch twice) must
+    not change screen semantics: the digest probe dedups the index side, so
+    the next batch still gets exactly one output row per document with the
+    same verdicts — duplicate digest rows may not fan out the left join."""
+    from covid19_spark.operators.dedup import (
+        append_to_dedup_index,
+        build_dedup_index,
+        incremental_dedup_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")], ["doc_id", "text"]
+    )
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, "doc_id", "text", idx)
+    kept = spark.createDataFrame(
+        [(10, "machine learning pipelines need careful partitioning design")],
+        ["doc_id", "text"],
+    )
+    append_to_dedup_index(kept, "doc_id", "text", idx)
+    append_to_dedup_index(kept, "doc_id", "text", idx)  # replay
+
+    batch = spark.createDataFrame(
+        [
+            (20, "machine learning pipelines need careful partitioning design"),
+            (21, "completely novel content about stream processing watermarks"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = incremental_dedup_against_index(batch, idx, "doc_id", "text").collect()
+    assert len(rows) == 2, "replayed append fanned out screen rows"
+    out = {r.doc_id: r for r in rows}
+    assert out[20].is_exact_dup == 1 and out[20].keep == 0 and out[20].near_dup_of == 10
+    assert out[21].keep == 1
+
+
+def test_containment_threshold_catches_subset_docs(spark):
+    """A batch doc that is a near-subset of a corpus doc has high containment
+    but low symmetric Jaccard. Default screen (Jaccard-only verify) keeps it;
+    with containment_threshold set it is flagged and dropped."""
+    from covid19_spark.operators.dedup import incremental_dedup_against_corpus
+
+    long_text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon "
+        "phi chi psi omega one two three four five six "
+        "seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    )
+    subset_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame([(0, long_text)], ["doc_id", "text"])
+    batch = spark.createDataFrame([(10, subset_text)], ["doc_id", "text"])
+    kw = dict(shingle_n=2, threshold=0.5, num_hashes=32, bands=32)
+
+    default = incremental_dedup_against_corpus(
+        corpus, batch, "doc_id", "text", **kw
+    ).collect()[0]
+    assert default.is_exact_dup == 0 and default.keep == 1
+    assert default.near_dup_of == -1  # symmetric Jaccard below threshold
+
+    flagged = incremental_dedup_against_corpus(
+        corpus, batch, "doc_id", "text", containment_threshold=0.9, **kw
+    ).collect()[0]
+    assert flagged.keep == 0 and flagged.near_dup_of == 0
+    assert flagged.best_containment >= 0.9
+    assert flagged.best_jaccard < 0.5

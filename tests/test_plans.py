@@ -243,6 +243,38 @@ def test_dedup_pipelines_never_go_quadratic(spark):
     assert "band" in plan and "bucket" in plan
 
 
+def test_dedup_pipelines_shingle_text_exactly_once(spark):
+    """The corpus text must be tokenized+shingled ONCE per pipeline: the
+    shingle frame is persisted and every consumer (signature pass, verify
+    join sides, bucket index) reads the cache. The plan-level invariant is
+    that every word_shingles expression (``array_distinct(flatten(...)``)
+    appears only inside an InMemoryTableScan's cached-relation printout —
+    zero uncached shingle computations. Before the single-scan fix the e2e
+    pipeline shingled the corpus twice (once for signatures, once for
+    verify), doubling the most expensive pass at 100 TB."""
+    from covid19_spark.operators.dedup import lsh_verified_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        lsh_verified_pairs(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    shingle_refs = plan.count("array_distinct(flatten")
+    cached_refs = plan.count("InMemoryTableScan")
+    assert shingle_refs > 0, "expected the shingle expression in the plan"
+    assert shingle_refs == cached_refs, (
+        f"{shingle_refs - cached_refs} uncached shingle computation(s): the "
+        "shingle frame must be persisted and shared, not recomputed per branch"
+    )
+    # incremental screen: corpus and batch sides each shingle once (cached)
+    plan = plan_of(spark, "dedup_incremental")
+    shingle_refs = plan.count("array_distinct(flatten")
+    cached_refs = plan.count("InMemoryTableScan")
+    assert shingle_refs > 0 and shingle_refs == cached_refs
+
+
 def test_promo_revenue_ratio_pushes_date_and_broadcasts_part(spark):
     plan = plan_of(spark, "promo_revenue_ratio")
     assert "PushedFilters" in plan and "GreaterThanOrEqual(l_shipdate" in plan
