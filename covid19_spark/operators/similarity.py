@@ -389,7 +389,17 @@ def ivf_train_centroids(
                 ).alias("cvec")
             )
         )
-        centroids = means
+        # Empty-cluster guard: keep the previous centroid when no vector
+        # assigned to it this round, so the centroid count never shrinks
+        # (n_probes semantics and downstream blocking assume it).
+        centroids = (
+            centroids.alias("old")
+            .join(means.alias("new"), ["centroid_id"], "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("new.cvec"), F.col("old.cvec")).alias("cvec"),
+            )
+        )
     return centroids
 
 
@@ -573,25 +583,19 @@ def pq_train_codebooks(
     shuffle. ALL subspaces train in a single pass per round (the subvector
     explode keys the shuffle by subspace) — m never multiplies the job count.
 
-    Output: (subspace, code, cvec array<double>) — m·k rows.
+    Output: (subspace, code, cvec array<double>) — EXACTLY m·k rows: a
+    Lloyd round that leaves a code's cluster empty keeps the previous
+    codeword (standard empty-cluster handling) instead of dropping the row.
+    The ADC table build relies on this density invariant — its flat array
+    is indexed positionally as ``sub * k + code``, so a missing (sub, code)
+    row would shift every later entry and silently corrupt scores.
+
+    Codebooks are fitted on the SAME normalize-then-slice transform
+    ``pq_encode`` applies (``_pq_subvectors``): training on raw subvectors
+    while encoding normalized ones would put the codebooks on a different
+    scale than the data whenever the corpus is not already unit-norm.
     """
-    # subvector frame: (id, sub, sv) — m rows per vector, map-only
-    subs = corpus.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-    ).select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-        F.col("__v"),
-    ).select(
-        F.col(id_col),
-        "sub",
-        F.slice(
-            "__v",
-            (F.col("sub") * (F.size("__v") / m).cast("int") + 1).cast("int"),
-            (F.size("__v") / m).cast("int"),
-        ).alias("sv"),
-    )
+    subs = _pq_subvectors(corpus, m, id_col, vec_col)
     # Deterministic seeding without a collect: rank the k lowest ids via a
     # bounded sort (TakeOrderedAndProject), then join their subvectors.
     low_ids = (
@@ -609,7 +613,7 @@ def pq_train_codebooks(
         by_dim = assigned.select(
             "sub", "code", F.posexplode("sv").alias("__pos", "__x")
         )
-        codebooks = (
+        means = (
             by_dim.groupBy("sub", "code", "__pos")
             .agg(F.avg("__x").alias("__mn"))
             .groupBy("sub", "code")
@@ -620,7 +624,50 @@ def pq_train_codebooks(
                 ).alias("cvec")
             )
         )
+        # Empty-cluster guard: a code no vector assigned to this round has
+        # no mean — keep its previous codeword so the (sub, code) grid stays
+        # dense (m·k rows always).
+        codebooks = (
+            codebooks.alias("old")
+            .join(means.alias("new"), ["sub", "code"], "left")
+            .select(
+                "sub",
+                "code",
+                F.coalesce(F.col("new.cvec"), F.col("old.cvec")).alias("cvec"),
+            )
+        )
     return codebooks
+
+
+def _pq_subvectors(
+    df: DataFrame, m: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, sub, sv): L2-normalize the vector, then slice into ``m``
+    subvectors — the SHARED transform of ``pq_train_codebooks`` and
+    ``pq_encode``. Train and encode MUST see the same scale: normalization
+    makes ADC dot products approximate cosine, and fitting codebooks on raw
+    subvectors while encoding normalized ones silently degrades quantization
+    for any corpus that is not already unit-norm. Map-only."""
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
+    )
+    normed = df.select(
+        F.col(id_col), F.transform(v, lambda x: x / norm).alias("__nv")
+    )
+    return normed.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col("__nv"),
+    ).select(
+        F.col(id_col),
+        "sub",
+        F.slice(
+            "__nv",
+            (F.col("sub") * (F.size("__nv") / m).cast("int") + 1).cast("int"),
+            (F.size("__nv") / m).cast("int"),
+        ).alias("sv"),
+    )
 
 
 def _pq_assign(subs: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
@@ -659,26 +706,10 @@ def pq_encode(
 ) -> DataFrame:
     """Encode vectors to PQ codes: (id, codes array<int> of length m) —
     the 64-byte→8-byte compressed representation a 1B-vector index stores.
-    Map-only given broadcast codebooks; normalization happens BEFORE
-    encoding so ADC dot products approximate cosine."""
-    v = F.col(vec_col).cast("array<double>")
-    norm = F.sqrt(F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x))
-    normed = corpus.select(
-        F.col(id_col), F.transform(v, lambda x: x / norm).alias("__nv")
-    )
-    subs = normed.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-        F.col("__nv"),
-    ).select(
-        F.col(id_col),
-        "sub",
-        F.slice(
-            "__nv",
-            (F.col("sub") * (F.size("__nv") / m).cast("int") + 1).cast("int"),
-            (F.size("__nv") / m).cast("int"),
-        ).alias("sv"),
-    )
+    Map-only given broadcast codebooks; ``_pq_subvectors`` normalizes BEFORE
+    slicing so ADC dot products approximate cosine — the identical transform
+    the codebooks were fitted on."""
+    subs = _pq_subvectors(corpus, m, id_col, vec_col)
     assigned = _pq_assign(subs, codebooks, id_col)
     return assigned.groupBy(id_col).agg(
         F.transform(

@@ -265,3 +265,60 @@ def test_pq_sample_trained_codebooks(spark):
         for r in pq_cosine_topk(emb, queries, k=10, shortlist=50, train_sample_mod=2).collect()
     }
     assert a == a2
+
+
+def test_pq_handles_non_unit_norm_corpus(spark):
+    """Codebooks and codes must live on the same (normalized) scale. Scaling
+    every vector by a per-row factor leaves cosine neighborhoods unchanged,
+    so PQ recall must hold. Before the shared normalize-then-slice fix the
+    codebooks were fitted on RAW subvectors while encode normalized first —
+    a scale mismatch that silently degraded quantization for any corpus not
+    already unit-norm (the standard fixtures are unit-norm, masking it)."""
+    from pyspark.sql import functions as F
+
+    from covid19_spark.operators.similarity import cosine_topk, pq_cosine_topk
+    from covid19_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    scaled = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x * (F.col("vec_id") % 7 + 1)
+        ).alias("embedding"),
+    )
+    queries = scaled.filter("vec_id < 8")
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(scaled, queries, k=10).collect()
+    }
+    a = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_cosine_topk(
+            scaled, queries, k=10, m=8, n_codes=16, shortlist=50
+        ).collect()
+    }
+    recall = len(exact & a) / len(exact)
+    assert recall >= 0.6, recall
+
+
+def test_pq_codebooks_stay_dense_with_empty_clusters(spark):
+    """Duplicate-heavy corpora empty code clusters during Lloyd rounds (two
+    identical seed codewords — one absorbs every assignment, the other gets
+    none). The (sub, code) grid must stay dense — exactly m*k rows with codes
+    0..k-1 per subspace — because the ADC table is indexed positionally as
+    sub*k+code; a dropped row would shift every later entry and silently
+    corrupt adc_score."""
+    from covid19_spark.operators.similarity import pq_encode, pq_train_codebooks
+
+    base = [[1.0 if i == j * 2 else 0.0 for i in range(8)] for j in range(4)]
+    rows = [(i, base[i % 4]) for i in range(64)]  # 4 distinct vectors, repeated
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cb = pq_train_codebooks(df, m=4, k=8, iterations=2)
+    rows_cb = cb.collect()
+    assert len(rows_cb) == 4 * 8, "empty clusters dropped codebook rows"
+    per_sub = {}
+    for r in rows_cb:
+        per_sub.setdefault(r.sub, set()).add(r.code)
+    assert all(codes == set(range(8)) for codes in per_sub.values())
+    encoded = pq_encode(df, cb, 4).collect()
+    assert len(encoded) == 64
+    assert all(0 <= c < 8 for r in encoded for c in r.codes)
