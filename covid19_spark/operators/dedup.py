@@ -738,29 +738,117 @@ def incremental_dedup_against_index(
     )
 
 
+def _two_phase_components(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al. 2014, "Connected components in MapReduce and beyond") — the
+    O(log n)-round path for adversarial long-chain graphs where min-label
+    propagation needs O(diameter) rounds.
+
+    Edge frame invariant: canonical directed ``(u, v)`` with ``u > v``
+    (child → smaller parent). Per round:
+      - large-star: every node connects its STRICTLY LARGER neighbors to
+        the minimum of its closed neighborhood min(Γ(u) ∪ {u});
+      - small-star: every node connects its smaller-or-equal neighbors
+        (and itself) to its minimum neighbor.
+    Both are one groupBy-min + one join over the edge frame — the same
+    shuffle primitives as label propagation, but the round count is
+    logarithmic in component size instead of linear in diameter. Fixpoint
+    when the canonical edge set is unchanged (count + order-insensitive
+    bit_xor-of-xxhash64 checksum). At fixpoint the graph is a star forest centered at
+    each component's minimum node.
+
+    Input: (u, v) pairs, u != v (either orientation). Output: (node, comp).
+    """
+    canon = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev: tuple | None = None
+    for _ in range(max_iter):
+        nbrs = canon.union(
+            canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("__mv"))
+            .select("u", F.least("u", "__mv").alias("m"))
+        )
+        large = (
+            nbrs.filter(F.col("v") > F.col("u"))
+            .join(lmins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        canon = small.localCheckpoint(eager=True)
+        # bit_xor (not sum) as the set checksum: order-insensitive over the
+        # distinct edge set and cannot overflow under ANSI arithmetic.
+        stats = canon.agg(
+            F.count(F.lit(1)).alias("c"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).first()
+        cur = (stats["c"], stats["h"])
+        if cur == prev:
+            break
+        prev = cur
+    stars = (
+        canon.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+        .union(canon.select(F.col("v").alias("node"), F.col("v").alias("comp")))
+        .distinct()
+    )
+    # Self-loop-only nodes were dropped by the canonical filter but are
+    # still their own singleton component (parity with label propagation).
+    nodes = edges.select(F.col("u").alias("node")).distinct()
+    return nodes.join(stars, "node", "left").select(
+        "node", F.coalesce("comp", F.col("node")).alias("comp")
+    )
+
+
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Connected components over an undirected edge list → ``(node,
     component)`` where ``component`` is the smallest node id reachable —
     the cluster-canonicalization stage of a dedup pipeline (near-dup pairs
     → duplicate clusters → keep one document per cluster).
 
-    Min-label propagation to fixpoint: each round joins current labels
-    across edges and takes the per-node min. Dedup graphs have tiny
-    diameters (LSH+verify emits near-cliques), so convergence is
-    O(diameter) rounds ≈ 2-4; each round is one join + one min-agg shuffle
-    over the *pair graph* (≪ corpus). ``localCheckpoint(eager=True)``
-    truncates lineage per round so the plan stays flat. The per-round
-    fixpoint probe counts changed labels (an action on |nodes| rows — no
-    data is collected). For adversarial long-chain graphs switch to
-    alternating large-star/small-star (Kiveris et al. 2014, "Connected
-    components in MapReduce and beyond") — same join/agg primitives,
-    O(log n) rounds; not needed for dedup-shaped graphs.
+    ``algorithm="label"`` (default): min-label propagation to fixpoint —
+    each round joins current labels across edges and takes the per-node
+    min. Dedup graphs have tiny diameters (LSH+verify emits near-cliques),
+    so convergence is O(diameter) rounds ≈ 2-4; each round is one join +
+    one min-agg shuffle over the *pair graph* (≪ corpus).
+    ``localCheckpoint(eager=True)`` truncates lineage per round so the plan
+    stays flat. The per-round fixpoint probe counts changed labels (an
+    action on |nodes| rows — no data is collected).
+
+    ``algorithm="star"``: alternating large-star/small-star (Kiveris et
+    al. 2014) — same join/agg primitives, O(log n) rounds regardless of
+    diameter; use for adversarial long-chain graphs (entity-resolution
+    chains, citation paths) where label propagation's O(diameter) rounds
+    are the scale ceiling.
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+    if algorithm == "star":
+        return _two_phase_components(sym, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}: use 'label' or 'star'")
     sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("node"))
@@ -795,13 +883,18 @@ def connected_components(
 
 
 def dedup_clusters(
-    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b"
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    algorithm: str = "label",
 ) -> DataFrame:
     """Near-dup pairs → per-document cluster assignment with size and a
     canonical-keep flag: ``(doc_id, cluster_id, cluster_size, is_canonical)``.
     ``is_canonical`` marks the one document per cluster (smallest id) a
-    curation pipeline keeps; the rest are dropped as duplicates."""
-    cc = connected_components(pairs, src=id_a, dst=id_b)
+    curation pipeline keeps; the rest are dropped as duplicates.
+    ``algorithm`` selects the connected-components strategy (see
+    ``connected_components``)."""
+    cc = connected_components(pairs, src=id_a, dst=id_b, algorithm=algorithm)
     sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
     # No broadcast hint on sizes: it is O(#clusters) and a pathological corpus
     # (everything near-duplicated) makes it as big as the clustered-doc set,

@@ -323,3 +323,38 @@ def test_linear_classifier_is_map_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # pure per-row pass: no shuffle at any scale
+
+
+def test_star_components_match_label_on_mixed_graph(spark):
+    """large-star/small-star and min-label propagation must agree exactly —
+    same (node, comp) labels, including a self-loop singleton."""
+    from covid19_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (4, 6), (10, 11), (20, 20), (7, 8), (8, 9), (9, 7)],
+        "src long, dst long",
+    )
+    label = {r.node: r.comp for r in connected_components(edges, algorithm="label").collect()}
+    star = {r.node: r.comp for r in connected_components(edges, algorithm="star").collect()}
+    assert star == label
+    assert star[20] == 20 and star[6] == 1 and star[9] == 7
+
+
+def test_star_components_converge_logarithmically_on_long_chain(spark):
+    """The adversarial case for label propagation: a 10k-node path graph has
+    diameter 10k, so min-label needs ~10k rounds. Alternating large-star/
+    small-star must collapse it to a single star in O(log n) rounds —
+    max_iter=18 (≈ ceil(log2 10k) + 4) must fully converge, where label
+    propagation under the same budget provably cannot."""
+    from covid19_spark.operators.dedup import connected_components
+
+    n = 10_000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = connected_components(edges, algorithm="star", max_iter=18)
+    agg = got.selectExpr(
+        "count(*) as n", "sum(cast(comp != 0 as int)) as nonzero"
+    ).first()
+    assert agg["n"] == n
+    assert agg["nonzero"] == 0, f"{agg['nonzero']} nodes not labeled with component min"
