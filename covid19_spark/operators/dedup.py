@@ -738,6 +738,82 @@ def incremental_dedup_against_index(
     )
 
 
+def _compact_parquet_dir(
+    spark,
+    path: str,
+    dedup_cols: Sequence[str],
+    partition_by: str | None = None,
+    file_threshold: int = 8,
+    target_files: int = 1,
+) -> bool:
+    """Rewrite an append-only parquet directory into few large files when
+    its fragment count exceeds ``file_threshold``; returns True if it
+    compacted. Deduplicates on ``dedup_cols`` while rewriting (replayed
+    appends leave identical rows). Write-to-temp-then-rename swap: the
+    rewrite is materialized completely before the old directory is
+    replaced, so a crash mid-compaction leaves either the old store or the
+    new one, never a mix. Run between batches (not concurrent with an
+    append — a real deployment does this as Delta/Iceberg OPTIMIZE, which
+    is transactional; parquet-on-filesystem needs the maintenance window).
+    """
+    import glob
+    import os
+    import shutil
+
+    frags = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    if len(frags) <= file_threshold:
+        return False
+    df = spark.read.parquet(path).dropDuplicates(list(dedup_cols))
+    tmp = f"{path}__compacting"
+    old = f"{path}__old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    if partition_by is not None:
+        # repartition BY the partition column: every partition's rows land
+        # in one task → exactly one file per partition directory
+        df.repartition(partition_by).write.mode("overwrite").partitionBy(
+            partition_by
+        ).parquet(tmp)
+    else:
+        df.repartition(target_files).write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return True
+
+
+def compact_dedup_index(
+    spark, path: str, file_threshold: int = 8
+) -> dict[str, bool]:
+    """Maintenance job for the persisted incremental-dedup index
+    (``build_dedup_index`` / ``append_to_dedup_index``): each appended batch
+    adds parquet fragments to ``digests``/``buckets``/``shingles``, and probe
+    cost eventually becomes file-listing/open bound rather than data bound.
+    Compacts every store whose fragment count exceeds ``file_threshold``,
+    deduplicating replayed-append rows in the same pass; screen results are
+    unchanged (equivalence pinned by test). ``buckets`` keeps its
+    partitioned-by-band layout (one file per band after compaction) so the
+    probe's partition pruning is preserved.
+
+    Returns {store: compacted?} for observability.
+    """
+    return {
+        "digests": _compact_parquet_dir(
+            spark, f"{path}/digests", ["__th"], file_threshold=file_threshold
+        ),
+        "buckets": _compact_parquet_dir(
+            spark,
+            f"{path}/buckets",
+            ["__cid", "band", "bucket"],
+            partition_by="band",
+            file_threshold=file_threshold,
+        ),
+        "shingles": _compact_parquet_dir(
+            spark, f"{path}/shingles", ["__cid"], file_threshold=file_threshold
+        ),
+    }
+
+
 def _two_phase_components(edges: DataFrame, max_iter: int) -> DataFrame:
     """Alternating large-star/small-star connected components (Kiveris et
     al. 2014, "Connected components in MapReduce and beyond") — the

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
 from covid19_spark.operators.dedup import (
+    _compact_parquet_dir,
     band_buckets,
     dedup_clusters,
     lsh_candidate_pairs,
@@ -152,3 +153,34 @@ def make_lsh_dedup_sink(
                 df.unpersist()
 
     return body
+
+
+def compact_lsh_store(
+    spark, store_path: str, id_col: str, file_threshold: int = 8
+) -> dict[str, bool]:
+    """Maintenance job for the streaming near-dup store: every micro-batch
+    appends a parquet fragment to ``sigs`` and ``buckets``, so steady-state
+    ingestion degrades the history probe toward file-open overhead. Rewrites
+    any store whose fragment count exceeds ``file_threshold`` into
+    ``target_files`` large files, dropping replayed-batch duplicate rows in
+    the same pass — screen semantics are unchanged (a signature row is
+    probed identically wherever it lives; equivalence pinned by test).
+
+    Run between micro-batches (e.g. from a foreachBatch hook every N
+    batches, or a scheduled maintenance job) — NOT concurrently with an
+    append; a real deployment makes this a transactional Delta/Iceberg
+    OPTIMIZE with the identical dataframe rewrite.
+
+    Returns {store: compacted?}.
+    """
+    return {
+        "sigs": _compact_parquet_dir(
+            spark, f"{store_path}/sigs", [id_col], file_threshold=file_threshold
+        ),
+        "buckets": _compact_parquet_dir(
+            spark,
+            f"{store_path}/buckets",
+            [id_col, "band", "bucket"],
+            file_threshold=file_threshold,
+        ),
+    }

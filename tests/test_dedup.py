@@ -490,3 +490,68 @@ def test_containment_threshold_catches_subset_docs(spark):
     assert flagged.keep == 0 and flagged.near_dup_of == 0
     assert flagged.best_containment >= 0.9
     assert flagged.best_jaccard < 0.5
+
+
+def test_compact_dedup_index_preserves_screen(spark, tmp_path):
+    """Steady-state ingestion appends a parquet fragment per batch to each
+    index store; compaction must rewrite them into few files WITHOUT changing
+    screen results — same verdict rows before and after, band partitioning
+    preserved, fragment counts reduced."""
+    import glob
+    import os
+
+    from covid19_spark.operators.dedup import (
+        append_to_dedup_index,
+        build_dedup_index,
+        compact_dedup_index,
+        incremental_dedup_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")], ["doc_id", "text"]
+    )
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, "doc_id", "text", idx)
+    for i in range(9):
+        append_to_dedup_index(
+            spark.createDataFrame(
+                [(10 + i, f"unique document number {i} about topic {i} with words w{i} x{i} y{i} z{i}")],
+                ["doc_id", "text"],
+            ),
+            "doc_id",
+            "text",
+            idx,
+        )
+
+    def n_frags(sub):
+        return len(glob.glob(os.path.join(idx, sub, "**", "*.parquet"), recursive=True))
+
+    before_files = {s: n_frags(s) for s in ("digests", "buckets", "shingles")}
+    assert all(n > 8 for n in before_files.values()), before_files
+
+    batch = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 0
+            (101, "unique document number 3 about topic 3 with words w3 x3 y3 z3"),  # dup of 13
+            (102, "entirely fresh content never appended before at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    before = sorted(
+        incremental_dedup_against_index(batch, idx, "doc_id", "text").collect()
+    )
+
+    compacted = compact_dedup_index(spark, idx)
+    assert compacted == {"digests": True, "buckets": True, "shingles": True}
+    after_files = {s: n_frags(s) for s in ("digests", "buckets", "shingles")}
+    assert all(after_files[s] < before_files[s] for s in after_files), (before_files, after_files)
+    assert os.path.isdir(os.path.join(idx, "buckets", "band=0"))  # pruning layout kept
+
+    after = sorted(
+        incremental_dedup_against_index(batch, idx, "doc_id", "text").collect()
+    )
+    assert before == after
+    # under-threshold stores are left alone
+    assert compact_dedup_index(spark, idx) == {
+        "digests": False, "buckets": False, "shingles": False,
+    }

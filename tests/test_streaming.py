@@ -689,3 +689,52 @@ def test_streaming_lsh_dedup_first_wins_across_batches(stream_env):
     q2.awaitTermination(180)
     accepted = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
     assert accepted == {1, 2, 4, 5}  # 7 == text_a verbatim -> dropped
+
+
+def test_compact_lsh_store_preserves_dedup_semantics(stream_env):
+    """The streaming store grows one fragment per micro-batch; compaction
+    rewrites it into few files with identical content — the distinct
+    signature/bucket row sets are unchanged and a re-offered duplicate is
+    still rejected afterwards."""
+    import glob
+    import os
+
+    from covid19_spark.streaming.dedup_lsh_stream import (
+        compact_lsh_store,
+        make_lsh_dedup_sink,
+    )
+
+    spark, d, _src, _ckpt = stream_env
+    out_path, store = f"{d}/accepted", f"{d}/store"
+    sink = make_lsh_dedup_sink(out_path, store, "doc_id", "text", threshold=0.5)
+    schema = "doc_id long, text string"
+    # 10 one-doc micro-batches -> >8 fragments in each store
+    for i in range(10):
+        text = " ".join(f"tok{i}_{j}" for j in range(20))
+        sink(spark.createDataFrame([(i, text)], schema), i)
+
+    def n_frags(sub):
+        return len(glob.glob(os.path.join(store, sub, "**", "*.parquet"), recursive=True))
+
+    before_files = {s: n_frags(s) for s in ("sigs", "buckets")}
+    assert all(n > 8 for n in before_files.values()), before_files
+    def sig_set():
+        return {
+            (r["doc_id"], tuple(r["sig"]))
+            for r in spark.read.parquet(f"{store}/sigs").collect()
+        }
+
+    sig_rows = sig_set()
+    bucket_rows = {tuple(r) for r in spark.read.parquet(f"{store}/buckets").collect()}
+
+    assert compact_lsh_store(spark, store, "doc_id") == {"sigs": True, "buckets": True}
+    after_files = {s: n_frags(s) for s in ("sigs", "buckets")}
+    assert all(after_files[s] < before_files[s] for s in after_files)
+    assert sig_set() == sig_rows
+    assert {tuple(r) for r in spark.read.parquet(f"{store}/buckets").collect()} == bucket_rows
+
+    # a near-copy of batch-3's doc is still dropped against the compacted store
+    dup = " ".join(f"tok3_{j}" for j in range(20)).replace("tok3_9", "other")
+    sink(spark.createDataFrame([(100, dup), (101, "totally fresh words entirely")], schema), 10)
+    accepted = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
+    assert 100 not in accepted and 101 in accepted
