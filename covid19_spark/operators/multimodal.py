@@ -1,10 +1,13 @@
 """Multimodal (binary) column plumbing: images/audio/video as opaque BINARY
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode kernels are STUBS —
-either a clearly-marked ``NotImplementedError`` (real-codec path) or a
-deterministic fake (test path). Everything Spark-side is real and tested:
-schemas, batch iteration, partition sizing, UDF signatures.
+The container has no codec libraries, so the REAL decode paths are the two
+formats a pure-stdlib reader can handle: uncompressed 24-bpp BMP and 8-bit
+non-interlaced PNG (zlib + unfilter — the chart format the reference serves,
+KafkaStreamsConfig.java:148-153). JPEG/audio/video decode remain
+clearly-marked ``NotImplementedError`` seams with deterministic fakes for
+the test path. Everything Spark-side is real and tested: schemas, batch
+iteration, partition sizing, UDF signatures.
 
 Scale design: media blobs dominate bytes, not rows — so (1) metadata-only
 predicates must prune *before* any decode (keep metadata in top-level columns,
@@ -96,14 +99,173 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth_predict(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): pick left/up/upper-left whichever
+    is closest to the linear estimate a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels: "np.ndarray", filter_type: int = 0) -> bytes:
+    """Encode a uint8 array as an 8-bit PNG — pure stdlib (struct + zlib),
+    no codec library. (H, W) → grayscale (color type 0), (H, W, 3) → RGB
+    (type 2), (H, W, 4) → RGBA (type 6). ``filter_type`` applies one of the
+    five PNG scanline filters to every row (0=None, 1=Sub, 2=Up, 3=Average,
+    4=Paeth) — used by tests to exercise every unfilter path in
+    ``decode_png``; 0 is the fastest to write."""
+    import struct
+    import zlib
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        ctype, arr3 = 0, arr[:, :, None]
+    elif arr.shape[2] == 3:
+        ctype, arr3 = 2, arr
+    elif arr.shape[2] == 4:
+        ctype, arr3 = 6, arr
+    else:
+        raise ValueError(f"unsupported channel count {arr.shape[2]}")
+    h, w, nch = arr3.shape
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"invalid PNG filter type {filter_type}")
+
+    def left_of(cur: "np.ndarray") -> "np.ndarray":
+        return np.concatenate([np.zeros(nch, dtype=np.int32), cur[:-nch]])
+
+    lines = []
+    prev = np.zeros(w * nch, dtype=np.int32)
+    for r in range(h):
+        cur = arr3[r].reshape(-1).astype(np.int32)
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left_of(cur)
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - (left_of(cur) + prev) // 2
+        else:  # Paeth — inherently sequential in the spec's byte order
+            lo, filt = left_of(cur), np.empty_like(cur)
+            lo_prev = left_of(prev)
+            for i in range(len(cur)):
+                filt[i] = cur[i] - _paeth_predict(int(lo[i]), int(prev[i]), int(lo_prev[i]))
+        lines.append(bytes([filter_type]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    raw = b"".join(lines)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """Decode an 8-bit-depth non-interlaced PNG to an (H, W, 3) uint8 RGB
+    array — pure stdlib (struct + zlib + numpy), the format the reference
+    actually serves for charts (KafkaStreamsConfig.java:148-153 writes PNG
+    bytes). Supports color types 0 (grayscale → replicated to RGB), 2 (RGB)
+    and 6 (RGBA → alpha dropped), all five scanline filters, CRC-validated
+    chunks, multi-IDAT streams. Rejects palette/16-bit/Adam7 variants with
+    NotImplementedError (a production build plugs a full codec in there)."""
+    import struct
+    import zlib
+
+    if payload is None or len(payload) < 8 or payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError(f"invalid PNG compression/filter method ({comp}/{filt})")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNGs not supported")
+    if depth != 8 or ctype not in (0, 2, 6):
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB/RGBA PNGs supported (depth={depth}, color type={ctype})"
+        )
+    nch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * nch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    rpos = 0
+    for r in range(h):
+        ftype = raw[rpos]
+        line = np.frombuffer(raw, np.uint8, stride, rpos + 1).astype(np.int32)
+        rpos += stride + 1
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up — vectorized (no within-row dependency)
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth — sequential in-row
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - nch] if i >= nch else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + int(prev[i])) // 2
+                else:
+                    c = int(prev[i - nch]) if i >= nch else 0
+                    pred = _paeth_predict(a, int(prev[i]), c)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG scanline filter {ftype}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, nch)
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2).copy()
+    if ctype == 6:
+        return px[:, :, :3].copy()
+    return px.copy()
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real decode path: pure-numpy BMP reader for uncompressed 24-bpp
-    payloads; anything else needs a codec library the container doesn't ship
-    (a production build plugs Pillow/turbojpeg into the except branch)."""
+    """Real decode path: pure-stdlib readers for uncompressed 24-bpp BMP and
+    8-bit non-interlaced PNG (the chart format the reference serves);
+    anything else needs a codec library the container doesn't ship (a
+    production build plugs Pillow/turbojpeg into the fall-through)."""
     if payload is not None and len(payload) >= 2 and payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload is not None and len(payload) >= 8 and payload[:8] == PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "no codec for non-BMP image formats in this environment"
+        "no codec for non-BMP/PNG image formats in this environment"
     )
 
 

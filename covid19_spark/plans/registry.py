@@ -1202,6 +1202,63 @@ QUERY_REGISTRY["bmp_image_features"] = QuerySpec(
 )
 
 
+def q_png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec PNG path end-to-end — the chart format the reference
+    actually serves (KafkaStreamsConfig.java:148-153 returns PNG bytes):
+    synthesize valid 8-bit RGB PNGs whose pixels derive deterministically
+    from doc_id, rotating through all five scanline filter types so every
+    unfilter branch of the stdlib decoder runs distributed, decode with
+    ``use_fake=False`` and featurize. Non-SQL-expressible (binary format
+    parsing) → rows-only driver check + exact checked-in fixture."""
+    import numpy as np
+    import pandas as pd
+
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        extract_image_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 500)
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                rng = np.random.default_rng(int(did) + 1_000_000)
+                h, w = 8 + int(did) % 8, 8 + int(did) % 5
+                img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                rows.append(
+                    (
+                        int(did), "image", "image/png", w, h, None,
+                        encode_png(img, filter_type=int(did) % 5),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "mime", "width", "height",
+                    "duration_ms", "payload",
+                ],
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    feats = extract_image_features(media, use_fake=False)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+        F.round(F.element_at("feature", 8), 4).alias("f7"),
+    ).orderBy("media_id")
+
+
+QUERY_REGISTRY["png_image_features"] = QuerySpec(
+    q_png_image_features, None, "real PNG decode (stdlib codec) -> features (rows-only)"
+)
+
+
 QUERY_REGISTRY.update(
     {
         "text_quality": QuerySpec(q_text_quality, ORACLE_TEXT_QUALITY, "text quality scoring"),
@@ -3896,57 +3953,58 @@ QUERY_REGISTRY["cumulative_unique_users"] = QuerySpec(
 # --- Registration order: least-driver-verified first -------------------------
 #
 # The driver's per-round correctness sweep walks the registry in insertion
-# order and may only cover a prefix of it (round 2's artifact stopped at the
-# 50th entry, leaving the newest 29 with no driver row even though they pass
-# the same differential check locally).  Rebuild the dict so queries that have
-# never appeared in a driver CORRECTNESS artifact register FIRST; the 50
-# already-hash-green ones follow.  Pure reordering — the key set, specs, and
-# oracles are untouched (pinned by tests/test_registry_order.py).
+# order and may only cover a prefix of it (the r02 and r03 artifacts each
+# stopped at the 50th entry).  Rebuild the dict so the queries with no row in
+# the LATEST driver artifact (CORRECTNESS_r03.json) register FIRST — the
+# rotation guarantees every query is driver-verified at least every other
+# round (r03 covered 50; this front list is exactly the other 38 plus the
+# round-4 addition).  Pure reordering — the key set, specs, and oracles are
+# untouched (pinned by tests/test_registry_order.py, which re-derives this
+# list from the newest CORRECTNESS_r*.json so a stale list fails CI).
 _DRIVER_UNVERIFIED_FIRST = [
-    # round-3 additions (no driver row yet). key_skew_report leads: it is
-    # cheap and absorbs the fresh-JVM cold start that would otherwise be
-    # charged to the heavyweight pipeline queries in timing artifacts.
-    "key_skew_report",
-    "mad_outliers",
-    "promo_revenue_ratio",
-    "late_shipment_priority",
-    # round-2 second wave (registered after CORRECTNESS_r02's 50-query prefix)
-    "stratified_sample",
-    "domain_mix_sample",
-    "pii_redaction",
-    "decontaminate",
-    "dedup_clusters",
-    "pack_sequences",
-    "unigram_logprob",
-    "range_join_price_match",
-    "line_dedup",
-    "fuzzy_name_match",
-    "asof_join_attribution",
-    "snapshot_cdc",
-    "scd2_user_type",
-    "hashed_classifier",
-    "interpolate_revenue",
-    "tfidf_top_terms",
-    "rolling_zscore",
-    "value_histogram",
-    "ewma_daily_events",
-    "profile_orders",
-    "label_centroids",
-    "doc_chunks",
-    "frequent_terms",
-    "semantic_dedup",
-    "quality_report",
-    "trend_slopes",
-    "correlation_matrix",
-    "unpivot_measures",
-    "cumulative_unique_users",
-    # round-3 heavyweights — still inside the driver-prefix front block, but
-    # after the cheap queries so none of them is first in a cold JVM
-    "dedup_pipeline_e2e",
-    "dedup_incremental",
-    "bmp_image_features",
-    "pq_cosine_topk",
-    "ivfpq_cosine_topk",
+    # cheap map/agg queries lead: the first entry absorbs the fresh-JVM
+    # cold start that would otherwise be charged to a pipeline query
+    "length_buckets",
+    "corpus_stats",
+    "topk_users",
+    "pivot_daily_types",
+    "date_spine",
+    "dedup_first_within_window",
+    "repetition_stats",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "zip_join",
+    "supplier_revenue",
+    "part_type_stats",
+    "date_range_orders",
+    "cube_segment_region",
+    "set_ops_customers",
+    "price_quantiles",
+    "sessionize",
+    "running_delta_two_key",
+    "topk_days_per_type",
+    "string_surface",
+    "funnel_signup_purchase",
+    "cohort_retention",
+    "deterministic_sample",
+    "chart_series",
+    "attribution_join",
+    "window_rank_suite",
+    "approx_aggregates",
+    "curation_pipeline",
+    "ngram_jaccard",
+    "cosine_topk",
+    # heavier similarity/dedup queries after the cheap block
+    "embedding_near_dup",
+    "minhash_lsh",
+    "simhash_pairs",
+    "ann_cosine_topk",
+    "ivf_cosine_topk",
+    "multimodal_features",
+    # round-4 addition (no driver row yet)
+    "png_image_features",
 ]
 
 

@@ -292,6 +292,10 @@ def test_dedup_clusters_survives_giant_cluster_without_forced_broadcast(spark):
     assert "UnresolvedHint" not in plan and "ResolvedHint" not in plan
 
 
+def test_png_image_features_matches_fixture(spark):
+    _assert_matches_fixture(spark, "png_image_features", ["media_id"])
+
+
 def test_bmp_image_features_matches_fixture(spark):
     _assert_matches_fixture(spark, "bmp_image_features", ["media_id"])
 

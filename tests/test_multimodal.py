@@ -21,6 +21,10 @@ def test_fake_features_deterministic():
 
 
 def test_decode_stub_raises():
+    # JPEG has no pure-stdlib decoder in this env; a truncated PNG magic
+    # (4 of 8 signature bytes) is not recognized as PNG either
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0")
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
 
@@ -147,3 +151,96 @@ def test_real_decode_path_end_to_end_exact_features(spark):
         expected = image_features_from_pixels(img)
         assert np.allclose(out[i].feature, expected, atol=1e-6), i
         assert out[i].n_bytes == len(encode_bmp(img))
+
+
+def test_png_roundtrip_exact_all_filters():
+    """encode_png/decode_png are pure-stdlib; every scanline filter type
+    (None/Sub/Up/Average/Paeth) must round-trip RGB pixels exactly."""
+    from covid19_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (5, 7), (16, 9)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for ftype in range(5):
+            got = decode_png(encode_png(img, filter_type=ftype))
+            assert np.array_equal(got, img), (h, w, ftype)
+
+
+def test_png_gray_and_rgba():
+    from covid19_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(12)
+    gray = rng.integers(0, 256, size=(6, 4), dtype=np.uint8)
+    out = decode_png(encode_png(gray, filter_type=4))
+    assert out.shape == (6, 4, 3)
+    assert np.array_equal(out[:, :, 0], gray)
+    assert np.array_equal(out[:, :, 1], gray)
+
+    rgba = rng.integers(0, 256, size=(3, 5, 4), dtype=np.uint8)
+    out = decode_png(encode_png(rgba, filter_type=2))
+    assert np.array_equal(out, rgba[:, :, :3])
+
+
+def test_png_rejects_corrupt_and_unsupported():
+    import struct
+    import zlib
+
+    from covid19_spark.operators.multimodal import PNG_SIG, decode_png, encode_png
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = bytearray(encode_png(img))
+    good[40] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(good))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM123456")
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    # Adam7 interlace flag -> explicit seam, not silent garbage
+    interlaced = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 52))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(interlaced)
+    # palette color type -> unsupported seam
+    paletted = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="color type"):
+        decode_png(paletted)
+
+
+def test_png_real_decode_path_end_to_end(spark):
+    """use_fake=False over PNG payloads: generated PNGs decode through the
+    stdlib codec inside mapInPandas and featurize identically to decoding
+    the same pixels locally."""
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        extract_image_features,
+        image_features_from_pixels,
+    )
+
+    rng = np.random.default_rng(21)
+    imgs = {i: rng.integers(0, 256, size=(6 + i, 5 + i, 3), dtype=np.uint8) for i in range(4)}
+    rows = [
+        (i, "image", "image/png", int(imgs[i].shape[1]), int(imgs[i].shape[0]), None,
+         encode_png(imgs[i], filter_type=i % 5))
+        for i in imgs
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in extract_image_features(media, use_fake=False).collect()}
+    for i, img in imgs.items():
+        expected = image_features_from_pixels(img)
+        assert np.allclose(np.array(out[i].feature), expected, atol=1e-6), i

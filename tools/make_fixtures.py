@@ -31,6 +31,7 @@ FIXTURE_QUERIES = (
     "multimodal_features",
     "semantic_dedup",
     "bmp_image_features",
+    "png_image_features",
     "pq_cosine_topk",
     "ivfpq_cosine_topk",
     "approx_aggregates",
