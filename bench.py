@@ -87,20 +87,35 @@ def main() -> None:
         time.sleep(0.2)
 
     total = round(sum(timings.values()), 3)
-    line = json.dumps(
-        {
-            "metric": "covid19_spark_headline_queries_total_runtime",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        }
-    )
-    # The driver's artifact may truncate long stdout tails; persist the full
-    # JSON next to the repo so the complete per-query map always survives.
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "covid19_spark_headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # The driver's artifact keeps only a TAIL of stdout, which decapitates a
+    # single ~2.5 KB 89-entry line (BENCH_r02/r03 both recorded parsed:null
+    # this way). Print the FULL map first (complete in real stdout and in
+    # BENCH_LOCAL.json), then a short self-contained summary line LAST so
+    # whatever tail survives truncation ends in one parseable JSON object.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
-        f.write(line + "\n")
-    print(line)
+        f.write(json.dumps(full) + "\n")
+    print(json.dumps(full), flush=True)
+    print(
+        json.dumps(
+            {
+                "metric": "covid19_spark_headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "queries_file": "BENCH_LOCAL.json",
+            }
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

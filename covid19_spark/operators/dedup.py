@@ -425,6 +425,7 @@ def lsh_dedup_pipeline(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket: int | None = 10_000,
+    cc_algorithm: str = "label",
 ) -> DataFrame:
     """End-to-end near-duplicate removal at corpus scale: MinHash-LSH
     discovery → exact n-gram-Jaccard verification of ONLY the candidate
@@ -459,7 +460,9 @@ def lsh_dedup_pipeline(
     verified = lsh_verified_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_n, threshold, max_bucket
     )
-    clusters = dedup_clusters(verified.select("doc_a", "doc_b"))
+    clusters = dedup_clusters(
+        verified.select("doc_a", "doc_b"), algorithm=cc_algorithm
+    )
     out = df.select(F.col(id_col)).join(
         clusters.withColumnRenamed("doc_id", id_col), id_col, "left"
     )

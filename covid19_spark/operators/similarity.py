@@ -847,6 +847,7 @@ def semantic_dedup(
     iterations: int = 1,
     max_block: int | None = 10_000,
     salt_buckets: int | None = None,
+    keep_policy: str = "min_id",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -865,16 +866,24 @@ def semantic_dedup(
       4. ``dedup_clusters`` (min-label connected components) for transitive
          closure + canonical flag.
 
-    Keep policy: smallest id per duplicate group (deterministic). The paper
-    keeps the example with LOWEST cosine similarity to its centroid; that
-    policy is one extra ``max_by`` projection over step 2's scores if wanted
-    — the cluster structure this returns is policy-independent.
+    Keep policy (``keep_policy``) — the cluster structure is
+    policy-independent, only ``is_canonical`` moves:
+      - ``"min_id"`` (default): smallest id per duplicate group;
+      - ``"low_centroid_sim"``: the paper's §3 choice — keep the example
+        with the LOWEST cosine similarity to its cluster centroid (the
+        least-prototypical member, maximizing retained diversity); ties
+        break to the smallest id. Costs one extra broadcast-scored map pass
+        plus a per-group window over the clustered rows.
 
     Output: one row per corpus vector — (id_col, cluster_id, cluster_size,
     is_canonical); singletons keep their own id with cluster_size 1.
     """
     from covid19_spark.operators.dedup import dedup_clusters
 
+    if keep_policy not in ("min_id", "low_centroid_sim"):
+        raise ValueError(
+            f"unknown keep_policy {keep_policy!r}: use 'min_id' or 'low_centroid_sim'"
+        )
     centroids = ivf_train_centroids(corpus, n_centroids, id_col, vec_col, iterations)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_probes=1)
     pairs = cosine_near_dup_pairs(
@@ -889,12 +898,46 @@ def semantic_dedup(
     clusters = dedup_clusters(pairs.select("id_a", "id_b"), "id_a", "id_b")
     out = corpus.select(F.col(id_col)).join(
         clusters.withColumnRenamed("doc_id", id_col), id_col, "left"
-    )
-    return out.select(
+    ).select(
         F.col(id_col),
         F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
         F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
         F.coalesce(
             F.col("is_canonical").cast("long"), F.lit(1)
         ).alias("is_canonical"),
+    )
+    if keep_policy == "min_id":
+        return out
+    # Paper policy: re-derive is_canonical as the cluster member with the
+    # lowest cosine to its centroid. The centroid similarity is a map-only
+    # broadcast-scored pass (same shape as ivf_assign); the per-cluster
+    # argmin is one window over the already-clustered rows.
+    from pyspark.sql import Window
+
+    c_row = centroids.select(
+        "centroid_id", F.col("cvec").cast("array<double>").alias("__c")
+    ).agg(F.collect_list(F.struct("centroid_id", "__c")).alias("__cs"))
+    sims = (
+        assigned.crossJoin(F.broadcast(c_row))
+        .select(
+            F.col(id_col),
+            F.element_at(
+                F.filter("__cs", lambda cc: cc["centroid_id"] == F.col("centroid_id")), 1
+            )["__c"].alias("__c"),
+            "vec",
+        )
+        .select(F.col(id_col), cosine(F.col("vec"), F.col("__c")).alias("__csim"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__csim").asc(), F.col(id_col).asc()
+    )
+    return (
+        out.join(sims, id_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            "cluster_size",
+            (F.col("__rk") == 1).cast("long").alias("is_canonical"),
+        )
     )

@@ -14,6 +14,12 @@ state-server protocol, so it needs the ``protobuf`` package and the RocksDB
 state-store provider. This container has no ``google.protobuf`` (and no pip
 installs), so the binding cannot execute here — ``require_tws_runtime()``
 raises a clear error up front, and the test skips with the same probe.
+Vendoring was investigated and rejected: no protobuf wheel or source exists
+anywhere on this disk (only typeshed type stubs), and Spark's generated
+``StateMessage_pb2`` needs the real descriptor-pool/builder runtime —
+"vendoring" would mean reimplementing the protobuf runtime, whose subtle
+wire-format bugs would surface as hanging streaming queries, not test
+failures. The gate stays until the environment ships ``protobuf``.
 On a real cluster (protobuf present) it runs as-is; RocksDB is also the
 provider you want at 100 TB: state spills to local SSD and checkpoints
 incrementally by changelog instead of full HDFS snapshots.

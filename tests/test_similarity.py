@@ -322,3 +322,47 @@ def test_pq_codebooks_stay_dense_with_empty_clusters(spark):
     encoded = pq_encode(df, cb, 4).collect()
     assert len(encoded) == 64
     assert all(0 <= c < 8 for r in encoded for c in r.codes)
+
+
+def test_semantic_dedup_paper_keep_policy(spark):
+    """keep_policy='low_centroid_sim' implements the SemDeDup paper's §3
+    choice: within each duplicate group keep the member with the LOWEST
+    cosine to its cluster centroid (the least-prototypical one). Cluster
+    structure must be identical to the default; only is_canonical moves."""
+    from covid19_spark.operators.similarity import semantic_dedup
+
+    def vec(axis, nudge=0.0):
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[axis] = 1.0
+        v[(axis + 1) % 4] = nudge
+        return v
+
+    rows = [
+        (1, vec(0)), (3, vec(0, 0.02)), (4, vec(0, -0.02)), (5, vec(0, 0.04)),
+        (2, vec(1)), (10, vec(1, 0.03)), (11, vec(1, -0.03)),
+        (20, vec(2)), (21, vec(3)),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = {
+        r["vec_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in semantic_dedup(corpus, "vec_id", "embedding", n_centroids=2, threshold=0.99).collect()
+    }
+    out = semantic_dedup(
+        corpus, "vec_id", "embedding", n_centroids=2, threshold=0.99,
+        keep_policy="low_centroid_sim",
+    )
+    got = {r["vec_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"]) for r in out.collect()}
+    # identical cluster structure
+    assert {k: v[:2] for k, v in got.items()} == base
+    # group A centroid sits at the members' mean (+0.01 nudge), so doc 4
+    # (-0.02 nudge, opposite side) is least prototypical — NOT min-id 1
+    canonicals = {cid: vid for vid, (cid, _, can) in got.items() if can}
+    assert canonicals[1] == 4
+    assert canonicals[2] in (10, 11)  # symmetric nudges; tie broken deterministically
+    assert got[20][2] == 1 and got[21][2] == 1  # singletons stay canonical
+    assert sum(v[2] for v in got.values()) == 4
+
+    import pytest
+
+    with pytest.raises(ValueError, match="keep_policy"):
+        semantic_dedup(corpus, "vec_id", "embedding", keep_policy="nope")
