@@ -1,0 +1,187 @@
+"""Exact duplicated-substring (span) deduplication — the ExactSubstr family
+from Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+Better" (arXiv:2107.06499), re-expressed for Spark.
+
+The paper builds a corpus-wide suffix array and removes every >=50-token
+substring that occurs twice. A suffix array is a single shared-memory
+structure and does not distribute; the standard cluster-scale equivalent
+(used by production LLM-data pipelines) is hashed k-token rolling windows:
+
+  1. tokenize each doc; hash every k-gram window -> (doc_id, pos, hash);
+  2. global group-by hash -> the set of hashes seen in >= min_docs distinct
+     docs (and, for the keep-first policy, the min doc_id owning each);
+  3. per doc, merge the covered windows into maximal spans
+     (gaps-and-islands over pos: same-length intervals, so a new island
+     starts exactly when pos > lag(pos) + k);
+  4. report spans / strip the covered tokens and rebuild the text.
+
+Any true duplicated substring of >= k tokens is covered exactly by this
+(every one of its k-windows collides), so detection is exact up to md5
+collisions; substrings shorter than k are intentionally ignored.
+
+Scale shape: step 1 is a map-only explode (n_tokens rows); step 2 is one
+hash-partitioned aggregate whose partial (map-side) distinct keeps the
+shuffle near |distinct hashes|; step 3 joins the gram stream back to the
+duplicated-hash set on the same hash key (no second corpus scan — the gram
+frame is a single lineage) and then windows per doc_id. Nothing is ever
+pairwise in the number of documents, so the plan survives a corpus that is
+100 TB of text: the widest shuffle carries one ~40-byte row per token
+occurrence of a *duplicated* k-gram, not per token.
+
+Reference parity: the reference engine has no substring dedup (its dedup is
+record-level, covid19-all-data.json keyed by state); this module is part of
+the beyond-reference LLM-pipeline surface the brief asks for, alongside
+operators/dedup.py (doc-level MinHash/SimHash) and operators/curation.py
+(line_dedup — RefinedWeb line-level boilerplate; this is its k-token
+substring generalization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from covid19_spark.operators.text import tokenize
+
+
+def _kgram_structs(toks: Column, k: int) -> Column:
+    """ARRAY<STRUCT<pos INT, kh STRING>> of 1-based k-gram window hashes.
+
+    Mirrors operators/text.word_shingles: the index sequence is built only
+    under a ``size >= k`` guard (sequence() steps downward otherwise), and
+    the token array is bound through ``transform(array(toks), ...)`` so the
+    underlying split() is evaluated once per row — codegen does not share
+    common subexpressions inside higher-order-function lambdas.
+    """
+
+    def grams(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
+        mk = lambda i: F.struct(  # noqa: E731
+            i.alias("pos"), F.md5(F.concat_ws(" ", F.slice(t, i, k))).alias("kh")
+        )
+        return F.when(F.size(t) >= k, F.transform(idx, mk)).otherwise(
+            F.array().cast("array<struct<pos:int,kh:string>>")
+        )
+
+    return F.flatten(F.transform(F.array(toks), grams))
+
+
+def kgram_stream(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """``(id_col, pos, kh)`` — one row per k-gram window occurrence.
+
+    Map-only explode; this is the frame both the duplicated-hash aggregate
+    and the join-back marking step derive from (single corpus scan).
+    """
+    toks = tokenize(F.col(text_col))
+    return (
+        df.select(id_col, F.explode(_kgram_structs(toks, k)).alias("g"))
+        .select(id_col, F.col("g.pos").alias("pos"), F.col("g.kh").alias("kh"))
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+    keep_first: bool = False,
+) -> DataFrame:
+    """Maximal duplicated spans per document.
+
+    Returns ``(id_col, span_start, span_end, span_tokens)`` (1-based token
+    positions, inclusive, BIGINT): every maximal run of tokens covered by
+    k-gram windows whose hash occurs in >= ``min_docs`` distinct documents.
+
+    ``keep_first=True`` applies the Lee et al. keep-one-occurrence policy:
+    for each duplicated hash the document with the minimum id is the
+    canonical owner and its windows are NOT marked, so the canonical copy
+    of a duplicated passage reports/loses nothing while every other copy
+    does. (With the default ``keep_first=False`` the spans are reported in
+    every document that carries them — the detection/report shape.)
+
+    Plan: one aggregate on kh (map-side partial distinct-min), one join of
+    the gram stream back to the duplicated-hash set on kh, one per-doc
+    window for the interval merge. No pairwise stage.
+    """
+    grams = kgram_stream(df, id_col, text_col, k)
+    dup = (
+        grams.groupBy("kh")
+        .agg(
+            F.countDistinct(id_col).alias("__nd"),
+            F.min(id_col).alias("__owner"),
+        )
+        .filter(F.col("__nd") >= min_docs)
+        .select("kh", "__owner")
+    )
+    marked = grams.join(dup, "kh")
+    if keep_first:
+        marked = marked.filter(F.col(id_col) != F.col("__owner"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    island = F.sum(
+        F.when(prev.isNull() | (F.col("pos") > prev + k), 1).otherwise(0)
+    ).over(w)
+    return (
+        marked.withColumn("__isl", island)
+        .groupBy(id_col, "__isl")
+        .agg(F.min("pos").alias("span_start"), (F.max("pos") + (k - 1)).alias("span_end"))
+        .select(
+            id_col,
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1).cast("long").alias("span_tokens"),
+        )
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Strip duplicated spans and report per-doc damage.
+
+    Returns ``(id_col, text, n_tokens, dup_tokens, n_spans, dup_frac)``:
+    the rebuilt text with every token inside a duplicated span removed
+    (under the ``keep_first`` policy of :func:`duplicated_spans` — default
+    True, i.e. the min-id copy of each duplicated passage survives intact),
+    plus BIGINT token/span counts and the duplicated-token fraction.
+
+    The rebuild joins each doc's (small) span list back as an array and
+    filters the token array positionally — per-doc work is
+    O(tokens x spans), spans per doc being the handful of merged islands.
+    Docs with no duplicated span pass through verbatim (lowercased, since
+    spans are computed over the lowercased token stream).
+    """
+    spans = duplicated_spans(df, id_col, text_col, k, min_docs, keep_first)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    toks = tokenize(F.col(text_col))
+    base = df.select(id_col, toks.alias("__toks"))
+    joined = base.join(per_doc, id_col, "left")
+    empty_spans = F.array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    sp = F.coalesce(F.col("__spans"), empty_spans)
+    covered = lambda i: F.exists(  # noqa: E731
+        sp, lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"])
+    )
+    kept = F.filter(F.col("__toks"), lambda t, i: ~covered(i))
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", kept).alias("text"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        (
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            / F.size("__toks")
+        ).alias("dup_frac"),
+    )

@@ -3950,6 +3950,118 @@ QUERY_REGISTRY["cumulative_unique_users"] = QuerySpec(
 )
 
 
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-substring detection (Lee et al. 2021):
+    every maximal token span covered by 8-gram windows shared by >= 2 docs.
+    The corpus' near-duplicate documents carry real shared runs, so no
+    synthesis is needed.
+
+    Scale: map-only k-gram explode -> one hash aggregate -> join-back on the
+    hash -> per-doc interval-merge window. Widest shuffle is one row per
+    duplicated-window occurrence; nothing is pairwise in docs
+    (operators/spans.py module docstring has the full account)."""
+    from covid19_spark.operators.spans import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_spans(docs, k=8, min_docs=2).orderBy("doc_id", "span_start")
+
+
+ORACLE_DUPLICATED_SPANS = """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 8 + 1, 0) + 1),
+      i -> {'pos': i, 'kh': md5(array_to_string(t[i:i+7], ' '))}),
+      recursive := true)
+  FROM toks
+),
+dup AS (SELECT kh FROM grams GROUP BY kh HAVING count(DISTINCT doc_id) >= 2),
+marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (kh)),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM marked)
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+       max(pos) + 7 - min(pos) + 1 AS span_tokens
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
+QUERY_REGISTRY["duplicated_spans"] = QuerySpec(
+    q_duplicated_spans,
+    ORACLE_DUPLICATED_SPANS,
+    "exact duplicated-substring spans (hashed 8-gram windows)",
+)
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal with the keep-one policy: the min-id document
+    owning each duplicated 8-gram keeps its copy; every other document has
+    the covered tokens stripped and its text rebuilt. Per-doc damage stats
+    ride along (token counts BIGINT, dup_frac a small-int division both
+    engines compute identically in IEEE double)."""
+    from covid19_spark.operators.spans import span_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_dedup(docs, k=8, min_docs=2, keep_first=True).orderBy("doc_id")
+
+
+ORACLE_SPAN_DEDUP = """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 8 + 1, 0) + 1),
+      i -> {'pos': i, 'kh': md5(array_to_string(t[i:i+7], ' '))}),
+      recursive := true)
+  FROM toks
+),
+dup AS (SELECT kh, min(doc_id) AS owner FROM grams GROUP BY kh
+        HAVING count(DISTINCT doc_id) >= 2),
+marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (kh)
+           WHERE g.doc_id <> dup.owner),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM marked)
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+  FROM isl GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, list({'s': s, 'e': e}) AS sp,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       -- DuckDB array_to_string([]) is NULL where Spark concat_ws is '':
+       -- coalesce to '' for fully-stripped docs
+       coalesce(array_to_string(list_filter(tk.t, (x, i) ->
+           len(list_filter(coalesce(p.sp, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+               sg -> i >= sg.s AND i <= sg.e)) = 0), ' '), '') AS text,
+       CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       coalesce(p.dup_tokens, 0) AS dup_tokens,
+       coalesce(p.n_spans, 0) AS n_spans,
+       coalesce(p.dup_tokens, 0) / len(tk.t) AS dup_frac
+FROM toks tk LEFT JOIN per_doc p USING (doc_id)
+ORDER BY tk.doc_id
+"""
+
+
+QUERY_REGISTRY["span_dedup"] = QuerySpec(
+    q_span_dedup,
+    ORACLE_SPAN_DEDUP,
+    "ExactSubstr keep-one substring removal + damage stats",
+)
+
+
 # --- Registration order: least-driver-verified first -------------------------
 #
 # The driver's per-round correctness sweep walks the registry in insertion
@@ -4003,8 +4115,10 @@ _DRIVER_UNVERIFIED_FIRST = [
     "ann_cosine_topk",
     "ivf_cosine_topk",
     "multimodal_features",
-    # round-4 addition (no driver row yet)
+    # round-4 additions (no driver row yet)
     "png_image_features",
+    "duplicated_spans",
+    "span_dedup",
 ]
 
 

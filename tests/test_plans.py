@@ -280,3 +280,16 @@ def test_promo_revenue_ratio_pushes_date_and_broadcasts_part(spark):
     assert "PushedFilters" in plan and "GreaterThanOrEqual(l_shipdate" in plan
     assert "BroadcastHashJoin" in plan
     assert "partial_sum" in plan  # map-side combine before the 1-row reduce
+
+
+def test_span_dedup_no_pairwise_stage_and_partitioned_windows(spark):
+    """ExactSubstr span dedup must stay linear in token occurrences: the
+    duplicated-hash aggregate and join-back are equi-joins on the k-gram
+    hash (never a doc-pair product), and the interval-merge window is
+    partitioned by doc_id (no partitionless global sort)."""
+    for name in ("duplicated_spans", "span_dedup"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        # interval merge windows over doc_id partitions
+        assert "partitionBy(doc_id" in plan.replace(" ", "") or "hashpartitioning(doc_id" in plan, name
