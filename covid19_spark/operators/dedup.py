@@ -164,8 +164,17 @@ def shingle_frame(
     exactly once per pipeline (persist the result when more than one consumer
     will evaluate it — Spark plans are trees, and an unmaterialized common
     subframe is recomputed per branch).
+
+    The input is repartitioned by ``id_col`` BEFORE the shingle expression:
+    the tokenize+shingle work is the pipeline's dominant CPU, and when this
+    frame is persisted the cache build materializes in the INPUT partitioning
+    — a small/few-file source would pin the whole pass (and the cached
+    frame's layout) to 1-2 scan partitions (measured 2-3x pipeline
+    wall-clock on local[32]). Hash-partitioning by id also pre-aligns the
+    downstream signature aggregation and verify joins.
     """
-    return df.select(
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n_parts, id_col).select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh")
     )
 

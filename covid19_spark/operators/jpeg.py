@@ -1,0 +1,584 @@
+"""Baseline JPEG codec — pure stdlib + numpy, no codec library.
+
+Closes the last real-decode seam in operators/multimodal.py: the container
+ships no Pillow/libjpeg, and the reference's media surface is chart image
+bytes (KafkaStreamsConfig.java:148-153 — PNG there, but any realistic media
+column mixes JPEG in). Everything here follows the public JPEG standard
+(ITU-T T.81): baseline sequential DCT, Huffman entropy coding, JFIF color
+space.
+
+Decoder (`decode_jpeg`): real baseline decoder for arbitrary baseline files —
+it reads quantization and Huffman tables from the stream's own DQT/DHT
+segments (never from the built-in constants), handles grayscale and 3-component
+scans, sampling factors 1-2 per axis (4:4:4, 4:2:2, 4:2:0), multi-segment
+tables, and DRI/RSTn restart intervals. Progressive (SOF2), arithmetic
+coding, 12-bit precision, and >2 sampling factors raise NotImplementedError —
+the documented seam where a production build plugs libjpeg-turbo in.
+
+Encoder (`encode_jpeg`): baseline 8-bit encoder with the Annex K example
+tables (embedded into the file via DQT/DHT, so round-trip never depends on
+both sides sharing constants), libjpeg-style quality scaling, 4:4:4 or 4:2:0
+subsampling. Exists so tests and the media synthesizer can produce REAL
+decodable JPEG payloads deterministically.
+
+The DCT/IDCT run as batched 8x8 matrix products over all blocks of a
+component at once (numpy); only the entropy coding is sequential per spec.
+This module is a per-row kernel invoked from Arrow-batched `mapInPandas` —
+it never touches Spark itself.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- constants from the public standard (ITU-T T.81) -------------------------
+
+# Annex K.1 example quantization tables (row-major 8x8).
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+
+QUANT_CHROMA = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99]
+    + [99] * 32,
+    dtype=np.int32,
+)
+
+# Annex K.3 example Huffman tables: (bits[1..16], values). The decoder reads
+# tables from the file's DHT segments; these are only what the ENCODER emits.
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _zigzag() -> np.ndarray:
+    """Zigzag scan order: position i in scan order -> row-major index."""
+    coords = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (rc[0] + rc[1], -rc[0] if (rc[0] + rc[1]) % 2 == 0 else rc[0]),
+    )
+    return np.array([r * 8 + c for r, c in coords], dtype=np.int64)
+
+
+ZIGZAG = _zigzag()
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# Orthonormal 8-point DCT-II basis: dct = A @ block @ A.T, idct = A.T @ C @ A.
+_A = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * n + 1) * k * np.pi / 16)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+def _build_huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman code assignment (T.81 Annex C): symbol -> (code, length)."""
+    assert len(vals) == sum(bits), "invalid Huffman spec"
+    codes, code = {}, 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[vi]] = (code, length)
+            code += 1
+            vi += 1
+        code <<= 1
+    return codes
+
+
+class _HuffDecoder:
+    """Canonical Huffman decoder built from a DHT (bits, values) spec:
+    per-length first-code/first-index tables, O(code length) per symbol."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        if len(vals) != sum(bits):
+            raise ValueError("corrupt DHT: value count != sum of bits")
+        self.vals = vals
+        self.mincode, self.maxcode, self.valptr = [0] * 17, [-1] * 17, [0] * 17
+        code, vi = 0, 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = vi
+                self.mincode[length] = code
+                code += bits[length - 1]
+                vi += bits[length - 1]
+                self.maxcode[length] = code - 1
+            else:
+                self.maxcode[length] = -1
+            code <<= 1
+
+    def decode(self, br: "_BitReader") -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            if self.maxcode[length] >= 0 and code <= self.maxcode[length]:
+                return self.vals[self.valptr[length] + code - self.mincode[length]]
+        raise ValueError("corrupt JPEG: invalid Huffman code")
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def _pad_to_byte(self) -> None:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # pad with 1s
+
+    def restart(self, n: int) -> None:
+        """Byte-align and emit an RSTn marker (markers are never stuffed)."""
+        self._pad_to_byte()
+        self.out += bytes([0xFF, 0xD0 + (n % 8)])
+
+    def flush(self) -> bytes:
+        self._pad_to_byte()
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment; un-stuffs 0xFF00
+    and stops (reports) at any other marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        if self.marker is not None:
+            # past end of scan: feed 1-bits (standard-tolerated padding)
+            self.acc = (self.acc << 8) | 0xFF
+            self.nbits += 8
+            return
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                self.marker = nxt
+                self.pos += 1
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_expect_rst(self, n: int) -> None:
+        """Restart: drop partial bits, consume the RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        if self.marker is None:
+            # marker not yet hit while filling: it must be next in the stream
+            if self.data[self.pos] == 0xFF:
+                self.marker = self.data[self.pos + 1]
+                self.pos += 2
+        if self.marker != 0xD0 + (n % 8):
+            raise ValueError(
+                f"corrupt JPEG: expected RST{n % 8}, got {self.marker:#x}"
+                if self.marker is not None
+                else "corrupt JPEG: missing restart marker"
+            )
+        self.marker = None
+
+
+def _extend(v: int, size: int) -> int:
+    """DIFF/coefficient sign extension (T.81 F.2.2.1)."""
+    return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
+
+
+def _csize(v: int) -> int:
+    """Bit category of a coefficient value."""
+    return int(abs(v)).bit_length()
+
+
+# --- encoder -----------------------------------------------------------------
+
+
+def _quality_scaled(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-style quality scaling of a base table (public formula)."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _plane_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (H, W multiples of 8) -> (rows, cols, 8, 8)."""
+    h, w = plane.shape
+    return plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate pad to multiples of (mh, mw)."""
+    h, w = plane.shape
+    return np.pad(
+        plane, ((0, (-h) % mh), (0, (-w) % mw)), mode="edge"
+    )
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (H, W, 3) RGB or (H, W) grayscale uint8 pixels as a baseline
+    JFIF JPEG. ``subsampling``: "444" (no chroma subsampling) or "420"
+    (2x2 chroma averaging). Deterministic for fixed inputs."""
+    arr = np.asarray(pixels, dtype=np.float64)
+    gray = arr.ndim == 2
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if gray:
+        planes = [arr]
+        factors = [(1, 1)]
+    else:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "420":
+            cbp = _pad_to(cb, 2, 2)
+            crp = _pad_to(cr, 2, 2)
+            cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3))
+            factors = [(2, 2), (1, 1), (1, 1)]
+        else:
+            factors = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+    h0, w0 = arr.shape[:2]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+
+    qtabs = [_quality_scaled(QUANT_LUMA, quality), _quality_scaled(QUANT_CHROMA, quality)]
+    # quantized zigzag coefficients per component, as (rows, cols, 64) grids
+    comp_coefs = []
+    for ci, (plane, (hf, vf)) in enumerate(zip(planes, factors)):
+        # pad (edge-replicate) so the component plane tiles the full MCU
+        # grid: ceil(h0 / (8*vmax)) * vf blocks vertically, similarly across
+        mcus_y = -(-h0 // (8 * vmax))
+        mcus_x = -(-w0 // (8 * hmax))
+        need_h, need_w = mcus_y * vf * 8, mcus_x * hf * 8
+        ph, pw = plane.shape
+        plane = np.pad(plane, ((0, need_h - ph), (0, need_w - pw)), mode="edge")
+        blocks = _plane_blocks(plane - 128.0)
+        coefs = np.einsum("ij,rcjk,lk->rcil", _A, blocks, _A)
+        q = qtabs[0 if ci == 0 else 1].reshape(8, 8)
+        quant = np.round(coefs / q).astype(np.int32)
+        comp_coefs.append(quant.reshape(quant.shape[0], quant.shape[1], 64)[:, :, ZIGZAG])
+
+    dc_codes = [_build_huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+                _build_huffman_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_codes = [_build_huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+                _build_huffman_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    mcus_y = -(-h0 // (8 * vmax))
+    mcus_x = -(-w0 // (8 * hmax))
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.restart(mcu_count // restart_interval - 1)
+                pred = [0] * len(planes)
+            mcu_count += 1
+            for ci, (hf, vf) in enumerate(factors):
+                tsel = 0 if ci == 0 else 1
+                for by in range(vf):
+                    for bx in range(hf):
+                        zz = comp_coefs[ci][my * vf + by, mx * hf + bx]
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        s = _csize(diff)
+                        code, ln = dc_codes[tsel][s]
+                        bw.write(code, ln)
+                        if s:
+                            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                        run = 0
+                        for i in range(1, 64):
+                            v = int(zz[i])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_codes[tsel][0xF0]  # ZRL
+                                bw.write(code, ln)
+                                run -= 16
+                            s = _csize(v)
+                            code, ln = ac_codes[tsel][(run << 4) | s]
+                            bw.write(code, ln)
+                            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                            run = 0
+                        if run:
+                            code, ln = ac_codes[tsel][0x00]  # EOB
+                            bw.write(code, ln)
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in enumerate(qtabs[: 1 if gray else 2]):
+        out += seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in q[ZIGZAG]))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h0, w0, ncomp)
+    for ci in range(ncomp):
+        hf, vf = factors[ci]
+        sof += bytes([ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1])
+    out += seg(0xFFC0, sof)
+    dht = b""
+    specs = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+    if not gray:
+        specs += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS), (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    for tc, bits, vals in specs:
+        dht += bytes([tc]) + bytes(bits) + bytes(vals)
+    out += seg(0xFFC4, dht)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tsel = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tsel << 4) | tsel])
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder -----------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG to (H, W, 3) uint8 RGB (grayscale
+    replicated to 3 channels). Tables come from the stream's own DQT/DHT;
+    supports 1- or 3-component scans, sampling factors 1-2, DRI restarts.
+    Raises NotImplementedError on progressive/arithmetic/12-bit variants."""
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    frame = None
+    restart_interval = 0
+    data = payload
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01, *range(0xD0, 0xD8)):  # TEM/RSTn: no payload
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables not supported")
+                tab = np.frombuffer(body, np.uint8, 64, b + 1).astype(np.int32)
+                qtabs[tq] = tab[UNZIGZAG].reshape(8, 8)
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(bits, vals)
+                b += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline(+ext seq)
+            prec, h0, w0, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision not supported")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                hf, vf = hv >> 4, hv & 0x0F
+                if hf not in (1, 2) or vf not in (1, 2):
+                    raise NotImplementedError(f"sampling factor {hf}x{vf} not supported")
+                comps.append({"id": cid, "h": hf, "v": vf, "tq": tq})
+            frame = {"h": h0, "w": w0, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential Huffman JPEG supported "
+                f"(got SOF marker {marker:#x})"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append((comp, tt >> 4, tt & 0x0F))
+            return _decode_scan(data, pos, frame, scan, qtabs, huff_dc, huff_ac, restart_interval)
+    raise ValueError("corrupt JPEG: no SOS marker")
+
+
+def _decode_scan(data, pos, frame, scan, qtabs, huff_dc, huff_ac, restart_interval):
+    h0, w0 = frame["h"], frame["w"]
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    mcus_x = -(-w0 // (8 * hmax))
+    mcus_y = -(-h0 // (8 * vmax))
+    # coefficient grids per scan component
+    grids = [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+        for c, _, _ in scan
+    ]
+    br = _BitReader(data, pos)
+    pred = [0] * len(scan)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.align_and_expect_rst(mcu_count // restart_interval - 1)
+                pred = [0] * len(scan)
+            for si, (comp, td, ta) in enumerate(scan):
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz = grids[si][my * comp["v"] + by, mx * comp["h"] + bx]
+                        s = huff_dc[td].decode(br)
+                        diff = _extend(br.receive(s), s) if s else 0
+                        pred[si] += diff
+                        zz[0] = pred[si]
+                        k = 1
+                        while k < 64:
+                            rs = huff_ac[ta].decode(br)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("corrupt JPEG: AC run past block end")
+                            zz[k] = _extend(br.receive(s), s)
+                            k += 1
+            mcu_count += 1
+    # dequantize + batched IDCT per component, then upsample and stack
+    planes = []
+    for si, (comp, _, _) in enumerate(scan):
+        q = qtabs[comp["tq"]].reshape(64)[ZIGZAG]  # zigzag-order dequant
+        coefs = (grids[si] * q)[:, :, UNZIGZAG].reshape(
+            grids[si].shape[0], grids[si].shape[1], 8, 8
+        )
+        blocks = np.einsum("ji,rcjk,kl->rcil", _A, coefs.astype(np.float64), _A)
+        rows, cols = blocks.shape[:2]
+        plane = blocks.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8) + 128.0
+        plane = np.repeat(np.repeat(plane, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1)
+        planes.append(plane[:h0, :w0])
+    if len(planes) == 1:
+        y = np.clip(planes[0], 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)

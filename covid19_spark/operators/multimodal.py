@@ -256,16 +256,22 @@ def decode_png(payload: bytes) -> "np.ndarray":
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real decode path: pure-stdlib readers for uncompressed 24-bpp BMP and
-    8-bit non-interlaced PNG (the chart format the reference serves);
-    anything else needs a codec library the container doesn't ship (a
-    production build plugs Pillow/turbojpeg into the fall-through)."""
+    """Real decode path: pure-stdlib readers for uncompressed 24-bpp BMP,
+    8-bit non-interlaced PNG (the chart format the reference serves), and
+    baseline sequential JPEG (operators/jpeg.py — tables read from the
+    stream's own DQT/DHT); anything else needs a codec library the container
+    doesn't ship (a production build plugs Pillow/turbojpeg into the
+    fall-through)."""
     if payload is not None and len(payload) >= 2 and payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload is not None and len(payload) >= 8 and payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload is not None and len(payload) >= 2 and payload[:2] == b"\xff\xd8":
+        from covid19_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "no codec for non-BMP/PNG image formats in this environment"
+        "no codec for non-BMP/PNG/JPEG image formats in this environment"
     )
 
 

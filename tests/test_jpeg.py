@@ -1,0 +1,103 @@
+"""Baseline JPEG codec (operators/jpeg.py): round-trip fidelity, subsampling,
+restart markers, reject paths. No Spark session needed — the codec is a
+per-row kernel; its Spark plumbing is covered by test_multimodal.py."""
+
+import numpy as np
+import pytest
+
+from covid19_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from covid19_spark.operators.multimodal import decode_image
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def _gradient(h=40, w=56):
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 255 / max(w - 1, 1)).astype(np.uint8)
+    g = (yy * 255 / max(h - 1, 1)).astype(np.uint8)
+    b = ((xx + yy) * 255 / (h + w - 2)).astype(np.uint8)
+    return np.stack([r, g, b], axis=2)
+
+
+def test_roundtrip_444_high_quality():
+    img = _gradient()
+    out = decode_jpeg(encode_jpeg(img, quality=92))
+    assert out.shape == img.shape
+    assert _psnr(img, out) > 32
+
+
+def test_roundtrip_420_subsampled():
+    img = _gradient()
+    payload = encode_jpeg(img, quality=90, subsampling="420")
+    out = decode_jpeg(payload)
+    assert out.shape == img.shape
+    assert _psnr(img, out) > 28
+    # 4:2:0 files are smaller than 4:4:4 at the same quality
+    assert len(payload) < len(encode_jpeg(img, quality=90, subsampling="444"))
+
+
+def test_flat_color_near_exact():
+    img = np.full((24, 24, 3), 130, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert int(np.abs(out.astype(int) - 130).max()) <= 2
+
+
+def test_grayscale_roundtrip():
+    yy, xx = np.mgrid[0:32, 0:24]
+    gray = ((xx * 7 + yy * 3) % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert out.shape == (32, 24, 3)
+    # all three channels replicate Y
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    assert _psnr(np.repeat(gray[:, :, None], 3, axis=2), out) > 25
+
+
+def test_odd_dimensions_crop_back():
+    img = _gradient(17, 13)
+    for ss in ("444", "420"):
+        out = decode_jpeg(encode_jpeg(img, quality=90, subsampling=ss))
+        assert out.shape == (17, 13, 3)
+
+
+def test_restart_markers_equivalent():
+    img = _gradient(33, 47)
+    plain = decode_jpeg(encode_jpeg(img, quality=85))
+    with_rst = encode_jpeg(img, quality=85, restart_interval=2)
+    assert b"\xff\xdd" in with_rst  # DRI segment present
+    assert with_rst.count(b"\xff\xd0") >= 1  # at least one RST0
+    assert np.array_equal(decode_jpeg(with_rst), plain)
+
+
+def test_encode_deterministic():
+    img = _gradient()
+    assert encode_jpeg(img, quality=80) == encode_jpeg(img, quality=80)
+
+
+def test_quality_monotone_size():
+    img = _gradient()
+    sizes = [len(encode_jpeg(img, quality=q)) for q in (30, 60, 90)]
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
+def test_rejects_progressive_and_garbage():
+    img = _gradient(16, 16)
+    payload = bytearray(encode_jpeg(img, quality=80))
+    # flip the SOF0 marker (FFC0) to progressive SOF2 (FFC2)
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02")
+    with pytest.raises(ValueError):
+        decode_jpeg(None)
+
+
+def test_decode_image_dispatches_jpeg():
+    img = _gradient(16, 16)
+    out = decode_image(encode_jpeg(img, quality=92))
+    assert out.shape == (16, 16, 3)
+    assert _psnr(img, out) > 30
