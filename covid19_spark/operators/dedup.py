@@ -180,7 +180,11 @@ def shingle_frame(
 
 
 def minhash_signatures_from_shingles(
-    sh_df: DataFrame, id_col: str, shingle_col: str = "__sh", num_hashes: int = 32
+    sh_df: DataFrame,
+    id_col: str,
+    shingle_col: str = "__sh",
+    num_hashes: int = 32,
+    repartition_input: bool = False,
 ) -> DataFrame:
     """id → array of ``num_hashes`` minhash values, from a precomputed
     shingle-array frame (``shingle_frame``).
@@ -193,18 +197,25 @@ def minhash_signatures_from_shingles(
     once per shingle, not relying on codegen subexpression elimination).
     Map-side combine keeps the shuffle at |docs|·k longs.
 
-    The input is repartitioned by ``id_col`` first: the hashing work is
-    CPU-bound per row, and a small/few-file source would otherwise pin it to
-    1-2 scan partitions (4-5x wall-clock on local[32]); hash-partitioning by
-    id also pre-aligns the downstream per-doc aggregation.
+    The input is NOT repartitioned by default: the documented contract is
+    that it comes from ``shingle_frame``, which already hash-partitions by
+    ``id_col`` before the (usually persisted) shingle expression — and a
+    second ``repartition`` here cannot be collapsed with that one across a
+    persist() boundary, so every consumer of the cache would pay a full
+    extra Exchange of the heavy shingle arrays (measured: dedup_pipeline_e2e
+    7.5 s → 23.8 s in the r04 driver bench). Pass
+    ``repartition_input=True`` only when the shingle frame arrives with
+    unknown partitioning (e.g. read back from parquet) AND is skew-prone or
+    pinned to too few scan partitions.
 
     Docs with an empty shingle array (< n tokens) get no signature row —
     identical to the direct-from-text path (explode drops empty arrays).
     """
-    n_parts = sh_df.sparkSession.sparkContext.defaultParallelism
-    sh = sh_df.repartition(n_parts, id_col).select(
-        F.col(id_col), F.explode(F.col(shingle_col)).alias("sh")
-    )
+    sh = sh_df
+    if repartition_input:
+        n_parts = sh_df.sparkSession.sparkContext.defaultParallelism
+        sh = sh_df.repartition(n_parts, id_col)
+    sh = sh.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("sh"))
     hashed = sh.select(id_col, F.xxhash64(F.col("sh")).alias("h0"))
     mins = [
         F.min(F.xxhash64(F.col("h0"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
@@ -403,8 +414,28 @@ def lsh_verified_pairs(
     an ``InMemoryTableScan`` (pinned by ``test_plans.py``).
 
     Output: verified pairs ``(doc_a, doc_b, jaccard)`` with jaccard ≥
-    ``threshold``.
+    ``threshold``. The persisted shingle frame backing the result stays
+    cached until the result is evaluated; callers that materialize the
+    pairs eagerly (``lsh_dedup_pipeline``'s connected-components stage
+    does) should use ``_lsh_verified_pairs_with_handle`` and unpersist.
     """
+    return _lsh_verified_pairs_with_handle(
+        df, id_col, text_col, num_hashes, bands, shingle_n, threshold, max_bucket
+    )[0]
+
+
+def _lsh_verified_pairs_with_handle(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = 10_000,
+) -> tuple[DataFrame, DataFrame]:
+    """(verified pairs, persisted shingle-frame handle) — the handle lets a
+    caller that evaluates the pairs eagerly unpersist the heavy cache."""
     sh = shingle_frame(df, id_col, text_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -416,13 +447,14 @@ def lsh_verified_pairs(
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sh_b"))
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
     union = F.size(F.array_union("__sh_a", "__sh_b"))
-    return (
+    verified = (
         cands.join(a, "doc_a")
         .join(b, "doc_b")
         .select("doc_a", "doc_b", (inter / union).alias("jaccard"), union.alias("__u"))
         .filter((F.col("__u") > 0) & (F.col("jaccard") >= threshold))
         .drop("__u")
     )
+    return verified, sh
 
 
 def lsh_dedup_pipeline(
@@ -466,12 +498,16 @@ def lsh_dedup_pipeline(
     cluster_size, is_canonical); singletons keep their own id with
     cluster_size 1. Keep policy: smallest id per cluster.
     """
-    verified = lsh_verified_pairs(
+    verified, sh = _lsh_verified_pairs_with_handle(
         df, id_col, text_col, num_hashes, bands, shingle_n, threshold, max_bucket
     )
     clusters = dedup_clusters(
         verified.select("doc_a", "doc_b"), algorithm=cc_algorithm
     )
+    # Both CC variants eagerly localCheckpoint the edge frame at entry, so by
+    # now the verify join has fully materialized and nothing downstream reads
+    # the shingle cache — release it instead of leaking it for the session.
+    sh.unpersist()
     out = df.select(F.col(id_col)).join(
         clusters.withColumnRenamed("doc_id", id_col), id_col, "left"
     )
@@ -680,7 +716,9 @@ def build_dedup_index(
     sh_back = corpus.sparkSession.read.parquet(f"{path}/shingles").select(
         F.col("__cid").alias(id_col), F.col("__csh").alias("__sh")
     )
-    sig = minhash_signatures_from_shingles(sh_back, id_col, "__sh", num_hashes)
+    sig = minhash_signatures_from_shingles(
+        sh_back, id_col, "__sh", num_hashes, repartition_input=True
+    )
     band_buckets(sig, id_col, num_hashes, bands).select(
         F.col(id_col).alias("__cid"), "band", "bucket"
     ).write.mode("overwrite").partitionBy("band").parquet(f"{path}/buckets")

@@ -230,9 +230,13 @@ class _BitReader:
             self.acc = (self.acc << 8) | 0xFF
             self.nbits += 8
             return
+        if self.pos >= len(self.data):
+            raise ValueError("corrupt JPEG: truncated stream")
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("corrupt JPEG: truncated stream")
             nxt = self.data[self.pos]
             if nxt == 0x00:
                 self.pos += 1
@@ -263,6 +267,8 @@ class _BitReader:
         self.nbits = 0
         if self.marker is None:
             # marker not yet hit while filling: it must be next in the stream
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("corrupt JPEG: truncated stream")
             if self.data[self.pos] == 0xFF:
                 self.marker = self.data[self.pos + 1]
                 self.pos += 2
@@ -459,6 +465,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     restart_interval = 0
     data = payload
     while pos < len(data):
+        if pos + 1 >= len(data):
+            raise ValueError("corrupt JPEG: truncated stream")
         if data[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
         marker = data[pos + 1]
@@ -467,12 +475,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             break
         if marker in (0x01, *range(0xD0, 0xD8)):  # TEM/RSTn: no payload
             continue
+        if pos + 2 > len(data):
+            raise ValueError("corrupt JPEG: truncated stream")
         (seglen,) = struct.unpack_from(">H", data, pos)
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError("corrupt JPEG: truncated stream")
         body = data[pos + 2 : pos + seglen]
         pos += seglen
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             b = 0
             while b < len(body):
+                if b + 65 > len(body):
+                    raise ValueError("corrupt JPEG: truncated stream")
                 pq, tq = body[b] >> 4, body[b] & 0x0F
                 if pq != 0:
                     raise NotImplementedError("16-bit quantization tables not supported")
@@ -482,14 +496,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT
             b = 0
             while b < len(body):
+                if b + 17 > len(body):
+                    raise ValueError("corrupt JPEG: truncated stream")
                 tc, th = body[b] >> 4, body[b] & 0x0F
                 bits = list(body[b + 1 : b + 17])
                 n = sum(bits)
+                if b + 17 + n > len(body):
+                    raise ValueError("corrupt JPEG: truncated stream")
                 vals = list(body[b + 17 : b + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(bits, vals)
                 b += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline(+ext seq)
+            if len(body) < 6:
+                raise ValueError("corrupt JPEG: truncated stream")
             prec, h0, w0, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("corrupt JPEG: truncated stream")
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision not supported")
             comps = []
@@ -506,15 +528,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 f"(got SOF marker {marker:#x})"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("corrupt JPEG: truncated stream")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
+            if len(body) < 1:
+                raise ValueError("corrupt JPEG: truncated stream")
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("corrupt JPEG: truncated stream")
             scan = []
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError("corrupt JPEG: scan references unknown component")
                 scan.append((comp, tt >> 4, tt & 0x0F))
             return _decode_scan(data, pos, frame, scan, qtabs, huff_dc, huff_ac, restart_interval)
     raise ValueError("corrupt JPEG: no SOS marker")

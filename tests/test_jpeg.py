@@ -101,3 +101,30 @@ def test_decode_image_dispatches_jpeg():
     out = decode_image(encode_jpeg(img, quality=92))
     assert out.shape == (16, 16, 3)
     assert _psnr(img, out) > 30
+
+
+def test_truncated_payload_raises_valueerror_everywhere():
+    """Any prefix of a valid JPEG that passes the SOI magic must fail with
+    the documented ValueError('corrupt JPEG...') contract — never a raw
+    struct.error / IndexError escaping the marker loop or the entropy bit
+    reader (ADVICE r04). Sweep every segment boundary plus mid-entropy cuts."""
+    payload = encode_jpeg(_gradient(24, 24), quality=85)
+    # a sweep over prefix lengths: fine-grained through the headers, then
+    # strided through the entropy-coded segment
+    cuts = list(range(2, min(len(payload), 200))) + list(
+        range(200, len(payload) - 1, 37)
+    )
+    for n in cuts:
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(payload[:n])
+
+
+def test_corrupted_segment_length_raises_valueerror():
+    """A segment length pointing past end-of-buffer is truncation, not a
+    crash."""
+    payload = bytearray(encode_jpeg(_gradient(16, 16), quality=85))
+    # APP0/DQT length field lives right after the first marker: blow it up
+    payload[4] = 0xFF
+    payload[5] = 0xFF
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(bytes(payload[:64]))

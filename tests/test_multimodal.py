@@ -21,12 +21,17 @@ def test_fake_features_deterministic():
 
 
 def test_decode_stub_raises():
-    # JPEG has no pure-stdlib decoder in this env; a truncated PNG magic
-    # (4 of 8 signature bytes) is not recognized as PNG either
-    with pytest.raises(NotImplementedError):
+    # A JPEG magic followed by nothing is a TRUNCATED JPEG: the real decoder
+    # (operators/jpeg.py) owns the format and must fail with its documented
+    # ValueError contract, not a raw struct.error (ADVICE r04).
+    with pytest.raises(ValueError, match="truncated"):
         decode_image(b"\xff\xd8\xff\xe0")
+    # A truncated PNG magic (4 of 8 signature bytes) is not recognized as
+    # PNG, BMP, or JPEG — falls through to the no-codec stub.
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a\x00\x00")
 
 
 def test_extract_features_end_to_end(spark):
