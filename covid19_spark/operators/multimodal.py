@@ -1,13 +1,14 @@
 """Multimodal (binary) column plumbing: images/audio/video as opaque BINARY
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container has no codec libraries, so the REAL decode paths are the two
-formats a pure-stdlib reader can handle: uncompressed 24-bpp BMP and 8-bit
-non-interlaced PNG (zlib + unfilter — the chart format the reference serves,
-KafkaStreamsConfig.java:148-153). JPEG/audio/video decode remain
-clearly-marked ``NotImplementedError`` seams with deterministic fakes for
-the test path. Everything Spark-side is real and tested: schemas, batch
-iteration, partition sizing, UDF signatures.
+The container has no codec libraries, so the REAL decode paths are the
+formats a pure-stdlib reader can handle: uncompressed 24-bpp BMP, full PNG
+(all five color types incl. palette, depths 1-16, Adam7 interlace — the
+chart format the reference serves, KafkaStreamsConfig.java:148-153), and
+baseline sequential JPEG (operators/jpeg.py). Progressive/arithmetic JPEG
+and audio/video decode remain clearly-marked ``NotImplementedError`` seams
+with deterministic fakes for the test path. Everything Spark-side is real
+and tested: schemas, batch iteration, partition sizing, UDF signatures.
 
 Scale design: media blobs dominate bytes, not rows — so (1) metadata-only
 predicates must prune *before* any decode (keep metadata in top-level columns,
@@ -176,54 +177,34 @@ def encode_png(pixels: "np.ndarray", filter_type: int = 0) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> "np.ndarray":
-    """Decode an 8-bit-depth non-interlaced PNG to an (H, W, 3) uint8 RGB
-    array — pure stdlib (struct + zlib + numpy), the format the reference
-    actually serves for charts (KafkaStreamsConfig.java:148-153 writes PNG
-    bytes). Supports color types 0 (grayscale → replicated to RGB), 2 (RGB)
-    and 6 (RGBA → alpha dropped), all five scanline filters, CRC-validated
-    chunks, multi-IDAT streams. Rejects palette/16-bit/Adam7 variants with
-    NotImplementedError (a production build plugs a full codec in there)."""
-    import struct
-    import zlib
+# Adam7 pass grid: (x_origin, y_origin, x_step, y_step) per pass, RFC 2083
+# §2.6 — each pass is an independently filtered reduced image.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    if payload is None or len(payload) < 8 or payload[:8] != PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, []
-    while pos + 12 <= len(payload):
-        (ln,) = struct.unpack_from(">I", payload, pos)
-        typ = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + ln]
-        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
-        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
-        if typ == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-        pos += 12 + ln
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT chunks")
-    w, h, depth, ctype, comp, filt, interlace = ihdr
-    if comp != 0 or filt != 0:
-        raise ValueError(f"invalid PNG compression/filter method ({comp}/{filt})")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNGs not supported")
-    if depth != 8 or ctype not in (0, 2, 6):
-        raise NotImplementedError(
-            f"only 8-bit gray/RGB/RGBA PNGs supported (depth={depth}, color type={ctype})"
-        )
-    nch = {0: 1, 2: 3, 6: 4}[ctype]
-    stride = w * nch
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != (stride + 1) * h:
+
+def _png_unfilter(
+    raw: bytes, rpos: int, width: int, height: int, nch: int, depth: int
+) -> "tuple[np.ndarray, int]":
+    """Unfilter one (sub)image's scanlines starting at ``rpos`` → ``(samples,
+    new_rpos)`` where samples is (height, width, nch) uint16 — per-channel
+    sample values in the source bit depth (0..2^depth-1; 16-bit reduced to
+    the high byte). Filter byte offsets use bpp = the spec's per-pixel byte
+    count (min 1), which differs from nch for sub-byte and 16-bit depths."""
+    bpp = max(1, (nch * depth) // 8)
+    stride = (width * nch * depth + 7) // 8
+    if rpos + (stride + 1) * height > len(raw):
         raise ValueError("PNG pixel data length mismatch")
-    out = np.empty((h, stride), dtype=np.uint8)
+    out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
-    rpos = 0
-    for r in range(h):
+    for r in range(height):
         ftype = raw[rpos]
         line = np.frombuffer(raw, np.uint8, stride, rpos + 1).astype(np.int32)
         rpos += stride + 1
@@ -234,22 +215,110 @@ def decode_png(payload: bytes) -> "np.ndarray":
         elif ftype in (1, 3, 4):  # Sub/Average/Paeth — sequential in-row
             cur = np.zeros(stride, dtype=np.int32)
             for i in range(stride):
-                a = cur[i - nch] if i >= nch else 0
+                a = cur[i - bpp] if i >= bpp else 0
                 if ftype == 1:
                     pred = a
                 elif ftype == 3:
                     pred = (a + int(prev[i])) // 2
                 else:
-                    c = int(prev[i - nch]) if i >= nch else 0
+                    c = int(prev[i - bpp]) if i >= bpp else 0
                     pred = _paeth_predict(a, int(prev[i]), c)
                 cur[i] = (int(line[i]) + pred) & 0xFF
         else:
             raise ValueError(f"invalid PNG scanline filter {ftype}")
         out[r] = cur.astype(np.uint8)
         prev = cur
-    px = out.reshape(h, w, nch)
+    if depth == 8:
+        samples = out.reshape(height, width, nch).astype(np.uint16)
+    elif depth == 16:
+        # standard 16→8 reduction: the high byte of each big-endian sample
+        samples = out[:, 0::2].reshape(height, width, nch).astype(np.uint16)
+    else:  # 1/2/4-bit (gray or palette index): MSB-first packed samples
+        bits = np.unpackbits(out, axis=1)  # (height, stride*8)
+        groups = bits[:, : width * depth].reshape(height, width, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+        samples = (groups * weights).sum(axis=2, dtype=np.uint16)[:, :, None]
+    return samples, rpos
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """Decode a PNG to an (H, W, 3) uint8 RGB array — pure stdlib (struct +
+    zlib + numpy), the format the reference actually serves for charts
+    (KafkaStreamsConfig.java:148-153 writes PNG bytes). Supports all five
+    color types (0 gray → replicated, 2 RGB, 3 palette via PLTE, 4
+    gray+alpha and 6 RGBA → alpha dropped), every legal bit depth
+    (1/2/4/8/16; 16-bit reduced to the high byte), both interlace methods
+    (none + Adam7 — each of the 7 passes is an independently filtered
+    reduced image scattered onto the pass grid), all five scanline filters,
+    CRC-validated chunks, multi-IDAT streams."""
+    import struct
+    import zlib
+
+    if payload is None or len(payload) < 8 or payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError(f"invalid PNG compression/filter method ({comp}/{filt})")
+    legal_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+    if ctype not in legal_depths or depth not in legal_depths[ctype]:
+        raise ValueError(
+            f"invalid PNG depth/color-type combination (depth={depth}, color type={ctype})"
+        )
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        samples, rpos = _png_unfilter(raw, 0, w, h, nch, depth)
+    elif interlace == 1:
+        samples = np.zeros((h, w, nch), dtype=np.uint16)
+        rpos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass for small images: zero scanlines
+            sub, rpos = _png_unfilter(raw, rpos, pw, ph, nch, depth)
+            samples[y0::dy, x0::dx] = sub
+    else:
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    if rpos != len(raw):
+        raise ValueError("PNG pixel data length mismatch")
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        if len(pal) % 3 != 0:
+            raise ValueError("PNG PLTE length not a multiple of 3")
+        pal = pal.reshape(-1, 3)
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        return pal[idx].copy()
+    if depth < 8:  # grayscale sub-byte: scale 0..2^depth-1 to 0..255 exactly
+        samples = samples * (255 // ((1 << depth) - 1))
+    px = samples.astype(np.uint8)
     if ctype == 0:
         return np.repeat(px, 3, axis=2).copy()
+    if ctype == 4:  # gray+alpha: drop alpha, replicate gray
+        return np.repeat(px[:, :, :1], 3, axis=2).copy()
     if ctype == 6:
         return px[:, :, :3].copy()
     return px.copy()
@@ -257,11 +326,11 @@ def decode_png(payload: bytes) -> "np.ndarray":
 
 def decode_image(payload: bytes) -> "np.ndarray":
     """Real decode path: pure-stdlib readers for uncompressed 24-bpp BMP,
-    8-bit non-interlaced PNG (the chart format the reference serves), and
-    baseline sequential JPEG (operators/jpeg.py — tables read from the
-    stream's own DQT/DHT); anything else needs a codec library the container
-    doesn't ship (a production build plugs Pillow/turbojpeg into the
-    fall-through)."""
+    full PNG (gray/RGB/palette/alpha, depths 1-16, Adam7 — the chart format
+    the reference serves), and baseline sequential JPEG (operators/jpeg.py —
+    tables read from the stream's own DQT/DHT); anything else needs a codec
+    library the container doesn't ship (a production build plugs
+    Pillow/turbojpeg into the fall-through)."""
     if payload is not None and len(payload) >= 2 and payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload is not None and len(payload) >= 8 and payload[:8] == PNG_SIG:

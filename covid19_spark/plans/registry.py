@@ -4067,58 +4067,59 @@ QUERY_REGISTRY["span_dedup"] = QuerySpec(
 # The driver's per-round correctness sweep walks the registry in insertion
 # order and may only cover a prefix of it (the r02 and r03 artifacts each
 # stopped at the 50th entry).  Rebuild the dict so the queries with no row in
-# the LATEST driver artifact (CORRECTNESS_r03.json) register FIRST — the
+# the LATEST driver artifact (CORRECTNESS_r04.json) register FIRST — the
 # rotation guarantees every query is driver-verified at least every other
-# round (r03 covered 50; this front list is exactly the other 38 plus the
-# round-4 addition).  Pure reordering — the key set, specs, and oracles are
-# untouched (pinned by tests/test_registry_order.py, which re-derives this
-# list from the newest CORRECTNESS_r*.json so a stale list fails CI).
+# round (r04 covered 50; this front list is exactly the other 41).  Pure
+# reordering — the key set, specs, and oracles are untouched (pinned by
+# tests/test_registry_order.py, which re-derives this list from the newest
+# CORRECTNESS_r*.json so a stale list fails CI). Bench order is NOT derived
+# from this (bench.py pins alphabetical), so re-sorting per round no longer
+# churns the sweep.
 _DRIVER_UNVERIFIED_FIRST = [
-    # cheap map/agg queries lead: the first entry absorbs the fresh-JVM
-    # cold start that would otherwise be charged to a pipeline query
-    "length_buckets",
-    "corpus_stats",
-    "topk_users",
-    "pivot_daily_types",
-    "date_spine",
-    "dedup_first_within_window",
-    "repetition_stats",
-    "text_quality",
-    "lang_id",
-    "doc_fingerprint",
-    "dedup_exact",
-    "zip_join",
-    "supplier_revenue",
-    "part_type_stats",
-    "date_range_orders",
-    "cube_segment_region",
-    "set_ops_customers",
-    "price_quantiles",
-    "sessionize",
-    "running_delta_two_key",
-    "topk_days_per_type",
-    "string_surface",
-    "funnel_signup_purchase",
-    "cohort_retention",
-    "deterministic_sample",
-    "chart_series",
-    "attribution_join",
-    "window_rank_suite",
-    "approx_aggregates",
-    "curation_pipeline",
-    "ngram_jaccard",
-    "cosine_topk",
-    # heavier similarity/dedup queries after the cheap block
-    "embedding_near_dup",
-    "minhash_lsh",
-    "simhash_pairs",
-    "ann_cosine_topk",
-    "ivf_cosine_topk",
-    "multimodal_features",
-    # round-4 additions (no driver row yet)
-    "png_image_features",
-    "duplicated_spans",
-    "span_dedup",
+    # cheap map/agg/window queries lead: the first entry absorbs the
+    # fresh-JVM cold start that would otherwise be charged to a pipeline
+    "value_histogram",
+    "unpivot_measures",
+    "moving_average",
+    "ewma_daily_events",
+    "rolling_zscore",
+    "cumulative_unique_users",
+    "trend_slopes",
+    "interpolate_revenue",
+    "late_shipment_priority",
+    "promo_revenue_ratio",
+    "frequent_terms",
+    "doc_chunks",
+    "tfidf_top_terms",
+    "line_dedup",
+    "pii_redaction",
+    "stratified_sample",
+    "domain_mix_sample",
+    "hashed_classifier",
+    "unigram_logprob",
+    "pack_sequences",
+    "decontaminate",
+    "mad_outliers",
+    "quality_report",
+    "profile_orders",
+    "correlation_matrix",
+    "key_skew_report",
+    "asof_latest",
+    "asof_join_attribution",
+    "range_join_price_match",
+    "scd2_user_type",
+    "snapshot_cdc",
+    "table_compaction",
+    "label_centroids",
+    # heavier similarity/dedup/codec queries after the cheap block
+    "bmp_image_features",
+    "fuzzy_name_match",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_pipeline_e2e",
+    "semantic_dedup",
+    "pq_cosine_topk",
+    "ivfpq_cosine_topk",
 ]
 
 

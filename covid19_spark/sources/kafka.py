@@ -32,6 +32,21 @@ def decode_json_value(df: DataFrame, schema: T.StructType, ts_from_kafka: bool =
     return out.select("key", *(["ts"] if ts_from_kafka else []), "v.*")
 
 
+def reader_options(
+    topic: str,
+    bootstrap: str = "localhost:9092",
+    starting_offsets: str = "earliest",
+) -> dict[str, str]:
+    """The exact option dict the Kafka stream reader is configured with —
+    exposed as data so the wiring is unit-testable without a broker
+    (tests/test_kafka_serde.py pins it against golden values)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def read_topic_stream(
     spark: SparkSession,
     topic: str,
@@ -42,9 +57,7 @@ def read_topic_stream(
     """Streaming source for one topic, JSON values decoded to ``schema``."""
     raw = (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(**reader_options(topic, bootstrap, starting_offsets))
         .load()
     )
     return decode_json_value(raw, schema)
@@ -54,6 +67,24 @@ def encode_json_value(df: DataFrame, key_col: Column) -> DataFrame:
     """Typed columns → Kafka wire format (key, JSON value)."""
     payload = F.to_json(F.struct(*[c for c in df.columns]))
     return df.select(key_col.cast("string").alias("key"), payload.alias("value"))
+
+
+def writer_options(
+    topic: str,
+    bootstrap: str = "localhost:9092",
+    checkpoint: str | None = None,
+) -> dict[str, str]:
+    """The exact option dict the Kafka stream writer is configured with —
+    exposed as data for broker-free golden-value tests (the checkpoint key
+    is present only when a location is given; Spark rejects an empty
+    checkpointLocation)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap,
+        "topic": topic,
+    }
+    if checkpoint:
+        opts["checkpointLocation"] = checkpoint
+    return opts
 
 
 def write_topic(
@@ -69,10 +100,7 @@ def write_topic(
     writer = (
         encode_json_value(df, key_col)
         .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("topic", topic)
+        .options(**writer_options(topic, bootstrap, checkpoint))
         .trigger(processingTime=f"{trigger_seconds} seconds")
     )
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()

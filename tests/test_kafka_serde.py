@@ -50,3 +50,36 @@ def test_decode_is_lenient(spark):
     by_key = {r.key: r for r in out}
     assert by_key["k1"].state == "Goa" and by_key["k1"].confirmed is None
     assert by_key["k2"].state is None  # PERMISSIVE: malformed → nulls, no crash
+
+
+def test_reader_writer_option_golden_values():
+    """The one I/O path this sandbox can't execute (no broker) still gets its
+    wiring pinned: the exact option dicts the stream reader/writer are
+    configured with, against golden values — a typo'd option key (e.g.
+    'startingOffset', 'bootstrap.servers') would otherwise only surface on a
+    live cluster (VERDICT r04 ask #7)."""
+    from covid19_spark.sources.kafka import reader_options, writer_options
+
+    assert reader_options("covid19-patients") == {
+        "kafka.bootstrap.servers": "localhost:9092",
+        "subscribe": "covid19-patients",
+        "startingOffsets": "earliest",
+    }
+    assert reader_options(
+        "statewise", bootstrap="broker-1:9093", starting_offsets="latest"
+    ) == {
+        "kafka.bootstrap.servers": "broker-1:9093",
+        "subscribe": "statewise",
+        "startingOffsets": "latest",
+    }
+    assert writer_options("covid19-stats") == {
+        "kafka.bootstrap.servers": "localhost:9092",
+        "topic": "covid19-stats",
+    }
+    assert writer_options(
+        "covid19-stats", bootstrap="broker-1:9093", checkpoint="/tmp/ckpt"
+    ) == {
+        "kafka.bootstrap.servers": "broker-1:9093",
+        "topic": "covid19-stats",
+        "checkpointLocation": "/tmp/ckpt",
+    }

@@ -206,23 +206,32 @@ def test_png_rejects_corrupt_and_unsupported():
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    # Adam7 interlace flag -> explicit seam, not silent garbage
+    # Adam7 is now DECODED (not a seam) — a correctly sized all-zero 4x4 RGB
+    # interlaced stream (7 passes: 4+0+0+4+7+14+26 = 55 filtered bytes) must
+    # come back as zeros, and a byte-count mismatch is corrupt data.
     interlaced = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 55))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(interlaced), np.zeros((4, 4, 3), np.uint8))
+    short = (
         PNG_SIG
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1))
         + chunk(b"IDAT", zlib.compress(b"\x00" * 52))
         + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_png(interlaced)
-    # palette color type -> unsupported seam
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_png(short)
+    # palette color type without its PLTE chunk -> corrupt, not unsupported
     paletted = (
         PNG_SIG
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(b"\x00" * 20))
         + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="color type"):
+    with pytest.raises(ValueError, match="PLTE"):
         decode_png(paletted)
 
 
@@ -249,3 +258,126 @@ def test_png_real_decode_path_end_to_end(spark):
     for i, img in imgs.items():
         expected = image_features_from_pixels(img)
         assert np.allclose(np.array(out[i].feature), expected, atol=1e-6), i
+
+
+# --- full-coverage PNG variants (Adam7 / palette / sub-byte / 16-bit) -------
+# Hand-assembled payloads: the repo's encode_png writes only 8-bit
+# non-interlaced streams, so these build the exotic variants chunk by chunk.
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _make_png(w, h, depth, ctype, interlace, raw, plte=None) -> bytes:
+    import struct
+    import zlib
+
+    from covid19_spark.operators.multimodal import PNG_SIG
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    out = PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+
+
+def _adam7_scanlines(img: np.ndarray) -> bytes:
+    """Filter-0 scanlines for every non-empty Adam7 pass of an 8-bit image."""
+    from covid19_spark.operators.multimodal import _ADAM7
+
+    out = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for r in range(sub.shape[0]):
+            out += b"\x00" + sub[r].tobytes()
+    return out
+
+
+def test_png_adam7_interlaced_roundtrip():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    payload = _make_png(11, 13, 8, 2, 1, _adam7_scanlines(img))
+    assert np.array_equal(decode_image(payload), img)
+
+
+def test_png_adam7_tiny_image_skips_empty_passes():
+    # 3x2: several of the 7 passes have zero width or height
+    img = np.arange(3 * 2 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = _make_png(3, 2, 8, 2, 1, _adam7_scanlines(img))
+    assert np.array_equal(decode_image(payload), img)
+
+
+def test_png_palette_4bit():
+    # 2 rows x 5 cols of 4-bit indices (odd width exercises nibble padding)
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30, 200, 100, 50])
+    idx = [[0, 1, 2, 3, 4], [4, 3, 2, 1, 0]]
+    raw = b""
+    for row in idx:
+        packed = bytearray([0])  # filter 0
+        for i in range(0, len(row), 2):
+            hi = row[i] << 4
+            lo = row[i + 1] if i + 1 < len(row) else 0
+            packed.append(hi | lo)
+        raw += bytes(packed)
+    out = decode_image(_make_png(5, 2, 4, 3, 0, raw, plte=pal))
+    expect = np.array(
+        [[list(pal[3 * i : 3 * i + 3]) for i in row] for row in idx], dtype=np.uint8
+    ).reshape(2, 5, 3)
+    assert np.array_equal(out, expect)
+
+
+def test_png_gray_1bit_checkerboard():
+    w, h = 10, 4
+    rows = []
+    for r in range(h):
+        bits = [(r + c) % 2 for c in range(w)]
+        packed = bytearray([0])
+        for i in range(0, w, 8):
+            byte = 0
+            for j, b in enumerate(bits[i : i + 8]):
+                byte |= b << (7 - j)
+            packed.append(byte)
+        rows.append(bytes(packed))
+    out = decode_image(_make_png(w, h, 1, 0, 0, b"".join(rows)))
+    expect = np.array(
+        [[255 if (r + c) % 2 else 0 for c in range(w)] for r in range(h)],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(out, np.repeat(expect[:, :, None], 3, axis=2))
+
+
+def test_png_16bit_rgb_takes_high_byte():
+    img16 = np.array(
+        [[[0x1234, 0xFF00, 0x00FF], [0xABCD, 0x8000, 0x7FFF]]], dtype=">u2"
+    )
+    raw = b"\x00" + img16.tobytes()
+    out = decode_image(_make_png(2, 1, 16, 2, 0, raw))
+    assert np.array_equal(
+        out, np.array([[[0x12, 0xFF, 0x00], [0xAB, 0x80, 0x7F]]], dtype=np.uint8)
+    )
+
+
+def test_png_gray_alpha_drops_alpha():
+    ga = np.array([[[10, 255], [200, 0]], [[77, 128], [0, 1]]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + ga[r].tobytes() for r in range(2))
+    out = decode_image(_make_png(2, 2, 8, 4, 0, raw))
+    assert np.array_equal(out, np.repeat(ga[:, :, :1], 3, axis=2))
+
+
+def test_png_illegal_combo_and_bad_palette_raise():
+    with pytest.raises(ValueError, match="depth/color-type"):
+        _ = decode_image(_make_png(2, 1, 4, 2, 0, b"\x00\x00"))  # 4-bit RGB illegal
+    pal = bytes([1, 2, 3])  # 1 entry but index 5 referenced
+    raw = b"\x00" + bytes([5])
+    with pytest.raises(ValueError, match="palette index"):
+        _ = decode_image(_make_png(1, 1, 8, 3, 0, raw, plte=pal))

@@ -251,9 +251,16 @@ def test_dedup_pipelines_shingle_text_exactly_once(spark):
     appears only inside an InMemoryTableScan's cached-relation printout —
     zero uncached shingle computations. Before the single-scan fix the e2e
     pipeline shingled the corpus twice (once for signatures, once for
-    verify), doubling the most expensive pass at 100 TB."""
+    verify), doubling the most expensive pass at 100 TB.
+
+    The session cache is cleared FIRST: Spark's CacheManager substitutes any
+    cached frame whose lineage matches a subplan, so caches left behind by
+    earlier tests nest extra InMemoryTableScans inside these plans and the
+    substring counts double (the r04 suite failed 16 == 8 in full-suite
+    order while passing in isolation)."""
     from covid19_spark.operators.dedup import lsh_verified_pairs
 
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = (
         lsh_verified_pairs(docs, "doc_id", "text")
@@ -268,11 +275,73 @@ def test_dedup_pipelines_shingle_text_exactly_once(spark):
         f"{shingle_refs - cached_refs} uncached shingle computation(s): the "
         "shingle frame must be persisted and shared, not recomputed per branch"
     )
-    # incremental screen: corpus and batch sides each shingle once (cached)
+    # Stronger: with a clean cache, every parquet leaf in this plan sits
+    # inside a cached-relation printout (one per InMemoryTableScan), so an
+    # uncached corpus scan would break this equality even if it avoided the
+    # shingle expression.
+    assert plan.count("Scan parquet") == cached_refs
+    # incremental screen: corpus and batch sides each shingle once (cached);
+    # the md5-digest probes legitimately scan the text uncached, so only the
+    # shingle-expression equality applies here.
     plan = plan_of(spark, "dedup_incremental")
     shingle_refs = plan.count("array_distinct(flatten")
     cached_refs = plan.count("InMemoryTableScan")
     assert shingle_refs > 0 and shingle_refs == cached_refs
+
+
+def test_no_exchange_directly_above_cached_shingles(spark):
+    """The persisted shingle frame is already hash-partitioned by id when the
+    cache is built, so no consumer may re-shuffle it: an Exchange sitting
+    directly on an InMemoryTableScan means every reader pays a full
+    re-partition of the cached heavy shingle arrays — the r04 dedup-family
+    bench regression (dedup_pipeline_e2e 7.5 s → 23.8 s; VERDICT r04
+    §What's wrong #2)."""
+    from covid19_spark.operators.dedup import lsh_verified_pairs
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plans = [
+        lsh_verified_pairs(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString(),
+        plan_of(spark, "dedup_incremental"),
+    ]
+    for plan in plans:
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange hashpartitioning" in ln and i + 1 < len(lines):
+                assert "InMemoryTableScan" not in lines[i + 1], (
+                    "cached shingle frame is re-shuffled on read:\n"
+                    + ln.strip() + "\n" + lines[i + 1].strip()
+                )
+
+
+def test_span_queries_tokenize_corpus_exactly_once(spark):
+    """ExactSubstr span queries must scan/tokenize the corpus ONCE: the
+    k-gram stream (and, for span_dedup, the token frame its rebuild reuses)
+    is persisted, so every parquet leaf in the executed plan sits inside a
+    cached-relation printout. The r04 plans recomputed the gram stream per
+    consumer — two corpus scans for duplicated_spans, three for span_dedup
+    (VERDICT r04 §What's wrong #1)."""
+    from covid19_spark.operators.spans import duplicated_spans, span_dedup
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for build in (duplicated_spans, span_dedup):
+        plan = (
+            build(docs, "doc_id", "text")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        scans = plan.count("Scan parquet")
+        cached = plan.count("InMemoryTableScan")
+        assert cached > 0, build.__name__
+        assert scans == cached, (
+            f"{build.__name__}: {scans - cached} uncached corpus scan(s) — "
+            "the gram/token frames must be persisted, not recomputed per branch"
+        )
 
 
 def test_promo_revenue_ratio_pushes_date_and_broadcasts_part(spark):
