@@ -433,13 +433,19 @@ def _lsh_verified_pairs_with_handle(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket: int | None = 10_000,
-) -> tuple[DataFrame, DataFrame]:
-    """(verified pairs, persisted shingle-frame handle) — the handle lets a
-    caller that evaluates the pairs eagerly unpersist the heavy cache."""
+) -> tuple[DataFrame, list[DataFrame]]:
+    """(verified pairs, persisted-frame handles) — the handles let a caller
+    that evaluates the pairs eagerly unpersist the caches."""
     sh = shingle_frame(df, id_col, text_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sigs = minhash_signatures_from_shingles(sh, id_col, "__sh", num_hashes)
+    # The signature frame is consumed FOUR times downstream (both sides of
+    # the band self-join + the two per-pair sig re-joins); uncached, the
+    # explode + k-hash aggregation would run once per consumer. It is thin
+    # (|docs| rows of k longs) — persist it too.
+    sigs = minhash_signatures_from_shingles(sh, id_col, "__sh", num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, max_bucket).select(
         "doc_a", "doc_b"
     )
@@ -454,7 +460,7 @@ def _lsh_verified_pairs_with_handle(
         .filter((F.col("__u") > 0) & (F.col("jaccard") >= threshold))
         .drop("__u")
     )
-    return verified, sh
+    return verified, [sh, sigs]
 
 
 def lsh_dedup_pipeline(
@@ -498,7 +504,7 @@ def lsh_dedup_pipeline(
     cluster_size, is_canonical); singletons keep their own id with
     cluster_size 1. Keep policy: smallest id per cluster.
     """
-    verified, sh = _lsh_verified_pairs_with_handle(
+    verified, caches = _lsh_verified_pairs_with_handle(
         df, id_col, text_col, num_hashes, bands, shingle_n, threshold, max_bucket
     )
     clusters = dedup_clusters(
@@ -506,8 +512,9 @@ def lsh_dedup_pipeline(
     )
     # Both CC variants eagerly localCheckpoint the edge frame at entry, so by
     # now the verify join has fully materialized and nothing downstream reads
-    # the shingle cache — release it instead of leaking it for the session.
-    sh.unpersist()
+    # the shingle/signature caches — release them instead of leaking them.
+    for c in caches:
+        c.unpersist()
     out = df.select(F.col(id_col)).join(
         clusters.withColumnRenamed("doc_id", id_col), id_col, "left"
     )

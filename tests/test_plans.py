@@ -17,6 +17,34 @@ def plan_of(spark, name):
     return QUERY_REGISTRY[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
 
 
+def uncached_occurrences(plan: str, pattern: str) -> int:
+    """Occurrences of ``pattern`` OUTSIDE every InMemoryRelation subtree in a
+    plan tree string. The tree printer shows each cached relation's plan as
+    an indented subtree under its ``InMemoryRelation`` line, so a pattern at
+    deeper indentation than an active InMemoryRelation is a *description of
+    the cached computation*, not a live recompute — only matches outside all
+    such subtrees count. (Plain substring equality between pattern counts
+    and InMemoryTableScan counts breaks as soon as one cache's plan nests
+    another cache — e.g. a persisted signature frame built from a persisted
+    shingle frame.)"""
+    import re
+
+    def depth(ln: str) -> int:
+        m = re.search(r"[+:]- ", ln)
+        return m.start() if m else -1
+
+    count = 0
+    cache_stack: list[int] = []  # indent depths of active InMemoryRelation subtrees
+    for ln in plan.splitlines():
+        d = depth(ln)
+        cache_stack = [cd for cd in cache_stack if d > cd]
+        if pattern in ln and not cache_stack:
+            count += 1
+        if "InMemoryRelation" in ln:
+            cache_stack.append(d)
+    return count
+
+
 def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
     plan = plan_of(spark, "pricing_summary")
     # shipdate predicate reaches the parquet scan
@@ -268,25 +296,21 @@ def test_dedup_pipelines_shingle_text_exactly_once(spark):
         .executedPlan()
         .toString()
     )
-    shingle_refs = plan.count("array_distinct(flatten")
-    cached_refs = plan.count("InMemoryTableScan")
-    assert shingle_refs > 0, "expected the shingle expression in the plan"
-    assert shingle_refs == cached_refs, (
-        f"{shingle_refs - cached_refs} uncached shingle computation(s): the "
-        "shingle frame must be persisted and shared, not recomputed per branch"
+    assert plan.count("array_distinct(flatten") > 0, "expected the shingle expression"
+    assert uncached_occurrences(plan, "array_distinct(flatten") == 0, (
+        "uncached shingle computation(s): the shingle frame must be "
+        "persisted and shared, not recomputed per branch"
     )
-    # Stronger: with a clean cache, every parquet leaf in this plan sits
-    # inside a cached-relation printout (one per InMemoryTableScan), so an
-    # uncached corpus scan would break this equality even if it avoided the
-    # shingle expression.
-    assert plan.count("Scan parquet") == cached_refs
+    # Stronger: every parquet leaf in this plan sits inside a cached-relation
+    # subtree — an uncached corpus scan fails even if it avoided the shingle
+    # expression.
+    assert uncached_occurrences(plan, "Scan parquet") == 0
     # incremental screen: corpus and batch sides each shingle once (cached);
     # the md5-digest probes legitimately scan the text uncached, so only the
-    # shingle-expression equality applies here.
+    # shingle-expression invariant applies here.
     plan = plan_of(spark, "dedup_incremental")
-    shingle_refs = plan.count("array_distinct(flatten")
-    cached_refs = plan.count("InMemoryTableScan")
-    assert shingle_refs > 0 and shingle_refs == cached_refs
+    assert plan.count("array_distinct(flatten") > 0
+    assert uncached_occurrences(plan, "array_distinct(flatten") == 0
 
 
 def test_no_exchange_directly_above_cached_shingles(spark):
@@ -335,12 +359,10 @@ def test_span_queries_tokenize_corpus_exactly_once(spark):
             .executedPlan()
             .toString()
         )
-        scans = plan.count("Scan parquet")
-        cached = plan.count("InMemoryTableScan")
-        assert cached > 0, build.__name__
-        assert scans == cached, (
-            f"{build.__name__}: {scans - cached} uncached corpus scan(s) — "
-            "the gram/token frames must be persisted, not recomputed per branch"
+        assert plan.count("InMemoryTableScan") > 0, build.__name__
+        assert uncached_occurrences(plan, "Scan parquet") == 0, (
+            f"{build.__name__}: uncached corpus scan(s) — the gram/token "
+            "frames must be persisted, not recomputed per branch"
         )
 
 
