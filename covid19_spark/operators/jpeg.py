@@ -7,19 +7,25 @@ column mixes JPEG in). Everything here follows the public JPEG standard
 (ITU-T T.81): baseline sequential DCT, Huffman entropy coding, JFIF color
 space.
 
-Decoder (`decode_jpeg`): real baseline decoder for arbitrary baseline files —
-it reads quantization and Huffman tables from the stream's own DQT/DHT
-segments (never from the built-in constants), handles grayscale and 3-component
-scans, sampling factors 1-2 per axis (4:4:4, 4:2:2, 4:2:0), multi-segment
-tables, and DRI/RSTn restart intervals. Progressive (SOF2), arithmetic
-coding, 12-bit precision, and >2 sampling factors raise NotImplementedError —
-the documented seam where a production build plugs libjpeg-turbo in.
+Decoder (`decode_jpeg`): real decoder for baseline sequential (SOF0/1) AND
+progressive (SOF2) files — it reads quantization and Huffman tables from the
+stream's own DQT/DHT segments (never from the built-in constants), handles
+grayscale and 3-component scans, sampling factors 1-2 per axis (4:4:4,
+4:2:2, 4:2:0), multi-segment tables, DRI/RSTn restart intervals, and the
+full Annex G progressive feature set (spectral-selection bands,
+successive-approximation DC/AC first + refinement scans, EOB runs).
+Arithmetic coding, lossless/hierarchical modes, 12-bit precision, and >2
+sampling factors raise NotImplementedError — the documented seam where a
+production build plugs libjpeg-turbo in.
 
 Encoder (`encode_jpeg`): baseline 8-bit encoder with the Annex K example
 tables (embedded into the file via DQT/DHT, so round-trip never depends on
 both sides sharing constants), libjpeg-style quality scaling, 4:4:4 or 4:2:0
-subsampling. Exists so tests and the media synthesizer can produce REAL
-decodable JPEG payloads deterministically.
+subsampling; `progressive=True` emits an SOF2 stream with a libjpeg-shaped
+scan script (per-scan Huffman tables) from the SAME quantized coefficients,
+so progressive and baseline encodings of one image decode bit-identically.
+Exists so tests and the media synthesizer can produce REAL decodable JPEG
+payloads deterministically.
 
 The DCT/IDCT run as batched 8x8 matrix products over all blocks of a
 component at once (numpy); only the entropy coding is sequential per spec.
@@ -320,10 +326,17 @@ def encode_jpeg(
     quality: int = 85,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode (H, W, 3) RGB or (H, W) grayscale uint8 pixels as a baseline
-    JFIF JPEG. ``subsampling``: "444" (no chroma subsampling) or "420"
-    (2x2 chroma averaging). Deterministic for fixed inputs."""
+    JFIF JPEG — or, with ``progressive=True``, as a progressive (SOF2)
+    stream using a libjpeg-style scan script (interleaved DC first at Al=1,
+    spectral-selection AC first scans, AC refinements, DC refinement) so
+    every Annex G decode path has a real test vector. ``subsampling``:
+    "444" (no chroma subsampling) or "420" (2x2 chroma averaging).
+    Deterministic for fixed inputs. Both modes produce the SAME quantized
+    coefficients, so progressive and baseline encodings of one image decode
+    to bit-identical pixels."""
     arr = np.asarray(pixels, dtype=np.float64)
     gray = arr.ndim == 2
     if subsampling not in ("444", "420"):
@@ -365,6 +378,11 @@ def encode_jpeg(
         q = qtabs[0 if ci == 0 else 1].reshape(8, 8)
         quant = np.round(coefs / q).astype(np.int32)
         comp_coefs.append(quant.reshape(quant.shape[0], quant.shape[1], 64)[:, :, ZIGZAG])
+
+    if progressive:
+        return _encode_progressive(
+            h0, w0, gray, factors, qtabs, comp_coefs, restart_interval
+        )
 
     dc_codes = [_build_huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS),
                 _build_huffman_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
@@ -447,14 +465,271 @@ def encode_jpeg(
     return bytes(out)
 
 
+# --- progressive encoder (SOF2, T.81 Annex G) --------------------------------
+
+
+def _fixed_length_table(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """A legal canonical Huffman table giving every distinct symbol the same
+    code length L = ceil(log2(n+1)) — suboptimal compression but simple and
+    always decodable (the all-ones code stays unused as T.81 requires).
+    Returns the DHT (bits, vals) spec."""
+    syms = sorted(set(symbols)) or [0]
+    n = len(syms)
+    length = 1
+    while (1 << length) < n + 1:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, syms
+
+
+def _ac_scan_entropy(
+    grid, bh_n, bw_n, ss, se, ah, al, tkey,
+    restart_interval, emit_symbol, emit_bits, do_restart,
+):
+    """Entropy-code one AC scan (first pass Ah=0 or refinement Ah>0) over a
+    component's real (non-padding) block grid, with EOB-run accumulation and
+    restart support. ``emit_symbol``/``emit_bits``/``do_restart`` abstract
+    the output so the same logic runs the symbol-collection pass (building
+    the scan's Huffman table) and the real bit-writing pass."""
+    eobrun = 0
+    pending: list[int] = []  # refinement correction bits deferred behind an EOB run
+
+    def flush():
+        nonlocal eobrun, pending
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            emit_symbol(tkey, nbits << 4)
+            if nbits:
+                emit_bits(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+        for b in pending:
+            emit_bits(b, 1)
+        pending = []
+
+    unit = 0
+    for by in range(bh_n):
+        for bx in range(bw_n):
+            if restart_interval and unit and unit % restart_interval == 0:
+                flush()
+                do_restart(unit // restart_interval - 1)
+            zz = grid[by, bx]
+            if ah == 0:  # AC first: values scaled by 2^al, EOBn runs
+                r = 0
+                for k in range(ss, se + 1):
+                    t = int(zz[k])
+                    a = abs(t) >> al
+                    if a == 0:
+                        r += 1
+                        continue
+                    flush()
+                    while r > 15:
+                        emit_symbol(tkey, 0xF0)  # ZRL
+                        r -= 16
+                    s = a.bit_length()
+                    emit_symbol(tkey, (r << 4) | s)
+                    v = a if t >= 0 else -a
+                    emit_bits(v if v >= 0 else v + (1 << s) - 1, s)
+                    r = 0
+                if r:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush()
+            else:  # AC refinement (G.1.2.3 encoder side)
+                band = list(range(ss, se + 1))
+                absv = [abs(int(zz[k])) >> al for k in band]
+                eob_idx = ss - 1
+                for i, a in enumerate(absv):
+                    if a == 1:
+                        eob_idx = ss + i
+                r = 0
+                br_bits: list[int] = []
+                for i, k in enumerate(band):
+                    t = absv[i]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob_idx:
+                        flush()
+                        emit_symbol(tkey, 0xF0)
+                        r -= 16
+                        for b in br_bits:
+                            emit_bits(b, 1)
+                        br_bits = []
+                    if t > 1:
+                        # previously-nonzero coefficient: correction bit only
+                        br_bits.append(t & 1)
+                        continue
+                    # newly-nonzero (|coef| >> Al == 1): (run, 1) + sign
+                    flush()
+                    emit_symbol(tkey, (r << 4) | 1)
+                    emit_bits(1 if int(zz[k]) >= 0 else 0, 1)
+                    for b in br_bits:
+                        emit_bits(b, 1)
+                    br_bits = []
+                    r = 0
+                if r > 0 or br_bits:
+                    eobrun += 1
+                    pending.extend(br_bits)
+                    if eobrun == 0x7FFF or len(pending) > 900:
+                        flush()
+            unit += 1
+    flush()
+
+
+def _dc_scan_entropy(
+    comp_idx, comp_coefs, factors, mcus_x, mcus_y, ah, al,
+    restart_interval, emit_symbol, emit_bits, do_restart,
+):
+    """Entropy-code one (possibly interleaved) DC scan: first pass = DPCM of
+    the point-transformed (arithmetic >> Al) DC values, refinement = one raw
+    bit per block revealing bit Al."""
+    pred = {ci: 0 for ci in comp_idx}
+    unit = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and unit and unit % restart_interval == 0:
+                do_restart(unit // restart_interval - 1)
+                pred = {ci: 0 for ci in comp_idx}
+            for ci in comp_idx:
+                hf, vf = factors[ci]
+                for by in range(vf):
+                    for bx in range(hf):
+                        dc = int(comp_coefs[ci][my * vf + by, mx * hf + bx, 0])
+                        if ah == 0:
+                            v = dc >> al  # arithmetic shift per G.1.1.2
+                            diff = v - pred[ci]
+                            pred[ci] = v
+                            s = _csize(diff)
+                            emit_symbol(("dc", 0 if ci == 0 else 1), s)
+                            if s:
+                                emit_bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                        else:
+                            emit_bits((dc >> al) & 1, 1)
+            unit += 1
+
+
+def _encode_progressive(
+    h0, w0, gray, factors, qtabs, comp_coefs, restart_interval
+) -> bytes:
+    """Assemble a progressive JFIF stream from the quantized coefficient
+    grids: SOF2 + per-scan DHT/SOS. Scan script (libjpeg-shaped): DC first
+    (all components, Al=1), spectral-selection AC first scans at Al=1, AC
+    refinements to Al=0, DC refinement. Each scan carries its own Huffman
+    table(s), built from that scan's actual symbol set."""
+    ncomp = 1 if gray else 3
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = -(-w0 // (8 * hmax))
+    mcus_y = -(-h0 // (8 * vmax))
+    real_blocks = []
+    for ci in range(ncomp):
+        hf, vf = factors[ci]
+        comp_w = -(-(w0 * hf) // hmax)
+        comp_h = -(-(h0 * vf) // vmax)
+        real_blocks.append((-(-comp_h // 8), -(-comp_w // 8)))
+
+    all_idx = list(range(ncomp))
+    if gray:
+        scans = [
+            (all_idx, 0, 0, 0, 1),
+            ([0], 1, 5, 0, 1), ([0], 6, 63, 0, 1),
+            ([0], 1, 5, 1, 0), ([0], 6, 63, 1, 0),
+            (all_idx, 0, 0, 1, 0),
+        ]
+    else:
+        scans = [
+            (all_idx, 0, 0, 0, 1),
+            ([0], 1, 5, 0, 1), ([0], 6, 63, 0, 1),
+            ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
+            ([0], 1, 5, 1, 0), ([0], 6, 63, 1, 0),
+            ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0),
+            (all_idx, 0, 0, 1, 0),
+        ]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in enumerate(qtabs[: 1 if gray else 2]):
+        out += seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in q[ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h0, w0, ncomp)
+    for ci in range(ncomp):
+        hf, vf = factors[ci]
+        sof += bytes([ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1])
+    out += seg(0xFFC2, sof)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+
+    for scan_def in scans:
+        comp_idx, ss, se, ah, al = scan_def
+
+        def run(emit_symbol, emit_bits, do_restart):
+            if ss == 0:
+                _dc_scan_entropy(
+                    comp_idx, comp_coefs, factors, mcus_x, mcus_y, ah, al,
+                    restart_interval, emit_symbol, emit_bits, do_restart,
+                )
+            else:
+                ci = comp_idx[0]
+                bh_n, bw_n = real_blocks[ci]
+                _ac_scan_entropy(
+                    comp_coefs[ci], bh_n, bw_n, ss, se, ah, al,
+                    ("ac", 0 if ci == 0 else 1),
+                    restart_interval, emit_symbol, emit_bits, do_restart,
+                )
+
+        # pass 1: collect the symbols this scan actually emits
+        recorded: dict[tuple, list[int]] = {}
+        run(
+            lambda key, sym: recorded.setdefault(key, []).append(sym),
+            lambda v, n: None,
+            lambda n: None,
+        )
+        tables = {}
+        dht = b""
+        for (kind, tid), syms in sorted(recorded.items()):
+            bits, vals = _fixed_length_table(syms)
+            tables[(kind, tid)] = _build_huffman_codes(bits, vals)
+            dht += bytes([((0 if kind == "dc" else 1) << 4) | tid]) + bytes(bits) + bytes(vals)
+        if dht:
+            out_dht = seg(0xFFC4, dht)
+        else:
+            out_dht = b""  # DC refinement scans use no Huffman table
+
+        # pass 2: real bits
+        bw = _BitWriter()
+
+        def emit_symbol(key, sym):
+            code, ln = tables[key][sym]
+            bw.write(code, ln)
+
+        run(emit_symbol, bw.write, bw.restart)
+        entropy = bw.flush()
+
+        sos = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            tsel = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (tsel << 4) | tsel])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += out_dht + seg(0xFFDA, sos) + entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- decoder -----------------------------------------------------------------
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to (H, W, 3) uint8 RGB (grayscale
-    replicated to 3 channels). Tables come from the stream's own DQT/DHT;
-    supports 1- or 3-component scans, sampling factors 1-2, DRI restarts.
-    Raises NotImplementedError on progressive/arithmetic/12-bit variants."""
+    """Decode a baseline sequential OR progressive (SOF0/1/2) JPEG to
+    (H, W, 3) uint8 RGB (grayscale replicated to 3 channels). Tables come
+    from the stream's own DQT/DHT; supports 1- or 3-component scans,
+    sampling factors 1-2, DRI restarts, and for progressive streams the
+    full Annex G Huffman feature set: spectral-selection bands,
+    successive-approximation DC/AC first+refinement scans, EOB runs.
+    Raises NotImplementedError on arithmetic-coded/lossless/12-bit
+    variants."""
     if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -463,6 +738,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffDecoder] = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    saw_eoi = False
+    grids: dict[int, np.ndarray] | None = None
     data = payload
     while pos < len(data):
         if pos + 1 >= len(data):
@@ -472,6 +750,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            saw_eoi = True
             break
         if marker in (0x01, *range(0xD0, 0xD8)):  # TEM/RSTn: no payload
             continue
@@ -506,7 +785,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[b + 17 : b + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(bits, vals)
                 b += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline(+ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline(+ext seq), SOF2 progressive
             if len(body) < 6:
                 raise ValueError("corrupt JPEG: truncated stream")
             prec, h0, w0, ncomp = struct.unpack_from(">BHHB", body, 0)
@@ -522,9 +801,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise NotImplementedError(f"sampling factor {hf}x{vf} not supported")
                 comps.append({"id": cid, "h": hf, "v": vf, "tq": tq})
             frame = {"h": h0, "w": w0, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential Huffman JPEG supported "
+                "only sequential/progressive Huffman JPEG supported "
                 f"(got SOF marker {marker:#x})"
             )
         elif marker == 0xDD:  # DRI
@@ -548,7 +828,38 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if comp is None:
                     raise ValueError("corrupt JPEG: scan references unknown component")
                 scan.append((comp, tt >> 4, tt & 0x0F))
-            return _decode_scan(data, pos, frame, scan, qtabs, huff_dc, huff_ac, restart_interval)
+            if not progressive:
+                return _decode_scan(data, pos, frame, scan, qtabs, huff_dc, huff_ac, restart_interval)
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("corrupt JPEG: truncated stream")
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            if grids is None:
+                hmax = max(c["h"] for c in frame["comps"])
+                vmax = max(c["v"] for c in frame["comps"])
+                mcus_x = -(-frame["w"] // (8 * hmax))
+                mcus_y = -(-frame["h"] // (8 * vmax))
+                grids = {
+                    c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), np.int32)
+                    for c in frame["comps"]
+                }
+            pos = _decode_progressive_scan(
+                data, pos, frame, scan, grids, huff_dc, huff_ac,
+                restart_interval, ss, se, ahal >> 4, ahal & 0x0F,
+            )
+    if progressive and grids is not None:
+        # Strict contract: a progressive stream cut off between scans is
+        # truncated data, not a smaller-but-valid image (a lenient viewer
+        # would render the partial refinement; a data pipeline must not
+        # silently accept it).
+        if not saw_eoi:
+            raise ValueError("corrupt JPEG: truncated stream")
+        comps = frame["comps"]
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        return _idct_and_assemble(
+            frame["h"], frame["w"], comps,
+            [grids[c["id"]] for c in comps], qtabs, hmax, vmax,
+        )
     raise ValueError("corrupt JPEG: no SOS marker")
 
 
@@ -594,12 +905,21 @@ def _decode_scan(data, pos, frame, scan, qtabs, huff_dc, huff_ac, restart_interv
                             zz[k] = _extend(br.receive(s), s)
                             k += 1
             mcu_count += 1
-    # dequantize + batched IDCT per component, then upsample and stack
+    comps = [comp for comp, _, _ in scan]
+    return _idct_and_assemble(h0, w0, comps, grids, qtabs, hmax, vmax)
+
+
+def _idct_and_assemble(h0, w0, comps, grids, qtabs, hmax, vmax):
+    """Dequantize + batched IDCT per component grid, upsample to full
+    resolution, YCbCr→RGB (or replicate grayscale). Shared tail of the
+    baseline and progressive decode paths."""
     planes = []
-    for si, (comp, _, _) in enumerate(scan):
+    for comp, grid in zip(comps, grids):
+        if comp["tq"] not in qtabs:
+            raise ValueError("corrupt JPEG: missing quantization table")
         q = qtabs[comp["tq"]].reshape(64)[ZIGZAG]  # zigzag-order dequant
-        coefs = (grids[si] * q)[:, :, UNZIGZAG].reshape(
-            grids[si].shape[0], grids[si].shape[1], 8, 8
+        coefs = (grid * q)[:, :, UNZIGZAG].reshape(
+            grid.shape[0], grid.shape[1], 8, 8
         )
         blocks = np.einsum("ji,rcjk,kl->rcil", _A, coefs.astype(np.float64), _A)
         rows, cols = blocks.shape[:2]
@@ -614,3 +934,168 @@ def _decode_scan(data, pos, frame, scan, qtabs, huff_dc, huff_ac, restart_interv
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+# --- progressive (SOF2) scan decoding — T.81 Annex G, Huffman ----------------
+
+
+def _require_table(tabs: dict, idx: int, kind: str) -> "_HuffDecoder":
+    if idx not in tabs:
+        raise ValueError(f"corrupt JPEG: missing {kind} Huffman table {idx}")
+    return tabs[idx]
+
+
+def _ac_first_block(br, dec, zz, ss, se, al, eobrun) -> int:
+    """AC first scan (Ah=0) for one block: spectral band [ss, se], values
+    scaled by 2^al, EOBn codes start a run of end-of-band blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = dec.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.receive(r)
+                break
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("corrupt JPEG: AC run past band end")
+            zz[k] = _extend(br.receive(s), s) << al
+            k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, dec, zz, ss, se, al, eobrun) -> int:
+    """AC refinement scan (Ah=Al+1) for one block: one correction bit per
+    already-nonzero coefficient in the band, (run, 1)-coded newly-nonzero
+    coefficients, EOB runs whose covered blocks still consume correction
+    bits (T.81 G.1.2.3; control flow mirrors the reference algorithm)."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = dec.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            sval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break  # rest of band handled by the EOB-run path below
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("corrupt JPEG: invalid refinement size")
+                sval = p1 if br.read_bit() else m1
+            # advance past r zero-history coefficients, emitting correction
+            # bits for every nonzero-history coefficient crossed
+            while k <= se:
+                if zz[k] != 0:
+                    if br.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if sval:
+                if k > se:
+                    raise ValueError("corrupt JPEG: refinement past band end")
+                zz[k] = sval
+            k += 1
+    if eobrun > 0:
+        # this block is inside an end-of-band run: only correction bits for
+        # its remaining nonzero-history coefficients
+        while k <= se:
+            if zz[k] != 0:
+                if br.read_bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _next_marker_pos(br: "_BitReader") -> int:
+    """Offset of the next non-RST marker after a decoded scan (pointing at
+    its 0xFF). The bit reader may already have consumed it mid-fill."""
+    if br.marker is not None and not (0xD0 <= br.marker <= 0xD7):
+        return br.pos - 2
+    p, data = br.pos, br.data
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    raise ValueError("corrupt JPEG: truncated stream")
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan, grids, huff_dc, huff_ac,
+    restart_interval, ss, se, ah, al,
+):
+    """Decode ONE progressive scan into the persistent per-component
+    coefficient grids; returns the offset of the next marker. DC scans
+    (Ss=0) may be interleaved; AC scans are single-component per T.81."""
+    h0, w0 = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    if ss == 0 and se != 0:
+        raise ValueError("corrupt JPEG: DC scan with nonzero spectral end")
+    if ss > 63 or se > 63 or se < ss:
+        raise ValueError("corrupt JPEG: bad spectral band")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("corrupt JPEG: interleaved AC scan")
+    br = _BitReader(data, pos)
+    pred = [0] * len(scan)
+    eobrun = 0
+    interleaved = len(scan) > 1
+    if interleaved:
+        units_x = -(-w0 // (8 * hmax))
+        units_y = -(-h0 // (8 * vmax))
+    else:
+        comp = scan[0][0]
+        comp_w = -(-(w0 * comp["h"]) // hmax)
+        comp_h = -(-(h0 * comp["v"]) // vmax)
+        units_x = -(-comp_w // 8)
+        units_y = -(-comp_h // 8)
+    unit = 0
+    for uy in range(units_y):
+        for ux in range(units_x):
+            if restart_interval and unit and unit % restart_interval == 0:
+                br.align_and_expect_rst(unit // restart_interval - 1)
+                pred = [0] * len(scan)
+                eobrun = 0
+            if ss == 0:  # DC scan
+                for si, (comp, td, _ta) in enumerate(scan):
+                    blocks = (
+                        [(uy * comp["v"] + by, ux * comp["h"] + bx)
+                         for by in range(comp["v"]) for bx in range(comp["h"])]
+                        if interleaved else [(uy, ux)]
+                    )
+                    for by, bx in blocks:
+                        zz = grids[comp["id"]][by, bx]
+                        if ah == 0:
+                            s = _require_table(huff_dc, td, "DC").decode(br)
+                            diff = _extend(br.receive(s), s) if s else 0
+                            pred[si] += diff
+                            zz[0] = pred[si] << al
+                        elif br.read_bit():
+                            zz[0] |= 1 << al
+            else:  # AC scan: single component, one block per unit
+                comp, _td, ta = scan[0]
+                zz = grids[comp["id"]][uy, ux]
+                dec = _require_table(huff_ac, ta, "AC")
+                if ah == 0:
+                    eobrun = _ac_first_block(br, dec, zz, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(br, dec, zz, ss, se, al, eobrun)
+            unit += 1
+    return _next_marker_pos(br)

@@ -5,10 +5,10 @@ The container has no codec libraries, so the REAL decode paths are the
 formats a pure-stdlib reader can handle: uncompressed 24-bpp BMP, full PNG
 (all five color types incl. palette, depths 1-16, Adam7 interlace — the
 chart format the reference serves, KafkaStreamsConfig.java:148-153), and
-baseline sequential JPEG (operators/jpeg.py). Progressive/arithmetic JPEG
-and audio/video decode remain clearly-marked ``NotImplementedError`` seams
-with deterministic fakes for the test path. Everything Spark-side is real
-and tested: schemas, batch iteration, partition sizing, UDF signatures.
+baseline + progressive JPEG (operators/jpeg.py). Arithmetic-coded/lossless
+JPEG and audio/video decode remain clearly-marked ``NotImplementedError``
+seams with deterministic fakes for the test path. Everything Spark-side is
+real and tested: schemas, batch iteration, partition sizing, UDF signatures.
 
 Scale design: media blobs dominate bytes, not rows — so (1) metadata-only
 predicates must prune *before* any decode (keep metadata in top-level columns,
@@ -327,10 +327,10 @@ def decode_png(payload: bytes) -> "np.ndarray":
 def decode_image(payload: bytes) -> "np.ndarray":
     """Real decode path: pure-stdlib readers for uncompressed 24-bpp BMP,
     full PNG (gray/RGB/palette/alpha, depths 1-16, Adam7 — the chart format
-    the reference serves), and baseline sequential JPEG (operators/jpeg.py —
-    tables read from the stream's own DQT/DHT); anything else needs a codec
-    library the container doesn't ship (a production build plugs
-    Pillow/turbojpeg into the fall-through)."""
+    the reference serves), and baseline + progressive JPEG
+    (operators/jpeg.py — tables read from the stream's own DQT/DHT);
+    anything else needs a codec library the container doesn't ship (a
+    production build plugs Pillow/turbojpeg into the fall-through)."""
     if payload is not None and len(payload) >= 2 and payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload is not None and len(payload) >= 8 and payload[:8] == PNG_SIG:

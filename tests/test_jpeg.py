@@ -82,13 +82,18 @@ def test_quality_monotone_size():
     assert sizes[0] < sizes[1] < sizes[2]
 
 
-def test_rejects_progressive_and_garbage():
+def test_rejects_arithmetic_and_garbage():
     img = _gradient(16, 16)
     payload = bytearray(encode_jpeg(img, quality=80))
-    # flip the SOF0 marker (FFC0) to progressive SOF2 (FFC2)
     i = payload.find(b"\xff\xc0")
-    payload[i + 1] = 0xC2
+    # arithmetic-coded SOF9 stays an explicit seam
+    payload[i + 1] = 0xC9
     with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+    # SOF2 is now DECODED — but a baseline scan header (Ss=0, Se=63) under a
+    # progressive frame is an illegal band combination, not silent garbage
+    payload[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="spectral"):
         decode_jpeg(bytes(payload))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01\x02")
@@ -128,3 +133,63 @@ def test_corrupted_segment_length_raises_valueerror():
     payload[5] = 0xFF
     with pytest.raises(ValueError, match="truncated"):
         decode_jpeg(bytes(payload[:64]))
+
+
+# --- progressive (SOF2) ------------------------------------------------------
+
+
+def test_progressive_matches_baseline_exactly():
+    """Progressive and baseline encodings share the same quantized
+    coefficients, so their decodes must be bit-identical — this closes the
+    loop on every Annex G scan type the encoder's script emits (interleaved
+    DC first/refine, spectral-selection AC first, AC refinement, EOB runs)."""
+    rng = np.random.default_rng(3)
+    cases = [
+        (_gradient(), dict(subsampling="444")),
+        (_gradient(), dict(subsampling="420")),
+        (rng.integers(0, 256, (24, 40, 3), dtype=np.uint8), dict(subsampling="444")),
+        (_gradient(17, 13), dict(subsampling="420")),
+        ((np.mgrid[0:32, 0:24][0] * 7 % 256).astype(np.uint8), {}),
+        (_gradient(48, 48), dict(subsampling="420", restart_interval=2)),
+    ]
+    for img, kw in cases:
+        base = decode_jpeg(encode_jpeg(img, quality=85, **kw))
+        prog = decode_jpeg(encode_jpeg(img, quality=85, progressive=True, **kw))
+        assert np.array_equal(base, prog), kw
+
+
+def test_progressive_large_smooth_exercises_eob_runs():
+    """A large flat image makes every AC band all-zero -> EOBn codes with
+    multi-block runs (the decoder's r>0 EOB path), including refinement
+    scans whose run blocks consume correction bits."""
+    img = np.full((80, 80, 3), 200, dtype=np.uint8)
+    payload = encode_jpeg(img, quality=85, progressive=True)
+    out = decode_jpeg(payload)
+    assert int(np.abs(out.astype(int) - 200).max()) <= 2
+    base = decode_jpeg(encode_jpeg(img, quality=85))
+    assert np.array_equal(out, base)
+
+
+def test_progressive_is_sof2_and_multiscan():
+    payload = encode_jpeg(_gradient(), quality=85, progressive=True)
+    assert b"\xff\xc2" in payload  # SOF2
+    assert payload.count(b"\xff\xda") >= 6  # one SOS per scan-script entry
+    # progressive file differs from baseline but decodes identically
+    assert b"\xff\xc0" not in payload
+
+
+def test_progressive_truncation_raises_valueerror():
+    payload = encode_jpeg(_gradient(24, 24), quality=85, progressive=True)
+    cuts = list(range(2, min(len(payload), 300), 3)) + list(
+        range(300, len(payload) - 1, 101)
+    )
+    for n in cuts:
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(payload[:n])
+
+
+def test_decode_image_dispatches_progressive():
+    img = _gradient(16, 16)
+    out = decode_image(encode_jpeg(img, quality=92, progressive=True))
+    assert out.shape == (16, 16, 3)
+    assert _psnr(img, out) > 30
