@@ -4,11 +4,13 @@ with typed metadata, processed via Arrow-batched ``mapInPandas``.
 The container has no codec libraries, so the REAL decode paths are the
 formats a pure-stdlib reader can handle: uncompressed 24-bpp BMP, full PNG
 (all five color types incl. palette, depths 1-16, Adam7 interlace — the
-chart format the reference serves, KafkaStreamsConfig.java:148-153), and
-baseline + progressive JPEG (operators/jpeg.py). Arithmetic-coded/lossless
-JPEG and audio/video decode remain clearly-marked ``NotImplementedError``
-seams with deterministic fakes for the test path. Everything Spark-side is
-real and tested: schemas, batch iteration, partition sizing, UDF signatures.
+chart format the reference serves, KafkaStreamsConfig.java:148-153),
+baseline + progressive JPEG (operators/jpeg.py), and RIFF/WAVE PCM audio
+(8/16/24/32-bit + IEEE float). Arithmetic-coded/lossless JPEG, compressed
+WAV (ADPCM/mu-law), and video decode remain clearly-marked
+``NotImplementedError`` seams with deterministic fakes for the test path.
+Everything Spark-side is real and tested: schemas, batch iteration,
+partition sizing, UDF signatures.
 
 Scale design: media blobs dominate bytes, not rows — so (1) metadata-only
 predicates must prune *before* any decode (keep metadata in top-level columns,
@@ -463,6 +465,106 @@ def resize_images(media: DataFrame, target_w: int, target_h: int, use_fake: bool
     return media.filter(F.col("kind") == "image").mapInPandas(batches, schema=RESIZED_SCHEMA)
 
 
+def encode_wav(samples: "np.ndarray", sample_rate: int = 16000) -> bytes:
+    """Encode PCM samples as a RIFF/WAVE file — pure stdlib (struct).
+    ``samples``: int16 array, (n,) mono or (n, channels). Deterministic;
+    exists so tests and synthesizers can produce REAL decodable audio."""
+    import struct
+
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    data = arr.astype("<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
+    """Decode a RIFF/WAVE file to ``(samples, sample_rate)`` — samples as
+    float32 in [-1, 1], shape (n, channels). Pure stdlib. Supports PCM
+    (format 1) at 8 (unsigned), 16, 24 (packed), and 32 bits, and IEEE
+    float (format 3) at 32/64 bits; skips unknown chunks (LIST, cue, ...).
+    Compressed formats (ADPCM, mu-law, MP3-in-WAV) raise
+    NotImplementedError — the codec-library seam."""
+    import struct
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", payload, pos + 4)
+        body_end = pos + 8 + ln
+        if body_end > len(payload):
+            raise ValueError("corrupt WAV: truncated chunk")
+        if cid == b"fmt ":
+            if ln < 16:
+                raise ValueError("corrupt WAV: short fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            data = payload[pos + 8 : body_end]
+        pos = body_end + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("corrupt WAV: missing fmt/data chunk")
+    audio_fmt, ch, rate, _brate, _align, bits = fmt
+    if ch < 1:
+        raise ValueError("corrupt WAV: zero channels")
+    if audio_fmt == 1:  # integer PCM
+        if bits == 8:
+            arr = np.frombuffer(data, np.uint8).astype(np.float32)
+            arr = (arr - 128.0) / 128.0
+        elif bits == 16:
+            arr = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(data[: len(data) - len(data) % 3], np.uint8).reshape(-1, 3)
+            vals = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16)
+            )
+            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+            arr = vals.astype(np.float32) / float(1 << 23)
+        elif bits == 32:
+            arr = np.frombuffer(data, "<i4").astype(np.float32) / float(1 << 31)
+        else:
+            raise ValueError(f"corrupt WAV: invalid PCM bit depth {bits}")
+    elif audio_fmt == 3:  # IEEE float
+        if bits == 32:
+            arr = np.frombuffer(data, "<f4").astype(np.float32)
+        elif bits == 64:
+            arr = np.frombuffer(data, "<f8").astype(np.float32)
+        else:
+            raise ValueError(f"corrupt WAV: invalid float bit depth {bits}")
+    else:
+        raise NotImplementedError(
+            f"compressed WAV format {audio_fmt} needs a codec library"
+        )
+    n = len(arr) - len(arr) % ch
+    return arr[:n].reshape(-1, ch), rate
+
+
+def audio_features_from_samples(samples: "np.ndarray", n_windows: int = 16) -> np.ndarray:
+    """Fixed-width features from DECODED audio: per-window RMS energy over
+    the mono mix, peak-normalized — the real-decode twin of
+    ``fake_audio_features`` (same output shape and [0, 1] contract)."""
+    mono = np.asarray(samples, dtype=np.float32)
+    if mono.ndim == 2:
+        mono = mono.mean(axis=1)
+    if mono.size == 0:
+        return np.zeros(n_windows, dtype=np.float32)
+    pad = -len(mono) % n_windows
+    if pad:
+        mono = np.pad(mono, (0, pad))
+    frames = mono.reshape(n_windows, -1)
+    rms = np.sqrt((frames * frames).mean(axis=1))
+    peak = float(rms.max())
+    return (rms / peak if peak > 0 else rms).astype(np.float32)
+
+
 def fake_audio_features(payload: bytes, n_windows: int = 16) -> np.ndarray:
     """Deterministic fake audio features: window the byte stream into
     ``n_windows`` frames and emit per-frame mean energy (RMS-ish),
@@ -486,9 +588,14 @@ def extract_audio_features(media: DataFrame, n_windows: int = 16, use_fake: bool
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not use_fake:
-                decode_image(None)  # codec stub shared with the image path
-            feats = [fake_audio_features(p, n_windows) for p in pdf["payload"]]
+            if use_fake:
+                feats = [fake_audio_features(p, n_windows) for p in pdf["payload"]]
+            else:
+                # real decode: RIFF/WAVE via the pure-stdlib codec
+                feats = [
+                    audio_features_from_samples(decode_wav(p)[0], n_windows)
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

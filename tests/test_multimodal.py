@@ -96,10 +96,12 @@ def test_real_codec_paths_raise(spark):
         synthesize_media,
     )
 
+    # synthesize_media payloads are random bytes, not real containers: the
+    # real-decode paths must fail loudly, not featurize garbage
     media = synthesize_media(spark, n=6)
     with pytest.raises(Exception, match="NotImplementedError|image codec"):
         resize_images(media, 8, 8, use_fake=False).collect()
-    with pytest.raises(Exception, match="NotImplementedError|image codec"):
+    with pytest.raises(Exception, match="not a WAV"):
         extract_audio_features(media, use_fake=False).collect()
 
 
@@ -381,3 +383,84 @@ def test_png_illegal_combo_and_bad_palette_raise():
     raw = b"\x00" + bytes([5])
     with pytest.raises(ValueError, match="palette index"):
         _ = decode_image(_make_png(1, 1, 8, 3, 0, raw, plte=pal))
+
+
+# --- WAV (RIFF PCM) codec ----------------------------------------------------
+
+
+def test_wav_int16_roundtrip_exact():
+    from covid19_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(5)
+    mono = rng.integers(-32768, 32768, size=333, dtype=np.int16)
+    out, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and out.shape == (333, 1)
+    assert np.array_equal((out[:, 0] * 32768.0).astype(np.int16), mono)
+    stereo = rng.integers(-32768, 32768, size=(100, 2), dtype=np.int16)
+    out, rate = decode_wav(encode_wav(stereo, 44100))
+    assert rate == 44100 and out.shape == (100, 2)
+    assert np.array_equal((out * 32768.0).astype(np.int16), stereo)
+
+
+def test_wav_other_depths_and_float():
+    import struct
+
+    from covid19_spark.operators.multimodal import decode_wav
+
+    def wav(fmt_tag, ch, rate, bits, data):
+        fmt = struct.pack("<HHIIHH", fmt_tag, ch, rate, rate * ch * bits // 8, ch * bits // 8, bits)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        # a LIST chunk the parser must skip
+        body += b"LIST" + struct.pack("<I", 4) + b"INFO"
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # 8-bit unsigned: 128 -> 0.0, 255 -> ~+1, 0 -> -1
+    out, _ = decode_wav(wav(1, 1, 8000, 8, bytes([0, 128, 255])))
+    assert np.allclose(out[:, 0], [-1.0, 0.0, 127 / 128], atol=1e-6)
+    # 24-bit packed little-endian: 0x800000 is most negative
+    data24 = b"\x00\x00\x80" + b"\xff\xff\x7f" + b"\x00\x00\x00"
+    out, _ = decode_wav(wav(1, 1, 8000, 24, data24))
+    assert np.allclose(out[:, 0], [-1.0, (2**23 - 1) / 2**23, 0.0], atol=1e-6)
+    # 32-bit int
+    data32 = struct.pack("<3i", -(2**31), 2**31 - 1, 0)
+    out, _ = decode_wav(wav(1, 1, 8000, 32, data32))
+    assert np.allclose(out[:, 0], [-1.0, (2**31 - 1) / 2**31, 0.0], atol=1e-6)
+    # IEEE float32 (format 3)
+    dataf = struct.pack("<3f", -0.5, 0.25, 1.0)
+    out, _ = decode_wav(wav(3, 1, 8000, 32, dataf))
+    assert np.allclose(out[:, 0], [-0.5, 0.25, 1.0])
+    # compressed formats stay a seam
+    with pytest.raises(NotImplementedError):
+        decode_wav(wav(2, 1, 8000, 4, b"\x00\x00"))  # ADPCM
+    # truncated chunk is corrupt
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(wav(1, 1, 8000, 16, b"\x00" * 8)[:-4])
+
+
+def test_audio_real_decode_end_to_end(spark):
+    """use_fake=False over REAL WAV payloads: features computed in
+    mapInPandas equal those computed locally from the same samples."""
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features_from_samples,
+        decode_wav,
+        encode_wav,
+        extract_audio_features,
+    )
+
+    rng = np.random.default_rng(9)
+    wavs = {}
+    rows = []
+    for i in range(6):
+        t = np.arange(4000 + 500 * i)
+        tone = (10000 * np.sin(2 * np.pi * (200 + 50 * i) * t / 8000)).astype(np.int16)
+        payload = encode_wav(tone, 8000)
+        wavs[i] = payload
+        rows.append((i, "audio", "audio/wav", None, None, 500, payload))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in extract_audio_features(media, n_windows=8, use_fake=False).collect()}
+    assert len(out) == 6
+    for i, payload in wavs.items():
+        expected = audio_features_from_samples(decode_wav(payload)[0], 8)
+        assert np.allclose(out[i].feature, expected, atol=1e-6), i
