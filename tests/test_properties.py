@@ -262,3 +262,108 @@ def test_incremental_screen_matches_python_model(spark, texts):
             assert r.near_dup_of != -1, (bid, bt, high)
             assert r.near_dup_of <= min(high)
         assert r.keep == int(exact == 0 and r.near_dup_of == -1)
+
+
+# --- codec round-trip properties (no Spark session needed) -------------------
+
+import numpy as np  # noqa: E402
+
+CODEC_SETTINGS = settings(max_examples=12, deadline=None, derandomize=True)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    ftype=st.integers(min_value=0, max_value=4),
+)
+@CODEC_SETTINGS
+def test_png_roundtrip_property(h, w, seed, ftype):
+    """decode(encode(img)) == img for arbitrary sizes, pixels, and scanline
+    filter types — the PNG pipeline is lossless by construction."""
+    from covid19_spark.operators.multimodal import decode_png, encode_png
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img, filter_type=ftype)), img)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@CODEC_SETTINGS
+def test_png_adam7_equals_sequential_property(h, w, seed):
+    """An Adam7-interlaced encoding of the same pixels decodes identically
+    to the sequential encoding — for every (h, w), including sizes where
+    several of the 7 passes are empty."""
+    import struct
+    import zlib
+
+    from covid19_spark.operators.multimodal import (
+        _ADAM7, PNG_SIG, decode_png, encode_png,
+    )
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] and sub.shape[1]:
+            for r in range(sub.shape[0]):
+                raw += b"\x00" + sub[r].tobytes()
+    interlaced = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(interlaced), img)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+@given(
+    h=st.integers(min_value=8, max_value=40),
+    w=st.integers(min_value=8, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    quality=st.integers(min_value=30, max_value=95),
+    sub=st.sampled_from(["444", "420"]),
+)
+@settings(max_examples=8, deadline=None, derandomize=True)
+def test_jpeg_progressive_equals_baseline_property(h, w, seed, quality, sub):
+    """For any image/quality/subsampling, the progressive encoding decodes
+    bit-identically to the baseline encoding (shared quantized
+    coefficients) — a full-pipeline consistency oracle over the entire
+    Annex G scan machinery."""
+    from covid19_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=sub))
+    prog = decode_jpeg(
+        encode_jpeg(img, quality=quality, subsampling=sub, progressive=True)
+    )
+    assert np.array_equal(base, prog)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=2000),
+    ch=st.integers(min_value=1, max_value=2),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@CODEC_SETTINGS
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    from covid19_spark.operators.multimodal import decode_wav, encode_wav
+
+    samples = np.random.default_rng(seed).integers(
+        -32768, 32768, size=(n, ch), dtype=np.int16
+    )
+    out, r = decode_wav(encode_wav(samples, rate))
+    assert r == rate and out.shape == (n, ch)
+    assert np.array_equal((out * 32768.0).astype(np.int16), samples)
