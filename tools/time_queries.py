@@ -39,8 +39,15 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, args.sf).write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
+            # identical settle protocol to bench.py, so "isolated" numbers
+            # from this tool are comparable to in-sweep bench numbers —
+            # without it, run 2+ reuses caches the bench clears, and retests
+            # systematically flatter the query (VERDICT r04 called this out)
             spark.catalog.clearCache()
             gc.collect()
+            spark._jvm.System.gc()
+            spark.range(1).count()
+            time.sleep(0.2)
         print(f"{name}: {runs} (min {min(runs)})", flush=True)
 
 
