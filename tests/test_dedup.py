@@ -559,3 +559,11 @@ def test_compact_dedup_index_preserves_screen(spark, tmp_path):
     assert compact_dedup_index(spark, idx) == {
         "digests": False, "buckets": False, "shingles": False,
     }
+
+
+def test_wav_audio_features_matches_fixture(spark):
+    _assert_matches_fixture(spark, "wav_audio_features", ["media_id"])
+
+
+def test_video_frame_features_matches_fixture(spark):
+    _assert_matches_fixture(spark, "video_frame_features", ["media_id", "frame_ts_ms"])

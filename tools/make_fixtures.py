@@ -35,6 +35,8 @@ FIXTURE_QUERIES = (
     "pq_cosine_topk",
     "ivfpq_cosine_topk",
     "approx_aggregates",
+    "wav_audio_features",
+    "video_frame_features",
 )
 
 
