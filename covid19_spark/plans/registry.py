@@ -1377,6 +1377,55 @@ QUERY_REGISTRY["video_frame_features"] = QuerySpec(
 )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016,
+    arXiv:1508.07909): one corpus scan aggregates word frequencies (the only
+    corpus-scale step — map-side combined, vocabulary-sized output), then
+    the inherently-sequential merge loop runs on the driver over that
+    aggregate. Output: the learned merge table (rank, left, right) —
+    deterministic (lexicographic tie-break), so it carries an exact
+    checked-in fixture. Non-SQL-expressible (iterative algorithm) →
+    rows-only driver check."""
+    from covid19_spark.operators.bpe import train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=120)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    ).orderBy("rank")
+
+
+QUERY_REGISTRY["bpe_merges"] = QuerySpec(
+    q_bpe_merges, None, "BPE tokenizer training -> merge table (rows-only)"
+)
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with merges trained on the same corpus: the merge table
+    ships in the task closure (KB-scale) and an Arrow-batched kernel
+    applies the greedy lowest-rank merge per word with a per-batch word
+    cache (Zipf amortization) — map-only, no shuffle at any corpus size.
+    Deterministic; rows-only driver check + exact fixture."""
+    from covid19_spark.operators.bpe import bpe_tokenize, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=120)
+    out = bpe_tokenize(docs, merges, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.element_at("tokens", 1).alias("first_token"),
+        F.element_at("tokens", -1).alias("last_token"),
+    ).orderBy("doc_id")
+
+
+QUERY_REGISTRY["bpe_tokenize"] = QuerySpec(
+    q_bpe_tokenize, None, "BPE encoding with corpus-trained merges (rows-only)"
+)
+
+
 QUERY_REGISTRY.update(
     {
         "text_quality": QuerySpec(q_text_quality, ORACLE_TEXT_QUALITY, "text quality scoring"),
@@ -4232,6 +4281,8 @@ _DRIVER_UNVERIFIED_FIRST = [
     # round-5 additions (no driver row yet)
     "wav_audio_features",
     "video_frame_features",
+    "bpe_merges",
+    "bpe_tokenize",
     # heavier similarity/dedup/codec queries after the cheap block
     "bmp_image_features",
     "fuzzy_name_match",

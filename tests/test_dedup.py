@@ -567,3 +567,11 @@ def test_wav_audio_features_matches_fixture(spark):
 
 def test_video_frame_features_matches_fixture(spark):
     _assert_matches_fixture(spark, "video_frame_features", ["media_id", "frame_ts_ms"])
+
+
+def test_bpe_merges_matches_fixture(spark):
+    _assert_matches_fixture(spark, "bpe_merges", ["rank"])
+
+
+def test_bpe_tokenize_matches_fixture(spark):
+    _assert_matches_fixture(spark, "bpe_tokenize", ["doc_id"])

@@ -37,6 +37,8 @@ FIXTURE_QUERIES = (
     "approx_aggregates",
     "wav_audio_features",
     "video_frame_features",
+    "bpe_merges",
+    "bpe_tokenize",
 )
 
 
