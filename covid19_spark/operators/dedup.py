@@ -674,7 +674,14 @@ def incremental_dedup_against_corpus(
     c_sh = shingle_frame(corpus, id_col, text_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    c_sig = minhash_signatures_from_shingles(c_sh, id_col, "__sh", num_hashes)
+    # The bucket index is consumed twice by the screen (the oversized-bucket
+    # aggregate and the anti-joined probe side are separate branches), so an
+    # uncached signature lineage would re-run the explode + k-hash
+    # aggregation per branch — persist the thin (|docs| x k longs) frame,
+    # mirroring the verified-pairs builder.
+    c_sig = minhash_signatures_from_shingles(c_sh, id_col, "__sh", num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     c_buckets = band_buckets(c_sig, id_col, num_hashes, bands).select(
         F.col(id_col).alias("__cid"), "band", "bucket"
     )
