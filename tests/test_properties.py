@@ -367,3 +367,53 @@ def test_wav_roundtrip_property(n, ch, rate, seed):
     out, r = decode_wav(encode_wav(samples, rate))
     assert r == rate and out.shape == (n, ch)
     assert np.array_equal((out * 32768.0).astype(np.int16), samples)
+
+
+# --- connected components vs union-find reference ----------------------------
+
+
+@given(
+    raw_edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=25), st.integers(min_value=0, max_value=25)),
+        min_size=1,
+        max_size=35,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+def test_connected_components_match_union_find(spark, raw_edges):
+    """Both CC algorithms (min-label propagation AND large-star/small-star)
+    must produce exactly the min-reachable-id labeling a plain union-find
+    computes, on arbitrary random graphs including self-loops, duplicate
+    edges, and both orientations."""
+    from covid19_spark.operators.dedup import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for u, v in raw_edges:
+        union(u, v)
+    expected = {n: find(n) for n in parent}
+
+    edges = spark.createDataFrame(raw_edges, "src long, dst long")
+    for algo in ("label", "star"):
+        got = {
+            r.node: r.comp
+            for r in connected_components(edges, algorithm=algo).collect()
+        }
+        assert got == expected, algo
