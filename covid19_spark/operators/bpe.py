@@ -77,27 +77,55 @@ def train_bpe(
     ordered merge list ``[(left, right), ...]`` — rank = position.
     """
     wc = word_counts(df, text_col).filter(F.col("cnt") >= min_freq).collect()
-    vocab: dict[tuple, int] = {}
+    agg: dict[tuple, int] = {}
     for row in wc:
         symbols = tuple(row["word"]) + (END,)
-        vocab[symbols] = vocab.get(symbols, 0) + int(row["cnt"])
+        agg[symbols] = agg.get(symbols, 0) + int(row["cnt"])
+    words: list[tuple] = list(agg.keys())
+    counts: list[int] = [agg[w] for w in words]
+
+    # Incremental pair statistics (the Sennrich reference's optimization):
+    # only the words CONTAINING the merged pair change between iterations,
+    # so per-merge work is O(affected words), not O(vocabulary) — the
+    # difference between minutes and hours at a ~1M-word vocabulary.
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+
+    def update_pairs(wi: int, sign: int) -> None:
+        symbols, cnt = words[wi], counts[wi] * sign
+        for p in zip(symbols, symbols[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + cnt
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(wi)
+        # negative updates leave pair_words entries stale; merge-time
+        # membership is re-checked against the word's current symbols
+
+    for wi in range(len(words)):
+        update_pairs(wi, +1)
 
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pair_counts: dict[tuple[str, str], int] = {}
-        for symbols, cnt in vocab.items():
-            for a, b in zip(symbols, symbols[1:]):
-                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + cnt
-        if not pair_counts:
+        # deterministic argmax: full scan with a strict total order on
+        # (-count, pair) — iteration order of the dict cannot matter
+        best, best_cnt = None, 0
+        for p, c in pair_counts.items():
+            if c < 2:  # a pair occurring once carries no compression
+                continue
+            if c > best_cnt or (c == best_cnt and p < best):
+                best, best_cnt = p, c
+        if best is None:
             break
-        # deterministic: max count, ties broken lexicographically
-        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if pair_counts[best] < 2:
-            break  # every remaining pair is unique — no compression left
         merges.append(best)
-        vocab = {
-            _merge_word(symbols, best): cnt for symbols, cnt in vocab.items()
-        }
+        for wi in sorted(pair_words.get(best, ())):
+            symbols = words[wi]
+            if not any(p == best for p in zip(symbols, symbols[1:])):
+                continue  # stale index entry from an earlier merge
+            update_pairs(wi, -1)
+            words[wi] = _merge_word(symbols, best)
+            update_pairs(wi, +1)
+        pair_words.pop(best, None)
+        if pair_counts.get(best) == 0:
+            del pair_counts[best]
     return merges
 
 
@@ -168,7 +196,8 @@ def bpe_tokenize(
                 }
             )
 
+    id_type = media.schema[id_col].dataType.simpleString()
     return media.select(id_col, text_col).mapInPandas(
         batches,
-        schema=f"{id_col} long, n_words int, n_tokens int, tokens array<string>",
+        schema=f"{id_col} {id_type}, n_words int, n_tokens int, tokens array<string>",
     )

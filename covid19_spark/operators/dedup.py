@@ -402,11 +402,18 @@ def lsh_verified_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket: int | None = 10_000,
+    materialize: bool = False,
 ) -> DataFrame:
     """MinHash-LSH discovery → exact-Jaccard verification: the shared
     pre-clustering stage of ``lsh_dedup_pipeline``, exposed so its plan can
     be audited end-to-end (the pipeline's own plan is truncated by the
     connected-components checkpoints).
+
+    ``materialize=True`` evaluates the pairs eagerly (localCheckpoint) and
+    releases the internal shingle/signature caches — use it when calling
+    repeatedly in one session; the lazy default keeps the caches alive
+    until the result is consumed (a lazy frame cannot outlive what it
+    reads).
 
     One shingle pass: ``shingle_frame`` is persisted and feeds BOTH the
     signature derivation and the two verify-join sides, so the plan contains
@@ -414,14 +421,16 @@ def lsh_verified_pairs(
     an ``InMemoryTableScan`` (pinned by ``test_plans.py``).
 
     Output: verified pairs ``(doc_a, doc_b, jaccard)`` with jaccard ≥
-    ``threshold``. The persisted shingle frame backing the result stays
-    cached until the result is evaluated; callers that materialize the
-    pairs eagerly (``lsh_dedup_pipeline``'s connected-components stage
-    does) should use ``_lsh_verified_pairs_with_handle`` and unpersist.
+    ``threshold``.
     """
-    return _lsh_verified_pairs_with_handle(
+    verified, caches = _lsh_verified_pairs_with_handle(
         df, id_col, text_col, num_hashes, bands, shingle_n, threshold, max_bucket
-    )[0]
+    )
+    if materialize:
+        verified = verified.localCheckpoint(eager=True)
+        for c in caches:
+            c.unpersist()
+    return verified
 
 
 def _lsh_verified_pairs_with_handle(
@@ -543,7 +552,9 @@ def _screen_batch_against_index(
     """Shared core of the incremental screen: probe a new batch against a
     corpus index given as three frames (digest set, bucket index, shingle
     store) — inline-derived by ``incremental_dedup_against_corpus``, loaded
-    from parquet by ``incremental_dedup_against_index``.
+    from parquet by ``incremental_dedup_against_index``. Returns
+    ``(screen result, [internal persisted frames])`` so the public wrappers
+    can release the caches when asked to materialize.
 
     ``c_digests`` is deduplicated on ``__th`` before the probe join: the
     persisted-index path appends digests per batch and a REPLAYED append
@@ -626,7 +637,7 @@ def _screen_batch_against_index(
             (F.col("is_exact_dup") == 0) & F.coalesce("__ndof", F.lit(-1)).eqNullSafe(F.lit(-1))
         ).cast("long").alias("keep"),
     )
-    return out
+    return out, [b_shingles]
 
 
 def incremental_dedup_against_corpus(
@@ -640,11 +651,19 @@ def incremental_dedup_against_corpus(
     threshold: float = 0.5,
     max_bucket: int | None = 10_000,
     containment_threshold: float | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Batch twin of the streaming LSH dedup filter
     (``streaming/dedup_lsh_stream``): screen a NEW batch of documents against
     an EXISTING deduplicated corpus without ever pairing corpus↔corpus or
     batch↔batch rows — the cost is proportional to the batch, not the corpus.
+
+    ``materialize=True`` evaluates the screen eagerly (localCheckpoint) and
+    releases the internal corpus shingle/signature and batch shingle caches
+    immediately — the session-hygiene mode for the steady-state ingestion
+    loop (screen batch N → append → screen batch N+1), where the lazy
+    default would pin one corpus-sized cache set per screened batch until
+    the session clears its cache.
 
     Stages (all batch-bounded):
       1. exact first-wins: anti-probe of md5(text) against the corpus digest
@@ -688,11 +707,16 @@ def incremental_dedup_against_corpus(
     c_shingles = c_sh.select(
         F.col(id_col).alias("__cid"), F.col("__sh").alias("__csh")
     )
-    return _screen_batch_against_index(
+    out, screen_caches = _screen_batch_against_index(
         batch, c_digests, c_buckets, c_shingles,
         id_col, text_col, num_hashes, bands, shingle_n, threshold, max_bucket,
         containment_threshold,
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        for c in [c_sh, c_sig, *screen_caches]:
+            c.unpersist()
+    return out
 
 
 def build_dedup_index(
@@ -786,13 +810,16 @@ def incremental_dedup_against_index(
     threshold: float = 0.5,
     max_bucket: int | None = 10_000,
     containment_threshold: float | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Screen a new batch against a PERSISTED corpus index written by
     ``build_dedup_index`` — identical output to
     ``incremental_dedup_against_corpus`` without touching corpus text at all;
-    the hash parameters must match the ones the index was built with."""
+    the hash parameters must match the ones the index was built with.
+    ``materialize=True`` evaluates eagerly and releases the internal batch
+    shingle cache (session hygiene for the ingestion loop)."""
     spark = batch.sparkSession
-    return _screen_batch_against_index(
+    out, screen_caches = _screen_batch_against_index(
         batch,
         spark.read.parquet(f"{index_path}/digests"),
         spark.read.parquet(f"{index_path}/buckets").select("__cid", "band", "bucket"),
@@ -800,6 +827,11 @@ def incremental_dedup_against_index(
         id_col, text_col, num_hashes, bands, shingle_n, threshold, max_bucket,
         containment_threshold,
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        for c in screen_caches:
+            c.unpersist()
+    return out
 
 
 def _compact_parquet_dir(
@@ -982,14 +1014,22 @@ def connected_components(
     chains, citation paths) where label propagation's O(diameter) rounds
     are the scale ceiling.
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    if algorithm not in ("label", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}: use 'label' or 'star'")
+    # Checkpoint the symmetrized edge frame BEFORE branching: both variants
+    # derive everything (rounds AND the final node/singleton recovery) from
+    # it, so this is the single point where the caller's — possibly
+    # cache-backed — edge lineage is severed. lsh_dedup_pipeline relies on
+    # this to unpersist its shingle/signature caches right after this
+    # function returns; the star path previously built its `nodes` frame
+    # from the raw input and kept the whole verify-join lineage alive.
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=True)
     )
     if algorithm == "star":
         return _two_phase_components(sym, max_iter)
-    if algorithm != "label":
-        raise ValueError(f"unknown algorithm {algorithm!r}: use 'label' or 'star'")
-    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()

@@ -460,9 +460,11 @@ def decode_avi_frames(payload: bytes) -> "tuple[list[bytes], float]":
         raise ValueError("not an AVI payload")
     fps = 0.0
     frames: list[bytes] = []
+    n_streams = 0
+    video_stream: int | None = None  # strh order defines the NNdc prefix
 
     def walk(buf: bytes, pos: int, end: int) -> None:
-        nonlocal fps, frames
+        nonlocal fps, frames, n_streams, video_stream
         while pos + 8 <= end:
             cid = buf[pos : pos + 4]
             (ln,) = struct.unpack_from("<I", buf, pos + 4)
@@ -477,16 +479,26 @@ def decode_avi_frames(payload: bytes) -> "tuple[list[bytes], float]":
                 (uspf,) = struct.unpack_from("<I", buf, body_start)
                 fps = 1_000_000 / uspf if uspf else 0.0
             elif cid == b"strh":
+                # streams are numbered in strh order; the frame chunks of
+                # stream N carry the two-digit prefix f"{N:02d}" — don't
+                # assume the video stream is stream 0 (an audio-first AVI
+                # puts its video frames in 01dc chunks)
                 if ln >= 8 and buf[body_start : body_start + 4] == b"vids":
                     if buf[body_start + 4 : body_start + 8] not in (b"MJPG", b"mjpg"):
                         raise NotImplementedError(
                             "only MJPEG AVI video decodes without a codec library"
                         )
-            elif cid in (b"00dc", b"00db"):
-                frames.append(buf[body_start:body_end])
+                    if video_stream is None:
+                        video_stream = n_streams
+                n_streams += 1
+            elif len(cid) == 4 and cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                if video_stream is not None and int(cid[:2]) == video_stream:
+                    frames.append(buf[body_start:body_end])
             pos = body_end + (ln & 1)
 
     walk(payload, 12, len(payload))
+    if video_stream is None:
+        raise ValueError("corrupt AVI: no video stream declared")
     if not frames:
         raise ValueError("corrupt AVI: no video frames")
     return frames, fps
@@ -500,6 +512,8 @@ def video_frame_features(
     pixels. Returns [(frame_ts_ms, frame_index, feature)]."""
     from covid19_spark.operators.jpeg import decode_jpeg
 
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive (got {every_ms})")
     frames, fps = decode_avi_frames(payload)
     if fps <= 0:
         fps = 10.0
@@ -527,6 +541,8 @@ def extract_video_frames(
     MJPEG AVI container and decodes each sampled frame with the module's
     own JPEG decoder; the fake path derives deterministic features from
     the payload bytes + timestamp (same output schema)."""
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive (got {every_ms})")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

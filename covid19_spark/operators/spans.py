@@ -144,6 +144,7 @@ def duplicated_spans(
     k: int = 8,
     min_docs: int = 2,
     keep_first: bool = False,
+    materialize: bool = False,
 ) -> DataFrame:
     """Maximal duplicated spans per document.
 
@@ -162,13 +163,19 @@ def duplicated_spans(
     persisted memory-and-disk so its two consumers — the duplicated-hash
     aggregate and the join-back — read ONE materialization instead of
     re-scanning the corpus per branch (the executed plan shows a single
-    documents scan; pinned by tests/test_plans.py). The cache lives until
-    the session drops it (catalog.clearCache / GC of the frame).
+    documents scan; pinned by tests/test_plans.py).
+    ``materialize=True`` evaluates the spans eagerly (localCheckpoint) and
+    releases the gram cache immediately; the lazy default keeps it until
+    the session drops it (a lazy result cannot outlive what it reads).
     """
     grams = kgram_stream(df, id_col, text_col, k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    return _spans_from_grams(grams, id_col, k, min_docs, keep_first)
+    out = _spans_from_grams(grams, id_col, k, min_docs, keep_first)
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        grams.unpersist()
+    return out
 
 
 def span_dedup(
@@ -178,6 +185,7 @@ def span_dedup(
     k: int = 8,
     min_docs: int = 2,
     keep_first: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Strip duplicated spans and report per-doc damage.
 
@@ -218,7 +226,7 @@ def span_dedup(
         sp, lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"])
     )
     kept = F.filter(F.col("__toks"), lambda t, i: ~covered(i))
-    return joined.select(
+    out = joined.select(
         id_col,
         F.concat_ws(" ", kept).alias("text"),
         F.size("__toks").cast("long").alias("n_tokens"),
@@ -229,3 +237,9 @@ def span_dedup(
             / F.size("__toks")
         ).alias("dup_frac"),
     )
+    if materialize:
+        # session hygiene: evaluate eagerly and release both heavy caches
+        out = out.localCheckpoint(eager=True)
+        grams.unpersist()
+        base.unpersist()
+    return out

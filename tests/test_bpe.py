@@ -90,3 +90,15 @@ def test_stops_when_no_pair_repeats(spark):
     df = spark.createDataFrame([(0, "ab cd")], "doc_id long, text string")
     # every adjacent pair occurs once -> no merge is worth learning
     assert train_bpe(df, "text", n_merges=10) == []
+
+
+def test_tokenize_preserves_id_column_type(spark):
+    """The encoder's output schema must follow the input id column's type,
+    not hard-code long (r05 code-review finding)."""
+    df = spark.createDataFrame(
+        [("doc-a", "low low"), ("doc-b", "newest")], "doc_id string, text string"
+    )
+    merges = train_bpe(df, "text", n_merges=5)
+    out = {r.doc_id: r for r in bpe_tokenize(df, merges, "doc_id", "text").collect()}
+    assert set(out) == {"doc-a", "doc-b"}
+    assert out["doc-a"].n_words == 2

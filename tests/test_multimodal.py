@@ -565,3 +565,55 @@ def test_video_fake_path_matches_plan_fanout(spark):
     for r in extract_video_frames(media, every_ms=1000, use_fake=True).collect():
         fake_counts[r.media_id] = fake_counts.get(r.media_id, 0) + 1
     assert fake_counts == plan_counts
+
+
+def test_video_every_ms_must_be_positive(spark):
+    from covid19_spark.operators.multimodal import (
+        extract_video_frames,
+        video_frame_features,
+    )
+
+    with pytest.raises(ValueError, match="every_ms"):
+        extract_video_frames(synthesize_media(spark, n=3), every_ms=0)
+    with pytest.raises(ValueError, match="every_ms"):
+        video_frame_features(b"RIFF", every_ms=-5)
+
+
+def test_avi_video_stream_not_first():
+    """An AVI that declares an audio stream BEFORE the video stream carries
+    its frames in 01dc chunks — the decoder must follow the strh order, not
+    assume stream 0 (r05 code-review finding)."""
+    import struct
+
+    from covid19_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from covid19_spark.operators.multimodal import decode_avi_frames
+
+    def chunk(cid, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(four, data):
+        return chunk(b"LIST", four + data)
+
+    frames = _mk_frames(3, 16, 16)
+    payloads = [encode_jpeg(f, quality=85) for f in frames]
+    avih = struct.pack("<IIIIIIIIII4I", 250000, 0, 0, 0x10, 3, 0, 2, 0, 16, 16, 0, 0, 0, 0)
+    auds_strh = b"auds" + b"\x00" * 4 + struct.pack("<IHHIIIIIIiI4h", *([0] * 15))
+    vids_strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIiI4h", 0, 0, 0, 0, 1, 4, 0, 3, 0, -1, 0, 0, 0, 0, 0)
+    )
+    strf_v = struct.pack("<IiiHH4sIiiII", 40, 16, 16, 1, 24, b"MJPG", 16 * 16 * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", auds_strh) + chunk(b"strf", b"\x00" * 16))
+        + lst(b"strl", chunk(b"strh", vids_strh) + chunk(b"strf", strf_v)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"01dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    jpegs, fps = decode_avi_frames(avi)
+    assert len(jpegs) == 3 and fps == 4.0
+    assert decode_jpeg(jpegs[0]).shape == (16, 16, 3)

@@ -384,3 +384,29 @@ def test_span_dedup_no_pairwise_stage_and_partitioned_windows(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
         # interval merge windows over doc_id partitions
         assert "partitionBy(doc_id" in plan.replace(" ", "") or "hashpartitioning(doc_id" in plan, name
+
+
+def test_star_pipeline_releases_caches_without_recompute(spark):
+    """lsh_dedup_pipeline unpersists its shingle/signature caches right
+    after connected components — which is only sound if BOTH CC variants
+    sever the verify-join lineage. The star path previously built its node
+    frame from the raw edges, so after unpersist the returned clusters
+    silently re-ran the whole tokenize/minhash/LSH/verify pipeline uncached
+    (r05 code-review finding, verified: 944 xxhash64 nodes in the executed
+    plan). Pinned: the final plan must contain ZERO shingle expressions for
+    either algorithm."""
+    from covid19_spark.operators.dedup import lsh_dedup_pipeline
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for algo in ("label", "star"):
+        plan = (
+            lsh_dedup_pipeline(docs, "doc_id", "text", cc_algorithm=algo)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("array_distinct(flatten") == 0, (
+            f"{algo}: released caches are being recomputed — the CC stage "
+            "did not checkpoint the edge lineage"
+        )
