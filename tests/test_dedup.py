@@ -575,3 +575,26 @@ def test_bpe_merges_matches_fixture(spark):
 
 def test_bpe_tokenize_matches_fixture(spark):
     _assert_matches_fixture(spark, "bpe_tokenize", ["doc_id"])
+
+
+def test_incremental_materialize_equals_lazy(spark):
+    """materialize=True on the incremental screen changes only cache
+    lifecycle (eager evaluation + release), never the screen verdicts."""
+    from covid19_spark.operators.dedup import incremental_dedup_against_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 40)
+    batch = docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 80))
+    lazy = sorted(
+        tuple(r)
+        for r in incremental_dedup_against_corpus(
+            corpus, batch, "doc_id", "text"
+        ).collect()
+    )
+    eager = sorted(
+        tuple(r)
+        for r in incremental_dedup_against_corpus(
+            corpus, batch, "doc_id", "text", materialize=True
+        ).collect()
+    )
+    assert lazy == eager

@@ -94,3 +94,18 @@ def test_detection_is_exact_for_long_duplicates(spark):
     assert len(spans) == 3
     for r in spans:
         assert (r["span_start"], r["span_end"]) == (3, 14)
+
+
+def test_materialize_equals_lazy(spark):
+    """materialize=True must change only cache lifecycle, never results."""
+    from covid19_spark.operators.spans import duplicated_spans, span_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for fn, key in ((duplicated_spans, ["doc_id", "span_start"]), (span_dedup, ["doc_id"])):
+        lazy = sorted(
+            (tuple(r) for r in fn(docs, "doc_id", "text").collect())
+        )
+        eager = sorted(
+            (tuple(r) for r in fn(docs, "doc_id", "text", materialize=True).collect())
+        )
+        assert lazy == eager, fn.__name__
