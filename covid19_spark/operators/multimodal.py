@@ -642,6 +642,89 @@ def resize_images(media: DataFrame, target_w: int, target_h: int, use_fake: bool
     return media.filter(F.col("kind") == "image").mapInPandas(batches, schema=RESIZED_SCHEMA)
 
 
+def _area_resize(gray: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """Deterministic area-mean resize via an integral image — the fixed
+    downsampling step of the perceptual hash (no interpolation libraries)."""
+    h, w = gray.shape
+    if h < out_h:
+        gray = np.repeat(gray, -(-out_h // h), axis=0)
+        h = gray.shape[0]
+    if w < out_w:
+        gray = np.repeat(gray, -(-out_w // w), axis=1)
+        w = gray.shape[1]
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = gray.cumsum(axis=0).cumsum(axis=1)
+    ys = np.round(np.linspace(0, h, out_h + 1)).astype(int)
+    xs = np.round(np.linspace(0, w, out_w + 1)).astype(int)
+    out = np.empty((out_h, out_w), dtype=np.float64)
+    for r in range(out_h):
+        y0, y1 = ys[r], ys[r + 1]
+        area_rows = ii[y1] - ii[y0]
+        widths = (xs[1:] - xs[:-1]) * (y1 - y0)
+        out[r] = (area_rows[xs[1:]] - area_rows[xs[:-1]]) / np.maximum(widths, 1)
+    return out
+
+
+def dhash_pixels(pixels: "np.ndarray", hash_size: int = 8) -> int:
+    """Difference hash (dHash) of decoded pixels: grayscale → area-resize to
+    (hash_size, hash_size+1) → horizontal gradient sign bits → signed int64
+    (bit 63 as the sign bit, matching the SimHash storage convention so the
+    banded Hamming probe operates on plain BIGINT columns). Robust to
+    re-encoding, mild noise, and rescaling — the standard perceptual
+    near-dup key for image corpora."""
+    arr = np.asarray(pixels, dtype=np.float64)
+    gray = arr.mean(axis=2) if arr.ndim == 3 else arr
+    small = _area_resize(gray, hash_size, hash_size + 1)
+    bits = (small[:, 1:] > small[:, :-1]).reshape(-1)
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(
+    media: DataFrame, use_fake: bool = True, hash_size: int = 8
+) -> DataFrame:
+    """``(media_id, dhash)`` per image row via ``mapInPandas`` — real path
+    decodes the payload (BMP/PNG/JPEG), fake path hashes a deterministic
+    pixel grid derived from the payload bytes (same schema)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for payload in pdf["payload"]:
+                if use_fake:
+                    raw = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+                    side = max(int(len(raw) ** 0.5), 1)
+                    grid = np.resize(raw, (side, side)).astype(np.float64)
+                    hashes.append(dhash_pixels(grid, hash_size))
+                else:
+                    hashes.append(dhash_pixels(decode_image(payload), hash_size))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "dhash": hashes})
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        batches, schema="media_id long, dhash long"
+    )
+
+
+def image_near_dup_pairs(
+    hash_df: DataFrame, id_col: str = "media_id", max_hamming: int = 10
+) -> DataFrame:
+    """Perceptual near-duplicate candidate pairs over a dHash frame: the
+    64-bit hashes ride the SAME banded Hamming probe as SimHash text dedup
+    (4 x 16-bit sub-bands, pigeonhole: any pair within Hamming 10 of a
+    64-bit hash shares at least one exact sub-band when distance < 4 bands)
+    — one thin self-join, never O(n²) over the image corpus."""
+    from covid19_spark.operators.dedup import simhash_candidate_pairs
+
+    return simhash_candidate_pairs(
+        hash_df.select(F.col(id_col), F.col("dhash").alias("simhash")),
+        id_col,
+        max_hamming=max_hamming,
+    )
+
+
 def encode_wav(samples: "np.ndarray", sample_rate: int = 16000) -> bytes:
     """Encode PCM samples as a RIFF/WAVE file — pure stdlib (struct).
     ``samples``: int16 array, (n,) mono or (n, channels). Deterministic;

@@ -598,3 +598,7 @@ def test_incremental_materialize_equals_lazy(spark):
         ).collect()
     )
     assert lazy == eager
+
+
+def test_image_near_dup_matches_fixture(spark):
+    _assert_matches_fixture(spark, "image_near_dup", ["doc_a", "doc_b"])

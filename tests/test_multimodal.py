@@ -617,3 +617,60 @@ def test_avi_video_stream_not_first():
     jpegs, fps = decode_avi_frames(avi)
     assert len(jpegs) == 3 and fps == 4.0
     assert decode_jpeg(jpegs[0]).shape == (16, 16, 3)
+
+
+# --- perceptual dHash image near-dup ----------------------------------------
+
+
+def test_dhash_invariances():
+    from covid19_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from covid19_spark.operators.multimodal import dhash_pixels
+
+    rng = np.random.default_rng(3)
+    base = np.repeat(
+        np.repeat(rng.integers(0, 256, (6, 8, 3), dtype=np.uint8), 8, axis=0), 8, axis=1
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    h = dhash_pixels(base)
+    assert dhash_pixels(base) == h  # deterministic
+    # survives lossy JPEG re-encoding
+    assert ham(h, dhash_pixels(decode_jpeg(encode_jpeg(base, quality=80)))) <= 10
+    # survives 2x upscaling
+    big = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+    assert ham(h, dhash_pixels(big)) <= 6
+    # unrelated image is far
+    other = np.repeat(
+        np.repeat(rng.integers(0, 256, (6, 8, 3), dtype=np.uint8), 8, axis=0), 8, axis=1
+    )
+    assert ham(h, dhash_pixels(other)) > 15
+
+
+def test_image_near_dup_finds_reencodes_distributed(spark):
+    """Planted JPEG re-encodes of BMP originals must surface as candidate
+    pairs via the banded Hamming probe, with no unrelated cross-pairs at
+    the threshold."""
+    from covid19_spark.operators.jpeg import encode_jpeg
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for i in range(8):
+        base = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+        img = np.repeat(np.repeat(base, 6, axis=0), 6, axis=1)
+        rows.append((i, "image", "image/bmp", 48, 36, None, encode_bmp(img)))
+        rows.append((100 + i, "image", "image/jpeg", 48, 36, None, encode_jpeg(img, quality=80)))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = image_dhash(media, use_fake=False)
+    pairs = {(r.doc_a, r.doc_b) for r in image_near_dup_pairs(hashes, max_hamming=10).collect()}
+    for i in range(8):
+        assert (i, 100 + i) in pairs, i
+    # no unrelated original-original pair sneaks in
+    assert not any(a < 100 and b < 100 for a, b in pairs)

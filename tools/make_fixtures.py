@@ -39,6 +39,7 @@ FIXTURE_QUERIES = (
     "video_frame_features",
     "bpe_merges",
     "bpe_tokenize",
+    "image_near_dup",
 )
 
 
