@@ -654,8 +654,11 @@ def _area_resize(gray: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
         w = gray.shape[1]
     ii = np.zeros((h + 1, w + 1), dtype=np.float64)
     ii[1:, 1:] = gray.cumsum(axis=0).cumsum(axis=1)
-    ys = np.round(np.linspace(0, h, out_h + 1)).astype(int)
-    xs = np.round(np.linspace(0, w, out_w + 1)).astype(int)
+    # integer bin edges (floor of i*h/out_h): strictly increasing whenever
+    # h >= out_h (guaranteed by the repeat above) — np.round's banker's
+    # rounding could produce equal neighbors, i.e. an empty bin
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
     out = np.empty((out_h, out_w), dtype=np.float64)
     for r in range(out_h):
         y0, y1 = ys[r], ys[r + 1]
