@@ -1486,6 +1486,76 @@ QUERY_REGISTRY["image_near_dup"] = QuerySpec(
 )
 
 
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio near-duplicate detection end-to-end with the REAL
+    WAV codec: synthesize a chirp+AM tone per doc_id plus, for the first 60
+    ids, a HALF-GAIN 8-BIT-REQUANTIZED copy (the classic audio-dedup case:
+    byte-level dedup misses gain/quantization changes; the spectral
+    delta-sign fingerprint survives both — planted copies land at Hamming
+    0-8). The banded probe recalls 59/60 planted pairs: one Hamming-8 pair
+    spreads its bits across all four 16-bit sub-bands, the documented
+    pigeonhole recall bound (guaranteed only <= 3 with 4 bands) — this is a
+    CANDIDATE generator, same contract as SimHash. The corpus also contains
+    legitimate non-planted near-dups (parameter collisions: f0 repeats
+    every 37 ids, the AM rate every 3). Decode, fingerprint
+    (9 windows x 8 log-bands rfft energy deltas), and pair via the banded
+    64-bit Hamming probe shared with SimHash/dHash. Non-SQL-expressible →
+    rows-only driver check + exact fixture."""
+    import numpy as np
+    import pandas as pd
+
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprints,
+        audio_near_dup_pairs,
+        encode_wav,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 250)
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = 6000 + (d % 5) * 1000
+                t = np.arange(n)
+                f0, rate_ = 150 + (d % 37) * 13, 2 + d % 3
+                sig = np.sin(2 * np.pi * (f0 + t / 180) * t / 8000) * (
+                    0.5 + 0.5 * np.sin(2 * np.pi * rate_ * t / 8000)
+                )
+                s16 = (20000 * sig).astype(np.int16)
+                rows.append(
+                    (d, "audio", "audio/wav", None, None, int(n * 1000 / 8000),
+                     encode_wav(s16, 8000))
+                )
+                if d < 60:  # planted near-dup: half gain + 8-bit requantize
+                    v16 = ((s16 // 2) // 256 * 256).astype(np.int16)
+                    rows.append(
+                        (100000 + d, "audio", "audio/wav", None, None,
+                         int(n * 1000 / 8000), encode_wav(v16, 8000))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "mime", "width", "height",
+                    "duration_ms", "payload",
+                ],
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    fps = audio_fingerprints(media, use_fake=False)
+    return audio_near_dup_pairs(fps, "media_id", max_hamming=8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+QUERY_REGISTRY["audio_near_dup"] = QuerySpec(
+    q_audio_near_dup, None,
+    "perceptual audio fingerprint near-dup pairs across gain/requant copies (rows-only)",
+)
+
+
 QUERY_REGISTRY.update(
     {
         "text_quality": QuerySpec(q_text_quality, ORACLE_TEXT_QUALITY, "text quality scoring"),
@@ -4344,6 +4414,7 @@ _DRIVER_UNVERIFIED_FIRST = [
     "bpe_merges",
     "bpe_tokenize",
     "image_near_dup",
+    "audio_near_dup",
     # heavier similarity/dedup/codec queries after the cheap block
     "bmp_image_features",
     "fuzzy_name_match",

@@ -602,3 +602,7 @@ def test_incremental_materialize_equals_lazy(spark):
 
 def test_image_near_dup_matches_fixture(spark):
     _assert_matches_fixture(spark, "image_near_dup", ["doc_a", "doc_b"])
+
+
+def test_audio_near_dup_matches_fixture(spark):
+    _assert_matches_fixture(spark, "audio_near_dup", ["doc_a", "doc_b"])

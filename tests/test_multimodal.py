@@ -674,3 +674,65 @@ def test_image_near_dup_finds_reencodes_distributed(spark):
         assert (i, 100 + i) in pairs, i
     # no unrelated original-original pair sneaks in
     assert not any(a < 100 and b < 100 for a, b in pairs)
+
+
+# --- perceptual audio fingerprint near-dup ----------------------------------
+
+
+def test_audio_fingerprint_invariances():
+    from covid19_spark.operators.multimodal import (
+        audio_fingerprint,
+        decode_wav,
+        encode_wav,
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    t = np.arange(16000)
+    sig = np.sin(2 * np.pi * (200 + t / 200) * t / 8000) * (
+        0.5 + 0.5 * np.sin(2 * np.pi * 2 * t / 8000)
+    )
+    s16 = (20000 * sig).astype(np.int16)
+    h = audio_fingerprint(s16.astype(np.float64))
+    assert h == audio_fingerprint(s16.astype(np.float64))  # deterministic
+    # gain is exactly invariant (energy comparisons survive uniform scale);
+    # 8-bit requantization adds noise that the finer 8-band split feels a
+    # little more — the planted-copy contract is Hamming <= 8
+    assert ham(h, audio_fingerprint(0.5 * s16.astype(np.float64))) <= 2
+    assert ham(h, audio_fingerprint((s16 // 256 * 256).astype(np.float64))) <= 8
+    out, _ = decode_wav(encode_wav(s16, 8000))
+    assert ham(h, audio_fingerprint(out * 32768.0)) <= 2
+    # NOTE deliberately absent: sample-repeat "resampling" halves the
+    # playback pitch — audibly different content, and the spectral bands
+    # rightly move (measured Hamming ~15); pitch-preserving invariance
+    # would need sample-rate-aware band edges, a codec-level concern
+    # unrelated signal is far
+    other = (20000 * np.sin(2 * np.pi * (900 - t / 150) * t / 8000 + 1.0)).astype(np.float64)
+    assert ham(h, audio_fingerprint(other)) > 10
+
+
+def test_audio_near_dup_finds_variants_distributed(spark):
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprints,
+        audio_near_dup_pairs,
+        encode_wav,
+    )
+
+    rows = []
+    for i in range(6):
+        t = np.arange(8000)
+        sig = np.sin(2 * np.pi * (150 + 40 * i + t / 150) * t / 8000) * (
+            0.5 + 0.5 * np.sin(2 * np.pi * (2 + i % 3) * t / 8000)
+        )
+        s16 = (20000 * sig).astype(np.int16)
+        rows.append((i, "audio", "audio/wav", None, None, 1000, encode_wav(s16, 8000)))
+        v16 = ((s16 // 2) // 256 * 256).astype(np.int16)  # half gain + 8-bit
+        rows.append((100 + i, "audio", "audio/wav", None, None, 1000, encode_wav(v16, 8000)))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fps = audio_fingerprints(media, use_fake=False)
+    pairs = {(r.doc_a, r.doc_b) for r in audio_near_dup_pairs(fps, max_hamming=10).collect()}
+    for i in range(6):
+        assert (i, 100 + i) in pairs, i
+    assert not any(a < 100 and b < 100 for a, b in pairs)

@@ -40,6 +40,7 @@ FIXTURE_QUERIES = (
     "bpe_merges",
     "bpe_tokenize",
     "image_near_dup",
+    "audio_near_dup",
 )
 
 
