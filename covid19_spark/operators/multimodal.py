@@ -728,6 +728,102 @@ def image_near_dup_pairs(
     )
 
 
+def video_frame_hashes(
+    media: DataFrame, every_ms: int = 1000, hash_size: int = 8
+) -> DataFrame:
+    """``(media_id, frame_rank, dhash)`` — one perceptual hash per sampled
+    video frame (real MJPEG-AVI decode; ``frame_rank`` is the 0-based index
+    in the sample sequence, the alignment key for video-to-video
+    comparison). Map-only mapInPandas, metadata prunes before decode."""
+    from collections.abc import Iterator as _It
+
+    from covid19_spark.operators.jpeg import decode_jpeg
+
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive (got {every_ms})")
+
+    def batches(it: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in it:
+            ids, ranks, hashes = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, fps = decode_avi_frames(payload)
+                if fps <= 0:
+                    fps = 10.0
+                duration_ms = int(len(frames) * 1000 / fps)
+                ts, rank = 0, 0
+                while ts <= duration_ms:
+                    idx = min(int(ts * fps / 1000), len(frames) - 1)
+                    ids.append(mid)
+                    ranks.append(rank)
+                    hashes.append(dhash_pixels(decode_jpeg(frames[idx]), hash_size))
+                    ts += every_ms
+                    rank += 1
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_rank": ranks, "dhash": hashes}
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        batches, schema="media_id long, frame_rank int, dhash long"
+    )
+
+
+def video_near_dup_pairs(
+    frame_hash_df: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 10,
+    min_matching_frames: int = 3,
+) -> DataFrame:
+    """Video-level near-duplicates from per-frame perceptual hashes: frames
+    align on ``frame_rank`` and candidate-join via the 4 x 16-bit sub-band
+    probe keyed by (rank, band, key) — a pair of videos never meets unless
+    some aligned frame pair shares an exact sub-band, so the join stays
+    thin at corpus scale (the shuffle carries |videos| x frames x 4 thin
+    rows, never video pairs). A pair verifies when >= ``min_matching_frames``
+    aligned frames are within ``max_hamming`` bits. Output:
+    (doc_a, doc_b, matching_frames, mean_hamming)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned("dhash", i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("key"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = frame_hash_df.select(
+        id_col, "frame_rank", "dhash", F.explode(bands).alias("bb")
+    ).select(id_col, "frame_rank", "dhash", "bb.band", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
+    frame_pairs = (
+        a.join(
+            b,
+            (F.col("a.frame_rank") == F.col("b.frame_rank"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.frame_rank").alias("frame_rank"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b", "frame_rank"])
+    )
+    return (
+        frame_pairs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("matching_frames"),
+            F.round(F.avg("hamming"), 4).alias("mean_hamming"),
+        )
+        .filter(F.col("matching_frames") >= min_matching_frames)
+    )
+
+
 def encode_wav(samples: "np.ndarray", sample_rate: int = 16000) -> bytes:
     """Encode PCM samples as a RIFF/WAVE file — pure stdlib (struct).
     ``samples``: int16 array, (n,) mono or (n, channels). Deterministic;

@@ -1556,6 +1556,75 @@ QUERY_REGISTRY["audio_near_dup"] = QuerySpec(
 )
 
 
+def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-level near-duplicate detection with REAL codecs end-to-end:
+    synthesize an MJPEG AVI per doc_id plus, for the first 40 ids, a
+    QUALITY-70 RE-ENCODING of the same frames; sample frames on a shared
+    timeline, dHash each decoded frame, align on frame rank, and verify
+    pairs on >= 3 aligned frames within Hamming 10 — the composition of the
+    container codec, the per-frame JPEG decoder, the perceptual hash, and
+    the banded Hamming probe. The join is keyed (rank, band, key16): video
+    pairs never meet unless an aligned frame pair shares an exact sub-band.
+    Non-SQL-expressible → rows-only driver check + exact fixture (39/40
+    planted re-encodes recalled, zero false positives — one video's
+    drifting-field frames land past the per-frame threshold at q70, the
+    candidate-generator recall contract shared with the audio probe)."""
+    import numpy as np
+    import pandas as pd
+
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_mjpeg_avi,
+        video_frame_hashes,
+        video_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 120)
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                rng = np.random.default_rng(d + 9_000_000)
+                n_frames = 4 + d % 3
+                frames = []
+                base = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+                for i in range(n_frames):
+                    # smooth tiled field drifting per frame: structured
+                    # content the perceptual hash can track
+                    img = np.repeat(np.repeat(np.roll(base, i, axis=1), 4, axis=0), 4, axis=1)
+                    frames.append(img)
+                rows.append(
+                    (d, "video", "video/avi", 32, 24, int(n_frames * 250),
+                     encode_mjpeg_avi(frames, fps=4, quality=88))
+                )
+                if d < 40:  # planted near-dup: same frames, harsher quality
+                    rows.append(
+                        (100000 + d, "video", "video/avi", 32, 24,
+                         int(n_frames * 250), encode_mjpeg_avi(frames, fps=4, quality=70))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "mime", "width", "height",
+                    "duration_ms", "payload",
+                ],
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    hashes = video_frame_hashes(media, every_ms=500)
+    return video_near_dup_pairs(
+        hashes, "media_id", max_hamming=10, min_matching_frames=3
+    ).orderBy("doc_a", "doc_b")
+
+
+QUERY_REGISTRY["video_near_dup"] = QuerySpec(
+    q_video_near_dup, None,
+    "video near-dup via aligned per-frame dHash across real re-encodes (rows-only)",
+)
+
+
 QUERY_REGISTRY.update(
     {
         "text_quality": QuerySpec(q_text_quality, ORACLE_TEXT_QUALITY, "text quality scoring"),
@@ -4415,6 +4484,7 @@ _DRIVER_UNVERIFIED_FIRST = [
     "bpe_tokenize",
     "image_near_dup",
     "audio_near_dup",
+    "video_near_dup",
     # heavier similarity/dedup/codec queries after the cheap block
     "bmp_image_features",
     "fuzzy_name_match",

@@ -606,3 +606,7 @@ def test_image_near_dup_matches_fixture(spark):
 
 def test_audio_near_dup_matches_fixture(spark):
     _assert_matches_fixture(spark, "audio_near_dup", ["doc_a", "doc_b"])
+
+
+def test_video_near_dup_matches_fixture(spark):
+    _assert_matches_fixture(spark, "video_near_dup", ["doc_a", "doc_b"])

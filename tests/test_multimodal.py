@@ -736,3 +736,35 @@ def test_audio_near_dup_finds_variants_distributed(spark):
     for i in range(6):
         assert (i, 100 + i) in pairs, i
     assert not any(a < 100 and b < 100 for a, b in pairs)
+
+
+def test_video_near_dup_finds_reencodes_distributed(spark):
+    """Quality-70 re-encodes of quality-88 MJPEG videos must pair up on
+    aligned per-frame dHashes; unrelated videos must not."""
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_mjpeg_avi,
+        video_frame_hashes,
+        video_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(29)
+    rows = []
+    for i in range(5):
+        base = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+        frames = [
+            np.repeat(np.repeat(np.roll(base, k, axis=1), 4, axis=0), 4, axis=1)
+            for k in range(5)
+        ]
+        rows.append((i, "video", "video/avi", 32, 24, 1250, encode_mjpeg_avi(frames, fps=4, quality=88)))
+        rows.append((100 + i, "video", "video/avi", 32, 24, 1250, encode_mjpeg_avi(frames, fps=4, quality=70)))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = video_frame_hashes(media, every_ms=500)
+    pairs = {
+        (r.doc_a, r.doc_b): r.matching_frames
+        for r in video_near_dup_pairs(hashes, min_matching_frames=3).collect()
+    }
+    for i in range(5):
+        assert (i, 100 + i) in pairs, i
+        assert pairs[(i, 100 + i)] >= 3
+    assert not any(a < 100 and b < 100 for (a, b) in pairs)

@@ -41,6 +41,7 @@ FIXTURE_QUERIES = (
     "bpe_tokenize",
     "image_near_dup",
     "audio_near_dup",
+    "video_near_dup",
 )
 
 
