@@ -357,20 +357,30 @@ def simhash(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 2) -> Da
     return per_doc.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
+def hamming_band_keys(col: str) -> "F.Column":
+    """ARRAY<STRUCT<band INT, key INT>> of the four 16-bit sub-bands of a
+    signed 64-bit hash column — the ONE candidate-keying expression every
+    banded Hamming probe shares (SimHash text, dHash image, audio
+    fingerprint, per-frame video). Pigeonhole guarantee: a pair within
+    Hamming 3 always shares at least one exact sub-band; greater distances
+    are recalled probabilistically."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(col, i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            )
+            for i in range(4)
+        ]
+    )
+
+
 def simhash_candidate_pairs(
     sig_df: DataFrame, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup candidates: pairs sharing ≥1 of four 16-bit sub-bands, kept if
     Hamming distance ≤ ``max_hamming`` (``bit_count(a XOR b)``)."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-            )
-            for i in range(4)
-        ]
-    )
+    bands = hamming_band_keys("simhash")
     banded = sig_df.select(id_col, "simhash", F.explode(bands).alias("bb")).select(
         id_col, "simhash", "bb.band", "bb.key"
     )

@@ -459,12 +459,12 @@ def decode_avi_frames(payload: bytes) -> "tuple[list[bytes], float]":
     if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     fps = 0.0
-    frames: list[bytes] = []
+    frames_by_stream: dict[int, list[bytes]] = {}
     n_streams = 0
     video_stream: int | None = None  # strh order defines the NNdc prefix
 
     def walk(buf: bytes, pos: int, end: int) -> None:
-        nonlocal fps, frames, n_streams, video_stream
+        nonlocal fps, n_streams, video_stream
         while pos + 8 <= end:
             cid = buf[pos : pos + 4]
             (ln,) = struct.unpack_from("<I", buf, pos + 4)
@@ -483,7 +483,9 @@ def decode_avi_frames(payload: bytes) -> "tuple[list[bytes], float]":
                 # stream N carry the two-digit prefix f"{N:02d}" — don't
                 # assume the video stream is stream 0 (an audio-first AVI
                 # puts its video frames in 01dc chunks)
-                if ln >= 8 and buf[body_start : body_start + 4] == b"vids":
+                if buf[body_start : body_start + 4] == b"vids":
+                    if ln < 8:
+                        raise ValueError("corrupt AVI: short vids strh")
                     if buf[body_start + 4 : body_start + 8] not in (b"MJPG", b"mjpg"):
                         raise NotImplementedError(
                             "only MJPEG AVI video decodes without a codec library"
@@ -492,16 +494,43 @@ def decode_avi_frames(payload: bytes) -> "tuple[list[bytes], float]":
                         video_stream = n_streams
                 n_streams += 1
             elif len(cid) == 4 and cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
-                if video_stream is not None and int(cid[:2]) == video_stream:
-                    frames.append(buf[body_start:body_end])
+                frames_by_stream.setdefault(int(cid[:2]), []).append(
+                    buf[body_start:body_end]
+                )
             pos = body_end + (ln & 1)
 
     walk(payload, 12, len(payload))
     if video_stream is None:
-        raise ValueError("corrupt AVI: no video stream declared")
+        if n_streams == 0 and 0 in frames_by_stream:
+            # headerless/minimal AVI with bare 00dc chunks: keep the old
+            # tolerance (frames are self-describing JPEGs) — only files that
+            # DECLARE streams must declare a video one
+            video_stream = 0
+        else:
+            raise ValueError("corrupt AVI: no video stream declared")
+    frames = frames_by_stream.get(video_stream, [])
     if not frames:
         raise ValueError("corrupt AVI: no video frames")
     return frames, fps
+
+
+def _sampled_avi_frames(payload: bytes, every_ms: int):
+    """Yield ``(frame_ts_ms, frame_index, jpeg_bytes)`` along the sampled
+    timeline — the SINGLE sampling arithmetic (fps fallback, inclusive
+    duration bound, index clamp) that feature extraction AND per-frame
+    hashing share: ``video_near_dup_pairs`` aligns videos on the sample
+    rank, so the two consumers must never drift apart."""
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive (got {every_ms})")
+    frames, fps = decode_avi_frames(payload)
+    if fps <= 0:
+        fps = 10.0
+    duration_ms = int(len(frames) * 1000 / fps)
+    ts = 0
+    while ts <= duration_ms:
+        idx = min(int(ts * fps / 1000), len(frames) - 1)
+        yield ts, idx, frames[idx]
+        ts += every_ms
 
 
 def video_frame_features(
@@ -512,20 +541,10 @@ def video_frame_features(
     pixels. Returns [(frame_ts_ms, frame_index, feature)]."""
     from covid19_spark.operators.jpeg import decode_jpeg
 
-    if every_ms <= 0:
-        raise ValueError(f"every_ms must be positive (got {every_ms})")
-    frames, fps = decode_avi_frames(payload)
-    if fps <= 0:
-        fps = 10.0
-    duration_ms = int(len(frames) * 1000 / fps)
-    out = []
-    ts = 0
-    while ts <= duration_ms:
-        idx = min(int(ts * fps / 1000), len(frames) - 1)
-        pixels = decode_jpeg(frames[idx])
-        out.append((ts, idx, image_features_from_pixels(pixels, dim)))
-        ts += every_ms
-    return out
+    return [
+        (ts, idx, image_features_from_pixels(decode_jpeg(jpeg), dim))
+        for ts, idx, jpeg in _sampled_avi_frames(payload, every_ms)
+    ]
 
 
 VIDEO_FRAME_SCHEMA = (
@@ -674,7 +693,17 @@ def dhash_pixels(pixels: "np.ndarray", hash_size: int = 8) -> int:
     (bit 63 as the sign bit, matching the SimHash storage convention so the
     banded Hamming probe operates on plain BIGINT columns). Robust to
     re-encoding, mild noise, and rescaling — the standard perceptual
-    near-dup key for image corpora."""
+    near-dup key for image corpora.
+
+    ``hash_size`` is pinned to 8: the downstream 4 x 16-bit banded probe
+    assumes EXACTLY 64 bits — more would overflow the int64 packing, fewer
+    would zero out whole sub-bands and turn the band self-join into a
+    near cross join."""
+    if hash_size != 8:
+        raise ValueError(
+            "hash_size must be 8: the 64-bit banded Hamming probe assumes "
+            "exactly 8x8 gradient bits"
+        )
     arr = np.asarray(pixels, dtype=np.float64)
     gray = arr.mean(axis=2) if arr.ndim == 3 else arr
     small = _area_resize(gray, hash_size, hash_size + 1)
@@ -716,9 +745,11 @@ def image_near_dup_pairs(
 ) -> DataFrame:
     """Perceptual near-duplicate candidate pairs over a dHash frame: the
     64-bit hashes ride the SAME banded Hamming probe as SimHash text dedup
-    (4 x 16-bit sub-bands, pigeonhole: any pair within Hamming 10 of a
-    64-bit hash shares at least one exact sub-band when distance < 4 bands)
-    — one thin self-join, never O(n²) over the image corpus."""
+    (4 x 16-bit sub-bands). Pigeonhole guarantee holds only for Hamming
+    <= 3 (a distance-4 pair can spread one bit per band and never meet);
+    pairs at 4..max_hamming are recalled probabilistically — this is a
+    CANDIDATE generator, not a certifier. One thin self-join, never O(n²)
+    over the image corpus."""
     from covid19_spark.operators.dedup import simhash_candidate_pairs
 
     return simhash_candidate_pairs(
@@ -734,30 +765,24 @@ def video_frame_hashes(
     """``(media_id, frame_rank, dhash)`` — one perceptual hash per sampled
     video frame (real MJPEG-AVI decode; ``frame_rank`` is the 0-based index
     in the sample sequence, the alignment key for video-to-video
-    comparison). Map-only mapInPandas, metadata prunes before decode."""
-    from collections.abc import Iterator as _It
-
+    comparison). Shares ``_sampled_avi_frames`` with the feature extractor
+    so the two timelines can never drift. Map-only mapInPandas, metadata
+    prunes before decode."""
     from covid19_spark.operators.jpeg import decode_jpeg
 
     if every_ms <= 0:
         raise ValueError(f"every_ms must be positive (got {every_ms})")
 
-    def batches(it: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, ranks, hashes = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                frames, fps = decode_avi_frames(payload)
-                if fps <= 0:
-                    fps = 10.0
-                duration_ms = int(len(frames) * 1000 / fps)
-                ts, rank = 0, 0
-                while ts <= duration_ms:
-                    idx = min(int(ts * fps / 1000), len(frames) - 1)
+                for rank, (_ts, _idx, jpeg) in enumerate(
+                    _sampled_avi_frames(payload, every_ms)
+                ):
                     ids.append(mid)
                     ranks.append(rank)
-                    hashes.append(dhash_pixels(decode_jpeg(frames[idx]), hash_size))
-                    ts += every_ms
-                    rank += 1
+                    hashes.append(dhash_pixels(decode_jpeg(jpeg), hash_size))
             yield pd.DataFrame(
                 {"media_id": ids, "frame_rank": ranks, "dhash": hashes}
             )
@@ -779,19 +804,13 @@ def video_near_dup_pairs(
     some aligned frame pair shares an exact sub-band, so the join stays
     thin at corpus scale (the shuffle carries |videos| x frames x 4 thin
     rows, never video pairs). A pair verifies when >= ``min_matching_frames``
-    aligned frames are within ``max_hamming`` bits. Output:
+    aligned frames are within ``max_hamming`` bits (recall guaranteed only
+    for per-frame Hamming <= 3 — the 4-band pigeonhole bound — and
+    probabilistic above). Output:
     (doc_a, doc_b, matching_frames, mean_hamming)."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftrightunsigned("dhash", i * 16)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("key"),
-            )
-            for i in range(4)
-        ]
-    )
+    from covid19_spark.operators.dedup import hamming_band_keys
+
+    bands = hamming_band_keys("dhash")
     banded = frame_hash_df.select(
         id_col, "frame_rank", "dhash", F.explode(bands).alias("bb")
     ).select(id_col, "frame_rank", "dhash", "bb.band", "bb.key")

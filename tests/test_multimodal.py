@@ -768,3 +768,36 @@ def test_video_near_dup_finds_reencodes_distributed(spark):
         assert (i, 100 + i) in pairs, i
         assert pairs[(i, 100 + i)] >= 3
     assert not any(a < 100 and b < 100 for (a, b) in pairs)
+
+
+def test_dhash_rejects_nonstandard_hash_size():
+    """hash_size != 8 would overflow the int64 packing (larger) or zero out
+    whole sub-bands and degenerate the banded probe into a near cross join
+    (smaller) — pinned as an explicit error (r05 review)."""
+    from covid19_spark.operators.multimodal import dhash_pixels
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    for bad in (4, 9, 16):
+        with pytest.raises(ValueError, match="hash_size"):
+            dhash_pixels(img, hash_size=bad)
+
+
+def test_avi_headerless_minimal_file_still_decodes():
+    """A minimal AVI with bare 00dc chunks and NO stream headers keeps the
+    old tolerance (the frames are self-describing JPEGs); only files that
+    DECLARE streams must declare a video one."""
+    import struct
+
+    from covid19_spark.operators.jpeg import encode_jpeg
+    from covid19_spark.operators.multimodal import decode_avi_frames
+
+    def chunk(cid, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    payloads = [encode_jpeg(f, quality=85) for f in _mk_frames(2, 16, 16)]
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    frames, fps = decode_avi_frames(avi)
+    assert len(frames) == 2 and fps == 0.0
