@@ -65,45 +65,46 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
-    # Run the FIRST benched query once untimed: the generic warmup above
-    # compiles the shared machinery, but whatever the first query alone
-    # compiles/loads was still charged to it (r04: length_buckets 0.61 s →
-    # 2.36 s purely by rotating into first position). One throwaway run puts
-    # the first timed number within noise of its isolated time.
-    QUERY_REGISTRY[BENCH_QUERIES[0]].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    spark.catalog.clearCache()
-    gc.collect()
-    spark._jvm.System.gc()
-    spark.range(1).count()
-    time.sleep(0.2)
-
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERY_REGISTRY[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def _settle() -> None:
         # Queries that self-join cache intermediate frames (LSH signatures,
-        # normalized embeddings); drop them so later queries aren't charged
-        # for eviction/GC of a previous query's working set. clearCache does
-        # NOT free localCheckpoint RDDs (connected-components rounds) — those
-        # are cleaned by the ContextCleaner only after the Python-side
-        # DataFrame refs die, so collect Python garbage explicitly to keep
-        # block-manager pressure from bleeding into later queries' timings.
+        # normalized embeddings); drop them so later runs aren't charged for
+        # eviction/GC of a previous run's working set. clearCache does NOT
+        # free localCheckpoint RDDs (connected-components rounds) — those are
+        # cleaned by the ContextCleaner only after the Python-side DataFrame
+        # refs die, so collect Python garbage explicitly. The ContextCleaner
+        # removes dead broadcasts/RDD blocks ASYNCHRONOUSLY — without a
+        # settle step the removal storm (plus the eventual full GC of a 32 g
+        # heap) lands INSIDE the next timed section and charges one query for
+        # its predecessors' garbage (measured: the same query varies
+        # 0.7 s ↔ 10.9 s purely by bench position). Force the collection,
+        # run a trivial job so cleaner messages drain, and give the daemon a
+        # beat — all outside the timings.
         spark.catalog.clearCache()
         gc.collect()
-        # The ContextCleaner removes dead broadcasts/RDD blocks ASYNCHRONOUSLY
-        # — without a settle step the removal storm (plus the eventual full
-        # GC of a 32 g heap) lands INSIDE the next query's timed section and
-        # charges one query for its predecessors' garbage (measured: the same
-        # query varies 0.7 s ↔ 10.9 s purely by bench position). Force the
-        # collection now, run a trivial job so cleaner messages drain, and
-        # give the daemon a beat — all outside the timings.
         spark._jvm.System.gc()
         spark.range(1).count()
         time.sleep(0.2)
+
+    # Each query is timed as min(2 runs) with a full cache-drop + settle
+    # between them (VERDICT r05 task #2): the generic warmup above compiles
+    # the SHARED machinery, but whatever a query alone compiles/loads
+    # (query-specific codegen templates, a table's first timestamp-nanos
+    # conversion, a family's first Arrow kernel import) was still charged to
+    # whichever query alphabetically led its family (r05: asof_latest 0.57 s
+    # isolated vs 2.98 s in-sweep). Run 1 absorbs those first-touch costs;
+    # the min is the plan's honest repeat cost. Cache state is identical for
+    # both runs (clearCache between them), so the min never measures a
+    # half-cached plan — only warm codegen/IO paths, which is the point.
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERY_REGISTRY[name].fn
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            _settle()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
