@@ -375,15 +375,48 @@ def hamming_band_keys(col: str) -> "F.Column":
     )
 
 
+def drop_oversized_buckets(
+    banded: DataFrame, key_cols: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Anti-join away bucket keys whose group exceeds ``max_bucket`` rows —
+    the shared skew guard of every banded self-join (MinHash bucket join,
+    SimHash/dHash/audio/video Hamming probes). A bucket of size B yields B²
+    candidate pairs, so ONE degenerate key (boilerplate text, black/constant
+    frames, digital silence — all hash identically) turns the probe
+    quadratic. Oversized keys are rare by construction → the offender list
+    is tiny, so a broadcast anti-join beats a window count (which would add
+    a full shuffle+sort over every banded row). Dropped buckets are exactly
+    giant duplicate clusters; at scale those are handled by exact-hash dedup
+    first. ``None`` disables the guard."""
+    if max_bucket is None:
+        return banded
+    oversized = (
+        banded.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__bs"))
+        .filter(F.col("__bs") > max_bucket)
+        .select(*key_cols)
+    )
+    return banded.join(F.broadcast(oversized), key_cols, "left_anti")
+
+
 def simhash_candidate_pairs(
-    sig_df: DataFrame, id_col: str, max_hamming: int = 3
+    sig_df: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup candidates: pairs sharing ≥1 of four 16-bit sub-bands, kept if
-    Hamming distance ≤ ``max_hamming`` (``bit_count(a XOR b)``)."""
+    Hamming distance ≤ ``max_hamming`` (``bit_count(a XOR b)``).
+
+    ``max_bucket`` drops degenerate (band, key) groups before the self-join
+    (see ``drop_oversized_buckets``) — without it, media corpora with many
+    constant inputs (black frames, silence) would make one sub-band bucket
+    hold a large corpus fraction and the probe quadratic within it."""
     bands = hamming_band_keys("simhash")
     banded = sig_df.select(id_col, "simhash", F.explode(bands).alias("bb")).select(
         id_col, "simhash", "bb.band", "bb.key"
     )
+    banded = drop_oversized_buckets(banded, ["band", "key"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

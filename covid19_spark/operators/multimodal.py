@@ -741,7 +741,10 @@ def image_dhash(
 
 
 def image_near_dup_pairs(
-    hash_df: DataFrame, id_col: str = "media_id", max_hamming: int = 10
+    hash_df: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 10,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Perceptual near-duplicate candidate pairs over a dHash frame: the
     64-bit hashes ride the SAME banded Hamming probe as SimHash text dedup
@@ -749,13 +752,16 @@ def image_near_dup_pairs(
     <= 3 (a distance-4 pair can spread one bit per band and never meet);
     pairs at 4..max_hamming are recalled probabilistically — this is a
     CANDIDATE generator, not a certifier. One thin self-join, never O(n²)
-    over the image corpus."""
+    over the image corpus; ``max_bucket`` guards the common degenerate case
+    (black/constant images all share a sub-band key — see
+    ``drop_oversized_buckets``)."""
     from covid19_spark.operators.dedup import simhash_candidate_pairs
 
     return simhash_candidate_pairs(
         hash_df.select(F.col(id_col), F.col("dhash").alias("simhash")),
         id_col,
         max_hamming=max_hamming,
+        max_bucket=max_bucket,
     )
 
 
@@ -797,23 +803,31 @@ def video_near_dup_pairs(
     id_col: str = "media_id",
     max_hamming: int = 10,
     min_matching_frames: int = 3,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Video-level near-duplicates from per-frame perceptual hashes: frames
     align on ``frame_rank`` and candidate-join via the 4 x 16-bit sub-band
     probe keyed by (rank, band, key) — a pair of videos never meets unless
     some aligned frame pair shares an exact sub-band, so the join stays
     thin at corpus scale (the shuffle carries |videos| x frames x 4 thin
-    rows, never video pairs). A pair verifies when >= ``min_matching_frames``
-    aligned frames are within ``max_hamming`` bits (recall guaranteed only
-    for per-frame Hamming <= 3 — the 4-band pigeonhole bound — and
-    probabilistic above). Output:
+    rows, never video pairs; ``max_bucket`` drops degenerate
+    (rank, band, key) groups — black/constant frames at the same rank hash
+    identically across a large corpus fraction — see
+    ``drop_oversized_buckets``). A pair verifies when
+    >= ``min_matching_frames`` aligned frames are within ``max_hamming``
+    bits (recall guaranteed only for per-frame Hamming <= 3 — the 4-band
+    pigeonhole bound — and probabilistic above). Output:
     (doc_a, doc_b, matching_frames, mean_hamming)."""
-    from covid19_spark.operators.dedup import hamming_band_keys
+    from covid19_spark.operators.dedup import (
+        drop_oversized_buckets,
+        hamming_band_keys,
+    )
 
     bands = hamming_band_keys("dhash")
     banded = frame_hash_df.select(
         id_col, "frame_rank", "dhash", F.explode(bands).alias("bb")
     ).select(id_col, "frame_rank", "dhash", "bb.band", "bb.key")
+    banded = drop_oversized_buckets(banded, ["frame_rank", "band", "key"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
     frame_pairs = (
@@ -986,17 +1000,23 @@ def audio_fingerprints(media: DataFrame, use_fake: bool = True) -> DataFrame:
 
 
 def audio_near_dup_pairs(
-    fp_df: DataFrame, id_col: str = "media_id", max_hamming: int = 10
+    fp_df: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 10,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Perceptual audio near-duplicate candidates: the 64-bit fingerprints
     ride the same banded 16-bit-sub-band Hamming probe as SimHash/dHash —
-    one thin self-join, never O(n²) over the audio corpus."""
+    one thin self-join, never O(n²) over the audio corpus (``max_bucket``
+    drops degenerate keys — digital silence fingerprints identically — see
+    ``drop_oversized_buckets``)."""
     from covid19_spark.operators.dedup import simhash_candidate_pairs
 
     return simhash_candidate_pairs(
         fp_df.select(F.col(id_col), F.col("afp").alias("simhash")),
         id_col,
         max_hamming=max_hamming,
+        max_bucket=max_bucket,
     )
 
 

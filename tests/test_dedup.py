@@ -111,6 +111,60 @@ def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
     sigs.unpersist()
 
 
+def test_hamming_probe_bucket_cap_drops_degenerate_buckets(spark):
+    """The banded Hamming probe shared by SimHash/dHash/audio/video must not
+    go quadratic on degenerate media (black frames, silence — identical
+    hashes): with max_bucket below the cluster size the identical-hash
+    cluster's pairs drop, while a genuine near-dup pair (distinct hashes,
+    shared sub-band) survives."""
+    rows = [(i, 0x1234_5678_9ABC_0000) for i in range(20)]  # degenerate cluster
+    rows += [(100, 0x7FFF_0000_0000_0001), (101, 0x7FFF_0000_0000_0003)]  # hamming 2
+    sigs = spark.createDataFrame(rows, ["doc_id", "simhash"]).cache()
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_candidate_pairs(
+            sigs, "doc_id", max_hamming=3, max_bucket=10
+        ).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_candidate_pairs(
+            sigs, "doc_id", max_hamming=3, max_bucket=None
+        ).collect()
+    }
+    assert sum(1 for a, b in uncapped if a < 100) == 190  # 20-doc cluster, all pairs
+    assert all(a >= 100 for a, b in capped)
+    assert (100, 101) in capped
+    sigs.unpersist()
+
+
+def test_video_near_dup_bucket_cap(spark):
+    """Constant frames at the same rank across the corpus form one giant
+    (rank, band, key) bucket; the cap drops them while an aligned genuine
+    near-dup pair survives."""
+    from covid19_spark.operators.multimodal import video_near_dup_pairs
+
+    rows = [(i, r, 0x0F0F_0F0F_0F0F_0F0F) for i in range(15) for r in range(3)]
+    rows += [(100, r, 0x7FFF_0000_0000_0001) for r in range(3)]
+    rows += [(101, r, 0x7FFF_0000_0000_0003) for r in range(3)]
+    fh = spark.createDataFrame(rows, ["media_id", "frame_rank", "dhash"]).cache()
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in video_near_dup_pairs(
+            fh, max_hamming=3, min_matching_frames=3, max_bucket=10
+        ).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in video_near_dup_pairs(
+            fh, max_hamming=3, min_matching_frames=3, max_bucket=None
+        ).collect()
+    }
+    assert sum(1 for a, b in uncapped if a < 100) == 105  # C(15,2) constant videos
+    assert capped == {(100, 101)}
+    fh.unpersist()
+
+
 def test_ngram_jaccard_refuses_empty_blocks(spark):
     import pytest
 
