@@ -2,7 +2,7 @@
 
 Closes the last real-decode seam in operators/multimodal.py: the container
 ships no Pillow/libjpeg, and the reference's media surface is chart image
-bytes (KafkaStreamsConfig.java:148-153 — PNG there, but any realistic media
+bytes (covid19-visualizer Visualizer.java:469,520 / ChartRequest.java:23 — PNG there, but any realistic media
 column mixes JPEG in). Everything here follows the public JPEG standard
 (ITU-T T.81): baseline sequential DCT, Huffman entropy coding, JFIF color
 space.

@@ -4,7 +4,7 @@ with typed metadata, processed via Arrow-batched ``mapInPandas``.
 The container has no codec libraries, so the REAL decode paths are the
 formats a pure-stdlib reader can handle: uncompressed 24-bpp BMP, full PNG
 (all five color types incl. palette, depths 1-16, Adam7 interlace — the
-chart format the reference serves, KafkaStreamsConfig.java:148-153),
+chart format the reference serves, covid19-visualizer Visualizer.java:469,520 / ChartRequest.java:23),
 baseline + progressive JPEG (operators/jpeg.py), RIFF/WAVE PCM audio
 (8/16/24/32-bit + IEEE float), and Motion-JPEG AVI video (RIFF container
 walk + per-frame JPEG decode, real frame sampling). Arithmetic-coded/
@@ -247,7 +247,7 @@ def _png_unfilter(
 def decode_png(payload: bytes) -> "np.ndarray":
     """Decode a PNG to an (H, W, 3) uint8 RGB array — pure stdlib (struct +
     zlib + numpy), the format the reference actually serves for charts
-    (KafkaStreamsConfig.java:148-153 writes PNG bytes). Supports all five
+    (covid19-visualizer Visualizer.java:469,520 requests "png" charts (ChartRequest.java:23)). Supports all five
     color types (0 gray → replicated, 2 RGB, 3 palette via PLTE, 4
     gray+alpha and 6 RGBA → alpha dropped), every legal bit depth
     (1/2/4/8/16; 16-bit reduced to the high byte), both interlace methods

@@ -1204,7 +1204,7 @@ QUERY_REGISTRY["bmp_image_features"] = QuerySpec(
 
 def q_png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-codec PNG path end-to-end — the chart format the reference
-    actually serves (KafkaStreamsConfig.java:148-153 returns PNG bytes):
+    actually serves (covid19-visualizer Visualizer.java:469,520 requests "png" charts via ChartRequest.java:23):
     synthesize valid 8-bit RGB PNGs whose pixels derive deterministically
     from doc_id, rotating through all five scanline filter types so every
     unfilter branch of the stdlib decoder runs distributed, decode with
