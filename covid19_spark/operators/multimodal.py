@@ -773,11 +773,28 @@ def video_frame_hashes(
     in the sample sequence, the alignment key for video-to-video
     comparison). Shares ``_sampled_avi_frames`` with the feature extractor
     so the two timelines can never drift. Map-only mapInPandas, metadata
-    prunes before decode."""
-    from covid19_spark.operators.jpeg import decode_jpeg
+    prunes before decode.
+
+    Frames decode via ``decode_jpeg_dc`` — the DC-only 1/8-scale block-mean
+    image (VERDICT r05 task #3): dHash area-means down to 8x9 anyway, and
+    block means ARE an area-mean, so the hash sees the same signal while
+    the decoder skips AC materialization + IDCT + color upsampling
+    (measured ~5x per frame). The DC path only engages when the DC image
+    covers the dHash grid (frame >= 8*hash_size tall and
+    8*(hash_size+1) wide — below that the 1/8-scale image UNDERSAMPLES the
+    hash and recall collapses; measured: planted-pair recall 20/40 on
+    32x24 frames vs 40/40 on 80x64); smaller frames take the full decode,
+    itself ~3x faster since the LUT entropy decoder. ``test_multimodal.py``
+    pins DC-path/full-decode pair-set equality on the registry corpus."""
+    from covid19_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_dc,
+        peek_jpeg_dims,
+    )
 
     if every_ms <= 0:
         raise ValueError(f"every_ms must be positive (got {every_ms})")
+    min_h, min_w = 8 * hash_size, 8 * (hash_size + 1)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -786,9 +803,15 @@ def video_frame_hashes(
                 for rank, (_ts, _idx, jpeg) in enumerate(
                     _sampled_avi_frames(payload, every_ms)
                 ):
+                    fh, fw = peek_jpeg_dims(jpeg)
+                    px = (
+                        decode_jpeg_dc(jpeg)
+                        if fh >= min_h and fw >= min_w
+                        else decode_jpeg(jpeg)
+                    )
                     ids.append(mid)
                     ranks.append(rank)
-                    hashes.append(dhash_pixels(decode_jpeg(jpeg), hash_size))
+                    hashes.append(dhash_pixels(px, hash_size))
             yield pd.DataFrame(
                 {"media_id": ids, "frame_rank": ranks, "dhash": hashes}
             )

@@ -801,3 +801,89 @@ def test_avi_headerless_minimal_file_still_decodes():
     avi = b"RIFF" + struct.pack("<I", len(body)) + body
     frames, fps = decode_avi_frames(avi)
     assert len(frames) == 2 and fps == 0.0
+
+
+def test_dc_decode_pair_sets_match_full_decode():
+    """The pinned equivalence behind the DC-only thumbnail-decode path
+    (VERDICT r05 task #3): on the registry's video corpus shape (80x64
+    frames — large enough that the 1/8-scale DC image covers the 8x9 dHash
+    grid), per-frame hashes from ``decode_jpeg_dc`` and from the full
+    ``decode_jpeg`` produce IDENTICAL verified near-dup pair sets at the
+    registered thresholds (max_hamming=10, min_matching_frames=3, banded
+    candidate keying). Driver-side replica of q_video_near_dup's join — no
+    Spark session needed."""
+    from collections import defaultdict
+
+    from covid19_spark.operators.jpeg import decode_jpeg, decode_jpeg_dc
+    from covid19_spark.operators.multimodal import (
+        _sampled_avi_frames,
+        dhash_pixels,
+        encode_mjpeg_avi,
+    )
+
+    vids = {}
+    for d in range(40):  # subset of the registry corpus, all planted dups
+        rng = np.random.default_rng(d + 9_000_000)
+        n_frames = 4 + d % 3
+        base = rng.integers(0, 256, size=(8, 10, 3), dtype=np.uint8)
+        frames = [
+            np.repeat(np.repeat(np.roll(base, i, axis=1), 8, axis=0), 8, axis=1)
+            for i in range(n_frames)
+        ]
+        vids[d] = encode_mjpeg_avi(frames, fps=4, quality=88)
+        vids[100000 + d] = encode_mjpeg_avi(frames, fps=4, quality=70)
+
+    def pair_set(decoder):
+        by_rank = defaultdict(list)
+        for mid, avi in vids.items():
+            for rank, (_ts, _idx, j) in enumerate(_sampled_avi_frames(avi, 500)):
+                by_rank[rank].append((mid, dhash_pixels(decoder(j))))
+        agg = defaultdict(int)
+        for lst in by_rank.values():
+            for i in range(len(lst)):
+                for j in range(i + 1, len(lst)):
+                    (ida, ha), (idb, hb) = sorted((lst[i], lst[j]))
+                    ham = bin((ha ^ hb) & (2**64 - 1)).count("1")
+                    shares_band = any(
+                        ((ha >> s) & 0xFFFF) == ((hb >> s) & 0xFFFF)
+                        for s in (0, 16, 32, 48)
+                    )
+                    if ham <= 10 and shares_band:
+                        agg[(ida, idb)] += 1
+        return {k for k, n in agg.items() if n >= 3}
+
+    full_pairs = pair_set(decode_jpeg)
+    dc_pairs = pair_set(decode_jpeg_dc)
+    assert full_pairs == dc_pairs
+    # and the planted near-dups are actually recalled, not vacuously equal
+    assert {(d, 100000 + d) for d in range(40)} <= dc_pairs
+
+
+def test_small_frame_videos_fall_back_to_full_decode(spark):
+    """Below 64x72 the DC image undersamples the dHash grid (measured:
+    planted recall 20/40) — video_frame_hashes must use the full decode
+    there. Pinned by equality with a hand-built full-decode hash."""
+    from covid19_spark.operators.jpeg import decode_jpeg
+    from covid19_spark.operators.multimodal import (
+        _sampled_avi_frames,
+        dhash_pixels,
+        encode_mjpeg_avi,
+        video_frame_hashes,
+    )
+
+    frames = _mk_frames(3, 24, 32)
+    avi = encode_mjpeg_avi(frames, fps=4, quality=85)
+    media = spark.createDataFrame(
+        [(1, "video", "video/avi", 32, 24, 750, bytearray(avi))],
+        "media_id long, kind string, mime string, width int, height int, "
+        "duration_ms long, payload binary",
+    )
+    got = {
+        (r.media_id, r.frame_rank): r.dhash
+        for r in video_frame_hashes(media, every_ms=500).collect()
+    }
+    expected = {
+        (1, rank): dhash_pixels(decode_jpeg(j))
+        for rank, (_ts, _idx, j) in enumerate(_sampled_avi_frames(avi, 500))
+    }
+    assert got == expected
