@@ -1219,7 +1219,13 @@ def q_png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_image_features,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 500)
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .filter(F.col("doc_id") < 500)
+        # one parquet split would run the per-row codec synthesis (the
+        # expensive part) as a single task — spread it (see q_image_near_dup)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(it):
         for pdf in it:
@@ -1331,7 +1337,11 @@ def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_video_frames,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .filter(F.col("doc_id") < 200)
+        .repartition(spark.sparkContext.defaultParallelism)  # see q_image_near_dup
+    )
 
     def synth(it):
         for pdf in it:
