@@ -881,7 +881,7 @@ def _compact_parquet_dir(
     spark,
     path: str,
     dedup_cols: Sequence[str],
-    partition_by: str | None = None,
+    partition_by: str | Sequence[str] | None = None,
     file_threshold: int = 8,
     target_files: int = 1,
 ) -> bool:
@@ -908,10 +908,11 @@ def _compact_parquet_dir(
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     if partition_by is not None:
-        # repartition BY the partition column: every partition's rows land
-        # in one task → exactly one file per partition directory
-        df.repartition(partition_by).write.mode("overwrite").partitionBy(
-            partition_by
+        # repartition BY the partition column(s): every partition's rows
+        # land in one task → exactly one file per partition directory
+        part_cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        df.repartition(*part_cols).write.mode("overwrite").partitionBy(
+            *part_cols
         ).parquet(tmp)
     else:
         df.repartition(target_files).write.mode("overwrite").parquet(tmp)

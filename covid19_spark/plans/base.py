@@ -1,0 +1,34 @@
+"""Shared plumbing of the query catalog: the registry dict, the QuerySpec
+record, and the determinism helpers every family module uses (see
+plans/registry.py for the catalog-wide determinism contract and the module
+sequencing that fixes registration order)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid19_spark.sources.tables import load_table
+
+DEC = "decimal(38,6)"  # exact accumulator type; see plans/registry.py
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+def _dsum(col: Column) -> Column:
+    """Order-independent exact sum of a double expression → DOUBLE."""
+    return F.sum(col.cast(DEC)).cast("double")
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str
+
+# Populated by the q_* family modules in their import sequence (see
+# plans/registry.py); insertion order IS driver-sweep order after the
+# front-list reorder.
+QUERY_REGISTRY: dict[str, QuerySpec] = {}

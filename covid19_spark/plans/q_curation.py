@@ -1,0 +1,720 @@
+"""Corpus curation: sampling, mixture, redaction, decontamination, packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from covid19_spark.plans.base import DEC, QUERY_REGISTRY, QuerySpec, _dsum, _t
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample (rate 0.25) keyed on md5(doc_id) —
+    map-only, no RNG state, same rows on every engine/run (the reproducible
+    corpus-freeze primitive). Filter pushes to the scan's residual; no
+    shuffle at all besides the output sort."""
+    from covid19_spark.operators.curation import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.25).select("doc_id", "source").orderBy("doc_id")
+
+
+ORACLE_DETERMINISTIC_SAMPLE = """
+SELECT doc_id, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["deterministic_sample"] = QuerySpec(
+    q_deterministic_sample, ORACLE_DETERMINISTIC_SAMPLE, "md5 Bernoulli sample (map-only)"
+)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum quota (30 docs per lang) drawn in md5-of-id order —
+    deterministic pseudo-random stratified sampling. One shuffle on the
+    stratum key; see stratified_quota_sample's docstring for the hash_sample
+    pre-thin that bounds the per-stratum sort at 100 TB."""
+    from covid19_spark.operators.curation import stratified_quota_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_quota_sample(docs, ["lang"], "doc_id", 30)
+    return out.select(
+        "lang", "doc_id", F.col("sample_rank").cast("long").alias("sample_rank")
+    ).orderBy("lang", "sample_rank")
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id, CAST(rn AS BIGINT) AS sample_rank
+FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 30
+ORDER BY lang, sample_rank
+"""
+
+
+QUERY_REGISTRY["stratified_sample"] = QuerySpec(
+    q_stratified_sample, ORACLE_STRATIFIED_SAMPLE, "per-stratum quota sample"
+)
+
+
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: per-source keep rate
+    min(1, share_s * K / |s|) with shares derived from a per-source weight,
+    applied as the same map-only md5 compare as hash_sample. The only
+    aggregates touch |domains| rows (counts + total weight), broadcast back;
+    the corpus pass has zero shuffle. Output is per-domain (total, kept)
+    counts so the mixture is directly auditable."""
+    from covid19_spark.operators.curation import HASH_CHARS, _BUCKETS, md5_uniform
+
+    docs = _t(spark, sf_dir, "documents")
+    target_rows = F.lit(200.0)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_domain"))
+    rates = counts.withColumn(
+        "weight",
+        (F.substring(F.col("source"), 4, 8).cast("int") % 3 + 1).cast("double"),
+    )
+    total = rates.agg(F.sum("weight").alias("total_w"))
+    rates = rates.crossJoin(F.broadcast(total)).withColumn(
+        "thr",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.col("weight") / F.col("total_w") * target_rows / F.col("n_domain"),
+            )
+            * F.lit(_BUCKETS)
+        ).cast("long"),
+    )
+    joined = docs.join(F.broadcast(rates), "source")
+    keep = (F.col("thr") >= F.lit(_BUCKETS)) | (
+        md5_uniform(F.col("doc_id")) < F.format_string(f"%0{HASH_CHARS}x", F.col("thr"))
+    )
+    return (
+        joined.filter(keep)
+        .groupBy("source")
+        .agg(
+            F.max("n_domain").cast("long").alias("n_total"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DOMAIN_MIX_SAMPLE = """
+WITH counts AS (SELECT source, count(*) AS n_domain FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_domain,
+         CAST((CAST(substr(source, 4) AS INT) % 3) + 1 AS DOUBLE) AS weight
+  FROM counts
+),
+t AS (SELECT sum(weight) AS total_w FROM w),
+r AS (
+  SELECT source, n_domain,
+         CAST(floor(least(1.0, weight / total_w * 200.0 / n_domain) * 65536) AS BIGINT) AS thr
+  FROM w, t
+),
+kept AS (
+  SELECT d.source, r.n_domain
+  FROM documents d JOIN r USING (source)
+  WHERE r.thr >= 65536
+     OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', r.thr)
+)
+SELECT source, CAST(max(n_domain) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS n_kept
+FROM kept
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERY_REGISTRY["domain_mix_sample"] = QuerySpec(
+    q_domain_mix_sample, ORACLE_DOMAIN_MIX_SAMPLE, "target-mixture domain resampling"
+)
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over synthetic PII-bearing text (emails/IPs/phones/SSNs
+    injected deterministically from doc_id, since the synthetic corpus has
+    none): regexp_replace chain + per-type audit counts. Map-only JVM
+    expressions, codegen'd — embarrassingly parallel at 100 TB."""
+    from covid19_spark.operators.curation import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = F.concat_ws(
+        " ",
+        F.concat(F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        F.concat(F.lit("10."), (F.col("doc_id") % 250 + 1).cast("string"), F.lit(".0.1")),
+        F.lit("call 555-867-5309"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("ssn 123-45-6789")).otherwise(F.lit("no ssn")),
+        F.substring(F.col("text"), 1, 48),
+    )
+    base = docs.select("doc_id", synth.alias("synth"))
+    counts = pii_counts(F.col("synth"))
+    return base.select(
+        "doc_id",
+        redact_pii(F.col("synth")).alias("redacted"),
+        *[expr.alias(name) for name, expr in counts.items()],
+    ).orderBy("doc_id")
+
+
+ORACLE_PII_REDACTION = r"""
+WITH base AS (
+  SELECT doc_id,
+         concat_ws(' ',
+           'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+           '10.' || CAST((doc_id % 250) + 1 AS VARCHAR) || '.0.1',
+           'call 555-867-5309',
+           CASE WHEN doc_id % 3 = 0 THEN 'ssn 123-45-6789' ELSE 'no ssn' END,
+           substr(text, 1, 48)
+         ) AS synth
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(synth,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+           '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+         '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(synth, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(synth, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(synth, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn
+FROM base
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["pii_redaction"] = QuerySpec(
+    q_pii_redaction, ORACLE_PII_REDACTION, "regex PII scrub + audit counts"
+)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-document count of distinct word
+    4-grams shared with a benchmark split (doc_id % 13 == 0 plays the eval
+    set). Benchmark shingle set is broadcast (eval suites are MBs); the
+    corpus side is map-only explode + broadcast-hash probe, so the only
+    shuffle carries hit rows grouped by doc id."""
+    from covid19_spark.operators.curation import benchmark_shingles, contamination_hits
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    # Single-file local scans pin the CPU-heavy shingle explode to 1-2 tasks;
+    # spread by id first (a real corpus arrives pre-partitioned — drop this).
+    corpus = docs.filter(F.col("doc_id") % 13 != 0).repartition(F.col("doc_id"))
+    hits = contamination_hits(
+        corpus, benchmark_shingles(bench, "text", 4), "doc_id", "text", 4
+    )
+    return hits.orderBy("doc_id")
+
+
+ORACLE_DECONTAMINATE = """
+WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(t[i:i+3], ' ') FOR i IN range(1, len(t) - 2)])) AS shingle
+  FROM tok
+  WHERE len(t) >= 4
+),
+b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 13 = 0),
+c AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 13 <> 0)
+SELECT c.doc_id AS doc_id, CAST(count(DISTINCT c.shingle) AS BIGINT) AS bench_hits
+FROM c JOIN b USING (shingle)
+GROUP BY c.doc_id
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["decontaminate"] = QuerySpec(
+    q_decontaminate, ORACLE_DECONTAMINATE, "benchmark n-gram decontamination"
+)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: blocked Jaccard pairs (threshold 0.1) → connected
+    components → per-document cluster id, size, and the canonical-keep flag.
+    The pair graph is tiny relative to the corpus, so the iterative min-label
+    propagation shuffles only pair rows; the corpus itself is scanned once.
+    Bounded to doc_id < 500 so the pairwise verify stage stays a verify
+    stage at every sf (discovery at scale is MinHash-LSH)."""
+    from covid19_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_cols=["lang"], n=2, threshold=0.1
+    )
+    return dedup_clusters(pairs.select("doc_a", "doc_b")).orderBy("doc_id")
+
+
+ORACLE_DEDUP_CLUSTERS = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS sh
+  FROM documents WHERE doc_id < 500
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.1
+),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+reach AS (
+  SELECT u AS node, v AS r FROM sym
+  UNION
+  SELECT reach.node, sym.v FROM reach JOIN sym ON reach.r = sym.u
+),
+cc AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node),
+sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM cc GROUP BY cluster)
+SELECT node AS doc_id, cluster AS cluster_id, cluster_size,
+       CAST(node = cluster AS BIGINT) AS is_canonical
+FROM cc JOIN sizes USING (cluster)
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["dedup_clusters"] = QuerySpec(
+    q_dedup_clusters, ORACLE_DEDUP_CLUSTERS, "near-dup connected components"
+)
+
+
+def q_dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full discovery→verify→cluster dedup over the WHOLE documents table —
+    no doc_id caps, no cheap-key blocking: MinHash-LSH (32 hashes, 8 bands)
+    generates candidates, exact 3-gram Jaccard ≥ 0.5 verifies only those
+    pairs, connected components assign clusters; singletons keep themselves.
+
+    The oracle is exact all-pairs Jaccard + recursive-CTE closure: it matches
+    because LSH recall at this banding is ~1 for the j ≥ 0.9 near-dup pairs
+    the corpus actually contains (P(miss) = (1-j^4)^8 ≈ 2e-5 per pair), and
+    the pipeline verifies candidates with the same exact Jaccard the oracle
+    computes — LSH false positives are filtered identically on both sides.
+    Reference capability: DeduplicationTransformer.java:37-88 generalized
+    from exact-key first-wins to similarity clusters."""
+    from covid19_spark.operators.dedup import lsh_dedup_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    return lsh_dedup_pipeline(
+        docs, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3, threshold=0.5
+    ).orderBy("doc_id")
+
+
+ORACLE_DEDUP_PIPELINE_E2E = """
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(string_split(lower(text), ' ')) - 2, 0) + 1),
+             i -> string_split(lower(text), ' ')[i] || ' ' ||
+                  string_split(lower(text), ' ')[i+1] || ' ' ||
+                  string_split(lower(text), ' ')[i+2])) AS sh
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(a.sh || b.sh)) > 0
+    AND len(list_intersect(a.sh, b.sh))
+        / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.5
+),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+reach AS (
+  SELECT u AS node, v AS r FROM sym
+  UNION
+  SELECT reach.node, sym.v FROM reach JOIN sym ON reach.r = sym.u
+),
+cc AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node),
+sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM cc GROUP BY cluster),
+clustered AS (
+  SELECT node, cluster, cluster_size FROM cc JOIN sizes USING (cluster)
+)
+SELECT documents.doc_id,
+       COALESCE(clustered.cluster, documents.doc_id) AS cluster_id,
+       CAST(COALESCE(clustered.cluster_size, 1) AS BIGINT) AS cluster_size,
+       CAST(COALESCE(documents.doc_id = clustered.cluster, TRUE) AS BIGINT)
+         AS is_canonical
+FROM documents LEFT JOIN clustered ON documents.doc_id = clustered.node
+ORDER BY documents.doc_id
+"""
+
+
+QUERY_REGISTRY["dedup_pipeline_e2e"] = QuerySpec(
+    q_dedup_pipeline_e2e,
+    ORACLE_DEDUP_PIPELINE_E2E,
+    "full-table MinHash-LSH discovery -> exact-Jaccard verify -> clusters",
+)
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: screen a NEW document batch (doc_id % 4 == 3)
+    against the EXISTING corpus (doc_id % 4 < 3) — exact digest first-wins
+    plus LSH probe + exact-Jaccard/containment verify, never pairing
+    corpus↔corpus or batch↔batch. The production pattern for continuously
+    arriving data: cost scales with the batch, the corpus side is a
+    precomputed bucket index. Oracle = exhaustive batch×corpus compare
+    (same recall-1 argument as dedup_pipeline_e2e)."""
+    from covid19_spark.operators.dedup import incremental_dedup_against_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 < 3)
+    batch = docs.filter(F.col("doc_id") % 4 == 3)
+    return incremental_dedup_against_corpus(
+        corpus, batch, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3,
+        threshold=0.5,
+    ).orderBy("doc_id")
+
+
+ORACLE_DEDUP_INCREMENTAL = """
+WITH shingled AS (
+  SELECT doc_id, md5(text) AS th,
+         list_distinct(list_transform(
+             range(1, greatest(len(string_split(lower(text), ' ')) - 2, 0) + 1),
+             i -> string_split(lower(text), ' ')[i] || ' ' ||
+                  string_split(lower(text), ' ')[i+1] || ' ' ||
+                  string_split(lower(text), ' ')[i+2])) AS sh
+  FROM documents
+),
+c AS (SELECT * FROM shingled WHERE doc_id % 4 < 3),
+b AS (SELECT * FROM shingled WHERE doc_id % 4 = 3),
+cd AS (SELECT DISTINCT th FROM c),
+verified AS (
+  SELECT b.doc_id AS bid, c.doc_id AS cid,
+         len(list_intersect(b.sh, c.sh))
+           / CAST(len(list_distinct(b.sh || c.sh)) AS DOUBLE) AS j,
+         CASE WHEN len(b.sh) > 0
+              THEN len(list_intersect(b.sh, c.sh)) / CAST(len(b.sh) AS DOUBLE)
+              ELSE 0.0 END AS cont
+  FROM b CROSS JOIN c
+  WHERE len(list_distinct(b.sh || c.sh)) > 0
+    AND len(list_intersect(b.sh, c.sh))
+        / CAST(len(list_distinct(b.sh || c.sh)) AS DOUBLE) >= 0.5
+),
+hits AS (
+  SELECT bid, CAST(min(cid) AS BIGINT) AS ndof, max(j) AS bj, max(cont) AS bc
+  FROM verified GROUP BY bid
+)
+SELECT b.doc_id,
+       CAST(CASE WHEN cd.th IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_exact_dup,
+       CAST(COALESCE(hits.ndof, -1) AS BIGINT) AS near_dup_of,
+       COALESCE(hits.bj, 0.0) AS best_jaccard,
+       COALESCE(hits.bc, 0.0) AS best_containment,
+       CAST(CASE WHEN cd.th IS NULL AND hits.ndof IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS keep
+FROM b LEFT JOIN cd ON b.th = cd.th LEFT JOIN hits ON b.doc_id = hits.bid
+ORDER BY b.doc_id
+"""
+
+
+QUERY_REGISTRY["dedup_incremental"] = QuerySpec(
+    q_dedup_incremental,
+    ORACLE_DEDUP_INCREMENTAL,
+    "new-batch screening against an existing corpus index (exact + LSH)",
+)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing audit: shard by md5(doc_id), pack documents
+    contiguously into 256-token bins in deterministic md5 order, report
+    per-(shard, bin) doc and token counts. One shuffle on the shard key;
+    per-shard window sum (16 independent streams here; size shard_chars up
+    for cluster parallelism)."""
+    from covid19_spark.operators.curation import pack_greedy
+    from covid19_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    packed = pack_greedy(docs, "doc_id", "n_tokens", ctx_len=256)
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_packed"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH d AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT shard, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id) - n_tokens) / 256.0) AS BIGINT) AS bin
+  FROM d
+)
+SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens_packed
+FROM b
+GROUP BY shard, bin
+ORDER BY shard, bin
+"""
+
+
+QUERY_REGISTRY["pack_sequences"] = QuerySpec(
+    q_pack_sequences, ORACLE_PACK_SEQUENCES, "greedy sequence packing audit"
+)
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score (Wenzek et al., 2020): per-document
+    negative log-likelihood under the corpus' own unigram LM, plus the
+    head/middle/tail perplexity band the CCNet recipe filters on.
+
+    Scale: token-keyed vocab aggregation (output ≪ corpus), token-keyed
+    score join (broadcast at this vocab size, AQE shuffle join beyond), one
+    groupBy per doc. Per-token -ln(p) goes through the DECIMAL(38,6)
+    determinism contract before summation (ln differs in the last ulp across
+    engines)."""
+    from covid19_spark.operators.curation import unigram_logprob_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = unigram_logprob_score(docs)
+    # CCNet bands by percentile cutoffs, not fixed thresholds: the 1-row
+    # cutoff frame is broadcast back (Spark percentile ≡ DuckDB quantile_cont
+    # bit-for-bit, so the band edges are engine-identical).
+    cuts = scored.agg(
+        F.expr("percentile(nats_per_token, 0.33)").alias("c_head"),
+        F.expr("percentile(nats_per_token, 0.67)").alias("c_mid"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "neg_logprob_sum",
+            "nats_per_token",
+            F.when(F.col("nats_per_token") < F.col("c_head"), F.lit("head"))
+            .when(F.col("nats_per_token") < F.col("c_mid"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_band"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS token
+  FROM documents
+),
+vocab AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
+tot AS (SELECT sum(tf) AS total FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         CAST(-ln(CAST(v.tf AS DOUBLE) / CAST(tot.total AS DOUBLE)) AS DECIMAL(38,6)) AS nl
+  FROM toks t JOIN vocab v USING (token) CROSS JOIN tot
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(nl) AS DOUBLE) AS neg_logprob_sum,
+         CAST(sum(nl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS nats_per_token
+  FROM scored GROUP BY doc_id
+),
+cuts AS (
+  SELECT quantile_cont(nats_per_token, 0.33) AS c_head,
+         quantile_cont(nats_per_token, 0.67) AS c_mid
+  FROM agg
+)
+SELECT doc_id, n_tokens, neg_logprob_sum, nats_per_token,
+       CASE WHEN nats_per_token < c_head THEN 'head'
+            WHEN nats_per_token < c_mid THEN 'middle'
+            ELSE 'tail' END AS ppl_band
+FROM agg CROSS JOIN cuts
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["unigram_logprob"] = QuerySpec(
+    q_unigram_logprob, ORACLE_UNIGRAM_LOGPROB, "unigram-LM perplexity-proxy quality score"
+)
+
+
+def q_range_join_price_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless points→intervals range join: lineitem unit prices matched to
+    part retail-price brackets (±0.05) — price-anomaly candidate generation
+    with NO equi-key. A naive BETWEEN join is BroadcastNestedLoopJoin
+    (O(points·intervals)); ``binned_range_join`` manufactures a bin equi-key
+    so the plan is one hash shuffle (plan-asserted in test_plans.py).
+
+    All arithmetic in IEEE doubles (no sums), so no decimal contract needed:
+    min/max/count are exact picks."""
+    from covid19_spark.operators.rangejoin import binned_range_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast("double")).alias(
+            "unit_price"
+        )
+    )
+    parts = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice").cast("double") - F.lit(0.05)).alias("lo"),
+        (F.col("p_retailprice").cast("double") + F.lit(0.05)).alias("hi"),
+    )
+    joined = binned_range_join(li, parts, "unit_price", "lo", "hi", bin_width=0.1)
+    return (
+        joined.groupBy("p_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min("unit_price").alias("min_unit_price"),
+            F.max("unit_price").alias("max_unit_price"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+ORACLE_RANGE_JOIN_PRICE_MATCH = """
+WITH pts AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE) AS unit_price
+  FROM lineitem
+),
+iv AS (
+  SELECT p_partkey,
+         CAST(p_retailprice AS DOUBLE) - 0.05 AS lo,
+         CAST(p_retailprice AS DOUBLE) + 0.05 AS hi
+  FROM part
+)
+SELECT p_partkey,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       min(unit_price) AS min_unit_price,
+       max(unit_price) AS max_unit_price
+FROM pts JOIN iv ON unit_price >= lo AND unit_price <= hi
+GROUP BY p_partkey
+ORDER BY p_partkey
+"""
+
+
+QUERY_REGISTRY["range_join_price_match"] = QuerySpec(
+    q_range_join_price_match,
+    ORACLE_RANGE_JOIN_PRICE_MATCH,
+    "keyless binned range join (points→intervals)",
+)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style line-level boilerplate removal. The synthetic corpus
+    has no newlines, so lined documents are synthesized deterministically
+    (shared per-source banner + word-slice body lines + footer shared by
+    doc_id%4==0 — same technique as q_pii_redaction's injected PII); then
+    ``line_dedup`` strips every line appearing in ≥2 distinct docs.
+
+    Scale: md5 line keys, broadcast boilerplate set, order restored via
+    sort_array(collect_list(struct)) — see operators/curation.line_dedup."""
+    from covid19_spark.operators.curation import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("src-banner "), F.col("source")),
+            F.array_join(F.slice(words, 1, 8), " "),
+            F.array_join(F.slice(words, 9, 8), " "),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("standard footer line")).otherwise(
+                F.concat(F.lit("sig "), F.col("doc_id").cast("string"))
+            ),
+        ).alias("text"),
+    )
+    return line_dedup(lined, min_docs=2).orderBy("doc_id")
+
+
+ORACLE_LINE_DEDUP = """
+WITH lined AS (
+  SELECT doc_id, concat_ws(chr(10),
+    'src-banner ' || source,
+    array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '),
+    array_to_string(list_slice(string_split(text, ' '), 9, 16), ' '),
+    CASE WHEN doc_id % 4 = 0 THEN 'standard footer line'
+         ELSE 'sig ' || CAST(doc_id AS VARCHAR) END
+  ) AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(parts) + 1),
+                i -> {'pos': i, 'line': parts[i]}), recursive := true)
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM lined)
+),
+boiler AS (
+  SELECT md5(line) AS lk FROM lines GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (SELECT * FROM lines WHERE md5(line) NOT IN (SELECT lk FROM boiler)),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM lined)
+SELECT t.doc_id, coalesce(r.text, '') AS text,
+       CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_removed
+FROM tot t LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["line_dedup"] = QuerySpec(
+    q_line_dedup, ORACLE_LINE_DEDUP, "corpus line-level boilerplate dedup"
+)
+
+
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy match: customer-name pairs within ≤2 edits,
+    blocked on (nation, name-prefix) — the sorted-neighborhood blocking a
+    real ER pipeline uses so pairwise edit distance never goes O(n²).
+    Spark's 3-arg ``levenshtein(a, b, k)`` early-exits the DP at k."""
+    from covid19_spark.operators.dedup import blocked_edit_distance_pairs
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.substring(F.col("c_name"), 1, 15).alias("name_blk"),
+    )
+    pairs = blocked_edit_distance_pairs(
+        cust, "c_custkey", "c_name", ["c_nationkey", "name_blk"], max_distance=2
+    )
+    return pairs.select(
+        F.col("id_a").alias("cust_a"),
+        F.col("id_b").alias("cust_b"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("edit_distance").cast("int").alias("edit_distance"),
+    ).orderBy("cust_a", "cust_b")
+
+
+ORACLE_FUZZY_NAME_MATCH = """
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey, substr(c_name, 1, 15) AS name_blk
+  FROM customer
+)
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       CAST(a.c_nationkey AS BIGINT) AS nation,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_distance
+FROM c a JOIN c b
+  ON a.c_nationkey = b.c_nationkey AND a.name_blk = b.name_blk
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+ORDER BY cust_a, cust_b
+"""
+
+
+QUERY_REGISTRY["fuzzy_name_match"] = QuerySpec(
+    q_fuzzy_name_match, ORACLE_FUZZY_NAME_MATCH, "blocked Levenshtein entity resolution"
+)
+
+

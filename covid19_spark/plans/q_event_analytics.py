@@ -1,0 +1,336 @@
+"""Event-analytics extensions: funnel, cohort retention, sessions, charts."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from covid19_spark.plans.base import DEC, QUERY_REGISTRY, QuerySpec, _dsum, _t
+
+
+def q_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who signed up, then purchased AFTER the signup.
+
+    Per-user min(ts) per stage + ordered comparison — one exchange on
+    user_id; no self-join of raw events (the conditional-min trick keeps it
+    an aggregation, which at 100 TB matters more than anything)."""
+    events = _t(spark, sf_dir, "events")
+    stages = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    per_user = stages.select(
+        "user_id",
+        F.col("first_signup").isNotNull().alias("did_signup"),
+        (
+            F.col("first_signup").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") > F.col("first_signup"))
+        ).alias("converted"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("did_signup").cast("long")).alias("n_signed_up"),
+        F.sum(F.col("converted").cast("long")).alias("n_converted"),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH stages AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+  GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       CAST(sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+       CAST(sum(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
+                 AND first_purchase > first_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM stages
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week; for
+    each (cohort_week, activity_week) the count of distinct active users.
+
+    Two aggregations (first-activity per user, then cohort×week distinct
+    counts) — the broadcast of the per-user cohort map would be the join
+    strategy at dimension scale; at corpus scale both sides shuffle on
+    user_id, which the first groupBy already established."""
+    events = _t(spark, sf_dir, "events")
+    week = lambda c: F.floor(F.datediff(F.to_date(c), F.lit("2024-01-01")) / 7).cast("int")  # noqa: E731
+    cohorts = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohorts = cohorts.select("user_id", week(F.col("first_ts")).alias("cohort_week"))
+    activity = events.select("user_id", week(F.col("ts")).alias("activity_week")).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy("cohort_week", "activity_week")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .withColumn("weeks_since", F.col("activity_week") - F.col("cohort_week"))
+        .orderBy("cohort_week", "activity_week")
+    )
+
+
+ORACLE_COHORT_RETENTION = """
+WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+cohorts AS (
+  SELECT user_id,
+         CAST(floor(datediff('day', DATE '2024-01-01', CAST(min(ts) AS DATE)) / 7.0) AS INT) AS cohort_week
+  FROM e GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS INT) AS activity_week
+  FROM e
+)
+SELECT cohort_week, activity_week, count(DISTINCT a.user_id) AS n_active,
+       activity_week - cohort_week AS weeks_since
+FROM activity a JOIN cohorts c USING (user_id)
+GROUP BY cohort_week, activity_week
+ORDER BY cohort_week, activity_week
+"""
+
+
+QUERY_REGISTRY.update(
+    {
+        "funnel_signup_purchase": QuerySpec(q_funnel_signup_purchase, ORACLE_FUNNEL, "ordered funnel conversion"),
+        "cohort_retention": QuerySpec(q_cohort_retention, ORACLE_COHORT_RETENTION, "weekly cohort retention"),
+    }
+)
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data curation pipeline over documents: quality gate
+    (token count + stopword ratio) → language allowlist → exact dedup by
+    normalized fingerprint → survivors with their features.
+
+    The capstone composition: every stage is one of the registered operators,
+    fused by Catalyst into scan → map (all gates) → one hash exchange (the
+    dedup groupBy) — i.e. the whole curation pass costs a single shuffle.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    en = ("the", "and", "of", "to", "a", "in", "is")
+    toks = docs.select(
+        "doc_id", "lang", "source",
+        F.length("text").alias("n_chars"),
+        F.split(F.lower("text"), " ").alias("toks"),
+        F.trim(F.regexp_replace(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " ")).alias("norm"),
+    )
+    feats = toks.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.size(F.filter("toks", lambda t: t != "")).alias("n_tokens"),
+        F.size(F.filter("toks", lambda t: t.isin(*en))).alias("stop_hits"),
+        F.substring(F.md5("norm"), 1, 16).alias("fingerprint"),
+    )
+    gated = feats.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("stop_hits") / F.col("n_tokens") >= 0.01)
+        & F.col("lang").isin("en", "de", "fr", "es")
+    )
+    deduped = gated.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return deduped.select("doc_id", "fingerprint", "n_copies", "n_tokens").orderBy("doc_id")
+
+
+ORACLE_CURATION_PIPELINE = """
+WITH feats AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n_tokens,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> t IN ('the','and','of','to','a','in','is'))) AS stop_hits,
+         substring(md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 16) AS fingerprint
+  FROM documents
+), gated AS (
+  SELECT * FROM feats
+  WHERE n_tokens >= 10
+    AND stop_hits / CAST(n_tokens AS DOUBLE) >= 0.01
+    AND lang IN ('en', 'de', 'fr', 'es')
+)
+SELECT min(doc_id) AS doc_id, fingerprint, count(*) AS n_copies, min(n_tokens) AS n_tokens
+FROM gated
+GROUP BY fingerprint
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["curation_pipeline"] = QuerySpec(
+    q_curation_pipeline, ORACLE_CURATION_PIPELINE, "composed curation pipeline (single shuffle)"
+)
+
+
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB aggregation path: approx_count_distinct (HLL++) and
+    approx_percentile (t-digest-style) sketches ONLY — single partial-agg
+    pass, bounded sketch state per group, no exact-distinct shuffle and no
+    full per-group sort. (The exact twins live in tests/test_approx.py,
+    which asserts the sketches land within documented error bounds; keeping
+    them here would saddle the scale-path query with the exact-percentile
+    plan it exists to avoid.)
+
+    Rows-only driver check (DuckDB's sketches differ bit-wise by design).
+    """
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+            F.percentile_approx("value", 0.95, 10000).alias("approx_p95"),
+            F.approx_count_distinct("event_id", 0.02).alias("approx_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERY_REGISTRY["approx_aggregates"] = QuerySpec(
+    q_approx_aggregates, None, "HLL++/t-digest approx aggregates (rows-only)"
+)
+
+
+def q_chart_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chart-series assembly determinism (S7's data half / W4): per-type
+    daily series built the way ``serving.analytics.daily_history_chart``
+    builds chart arrays — ``sort_array(collect_list(struct(...)))`` so the
+    label/value order is deterministic on ANY partitioning — then
+    posexploded back to rows so the driver can hash the values. The oracle
+    expresses the same series as a ``row_number`` ordering."""
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.withColumn("date", F.to_date("ts"))
+        .groupBy("date", "event_type")
+        .agg(_dsum(F.col("value")).alias("v"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("date").alias("date"),
+                    F.date_format("date", "dd-MMM").alias("label"),
+                    F.col("v").alias("v"),
+                )
+            )
+        ).alias("rows")
+    )
+    return (
+        series.select("event_type", F.posexplode("rows").alias("pos", "r"))
+        .select(
+            "event_type",
+            (F.col("pos") + 1).cast("long").alias("idx"),
+            F.col("r.label").alias("label"),
+            F.col("r.v").alias("value"),
+        )
+        .orderBy("event_type", "idx")
+    )
+
+
+ORACLE_CHART_SERIES = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date, event_type,
+         CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(row_number() OVER (PARTITION BY event_type ORDER BY date) AS BIGINT) AS idx,
+       strftime(date, '%d-%b') AS label,
+       v AS value
+FROM daily
+ORDER BY event_type, idx
+"""
+
+
+QUERY_REGISTRY["chart_series"] = QuerySpec(
+    q_chart_series, ORACLE_CHART_SERIES, "S7/W4 deterministic chart-series assembly"
+)
+
+
+def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: purchases attributed to same-user clicks within
+    30 minutes — the batch form of the stream-stream interval join
+    (streaming/joins.py); identical expression runs over live streams with
+    watermark-bounded state."""
+    from covid19_spark.streaming.joins import click_purchase_attribution
+
+    events = _t(spark, sf_dir, "events")
+    return click_purchase_attribution(events).orderBy("purchase_id", "click_id")
+
+
+ORACLE_ATTRIBUTION_JOIN = """
+WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+c AS (SELECT user_id, ts AS click_ts, event_id AS click_id FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value AS purchase_value
+      FROM e WHERE event_type = 'purchase')
+SELECT c.user_id AS user_id, click_id, purchase_id, click_ts, purchase_ts, purchase_value,
+       CAST(floor(epoch(purchase_ts)) - floor(epoch(click_ts)) AS BIGINT) AS lag_sec
+FROM c JOIN p ON c.user_id = p.user_id
+  AND purchase_ts >= click_ts
+  AND purchase_ts <= click_ts + INTERVAL 30 MINUTE
+ORDER BY purchase_id, click_id
+"""
+
+
+QUERY_REGISTRY["attribution_join"] = QuerySpec(
+    q_attribution_join, ORACLE_ATTRIBUTION_JOIN, "interval/range attribution join"
+)
+
+
+def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function suite over supplier revenue: rank, dense_rank,
+    percent_rank, cume_dist, ntile(4), lead/lag — the full window surface in
+    one partitioned pass (single exchange on the partition key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "s_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("revenue").desc(), F.col("s_name"))
+    return rev.select(
+        "n_name",
+        "s_name",
+        "revenue",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.coalesce(F.lag("s_name").over(w), F.lit("-")).alias("prev_supplier"),
+        F.coalesce(F.lead("s_name").over(w), F.lit("-")).alias("next_supplier"),
+    ).orderBy("n_name", "rnk", "s_name")
+
+
+ORACLE_WINDOW_RANK_SUITE = """
+WITH rev AS (
+  SELECT n_name, s_name,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY n_name, s_name
+)
+SELECT n_name, s_name, revenue,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist()    OVER w AS cdist,
+       ntile(4)       OVER w AS quartile,
+       coalesce(lag(s_name)  OVER w, '-') AS prev_supplier,
+       coalesce(lead(s_name) OVER w, '-') AS next_supplier
+FROM rev
+WINDOW w AS (PARTITION BY n_name ORDER BY revenue DESC, s_name)
+ORDER BY n_name, rnk, s_name
+"""
+
+
+QUERY_REGISTRY["window_rank_suite"] = QuerySpec(
+    q_window_rank_suite, ORACLE_WINDOW_RANK_SUITE, "full analytic-window surface"
+)
+
+

@@ -1,0 +1,1115 @@
+"""LLM-data-pipeline operators: text analysis, dedup, similarity, ANN,
+multimodal codecs, BPE, perceptual near-dup (BASELINE.json north-star
+additions beyond the reference surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from covid19_spark.plans.base import DEC, QUERY_REGISTRY, QuerySpec, _dsum, _t
+
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring over documents: token stats, punctuation/stopword
+    ratios, composite score — all JVM-side expressions, map-only (no shuffle).
+
+    Staged projection: base counts are materialized once, ratios/score derive
+    from the count *columns* — keeps the codegen'd expression tree linear
+    instead of re-tokenizing per output column (~3× faster at sf0.1).
+    """
+    from covid19_spark.operators.text import LANG_STOPWORDS
+
+    docs = _t(spark, sf_dir, "documents")
+    en = tuple(LANG_STOPWORDS["en"])
+    toks = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")).alias("n_punct"),
+        F.split(F.lower("text"), " ").alias("toks"),
+    )
+    base = toks.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.filter("toks", lambda t: t != "")).alias("n_tokens"),
+        "n_punct",
+        F.size(F.filter("toks", lambda t: t.isin(*en))).alias("stop_hits"),
+    )
+    mean_tok = F.when(F.col("n_tokens") > 0, (F.col("n_chars") - (F.col("n_tokens") - 1)) / F.col("n_tokens"))
+    stop_ratio = F.when(F.col("n_tokens") > 0, F.col("stop_hits") / F.col("n_tokens"))
+    punct_ratio = F.when(F.col("n_chars") > 0, F.col("n_punct") / F.col("n_chars"))
+    score = (
+        F.lit(0.5) * F.least(F.coalesce(stop_ratio, F.lit(0.0)) * 4, F.lit(1.0))
+        + F.lit(0.3) * F.when((mean_tok >= 3) & (mean_tok <= 12), 1.0).otherwise(0.0)
+        + F.lit(0.2) * (1 - F.least(F.coalesce(punct_ratio, F.lit(0.0)) * 5, F.lit(1.0)))
+    )
+    return base.select(
+        "doc_id", "n_chars", "n_tokens", "n_punct", "stop_hits",
+        mean_tok.alias("mean_token_len"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_QUALITY = """
+WITH feat AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> t IN ('the','and','of','to','a','in','is'))) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, n_punct, stop_hits,
+       CASE WHEN n_tokens > 0 THEN (n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) END AS mean_token_len,
+       CASE WHEN n_tokens > 0 THEN stop_hits / CAST(n_tokens AS DOUBLE) END AS stop_ratio,
+       CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) END AS punct_ratio,
+       0.5 * least(coalesce(CASE WHEN n_tokens > 0 THEN stop_hits / CAST(n_tokens AS DOUBLE) END, 0.0) * 4, 1.0)
+       + 0.3 * (CASE WHEN n_tokens > 0
+                      AND (n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) >= 3
+                      AND (n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) <= 12
+                     THEN 1.0 ELSE 0.0 END)
+       + 0.2 * (1 - least(coalesce(CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) END, 0.0) * 5, 1.0))
+         AS quality_score
+FROM feat
+ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID (stopword voting, deterministic tie-break) —
+    map-only CASE chain, no UDF."""
+    from covid19_spark.operators.text import LANG_STOPWORDS
+
+    docs = _t(spark, sf_dir, "documents")
+    langs = sorted(LANG_STOPWORDS)
+
+    def hit_counter(words):
+        ws = tuple(words)
+        return lambda t: t.isin(*ws)
+
+    # stage 0: tokenize ONCE (5 per-language splits cost 4.5x more);
+    # stage 1: materialize hit counts; stage 2: CASE over the columns
+    # (the naive nested-predict recomputes every score ~8x inside the CASE).
+    toks = docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), F.split(F.lower("text"), " ").alias("toks")
+    )
+    base = toks.select(
+        "doc_id",
+        "labeled_lang",
+        *[
+            F.size(F.filter("toks", hit_counter(LANG_STOPWORDS[lang]))).alias(f"{lang}_hits")
+            for lang in langs
+        ],
+    )
+    pred = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = F.col(f"{lang}_hits") >= F.col(f"{other}_hits")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return base.select(
+        "doc_id", "labeled_lang", pred.alias("pred_lang"),
+        *[f"{lang}_hits" for lang in langs],
+    ).orderBy("doc_id")
+
+
+def _hits_sql(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(string_split(lower(text), ' '), t -> t IN ({inlist})))"
+
+
+def _lang_id_oracle() -> str:
+    from covid19_spark.operators.text import LANG_STOPWORDS
+
+    hits = {lang: _hits_sql(tuple(ws)) for lang, ws in LANG_STOPWORDS.items()}
+    langs = sorted(hits)
+    cases = []
+    for lang in langs[:-1]:
+        conds = " AND ".join(
+            f"{lang}_hits >= {other}_hits" for other in langs if other != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    hit_cols = ",\n         ".join(f"{sql} AS {lang}_hits" for lang, sql in sorted(hits.items()))
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {hit_cols}
+  FROM documents
+)
+SELECT doc_id, labeled_lang, {case_sql} AS pred_lang,
+       de_hits, en_hits, es_hits, fr_hits, zh_hits
+FROM scored
+ORDER BY doc_id
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text, truncated to 16 hex
+    chars (rolling-hash-style canonical key for dedup)."""
+    from covid19_spark.operators.text import fingerprint, normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fingerprint"),
+        F.length(normalize_text(F.col("text"))).alias("norm_len"),
+    ).orderBy("doc_id")
+
+
+ORACLE_DOC_FINGERPRINT = """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nt
+  FROM documents
+)
+SELECT doc_id, substring(md5(nt), 1, 16) AS fingerprint, length(nt) AS norm_len
+FROM norm
+ORDER BY doc_id
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest (hash-groupBy — uniform keys, skew-free
+    at any scale): canonical id + duplicate count per distinct text."""
+    from covid19_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").orderBy("text_hash")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_dupes
+FROM documents
+GROUP BY md5(text)
+ORDER BY text_hash
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs within language blocks (the verify
+    stage of a dedup pipeline; candidate generation at scale is MinHash-LSH,
+    registered separately as a rows-only query)."""
+    from covid19_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_cols=["lang"], n=2, threshold=0.05
+    ).orderBy("doc_a", "doc_b")
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH d AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS sh
+  FROM documents WHERE doc_id < 200
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+       len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.05
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search: query vectors (vec_id < 8)
+    against the whole embeddings corpus; broadcast queries, one corpus scan.
+    Dot products are left-to-right double folds — bit-identical to the
+    oracle's list_reduce."""
+    from covid19_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+ORACLE_COSINE_TOPK = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, 65), i -> qv[i] * v[i]), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(range(1, 65), i -> qv[i] * qv[i]), (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]), (x, y) -> x + y))) AS sim
+  FROM e JOIN q ON e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates (max-token fraction, duplicate-bigram
+    fraction) over the documents table — the repetitive-text filter of a
+    training-data pipeline."""
+    from covid19_spark.operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+ORACLE_REPETITION_STATS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+), tc AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct_tokens, CAST(max(c) AS BIGINT) AS mx
+  FROM tc GROUP BY 1
+), big AS (
+  SELECT doc_id,
+         list_transform(range(1, len(string_split(lower(text), ' '))),
+                        i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1]) AS sh
+  FROM documents
+), bstats AS (
+  SELECT doc_id,
+         CASE WHEN len(sh) > 0
+              THEN 1.0 - len(list_distinct(sh)) / CAST(len(sh) AS DOUBLE) END AS dup_bigram_frac
+  FROM big
+)
+SELECT p.doc_id AS doc_id, n_tokens, n_distinct_tokens,
+       mx / CAST(n_tokens AS DOUBLE) AS max_token_frac, dup_bigram_frac
+FROM per_doc p JOIN bstats b ON p.doc_id = b.doc_id
+ORDER BY doc_id
+"""
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus reporting: docs, chars, whitespace tokens —
+    the bookkeeping scan a pipeline runs before/after every curation stage.
+    Map-only token math + one partial-agg exchange on the tiny group key."""
+    from covid19_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", "lang", "n_chars", token_count(F.col("text")).alias("tc"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("tc").cast("long").alias("total_tokens"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+ORACLE_CORPUS_STATS = """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing for training-batch packing: docs grouped
+    into fixed-width token-count buckets with per-bucket and running token
+    budgets. Integer bucket arithmetic (exact cross-engine); the running
+    sum ranks |buckets| rows only."""
+    from covid19_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    bucketed = docs.select(
+        (F.floor(token_count(F.col("text")) / 32)).cast("long").alias("bucket"),
+        token_count(F.col("text")).alias("tc"),
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tc").cast("long").alias("bucket_tokens"),
+    )
+    w = Window.orderBy("bucket")  # |buckets| rows — bounded by max_len/32
+    return (
+        per_bucket.withColumn(
+            "cum_tokens", F.sum("bucket_tokens").over(w).cast("long")
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_LENGTH_BUCKETS = """
+WITH d AS (
+  SELECT CAST(floor(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) / 32) AS BIGINT) AS bucket,
+         len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tc
+  FROM documents
+), per_bucket AS (
+  SELECT bucket, count(*) AS n_docs, CAST(sum(tc) AS BIGINT) AS bucket_tokens
+  FROM d GROUP BY bucket
+)
+SELECT bucket, n_docs, bucket_tokens,
+       CAST(sum(bucket_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens
+FROM per_bucket
+ORDER BY bucket
+"""
+
+
+QUERY_REGISTRY["repetition_stats"] = QuerySpec(
+    q_repetition_stats, ORACLE_REPETITION_STATS, "Gopher repetition gates"
+)
+QUERY_REGISTRY["corpus_stats"] = QuerySpec(
+    q_corpus_stats, ORACLE_CORPUS_STATS, "per-source corpus reporting"
+)
+QUERY_REGISTRY["length_buckets"] = QuerySpec(
+    q_length_buckets, ORACLE_LENGTH_BUCKETS, "sequence-length packing buckets"
+)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks (the dedup
+    family's embedding member). Blocks on the cluster label — at corpus
+    scale the block key is an ANN LSH bucket; this is the verify stage.
+    Like ``_perturbed_docs``, deterministic perturbed copies
+    (vec_id+100000, component nudge ``0.02*((i%7)-3)``) give guaranteed
+    true positives. Double-fold cosine ≡ the oracle's ``list_reduce``."""
+    from covid19_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 1000)  # bounded verify set, like ngram_jaccard's doc_id<200
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    nudged = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: F.element_at("embedding", i) + F.lit(0.02) * ((i % 7) - 3),
+    )
+    perturbed = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "label", nudged.alias("embedding")
+    )
+    base = emb.unionByName(perturbed)
+    # 10 coarse labels << 32 cores: salt the pair space 16 ways so the
+    # fold-heavy scoring join runs on 160 tasks instead of 10 (result-set
+    # identical; see cosine_near_dup_pairs docstring).
+    return cosine_near_dup_pairs(
+        base, "vec_id", "embedding", threshold=0.90, block_cols=["label"], salt_buckets=16
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_EMBEDDING_NEAR_DUP = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id < 1000
+), p AS (
+  SELECT vec_id + 100000 AS vec_id, label,
+         list_transform(range(1, 65), i -> v[i] + 0.02*((i % 7) - 3)) AS v
+  FROM e WHERE vec_id < 100
+), u AS (
+  SELECT * FROM e UNION ALL SELECT * FROM p
+), n AS (
+  SELECT vec_id, label,
+         list_transform(v, x -> x / sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]), (x, y) -> x + y))) AS vn
+  FROM u
+), scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+         list_reduce(list_transform(range(1, 65), i -> a.vn[i] * b.vn[i]), (x, y) -> x + y) AS sim
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, label, sim FROM scored WHERE sim >= 0.90
+ORDER BY id_a, id_b
+"""
+
+
+QUERY_REGISTRY["embedding_near_dup"] = QuerySpec(
+    q_embedding_near_dup, ORACLE_EMBEDDING_NEAR_DUP, "embedding-cosine near-dup (blocked verify)"
+)
+
+
+def _perturbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id<50) unioned with deterministic near-duplicates
+    (id+100000, first 3 tokens dropped) — gives the candidate-generation
+    queries guaranteed true positives without touching the source data."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    toks = F.split(F.col("text"), " ")
+    variants = (
+        docs.filter(F.col("doc_id") < 50)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(toks, 4, 100000)).alias("text"),
+            "lang",
+        )
+    )
+    return docs.unionByName(variants)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (32 hashes, 8 bands × 4 rows).
+
+    Non-SQL-expressible (xxhash64 permutations) → rows-only driver check;
+    recall/precision vs exact Jaccard is asserted in tests/test_dedup.py.
+    """
+    from covid19_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    base = _perturbed_docs(spark, sf_dir)
+    # cache: the LSH band self-join consumes the signature frame twice; the
+    # frame is |docs| rows of 32 longs (KB-scale), recomputing it doubles the
+    # whole shingle+hash pass.
+    sigs = minhash_signatures(base, "doc_id", "text", num_hashes=32, shingle_n=3).cache()
+    return (
+        lsh_candidate_pairs(sigs, "doc_id", num_hashes=32, bands=8)
+        .filter(F.col("est_jaccard") >= 0.3)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (64-bit signature, 4×16-bit band probe,
+    Hamming ≤ 12 over 2-gram shingles). Rows-only (xxhash64 not in DuckDB)."""
+    from covid19_spark.operators.dedup import simhash, simhash_candidate_pairs
+
+    base = _perturbed_docs(spark, sf_dir)
+    # cache for the same self-join reuse reason as q_minhash_lsh
+    sigs = simhash(base, "doc_id", "text", shingle_n=2).cache()
+    return simhash_candidate_pairs(sigs, "doc_id", max_hamming=12).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbours (sign-hyperplane buckets,
+    multi-probe Hamming-1). The 100 TB scale path for similarity search;
+    recall vs the exact operator is asserted in tests. Rows-only check."""
+    from covid19_spark.operators.similarity import ann_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_cosine_topk(emb, queries, k=10, dim=64, num_planes=12).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (coarse-quantizer) approximate nearest neighbours — the
+    clustering scale path next to the sign-hyperplane LSH ANN. Deterministic
+    lowest-id seeds + one distributed Lloyd iteration; queries probe 3 of 16
+    centroid lists. Rows-only (iterative k-means is not single-statement
+    SQL); recall vs exact is asserted in tests/test_similarity.py."""
+    from covid19_spark.operators.similarity import ivf_cosine_topk
+
+    # single-file parquet scan pins the fold-heavy centroid scoring to 1-2
+    # cores; spread the corpus across the executor threads first (at cluster
+    # scale the corpus already arrives partitioned and this repartition goes
+    # away)
+    emb = _t(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_cosine_topk(
+        emb, queries, k=10, n_centroids=16, n_probes=3
+    ).orderBy("query_id", "rank")
+
+
+QUERY_REGISTRY["ivf_cosine_topk"] = QuerySpec(
+    q_ivf_cosine_topk, None, "IVF coarse-quantizer ANN top-k (rows-only)"
+)
+
+
+def q_pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) — the MEMORY scale path:
+    the corpus lives as 8 code bytes per vector (64× smaller than raw
+    floats), queries score codes via ADC table lookups, and only the
+    shortlist touches full-precision vectors. Deterministic lowest-id
+    codebook seeding + one distributed Lloyd round per subspace (all
+    subspaces in one shuffle). Rows-only (iterative k-means); recall vs
+    exact asserted in tests/test_similarity.py, values pinned by fixture."""
+    from covid19_spark.operators.similarity import pq_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return pq_cosine_topk(
+        emb, queries, k=10, m=8, n_codes=16, shortlist=50
+    ).orderBy("query_id", "rank")
+
+
+QUERY_REGISTRY["pq_cosine_topk"] = QuerySpec(
+    q_pq_cosine_topk, None, "product-quantization ADC ANN top-k (rows-only)"
+)
+
+
+def q_ivfpq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition — the standard 1B+-vector index layout: coarse
+    quantizer prunes to n_probes/n_centroids of the corpus, PQ codes make
+    the resident index 64× smaller, ADC scores only probed lists, exact
+    cosine reranks the shortlist. Rows-only (iterative training); recall
+    asserted in tests, values pinned by fixture."""
+    from covid19_spark.operators.similarity import ivfpq_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivfpq_cosine_topk(
+        emb, queries, k=10, n_centroids=16, n_probes=3, m=8, n_codes=16, shortlist=50
+    ).orderBy("query_id", "rank")
+
+
+QUERY_REGISTRY["ivfpq_cosine_topk"] = QuerySpec(
+    q_ivfpq_cosine_topk, None, "IVF-PQ composed ANN top-k (rows-only)"
+)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: documents' text bytes treated as an
+    opaque payload, features extracted via Arrow-batched mapInPandas (the
+    decode kernel is the deterministic fake; the real-codec path raises
+    NotImplementedError — see operators/multimodal.py). Rows-only check."""
+    from covid19_spark.operators.multimodal import extract_image_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = extract_image_features(media, use_fake=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+        F.round(F.element_at("feature", 8), 4).alias("f7"),
+    ).orderBy("media_id")
+
+
+def q_bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec multimodal path end-to-end: synthesize valid uncompressed
+    24-bpp BMP payloads whose pixels derive deterministically from doc_id
+    (seeded generator inside a mapInPandas kernel), decode them with the
+    pure-numpy BMP reader (``use_fake=False`` — no fake anywhere), and
+    featurize the decoded pixel arrays. Bounded to 500 blobs so the payload
+    synthesis stays a demo; the decode/feature plumbing is the production
+    path. Non-SQL-expressible (binary format parsing) → rows-only driver
+    check + exact checked-in fixture."""
+    import numpy as np
+    import pandas as pd
+
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        extract_image_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 500)
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                rng = np.random.default_rng(int(did))
+                h, w = 8 + int(did) % 8, 8 + int(did) % 5
+                img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                rows.append(
+                    (int(did), "image", "image/bmp", w, h, None, encode_bmp(img))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "mime", "width", "height",
+                    "duration_ms", "payload",
+                ],
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    feats = extract_image_features(media, use_fake=False)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+        F.round(F.element_at("feature", 8), 4).alias("f7"),
+    ).orderBy("media_id")
+
+
+QUERY_REGISTRY["bmp_image_features"] = QuerySpec(
+    q_bmp_image_features, None, "real BMP decode -> features (rows-only)"
+)
+
+
+def q_png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec PNG path end-to-end — the chart format the reference
+    actually serves (covid19-visualizer Visualizer.java:469,520 requests "png" charts via ChartRequest.java:23):
+    synthesize valid 8-bit RGB PNGs whose pixels derive deterministically
+    from doc_id, rotating through all five scanline filter types so every
+    unfilter branch of the stdlib decoder runs distributed, decode with
+    ``use_fake=False`` and featurize. Non-SQL-expressible (binary format
+    parsing) → rows-only driver check + exact checked-in fixture."""
+    import numpy as np
+    import pandas as pd
+
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        extract_image_features,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .filter(F.col("doc_id") < 500)
+        # one parquet split would run the per-row codec synthesis (the
+        # expensive part) as a single task — spread it (see q_image_near_dup)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                rng = np.random.default_rng(int(did) + 1_000_000)
+                h, w = 8 + int(did) % 8, 8 + int(did) % 5
+                img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                rows.append(
+                    (
+                        int(did), "image", "image/png", w, h, None,
+                        encode_png(img, filter_type=int(did) % 5),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "mime", "width", "height",
+                    "duration_ms", "payload",
+                ],
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    feats = extract_image_features(media, use_fake=False)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+        F.round(F.element_at("feature", 8), 4).alias("f7"),
+    ).orderBy("media_id")
+
+
+QUERY_REGISTRY["png_image_features"] = QuerySpec(
+    q_png_image_features, None, "real PNG decode (stdlib codec) -> features (rows-only)"
+)
+
+
+def q_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec audio path end-to-end: synthesize valid RIFF/WAVE PCM
+    payloads (a deterministic int16 tone per doc_id), decode them with the
+    pure-stdlib WAV reader inside ``mapInPandas`` (``use_fake=False``) and
+    featurize the sample stream (per-window RMS, peak-normalized).
+    Non-SQL-expressible (binary container parsing) → rows-only driver
+    check + exact checked-in fixture."""
+    import numpy as np
+    import pandas as pd
+
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_wav,
+        extract_audio_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 500)
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                n = 2000 + (int(did) % 7) * 500
+                t = np.arange(n)
+                freq = 100 + (int(did) % 40) * 10
+                tone = (9000 * np.sin(2 * np.pi * freq * t / 8000)).astype(np.int16)
+                rows.append(
+                    (int(did), "audio", "audio/wav", None, None, int(n * 1000 / 8000),
+                     encode_wav(tone, 8000))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "mime", "width", "height",
+                    "duration_ms", "payload",
+                ],
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    feats = extract_audio_features(media, n_windows=8, use_fake=False)
+    return feats.select(
+        "media_id",
+        "duration_ms",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+        F.round(F.element_at("feature", 8), 4).alias("f7"),
+    ).orderBy("media_id")
+
+
+QUERY_REGISTRY["wav_audio_features"] = QuerySpec(
+    q_wav_audio_features, None, "real WAV decode (stdlib codec) -> features (rows-only)"
+)
+
+
+def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec video path end-to-end: synthesize Motion-JPEG AVI
+    payloads (3-6 deterministic gradient frames per doc_id, each a real
+    baseline JPEG), walk the RIFF container, sample one frame per 500 ms of
+    timeline, decode the sampled JPEGs and featurize the pixels — all
+    inside ``mapInPandas`` with ``use_fake=False``. Bounded to 200 blobs
+    (the per-frame JPEG encode in the synthesizer is the demo part; the
+    container walk + decode is the production path). Non-SQL-expressible →
+    rows-only driver check + exact checked-in fixture."""
+    import numpy as np
+    import pandas as pd
+
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_mjpeg_avi,
+        extract_video_frames,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .filter(F.col("doc_id") < 200)
+        .repartition(spark.sparkContext.defaultParallelism)  # see q_image_near_dup
+    )
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n_frames = 3 + d % 4
+                frames = []
+                for i in range(n_frames):
+                    yy, xx = np.mgrid[0:16, 0:16]
+                    img = np.stack(
+                        [(xx * 9 + i * 30 + d) % 256, (yy * 11 + d) % 256,
+                         ((xx + yy) * 5 + i * 17) % 256],
+                        axis=2,
+                    ).astype(np.uint8)
+                    frames.append(img)
+                payload = encode_mjpeg_avi(frames, fps=4, quality=85)
+                rows.append(
+                    (d, "video", "video/avi", 16, 16, int(n_frames * 250), payload)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "mime", "width", "height",
+                    "duration_ms", "payload",
+                ],
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    frames = extract_video_frames(media, every_ms=500, use_fake=False)
+    return frames.select(
+        "media_id",
+        "frame_ts_ms",
+        "frame_index",
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+        F.round(F.element_at("feature", 8), 4).alias("f7"),
+    ).orderBy("media_id", "frame_ts_ms")
+
+
+QUERY_REGISTRY["video_frame_features"] = QuerySpec(
+    q_video_frame_features, None,
+    "real MJPEG-AVI decode (container walk + per-frame JPEG) -> sampled frame features (rows-only)",
+)
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016,
+    arXiv:1508.07909): one corpus scan aggregates word frequencies (the only
+    corpus-scale step — map-side combined, vocabulary-sized output), then
+    the inherently-sequential merge loop runs on the driver over that
+    aggregate. Output: the learned merge table (rank, left, right) —
+    deterministic (lexicographic tie-break), so it carries an exact
+    checked-in fixture. Non-SQL-expressible (iterative algorithm) →
+    rows-only driver check."""
+    from covid19_spark.operators.bpe import train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=120)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    ).orderBy("rank")
+
+
+QUERY_REGISTRY["bpe_merges"] = QuerySpec(
+    q_bpe_merges, None, "BPE tokenizer training -> merge table (rows-only)"
+)
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with merges trained on the same corpus: the merge table
+    ships in the task closure (KB-scale) and an Arrow-batched kernel
+    applies the greedy lowest-rank merge per word with a per-batch word
+    cache (Zipf amortization) — map-only, no shuffle at any corpus size.
+    Deterministic; rows-only driver check + exact fixture."""
+    from covid19_spark.operators.bpe import bpe_tokenize, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=120)
+    out = bpe_tokenize(docs, merges, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.element_at("tokens", 1).alias("first_token"),
+        F.element_at("tokens", -1).alias("last_token"),
+    ).orderBy("doc_id")
+
+
+QUERY_REGISTRY["bpe_tokenize"] = QuerySpec(
+    q_bpe_tokenize, None, "BPE encoding with corpus-trained merges (rows-only)"
+)
+
+
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (dHash) image near-duplicate detection end-to-end with
+    REAL codecs: synthesize a BMP per doc_id plus, for the first 60 ids, a
+    JPEG RE-ENCODING of the same pixels (the classic multimodal dedup case:
+    byte-level dedup misses format/quality changes; the perceptual hash
+    survives them — smoke-measured Hamming ≈ 3 across a q85 re-encode vs
+    ≈ 32 for unrelated images). Decode both formats, dHash the pixels, and
+    find candidate pairs via the banded 64-bit Hamming probe shared with
+    SimHash. Non-SQL-expressible → rows-only driver check + exact fixture."""
+    import numpy as np
+    import pandas as pd
+
+    from covid19_spark.operators.jpeg import encode_jpeg
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    # repartition: the documents scan is one parquet split, which would run
+    # the per-row codec synthesis (the expensive part) as a single task
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .filter(F.col("doc_id") < 250)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                rng = np.random.default_rng(d + 7_000_000)
+                h, w = 24 + d % 9, 32 + d % 7
+                # smooth random field (tiled blocks) so the perceptual hash
+                # is meaningful — iid noise has no structure to survive
+                base = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+                img = np.repeat(np.repeat(base, -(-h // 6), axis=0), -(-w // 8), axis=1)[:h, :w]
+                rows.append((d, "image", "image/bmp", w, h, None, encode_bmp(img)))
+                if d < 60:  # planted near-dup: same pixels, lossy re-encode
+                    rows.append(
+                        (100000 + d, "image", "image/jpeg", w, h, None,
+                         encode_jpeg(img, quality=80))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "mime", "width", "height",
+                    "duration_ms", "payload",
+                ],
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    # cache: the banded self-join + oversized-bucket count consume the hash
+    # frame three times; it is |media| rows of 2 longs (KB-scale), while one
+    # evaluation costs a full synth+decode pass (bench.py clears caches
+    # between queries — the sanctioned q_minhash_lsh lifecycle)
+    hashes = image_dhash(media, use_fake=False).cache()
+    return image_near_dup_pairs(hashes, "media_id", max_hamming=10).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+QUERY_REGISTRY["image_near_dup"] = QuerySpec(
+    q_image_near_dup, None,
+    "perceptual dHash near-dup pairs across real BMP/JPEG re-encodes (rows-only)",
+)
+
+
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio near-duplicate detection end-to-end with the REAL
+    WAV codec: synthesize a chirp+AM tone per doc_id plus, for the first 60
+    ids, a HALF-GAIN 8-BIT-REQUANTIZED copy (the classic audio-dedup case:
+    byte-level dedup misses gain/quantization changes; the spectral
+    delta-sign fingerprint survives both — planted copies land at Hamming
+    0-8). The banded probe recalls 59/60 planted pairs: one Hamming-8 pair
+    spreads its bits across all four 16-bit sub-bands, the documented
+    pigeonhole recall bound (guaranteed only <= 3 with 4 bands) — this is a
+    CANDIDATE generator, same contract as SimHash. The corpus also contains
+    legitimate non-planted near-dups (parameter collisions: f0 repeats
+    every 37 ids, the AM rate every 3). Decode, fingerprint
+    (9 windows x 8 log-bands rfft energy deltas), and pair via the banded
+    64-bit Hamming probe shared with SimHash/dHash. Non-SQL-expressible →
+    rows-only driver check + exact fixture."""
+    import numpy as np
+    import pandas as pd
+
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprints,
+        audio_near_dup_pairs,
+        encode_wav,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .filter(F.col("doc_id") < 250)
+        .repartition(spark.sparkContext.defaultParallelism)  # see q_image_near_dup
+    )
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = 6000 + (d % 5) * 1000
+                t = np.arange(n)
+                f0, rate_ = 150 + (d % 37) * 13, 2 + d % 3
+                sig = np.sin(2 * np.pi * (f0 + t / 180) * t / 8000) * (
+                    0.5 + 0.5 * np.sin(2 * np.pi * rate_ * t / 8000)
+                )
+                s16 = (20000 * sig).astype(np.int16)
+                rows.append(
+                    (d, "audio", "audio/wav", None, None, int(n * 1000 / 8000),
+                     encode_wav(s16, 8000))
+                )
+                if d < 60:  # planted near-dup: half gain + 8-bit requantize
+                    v16 = ((s16 // 2) // 256 * 256).astype(np.int16)
+                    rows.append(
+                        (100000 + d, "audio", "audio/wav", None, None,
+                         int(n * 1000 / 8000), encode_wav(v16, 8000))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "mime", "width", "height",
+                    "duration_ms", "payload",
+                ],
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    # cache: three consumers of a KB-scale frame (see q_image_near_dup)
+    fps = audio_fingerprints(media, use_fake=False).cache()
+    return audio_near_dup_pairs(fps, "media_id", max_hamming=8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+QUERY_REGISTRY["audio_near_dup"] = QuerySpec(
+    q_audio_near_dup, None,
+    "perceptual audio fingerprint near-dup pairs across gain/requant copies (rows-only)",
+)
+
+
+def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-level near-duplicate detection with REAL codecs end-to-end:
+    synthesize an MJPEG AVI per doc_id plus, for the first 40 ids, a
+    QUALITY-70 RE-ENCODING of the same frames; sample frames on a shared
+    timeline, dHash each decoded frame, align on frame rank, and verify
+    pairs on >= 3 aligned frames within Hamming 10 — the composition of the
+    container codec, the per-frame JPEG decoder, the perceptual hash, and
+    the banded Hamming probe. The join is keyed (rank, band, key16): video
+    pairs never meet unless an aligned frame pair shares an exact sub-band.
+    Non-SQL-expressible → rows-only driver check + exact fixture (39/40
+    planted re-encodes recalled, zero false positives — one video's
+    drifting-field frames land past the per-frame threshold at q70, the
+    candidate-generator recall contract shared with the audio probe)."""
+    import numpy as np
+    import pandas as pd
+
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_mjpeg_avi,
+        video_frame_hashes,
+        video_near_dup_pairs,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .filter(F.col("doc_id") < 120)
+        .repartition(spark.sparkContext.defaultParallelism)  # see q_image_near_dup
+    )
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                rng = np.random.default_rng(d + 9_000_000)
+                n_frames = 4 + d % 3
+                frames = []
+                base = rng.integers(0, 256, size=(8, 10, 3), dtype=np.uint8)
+                for i in range(n_frames):
+                    # smooth tiled field drifting per frame: structured
+                    # content the perceptual hash can track. 80x64 frames:
+                    # large enough that the 1/8-scale DC-only decode path
+                    # covers the 8x9 dHash grid (video_frame_hashes engages
+                    # it above 64x72), so the benched workload measures the
+                    # thumbnail-decode fast path a real corpus would ride.
+                    img = np.repeat(np.repeat(np.roll(base, i, axis=1), 8, axis=0), 8, axis=1)
+                    frames.append(img)
+                rows.append(
+                    (d, "video", "video/avi", 80, 64, int(n_frames * 250),
+                     encode_mjpeg_avi(frames, fps=4, quality=88))
+                )
+                if d < 40:  # planted near-dup: same frames, harsher quality
+                    rows.append(
+                        (100000 + d, "video", "video/avi", 80, 64,
+                         int(n_frames * 250), encode_mjpeg_avi(frames, fps=4, quality=70))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "mime", "width", "height",
+                    "duration_ms", "payload",
+                ],
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    # cache: three consumers of a KB-scale frame (see q_image_near_dup)
+    hashes = video_frame_hashes(media, every_ms=500).cache()
+    return video_near_dup_pairs(
+        hashes, "media_id", max_hamming=10, min_matching_frames=3
+    ).orderBy("doc_a", "doc_b")
+
+
+QUERY_REGISTRY["video_near_dup"] = QuerySpec(
+    q_video_near_dup, None,
+    "video near-dup via aligned per-frame dHash across real re-encodes (rows-only)",
+)
+
+
+QUERY_REGISTRY.update(
+    {
+        "text_quality": QuerySpec(q_text_quality, ORACLE_TEXT_QUALITY, "text quality scoring"),
+        "lang_id": QuerySpec(q_lang_id, _lang_id_oracle(), "heuristic language-ID"),
+        "doc_fingerprint": QuerySpec(q_doc_fingerprint, ORACLE_DOC_FINGERPRINT, "document fingerprint"),
+        "dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT, "exact hash dedup"),
+        "ngram_jaccard": QuerySpec(q_ngram_jaccard, ORACLE_NGRAM_JACCARD, "n-gram Jaccard pairs"),
+        "cosine_topk": QuerySpec(q_cosine_topk, ORACLE_COSINE_TOPK, "brute-force cosine top-k"),
+        "minhash_lsh": QuerySpec(q_minhash_lsh, None, "MinHash+LSH candidates (rows-only)"),
+        "simhash_pairs": QuerySpec(q_simhash_pairs, None, "SimHash candidates (rows-only)"),
+        "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, None, "LSH ANN top-k (rows-only)"),
+        "multimodal_features": QuerySpec(q_multimodal_features, None, "binary payload features (rows-only)"),
+    }
+)
+
+

@@ -1,0 +1,437 @@
+"""Remaining SURVEY 2 join/scan shapes, wider relational coverage, and the
+wider SQL surface (cube / set operations / exact quantiles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from covid19_spark.plans.base import DEC, QUERY_REGISTRY, QuerySpec, _dsum, _t
+from covid19_spark.operators.delta import running_delta
+from covid19_spark.operators.series import top_k, with_ordered_index
+
+
+def q_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional zip join (J3, ``Utils.zip`` at ``Utils.java:17-28``): pair
+    the i-th row of two aligned sorted lists. The reference throws on length
+    mismatch; here a full-outer join on row index surfaces mismatches as
+    nulls instead of crashing (SURVEY §7.5.4) — this query inner-joins equal
+    lengths. Expressed as a dense ordered index on both sides + equi-join on
+    the index.
+
+    Scale note: the positional index comes from ``with_ordered_index``
+    (per-partition numbering + broadcast cumulative offsets — the DataFrame
+    ``zipWithIndex``), not a global rank window: no single-partition sort
+    even when the aligned frames are unbounded.
+    """
+    events = _t(spark, sf_dir, "events")
+    daily_counts = (
+        events.withColumn("date", F.to_date("ts"))
+        .groupBy("date")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    daily_value = (
+        events.withColumn("date", F.to_date("ts"))
+        .groupBy("date")
+        .agg(_dsum(F.col("value")).alias("sum_value"))
+    )
+    a = with_ordered_index(daily_counts, ["date"])
+    b = with_ordered_index(daily_value, ["date"])
+    return (
+        a.join(b.select("idx", "sum_value"), "idx")
+        .select(
+            F.col("idx").cast("int").alias("idx"),
+            F.date_format("date", "yyyy-MM-dd").alias("date"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("idx")
+    )
+
+
+ORACLE_ZIP_JOIN = """
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS date, count(*) AS n_events
+  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events GROUP BY 1
+), v AS (
+  SELECT CAST(ts AS DATE) AS date, CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events GROUP BY 1
+), a AS (SELECT *, row_number() OVER (ORDER BY date) AS idx FROM c),
+   b AS (SELECT *, row_number() OVER (ORDER BY date) AS idx FROM v)
+SELECT a.idx AS idx, strftime(a.date, '%Y-%m-%d') AS date, a.n_events, b.sum_value
+FROM a JOIN b USING (idx)
+ORDER BY idx
+"""
+
+
+def q_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-side enrichment (J1 family over the remaining dims): lineitem
+    ⋈ supplier ⋈ nation, revenue + fill-rate stats per supplier nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            _dsum(F.col("l_quantity")).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_SUPPLIER_REVENUE = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty,
+       count(*) AS n_lineitems,
+       count(DISTINCT s_suppkey) AS n_suppliers
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-dimension aggregation: per p_type price stats + brand cardinality
+    (completes the star schema coverage; exercises min/max/avg/distinct)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct("p_brand").alias("n_brands"),
+            # DECIMAL(38,6)→DOUBLE contract on min/max and BIGINT on the int
+            # sum: raw DOUBLE extremes and HUGEINT sums fetch with divergent
+            # encodings between the engines.
+            F.min(F.col("p_retailprice").cast(DEC)).cast("double").alias("min_price"),
+            F.max(F.col("p_retailprice").cast(DEC)).cast("double").alias("max_price"),
+            (_dsum(F.col("p_retailprice")) / F.count(F.lit(1))).alias("avg_price"),
+            F.sum("p_size").cast("long").alias("total_size"),
+        )
+        .orderBy("p_type")
+    )
+
+
+ORACLE_PART_TYPE_STATS = """
+SELECT p_type,
+       count(*) AS n_parts,
+       count(DISTINCT p_brand) AS n_brands,
+       CAST(min(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS min_price,
+       CAST(max(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS max_price,
+       CAST(sum(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(p_size) AS BIGINT) AS total_size
+FROM part
+GROUP BY p_type
+ORDER BY p_type
+"""
+
+
+def q_date_range_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range scan + priority histogram (P2's range-filter shape over the
+    orders fact): predicate pushes into the parquet scan, map-side combine
+    keeps the shuffle at |priorities| rows."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_DATE_RANGE_ORDERS = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+QUERY_REGISTRY.update(
+    {
+        "zip_join": QuerySpec(q_zip_join, ORACLE_ZIP_JOIN, "J3 positional zip join"),
+        "supplier_revenue": QuerySpec(q_supplier_revenue, ORACLE_SUPPLIER_REVENUE, "J1 supplier enrichment"),
+        "part_type_stats": QuerySpec(q_part_type_stats, ORACLE_PART_TYPE_STATS, "part dimension agg"),
+        "date_range_orders": QuerySpec(q_date_range_orders, ORACLE_DATE_RANGE_ORDERS, "P2 date-range scan"),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Wider SQL surface: cube / set operations / exact quantiles
+# ---------------------------------------------------------------------------
+
+def q_cube_segment_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (region, mktsegment): all four grouping combinations in one
+    pass (superset of the reference's rollup-style Total rows)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        joined.cube("r_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"), _dsum(F.col("c_acctbal")).alias("sum_acctbal"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("c_mktsegment"),
+            "n_customers",
+            "sum_acctbal",
+        )
+        .orderBy("r_name", "c_mktsegment")
+    )
+
+
+ORACLE_CUBE_SEGMENT_REGION = """
+SELECT coalesce(r_name, 'ALL') AS r_name,
+       coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE(r_name, c_mktsegment)
+ORDER BY r_name, c_mktsegment
+"""
+
+
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: big-spender ∩ BUILDING-segment customers, minus
+    negative-balance ones — intersect/except over keyed projections (the
+    reference's only union-like construct is Stream.concat, SURVEY §2.5)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    spenders = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+        .filter(F.col("spend") > 100000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    negative = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return (
+        spenders.intersect(building).exceptAll(negative).orderBy("c_custkey")
+    )
+
+
+ORACLE_SET_OPS_CUSTOMERS = """
+SELECT c_custkey FROM (
+  SELECT o_custkey AS c_custkey FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > 100000
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+EXCEPT ALL
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+ORDER BY c_custkey
+"""
+
+
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per return flag (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont`` — verified bitwise-identical). The exact
+    percentile is the correctness gold; at 100 TB the plan swaps to
+    ``approx_percentile`` (t-digest) with documented error bounds.
+
+    Both price percentiles come from ONE ``percentile(col, array(...))``
+    aggregate: each separate percentile call keeps its own copy of the
+    group's values in the agg buffer, so the array form halves the buffered
+    data for the price column (~40% faster measured at sf0.1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95))
+            ).alias("pp"),
+            F.percentile("l_discount", 0.5).alias("p50_discount"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("pp")[0].alias("p50_price"),
+            F.col("pp")[1].alias("p95_price"),
+            "p50_discount",
+            "n_rows",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_PRICE_QUANTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50_price,
+       quantile_cont(l_extendedprice, 0.95) AS p95_price,
+       quantile_cont(l_discount, 0.5) AS p50_discount,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+QUERY_REGISTRY.update(
+    {
+        "cube_segment_region": QuerySpec(q_cube_segment_region, ORACLE_CUBE_SEGMENT_REGION, "CUBE grouping sets"),
+        "set_ops_customers": QuerySpec(q_set_ops_customers, ORACLE_SET_OPS_CUSTOMERS, "intersect/except set ops"),
+        "price_quantiles": QuerySpec(q_price_quantiles, ORACLE_PRICE_QUANTILES, "exact quantiles"),
+    }
+)
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events stream (30-minute timeout):
+    per-user session ids via lag + running sum — one hash exchange on
+    user_id shared by both windows (see operators/sessions.py)."""
+    from covid19_spark.operators.sessions import session_stats
+
+    events = _t(spark, sf_dir, "events")
+    return (
+        session_stats(events, ["user_id"], "ts", gap="30 minutes", tiebreak_cols=["event_id"])
+        .orderBy("user_id", "session_id")
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_start
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id, ts,
+         CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+QUERY_REGISTRY["sessionize"] = QuerySpec(q_sessionize, ORACLE_SESSIONIZE, "gap-based sessionization")
+
+
+def q_running_delta_two_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: running delta with a composite key (the reference's
+    (state, district) aggregator, ``Covid19Stats.java:100-111``) — here
+    (user_id, event_type); still a single exchange on the two key columns."""
+    events = _t(spark, sf_dir, "events")
+    return running_delta(
+        events,
+        key_cols=["user_id", "event_type"],
+        order_cols=["ts", "event_id"],
+        value_cols=["value"],
+    ).select("event_id", "user_id", "event_type", "ts", "value", "delta_value")
+
+
+ORACLE_RUNNING_DELTA_TWO_KEY = """
+SELECT event_id, user_id, event_type, ts, value,
+       value - coalesce(lag(value) OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts, event_id), 0) AS delta_value
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+"""
+
+
+def q_topk_days_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 partitioned variant: top-3 busiest days per event_type — rank
+    window WITH a partition key (the global top-k's scalable sibling)."""
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.withColumn("date", F.to_date("ts"))
+        .groupBy("event_type", "date")
+        .agg(F.count(F.lit(1)).alias("daily_n"))
+    )
+    ranked = top_k(
+        daily, "daily_n", 3, partition_cols=["event_type"], tiebreak_cols=["date"]
+    )
+    return ranked.select(
+        "event_type",
+        "rank",
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        "daily_n",
+    ).orderBy("event_type", "rank")
+
+
+ORACLE_TOPK_DAYS_PER_TYPE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS daily_n
+  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY daily_n DESC, date) AS rank
+  FROM daily
+)
+SELECT event_type, rank, strftime(date, '%Y-%m-%d') AS date, daily_n
+FROM ranked WHERE rank <= 3
+ORDER BY event_type, rank
+"""
+
+
+def q_string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 scalar string surface in one query: concat_ws, substring, upper/
+    lower, format_string, length, conditional pluralization — the alert-text
+    building blocks as engine expressions."""
+    cust = _t(spark, sf_dir, "customer")
+    n_orders = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    joined = cust.join(
+        n_orders, cust.c_custkey == n_orders.o_custkey, "left"
+    ).withColumn("n", F.coalesce("n", F.lit(0)))
+    return joined.select(
+        "c_custkey",
+        F.concat_ws("|", F.upper(F.substring("c_name", 1, 8)), F.lower("c_mktsegment")).alias("tag"),
+        F.format_string("%s placed %d %s", F.col("c_name"), F.col("n"),
+                        F.when(F.col("n") == 1, "order").otherwise("orders")).alias("sentence"),
+        F.length("c_name").alias("name_len"),
+    ).orderBy("c_custkey")
+
+
+ORACLE_STRING_SURFACE = """
+WITH n AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
+SELECT c_custkey,
+       concat_ws('|', upper(substring(c_name, 1, 8)), lower(c_mktsegment)) AS tag,
+       printf('%s placed %d %s', c_name, coalesce(n.n, 0),
+              CASE WHEN coalesce(n.n, 0) = 1 THEN 'order' ELSE 'orders' END) AS sentence,
+       length(c_name) AS name_len
+FROM customer LEFT JOIN n ON c_custkey = o_custkey
+ORDER BY c_custkey
+"""
+
+
+QUERY_REGISTRY.update(
+    {
+        "running_delta_two_key": QuerySpec(q_running_delta_two_key, ORACLE_RUNNING_DELTA_TWO_KEY, "A2 composite-key delta"),
+        "topk_days_per_type": QuerySpec(q_topk_days_per_type, ORACLE_TOPK_DAYS_PER_TYPE, "W3 partitioned top-k"),
+        "string_surface": QuerySpec(q_string_surface, ORACLE_STRING_SURFACE, "§2.6 string functions"),
+    }
+)
+
+

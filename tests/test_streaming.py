@@ -738,3 +738,55 @@ def test_compact_lsh_store_preserves_dedup_semantics(stream_env):
     sink(spark.createDataFrame([(100, dup), (101, "totally fresh words entirely")], schema), 10)
     accepted = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
     assert 100 not in accepted and 101 in accepted
+
+
+def test_streaming_lsh_store_probe_is_partition_pruned(stream_env):
+    """The history probe must not read the whole bucket store: the store is
+    partitioned by (band, bucket_mod) and the probe filter prunes to the
+    batch's own keys — a one-doc probe batch reads a strict subset of the
+    store's files, and the predicate lands in the scan's PartitionFilters
+    (pruning before IO, not a post-scan filter)."""
+    from covid19_spark.operators.dedup import band_buckets, minhash_signatures
+    from covid19_spark.streaming.dedup_lsh_stream import (
+        make_lsh_dedup_sink,
+        pruned_bucket_store,
+    )
+
+    spark, d, _src, _ckpt = stream_env
+    out_path, store = f"{d}/accepted", f"{d}/store"
+    sink = make_lsh_dedup_sink(out_path, store, "doc_id", "text", threshold=0.5)
+    schema = "doc_id long, text string"
+    # a wide history: 30 distinct docs spread buckets over many partitions
+    rows = [
+        (i, " ".join(f"word{i}_{j}" for j in range(20))) for i in range(30)
+    ]
+    sink(spark.createDataFrame(rows, schema), 0)
+
+    def files_read(df):
+        # input_file_name over the EXECUTED scan — inputFiles() reports the
+        # unpruned relation and would not see partition pruning
+        return {
+            r[0]
+            for r in df.select(F.input_file_name()).distinct().collect()
+        }
+
+    all_files = files_read(spark.read.parquet(f"{store}/buckets"))
+    assert len(all_files) > 8  # the spread actually happened
+
+    probe = spark.createDataFrame(
+        [(100, " ".join(f"fresh{j}" for j in range(20)))], schema
+    )
+    banded = band_buckets(
+        minhash_signatures(probe, "doc_id", "text", 32, 3), "doc_id", 32, 8
+    )
+    pruned = pruned_bucket_store(spark, store, banded)
+    probe_files = files_read(pruned)
+    assert probe_files < all_files, (len(probe_files), len(all_files))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # and dedup semantics through the pruned probe are unchanged: a
+    # near-copy of a history doc is still dropped, fresh text accepted
+    dup = rows[7][1].replace("word7_9", "changed")
+    sink(spark.createDataFrame([(200, dup), (201, rows[7][1])], schema), 1)
+    accepted = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
+    assert 200 not in accepted and 201 not in accepted
