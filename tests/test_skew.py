@@ -61,3 +61,51 @@ def test_key_skew_report_detects_planted_hot_key(spark):
     assert r.skew_ratio == 1000 / (1100 / 11)
     uniform = spark.createDataFrame([(k, i) for k in range(10) for i in range(10)], ["user_id", "v"])
     assert key_skew_report(uniform, "user_id").collect()[0].skew_ratio == 1.0
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """SCALING.md leans on AQE's runtime skew-join split as the first line
+    of defense (salting is the manual fallback) — exercise it for real: a
+    99%-hot sort-merge join with thresholds scaled to local data sizes must
+    show `skew=true` on the join in the final adaptive plan."""
+    saved = {}
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        pad = "x" * 64
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 100 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit(pad), F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(20_000).select(
+            (F.col("id") % 50_000).alias("k"),
+            F.col("id").alias("rv"),
+        )
+        # thin projection so the collect stays small; the action MUST run on
+        # this same DataFrame — count()/write wrap a new query execution and
+        # would leave this one's adaptive plan unfinalized (isFinalPlan=false)
+        joined = big.join(right, "k").select(
+            F.length("payload").alias("lp"), "rv"
+        )
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
