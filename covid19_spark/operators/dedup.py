@@ -22,7 +22,7 @@ no Python UDFs anywhere.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
@@ -474,6 +474,35 @@ def lsh_verified_pairs(
         for c in caches:
             c.unpersist()
     return verified
+
+
+def lsh_verified_pairs_releasable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = 10_000,
+) -> "tuple[DataFrame, Callable[[], None]]":
+    """Lazy ``lsh_verified_pairs`` WITH a cache-release handle: returns
+    ``(pairs, release)`` where ``release()`` unpersists the internal
+    shingle/signature caches. The plain lazy API keeps those caches alive
+    with no public handle (a lazy result cannot outlive what it reads), so
+    repeated lazy calls in one session accumulate unreleasable cached
+    frames (r05 advisory). Call ``release()`` after the pairs frame has
+    been consumed (collected/written) — consuming it afterwards recomputes
+    from scratch, still correct but paying the shingle pass again."""
+    verified, caches = _lsh_verified_pairs_with_handle(
+        df, id_col, text_col, num_hashes, bands, shingle_n, threshold, max_bucket
+    )
+
+    def release() -> None:
+        for c in caches:
+            c.unpersist()
+
+    return verified, release
 
 
 def _lsh_verified_pairs_with_handle(

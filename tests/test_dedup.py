@@ -664,3 +664,21 @@ def test_audio_near_dup_matches_fixture(spark):
 
 def test_video_near_dup_matches_fixture(spark):
     _assert_matches_fixture(spark, "video_near_dup", ["doc_a", "doc_b"])
+
+
+def test_lsh_verified_pairs_releasable_frees_caches(spark):
+    """The lazy pipeline entry must expose a cache handle (r05 advisory):
+    release() drops the internal shingle/signature caches, and the already-
+    collected result is unaffected."""
+    from covid19_spark.operators.dedup import lsh_verified_pairs_releasable
+
+    jsc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    base = jsc.getPersistentRDDs().size()
+    docs = _docs(spark)
+    pairs, release = lsh_verified_pairs_releasable(docs, "doc_id", "text")
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dup pair verified
+    assert jsc.getPersistentRDDs().size() > base  # caches were live
+    release()
+    assert jsc.getPersistentRDDs().size() == base  # ... and are gone
