@@ -928,6 +928,41 @@ QUERY_REGISTRY["semantic_dedup"] = QuerySpec(
 )
 
 
+def q_semantic_dedup_paper_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup paper's §3 keep policy (``low_centroid_sim``: within
+    each duplicate cluster keep the example FARTHEST from its k-means
+    centroid — arXiv:2303.09540 argues it preserves diversity) over the
+    exact corpus/cluster structure of ``semantic_dedup``. Registered
+    separately (r05 stretch #8) so the driver exercises BOTH policies;
+    rows-only for the same k-means reason, fixture-pinned in
+    tests/test_similarity.py."""
+    from covid19_spark.operators.similarity import semantic_dedup
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    nudged = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: F.element_at("embedding", i) + F.lit(0.02) * ((i % 7) - 3),
+    )
+    perturbed = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), nudged.alias("embedding")
+    )
+    base = emb.unionByName(perturbed)
+    return semantic_dedup(
+        base, "vec_id", "embedding", n_centroids=8, threshold=0.95,
+        salt_buckets=8, keep_policy="low_centroid_sim",
+    ).orderBy("vec_id")
+
+
+QUERY_REGISTRY["semantic_dedup_paper_policy"] = QuerySpec(
+    q_semantic_dedup_paper_policy, None,
+    "SemDeDup with the paper's low-centroid-similarity keep policy",
+)
+
+
 def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality report over orders (operators/quality):
     five constraints — not-null, key uniqueness, price range, status

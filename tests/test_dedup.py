@@ -279,6 +279,25 @@ def test_semantic_dedup_matches_fixture(spark):
     _assert_matches_fixture(spark, "semantic_dedup", ["vec_id"])
 
 
+def test_semantic_dedup_paper_policy_matches_fixture(spark):
+    _assert_matches_fixture(spark, "semantic_dedup_paper_policy", ["vec_id"])
+
+
+def test_semantic_dedup_policies_agree_on_structure(spark):
+    """Both keep policies see the SAME clusters — they may pick different
+    keepers, but the kept-count and the duplicate-group membership match
+    (paper policy is a per-cluster argmin swap, not a different dedup)."""
+    from covid19_spark.plans.registry import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    a = QUERY_REGISTRY["semantic_dedup"].fn(spark, sf).toPandas()
+    b = QUERY_REGISTRY["semantic_dedup_paper_policy"].fn(spark, sf).toPandas()
+    assert a["is_canonical"].sum() == b["is_canonical"].sum()
+    ga = a.groupby("cluster_id")["vec_id"].apply(sorted).to_dict()
+    gb = b.groupby("cluster_id")["vec_id"].apply(sorted).to_dict()
+    assert ga == gb  # identical duplicate-group membership
+
+
 def test_lsh_dedup_pipeline_matches_exact_all_pairs(spark):
     """End-to-end discovery→verify→cluster equals exact all-pairs clustering
     on the real documents table (sf0.001): LSH recall is 1 for the j≥0.9

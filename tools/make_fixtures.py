@@ -30,6 +30,7 @@ FIXTURE_QUERIES = (
     "ivf_cosine_topk",
     "multimodal_features",
     "semantic_dedup",
+    "semantic_dedup_paper_policy",
     "bmp_image_features",
     "png_image_features",
     "pq_cosine_topk",
