@@ -83,3 +83,92 @@ def test_reader_writer_option_golden_values():
         "topic": "covid19-stats",
         "checkpointLocation": "/tmp/ckpt",
     }
+
+
+def test_emulated_topic_end_to_end_produce_consume_aggregate(spark, tmp_path):
+    """The whole S1/S4/S5 wiring through a file-backed topic: a streaming
+    producer writes wire records via the SAME serde `write_topic` uses, a
+    streaming consumer decodes them via the SAME serde `read_topic_stream`
+    uses, and a downstream aggregate matches the batch truth. Also pins the
+    broker contracts the emulation keeps: every record of a key lands in
+    ONE partition, and a replayed producer batch duplicates records
+    (at-least-once), never drops them."""
+    import pandas as pd
+
+    from covid19_spark.sources.kafka import (
+        emulated_topic_sink,
+        read_emulated_topic_stream,
+    )
+
+    src = str(tmp_path / "src")
+    topic = str(tmp_path / "topic")
+    rows = [
+        (state, day, 10 * day + i)
+        for i, state in enumerate(["Kerala", "Delhi", "Assam"])
+        for day in range(1, 4)
+    ]
+    schema = "state string, day int, confirmed int"
+    spark.createDataFrame(rows[:6], schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows[6:], schema).coalesce(1).write.mode("append").parquet(src)
+
+    # produce: streaming source -> emulated topic (2 micro-batches)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(emulated_topic_sink(topic, F.col("state")))
+        .option("checkpointLocation", str(tmp_path / "ckpt_p"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # broker contract 1: key-hash partitioning — one partition per key
+    wire = spark.read.parquet(topic)
+    per_key = wire.groupBy("key").agg(
+        F.countDistinct("partition").alias("nparts"), F.count("*").alias("n")
+    )
+    assert {(r.key, r.nparts) for r in per_key.collect()} == {
+        ("Kerala", 1), ("Delhi", 1), ("Assam", 1)
+    }
+
+    # consume: emulated topic -> decode -> aggregate -> memory sink
+    from pyspark.sql import types as T
+
+    value_schema = T.StructType(
+        [
+            T.StructField("state", T.StringType()),
+            T.StructField("day", T.IntegerType()),
+            T.StructField("confirmed", T.IntegerType()),
+        ]
+    )
+    decoded = read_emulated_topic_stream(spark, topic, value_schema)
+    agg = decoded.groupBy("state").agg(
+        F.sum("confirmed").alias("total"), F.count("*").alias("n")
+    )
+    qc = (
+        agg.writeStream.format("memory")
+        .queryName("emulated_topic_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qc.awaitTermination(180)
+    got = {r.state: (r.total, r.n) for r in spark.table("emulated_topic_agg").collect()}
+    expected = (
+        pd.DataFrame(rows, columns=["state", "day", "confirmed"])
+        .groupby("state")["confirmed"]
+        .agg(["sum", "count"])
+    )
+    assert got == {
+        s: (int(expected.loc[s, "sum"]), int(expected.loc[s, "count"]))
+        for s in expected.index
+    }
+
+    # broker contract 2: at-least-once — a replayed producer batch APPENDS
+    n_before = wire.count()
+    emulated_topic_sink(topic, F.col("state"))(
+        spark.createDataFrame(rows[:6], schema), 0
+    )
+    assert spark.read.parquet(topic).count() == n_before + 6
