@@ -460,6 +460,12 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame is |docs| rows of 32 longs (KB-scale), recomputing it doubles the
     # whole shingle+hash pass.
     sigs = minhash_signatures(base, "doc_id", "text", num_hashes=32, shingle_n=3).cache()
+    # eager: the self-join + oversized-bucket broadcast build fan out into
+    # concurrent jobs, and concurrent FIRST computation of an unmaterialized
+    # cache duplicates the expensive upstream work (measured: simhash_pairs
+    # 2.7 s warm vs 7.6 s when the consumers race) — materialize once, then
+    # every consumer reads blocks
+    sigs.count()
     return (
         lsh_candidate_pairs(sigs, "doc_id", num_hashes=32, bands=8)
         .filter(F.col("est_jaccard") >= 0.3)
@@ -475,6 +481,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _perturbed_docs(spark, sf_dir)
     # cache for the same self-join reuse reason as q_minhash_lsh
     sigs = simhash(base, "doc_id", "text", shingle_n=2).cache()
+    sigs.count()  # eager — see q_minhash_lsh
     return simhash_candidate_pairs(sigs, "doc_id", max_hamming=12).orderBy(
         "doc_a", "doc_b"
     )
@@ -933,6 +940,7 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evaluation costs a full synth+decode pass (bench.py clears caches
     # between queries — the sanctioned q_minhash_lsh lifecycle)
     hashes = image_dhash(media, use_fake=False).cache()
+    hashes.count()  # eager — see q_minhash_lsh
     return image_near_dup_pairs(hashes, "media_id", max_hamming=10).orderBy(
         "doc_a", "doc_b"
     )
@@ -1008,6 +1016,7 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
     # cache: three consumers of a KB-scale frame (see q_image_near_dup)
     fps = audio_fingerprints(media, use_fake=False).cache()
+    fps.count()  # eager — see q_minhash_lsh
     return audio_near_dup_pairs(fps, "media_id", max_hamming=8).orderBy(
         "doc_a", "doc_b"
     )
@@ -1086,6 +1095,7 @@ def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
     # cache: three consumers of a KB-scale frame (see q_image_near_dup)
     hashes = video_frame_hashes(media, every_ms=500).cache()
+    hashes.count()  # eager — see q_minhash_lsh
     return video_near_dup_pairs(
         hashes, "media_id", max_hamming=10, min_matching_frames=3
     ).orderBy("doc_a", "doc_b")
