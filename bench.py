@@ -98,13 +98,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERY_REGISTRY[name].fn
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
             _settle()
-        timings[name] = round(best, 3)
+        # Two runs that disagree badly mean one was hit by a GC/cleaner
+        # storm the settle didn't fully absorb (measured: the same query
+        # varies 5.3 s ↔ 7.6 s between sweeps); one arbitration run bounds
+        # the extra sweep cost to the noisy queries only.
+        if min(runs) > 1.0 and max(runs) > 1.4 * min(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+            _settle()
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
