@@ -898,12 +898,78 @@ def encode_wav(samples: "np.ndarray", sample_rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_g711(
+    samples: "np.ndarray", law: str = "mulaw", sample_rate: int = 8000
+) -> bytes:
+    """Encode float samples in [-1, 1] as a G.711 companded RIFF/WAVE file
+    (format 6 = A-law, 7 = mu-law, always 8-bit). Mono or (n, channels);
+    test/synthesizer twin of the format-6/7 decode path."""
+    import struct
+
+    fmt_code = {"alaw": 6, "mulaw": 7}[law]
+    arr = np.asarray(samples, dtype=np.float32)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    _n, ch = arr.shape
+    data = g711_encode(arr.reshape(-1), law)
+    byte_rate = sample_rate * ch
+    fmt = struct.pack("<HHIIHH", fmt_code, ch, sample_rate, byte_rate, ch, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _g711_tables() -> "tuple[np.ndarray, np.ndarray]":
+    """256-entry expansion tables for the ITU-T G.711 companded encodings,
+    built from the public expansion formulas (A-law: invert the 0x55 XOR
+    mask, reassemble segment+mantissa; mu-law: bias-132 exponential).
+    Output float32 in [-1, 1] (linear range ±32256 / ±32124 over 32768)."""
+    alaw = np.empty(256, np.float32)
+    mulaw = np.empty(256, np.float32)
+    for code in range(256):
+        a = code ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[code] = (t if a & 0x80 else -t) / 32768.0
+        u = ~code & 0xFF
+        m = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        mulaw[code] = ((0x84 - m) if u & 0x80 else (m - 0x84)) / 32768.0
+    return alaw, mulaw
+
+
+_ALAW_TABLE, _MULAW_TABLE = _g711_tables()
+
+
+def g711_encode(samples: "np.ndarray", law: str) -> bytes:
+    """Compand float samples in [-1, 1] to 8-bit G.711 codes ("alaw" or
+    "mulaw") — nearest-codeword search against the expansion table (exact
+    inverse of the decode path by construction; the segmented bit-twiddling
+    encoder is equivalent but this form cannot drift from the table).
+    Test/synthesizer helper for producing REAL format-6/7 WAV payloads."""
+    table = {"alaw": _ALAW_TABLE, "mulaw": _MULAW_TABLE}[law]
+    order = np.argsort(table)
+    flat = np.clip(np.asarray(samples, np.float32).reshape(-1), -1.0, 1.0)
+    idx = np.searchsorted(table[order], flat)
+    idx = np.clip(idx, 1, 255)
+    left, right = table[order][idx - 1], table[order][np.clip(idx, 0, 255)]
+    pick = np.where(np.abs(flat - left) <= np.abs(right - flat), idx - 1, idx)
+    return order[pick].astype(np.uint8).tobytes()
+
+
 def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
     """Decode a RIFF/WAVE file to ``(samples, sample_rate)`` — samples as
     float32 in [-1, 1], shape (n, channels). Pure stdlib. Supports PCM
-    (format 1) at 8 (unsigned), 16, 24 (packed), and 32 bits, and IEEE
-    float (format 3) at 32/64 bits; skips unknown chunks (LIST, cue, ...).
-    Compressed formats (ADPCM, mu-law, MP3-in-WAV) raise
+    (format 1) at 8 (unsigned), 16, 24 (packed), and 32 bits, IEEE float
+    (format 3) at 32/64 bits, and the ITU-T G.711 companded formats —
+    A-law (format 6) and mu-law (format 7), decoded by the public
+    expansion formulas; skips unknown chunks (LIST, cue, ...). The
+    remaining compressed formats (ADPCM, MP3-in-WAV) raise
     NotImplementedError — the codec-library seam."""
     import struct
 
@@ -954,6 +1020,12 @@ def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
             arr = np.frombuffer(data, "<f8").astype(np.float32)
         else:
             raise ValueError(f"corrupt WAV: invalid float bit depth {bits}")
+    elif audio_fmt in (6, 7):  # ITU-T G.711 A-law / mu-law, always 8-bit
+        if bits != 8:
+            raise ValueError(f"corrupt WAV: G.711 requires 8-bit samples, got {bits}")
+        arr = (
+            _ALAW_TABLE if audio_fmt == 6 else _MULAW_TABLE
+        )[np.frombuffer(data, np.uint8)]
     else:
         raise NotImplementedError(
             f"compressed WAV format {audio_fmt} needs a codec library"

@@ -887,3 +887,66 @@ def test_small_frame_videos_fall_back_to_full_decode(spark):
         for rank, (_ts, _idx, j) in enumerate(_sampled_avi_frames(avi, 500))
     }
     assert got == expected
+
+
+def test_g711_wav_decode_roundtrip_and_anchors():
+    """G.711 A-law/mu-law WAV decode (formats 6/7 — previously a
+    NotImplementedError seam): spec anchor values, round-trip through the
+    companding encoder within the 8-bit companding error bound, and the
+    full container path (encode_wav_g711 -> decode_wav)."""
+    from covid19_spark.operators.multimodal import (
+        _ALAW_TABLE,
+        _MULAW_TABLE,
+        decode_wav,
+        encode_wav_g711,
+        g711_encode,
+    )
+
+    # spec anchors: mu-law code 0xFF decodes to 0; 0x7F is the most negative
+    # step of the same magnitude bucket; A-law code 0x55 decodes to -8/32768
+    assert _MULAW_TABLE[0xFF] == 0.0
+    assert _MULAW_TABLE[0x7F] == 0.0
+    assert _ALAW_TABLE[0x55] * 32768.0 == -8.0
+    assert _ALAW_TABLE[0xD5] * 32768.0 == 8.0
+    # monotone decode within each sign: positive mu-law codes descend from
+    # 0x80 (max magnitude) to 0xFF (zero)
+    assert _MULAW_TABLE[0x80] == max(_MULAW_TABLE)
+
+    t = np.arange(4000, dtype=np.float32)
+    sig = (0.7 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.float32)
+    for law, tol in (("mulaw", 0.002), ("alaw", 0.002)):
+        codes = np.frombuffer(g711_encode(sig, law), np.uint8)
+        table = _MULAW_TABLE if law == "mulaw" else _ALAW_TABLE
+        # companding error bound: half the largest step around |x|<=0.7
+        assert np.abs(table[codes] - sig).max() < 0.02
+        # small-signal region is much tighter (logarithmic step sizes)
+        quiet = 0.01 * np.sin(2 * np.pi * 200 * t / 8000).astype(np.float32)
+        qcodes = np.frombuffer(g711_encode(quiet, law), np.uint8)
+        assert np.abs(table[qcodes] - quiet).max() < tol
+
+        wav = encode_wav_g711(sig, law=law, sample_rate=8000)
+        decoded, rate = decode_wav(wav)
+        assert rate == 8000 and decoded.shape == (4000, 1)
+        assert np.abs(decoded[:, 0] - sig).max() < 0.02
+
+
+def test_g711_wav_feeds_audio_features(spark):
+    """A format-7 (mu-law) WAV flows through the real-decode feature
+    extractor like any PCM file — the seam is genuinely closed Spark-side."""
+    from covid19_spark.operators.multimodal import (
+        encode_wav_g711,
+        extract_audio_features,
+    )
+
+    t = np.arange(8000, dtype=np.float32)
+    sig = (0.5 * np.sin(2 * np.pi * 330 * t / 8000)).astype(np.float32)
+    media = spark.createDataFrame(
+        [(1, "audio", "audio/wav", None, None, 1000,
+          bytearray(encode_wav_g711(sig, "mulaw")))],
+        "media_id long, kind string, mime string, width int, height int, "
+        "duration_ms long, payload binary",
+    )
+    rows = extract_audio_features(media, use_fake=False).collect()
+    assert len(rows) == 1
+    feats = rows[0]["feature"]
+    assert len(feats) == 16 and max(feats) == 1.0  # peak-normalized RMS
