@@ -5,12 +5,12 @@ The container has no codec libraries, so the REAL decode paths are the
 formats a pure-stdlib reader can handle: uncompressed 24-bpp BMP, full PNG
 (all five color types incl. palette, depths 1-16, Adam7 interlace — the
 chart format the reference serves, covid19-visualizer Visualizer.java:469,520 / ChartRequest.java:23),
-baseline + progressive JPEG (operators/jpeg.py), RIFF/WAVE PCM audio
-(8/16/24/32-bit + IEEE float), and Motion-JPEG AVI video (RIFF container
-walk + per-frame JPEG decode, real frame sampling). Arithmetic-coded/
-lossless JPEG, compressed WAV (ADPCM/mu-law), and inter-frame video codecs
-(H.264/VP9) remain clearly-marked ``NotImplementedError`` seams with
-deterministic fakes for the test path. Everything Spark-side is real and
+baseline + progressive JPEG (operators/jpeg.py), RIFF/WAVE audio (PCM
+8/16/24/32-bit + IEEE float + G.711 A-law/mu-law + IMA ADPCM), and
+Motion-JPEG AVI video (RIFF container walk + per-frame JPEG decode, real
+frame sampling). Arithmetic-coded/lossless JPEG, MP3-in-WAV, and
+inter-frame video codecs (H.264/VP9) remain clearly-marked
+``NotImplementedError`` seams with deterministic fakes for the test path. Everything Spark-side is real and
 tested: schemas, batch iteration, partition sizing, UDF signatures.
 
 Scale design: media blobs dominate bytes, not rows — so (1) metadata-only
@@ -962,15 +962,141 @@ def g711_encode(samples: "np.ndarray", law: str) -> bytes:
     return order[pick].astype(np.uint8).tobytes()
 
 
+# IMA/DVI ADPCM (public spec; WAV format 0x11): 89-entry step-size table and
+# the 16-entry index-adjustment table, per the IMA Digital Audio Pack (1992).
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX_ADJ = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32
+)
+
+
+def _ima_decode_nibbles(nibbles, predictor: int, index: int) -> "tuple[list[int], int, int]":
+    """Decode a sequence of 4-bit IMA ADPCM codes given the running
+    predictor/step-index state; returns (samples, predictor, index).
+    Sequential by construction (each sample feeds the next prediction) —
+    per-block Python loop, invoked from Arrow-batched kernels only."""
+    out = []
+    for nib in nibbles:
+        step = int(_IMA_STEPS[index])
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        predictor = predictor - diff if nib & 8 else predictor + diff
+        predictor = max(-32768, min(32767, predictor))
+        index = max(0, min(88, index + int(_IMA_INDEX_ADJ[nib])))
+        out.append(predictor)
+    return out, predictor, index
+
+
+def _decode_ima_adpcm(data: bytes, ch: int, block_align: int) -> "np.ndarray":
+    """IMA ADPCM 'data' chunk → float32 samples (n, ch) in [-1, 1]. Blocks
+    are independent (each carries its own predictor/step-index header), so
+    a corrupt tail only loses its own block. Stereo interleaves 4-byte
+    nibble groups per channel within each block (IMA spec layout)."""
+    samples_per_ch: list[list[int]] = [[] for _ in range(ch)]
+    for bstart in range(0, len(data) - (len(data) % block_align), block_align):
+        block = data[bstart : bstart + block_align]
+        preds, idxs = [], []
+        for c in range(ch):
+            h = block[c * 4 : c * 4 + 4]
+            pred = int.from_bytes(h[0:2], "little", signed=True)
+            idxs.append(max(0, min(88, h[2])))
+            preds.append(pred)
+            samples_per_ch[c].append(pred)  # header predictor IS sample 0
+        body = block[4 * ch :]
+        # nibble stream: groups of 4 bytes per channel, round-robin
+        per_ch_nibbles: list[list[int]] = [[] for _ in range(ch)]
+        for g in range(0, len(body), 4 * ch):
+            for c in range(ch):
+                for b in body[g + 4 * c : g + 4 * c + 4]:
+                    per_ch_nibbles[c].append(b & 0x0F)
+                    per_ch_nibbles[c].append(b >> 4)
+        for c in range(ch):
+            dec, _p, _i = _ima_decode_nibbles(per_ch_nibbles[c], preds[c], idxs[c])
+            samples_per_ch[c].extend(dec)
+    n = min(len(s) for s in samples_per_ch) if ch else 0
+    arr = np.stack([np.array(s[:n], np.float32) for s in samples_per_ch], axis=1)
+    return arr / 32768.0
+
+
+def encode_wav_ima_adpcm(
+    samples: "np.ndarray", sample_rate: int = 8000, block_samples: int = 505
+) -> bytes:
+    """Encode mono int16 samples as an IMA ADPCM (format 0x11) RIFF/WAVE
+    file — the test/synthesizer twin of the format-17 decode path. Standard
+    greedy encoder: per block, sample 0 goes in the header verbatim, each
+    later sample quantizes its prediction error to the 4-bit code whose
+    decode lands nearest (encode and decode share the step tables, so
+    round-trip error is bounded by the step size)."""
+    import struct
+
+    arr = np.asarray(samples, dtype=np.int16).reshape(-1)
+    nib_per_block = block_samples - 1
+    if nib_per_block % 8:
+        raise ValueError("block_samples - 1 must be a multiple of 8")
+    block_align = 4 + nib_per_block // 2
+    out = bytearray()
+    pred_state, index_state = 0, 0
+    for bstart in range(0, len(arr), block_samples):
+        blk = arr[bstart : bstart + block_samples]
+        if len(blk) == 0:
+            break
+        pred_state = int(blk[0])
+        out += struct.pack("<hBB", pred_state, index_state, 0)
+        nibbles = []
+        for s in blk[1:]:
+            step = int(_IMA_STEPS[index_state])
+            diff = int(s) - pred_state
+            nib = 0
+            if diff < 0:
+                nib |= 8
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            dec, pred_state, index_state = _ima_decode_nibbles(
+                [nib], pred_state, index_state
+            )
+            nibbles.append(nib)
+        nibbles += [0] * (nib_per_block - len(nibbles))
+        for i in range(0, len(nibbles), 2):
+            out.append(nibbles[i] | (nibbles[i + 1] << 4))
+    byte_rate = sample_rate * block_align // block_samples
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, block_samples
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(out)) + bytes(out)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
     """Decode a RIFF/WAVE file to ``(samples, sample_rate)`` — samples as
     float32 in [-1, 1], shape (n, channels). Pure stdlib. Supports PCM
     (format 1) at 8 (unsigned), 16, 24 (packed), and 32 bits, IEEE float
-    (format 3) at 32/64 bits, and the ITU-T G.711 companded formats —
-    A-law (format 6) and mu-law (format 7), decoded by the public
-    expansion formulas; skips unknown chunks (LIST, cue, ...). The
-    remaining compressed formats (ADPCM, MP3-in-WAV) raise
-    NotImplementedError — the codec-library seam."""
+    (format 3) at 32/64 bits, the ITU-T G.711 companded formats — A-law
+    (format 6) and mu-law (format 7), decoded by the public expansion
+    formulas — and IMA/DVI ADPCM (format 0x11, the public 4-bit
+    step-adaptive codec); skips unknown chunks (LIST, cue, ...). The
+    remaining compressed formats (MP3-in-WAV, proprietary ADPCM variants)
+    raise NotImplementedError — the codec-library seam."""
     import struct
 
     if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -1026,6 +1152,12 @@ def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
         arr = (
             _ALAW_TABLE if audio_fmt == 6 else _MULAW_TABLE
         )[np.frombuffer(data, np.uint8)]
+    elif audio_fmt == 0x11:  # IMA/DVI ADPCM, 4-bit nibble codes
+        if bits != 4:
+            raise ValueError(f"corrupt WAV: IMA ADPCM requires 4-bit samples, got {bits}")
+        if _align < 4 * ch + 4:
+            raise ValueError("corrupt WAV: ADPCM block align below header size")
+        return _decode_ima_adpcm(data, ch, _align), rate
     else:
         raise NotImplementedError(
             f"compressed WAV format {audio_fmt} needs a codec library"
