@@ -718,3 +718,100 @@ QUERY_REGISTRY["fuzzy_name_match"] = QuerySpec(
 )
 
 
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, arXiv:2112.11446,
+    Appendix A1.1) as ONE declarative map-only pass — the standard
+    pretraining-corpus heuristic battery: word-count bounds, mean word
+    length, symbol-to-word ratio, alpha-word fraction, stop-word floor,
+    and the line-shape rules (bullet-start / ellipsis-end fractions).
+    Every rule is a JVM-side expression over one tokenization (no UDFs,
+    no shuffle); ``keep`` is the conjunction. Thresholds are the paper's.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "text",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("__w"),
+        F.split("text", "\n").alias("__l"),
+    )
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    base = toks.select(
+        "doc_id",
+        F.size("__w").cast("long").alias("n_words"),
+        (
+            F.aggregate("__w", F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+            / F.size("__w")
+        ).alias("mean_word_len"),
+        (
+            (F.regexp_count("text", F.lit("#")) + F.regexp_count("text", F.lit(r"\.\.\.")))
+            / F.size("__w")
+        ).alias("symbol_word_ratio"),
+        (
+            F.size(F.filter("__w", lambda w: w.rlike("[A-Za-z]"))) / F.size("__w")
+        ).alias("frac_alpha_words"),
+        F.size(F.filter("__w", lambda w: F.lower(w).isin(*stops)))
+        .cast("long")
+        .alias("n_stop_hits"),
+        (
+            F.size(F.filter("__l", lambda ln: F.trim(ln).rlike("^[-*•]")))
+            / F.size("__l")
+        ).alias("bullet_frac"),
+        (
+            F.size(F.filter("__l", lambda ln: F.trim(ln).rlike(r"\.\.\.$")))
+            / F.size("__l")
+        ).alias("ellipsis_frac"),
+    )
+    keep = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("n_stop_hits") >= 2)
+        & (F.col("bullet_frac") <= 0.9)
+        & (F.col("ellipsis_frac") <= 0.3)
+    )
+    return base.select("*", keep.cast("long").alias("keep")).orderBy("doc_id")
+
+
+ORACLE_GOPHER_QUALITY = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), t -> t <> '') AS w,
+         string_split(text, chr(10)) AS l
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         list_sum(list_transform(w, x -> len(x))) / CAST(len(w) AS DOUBLE) AS mean_word_len,
+         (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')))
+           / CAST(len(w) AS DOUBLE) AS symbol_word_ratio,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+           / CAST(len(w) AS DOUBLE) AS frac_alpha_words,
+         CAST(len(list_filter(w, x -> lower(x) IN
+           ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop_hits,
+         len(list_filter(l, x -> regexp_matches(trim(x), '^[-*•]')))
+           / CAST(len(l) AS DOUBLE) AS bullet_frac,
+         len(list_filter(l, x -> regexp_matches(trim(x), '\\.\\.\\.$')))
+           / CAST(len(l) AS DOUBLE) AS ellipsis_frac
+  FROM toks
+)
+SELECT *,
+       CAST(n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3 AND 10
+            AND symbol_word_ratio <= 0.1
+            AND frac_alpha_words >= 0.8
+            AND n_stop_hits >= 2
+            AND bullet_frac <= 0.9
+            AND ellipsis_frac <= 0.3 AS BIGINT) AS keep
+FROM base
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["gopher_quality"] = QuerySpec(
+    q_gopher_quality, ORACLE_GOPHER_QUALITY,
+    "Gopher rule battery: pretraining quality filter flags",
+)
