@@ -1123,3 +1123,96 @@ QUERY_REGISTRY.update(
 )
 
 
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-100 corpus bigrams by pointwise mutual
+    information, min count 5 — the classic phrase-discovery pass a
+    tokenizer/phrase-merger pipeline runs before vocabulary induction.
+
+    One tokenize + explode produces the bigram stream; ONE aggregation per
+    granularity (unigram, bigram) with map-side partial counts, then the
+    bigram frame joins two broadcast unigram counts. PMI is reported as
+    the RAW probability ratio p(ab)/(p(a)p(b)) = c_ab*N/(c_a*c_b) rather
+    than its log: products and divisions of exactly-representable counts
+    are IEEE-deterministic across engines, while log is not required to be
+    correctly rounded — the same determinism contract as the DEC(38,6)
+    money sums. The cutoff order (ratio desc, then words) is fully
+    tiebroken. Scale: shuffle carries |distinct bigrams| (vocabulary-
+    bounded, not corpus-bounded); unigram side is broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("__w")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("__w", 1, F.greatest(F.size("__w") - 1, F.lit(0))),
+                F.slice("__w", 2, F.greatest(F.size("__w") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    unigrams = toks.select(F.explode("__w").alias("w"))
+    uni_counts = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_tokens = unigrams.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    bg_counts = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    scored = (
+        bg_counts.join(
+            F.broadcast(uni_counts.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni_counts.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_tokens))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            ((F.col("c_ab") * F.col("n")) / (F.col("c_a") * F.col("c_b"))).alias(
+                "pmi_ratio"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_ratio").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(100)
+
+
+ORACLE_BIGRAM_PMI = """
+WITH toks AS (
+  SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+  FROM documents
+),
+uni AS (
+  SELECT u.x AS w, count(*) AS c
+  FROM toks, unnest(toks.w) AS u(x)
+  GROUP BY u.x
+),
+n AS (SELECT sum(c) AS n FROM uni),
+bg AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2, count(*) AS c_ab
+  FROM toks, unnest(range(1, len(w))) AS r(i)
+  GROUP BY w[i], w[i + 1]
+  HAVING count(*) >= 5
+)
+SELECT bg.w1, bg.w2, bg.c_ab,
+       (bg.c_ab * n.n) / CAST(a.c * b.c AS DOUBLE) AS pmi_ratio
+FROM bg
+JOIN uni a ON a.w = bg.w1
+JOIN uni b ON b.w = bg.w2
+CROSS JOIN n
+ORDER BY pmi_ratio DESC, bg.w1 ASC, bg.w2 ASC
+LIMIT 100
+"""
+
+
+QUERY_REGISTRY["bigram_pmi"] = QuerySpec(
+    q_bigram_pmi, ORACLE_BIGRAM_PMI, "top bigram collocations by PMI ratio"
+)
