@@ -1216,3 +1216,117 @@ LIMIT 100
 QUERY_REGISTRY["bigram_pmi"] = QuerySpec(
     q_bigram_pmi, ORACLE_BIGRAM_PMI, "top bigram collocations by PMI ratio"
 )
+
+
+def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals from the MassiveText/RefinedWeb
+    rule battery (Rae et al. 2021 A1.1; Penedo et al. 2023): per document,
+    the fraction of characters covered by the single most frequent 2-gram
+    (``top_bigram_frac``) and by all 5-grams occurring more than once
+    (``dup_5gram_frac``) — the standard intra-doc repetition filters that
+    complement the corpus-level dedup family.
+
+    Shape: one tokenize, two gram explodes, each aggregated per
+    (doc_id, gram) with map-side combine — the shuffle is keyed by doc and
+    carries each doc's distinct grams, so it parallelizes across docs and
+    never builds a corpus-global structure. Ratios are exact divisions of
+    counts (IEEE-deterministic, no log)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("__w"),
+    )
+
+    def grams(n):
+        slices = [
+            F.slice("__w", i + 1, F.greatest(F.size("__w") - n + 1, F.lit(0)))
+            for i in range(n)
+        ]
+        z = slices[0]
+        for s in slices[1:]:
+            z = F.zip_with(z, s, lambda a, b: F.concat_ws(" ", a, b))
+        return toks.select("doc_id", "n_chars", F.explode(z).alias("g"))
+
+    g2 = (
+        grams(2)
+        .groupBy("doc_id", "n_chars", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # deterministic top pick: order by (c desc, g asc) via min_by on a
+    # sortable struct — Spark max_by has no tiebreak, so invert: min_by over
+    # (-c, g)
+    top2 = g2.groupBy("doc_id", "n_chars").agg(
+        F.min_by(F.struct("g", "c"), F.struct((-F.col("c")).alias("nc"), F.col("g"))).alias("__x")
+    )
+    top2 = top2.select(
+        "doc_id",
+        "n_chars",
+        F.col("__x.g").alias("top_bigram"),
+        ((F.col("__x.c") * F.length("__x.g")) / F.col("n_chars")).alias("top_bigram_frac"),
+    )
+    g5 = (
+        grams(5)
+        .groupBy("doc_id", "n_chars", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dup5 = g5.groupBy("doc_id", "n_chars").agg(
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("g")).otherwise(0))
+            / F.first("n_chars")
+        ).alias("dup_5gram_frac")
+    ).select("doc_id", "dup_5gram_frac")
+    return (
+        top2.join(dup5, "doc_id", "left")
+        .select(
+            "doc_id", "n_chars", "top_bigram", "top_bigram_frac",
+            F.coalesce("dup_5gram_frac", F.lit(0.0)).alias("dup_5gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DUP_NGRAM_STATS = """
+WITH toks AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, n_chars, w[i] || ' ' || w[i + 1] AS g, count(*) AS c
+  FROM toks, unnest(range(1, len(w))) AS r(i)
+  GROUP BY doc_id, n_chars, w[i] || ' ' || w[i + 1]
+),
+top2 AS (
+  SELECT doc_id, n_chars, g AS top_bigram,
+         (c * length(g)) / CAST(n_chars AS DOUBLE) AS top_bigram_frac
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+    FROM g2
+  ) WHERE rn = 1
+),
+g5 AS (
+  SELECT doc_id, n_chars,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g,
+         count(*) AS c
+  FROM toks, unnest(range(1, len(w) - 3)) AS r(i)
+  GROUP BY doc_id, n_chars,
+           w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+),
+dup5 AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)
+           / CAST(any_value(n_chars) AS DOUBLE) AS dup_5gram_frac
+  FROM g5 GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_chars, t.top_bigram, t.top_bigram_frac,
+       coalesce(d.dup_5gram_frac, 0.0) AS dup_5gram_frac
+FROM top2 t LEFT JOIN dup5 d USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+QUERY_REGISTRY["dup_ngram_stats"] = QuerySpec(
+    q_dup_ngram_stats, ORACLE_DUP_NGRAM_STATS,
+    "per-doc repetition: top-bigram and duplicated-5-gram char fractions",
+)
