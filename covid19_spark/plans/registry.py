@@ -75,18 +75,33 @@ _HEAVY_NAME_PARTS = (
 
 
 def _derive_front_list() -> list[str]:
+    import glob
+    import json
+    import os
+
     path = _latest_correctness_artifact()
     if path is None:
         return []  # fresh checkout: keep registration order as-is
-    import json
-
     with open(path) as f:
         checked = set(json.load(f))
     missing = [n for n in QUERY_REGISTRY if n not in checked]
+    # Rotation priority: a query some OLDER artifact verified has rotated
+    # out and must come back before the sweep's coverage window closes on
+    # it (the sweep may only reach a prefix); a brand-new query — in NO
+    # artifact yet — queues after them (it is fixture/oracle-checked
+    # locally and gets its first driver row next round at the latest).
+    root = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+    ever_checked: set[str] = set()
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(p) as f:
+                ever_checked |= set(json.load(f))
+        except (OSError, ValueError):
+            continue
 
-    def _key(n: str) -> tuple[int, str]:
+    def _key(n: str) -> tuple[int, int, str]:
         heavy = any(p in n for p in _HEAVY_NAME_PARTS)
-        return (1 if heavy else 0, n)
+        return (0 if n in ever_checked else 1, 1 if heavy else 0, n)
 
     return sorted(missing, key=_key)
 
