@@ -410,3 +410,32 @@ def test_star_pipeline_releases_caches_without_recompute(spark):
             f"{algo}: released caches are being recomputed — the CC stage "
             "did not checkpoint the edge lineage"
         )
+
+
+def test_gopher_quality_is_map_only_no_udfs(spark):
+    """The whole Gopher rule battery must stay one declarative map pass:
+    no Python eval nodes and no exchanges before the output sort."""
+    plan = plan_of(spark, "gopher_quality")
+    assert "EvalPython" not in plan  # no scalar/pandas UDF fell in
+    # the only exchange is the output orderBy's range partitioning (AQE may
+    # print it as AQEShuffleRead + Exchange — hence <= 2 Exchange lines)
+    assert plan.count("Exchange") <= 2, plan
+    assert "rangepartitioning" in plan
+
+
+def test_bigram_pmi_broadcasts_unigram_sides(spark):
+    """The bigram aggregate is the only heavy shuffle; both unigram joins
+    and the total-count join must be broadcasts (vocabulary-sized sides)."""
+    plan = plan_of(spark, "bigram_pmi")
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_dup_ngram_stats_no_udfs_two_gram_aggs(spark):
+    """Both repetition signals are per-(doc, gram) hash aggregations with
+    map-side combine — no Python eval, no sort-merge join (the doc-level
+    join keys are post-aggregation thin frames)."""
+    plan = plan_of(spark, "dup_ngram_stats")
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan or "partial_" in plan, plan
