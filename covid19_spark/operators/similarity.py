@@ -427,7 +427,11 @@ def ivf_cosine_topk(
     from pyspark.sql import Window
 
     if centroids is None:
-        centroids = ivf_train_centroids(corpus, n_centroids, id_col, vec_col)
+        # two consumers (lists + probes) of a k-row frame whose lineage is
+        # the whole Lloyd chain — train once (see ivfpq_cosine_topk)
+        centroids = ivf_train_centroids(
+            corpus, n_centroids, id_col, vec_col
+        ).localCheckpoint(eager=False)
     lists = ivf_assign(corpus, centroids, id_col, vec_col, n_probes=1).select(
         F.col(id_col).alias("neighbor_id"), "centroid_id", F.col("vec").alias("cv")
     )
@@ -484,8 +488,18 @@ def ivfpq_cosine_topk(
     from pyspark.sql import Window
 
     train = quantizer_training_sample(corpus, id_col, train_sample_mod)
-    centroids = ivf_train_centroids(train, n_centroids, id_col, vec_col)
-    codebooks = pq_train_codebooks(train, m, n_codes, id_col, vec_col)
+    # Both quantizer outputs are k-row frames with EXPENSIVE lineages (the
+    # full Lloyd chains) and two consumers each (centroids: corpus lists +
+    # query probes; codebooks: corpus encode + the broadcast ADC row) — cut
+    # the lineage so training runs once. localCheckpoint blocks are freed
+    # by the ContextCleaner when the frames go out of scope (no cache
+    # handle to leak, unlike persist()).
+    centroids = ivf_train_centroids(train, n_centroids, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
+    codebooks = pq_train_codebooks(train, m, n_codes, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     lists = ivf_assign(corpus, centroids, id_col, vec_col, n_probes=1).select(
         F.col(id_col), "centroid_id"
     )
@@ -762,10 +776,12 @@ def pq_cosine_topk(
     from pyspark.sql import Window
 
     if codebooks is None:
+        # two consumers (corpus encode + broadcast ADC row) — train once
+        # (see ivfpq_cosine_topk)
         codebooks = pq_train_codebooks(
             quantizer_training_sample(corpus, id_col, train_sample_mod),
             m, n_codes, id_col, vec_col,
-        )
+        ).localCheckpoint(eager=False)
     codes = pq_encode(corpus, codebooks, m, id_col, vec_col)
 
     qv = F.col(vec_col).cast("array<double>")
@@ -885,7 +901,15 @@ def semantic_dedup(
             f"unknown keep_policy {keep_policy!r}: use 'min_id' or 'low_centroid_sim'"
         )
     centroids = ivf_train_centroids(corpus, n_centroids, id_col, vec_col, iterations)
+    if keep_policy == "low_centroid_sim":
+        # the paper policy consumes BOTH frames twice (the pair generator
+        # AND the centroid-similarity pass) — cut the Lloyd-chain lineage
+        # so training and assignment run once. localCheckpoint blocks are
+        # freed by the ContextCleaner when the frames go out of scope.
+        centroids = centroids.localCheckpoint(eager=False)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_probes=1)
+    if keep_policy == "low_centroid_sim":
+        assigned = assigned.localCheckpoint(eager=False)
     pairs = cosine_near_dup_pairs(
         assigned.select(F.col(id_col), "centroid_id", F.col("vec").alias(vec_col)),
         id_col,
