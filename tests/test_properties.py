@@ -369,6 +369,29 @@ def test_wav_roundtrip_property(n, ch, rate, seed):
     assert np.array_equal((out * 32768.0).astype(np.int16), samples)
 
 
+@given(
+    n=st.integers(min_value=1, max_value=2000),
+    law=st.sampled_from(["alaw", "mulaw"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@CODEC_SETTINGS
+def test_g711_companding_error_bound_property(n, law, seed):
+    """G.711 companding is per-sample, so the round-trip error bound holds
+    for ARBITRARY signals (unlike ADPCM, whose step adaptation lags on
+    discontinuities): |decode(encode(x)) - x| <= max(half the largest
+    segment step, the clip distance above the top codeword) — for mu-law
+    the top codeword is 32124/32768, so inputs near ±1 clip by up to
+    1 - 0.9803 = 0.0197, which dominates the 0.0156 half-step."""
+    from covid19_spark.operators.multimodal import decode_wav, encode_wav_g711
+
+    sig = (
+        np.random.default_rng(seed).uniform(-1.0, 1.0, size=n).astype(np.float32)
+    )
+    out, rate = decode_wav(encode_wav_g711(sig, law=law, sample_rate=8000))
+    assert rate == 8000 and out.shape == (n, 1)
+    assert np.abs(out[:, 0] - sig).max() <= 0.0198
+
+
 # --- connected components vs union-find reference ----------------------------
 
 
