@@ -1330,3 +1330,98 @@ QUERY_REGISTRY["dup_ngram_stats"] = QuerySpec(
     q_dup_ngram_stats, ORACLE_DUP_NGRAM_STATS,
     "per-doc repetition: top-bigram and duplicated-5-gram char fractions",
 )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson/Sparck Jones probabilistic weighting,
+    k1=1.2, b=0.75): top-20 documents for a fixed 4-term query — the
+    standard lexical search op a corpus store serves next to the ANN
+    family. One tokenize feeds per-(doc, term) term frequencies (map-side
+    combined; only the 4 query terms survive the filter, so the shuffle is
+    tiny), document lengths, and the broadcast df/avgdl scalars.
+
+    Determinism: idf's log is NOT guaranteed correctly rounded across
+    engines, so the final score is rounded to 6 decimals in BOTH engines
+    (documented exception to the exact-ratio rule — BM25 without log is
+    not BM25) and the order fully tiebreaks on doc_id."""
+    terms = ("spark", "hash", "window", "vector")
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("__w"),
+    )
+    dl = toks.select("doc_id", F.size("__w").cast("double").alias("dl"))
+    tf = (
+        toks.select("doc_id", F.explode("__w").alias("t"))
+        .filter(F.col("t").isin(*terms))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).cast("double").alias("n"))
+    df_t = tf.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    avgdl = dl.groupBy().agg(F.avg("dl").alias("avgdl"))
+    k1, b = 1.2, 0.75
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    per_term = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_t), "t")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("s"),
+        )
+    )
+    # DEC accumulator: a doc's <=4 term scores must sum order-independently
+    # (the catalog-wide determinism contract); round(6) then absorbs any
+    # last-ulp disagreement in the per-term log itself
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("s").cast("decimal(38,18)")).cast("double"), 6
+            ).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+ORACLE_BM25_TOPK = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+tf AS (
+  SELECT doc_id, u.x AS t, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks, unnest(toks.w) AS u(x)
+  WHERE u.x IN ('spark', 'hash', 'window', 'vector')
+  GROUP BY doc_id, u.x
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+df_t AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+avgdl AS (SELECT avg(dl) AS avgdl FROM dl)
+SELECT tf.doc_id,
+       round(CAST(sum(CAST(
+         ln((n.n - df_t.df + 0.5) / (df_t.df + 0.5) + 1.0)
+         * (tf.tf * (1.2 + 1))
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+       AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+FROM tf
+JOIN dl USING (doc_id)
+JOIN df_t USING (t)
+CROSS JOIN n CROSS JOIN avgdl
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id ASC
+LIMIT 20
+"""
+
+
+QUERY_REGISTRY["bm25_topk"] = QuerySpec(
+    q_bm25_topk, ORACLE_BM25_TOPK, "BM25 lexical retrieval top-k"
+)
