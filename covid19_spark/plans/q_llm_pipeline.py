@@ -1425,3 +1425,80 @@ LIMIT 20
 QUERY_REGISTRY["bm25_topk"] = QuerySpec(
     q_bm25_topk, ORACLE_BM25_TOPK, "BM25 lexical retrieval top-k"
 )
+
+
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the 50 terms whose frequency differs
+    most between two corpus slices (English vs non-English documents),
+    scored by the chi-square statistic over the 2x2 (term, slice)
+    contingency table — the standard data-quality gate a training
+    pipeline runs between corpus snapshots. All arithmetic is exact
+    ratios of counts (no log), so scores hash bit-identically.
+
+    Shape: one tokenize + one (term, slice) count agg (map-side combine,
+    vocabulary-bounded shuffle), then per-term chi-square from broadcast
+    slice totals. Top-50 fully tiebroken."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("t"),
+    )
+    counts = toks.groupBy("t").agg(
+        F.sum("is_en").cast("double").alias("a"),  # term count in EN slice
+        F.sum(1 - F.col("is_en")).cast("double").alias("b"),  # term count elsewhere
+    )
+    totals = counts.groupBy().agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    # chi-square for the 2x2 table [[a, na-a], [b, nb-b]] with Yates-free
+    # exact formula: N*(a*(nb-b) - b*(na-a))^2 / (na*nb*(a+b)*(N-a-b))
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "t",
+        F.col("a").cast("long").alias("en_count"),
+        F.col("b").cast("long").alias("other_count"),
+        (
+            (F.col("na") + F.col("nb"))
+            # explicit self-multiply, NOT pow(x, 2): both engines square the
+            # same double with one IEEE multiply, while a general pow may
+            # route through exp/ln above 2^53 and diverge in the last ulp
+            * (
+                (F.col("a") * (F.col("nb") - F.col("b")) - F.col("b") * (F.col("na") - F.col("a")))
+                * (F.col("a") * (F.col("nb") - F.col("b")) - F.col("b") * (F.col("na") - F.col("a")))
+            )
+            / (
+                F.col("na") * F.col("nb") * (F.col("a") + F.col("b"))
+                * (F.col("na") + F.col("nb") - F.col("a") - F.col("b"))
+            )
+        ).alias("chi2"),
+    )
+    return scored.orderBy(F.col("chi2").desc(), F.col("t").asc()).limit(50)
+
+
+ORACLE_CORPUS_DRIFT = """
+WITH toks AS (
+  SELECT CAST(lang = 'en' AS INT) AS is_en, u.x AS t
+  FROM documents,
+       unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS u(x)
+),
+counts AS (
+  SELECT t, CAST(sum(is_en) AS DOUBLE) AS a, CAST(sum(1 - is_en) AS DOUBLE) AS b
+  FROM toks GROUP BY t
+),
+totals AS (SELECT sum(a) AS na, sum(b) AS nb FROM counts)
+SELECT t,
+       CAST(a AS BIGINT) AS en_count,
+       CAST(b AS BIGINT) AS other_count,
+       (na + nb) * ((a * (nb - b) - b * (na - a)) * (a * (nb - b) - b * (na - a)))
+         / (na * nb * (a + b) * (na + nb - a - b)) AS chi2
+FROM counts CROSS JOIN totals
+ORDER BY chi2 DESC, t ASC
+LIMIT 50
+"""
+
+
+QUERY_REGISTRY["corpus_drift"] = QuerySpec(
+    q_corpus_drift, ORACLE_CORPUS_DRIFT,
+    "chi-square term drift between corpus slices",
+)
