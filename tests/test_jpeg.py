@@ -193,3 +193,73 @@ def test_decode_image_dispatches_progressive():
     out = decode_image(encode_jpeg(img, quality=92, progressive=True))
     assert out.shape == (16, 16, 3)
     assert _psnr(img, out) > 30
+
+
+def test_peek_jpeg_dims_contracts():
+    """Header-only dimension probe: agrees with the decoded shape for
+    baseline 4:4:4, 4:2:0, grayscale, and progressive streams; rejects
+    non-JPEG and SOF-less payloads with ValueError."""
+    import pytest
+
+    from covid19_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        peek_jpeg_dims,
+    )
+
+    rng = np.random.default_rng(11)
+    img = np.repeat(
+        np.repeat(rng.integers(0, 256, (5, 7, 3), dtype=np.uint8), 8, 0), 8, 1
+    )
+    for payload in (
+        encode_jpeg(img, quality=85, subsampling="444"),
+        encode_jpeg(img, quality=85, subsampling="420"),
+        encode_jpeg(img.mean(axis=2).astype(np.uint8), quality=85),
+        encode_jpeg(img, quality=85, progressive=True),
+    ):
+        h, w = peek_jpeg_dims(payload)
+        assert (h, w) == decode_jpeg(payload).shape[:2] == (40, 56)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        peek_jpeg_dims(b"BM\x00\x00")
+    with pytest.raises(ValueError):
+        peek_jpeg_dims(b"\xff\xd8\xff\xd9")  # SOI+EOI, no SOF
+
+
+def test_dc_decode_tracks_block_means_across_variants():
+    """decode_jpeg_dc must return (ceil(H/8), ceil(W/8), 3) block means for
+    every supported stream shape — 4:4:4, 4:2:0 (chroma upsample-by-repeat
+    in _dc_assemble), grayscale (replicated), restart markers, and the
+    progressive fallback — each within quantization distance of the full
+    decode's true 8x8 block means."""
+    from covid19_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_dc,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(13)
+    base = rng.integers(40, 216, (6, 8, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(base, 8, 0), 8, 1)  # 48x64, smooth blocks
+    gray = img.mean(axis=2).astype(np.uint8)
+    variants = [
+        ("444", encode_jpeg(img, quality=90, subsampling="444")),
+        ("420", encode_jpeg(img, quality=90, subsampling="420")),
+        ("gray", encode_jpeg(gray, quality=90)),
+        ("rst", encode_jpeg(img, quality=90, restart_interval=2)),
+        ("prog", encode_jpeg(img, quality=90, progressive=True)),
+    ]
+    for name, payload in variants:
+        dc = decode_jpeg_dc(payload)
+        assert dc.shape == (6, 8, 3), name
+        full = decode_jpeg(payload).astype(np.float64)
+        bm = full.reshape(6, 8, 8, 8, 3).mean(axis=(1, 3))
+        if name == "420":
+            # one chroma DC covers a 16x16 area, so per-8x8-block chroma
+            # means legitimately differ (the full decode carries chroma AC
+            # the 1/8-scale image cannot) — but luma is full-resolution and
+            # the JFIF inverse transform makes 0.299R+0.587G+0.114B recover
+            # the Y plane exactly, so compare in luma space
+            w = np.array([0.299, 0.587, 0.114])
+            assert np.abs((dc.astype(np.float64) - bm) @ w).max() <= 3.0
+        else:
+            assert np.abs(dc.astype(np.float64) - bm).max() <= 3.0, name
