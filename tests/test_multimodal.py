@@ -986,3 +986,34 @@ def test_ima_adpcm_wav_roundtrip(spark):
     )
     rows = extract_audio_features(media, use_fake=False).collect()
     assert len(rows) == 1 and len(rows[0]["feature"]) == 16
+
+
+def test_image_dhash_uses_one_resolution_path_across_formats(spark):
+    """Cross-format consistency contract: a BMP and a JPEG of the SAME
+    pixels must hash within re-encode distance of each other — which
+    forbids routing large JPEGs through the DC thumbnail decode (hashing
+    one copy at 1/8 scale and its twin at full resolution measured
+    Hamming 19 on identical content). Video frames may ride the DC path
+    because they only compare against frames decoded the same way."""
+    from covid19_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from covid19_spark.operators.multimodal import (
+        dhash_pixels,
+        encode_bmp,
+        image_dhash,
+    )
+
+    rng = np.random.default_rng(21)
+    big = np.repeat(np.repeat(rng.integers(0, 256, (8, 10, 3), dtype=np.uint8), 8, 0), 8, 1)
+    rows = [
+        (1, "image", "image/jpeg", 80, 64, None, bytearray(encode_jpeg(big, quality=85))),
+        (3, "image", "image/bmp", 80, 64, None, bytearray(encode_bmp(big))),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, mime string, width int, height int, "
+        "duration_ms long, payload binary",
+    )
+    got = {r.media_id: r.dhash for r in image_dhash(media, use_fake=False).collect()}
+    assert got[1] == dhash_pixels(decode_jpeg(bytes(rows[0][6])))
+    ham = bin((got[1] ^ got[3]) & (2**64 - 1)).count("1")
+    assert ham <= 4, ham
