@@ -691,13 +691,21 @@ def test_lsh_verified_pairs_releasable_frees_caches(spark):
     collected result is unaffected."""
     from covid19_spark.operators.dedup import lsh_verified_pairs_releasable
 
-    jsc = spark.sparkContext._jsc.sc()
-    spark.catalog.clearCache()
-    base = jsc.getPersistentRDDs().size()
+    jsc = spark.sparkContext._jsc
+
+    def rdd_ids():
+        # delta-based, not count-based: the session is shared across tests,
+        # so unrelated persistent RDDs (earlier tests' localCheckpoints
+        # awaiting the async ContextCleaner) may appear or vanish
+        # concurrently — only THIS call's additions are asserted on
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    before = rdd_ids()
     docs = _docs(spark)
     pairs, release = lsh_verified_pairs_releasable(docs, "doc_id", "text")
     got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
     assert (0, 1) in got  # exact dup pair verified
-    assert jsc.getPersistentRDDs().size() > base  # caches were live
+    added = rdd_ids() - before
+    assert added  # caches were live
     release()
-    assert jsc.getPersistentRDDs().size() == base  # ... and are gone
+    assert not (added & rdd_ids())  # every cache this call added is gone
