@@ -13,10 +13,11 @@ stream's own DQT/DHT segments (never from the built-in constants), handles
 grayscale and 3-component scans, sampling factors 1-2 per axis (4:4:4,
 4:2:2, 4:2:0), multi-segment tables, DRI/RSTn restart intervals, and the
 full Annex G progressive feature set (spectral-selection bands,
-successive-approximation DC/AC first + refinement scans, EOB runs).
-Arithmetic coding, lossless/hierarchical modes, 12-bit precision, and >2
-sampling factors raise NotImplementedError — the documented seam where a
-production build plugs libjpeg-turbo in.
+successive-approximation DC/AC first + refinement scans, EOB runs), and
+lossless SOF3 (Annex H predictors 1-7, bit-exact — `encode_jpeg_lossless`
+is its round-trip twin). Arithmetic coding, hierarchical mode, 12-bit
+precision, and >2 sampling factors raise NotImplementedError — the
+documented seam where a production build plugs libjpeg-turbo in.
 
 Encoder (`encode_jpeg`): baseline 8-bit encoder with the Annex K example
 tables (embedded into the file via DQT/DHT, so round-trip never depends on
@@ -777,6 +778,7 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
     frame = None
     restart_interval = 0
     progressive = False
+    lossless = False
     saw_eoi = False
     grids: dict[int, np.ndarray] | None = None
     data = payload
@@ -823,7 +825,8 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
                 vals = list(body[b + 17 : b + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(bits, vals)
                 b += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline(+ext seq), SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # SOF0/1 baseline(+ext seq), SOF2 progressive, SOF3 lossless
             if len(body) < 6:
                 raise ValueError("corrupt JPEG: truncated stream")
             prec, h0, w0, ncomp = struct.unpack_from(">BHHB", body, 0)
@@ -835,14 +838,19 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 hf, vf = hv >> 4, hv & 0x0F
+                if marker == 0xC3 and (hf != 1 or vf != 1):
+                    raise NotImplementedError(
+                        "subsampled lossless JPEG not supported"
+                    )
                 if hf not in (1, 2) or vf not in (1, 2):
                     raise NotImplementedError(f"sampling factor {hf}x{vf} not supported")
                 comps.append({"id": cid, "h": hf, "v": vf, "tq": tq})
             frame = {"h": h0, "w": w0, "comps": comps}
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            lossless = marker == 0xC3
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only sequential/progressive Huffman JPEG supported "
+                "only sequential/progressive/lossless Huffman JPEG supported "
                 f"(got SOF marker {marker:#x})"
             )
         elif marker == 0xDD:  # DRI
@@ -866,6 +874,34 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
                 if comp is None:
                     raise ValueError("corrupt JPEG: scan references unknown component")
                 scan.append((comp, tt >> 4, tt & 0x0F))
+            if lossless:
+                if len(body) < 1 + 2 * ns + 3:
+                    raise ValueError("corrupt JPEG: truncated stream")
+                pred_sel = body[1 + 2 * ns]  # Ss = predictor selector
+                pt = body[3 + 2 * ns] & 0x0F  # Al = point transform
+                if pred_sel < 1 or pred_sel > 7:
+                    raise ValueError(
+                        f"corrupt JPEG: invalid lossless predictor {pred_sel}"
+                    )
+                if pt != 0:
+                    raise NotImplementedError(
+                        "lossless point transform (Al != 0) not supported"
+                    )
+                if restart_interval:
+                    raise NotImplementedError(
+                        "restart markers in lossless JPEG not supported"
+                    )
+                img = _decode_lossless_scan(data, pos, frame, scan, huff_dc, pred_sel)
+                if dc_only:
+                    imgf = img.astype(np.float64)
+                    hh, ww = imgf.shape[:2]
+                    ph, pw = -(-hh // 8) * 8, -(-ww // 8) * 8
+                    imgf = np.pad(
+                        imgf, ((0, ph - hh), (0, pw - ww), (0, 0)), mode="edge"
+                    )
+                    bm = imgf.reshape(ph // 8, 8, pw // 8, 8, 3).mean(axis=(1, 3))
+                    return np.clip(bm, 0, 255).astype(np.uint8)
+                return img
             if not progressive:
                 return _decode_scan(
                     data, pos, frame, scan, qtabs, huff_dc, huff_ac,
@@ -917,6 +953,162 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
             [grids[c["id"]] for c in comps], qtabs, hmax, vmax,
         )
     raise ValueError("corrupt JPEG: no SOS marker")
+
+
+def _lossless_predict(plane, y: int, x: int, predictor: int) -> int:
+    """T.81 H.1 sample prediction, shared verbatim by the SOF3 encoder and
+    decoder so round-trips are exact by construction: the scan's first
+    sample predicts 2^(P-1)=128, the rest of the first line predicts Ra
+    (left), the first column predicts Rb (above), and interior samples use
+    the selected predictor 1-7."""
+    if y == 0 and x == 0:
+        return 128
+    if y == 0:
+        return int(plane[0, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    ra, rb, rc = int(plane[y, x - 1]), int(plane[y - 1, x]), int(plane[y - 1, x - 1])
+    if predictor == 1:
+        return ra
+    if predictor == 2:
+        return rb
+    if predictor == 3:
+        return rc
+    if predictor == 4:
+        return ra + rb - rc
+    if predictor == 5:
+        return ra + ((rb - rc) >> 1)
+    if predictor == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # predictor 7
+
+
+def _decode_lossless_scan(data, pos, frame, scan, huff_dc, predictor):
+    """SOF3 lossless scan (T.81 Annex H, Huffman): per raster sample, a
+    DC-style Huffman category + magnitude bits gives the prediction
+    difference; reconstruction is (prediction + diff) mod 2^16. Components
+    are interleaved one sample per MCU (sampling factors pinned 1x1 at the
+    SOF parse). Rides the same 16-bit-LUT reader as the baseline path.
+    Output: (H, W, 3) uint8 — 1 component replicated to gray, 3 components
+    taken as direct RGB (lossless JPEG carries no color transform)."""
+    h0, w0 = frame["h"], frame["w"]
+    ncomp = len(scan)
+    planes = [np.zeros((h0, w0), dtype=np.int32) for _ in range(ncomp)]
+    luts = [_huff_lut(*huff_dc[td].spec) for _, td, _ta in scan]
+    dlen = len(data)
+    acc = 0
+    nbits = 0
+    mark = None
+
+    def refill():
+        nonlocal acc, nbits, pos, mark
+        acc &= (1 << nbits) - 1
+        while nbits < 16:
+            if mark is not None:
+                acc = (acc << 8) | 0xFF
+                nbits += 8
+                continue
+            if pos >= dlen:
+                raise ValueError("corrupt JPEG: truncated stream")
+            b = data[pos]
+            pos += 1
+            if b == 0xFF:
+                if pos >= dlen:
+                    raise ValueError("corrupt JPEG: truncated stream")
+                nxt = data[pos]
+                if nxt == 0x00:
+                    pos += 1
+                else:
+                    mark = nxt
+                    pos += 1
+                    acc = (acc << 8) | 0xFF
+                    nbits += 8
+                    continue
+            acc = (acc << 8) | b
+            nbits += 8
+
+    for y in range(h0):
+        for x in range(w0):
+            for ci in range(ncomp):
+                sym, ln = luts[ci]
+                if nbits < 16:
+                    refill()
+                v16 = (acc >> (nbits - 16)) & 0xFFFF
+                s = sym[v16]
+                if s < 0:
+                    raise ValueError("corrupt JPEG: invalid Huffman code")
+                nbits -= ln[v16]
+                if s == 16:  # T.81 H.2: category 16 carries no extra bits
+                    diff = 32768
+                elif s:
+                    if nbits < s:
+                        refill()
+                    diff = (acc >> (nbits - s)) & ((1 << s) - 1)
+                    nbits -= s
+                    if diff < (1 << (s - 1)):
+                        diff += 1 - (1 << s)
+                else:
+                    diff = 0
+                px = _lossless_predict(planes[ci], y, x, predictor)
+                planes[ci][y, x] = (px + diff) & 0xFFFF
+    out = [np.clip(p, 0, 255).astype(np.uint8) for p in planes]
+    if ncomp == 1:
+        return np.repeat(out[0][:, :, None], 3, axis=2)
+    if ncomp == 3:
+        return np.stack(out, axis=2)
+    raise NotImplementedError(f"{ncomp}-component lossless JPEG not supported")
+
+
+def encode_jpeg_lossless(pixels: np.ndarray, predictor: int = 4) -> bytes:
+    """Encode (H, W) grayscale or (H, W, 3) RGB uint8 pixels as a lossless
+    SOF3 JPEG (T.81 Annex H): per-sample prediction differences, DC-style
+    Huffman categories (Annex K DC luma table — 8-bit diffs stay within
+    category 9), components interleaved one sample per MCU, NO color
+    transform or subsampling. Round-trips bit-exactly through
+    ``decode_jpeg`` by construction (shared ``_lossless_predict``)."""
+    if predictor < 1 or predictor > 7:
+        raise ValueError(f"invalid lossless predictor {predictor}")
+    arr = np.asarray(pixels, dtype=np.uint8)
+    gray = arr.ndim == 2
+    arr3 = arr[:, :, None] if gray else arr
+    h, w, ncomp = arr3.shape
+    if ncomp not in (1, 3):
+        raise ValueError(f"unsupported channel count {ncomp}")
+    codes = _build_huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    bw = _BitWriter()
+    planes = [arr3[:, :, c].astype(np.int32) for c in range(ncomp)]
+    for y in range(h):
+        for x in range(w):
+            for ci in range(ncomp):
+                px = _lossless_predict(planes[ci], y, x, predictor)
+                diff = int(planes[ci][y, x]) - px
+                s = _csize(diff)
+                code, length = codes[s]
+                bw.write(code, length)
+                if s:
+                    v = diff if diff >= 0 else diff + (1 << s) - 1
+                    bw.write(v, s)
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS),
+    )
+    sof = seg(
+        0xC3,
+        struct.pack(">BHHB", 8, h, w, ncomp)
+        + b"".join(struct.pack("BBB", 1 + c, 0x11, 0) for c in range(ncomp)),
+    )
+    sos = seg(
+        0xDA,
+        bytes([ncomp])
+        + b"".join(bytes([1 + c, 0x00]) for c in range(ncomp))
+        + bytes([predictor, 0, 0]),  # Ss=predictor, Se=0, AhAl=0
+    )
+    return b"\xff\xd8" + dht + sof + sos + entropy + b"\xff\xd9"
 
 
 def peek_jpeg_dims(payload: bytes) -> tuple[int, int]:

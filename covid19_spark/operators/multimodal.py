@@ -5,10 +5,10 @@ The container has no codec libraries, so the REAL decode paths are the
 formats a pure-stdlib reader can handle: uncompressed 24-bpp BMP, full PNG
 (all five color types incl. palette, depths 1-16, Adam7 interlace — the
 chart format the reference serves, covid19-visualizer Visualizer.java:469,520 / ChartRequest.java:23),
-baseline + progressive JPEG (operators/jpeg.py), RIFF/WAVE audio (PCM
-8/16/24/32-bit + IEEE float + G.711 A-law/mu-law + IMA ADPCM), and
-Motion-JPEG AVI video (RIFF container walk + per-frame JPEG decode, real
-frame sampling). Arithmetic-coded/lossless JPEG, MP3-in-WAV, and
+baseline + progressive + lossless-SOF3 JPEG (operators/jpeg.py),
+RIFF/WAVE audio (PCM 8/16/24/32-bit + IEEE float + G.711 A-law/mu-law +
+IMA ADPCM), and Motion-JPEG AVI video (RIFF container walk + per-frame
+JPEG decode, real frame sampling). Arithmetic-coded JPEG, MP3-in-WAV, and
 inter-frame video codecs (H.264/VP9) remain clearly-marked
 ``NotImplementedError`` seams with deterministic fakes for the test path. Everything Spark-side is real and
 tested: schemas, batch iteration, partition sizing, UDF signatures.

@@ -263,3 +263,36 @@ def test_dc_decode_tracks_block_means_across_variants():
             assert np.abs((dc.astype(np.float64) - bm) @ w).max() <= 3.0
         else:
             assert np.abs(dc.astype(np.float64) - bm).max() <= 3.0, name
+
+
+def test_lossless_sof3_roundtrip_and_contracts():
+    """Lossless JPEG (SOF3, T.81 Annex H — previously a NotImplementedError
+    seam): bit-exact round-trips for every predictor 1-7, grayscale and
+    RGB, plus the shared-surface contracts (header peek, DC thumbnail
+    fallback, invalid predictor rejection)."""
+    import pytest
+
+    from covid19_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_dc,
+        encode_jpeg_lossless,
+        peek_jpeg_dims,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (21, 34, 3), dtype=np.uint8)
+    for pred in range(1, 8):
+        payload = encode_jpeg_lossless(img, predictor=pred)
+        assert np.array_equal(decode_jpeg(payload), img)
+    payload = encode_jpeg_lossless(img)
+    assert peek_jpeg_dims(payload) == (21, 34)
+    # DC thumbnail fallback: block means of the (exactly recovered) image
+    dc = decode_jpeg_dc(payload)
+    assert dc.shape == (3, 5, 3)
+    gray = img.mean(axis=2).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_lossless(gray, predictor=2)),
+        np.repeat(gray[:, :, None], 3, axis=2),
+    )
+    with pytest.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless(img, predictor=0)

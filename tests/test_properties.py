@@ -440,3 +440,20 @@ def test_connected_components_match_union_find(spark, raw_edges):
             for r in connected_components(edges, algorithm=algo).collect()
         }
         assert got == expected, algo
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    pred=st.integers(min_value=1, max_value=7),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@CODEC_SETTINGS
+def test_lossless_jpeg_roundtrip_property(h, w, pred, seed):
+    """SOF3 lossless JPEG must round-trip EVERY image bit-exactly — the
+    defining property of the format, for all 7 predictors and arbitrary
+    pixel content (where the lossy paths only bound error)."""
+    from covid19_spark.operators.jpeg import decode_jpeg, encode_jpeg_lossless
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg_lossless(img, predictor=pred)), img)
