@@ -804,14 +804,22 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             b = 0
             while b < len(body):
-                if b + 65 > len(body):
-                    raise ValueError("corrupt JPEG: truncated stream")
                 pq, tq = body[b] >> 4, body[b] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quantization tables not supported")
-                tab = np.frombuffer(body, np.uint8, 64, b + 1).astype(np.int32)
+                if pq not in (0, 1):
+                    raise ValueError(f"corrupt JPEG: invalid DQT precision {pq}")
+                # pq=1: 16-bit big-endian table entries — some encoders emit
+                # these even for 8-bit images (T.81 B.2.4.1)
+                width = 2 if pq else 1
+                if b + 1 + 64 * width > len(body):
+                    raise ValueError("corrupt JPEG: truncated stream")
+                if pq:
+                    tab = (
+                        np.frombuffer(body, ">u2", 64, b + 1).astype(np.int32)
+                    )
+                else:
+                    tab = np.frombuffer(body, np.uint8, 64, b + 1).astype(np.int32)
                 qtabs[tq] = tab[UNZIGZAG].reshape(8, 8)
-                b += 65
+                b += 1 + 64 * width
         elif marker == 0xC4:  # DHT
             b = 0
             while b < len(body):

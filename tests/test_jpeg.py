@@ -296,3 +296,46 @@ def test_lossless_sof3_roundtrip_and_contracts():
     )
     with pytest.raises(ValueError, match="predictor"):
         encode_jpeg_lossless(img, predictor=0)
+
+
+def test_16bit_quantization_tables_decode_identically():
+    """DQT precision 1 (16-bit entries, T.81 B.2.4.1 — emitted by some
+    encoders even for 8-bit images): rewrite a file's 8-bit DQT as 16-bit
+    with the same values; the decode must be bit-identical."""
+    import struct
+
+    payload = encode_jpeg(_gradient(24, 24), quality=85)
+    out = bytearray()
+    pos = 2
+    out += payload[:2]
+    while pos + 4 <= len(payload):
+        marker = payload[pos + 1]
+        if payload[pos] != 0xFF:
+            break
+        if marker == 0xD9:
+            out += payload[pos:]
+            break
+        if marker == 0xDA:  # entropy data follows: copy the rest verbatim
+            out += payload[pos:]
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            nb = bytearray()
+            b = 0
+            while b < len(body):
+                tq = body[b] & 0x0F
+                nb.append(0x10 | tq)  # pq=1
+                for v in body[b + 1 : b + 65]:
+                    nb += struct.pack(">H", v)
+                b += 65
+            out += bytes([0xFF, 0xDB]) + struct.pack(">H", len(nb) + 2) + bytes(nb)
+        else:
+            out += payload[pos : pos + 2 + seglen]
+        pos += 2 + seglen
+    assert np.array_equal(decode_jpeg(bytes(out)), decode_jpeg(payload))
+    with pytest.raises(ValueError, match="DQT precision"):
+        bad = bytearray(payload)
+        i = bad.find(b"\xff\xdb")
+        bad[i + 4] = 0x20 | (bad[i + 4] & 0x0F)  # pq=2: invalid
+        decode_jpeg(bytes(bad))
