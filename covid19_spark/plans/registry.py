@@ -51,18 +51,6 @@ from covid19_spark.plans import q_temporal  # noqa: F401, E402
 # order is NOT derived from this (bench.py pins alphabetical), so re-sorting
 # per round does not churn the sweep.
 
-def _latest_correctness_artifact() -> str | None:
-    import glob
-    import os
-    import re
-
-    root = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
-    paths = glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
-    if not paths:
-        return None
-    return max(paths, key=lambda p: int(re.search(r"r(\d+)\.json$", p).group(1)))
-
-
 # Queries whose plans are multi-stage pipelines (codec kernels, LSH/ANN
 # training, e2e dedup).  Sorted AFTER the cheap map/agg/window block so the
 # sweep's fresh-JVM cold start is absorbed by a cheap query, matching the
@@ -74,39 +62,55 @@ _HEAVY_NAME_PARTS = (
 )
 
 
-def _derive_front_list() -> list[str]:
+def load_correctness_artifacts() -> dict[int, set[str]]:
+    """Round number -> set of query names with a driver row in that round's
+    ``CORRECTNESS_r{N}.json``.  Unreadable artifacts are skipped."""
     import glob
     import json
     import os
+    import re
 
-    path = _latest_correctness_artifact()
-    if path is None:
-        return []  # fresh checkout: keep registration order as-is
-    with open(path) as f:
-        checked = set(json.load(f))
-    missing = [n for n in QUERY_REGISTRY if n not in checked]
-    # Rotation priority: a query some OLDER artifact verified has rotated
-    # out and must come back before the sweep's coverage window closes on
-    # it (the sweep may only reach a prefix); a brand-new query — in NO
-    # artifact yet — queues after them (it is fixture/oracle-checked
-    # locally and gets its first driver row next round at the latest).
     root = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
-    ever_checked: set[str] = set()
+    out: dict[int, set[str]] = {}
     for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)\.json$", p).group(1))
         try:
             with open(p) as f:
-                ever_checked |= set(json.load(f))
+                out[rnd] = set(json.load(f))
         except (OSError, ValueError):
             continue
+    return out
+
+
+def derive_front_list(
+    registry_names: list[str], artifacts: dict[int, set[str]]
+) -> list[str]:
+    """LRU rotation: queries missing from the NEWEST artifact, sorted by the
+    round they were LAST driver-verified, ascending — never-verified queries
+    (last round = -1) sort FIRST (VERDICT r06 task #1: the old key sorted
+    them last, starving exactly the newest work whenever |missing| exceeds
+    the sweep window).  Aging makes the policy starvation-free: a query's
+    last-verified round is frozen while it waits, so its priority only rises;
+    with a window of W every query is swept within ceil(len(registry)/W)
+    rounds (pinned by tests/test_registry_order.py's replay simulation)."""
+    if not artifacts:
+        return []  # fresh checkout: keep registration order as-is
+    checked = artifacts[max(artifacts)]
+    last_round: dict[str, int] = {}
+    for rnd, names in artifacts.items():
+        for n in names:
+            last_round[n] = max(last_round.get(n, -1), rnd)
 
     def _key(n: str) -> tuple[int, int, str]:
         heavy = any(p in n for p in _HEAVY_NAME_PARTS)
-        return (0 if n in ever_checked else 1, 1 if heavy else 0, n)
+        return (last_round.get(n, -1), 1 if heavy else 0, n)
 
-    return sorted(missing, key=_key)
+    return sorted((n for n in registry_names if n not in checked), key=_key)
 
 
-_DRIVER_UNVERIFIED_FIRST = _derive_front_list()
+_DRIVER_UNVERIFIED_FIRST = derive_front_list(
+    list(QUERY_REGISTRY), load_correctness_artifacts()
+)
 
 
 def _reorder_registry() -> None:

@@ -50,6 +50,77 @@ def test_front_list_has_no_stale_entries():
     assert set(_DRIVER_UNVERIFIED_FIRST) <= set(QUERY_REGISTRY)
 
 
+SWEEP_WINDOW = 50  # the driver's r02-r06 artifacts each cover a 50-query prefix
+
+
+def _all_artifacts() -> dict[int, set]:
+    out = {}
+    for p in glob.glob(os.path.join(_HERE, "..", "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)\.json$", p).group(1))
+        with open(p) as f:
+            out[rnd] = set(json.load(f))
+    return out
+
+
+def test_never_verified_queries_sort_before_rotated_out_ones():
+    """VERDICT r06 task #1 regression: the old sort key put never-driver-
+    verified queries LAST, so with |missing| > window the newest queries
+    starved forever.  Replaying the real artifact history must put every
+    never-verified query strictly before every ever-verified one."""
+    from covid19_spark.plans.registry import derive_front_list
+
+    artifacts = _all_artifacts()
+    if not artifacts:
+        return
+    ever = set().union(*artifacts.values())
+    front = derive_front_list(list(QUERY_REGISTRY), artifacts)
+    never_positions = [i for i, n in enumerate(front) if n not in ever]
+    ever_positions = [i for i, n in enumerate(front) if n in ever]
+    if never_positions and ever_positions:
+        assert max(never_positions) < min(ever_positions), (
+            "never-verified queries must sort first: "
+            f"{[front[i] for i in never_positions]}"
+        )
+    # The concrete r06 starvation set lands inside the sweep window.
+    names = list(QUERY_REGISTRY)
+    for q in ("corpus_drift", "dup_ngram_stats", "gopher_quality",
+              "semantic_dedup_paper_policy"):
+        if q in names and q not in ever:
+            assert names.index(q) < SWEEP_WINDOW, (q, names.index(q))
+
+
+def test_rotation_replay_covers_every_query_within_ceiling_rounds():
+    """Starvation-freedom, simulated: seed with the real on-disk artifact
+    history, then replay rounds where each sweep verifies the first
+    SWEEP_WINDOW registry entries under the derived order.  Every registered
+    query must appear in EVERY window of ceil(N / SWEEP_WINDOW) consecutive
+    sweeps — the old sort key fails this replay (the 4 r06-new queries never
+    enter any sweep)."""
+    import math
+
+    from covid19_spark.plans.registry import derive_front_list
+
+    artifacts = dict(_all_artifacts())
+    base_order = list(QUERY_REGISTRY)
+    n_rounds_needed = math.ceil(len(base_order) / SWEEP_WINDOW)
+    sweeps = []
+    next_round = (max(artifacts) if artifacts else 0) + 1
+    for _ in range(n_rounds_needed * 4):
+        front = derive_front_list(base_order, artifacts)
+        order = front + [n for n in base_order if n not in set(front)]
+        sweep = set(order[:SWEEP_WINDOW])
+        sweeps.append(sweep)
+        artifacts[next_round] = sweep
+        next_round += 1
+    for i in range(len(sweeps) - n_rounds_needed + 1):
+        window_union = set().union(*sweeps[i : i + n_rounds_needed])
+        missing = set(base_order) - window_union
+        assert not missing, (
+            f"queries starved out of sweeps {i}..{i + n_rounds_needed - 1}: "
+            f"{sorted(missing)}"
+        )
+
+
 def test_every_query_has_spec_fn_and_doc():
     for name, spec in QUERY_REGISTRY.items():
         assert callable(spec.fn), name
