@@ -275,6 +275,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     max_bucket: int | None = 10_000,
+    dropped_report: list | None = None,
 ) -> DataFrame:
     """Band the signatures and self-join on (band, bucket-hash).
 
@@ -286,24 +287,18 @@ def lsh_candidate_pairs(
     size B produces B² candidate pairs, so one pathological bucket turns the
     join quadratic. Dropped buckets are precisely giant duplicate clusters;
     at scale those are handled by exact-hash dedup first, then sampled.
-    Pass ``None`` to disable.
+    Pass ``None`` to disable; pass ``dropped_report=[]`` to receive a
+    ``(band, bucket, bucket_size)`` frame of what the guard removed (see
+    ``drop_oversized_buckets``).
     """
     # The band self-join carries ONLY (id, band, bucket) — thin fixed-width
     # rows. Signatures (k longs per doc) are re-joined per UNIQUE candidate
     # pair afterwards: candidate pairs are orders of magnitude fewer than
     # banded rows, so this keeps k×8 bytes/row out of the big shuffle.
     banded = band_buckets(sig_df, id_col, num_hashes, bands)
-    if max_bucket is not None:
-        # oversized buckets are rare by construction → tiny frame, broadcast
-        # anti-join instead of a window count (which would add a full
-        # shuffle+sort over every banded row)
-        oversized = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__bs"))
-            .filter(F.col("__bs") > max_bucket)
-            .select("band", "bucket")
-        )
-        banded = banded.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
+    banded = drop_oversized_buckets(
+        banded, ["band", "bucket"], max_bucket, dropped_report
+    )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -375,8 +370,28 @@ def hamming_band_keys(col: str) -> "F.Column":
     )
 
 
+def oversized_bucket_report(
+    banded: DataFrame, key_cols: list[str], max_bucket: int
+) -> DataFrame:
+    """``(key_cols..., bucket_size)`` for every bucket the guard would drop —
+    the observable companion of ``drop_oversized_buckets`` (VERDICT r06 task
+    #3: the anti-join used to be silent, so a degenerate 100 TB corpus —
+    boilerplate, silence, black frames — could lose near-dup recall with no
+    signal). Same groupBy the guard itself broadcasts, so evaluating the
+    report costs one aggregation over the banded frame; at scale that frame
+    should be cached by the caller when both paths are consumed."""
+    return (
+        banded.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+    )
+
+
 def drop_oversized_buckets(
-    banded: DataFrame, key_cols: list[str], max_bucket: int | None
+    banded: DataFrame,
+    key_cols: list[str],
+    max_bucket: int | None,
+    dropped_report: list | None = None,
 ) -> DataFrame:
     """Anti-join away bucket keys whose group exceeds ``max_bucket`` rows —
     the shared skew guard of every banded self-join (MinHash bucket join,
@@ -387,16 +402,27 @@ def drop_oversized_buckets(
     is tiny, so a broadcast anti-join beats a window count (which would add
     a full shuffle+sort over every banded row). Dropped buckets are exactly
     giant duplicate clusters; at scale those are handled by exact-hash dedup
-    first. ``None`` disables the guard."""
+    first. ``None`` disables the guard.
+
+    Observability: pass ``dropped_report=[]`` and the function appends a
+    ``(key_cols..., bucket_size)`` DataFrame of the buckets it dropped, so
+    callers can count/log the recall surface the guard removed instead of
+    losing it silently (lazy — evaluating it re-aggregates the banded
+    frame)."""
     if max_bucket is None:
+        if dropped_report is not None:
+            dropped_report.append(
+                banded.select(*key_cols).limit(0).withColumn(
+                    "bucket_size", F.lit(0).cast("long")
+                )
+            )
         return banded
-    oversized = (
-        banded.groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias("__bs"))
-        .filter(F.col("__bs") > max_bucket)
-        .select(*key_cols)
+    oversized = oversized_bucket_report(banded, key_cols, max_bucket)
+    if dropped_report is not None:
+        dropped_report.append(oversized)
+    return banded.join(
+        F.broadcast(oversized.select(*key_cols)), key_cols, "left_anti"
     )
-    return banded.join(F.broadcast(oversized), key_cols, "left_anti")
 
 
 def simhash_candidate_pairs(
@@ -404,6 +430,7 @@ def simhash_candidate_pairs(
     id_col: str,
     max_hamming: int = 3,
     max_bucket: int | None = 10_000,
+    dropped_report: list | None = None,
 ) -> DataFrame:
     """Near-dup candidates: pairs sharing ≥1 of four 16-bit sub-bands, kept if
     Hamming distance ≤ ``max_hamming`` (``bit_count(a XOR b)``).
@@ -411,12 +438,14 @@ def simhash_candidate_pairs(
     ``max_bucket`` drops degenerate (band, key) groups before the self-join
     (see ``drop_oversized_buckets``) — without it, media corpora with many
     constant inputs (black frames, silence) would make one sub-band bucket
-    hold a large corpus fraction and the probe quadratic within it."""
+    hold a large corpus fraction and the probe quadratic within it. Pass
+    ``dropped_report=[]`` to receive a ``(band, key, bucket_size)`` frame of
+    the dropped groups instead of losing them silently."""
     bands = hamming_band_keys("simhash")
     banded = sig_df.select(id_col, "simhash", F.explode(bands).alias("bb")).select(
         id_col, "simhash", "bb.band", "bb.key"
     )
-    banded = drop_oversized_buckets(banded, ["band", "key"], max_bucket)
+    banded = drop_oversized_buckets(banded, ["band", "key"], max_bucket, dropped_report)
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

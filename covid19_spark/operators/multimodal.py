@@ -758,6 +758,7 @@ def image_near_dup_pairs(
     id_col: str = "media_id",
     max_hamming: int = 10,
     max_bucket: int | None = 10_000,
+    dropped_report: list | None = None,
 ) -> DataFrame:
     """Perceptual near-duplicate candidate pairs over a dHash frame: the
     64-bit hashes ride the SAME banded Hamming probe as SimHash text dedup
@@ -775,6 +776,7 @@ def image_near_dup_pairs(
         id_col,
         max_hamming=max_hamming,
         max_bucket=max_bucket,
+        dropped_report=dropped_report,
     )
 
 
@@ -840,6 +842,7 @@ def video_near_dup_pairs(
     max_hamming: int = 10,
     min_matching_frames: int = 3,
     max_bucket: int | None = 10_000,
+    dropped_report: list | None = None,
 ) -> DataFrame:
     """Video-level near-duplicates from per-frame perceptual hashes: frames
     align on ``frame_rank`` and candidate-join via the 4 x 16-bit sub-band
@@ -863,7 +866,9 @@ def video_near_dup_pairs(
     banded = frame_hash_df.select(
         id_col, "frame_rank", "dhash", F.explode(bands).alias("bb")
     ).select(id_col, "frame_rank", "dhash", "bb.band", "bb.key")
-    banded = drop_oversized_buckets(banded, ["frame_rank", "band", "key"], max_bucket)
+    banded = drop_oversized_buckets(
+        banded, ["frame_rank", "band", "key"], max_bucket, dropped_report
+    )
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
     frame_pairs = (
@@ -1244,6 +1249,7 @@ def audio_near_dup_pairs(
     id_col: str = "media_id",
     max_hamming: int = 10,
     max_bucket: int | None = 10_000,
+    dropped_report: list | None = None,
 ) -> DataFrame:
     """Perceptual audio near-duplicate candidates: the 64-bit fingerprints
     ride the same banded 16-bit-sub-band Hamming probe as SimHash/dHash —
@@ -1257,6 +1263,7 @@ def audio_near_dup_pairs(
         id_col,
         max_hamming=max_hamming,
         max_bucket=max_bucket,
+        dropped_report=dropped_report,
     )
 
 

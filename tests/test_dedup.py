@@ -165,6 +165,76 @@ def test_video_near_dup_bucket_cap(spark):
     fh.unpersist()
 
 
+def test_bucket_cap_reports_dropped_buckets(spark):
+    """VERDICT r06 task #3: the oversized-bucket guard must be observable.
+    Planting one degenerate identical-hash cluster, the probe must BOTH drop
+    its pairs AND surface the dropped (band, key) buckets with their sizes
+    via ``dropped_report`` — all four 16-bit sub-bands of the planted hash,
+    each of cluster size."""
+    rows = [(i, 0x1234_5678_9ABC_0000) for i in range(20)]
+    rows += [(100, 0x7FFF_0000_0000_0001), (101, 0x7FFF_0000_0000_0003)]
+    sigs = spark.createDataFrame(rows, ["doc_id", "simhash"]).cache()
+    report = []
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_candidate_pairs(
+            sigs, "doc_id", max_hamming=3, max_bucket=10, dropped_report=report
+        ).collect()
+    }
+    assert pairs == {(100, 101)}  # cluster dropped, genuine pair survives
+    assert len(report) == 1
+    dropped = report[0].collect()
+    assert set(report[0].columns) == {"band", "key", "bucket_size"}
+    # the planted hash occupies one oversized bucket per 16-bit sub-band
+    assert {(r.band, r.key) for r in dropped} == {
+        (0, 0x0000), (1, 0x9ABC), (2, 0x5678), (3, 0x1234)
+    }
+    assert all(r.bucket_size == 20 for r in dropped)
+    sigs.unpersist()
+
+
+def test_bucket_cap_report_empty_when_guard_disabled(spark):
+    """max_bucket=None keeps the API contract: nothing dropped, and the
+    report frame is present but empty (same schema) so callers can always
+    count it."""
+    sigs = spark.createDataFrame(
+        [(1, 0x7FFF_0000_0000_0001), (2, 0x7FFF_0000_0000_0003)],
+        ["doc_id", "simhash"],
+    )
+    report = []
+    simhash_candidate_pairs(
+        sigs, "doc_id", max_bucket=None, dropped_report=report
+    ).collect()
+    assert len(report) == 1
+    assert report[0].count() == 0
+    assert "bucket_size" in report[0].columns
+
+
+def test_lsh_candidate_pairs_reports_dropped_buckets(spark):
+    """MinHash banded join: a 20-doc identical-text cluster fills all 8 band
+    buckets past the cap; every dropped bucket surfaces with its size."""
+    rows = [(i, "same boilerplate text repeated again and again forever", "en") for i in range(20)]
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog today", "en"),
+        (101, "the quick brown fox jumps over the lazy dog tonight", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    sigs = minhash_signatures(df, "doc_id", "text", num_hashes=32, shingle_n=2).cache()
+    report = []
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(
+            sigs, "doc_id", 32, 8, max_bucket=10, dropped_report=report
+        ).collect()
+    }
+    assert (100, 101) in pairs and all(a >= 100 for a, _ in pairs)
+    dropped = report[0].collect()
+    assert set(report[0].columns) == {"band", "bucket", "bucket_size"}
+    assert len(dropped) == 8  # identical docs: one oversized bucket per band
+    assert all(r.bucket_size == 20 for r in dropped)
+    sigs.unpersist()
+
+
 def test_ngram_jaccard_refuses_empty_blocks(spark):
     import pytest
 
