@@ -21,8 +21,19 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
 from covid19_spark.serving import format as fmt
 from covid19_spark.serving.stores import StoreReader
+
+#: the ``user-request`` topic value (reference ``UserRequest.java:14-17``).
+USER_REQUEST_SCHEMA = T.StructType(
+    [
+        T.StructField("chatId", T.StringType()),
+        T.StructField("state", T.StringType()),
+    ]
+)
 
 
 def _one_shot_sections(frames: dict[str, DataFrame]) -> dict[str, list[dict]]:
@@ -147,3 +158,52 @@ def handle_user_request(
     if state.lower() != "total" and news:
         text += f"\nSource: {news[0]['url']}"
     return text
+
+
+def serve_user_requests_stream(
+    spark: SparkSession,
+    reader: StoreReader,
+    request_topic_dir: str,
+    reply_topic_dir: str,
+    today: dt.date,
+    last_updated: str = "",
+    checkpoint_dir: str | None = None,
+):
+    """§3.2 transport loop over emulated topics: consume ``UserRequest``
+    records, dispatch each through ``handle_user_request``, produce
+    ``(chatId, state, text)`` replies keyed by chatId — the Spark shape of
+    ``UserRequestConsumer.listenForUserRequests``
+    (``UserRequestConsumer.java:87-142``: poll the ``user-request`` topic,
+    answer via store lookups, send the alert back to the chat).
+
+    The per-batch ``collect`` is bounded by the poll size by construction —
+    the reference consumer caps it at ``max-poll-records: 100``
+    (``application.yml:23``); requests are human-issued bot commands, not a
+    data stream, so the driver loop is the serving tier, not a scale path.
+    Returns the started streaming query (caller stops it)."""
+    from covid19_spark.sources.kafka import (
+        emulated_topic_sink,
+        read_emulated_topic_stream,
+    )
+
+    requests = read_emulated_topic_stream(spark, request_topic_dir, USER_REQUEST_SCHEMA)
+    produce_reply = emulated_topic_sink(reply_topic_dir, F.col("chatId"))
+
+    def dispatch(batch: DataFrame, batch_id: int) -> None:
+        polled = batch.select("chatId", "state").collect()
+        replies = [
+            (r["chatId"], r["state"], handle_user_request(reader, r["state"], today, last_updated))
+            for r in polled
+        ]
+        if replies:
+            produce_reply(
+                spark.createDataFrame(
+                    replies, "chatId string, state string, text string"
+                ),
+                batch_id,
+            )
+
+    writer = requests.writeStream.foreachBatch(dispatch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

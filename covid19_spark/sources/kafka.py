@@ -164,3 +164,14 @@ def read_emulated_topic_stream(
     emulated wire columns."""
     raw = spark.readStream.schema(EMULATED_WIRE_SCHEMA).parquet(topic_dir)
     return decode_json_value(raw, schema)
+
+
+def read_emulated_topic(
+    spark: SparkSession, topic_dir: str, schema: T.StructType
+) -> DataFrame:
+    """Batch consumer for a file-backed topic — the S6 poll-style twin of
+    ``read_emulated_topic_stream`` (reference batch listeners poll topics
+    with ``max-poll-records: 100``, ``application.yml:23``): one decoded
+    frame of everything currently on the topic."""
+    raw = spark.read.schema(EMULATED_WIRE_SCHEMA).parquet(topic_dir)
+    return decode_json_value(raw, schema)

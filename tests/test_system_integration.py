@@ -187,3 +187,71 @@ def test_stream_to_incremental_upsert_to_chart_request(env):
     assert series["Recovered"] == [1.0, 1.0]
     assert series["Deaths"] == [0.0, 1.0]
     assert series["Active"] == [4.0, 3.0]  # confirmed - recovered - deaths, clamped
+
+
+def test_user_request_round_trip_over_emulated_topics(env):
+    """§3.2 end-to-end on the emulated transport (VERDICT r06 task #6):
+    produce a UserRequest onto the request topic, run the dispatch stream
+    (request topic → store queries → reply topic), and read back the golden
+    /stats reply — the Spark twin of UserRequestConsumer.java:87-142's
+    poll → answer → send loop, previously covered only by direct store-read
+    tests."""
+    from pyspark.sql import functions as F
+
+    from covid19_spark.serving.requests import (
+        USER_REQUEST_SCHEMA,
+        serve_user_requests_stream,
+    )
+    from covid19_spark.serving.stores import Materializer
+    from covid19_spark.sources.kafka import emulated_topic_sink, read_emulated_topic
+
+    spark, d = env
+    req_topic, reply_topic, ckpt = f"{d}/user-request", f"{d}/user-reply", f"{d}/ckpt-req"
+
+    snapshots = spark.createDataFrame(
+        [
+            ("Maharashtra", ts("2020-04-08T10:00:00"), 10, 1, 1),
+            ("Maharashtra", ts("2020-04-09T22:00:00"), 28, 2, 2),
+            ("Delhi", ts("2020-04-08T12:00:00"), 5, 0, 0),
+            ("Delhi", ts("2020-04-09T12:00:00"), 9, 1, 1),
+            ("Total", ts("2020-04-09T22:00:00"), 37, 3, 3),
+        ],
+        ["state", "last_updated", "confirmed", "recovered", "deaths"],
+    )
+    Materializer(spark, d).refresh_statewise(snapshots)
+    reader = StoreReader(spark, d)
+
+    # produce: two bot commands land on the request topic (S5 point write)
+    emulated_topic_sink(req_topic, F.col("chatId"))(
+        spark.createDataFrame(
+            [("chat-1", "Summary"), ("chat-2", "Today")], USER_REQUEST_SCHEMA
+        ),
+        0,
+    )
+
+    q = serve_user_requests_stream(
+        spark, reader, req_topic, reply_topic, dt.date(2020, 4, 9),
+        last_updated="09/04/2020 22:00:00", checkpoint_dir=ckpt,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    reply_schema = T.StructType(
+        [
+            T.StructField("chatId", T.StringType()),
+            T.StructField("state", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    replies = {r.chatId: r for r in read_emulated_topic(spark, reply_topic, reply_schema).collect()}
+    assert set(replies) == {"chat-1", "chat-2"}
+    assert replies["chat-1"].key == "chat-1"  # reply keyed by chat, like the bot send
+    summary = replies["chat-1"].text
+    assert "Summary of all affected Indian States" in summary
+    assert "Mah  |     28|      2|     2" in summary
+    assert summary.rstrip("</pre>").rstrip().endswith("Total|     37|      3|     3")
+    today_text = replies["chat-2"].text
+    assert "Mah  |     18|      1|     1" in today_text
+    assert "Delhi|      4|      1|     1" in today_text
