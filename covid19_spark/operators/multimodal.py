@@ -781,7 +781,10 @@ def image_near_dup_pairs(
 
 
 def video_frame_hashes(
-    media: DataFrame, every_ms: int = 1000, hash_size: int = 8
+    media: DataFrame,
+    every_ms: int = 1000,
+    hash_size: int = 8,
+    decode_path: str = "auto",
 ) -> DataFrame:
     """``(media_id, frame_rank, dhash)`` — one perceptual hash per sampled
     video frame (real MJPEG-AVI decode; ``frame_rank`` is the 0-based index
@@ -800,7 +803,18 @@ def video_frame_hashes(
     hash and recall collapses; measured: planted-pair recall 20/40 on
     32x24 frames vs 40/40 on 80x64); smaller frames take the full decode,
     itself ~3x faster since the LUT entropy decoder. ``test_multimodal.py``
-    pins DC-path/full-decode pair-set equality on the registry corpus."""
+    pins DC-path/full-decode pair-set equality on the registry corpus.
+
+    ``decode_path`` (r06 ADVICE): ``"auto"`` picks per frame by the size
+    threshold above — correct when near-dup candidates share a size class,
+    the normal video case (re-encodes keep resolution). But a DC-hashed
+    frame and a full-decode-hashed frame of the SAME content land ~19 bits
+    apart (the measured cross-path inconsistency of ``image_dhash``), so a
+    corpus whose near-dup pairs STRADDLE the threshold (e.g. originals next
+    to downscaled copies) silently loses recall under "auto". For such
+    mixed-resolution corpora pass ``"full"`` (every frame full-decodes —
+    consistent at any size) or ``"dc"`` (every frame DC-decodes — fastest,
+    but small frames undersample the hash grid)."""
     from covid19_spark.operators.jpeg import (
         decode_jpeg,
         decode_jpeg_dc,
@@ -809,6 +823,10 @@ def video_frame_hashes(
 
     if every_ms <= 0:
         raise ValueError(f"every_ms must be positive (got {every_ms})")
+    if decode_path not in ("auto", "dc", "full"):
+        raise ValueError(
+            f"decode_path must be 'auto', 'dc', or 'full' (got {decode_path!r})"
+        )
     min_h, min_w = 8 * hash_size, 8 * (hash_size + 1)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -819,11 +837,10 @@ def video_frame_hashes(
                     _sampled_avi_frames(payload, every_ms)
                 ):
                     fh, fw = peek_jpeg_dims(jpeg)
-                    px = (
-                        decode_jpeg_dc(jpeg)
-                        if fh >= min_h and fw >= min_w
-                        else decode_jpeg(jpeg)
+                    use_dc = decode_path == "dc" or (
+                        decode_path == "auto" and fh >= min_h and fw >= min_w
                     )
+                    px = decode_jpeg_dc(jpeg) if use_dc else decode_jpeg(jpeg)
                     ids.append(mid)
                     ranks.append(rank)
                     hashes.append(dhash_pixels(px, hash_size))
@@ -1101,6 +1118,11 @@ def encode_wav_ima_adpcm(
         "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, block_samples
     )
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    # 'fact' chunk: true sample count. The final block zero-pads to a full
+    # nibble body, so without it a decoder returns the padded length — a
+    # 100-sample signal came back as 505 samples (r06 ADVICE); decode_wav
+    # trims compressed-format output to this count.
+    body += b"fact" + struct.pack("<II", 4, len(arr))
     body += b"data" + struct.pack("<I", len(out)) + bytes(out)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -1119,7 +1141,7 @@ def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
 
     if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact_samples = 12, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (ln,) = struct.unpack_from("<I", payload, pos + 4)
@@ -1132,6 +1154,10 @@ def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
             fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
         elif cid == b"data":
             data = payload[pos + 8 : body_end]
+        elif cid == b"fact" and ln >= 4:
+            # true per-channel sample count — authoritative for compressed
+            # formats whose final block pads to a whole nibble body
+            (fact_samples,) = struct.unpack_from("<I", payload, pos + 8)
         pos = body_end + (ln & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("corrupt WAV: missing fmt/data chunk")
@@ -1175,7 +1201,10 @@ def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
             raise ValueError(f"corrupt WAV: IMA ADPCM requires 4-bit samples, got {bits}")
         if _align < 4 * ch + 4:
             raise ValueError("corrupt WAV: ADPCM block align below header size")
-        return _decode_ima_adpcm(data, ch, _align), rate
+        decoded = _decode_ima_adpcm(data, ch, _align)
+        if fact_samples is not None:
+            decoded = decoded[:fact_samples]  # trim final-block zero padding
+        return decoded, rate
     else:
         raise NotImplementedError(
             f"compressed WAV format {audio_fmt} needs a codec library"

@@ -770,6 +770,47 @@ def test_video_near_dup_finds_reencodes_distributed(spark):
     assert not any(a < 100 and b < 100 for (a, b) in pairs)
 
 
+def test_video_decode_path_flag_recovers_cross_resolution_pairs(spark):
+    """r06 ADVICE: with per-frame 'auto' path selection, a video and its
+    downscaled copy straddling the DC threshold hash through DIFFERENT
+    decode paths and drift apart; decode_path='full' pins one path for the
+    whole corpus and the cross-resolution pair must hash close on every
+    aligned frame."""
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_mjpeg_avi,
+        video_frame_hashes,
+        video_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = []
+    base = rng.integers(0, 256, (8, 10, 3), dtype=np.uint8)
+    frames = [np.roll(base, k, axis=1) for k in range(4)]
+    big = [np.repeat(np.repeat(f, 8, axis=0), 8, axis=1) for f in frames]  # 64x80 → DC path
+    small = [np.repeat(np.repeat(f, 4, axis=0), 4, axis=1) for f in frames]  # 32x40 → full path
+    rows.append((1, "video", "video/avi", 80, 64, 1000, encode_mjpeg_avi(big, fps=4, quality=90)))
+    rows.append((2, "video", "video/avi", 40, 32, 1000, encode_mjpeg_avi(small, fps=4, quality=90)))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    consistent = video_frame_hashes(media, every_ms=250, decode_path="full")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in video_near_dup_pairs(
+            consistent, max_hamming=10, min_matching_frames=3
+        ).collect()
+    }
+    assert (1, 2) in pairs
+
+    # the flag is validated, and 'dc'/'full' both run end to end
+    with pytest.raises(ValueError, match="decode_path"):
+        video_frame_hashes(media, every_ms=250, decode_path="thumbnail")
+    assert (
+        video_frame_hashes(media, every_ms=250, decode_path="dc").count()
+        == consistent.count()
+    )
+
+
 def test_dhash_rejects_nonstandard_hash_size():
     """hash_size != 8 would overflow the int64 packing (larger) or zero out
     whole sub-bands and degenerate the banded probe into a near cross join
@@ -986,6 +1027,25 @@ def test_ima_adpcm_wav_roundtrip(spark):
     )
     rows = extract_audio_features(media, use_fake=False).collect()
     assert len(rows) == 1 and len(rows[0]["feature"]) == 16
+
+
+def test_ima_adpcm_partial_block_roundtrips_exact_length():
+    """r06 ADVICE: a signal whose length is not a multiple of block_samples
+    must round-trip to EXACTLY its own length — the encoder writes a 'fact'
+    chunk with the true sample count and decode_wav trims the final block's
+    zero-nibble padding to it (a 100-sample input used to come back as 505
+    samples)."""
+    from covid19_spark.operators.multimodal import decode_wav, encode_wav_ima_adpcm
+
+    sig16 = (1000 * np.sin(np.arange(100) / 5.0)).astype(np.int16)
+    wav = encode_wav_ima_adpcm(sig16, sample_rate=8000, block_samples=505)
+    assert b"fact" in wav
+    decoded, rate = decode_wav(wav)
+    assert decoded.shape == (100, 1)
+    # trimming must not disturb the decoded values themselves
+    got = decoded[:, 0] * 32768.0
+    assert got[0] == float(sig16[0])
+    assert np.abs(got - sig16.astype(np.float64)).max() < 1500
 
 
 def test_image_dhash_uses_one_resolution_path_across_formats(spark):
