@@ -771,6 +771,24 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
     equivalent is the assembled image's block means)."""
     if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
+    # Seam rejection at sniff cost (VERDICT r06 task #8): arithmetic-coded/
+    # hierarchical SOFs and non-8-bit precision are identified by a marker
+    # walk BEFORE any DQT/DHT parsing — a stream whose tables precede its
+    # SOF otherwise pays full Huffman-LUT construction just to be refused.
+    # Malformed headers fall through so the main walk reports its precise
+    # corrupt-stream errors.
+    try:
+        _sof_marker, _sof_prec, _, _ = sniff_jpeg_frame(payload)
+    except ValueError:
+        pass
+    else:
+        if _sof_marker in _UNSUPPORTED_SOF:
+            raise NotImplementedError(
+                "only sequential/progressive/lossless Huffman JPEG supported "
+                f"(got SOF marker {_sof_marker:#x})"
+            )
+        if _sof_prec != 8:
+            raise NotImplementedError(f"{_sof_prec}-bit precision not supported")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _HuffDecoder] = {}
@@ -1119,10 +1137,16 @@ def encode_jpeg_lossless(pixels: np.ndarray, predictor: int = 4) -> bytes:
     return b"\xff\xd8" + dht + sof + sos + entropy + b"\xff\xd9"
 
 
-def peek_jpeg_dims(payload: bytes) -> tuple[int, int]:
-    """(height, width) from the SOF header via a marker walk — no entropy
-    decode, O(header bytes). Lets callers choose a decode path (DC-only vs
-    full) before paying for either."""
+#: SOF markers for variants behind the codec-library seam (arithmetic
+#: coding, differential/hierarchical modes).
+_UNSUPPORTED_SOF = frozenset({0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF})
+
+
+def sniff_jpeg_frame(payload: bytes) -> tuple[int, int, int, int]:
+    """(sof_marker, precision, height, width) from the SOF header via a
+    marker walk that SKIPS segment bodies — no table builds, no entropy
+    decode, O(header markers). The shared sniff of ``peek_jpeg_dims`` and
+    ``decode_jpeg``'s seam rejection."""
     if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -1134,14 +1158,21 @@ def peek_jpeg_dims(payload: bytes) -> tuple[int, int]:
         if marker in (0x01, 0xD9, *range(0xD0, 0xD8)):
             continue
         (seglen,) = struct.unpack_from(">H", payload, pos)
-        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, *_UNSUPPORTED_SOF):
             if pos + 7 > len(payload):
                 raise ValueError("corrupt JPEG: truncated stream")
-            _prec, h0, w0 = struct.unpack_from(">BHH", payload, pos + 2)
-            return h0, w0
+            prec, h0, w0 = struct.unpack_from(">BHH", payload, pos + 2)
+            return marker, prec, h0, w0
         pos += seglen
     raise ValueError("corrupt JPEG: no SOF marker")
+
+
+def peek_jpeg_dims(payload: bytes) -> tuple[int, int]:
+    """(height, width) from the SOF header via a marker walk — no entropy
+    decode, O(header bytes). Lets callers choose a decode path (DC-only vs
+    full) before paying for either."""
+    _, _, h0, w0 = sniff_jpeg_frame(payload)
+    return h0, w0
 
 
 def decode_jpeg_dc(payload: bytes) -> np.ndarray:

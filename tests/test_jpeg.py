@@ -101,6 +101,45 @@ def test_rejects_arithmetic_and_garbage():
         decode_jpeg(None)
 
 
+def test_seam_rejection_happens_at_sniff_cost():
+    """VERDICT r06 task #8: arithmetic/12-bit streams are refused by the
+    header marker walk BEFORE any DQT/DHT parsing. Proof: plant a DHT whose
+    body is corrupt (counts point past the segment) ahead of the SOF — the
+    main walk would raise ValueError parsing it, so getting
+    NotImplementedError means the seam fired without touching the tables."""
+    import struct
+
+    from covid19_spark.operators.jpeg import sniff_jpeg_frame
+
+    img = _gradient(16, 16)
+    payload = bytearray(encode_jpeg(img, quality=80))
+    i = payload.find(b"\xff\xc0")
+    # corrupt DHT: 16 count bytes claiming 255 symbols with a 1-byte body
+    bad_dht = b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1) + b"\x00" + b"\xff" * 16 + b"\x00"
+    seam = payload[:i] + bad_dht + payload[i:]
+
+    arith = bytearray(seam)
+    j = bytes(arith).find(b"\xff\xc0")
+    arith[j + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="SOF marker 0xc9"):
+        decode_jpeg(bytes(arith))
+
+    deep = bytearray(seam)
+    deep[j + 4] = 12  # precision byte of the SOF body
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bytes(deep))
+
+    # the sniff itself reports the frame header for both
+    marker, prec, h, w = sniff_jpeg_frame(bytes(arith))
+    assert (marker, h, w) == (0xC9, 16, 16)
+    assert sniff_jpeg_frame(bytes(deep))[1] == 12
+
+    # control: the same corrupt DHT under a SUPPORTED SOF still surfaces
+    # the table error from the main walk
+    with pytest.raises(ValueError, match="corrupt JPEG"):
+        decode_jpeg(bytes(seam))
+
+
 def test_decode_image_dispatches_jpeg():
     img = _gradient(16, 16)
     out = decode_image(encode_jpeg(img, quality=92))
