@@ -36,20 +36,24 @@ from covid19_spark.plans import q_event_analytics  # noqa: F401, E402
 from covid19_spark.plans import q_curation  # noqa: F401, E402
 from covid19_spark.plans import q_temporal  # noqa: F401, E402
 
-# --- Registration order: least-driver-verified first -------------------------
+# --- Registration order: LRU by last-driver-verified round --------------------
 #
 # The driver's per-round correctness sweep walks the registry in insertion
-# order and may only cover a prefix of it (the r02-r05 artifacts each stopped
-# at the 50th entry).  Rebuild the dict so the queries with no row in the
-# NEWEST CORRECTNESS_r*.json on disk register FIRST — the rotation guarantees
-# every query is driver-verified at least every other round.  The front list
-# is DERIVED at import time (VERDICT r05 task #1: a hand-maintained list went
-# stale two rounds running because the artifact lands after the round's final
-# commit); deterministic per checkout, with registration order as the
-# fallback when no artifact exists.  Pure reordering — the key set, specs,
-# and oracles are untouched (pinned by tests/test_registry_order.py).  Bench
-# order is NOT derived from this (bench.py pins alphabetical), so re-sorting
-# per round does not churn the sweep.
+# order and may only cover a prefix of it (the r02-r06 artifacts each stopped
+# at the 50th entry).  Rebuild the dict so queries missing from the NEWEST
+# CORRECTNESS_r*.json register first, ordered by the round they were LAST
+# verified ascending (never-verified = -1, so brand-new queries lead).  This
+# is a starvation-free aging queue: with window W every query is swept within
+# ceil(N/W) rounds (VERDICT r06 task #1 — the previous key sorted
+# never-verified queries LAST, permanently starving the newest work whenever
+# |missing| > W).  The front list is DERIVED at import time (r05 task #1: a
+# hand-maintained list went stale because the artifact lands after the
+# round's final commit); deterministic per checkout, with registration order
+# as the fallback when no artifact exists.  Pure reordering — the key set,
+# specs, and oracles are untouched (pinned by tests/test_registry_order.py,
+# including a multi-round replay simulation).  Bench order is NOT derived
+# from this (bench.py pins alphabetical), so re-sorting per round does not
+# churn the sweep.
 
 # Queries whose plans are multi-stage pipelines (codec kernels, LSH/ANN
 # training, e2e dedup).  Sorted AFTER the cheap map/agg/window block so the

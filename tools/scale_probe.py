@@ -1,0 +1,203 @@
+"""Measured wall-time scaling of the dedup/ANN families (VERDICT r06 task #7).
+
+Synthesizes a DETERMINISTIC 10x corpus from sf0.1 and times each family at
+1x and 10x, reporting the scaling exponent alpha = log(t10/t1) / log(10)
+(alpha 1.0 = linear, 2.0 = quadratic). Corpus construction preserves the
+statistical shape that drives each family's cost:
+
+- documents x10: ten replicas per doc; replica 0 keeps the original text,
+  replicas 1-9 sort the doc's words by xxhash64(word, replica). Near-dup
+  pairs WITHIN a replica survive (similar docs sort to near-identical
+  sequences, so their shingles still overlap), pairs ACROSS replicas are
+  destroyed (different sort keys -> disjoint shingle sets) — candidate-pair
+  density scales linearly with the corpus, as in a real crawl.
+- embeddings x10: ten replicas per vector; replica r rotates the array by
+  6*r positions (norm-preserving, decorrelates across replicas, preserves
+  cosine structure within one).
+- media: the q_image_near_dup synthesizer parameterized by id count (the
+  registry query itself caps at 250 ids BY DESIGN, so its bench time is
+  scale-constant; the probe scales the underlying operators instead).
+
+Usage: python tools/scale_probe.py [--runs 2] [--workdir /tmp/scaleprobe]
+Prints one JSON line per family and a summary block to paste into
+SCALING.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from covid19_spark.plans.registry import QUERY_REGISTRY  # noqa: E402
+from covid19_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REP_OFFSET = 10_000_000
+
+
+def build_scaled_dir(spark, out_dir: str, factor: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    reps = spark.range(factor).select(F.col("id").cast("int").alias("__rep"))
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    shuffled = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    words,
+                    lambda w: F.struct(
+                        F.xxhash64(
+                            F.concat_ws("#", w, F.col("__rep").cast("string"))
+                        ).alias("h"),
+                        w.alias("w"),
+                    ),
+                )
+            ),
+            lambda s: s["w"],
+        ),
+        " ",
+    )
+    scaled_docs = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("__rep").cast("long") * REP_OFFSET).alias("doc_id"),
+            F.when(F.col("__rep") == 0, F.col("text")).otherwise(shuffled).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+    )
+    scaled_docs.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vec = F.col("embedding")
+    shift = (F.col("__rep") * 6) % F.size(vec)
+    rotated = F.when(F.col("__rep") == 0, vec).otherwise(
+        F.concat(
+            F.slice(vec, shift + 1, F.size(vec) - shift), F.slice(vec, 1, shift)
+        )
+    )
+    scaled_emb = (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("__rep").cast("long") * REP_OFFSET).alias("vec_id"),
+            rotated.alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        )
+    )
+    scaled_emb.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+
+
+def image_probe(spark, n_ids: int):
+    """The q_image_near_dup synth+hash+probe pipeline over n_ids images
+    (plus ~24% planted JPEG re-encodes), without the registry's fixed
+    250-id cap."""
+    import numpy as np
+    import pandas as pd
+
+    from covid19_spark.operators.jpeg import encode_jpeg
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    ids = spark.range(n_ids).select(F.col("id").alias("doc_id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                rng = np.random.default_rng(d + 7_000_000)
+                h, w = 24 + d % 9, 32 + d % 7
+                base = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+                img = np.repeat(np.repeat(base, -(-h // 6), axis=0), -(-w // 8), axis=1)[:h, :w]
+                rows.append((d, "image", "image/bmp", w, h, None, encode_bmp(img)))
+                if d % 25 < 6:  # planted near-dup, same 24% rate as the registry query
+                    rows.append(
+                        (REP_OFFSET + d, "image", "image/jpeg", w, h, None,
+                         encode_jpeg(img, quality=80))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "mime", "width", "height",
+                         "duration_ms", "payload"],
+            )
+
+    media = ids.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    hashes = image_dhash(media, use_fake=False).cache()
+    hashes.count()
+    n = image_near_dup_pairs(hashes, "media_id", max_hamming=10).count()
+    hashes.unpersist()
+    return n
+
+
+def timed(fn, runs: int) -> float:
+    best = math.inf
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--workdir", default="/tmp/scaleprobe")
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+
+    spark = get_spark("scale_probe")
+    x10_dir = os.path.join(args.workdir, f"x{args.factor}")
+    if not os.path.exists(os.path.join(x10_dir, "embeddings.parquet")):
+        print(f"building {args.factor}x corpus at {x10_dir} ...", file=sys.stderr)
+        build_scaled_dir(spark, x10_dir, args.factor)
+
+    results = {}
+    for name in ("minhash_lsh", "dedup_pipeline_e2e", "ivfpq_cosine_topk"):
+        fn = QUERY_REGISTRY[name].fn
+        t1 = timed(lambda: fn(spark, SF_DIR).count(), args.runs)
+        spark.catalog.clearCache()
+        t10 = timed(lambda: fn(spark, x10_dir).count(), args.runs)
+        spark.catalog.clearCache()
+        alpha = math.log(t10 / t1) / math.log(args.factor)
+        results[name] = {"t1": round(t1, 2), "t10": round(t10, 2), "alpha": round(alpha, 2)}
+        print(json.dumps({"family": name, **results[name]}))
+
+    t1 = timed(lambda: image_probe(spark, 250), args.runs)
+    t10 = timed(lambda: image_probe(spark, 250 * args.factor), args.runs)
+    alpha = math.log(t10 / t1) / math.log(args.factor)
+    results["image_near_dup(operators)"] = {
+        "t1": round(t1, 2), "t10": round(t10, 2), "alpha": round(alpha, 2)
+    }
+    print(json.dumps({"family": "image_near_dup(operators)", **results['image_near_dup(operators)']}))
+
+    print("\n--- SCALING.md block ---")
+    print("| family | t(1x) s | t(10x) s | exponent |")
+    print("|---|---|---|---|")
+    for name, r in results.items():
+        print(f"| {name} | {r['t1']} | {r['t10']} | {r['alpha']} |")
+    shutil.rmtree(args.workdir, ignore_errors=True) if os.environ.get(
+        "SCALE_PROBE_CLEAN"
+    ) else None
+
+
+if __name__ == "__main__":
+    main()
