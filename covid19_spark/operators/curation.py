@@ -365,6 +365,116 @@ def unigram_logprob_score(
     )
 
 
+def bigram_backoff_score(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document negative log-likelihood under a bigram LM with Stupid
+    Backoff (Brants et al. 2007, "Large language models in machine
+    translation" §4): S(w2|w1) = c(w1 w2)/c(w1) when the bigram was seen in
+    the model corpus, else ``alpha``·c(w2)/T — the web-scale backoff that
+    skips discounting because at corpus scale the score quality matches
+    Kneser-Ney at a fraction of the cost. This upgrades the unigram CCNet
+    proxy (``unigram_logprob_score``) with transition structure: shuffled
+    or templated text keeps its unigram profile but loses its bigrams.
+
+    ``model_docs`` is the LM training corpus (CCNet trains on a reference
+    split and scores the crawl); default = ``docs`` itself, where backoff
+    never fires (every scored bigram was counted). Tokens absent from the
+    model vocabulary contribute nothing (OOV-drop, the
+    ``unigram_logprob_score`` default); documents with < 2 tokens emit no
+    row.
+
+    Output: (id_col, n_bigrams, neg_logprob_sum, nats_per_bigram).
+
+    Determinism contract: each transition's ``-ln(S)`` casts to
+    DECIMAL(38,6) before the order-independent exact sum (ln differs in
+    the last ulp across engines); the backoff product evaluates strictly
+    left-associative (``(alpha·tf)/T``) to match the oracle bit-for-bit.
+
+    Scale: bigram pairing is map-only (zip of adjacent tokens — no
+    self-join); model counts are token-keyed aggregations whose outputs are
+    vocabulary-sized (≪ corpus); scoring is two token-keyed joins (AQE
+    broadcasts when the vocab fits) and one groupBy per doc. No windows,
+    no driver collects.
+    """
+    from covid19_spark.operators.text import tokenize
+
+    if model_docs is None:
+        model_docs = docs
+
+    def _toks(df):
+        return F.filter(tokenize(F.col(text_col)), lambda t: t != "")
+
+    def _pairs(df, *extra):
+        arr = _toks(df)
+        # < 2 tokens -> NULL -> explode emits no rows (never sequence(1, 0),
+        # which would DESCEND)
+        bigrams = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.struct(
+                    F.element_at(arr, i).alias("w1"),
+                    F.element_at(arr, i.cast("int") + 1).alias("w2"),
+                ),
+            ),
+        )
+        return df.select(*extra, F.explode(bigrams).alias("bg")).select(
+            *extra, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
+
+    bg_counts = _pairs(model_docs).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    uni = (
+        model_docs.select(F.explode(_toks(model_docs)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    total = uni.agg(F.sum("tf").alias("total"))
+
+    scored = (
+        _pairs(docs, id_col)
+        .join(bg_counts, ["w1", "w2"], "left")
+        .join(
+            uni.select(F.col("token").alias("w1"), F.col("tf").alias("tf1")),
+            "w1",
+            "left",
+        )
+        .join(
+            uni.select(F.col("token").alias("w2"), F.col("tf").alias("tf2")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    nl = F.when(
+        F.col("c12").isNotNull(),
+        -F.log(F.col("c12").cast("double") / F.col("tf1").cast("double")),
+    ).when(
+        F.col("tf2").isNotNull(),
+        -F.log(
+            F.lit(float(alpha))
+            * F.col("tf2").cast("double")
+            / F.col("total").cast("double")
+        ),
+    )
+    per_pair = scored.select(
+        id_col, nl.cast("decimal(38,6)").alias("nl")
+    ).filter(F.col("nl").isNotNull())
+    return per_pair.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("nl").cast("double").alias("neg_logprob_sum"),
+        (F.sum("nl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "nats_per_bigram"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing
 # ---------------------------------------------------------------------------

@@ -544,6 +544,81 @@ QUERY_REGISTRY["unigram_logprob"] = QuerySpec(
 )
 
 
+def q_bigram_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff bigram LM scoring (Brants et al. 2007) in the CCNet
+    held-out shape: the LM trains on the even-doc_id half (the "reference"
+    split) and scores EVERY document — odd docs exercise the backoff path
+    (their unseen bigrams fall to alpha·unigram), the transition-structure
+    signal the unigram proxy cannot see.
+
+    Scale: map-only bigram zip (no self-join), vocabulary-sized model
+    aggregations, two token-keyed scoring joins (AQE broadcast at this
+    vocab), one per-doc groupBy. The -ln(S) DECIMAL(38,6) contract makes
+    the sum engine-exact."""
+    from covid19_spark.operators.curation import bigram_backoff_score
+
+    docs = _t(spark, sf_dir, "documents")
+    model_half = docs.filter(F.col("doc_id") % 2 == 0)
+    return (
+        bigram_backoff_score(docs, model_docs=model_half)
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            "neg_logprob_sum",
+            "nats_per_bigram",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_BIGRAM_BACKOFF_LM = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         unnest(toks[1:len(toks)-1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM base WHERE len(toks) >= 2
+),
+bg AS (
+  SELECT w1, w2, count(*) AS c12 FROM pairs WHERE doc_id % 2 = 0 GROUP BY w1, w2
+),
+mtoks AS (SELECT unnest(toks) AS token FROM base WHERE doc_id % 2 = 0),
+uni AS (SELECT token, count(*) AS tf FROM mtoks GROUP BY token),
+tot AS (SELECT sum(tf) AS total FROM uni),
+scored AS (
+  SELECT p.doc_id,
+         CASE WHEN bg.c12 IS NOT NULL THEN
+                CAST(-ln(CAST(bg.c12 AS DOUBLE) / CAST(u1.tf AS DOUBLE)) AS DECIMAL(38,6))
+              WHEN u2.tf IS NOT NULL THEN
+                CAST(-ln(0.4 * CAST(u2.tf AS DOUBLE) / CAST(tot.total AS DOUBLE)) AS DECIMAL(38,6))
+         END AS nl
+  FROM pairs p
+  LEFT JOIN bg ON p.w1 = bg.w1 AND p.w2 = bg.w2
+  LEFT JOIN uni u1 ON p.w1 = u1.token
+  LEFT JOIN uni u2 ON p.w2 = u2.token
+  CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(nl) AS DOUBLE) AS neg_logprob_sum,
+       CAST(sum(nl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS nats_per_bigram
+FROM scored
+WHERE nl IS NOT NULL
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["bigram_backoff_lm"] = QuerySpec(
+    q_bigram_backoff_lm,
+    ORACLE_BIGRAM_BACKOFF_LM,
+    "Stupid-Backoff bigram-LM held-out perplexity score",
+)
+
+
 def q_range_join_price_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyless points→intervals range join: lineitem unit prices matched to
     part retail-price brackets (±0.05) — price-anomaly candidate generation

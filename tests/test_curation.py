@@ -358,3 +358,48 @@ def test_star_components_converge_logarithmically_on_long_chain(spark):
     ).first()
     assert agg["n"] == n
     assert agg["nonzero"] == 0, f"{agg['nonzero']} nodes not labeled with component min"
+
+
+def test_bigram_backoff_score_hand_case(spark):
+    """Stupid Backoff semantics on a hand corpus: seen bigrams score
+    c12/c(w1), unseen-bigram-with-known-words backs off to alpha*tf/T,
+    OOV words drop, and sub-2-token docs emit no row."""
+    import math
+
+    from covid19_spark.operators.curation import bigram_backoff_score
+
+    model = spark.createDataFrame(
+        [(0, "the cat sat"), (2, "the cat ran")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat"),      # all bigrams seen
+            (1, "cat the"),          # unseen bigram, both words known -> backoff
+            (2, "zork the"),         # w1 OOV, w2 known -> backoff on w2
+            (3, "the zork"),         # w2 OOV -> dropped entirely
+            (4, "single"),           # < 2 tokens -> no row
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r
+        for r in bigram_backoff_score(docs, model_docs=model).collect()
+    }
+    assert set(got) == {0, 1, 2}  # doc 3 all-dropped, doc 4 too short
+    # model: T=6, tf(the)=2 tf(cat)=2 tf(sat)=1, c(the cat)=2 c(cat sat)=1
+    q6 = lambda x: round(x, 6)  # the DECIMAL(38,6) per-pair contract
+    assert got[0].n_bigrams == 2
+    assert got[0].neg_logprob_sum == pytest.approx(
+        q6(-math.log(2 / 2)) + q6(-math.log(1 / 2)), abs=1e-9
+    )
+    assert got[1].n_bigrams == 1
+    assert got[1].neg_logprob_sum == pytest.approx(
+        q6(-math.log(0.4 * 2 / 6)), abs=1e-9
+    )
+    assert got[2].n_bigrams == 1
+    assert got[2].neg_logprob_sum == pytest.approx(
+        q6(-math.log(0.4 * 2 / 6)), abs=1e-9
+    )
+    # self-scoring: backoff never fires, every bigram seen
+    self_scored = bigram_backoff_score(model).collect()
+    assert all(r.n_bigrams == 2 for r in self_scored)
