@@ -543,6 +543,7 @@ def _lsh_verified_pairs_with_handle(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket: int | None = 10_000,
+    dropped_report: list | None = None,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """(verified pairs, persisted-frame handles) — the handles let a caller
     that evaluates the pairs eagerly unpersist the caches."""
@@ -556,9 +557,9 @@ def _lsh_verified_pairs_with_handle(
     sigs = minhash_signatures_from_shingles(sh, id_col, "__sh", num_hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, max_bucket).select(
-        "doc_a", "doc_b"
-    )
+    cands = lsh_candidate_pairs(
+        sigs, id_col, num_hashes, bands, max_bucket, dropped_report
+    ).select("doc_a", "doc_b")
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sh_b"))
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
@@ -583,6 +584,7 @@ def lsh_dedup_pipeline(
     threshold: float = 0.5,
     max_bucket: int | None = 10_000,
     cc_algorithm: str = "label",
+    dropped_report: list | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate removal at corpus scale: MinHash-LSH
     discovery → exact n-gram-Jaccard verification of ONLY the candidate
@@ -613,9 +615,17 @@ def lsh_dedup_pipeline(
     Output: one row per input document — (id_col, cluster_id,
     cluster_size, is_canonical); singletons keep their own id with
     cluster_size 1. Keep policy: smallest id per cluster.
+
+    ``dropped_report=[]`` receives the (band, bucket, bucket_size) frame of
+    buckets the degenerate-cap guard removed (see ``drop_oversized_buckets``)
+    — evaluate it BEFORE long-running downstream work if cost matters: the
+    pipeline releases its internal caches once clustering materializes, so
+    a later evaluation recomputes the banding from source (correct, one
+    extra scan).
     """
     verified, caches = _lsh_verified_pairs_with_handle(
-        df, id_col, text_col, num_hashes, bands, shingle_n, threshold, max_bucket
+        df, id_col, text_col, num_hashes, bands, shingle_n, threshold, max_bucket,
+        dropped_report,
     )
     clusters = dedup_clusters(
         verified.select("doc_a", "doc_b"), algorithm=cc_algorithm
