@@ -11,7 +11,7 @@ from covid19_spark.operators.asof import latest_within_lookback
 from covid19_spark.operators.delta import running_delta
 from covid19_spark.operators.rates import doubling_rate, moving_average
 from covid19_spark.operators.rollup import daily_rollup
-from covid19_spark.operators.series import date_spine, top_k, with_ordered_index
+from covid19_spark.operators.series import date_spine, top_k
 
 
 # ---------------------------------------------------------------------------
