@@ -1502,3 +1502,49 @@ QUERY_REGISTRY["corpus_drift"] = QuerySpec(
     q_corpus_drift, ORACLE_CORPUS_DRIFT,
     "chi-square term drift between corpus slices",
 )
+
+
+def q_lsh_guard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observable skew-guard audit (VERDICT r06 task #3 made first-class):
+    plant a degenerate boilerplate cluster — every doc_id % 10 == 0 gets
+    the SAME text, the black-frames/silence/boilerplate failure mode — and
+    run the MinHash banded probe with a low bucket cap (40, under the
+    50-doc planted cluster at sf0.01) and
+    ``dropped_report``. Output is what a 100 TB pipeline owner alerts on:
+    each dropped (band, bucket) with its size, exactly the identical-text
+    cluster in every band (|corpus|/10 rows each) and nothing else.
+
+    Rows-only (xxhash64 bucket keys have no DuckDB twin); the planted
+    cluster size and band coverage are pinned by test. Scale: the report
+    is the guard's own broadcast-side aggregation — evaluating it costs
+    one banded-frame aggregation, nothing quadratic."""
+    from covid19_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.lit("lorem ipsum boilerplate footer all rights reserved contact us"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=32, shingle_n=3)
+    report: list = []
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=32, bands=8, max_bucket=40, dropped_report=report
+    )
+    kept = pairs.agg(F.count(F.lit(1)).alias("kept_pairs"))
+    return (
+        report[0]
+        .crossJoin(F.broadcast(kept))
+        .select("band", "bucket", "bucket_size", "kept_pairs")
+        .orderBy("band", "bucket")
+    )
+
+
+QUERY_REGISTRY["lsh_guard_report"] = QuerySpec(
+    q_lsh_guard_report,
+    None,
+    "dropped-bucket skew-guard audit over a planted boilerplate cluster (rows-only)",
+)

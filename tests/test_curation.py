@@ -403,3 +403,31 @@ def test_bigram_backoff_score_hand_case(spark):
     # self-scoring: backoff never fires, every bigram seen
     self_scored = bigram_backoff_score(model).collect()
     assert all(r.n_bigrams == 2 for r in self_scored)
+
+
+def test_bigram_backoff_self_scoring_properties(spark):
+    """Self-scored corpus invariants: every doc with >= 2 tokens emits a
+    row with n_bigrams = n_tokens - 1 (no OOV possible against itself),
+    and every score is strictly positive (seen: c12 <= c(w1); backoff:
+    alpha * tf/T < 1)."""
+    from covid19_spark.operators.curation import bigram_backoff_score
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(100)
+        .cache()
+    )
+    n_tok = {
+        r.doc_id: r.n
+        for r in docs.selectExpr(
+            "doc_id", "size(filter(split(lower(text), ' '), t -> t != '')) AS n"
+        ).collect()
+    }
+    got = {r.doc_id: r for r in bigram_backoff_score(docs).collect()}
+    expected_ids = {d for d, n in n_tok.items() if n >= 2}
+    assert set(got) == expected_ids
+    for d in expected_ids:
+        assert got[d].n_bigrams == n_tok[d] - 1, d
+        assert got[d].neg_logprob_sum >= 0
+        assert got[d].nats_per_bigram >= 0
+    docs.unpersist()

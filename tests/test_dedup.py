@@ -779,3 +779,16 @@ def test_lsh_verified_pairs_releasable_frees_caches(spark):
     assert added  # caches were live
     release()
     assert not (added & rdd_ids())  # every cache this call added is gone
+
+
+def test_lsh_guard_report_query_surfaces_planted_cluster(spark):
+    """The registered guard-audit query: the planted boilerplate cluster
+    (|docs|/10 identical texts) must surface as ONE oversized bucket per
+    band — size = cluster size, all 8 bands — while the corpus' genuine
+    near-dup pairs survive the cap."""
+    from covid19_spark.plans.registry import QUERY_REGISTRY
+
+    rows = QUERY_REGISTRY["lsh_guard_report"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert [r.band for r in rows] == list(range(8))
+    assert all(r.bucket_size == 50 for r in rows)  # 500 docs / 10
+    assert all(r.kept_pairs > 0 for r in rows)
