@@ -15,9 +15,11 @@ grayscale and 3-component scans, sampling factors 1-2 per axis (4:4:4,
 full Annex G progressive feature set (spectral-selection bands,
 successive-approximation DC/AC first + refinement scans, EOB runs), and
 lossless SOF3 (Annex H predictors 1-7, bit-exact — `encode_jpeg_lossless`
-is its round-trip twin). Arithmetic coding, hierarchical mode, 12-bit
-precision, and >2 sampling factors raise NotImplementedError — the
-documented seam where a production build plugs libjpeg-turbo in.
+is its round-trip twin), and 12-bit extended sequential SOF1 (uint16
+output, 16-bit DQT, level shift 2048 — `encode_jpeg(precision=12)` is its
+round-trip twin). Arithmetic coding, hierarchical mode, 12-bit
+progressive/lossless, and >2 sampling factors raise NotImplementedError —
+the documented seam where a production build plugs libjpeg-turbo in.
 
 Encoder (`encode_jpeg`): baseline 8-bit encoder with the Annex K example
 tables (embedded into the file via DQT/DHT, so round-trip never depends on
@@ -359,6 +361,7 @@ def encode_jpeg(
     subsampling: str = "444",
     restart_interval: int = 0,
     progressive: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """Encode (H, W, 3) RGB or (H, W) grayscale uint8 pixels as a baseline
     JFIF JPEG — or, with ``progressive=True``, as a progressive (SOF2)
@@ -368,7 +371,19 @@ def encode_jpeg(
     "444" (no chroma subsampling) or "420" (2x2 chroma averaging).
     Deterministic for fixed inputs. Both modes produce the SAME quantized
     coefficients, so progressive and baseline encodings of one image decode
-    to bit-identical pixels."""
+    to bit-identical pixels.
+
+    ``precision=12`` emits a T.81 extended sequential (SOF1) 12-bit stream
+    from uint16 samples in [0, 4095]: level shift 2048, 16-bit DQT entries
+    (pq=1, base tables ×16 to keep relative quality), and fixed-length
+    Huffman tables covering the wider magnitude categories (DC SSSS 0-16,
+    AC 1-14 — Annex K's 8-bit tables stop at 11/10). Not combinable with
+    ``progressive``."""
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12 (got {precision})")
+    if precision == 12 and progressive:
+        raise ValueError("12-bit encoding supports sequential (SOF1) only")
+    center = float(1 << (precision - 1))
     arr = np.asarray(pixels, dtype=np.float64)
     gray = arr.ndim == 2
     if subsampling not in ("444", "420"):
@@ -379,8 +394,8 @@ def encode_jpeg(
     else:
         r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + center
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + center
         if subsampling == "420":
             cbp = _pad_to(cb, 2, 2)
             crp = _pad_to(cr, 2, 2)
@@ -395,6 +410,11 @@ def encode_jpeg(
     vmax = max(f[1] for f in factors)
 
     qtabs = [_quality_scaled(QUANT_LUMA, quality), _quality_scaled(QUANT_CHROMA, quality)]
+    if precision == 12:
+        # ×16 keeps each table's RELATIVE step at the 12-bit sample scale
+        # (samples span 16× the 8-bit range); entries stay well inside the
+        # 16-bit DQT field.
+        qtabs = [np.clip(q.astype(np.int64) * 16, 1, 65535).astype(np.int32) for q in qtabs]
     # quantized zigzag coefficients per component, as (rows, cols, 64) grids
     comp_coefs = []
     for ci, (plane, (hf, vf)) in enumerate(zip(planes, factors)):
@@ -405,7 +425,7 @@ def encode_jpeg(
         need_h, need_w = mcus_y * vf * 8, mcus_x * hf * 8
         ph, pw = plane.shape
         plane = np.pad(plane, ((0, need_h - ph), (0, need_w - pw)), mode="edge")
-        blocks = _plane_blocks(plane - 128.0)
+        blocks = _plane_blocks(plane - center)
         coefs = np.einsum("ij,rcjk,lk->rcil", _A, blocks, _A)
         q = qtabs[0 if ci == 0 else 1].reshape(8, 8)
         quant = np.round(coefs / q).astype(np.int32)
@@ -416,10 +436,22 @@ def encode_jpeg(
             h0, w0, gray, factors, qtabs, comp_coefs, restart_interval
         )
 
-    dc_codes = [_build_huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS),
-                _build_huffman_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
-    ac_codes = [_build_huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS),
-                _build_huffman_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    if precision == 12:
+        # one fixed-length DC and AC table shared by every component: the
+        # 12-bit magnitude categories (DC SSSS ≤ 16, AC size ≤ 14) overflow
+        # Annex K's 8-bit tables, and a data-independent legal table keeps
+        # the encoder deterministic without a symbol-frequency pass.
+        dc_spec12 = _fixed_length_table(list(range(17)))
+        ac_spec12 = _fixed_length_table(
+            [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+        )
+        dc_codes = [_build_huffman_codes(*dc_spec12)] * 2
+        ac_codes = [_build_huffman_codes(*ac_spec12)] * 2
+    else:
+        dc_codes = [_build_huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+                    _build_huffman_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+        ac_codes = [_build_huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+                    _build_huffman_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
 
     bw = _BitWriter()
     pred = [0] * len(planes)
@@ -470,17 +502,29 @@ def encode_jpeg(
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for tid, q in enumerate(qtabs[: 1 if gray else 2]):
-        out += seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in q[ZIGZAG]))
+        if precision == 12:
+            out += seg(
+                0xFFDB,
+                bytes([0x10 | tid])
+                + b"".join(struct.pack(">H", int(x)) for x in q[ZIGZAG]),
+            )
+        else:
+            out += seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in q[ZIGZAG]))
     ncomp = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h0, w0, ncomp)
+    sof = struct.pack(">BHHB", precision, h0, w0, ncomp)
     for ci in range(ncomp):
         hf, vf = factors[ci]
         sof += bytes([ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1])
-    out += seg(0xFFC0, sof)
+    out += seg(0xFFC0 if precision == 8 else 0xFFC1, sof)
     dht = b""
-    specs = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
-    if not gray:
-        specs += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS), (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    if precision == 12:
+        specs = [(0x00, *dc_spec12), (0x10, *ac_spec12)]
+        if not gray:
+            specs += [(0x01, *dc_spec12), (0x11, *ac_spec12)]
+    else:
+        specs = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+        if not gray:
+            specs += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS), (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)]
     for tc, bits, vals in specs:
         dht += bytes([tc]) + bytes(bits) + bytes(vals)
     out += seg(0xFFC4, dht)
@@ -754,14 +798,17 @@ def _encode_progressive(
 
 
 def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
-    """Decode a baseline sequential OR progressive (SOF0/1/2) JPEG to
-    (H, W, 3) uint8 RGB (grayscale replicated to 3 channels). Tables come
-    from the stream's own DQT/DHT; supports 1- or 3-component scans,
-    sampling factors 1-2, DRI restarts, and for progressive streams the
-    full Annex G Huffman feature set: spectral-selection bands,
-    successive-approximation DC/AC first+refinement scans, EOB runs.
-    Raises NotImplementedError on arithmetic-coded/lossless/12-bit
-    variants.
+    """Decode a baseline/extended sequential, progressive, or lossless
+    (SOF0/1/2/3) JPEG to (H, W, 3) RGB — uint8 for 8-bit frames, uint16
+    for 12-bit extended sequential (SOF1, T.81 Table B.2: level shift
+    2^(P-1), 16-bit DQT, wider magnitude categories; grayscale replicated
+    to 3 channels). Tables come from the stream's own DQT/DHT; supports
+    1- or 3-component scans, sampling factors 1-2, DRI restarts, and for
+    progressive streams the full Annex G Huffman feature set:
+    spectral-selection bands, successive-approximation DC/AC
+    first+refinement scans, EOB runs. Raises NotImplementedError on
+    arithmetic-coded/hierarchical variants and on 12-bit
+    progressive/lossless.
 
     ``dc_only=True`` returns the 1/8-scale block-mean image instead —
     (ceil(H/8), ceil(W/8), 3) uint8 — decoding only DC coefficients on the
@@ -787,7 +834,7 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
                 "only sequential/progressive/lossless Huffman JPEG supported "
                 f"(got SOF marker {_sof_marker:#x})"
             )
-        if _sof_prec != 8:
+        if not (_sof_prec == 8 or (_sof_prec == 12 and _sof_marker == 0xC1)):
             raise NotImplementedError(f"{_sof_prec}-bit precision not supported")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
@@ -858,7 +905,10 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
             prec, h0, w0, ncomp = struct.unpack_from(">BHHB", body, 0)
             if len(body) < 6 + 3 * ncomp:
                 raise ValueError("corrupt JPEG: truncated stream")
-            if prec != 8:
+            # 12-bit samples: extended sequential (SOF1) only — T.81 Table
+            # B.2 allows P=12 there; the progressive/lossless paths here
+            # remain 8-bit (their P=12 variants stay behind the seam).
+            if not (prec == 8 or (prec == 12 and marker == 0xC1)):
                 raise NotImplementedError(f"{prec}-bit precision not supported")
             comps = []
             for i in range(ncomp):
@@ -871,7 +921,7 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
                 if hf not in (1, 2) or vf not in (1, 2):
                     raise NotImplementedError(f"sampling factor {hf}x{vf} not supported")
                 comps.append({"id": cid, "h": hf, "v": vf, "tq": tq})
-            frame = {"h": h0, "w": w0, "comps": comps}
+            frame = {"h": h0, "w": w0, "comps": comps, "prec": prec}
             progressive = marker == 0xC2
             lossless = marker == 0xC3
         elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -1339,43 +1389,56 @@ def _decode_scan(
                             k += 1
             mcu_count += 1
     comps = [comp for comp, _, _ in scan]
+    prec = frame.get("prec", 8)
     if dc_only:
-        return _dc_assemble(h0, w0, comps, dc_grids, qtabs, hmax, vmax)
-    return _idct_and_assemble(h0, w0, comps, grids, qtabs, hmax, vmax)
+        return _dc_assemble(h0, w0, comps, dc_grids, qtabs, hmax, vmax, prec)
+    return _idct_and_assemble(h0, w0, comps, grids, qtabs, hmax, vmax, prec)
 
 
-def _dc_assemble(h0, w0, comps, dc_grids, qtabs, hmax, vmax):
+def _planes_to_rgb(planes, prec):
+    """Shared colour tail: grayscale replication or YCbCr→RGB at the frame's
+    sample precision — centre 2^(P-1), clamp to 2^P - 1, uint8 for 8-bit
+    frames and uint16 for 12-bit (T.81 extended sequential)."""
+    center = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
+    if len(planes) == 1:
+        y = np.clip(planes[0], 0, maxv).astype(dtype)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    b = y + 1.772 * (cb - center)
+    return np.clip(np.stack([r, g, b], axis=2), 0, maxv).astype(dtype)
+
+
+def _dc_assemble(h0, w0, comps, dc_grids, qtabs, hmax, vmax, prec=8):
     """Assemble the 1/8-scale block-mean image from DC coefficients: the
     IDCT of a DC-only block is the constant ``dc * q0 / 8`` (orthonormal
     basis), so dequantizing ONE coefficient per block replaces dequant +
     IDCT + full-res upsampling + full-res color transform. Chroma DC grids
     upsample by block replication; output is (ceil(H/8), ceil(W/8), 3)
-    uint8 RGB."""
+    RGB at the frame precision's dtype."""
     bh, bw = -(-h0 // 8), -(-w0 // 8)
+    center = float(1 << (prec - 1))
     planes = []
     for comp, grid in zip(comps, dc_grids):
         if comp["tq"] not in qtabs:
             raise ValueError("corrupt JPEG: missing quantization table")
         q0 = float(qtabs[comp["tq"]][0, 0])
-        plane = grid.astype(np.float64) * (q0 / 8.0) + 128.0
+        plane = grid.astype(np.float64) * (q0 / 8.0) + center
         plane = np.repeat(
             np.repeat(plane, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1
         )
         planes.append(plane[:bh, :bw])
-    if len(planes) == 1:
-        y = np.clip(planes[0], 0, 255).astype(np.uint8)
-        return np.repeat(y[:, :, None], 3, axis=2)
-    y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+    return _planes_to_rgb(planes, prec)
 
 
-def _idct_and_assemble(h0, w0, comps, grids, qtabs, hmax, vmax):
+def _idct_and_assemble(h0, w0, comps, grids, qtabs, hmax, vmax, prec=8):
     """Dequantize + batched IDCT per component grid, upsample to full
     resolution, YCbCr→RGB (or replicate grayscale). Shared tail of the
     baseline and progressive decode paths."""
+    center = float(1 << (prec - 1))
     planes = []
     for comp, grid in zip(comps, grids):
         if comp["tq"] not in qtabs:
@@ -1386,17 +1449,10 @@ def _idct_and_assemble(h0, w0, comps, grids, qtabs, hmax, vmax):
         )
         blocks = np.einsum("ji,rcjk,kl->rcil", _A, coefs.astype(np.float64), _A)
         rows, cols = blocks.shape[:2]
-        plane = blocks.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8) + 128.0
+        plane = blocks.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8) + center
         plane = np.repeat(np.repeat(plane, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1)
         planes.append(plane[:h0, :w0])
-    if len(planes) == 1:
-        y = np.clip(planes[0], 0, 255).astype(np.uint8)
-        return np.repeat(y[:, :, None], 3, axis=2)
-    y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+    return _planes_to_rgb(planes, prec)
 
 
 # --- progressive (SOF2) scan decoding — T.81 Annex G, Huffman ----------------

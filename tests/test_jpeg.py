@@ -378,3 +378,75 @@ def test_16bit_quantization_tables_decode_identically():
         i = bad.find(b"\xff\xdb")
         bad[i + 4] = 0x20 | (bad[i + 4] & 0x0F)  # pq=2: invalid
         decode_jpeg(bytes(bad))
+
+
+def test_12bit_extended_sequential_roundtrip():
+    """12-bit SOF1 (T.81 extended sequential): encode from uint16 [0,4095],
+    decode back to uint16 RGB with high fidelity; true 12-bit dynamic range
+    survives (values above 255 come back above 255, i.e. no 8-bit clamp
+    anywhere in the pipeline)."""
+    rng = np.random.default_rng(11)
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    gray12 = ((yy * 60 + xx * 40) % 4096).astype(np.uint16)
+    base = rng.integers(0, 4096, (5, 7, 3), dtype=np.uint16)
+    rgb12 = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)
+
+    for img in (gray12, rgb12):
+        payload = encode_jpeg(img, quality=92, precision=12)
+        out = decode_jpeg(payload)
+        assert out.dtype == np.uint16 and out.shape == (h, w, 3)
+        ref = img if img.ndim == 3 else np.repeat(img[:, :, None], 3, axis=2)
+        assert _psnr_peak(ref, out, 4095) > 45
+        assert out.max() > 255  # 12-bit range survives end to end
+
+    # subsampling + restart markers compose with 12-bit
+    p420 = encode_jpeg(rgb12, quality=85, precision=12, subsampling="420",
+                       restart_interval=2)
+    assert _psnr_peak(rgb12, decode_jpeg(p420), 4095) > 28
+
+    # DC-only thumbnail path keeps the 12-bit dtype and block geometry
+    dc = decode_jpeg(encode_jpeg(gray12, quality=92, precision=12), dc_only=True)
+    assert dc.dtype == np.uint16 and dc.shape == (5, 7, 3)
+
+
+def _psnr_peak(a, b, peak):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(peak * peak / mse)
+
+
+def test_12bit_matches_8bit_pipeline_at_same_content():
+    """Encoding an 8-bit image and its exact x16 12-bit lift must decode to
+    the same picture on each path's own scale (within quantization slack of
+    the scaled tables) — pins that level shift, DQT x16 scaling, and the
+    colour transform all moved to the 12-bit centre coherently."""
+    rng = np.random.default_rng(13)
+    base = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    img8 = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)
+    img12 = (img8.astype(np.uint16) * 16)
+
+    out8 = decode_jpeg(encode_jpeg(img8, quality=90)).astype(np.float64)
+    out12 = decode_jpeg(encode_jpeg(img12, quality=90, precision=12)).astype(np.float64)
+    assert np.abs(out12 / 16.0 - out8).mean() < 4.0
+
+
+def test_12bit_rejections_and_truncation_contract():
+    """12-bit stays sequential-only (SOF0/SOF2 12-bit refused at sniff
+    cost), and the truncation sweep contract extends to 12-bit payloads."""
+    gray12 = (np.arange(32 * 40, dtype=np.uint16).reshape(32, 40) * 3) % 4096
+    payload = encode_jpeg(gray12, quality=88, precision=12)
+
+    from covid19_spark.operators.jpeg import sniff_jpeg_frame
+
+    assert sniff_jpeg_frame(payload)[:2] == (0xC1, 12)
+    for bad_marker in (0xC0, 0xC2):
+        mutated = bytearray(payload)
+        i = mutated.find(b"\xff\xc1")
+        mutated[i + 1] = bad_marker
+        with pytest.raises(NotImplementedError, match="12-bit"):
+            decode_jpeg(bytes(mutated))
+
+    cuts = list(range(2, min(len(payload), 180))) + list(range(180, len(payload) - 1, 41))
+    for n in cuts:
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(payload[:n])
