@@ -14,12 +14,14 @@ grayscale and 3-component scans, sampling factors 1-2 per axis (4:4:4,
 4:2:2, 4:2:0), multi-segment tables, DRI/RSTn restart intervals, and the
 full Annex G progressive feature set (spectral-selection bands,
 successive-approximation DC/AC first + refinement scans, EOB runs), and
-lossless SOF3 (Annex H predictors 1-7, bit-exact — `encode_jpeg_lossless`
-is its round-trip twin), and 12-bit extended sequential SOF1 (uint16
-output, 16-bit DQT, level shift 2048 — `encode_jpeg(precision=12)` is its
-round-trip twin). Arithmetic coding, hierarchical mode, 12-bit
-progressive/lossless, and >2 sampling factors raise NotImplementedError —
-the documented seam where a production build plugs libjpeg-turbo in.
+lossless SOF3 at the full T.81 precision range 2-16 bits (Annex H
+predictors 1-7, bit-exact incl. the mod-2^16 category-16 wrap —
+`encode_jpeg_lossless` is its round-trip twin), and 12-bit extended
+sequential SOF1 (uint16 output, 16-bit DQT, level shift 2048 —
+`encode_jpeg(precision=12)` is its round-trip twin). Arithmetic coding,
+hierarchical mode, 12-bit progressive, and >2 sampling factors raise
+NotImplementedError — the documented seam where a production build plugs
+libjpeg-turbo in.
 
 Encoder (`encode_jpeg`): baseline 8-bit encoder with the Annex K example
 tables (embedded into the file via DQT/DHT, so round-trip never depends on
@@ -834,7 +836,11 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
                 "only sequential/progressive/lossless Huffman JPEG supported "
                 f"(got SOF marker {_sof_marker:#x})"
             )
-        if not (_sof_prec == 8 or (_sof_prec == 12 and _sof_marker == 0xC1)):
+        if not (
+            _sof_prec == 8
+            or (_sof_prec == 12 and _sof_marker == 0xC1)
+            or (2 <= _sof_prec <= 16 and _sof_marker == 0xC3)
+        ):
             raise NotImplementedError(f"{_sof_prec}-bit precision not supported")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
@@ -905,10 +911,14 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
             prec, h0, w0, ncomp = struct.unpack_from(">BHHB", body, 0)
             if len(body) < 6 + 3 * ncomp:
                 raise ValueError("corrupt JPEG: truncated stream")
-            # 12-bit samples: extended sequential (SOF1) only — T.81 Table
-            # B.2 allows P=12 there; the progressive/lossless paths here
-            # remain 8-bit (their P=12 variants stay behind the seam).
-            if not (prec == 8 or (prec == 12 and marker == 0xC1)):
+            # Per T.81 Table B.2: DCT paths take P=8 everywhere and P=12 in
+            # extended sequential (SOF1); lossless (SOF3) takes the full
+            # P=2..16 range. 12-bit progressive stays behind the seam.
+            if not (
+                prec == 8
+                or (prec == 12 and marker == 0xC1)
+                or (2 <= prec <= 16 and marker == 0xC3)
+            ):
                 raise NotImplementedError(f"{prec}-bit precision not supported")
             comps = []
             for i in range(ncomp):
@@ -1031,14 +1041,14 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
     raise ValueError("corrupt JPEG: no SOS marker")
 
 
-def _lossless_predict(plane, y: int, x: int, predictor: int) -> int:
+def _lossless_predict(plane, y: int, x: int, predictor: int, default: int = 128) -> int:
     """T.81 H.1 sample prediction, shared verbatim by the SOF3 encoder and
     decoder so round-trips are exact by construction: the scan's first
-    sample predicts 2^(P-1)=128, the rest of the first line predicts Ra
-    (left), the first column predicts Rb (above), and interior samples use
-    the selected predictor 1-7."""
+    sample predicts 2^(P-1) (``default``), the rest of the first line
+    predicts Ra (left), the first column predicts Rb (above), and interior
+    samples use the selected predictor 1-7."""
     if y == 0 and x == 0:
-        return 128
+        return default
     if y == 0:
         return int(plane[0, x - 1])
     if x == 0:
@@ -1065,9 +1075,15 @@ def _decode_lossless_scan(data, pos, frame, scan, huff_dc, predictor):
     difference; reconstruction is (prediction + diff) mod 2^16. Components
     are interleaved one sample per MCU (sampling factors pinned 1x1 at the
     SOF parse). Rides the same 16-bit-LUT reader as the baseline path.
-    Output: (H, W, 3) uint8 — 1 component replicated to gray, 3 components
+    Precision P is 2-16 (T.81 Table B.2 lossless range): the first sample
+    predicts 2^(P-1), samples clamp to 2^P - 1. Output: (H, W, 3) — uint8
+    for P <= 8, uint16 above — 1 component replicated to gray, 3 components
     taken as direct RGB (lossless JPEG carries no color transform)."""
     h0, w0 = frame["h"], frame["w"]
+    prec = frame.get("prec", 8)
+    default = 1 << (prec - 1)
+    maxv = (1 << prec) - 1
+    dtype = np.uint8 if prec <= 8 else np.uint16
     ncomp = len(scan)
     planes = [np.zeros((h0, w0), dtype=np.int32) for _ in range(ncomp)]
     luts = [_huff_lut(*huff_dc[td].spec) for _, td, _ta in scan]
@@ -1125,9 +1141,9 @@ def _decode_lossless_scan(data, pos, frame, scan, huff_dc, predictor):
                         diff += 1 - (1 << s)
                 else:
                     diff = 0
-                px = _lossless_predict(planes[ci], y, x, predictor)
+                px = _lossless_predict(planes[ci], y, x, predictor, default)
                 planes[ci][y, x] = (px + diff) & 0xFFFF
-    out = [np.clip(p, 0, 255).astype(np.uint8) for p in planes]
+    out = [np.clip(p, 0, maxv).astype(dtype) for p in planes]
     if ncomp == 1:
         return np.repeat(out[0][:, :, None], 3, axis=2)
     if ncomp == 3:
@@ -1135,29 +1151,54 @@ def _decode_lossless_scan(data, pos, frame, scan, huff_dc, predictor):
     raise NotImplementedError(f"{ncomp}-component lossless JPEG not supported")
 
 
-def encode_jpeg_lossless(pixels: np.ndarray, predictor: int = 4) -> bytes:
-    """Encode (H, W) grayscale or (H, W, 3) RGB uint8 pixels as a lossless
-    SOF3 JPEG (T.81 Annex H): per-sample prediction differences, DC-style
-    Huffman categories (Annex K DC luma table — 8-bit diffs stay within
-    category 9), components interleaved one sample per MCU, NO color
-    transform or subsampling. Round-trips bit-exactly through
-    ``decode_jpeg`` by construction (shared ``_lossless_predict``)."""
+def encode_jpeg_lossless(
+    pixels: np.ndarray, predictor: int = 4, precision: int | None = None
+) -> bytes:
+    """Encode (H, W) grayscale or (H, W, 3) RGB pixels as a lossless SOF3
+    JPEG (T.81 Annex H): per-sample prediction differences, DC-style
+    Huffman categories, components interleaved one sample per MCU, NO
+    color transform or subsampling. Round-trips bit-exactly through
+    ``decode_jpeg`` by construction (shared ``_lossless_predict``).
+
+    ``precision`` defaults to 8 for uint8 input and 16 for anything wider;
+    any P in 2..16 is accepted (samples must fit in P bits — the DICOM
+    12/16-bit family). P > 8 switches to a fixed-length category table
+    (Annex K's stops at 11) and mod-2^16 difference coding with the
+    category-16 no-extra-bits case (H.2) for the ±32768 wrap."""
     if predictor < 1 or predictor > 7:
         raise ValueError(f"invalid lossless predictor {predictor}")
-    arr = np.asarray(pixels, dtype=np.uint8)
+    arr = np.asarray(pixels)
+    if precision is None:
+        precision = 8 if arr.dtype == np.uint8 else 16
+    if not 2 <= precision <= 16:
+        raise ValueError(f"precision must be in 2..16 (got {precision})")
+    if arr.max(initial=0) > (1 << precision) - 1:
+        raise ValueError(f"samples exceed {precision}-bit range")
+    default = 1 << (precision - 1)
     gray = arr.ndim == 2
     arr3 = arr[:, :, None] if gray else arr
     h, w, ncomp = arr3.shape
     if ncomp not in (1, 3):
         raise ValueError(f"unsupported channel count {ncomp}")
-    codes = _build_huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    if precision <= 8:
+        dc_spec = (DC_LUMA_BITS, DC_LUMA_VALS)
+    else:
+        dc_spec = _fixed_length_table(list(range(17)))
+    codes = _build_huffman_codes(*dc_spec)
     bw = _BitWriter()
     planes = [arr3[:, :, c].astype(np.int32) for c in range(ncomp)]
     for y in range(h):
         for x in range(w):
             for ci in range(ncomp):
-                px = _lossless_predict(planes[ci], y, x, predictor)
-                diff = int(planes[ci][y, x]) - px
+                px = _lossless_predict(planes[ci], y, x, predictor, default)
+                # T.81 H.1.2.1: differences are mod 2^16 — fold into
+                # [-32768, 32767]; the -32768 case is category 16 with no
+                # extra bits (decoder adds +32768 ≡ -32768 mod 2^16)
+                diff = ((int(planes[ci][y, x]) - px + 32768) & 0xFFFF) - 32768
+                if diff == -32768:
+                    code, length = codes[16]
+                    bw.write(code, length)
+                    continue
                 s = _csize(diff)
                 code, length = codes[s]
                 bw.write(code, length)
@@ -1171,11 +1212,11 @@ def encode_jpeg_lossless(pixels: np.ndarray, predictor: int = 4) -> bytes:
 
     dht = seg(
         0xC4,
-        bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS),
+        bytes([0x00]) + bytes(dc_spec[0]) + bytes(dc_spec[1]),
     )
     sof = seg(
         0xC3,
-        struct.pack(">BHHB", 8, h, w, ncomp)
+        struct.pack(">BHHB", precision, h, w, ncomp)
         + b"".join(struct.pack("BBB", 1 + c, 0x11, 0) for c in range(ncomp)),
     )
     sos = seg(

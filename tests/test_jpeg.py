@@ -450,3 +450,40 @@ def test_12bit_rejections_and_truncation_contract():
     for n in cuts:
         with pytest.raises((ValueError, NotImplementedError)):
             decode_jpeg(payload[:n])
+
+
+def test_lossless_high_precision_roundtrips_bit_exact():
+    """SOF3 at the DICOM precisions: 12- and 16-bit samples round-trip
+    bit-exactly through every predictor, including the mod-2^16 wrap case
+    (category 16, no extra bits) that only appears above 8 bits."""
+    from covid19_spark.operators.jpeg import encode_jpeg_lossless, sniff_jpeg_frame
+
+    rng = np.random.default_rng(7)
+    g16 = rng.integers(0, 65536, (23, 31), dtype=np.uint16)
+    payload = encode_jpeg_lossless(g16, predictor=1)
+    assert sniff_jpeg_frame(payload)[:2] == (0xC3, 16)
+    out = decode_jpeg(payload)
+    assert out.dtype == np.uint16
+    assert np.array_equal(out[:, :, 0], g16)
+
+    # 0/65535 alternation forces the ±32768 wrap on every sample
+    alt = np.zeros((6, 8), dtype=np.uint16)
+    alt[:, 1::2] = 65535
+    for pred in range(1, 8):
+        got = decode_jpeg(encode_jpeg_lossless(alt, predictor=pred))[:, :, 0]
+        assert np.array_equal(got, alt), pred
+
+    rgb12 = rng.integers(0, 4096, (9, 11, 3), dtype=np.uint16)
+    p12 = encode_jpeg_lossless(rgb12, predictor=4, precision=12)
+    assert sniff_jpeg_frame(p12)[:2] == (0xC3, 12)
+    assert np.array_equal(decode_jpeg(p12), rgb12)
+
+    # uint8 input keeps the 8-bit contract (dtype and Annex K table)
+    g8 = rng.integers(0, 256, (12, 12), dtype=np.uint8)
+    o8 = decode_jpeg(encode_jpeg_lossless(g8))
+    assert o8.dtype == np.uint8 and np.array_equal(o8[:, :, 0], g8)
+
+    with pytest.raises(ValueError, match="exceed"):
+        encode_jpeg_lossless(rgb12, precision=8)
+    with pytest.raises(ValueError, match="precision"):
+        encode_jpeg_lossless(g8, precision=1)
