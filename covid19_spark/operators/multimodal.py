@@ -347,13 +347,29 @@ def decode_image(payload: bytes) -> "np.ndarray":
     )
 
 
-def image_features_from_pixels(pixels: "np.ndarray", dim: int = 8) -> np.ndarray:
+def image_features_from_pixels(
+    pixels: "np.ndarray", dim: int = 8, peak: float | None = None
+) -> np.ndarray:
     """Fixed-width features from DECODED pixels: mean R/G/B (scaled to [0,1])
     plus a (dim-3)-bucket grayscale histogram, L2-normalized — the
-    deterministic stand-in for a CNN embedding on the real-decode path."""
-    arr = np.asarray(pixels, dtype=np.float32)
-    means = arr.reshape(-1, 3).mean(axis=0) / 255.0
-    gray = arr.mean(axis=2).astype(np.uint8).reshape(-1)
+    deterministic stand-in for a CNN embedding on the real-decode path.
+    Precision-aware: for deep decodes (uint16 — e.g. 12-bit SOF1 / 12-16
+    bit SOF3 JPEG) pass the sample ``peak`` (4095 for 12-bit; default
+    65535 for uint16, full-range 16-bit convention) and the [0, 1]
+    contract holds at any depth. The uint8 path (peak 255) is bit-identical
+    to the historical formula; dtype alone cannot distinguish 12- from
+    16-bit data in a uint16 array, hence the explicit parameter."""
+    src = np.asarray(pixels)
+    if peak is None:
+        peak = (
+            float(np.iinfo(src.dtype).max) if src.dtype.kind in "iu" else 255.0
+        )
+    arr = src.astype(np.float32)
+    means = arr.reshape(-1, 3).mean(axis=0) / peak
+    gray_f = arr.mean(axis=2)
+    if peak != 255.0:
+        gray_f = gray_f * (255.0 / peak)
+    gray = gray_f.astype(np.uint8).reshape(-1)
     n_hist = dim - 3
     hist = np.histogram(gray, bins=n_hist, range=(0, 256))[0]
     feat = np.concatenate([means, hist.astype(np.float32)])

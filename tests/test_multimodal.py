@@ -1077,3 +1077,27 @@ def test_image_dhash_uses_one_resolution_path_across_formats(spark):
     assert got[1] == dhash_pixels(decode_jpeg(bytes(rows[0][6])))
     ham = bin((got[1] ^ got[3]) & (2**64 - 1)).count("1")
     assert ham <= 4, ham
+
+
+def test_image_features_precision_aware():
+    """A 12-bit decode (uint16) and its 8-bit counterpart of the same scene
+    must produce (nearly) the same feature vector — the [0, 1] contract
+    holds at any sample depth; the uint8 path stays bit-identical."""
+    from covid19_spark.operators.multimodal import image_features_from_pixels
+
+    rng = np.random.default_rng(17)
+    img8 = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    img12 = (img8.astype(np.uint16) * 16 + 8)  # same scene at 12-bit depth
+    f8 = image_features_from_pixels(img8)
+    f12 = image_features_from_pixels(img12.astype(np.uint16), peak=4095.0)
+    # means agree to the requantization step; histograms to bucket jitter
+    assert np.abs(f8[:3] - f12[:3]).max() < 0.02
+    assert np.abs(f8 - f12).max() < 0.2
+    # pure uint8 path unchanged (bit-identical to the pre-change formula)
+    arr = img8.astype(np.float32)
+    means = arr.reshape(-1, 3).mean(axis=0) / 255.0
+    gray = arr.mean(axis=2).astype(np.uint8).reshape(-1)
+    hist = np.histogram(gray, bins=5, range=(0, 256))[0]
+    feat = np.concatenate([means, hist.astype(np.float32)])
+    feat = feat / np.linalg.norm(feat)
+    assert np.array_equal(f8, feat.astype(np.float32))
