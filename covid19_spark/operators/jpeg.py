@@ -17,9 +17,10 @@ successive-approximation DC/AC first + refinement scans, EOB runs), and
 lossless SOF3 at the full T.81 precision range 2-16 bits (Annex H
 predictors 1-7, bit-exact incl. the mod-2^16 category-16 wrap —
 `encode_jpeg_lossless` is its round-trip twin), and 12-bit extended
-sequential SOF1 (uint16 output, 16-bit DQT, level shift 2048 —
-`encode_jpeg(precision=12)` is its round-trip twin). Arithmetic coding,
-hierarchical mode, 12-bit progressive, and >2 sampling factors raise
+sequential SOF1 AND progressive SOF2 (uint16 output, 16-bit DQT, level
+shift 2048 — `encode_jpeg(precision=12[, progressive=True])` is the
+round-trip twin; 12-bit progressive==sequential pinned bit-exact).
+Arithmetic coding, hierarchical mode, and >2 sampling factors raise
 NotImplementedError — the documented seam where a production build plugs
 libjpeg-turbo in.
 
@@ -383,8 +384,6 @@ def encode_jpeg(
     ``progressive``."""
     if precision not in (8, 12):
         raise ValueError(f"precision must be 8 or 12 (got {precision})")
-    if precision == 12 and progressive:
-        raise ValueError("12-bit encoding supports sequential (SOF1) only")
     center = float(1 << (precision - 1))
     arr = np.asarray(pixels, dtype=np.float64)
     gray = arr.ndim == 2
@@ -435,7 +434,7 @@ def encode_jpeg(
 
     if progressive:
         return _encode_progressive(
-            h0, w0, gray, factors, qtabs, comp_coefs, restart_interval
+            h0, w0, gray, factors, qtabs, comp_coefs, restart_interval, precision
         )
 
     if precision == 12:
@@ -688,13 +687,15 @@ def _dc_scan_entropy(
 
 
 def _encode_progressive(
-    h0, w0, gray, factors, qtabs, comp_coefs, restart_interval
+    h0, w0, gray, factors, qtabs, comp_coefs, restart_interval, precision=8
 ) -> bytes:
     """Assemble a progressive JFIF stream from the quantized coefficient
     grids: SOF2 + per-scan DHT/SOS. Scan script (libjpeg-shaped): DC first
     (all components, Al=1), spectral-selection AC first scans at Al=1, AC
     refinements to Al=0, DC refinement. Each scan carries its own Huffman
-    table(s), built from that scan's actual symbol set."""
+    table(s), built from that scan's actual symbol set — which is also why
+    12-bit needs no special tables here: the wider magnitude categories
+    simply appear in the derived per-scan sets."""
     ncomp = 1 if gray else 3
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
@@ -731,8 +732,15 @@ def _encode_progressive(
     out = bytearray(b"\xff\xd8")
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for tid, q in enumerate(qtabs[: 1 if gray else 2]):
-        out += seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in q[ZIGZAG]))
-    sof = struct.pack(">BHHB", 8, h0, w0, ncomp)
+        if precision == 12:
+            out += seg(
+                0xFFDB,
+                bytes([0x10 | tid])
+                + b"".join(struct.pack(">H", int(x)) for x in q[ZIGZAG]),
+            )
+        else:
+            out += seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in q[ZIGZAG]))
+    sof = struct.pack(">BHHB", precision, h0, w0, ncomp)
     for ci in range(ncomp):
         hf, vf = factors[ci]
         sof += bytes([ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1])
@@ -808,9 +816,9 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
     1- or 3-component scans, sampling factors 1-2, DRI restarts, and for
     progressive streams the full Annex G Huffman feature set:
     spectral-selection bands, successive-approximation DC/AC
-    first+refinement scans, EOB runs. Raises NotImplementedError on
-    arithmetic-coded/hierarchical variants and on 12-bit
-    progressive/lossless.
+    first+refinement scans, EOB runs. 12-bit applies to progressive
+    (SOF2) frames too; lossless (SOF3) takes the full 2-16 bit range.
+    Raises NotImplementedError on arithmetic-coded/hierarchical variants.
 
     ``dc_only=True`` returns the 1/8-scale block-mean image instead —
     (ceil(H/8), ceil(W/8), 3) uint8 — decoding only DC coefficients on the
@@ -838,7 +846,7 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
             )
         if not (
             _sof_prec == 8
-            or (_sof_prec == 12 and _sof_marker == 0xC1)
+            or (_sof_prec == 12 and _sof_marker in (0xC1, 0xC2))
             or (2 <= _sof_prec <= 16 and _sof_marker == 0xC3)
         ):
             raise NotImplementedError(f"{_sof_prec}-bit precision not supported")
@@ -912,11 +920,11 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
             if len(body) < 6 + 3 * ncomp:
                 raise ValueError("corrupt JPEG: truncated stream")
             # Per T.81 Table B.2: DCT paths take P=8 everywhere and P=12 in
-            # extended sequential (SOF1); lossless (SOF3) takes the full
-            # P=2..16 range. 12-bit progressive stays behind the seam.
+            # extended sequential (SOF1) and progressive (SOF2); lossless
+            # (SOF3) takes the full P=2..16 range.
             if not (
                 prec == 8
-                or (prec == 12 and marker == 0xC1)
+                or (prec == 12 and marker in (0xC1, 0xC2))
                 or (2 <= prec <= 16 and marker == 0xC3)
             ):
                 raise NotImplementedError(f"{prec}-bit precision not supported")
@@ -1013,17 +1021,19 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
         if not saw_eoi:
             raise ValueError("corrupt JPEG: truncated stream")
         comps = frame["comps"]
+        prec = frame.get("prec", 8)
+        maxv = (1 << prec) - 1
         hmax = max(c["h"] for c in comps)
         vmax = max(c["v"] for c in comps)
         img = _idct_and_assemble(
             frame["h"], frame["w"], comps,
-            [grids[c["id"]] for c in comps], qtabs, hmax, vmax,
+            [grids[c["id"]] for c in comps], qtabs, hmax, vmax, prec,
         ).astype(np.float64)
         h0, w0 = img.shape[:2]
         ph, pw = -(-h0 // 8) * 8, -(-w0 // 8) * 8
         img = np.pad(img, ((0, ph - h0), (0, pw - w0), (0, 0)), mode="edge")
         bm = img.reshape(ph // 8, 8, pw // 8, 8, 3).mean(axis=(1, 3))
-        return np.clip(bm, 0, 255).astype(np.uint8)
+        return np.clip(bm, 0, maxv).astype(np.uint8 if prec == 8 else np.uint16)
     if progressive and grids is not None:
         # Strict contract: a progressive stream cut off between scans is
         # truncated data, not a smaller-but-valid image (a lenient viewer
@@ -1037,6 +1047,7 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
         return _idct_and_assemble(
             frame["h"], frame["w"], comps,
             [grids[c["id"]] for c in comps], qtabs, hmax, vmax,
+            frame.get("prec", 8),
         )
     raise ValueError("corrupt JPEG: no SOS marker")
 

@@ -431,25 +431,51 @@ def test_12bit_matches_8bit_pipeline_at_same_content():
 
 
 def test_12bit_rejections_and_truncation_contract():
-    """12-bit stays sequential-only (SOF0/SOF2 12-bit refused at sniff
-    cost), and the truncation sweep contract extends to 12-bit payloads."""
+    """12-bit baseline (SOF0) stays refused at sniff cost — T.81 restricts
+    baseline to 8-bit — and the truncation sweep contract extends to 12-bit
+    payloads."""
     gray12 = (np.arange(32 * 40, dtype=np.uint16).reshape(32, 40) * 3) % 4096
     payload = encode_jpeg(gray12, quality=88, precision=12)
 
     from covid19_spark.operators.jpeg import sniff_jpeg_frame
 
     assert sniff_jpeg_frame(payload)[:2] == (0xC1, 12)
-    for bad_marker in (0xC0, 0xC2):
-        mutated = bytearray(payload)
-        i = mutated.find(b"\xff\xc1")
-        mutated[i + 1] = bad_marker
-        with pytest.raises(NotImplementedError, match="12-bit"):
-            decode_jpeg(bytes(mutated))
+    mutated = bytearray(payload)
+    i = mutated.find(b"\xff\xc1")
+    mutated[i + 1] = 0xC0
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bytes(mutated))
 
     cuts = list(range(2, min(len(payload), 180))) + list(range(180, len(payload) - 1, 41))
     for n in cuts:
         with pytest.raises((ValueError, NotImplementedError)):
             decode_jpeg(payload[:n])
+
+
+def test_12bit_progressive_matches_sequential_exactly():
+    """12-bit progressive (SOF2, P=12 per T.81 Table B.2) shares the same
+    quantized coefficients as the 12-bit sequential encode, so decodes must
+    be bit-identical — the progressive encoder's per-scan derived tables
+    absorb the wider magnitude categories with no special casing."""
+    from covid19_spark.operators.jpeg import sniff_jpeg_frame
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 4096, (5, 7, 3), dtype=np.uint16)
+    rgb12 = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)
+    for kw in ({}, dict(subsampling="420"), dict(restart_interval=2)):
+        seq = decode_jpeg(encode_jpeg(rgb12, quality=90, precision=12, **kw))
+        prog_payload = encode_jpeg(
+            rgb12, quality=90, precision=12, progressive=True, **kw
+        )
+        assert sniff_jpeg_frame(prog_payload)[:2] == (0xC2, 12)
+        prog = decode_jpeg(prog_payload)
+        assert prog.dtype == np.uint16
+        assert np.array_equal(seq, prog), kw
+    # the DC-only thumbnail path keeps the 12-bit dtype on progressive too
+    dc = decode_jpeg(
+        encode_jpeg(rgb12, quality=90, precision=12, progressive=True), dc_only=True
+    )
+    assert dc.dtype == np.uint16 and dc.shape == (5, 7, 3)
 
 
 def test_lossless_high_precision_roundtrips_bit_exact():
