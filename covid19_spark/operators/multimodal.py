@@ -327,11 +327,308 @@ def decode_png(payload: bytes) -> "np.ndarray":
     return px.copy()
 
 
+# --- GIF (GIF87a/GIF89a) — pure-stdlib LZW codec -----------------------------
+#
+# Web crawls are full of GIFs, so the multimodal decode path covers them for
+# real: logical screen + global/local color tables, interlaced images, the
+# 89a graphic-control extension (transparency honored, frames composited
+# draw-over), and the variable-code-size LZW decompressor — all straight
+# from the public GIF89a specification, no external tables. `encode_gif`
+# is the deterministic round-trip twin (exact for images with <= 256
+# distinct colors, which is all a GIF can hold).
+
+
+def decode_gif_frames(payload: bytes):
+    """Yield (delay_ms, (H, W, 3) uint8 RGB) per frame, composited onto the
+    logical screen draw-over (disposal "do not dispose" semantics — the
+    common animation case; restore-to-background clears the frame's own
+    rect to the background color first). Transparent pixels keep the
+    underlying canvas. Raises ValueError on corrupt streams."""
+    import struct
+
+    if payload is None or len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    packed, bg_idx, _ar = payload[10], payload[11], payload[12]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None and bg_idx < len(gct):
+        canvas[:, :] = gct[bg_idx]
+    transparent = None
+    delay_ms = 0
+    disposal = 0
+    prev_rect = None
+    while True:
+        if pos >= len(payload):
+            raise ValueError("corrupt GIF: missing trailer")
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            return
+        if b == 0x21:  # extension
+            if pos + 1 > len(payload):
+                raise ValueError("corrupt GIF: truncated extension")
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                if pos + 6 > len(payload) or payload[pos] != 4:
+                    raise ValueError("corrupt GIF: bad graphic control block")
+                flags = payload[pos + 1]
+                delay_ms = struct.unpack_from("<H", payload, pos + 2)[0] * 10
+                transparent = payload[pos + 4] if flags & 0x01 else None
+                disposal = (flags >> 2) & 0x07
+                pos += 5
+            # skip remaining sub-blocks (any extension type)
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("corrupt GIF: truncated extension")
+                ln = payload[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                pos += ln
+                if pos > len(payload):
+                    raise ValueError("corrupt GIF: truncated extension")
+            continue
+        if b != 0x2C:  # image descriptor is the only other block type
+            raise ValueError(f"corrupt GIF: unknown block {b:#x}")
+        if pos + 9 > len(payload):
+            raise ValueError("corrupt GIF: truncated image descriptor")
+        ix, iy, iw, ih = struct.unpack_from("<HHHH", payload, pos)
+        ipacked = payload[pos + 8]
+        pos += 9
+        if ix + iw > w or iy + ih > h or iw == 0 or ih == 0:
+            raise ValueError("corrupt GIF: image rect outside logical screen")
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("corrupt GIF: truncated local color table")
+            ct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("corrupt GIF: no color table")
+        if pos >= len(payload):
+            raise ValueError("corrupt GIF: truncated image data")
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"corrupt GIF: LZW minimum code size {min_code}")
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("corrupt GIF: truncated image data")
+            ln = payload[pos]
+            pos += 1
+            if ln == 0:
+                break
+            data += payload[pos : pos + ln]
+            pos += ln
+            if pos > len(payload):
+                raise ValueError("corrupt GIF: truncated image data")
+        indices = _gif_lzw_decode(bytes(data), min_code, iw * ih)
+        idx = np.frombuffer(indices, np.uint8).reshape(ih, iw)
+        if ipacked & 0x40:  # interlaced: 4-pass row order
+            order = np.concatenate([
+                np.arange(0, ih, 8), np.arange(4, ih, 8),
+                np.arange(2, ih, 4), np.arange(1, ih, 2),
+            ])
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        if idx.max(initial=0) >= len(ct):
+            raise ValueError("corrupt GIF: pixel index outside color table")
+        if disposal == 2 and prev_rect is not None:
+            py, px_, ph_, pw_ = prev_rect
+            canvas[py : py + ph_, px_ : px_ + pw_] = (
+                gct[bg_idx] if gct is not None and bg_idx < len(gct) else 0
+            )
+        rect = canvas[iy : iy + ih, ix : ix + iw]
+        rgb = ct[idx]
+        if transparent is not None:
+            mask = idx != transparent
+            rect[mask] = rgb[mask]
+        else:
+            rect[:, :] = rgb
+        prev_rect = (iy, ix, ih, iw)
+        yield delay_ms, canvas.copy()
+        transparent = None
+        delay_ms = 0
+
+
+def decode_gif(payload: bytes) -> "np.ndarray":
+    """First composited frame of a GIF as (H, W, 3) uint8 RGB."""
+    for _delay, frame in decode_gif_frames(payload):
+        return frame
+    raise ValueError("corrupt GIF: no image data")
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, expect: int) -> bytes:
+    """GIF variable-code-size LZW: codes start at min_code+1 bits, the table
+    grows to 4095 entries, CLEAR resets, EOI terminates. Little-endian bit
+    packing per the spec."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    di = 0
+    width = min_code + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    next_code = eoi + 1  # the ENCODER's next free slot, tracked 1:1 (the
+    # string for it lands one code later — classic LZW lag — but the WIDTH
+    # follows this counter, not the lagged table length)
+    prev = None
+    while len(out) < expect:
+        while nbits < width:
+            if di >= len(data):
+                raise ValueError("corrupt GIF: LZW stream exhausted")
+            acc |= data[di] << nbits
+            di += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt GIF: LZW code before table entry")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            raise ValueError("corrupt GIF: LZW code out of range")
+        out += entry
+        prev = entry
+        if next_code < 4096:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+    if len(out) < expect:
+        raise ValueError("corrupt GIF: pixel data short of image size")
+    return bytes(out[:expect])
+
+
+def encode_gif(pixels: "np.ndarray", delays_ms=None) -> bytes:
+    """Encode one (H, W, 3) uint8 frame — or a list of same-size frames as
+    an animation — as GIF89a with a shared palette built from the distinct
+    colors (> 256 distinct colors raises: GIF is palette-bound; production
+    quantizes first). Round-trips bit-exactly through ``decode_gif``."""
+    import struct
+
+    frames = pixels if isinstance(pixels, (list, tuple)) else [pixels]
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    if any(f.shape != (h, w, 3) for f in frames):
+        raise ValueError("all GIF frames must be (H, W, 3) and same size")
+    colors = np.unique(np.concatenate([f.reshape(-1, 3) for f in frames]), axis=0)
+    if len(colors) > 256:
+        raise ValueError(f"GIF needs <= 256 distinct colors (got {len(colors)})")
+    depth = 1
+    while (1 << depth) < max(len(colors), 2):
+        depth += 1
+    n = 1 << depth
+    palette = np.zeros((n, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (depth - 1), 0, 0])  # GCT present, bg 0, square px
+    out += palette.tobytes()
+    min_code = max(depth, 2)
+    if delays_ms is None:
+        delays_ms = [0] * len(frames)
+    for f, delay in zip(frames, delays_ms):
+        if len(frames) > 1 or delay:
+            out += bytes([0x21, 0xF9, 4, 0x00]) + struct.pack("<H", delay // 10) + bytes([0, 0])
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h) + bytes([0])
+        idx = np.array(
+            [lut[tuple(px)] for px in f.reshape(-1, 3)], dtype=np.uint16
+        )
+        out += bytes([min_code])
+        lzw = _gif_lzw_encode(idx, min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _gif_lzw_encode(indices: "np.ndarray", min_code: int) -> bytes:
+    """Greedy longest-match LZW with CLEAR emitted first (decoder-friendly)
+    and on table overflow, little-endian bit packing."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = min_code + 1
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    prev = b""
+    for v in indices:
+        cur = prev + bytes([int(v)])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        # the decoder grows its table one step behind the encoder: widen
+        # AFTER emitting when the new entry fills the current width
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear)  # table full: reset (emitted at the pre-reset width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        prev = bytes([int(v)])
+    if prev:
+        emit(table[prev])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
     """Real decode path: pure-stdlib readers for uncompressed 24-bpp BMP,
     full PNG (gray/RGB/palette/alpha, depths 1-16, Adam7 — the chart format
-    the reference serves), and baseline + progressive JPEG
-    (operators/jpeg.py — tables read from the stream's own DQT/DHT);
+    the reference serves), baseline + progressive + lossless JPEG
+    (operators/jpeg.py — tables read from the stream's own DQT/DHT), and
+    GIF87a/89a (LZW, interlace, transparency — first composited frame);
     anything else needs a codec library the container doesn't ship (a
     production build plugs Pillow/turbojpeg into the fall-through)."""
     if payload is not None and len(payload) >= 2 and payload[:2] == b"BM":
@@ -342,8 +639,10 @@ def decode_image(payload: bytes) -> "np.ndarray":
         from covid19_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload is not None and len(payload) >= 6 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise NotImplementedError(
-        "no codec for non-BMP/PNG/JPEG image formats in this environment"
+        "no codec for non-BMP/PNG/JPEG/GIF image formats in this environment"
     )
 
 

@@ -27,11 +27,15 @@ def test_decode_stub_raises():
     with pytest.raises(ValueError, match="truncated"):
         decode_image(b"\xff\xd8\xff\xe0")
     # A truncated PNG magic (4 of 8 signature bytes) is not recognized as
-    # PNG, BMP, or JPEG — falls through to the no-codec stub.
+    # PNG, BMP, JPEG, or GIF — falls through to the no-codec stub.
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
-    with pytest.raises(NotImplementedError):
+    # GIF is now a REAL codec: a truncated GIF is the codec's ValueError,
+    # not the stub; formats we genuinely lack still fall through.
+    with pytest.raises(ValueError, match="GIF"):
         decode_image(b"GIF89a\x00\x00")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBP")
 
 
 def test_extract_features_end_to_end(spark):
@@ -1101,3 +1105,112 @@ def test_image_features_precision_aware():
     feat = np.concatenate([means, hist.astype(np.float32)])
     feat = feat / np.linalg.norm(feat)
     assert np.array_equal(f8, feat.astype(np.float32))
+
+
+# --- GIF codec ---------------------------------------------------------------
+
+
+def test_gif_roundtrip_exact_and_width_boundaries():
+    """encode_gif/decode_gif are pure-stdlib LZW; round-trips must be exact
+    across palette sizes, including a 256-color image large enough to walk
+    the code width 9->12 and force a table reset."""
+    from covid19_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(3)
+    pal = np.unique(rng.integers(0, 256, (300, 3), dtype=np.uint8), axis=0)[:256]
+    big = pal[rng.integers(0, len(pal), (120, 150))]
+    assert np.array_equal(decode_gif(encode_gif(big)), big)
+    for ncol in (2, 3, 5, 17, 64):
+        cols = np.unique(rng.integers(0, 256, (ncol * 2, 3), dtype=np.uint8), axis=0)[:ncol]
+        im = cols[rng.integers(0, len(cols), (31, 17))]
+        assert np.array_equal(decode_gif(encode_gif(im)), im), ncol
+    solid = np.full((20, 20, 3), 77, dtype=np.uint8)  # KwKwK chains
+    assert np.array_equal(decode_gif(encode_gif(solid)), solid)
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8))
+
+
+def test_gif_minimal_external_anchor():
+    """The canonical hand-assembled 1x1 black-pixel GIF (the 'smallest GIF'
+    byte sequence circulated with the GIF89a spec) must decode — an
+    EXTERNAL conformance vector, not a round-trip of our own encoder."""
+    from covid19_spark.operators.multimodal import decode_gif, decode_image
+
+    mini = bytes(
+        [0x47, 0x49, 0x46, 0x38, 0x39, 0x61, 1, 0, 1, 0, 0x80, 0, 0,
+         0, 0, 0, 255, 255, 255,
+         0x2C, 0, 0, 0, 0, 1, 0, 1, 0, 0x00,
+         0x02, 0x02, 0x44, 0x01, 0x00, 0x3B]
+    )
+    out = decode_gif(mini)
+    assert out.shape == (1, 1, 3) and out[0, 0].tolist() == [0, 0, 0]
+    assert np.array_equal(decode_image(mini), out)  # dispatch covers GIF
+
+
+def test_gif_interlaced_decode():
+    """Interlace flag: rows stored in the 4-pass order must come back in
+    logical order — built by encoding the pass-permuted image and flipping
+    the descriptor's interlace bit."""
+    from covid19_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(5)
+    cols = np.unique(rng.integers(0, 256, (20, 3), dtype=np.uint8), axis=0)
+    img = cols[rng.integers(0, len(cols), (13, 9))]
+    order = np.concatenate([
+        np.arange(0, 13, 8), np.arange(4, 13, 8),
+        np.arange(2, 13, 4), np.arange(1, 13, 2),
+    ])
+    permuted = img[order]  # rows as an interlaced file stores them
+    payload = bytearray(encode_gif(permuted))
+    i = payload.index(0x2C)
+    payload[i + 9] |= 0x40  # set interlace in the image descriptor
+    assert np.array_equal(decode_gif(bytes(payload)), img)
+
+
+def test_gif_animation_frames_and_transparency():
+    """Multi-frame GIFs yield composited frames with delays; a transparent
+    index leaves the underlying canvas visible (draw-over compositing)."""
+    from covid19_spark.operators.multimodal import decode_gif_frames, encode_gif
+
+    rng = np.random.default_rng(7)
+    cols = np.unique(rng.integers(0, 256, (40, 3), dtype=np.uint8), axis=0)
+    frames = [cols[rng.integers(0, len(cols), (24, 30))] for _ in range(3)]
+    got = list(decode_gif_frames(encode_gif(frames, delays_ms=[100, 50, 200])))
+    assert [d for d, _ in got] == [100, 50, 200]
+    for (_, f), want in zip(got, frames):
+        assert np.array_equal(f, want)
+
+    # transparency: hand-mark palette index of frame 2's top-left color as
+    # transparent in its graphic control; that pixel must show frame 1
+    two = encode_gif([frames[0], frames[1]], delays_ms=[10, 10])
+    buf = bytearray(two)
+    # second graphic-control ext: find the 2nd occurrence of 21 F9 04
+    first = buf.find(b"\x21\xf9\x04")
+    second = buf.find(b"\x21\xf9\x04", first + 1)
+    # transparent color flag + index of the frame-2 top-left pixel's color
+    pal_start = 13
+    depth_n = 2 << (buf[10] & 0x07)
+    pal = np.frombuffer(bytes(buf[pal_start:pal_start + 3 * depth_n]), np.uint8).reshape(-1, 3)
+    tl = frames[1][0, 0]
+    t_idx = int(np.where((pal == tl).all(axis=1))[0][0])
+    buf[second + 3] |= 0x01
+    buf[second + 6] = t_idx
+    composited = list(decode_gif_frames(bytes(buf)))[1][1]
+    mask = (frames[1] == tl).all(axis=2)
+    assert np.array_equal(composited[mask], frames[0][mask])
+    assert np.array_equal(composited[~mask], frames[1][~mask])
+
+
+def test_gif_rejects_corrupt():
+    from covid19_spark.operators.multimodal import decode_gif, encode_gif
+
+    img = np.full((4, 4, 3), 10, dtype=np.uint8)
+    good = encode_gif(img)
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"GIF00a" + good[6:])
+    with pytest.raises(ValueError):
+        decode_gif(good[: len(good) // 2])  # truncated
+    bad = bytearray(good)
+    bad[-2] = 0x77  # clobber the final data sub-block terminator chain
+    with pytest.raises(ValueError):
+        decode_gif(bytes(bad))
