@@ -710,6 +710,69 @@ QUERY_REGISTRY["png_image_features"] = QuerySpec(
 )
 
 
+def q_gif_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec GIF path end-to-end — the web-crawl image format the
+    other codecs don't cover: synthesize palette-bounded GIF89a payloads
+    whose pixels derive deterministically from doc_id (palette size cycles
+    4..64 so the LZW width machinery varies per row), decode with
+    ``use_fake=False`` through ``decode_image``'s GIF dispatch, featurize.
+    Non-SQL-expressible (binary format parsing) → rows-only driver check +
+    exact checked-in fixture. Same map-only scale shape as the PNG/BMP
+    twins: synthesis+decode spread across cores, no shuffle but the output
+    sort."""
+    import numpy as np
+    import pandas as pd
+
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_gif,
+        extract_image_features,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .filter(F.col("doc_id") < 500)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                rng = np.random.default_rng(d + 3_000_000)
+                h, w = 8 + d % 8, 8 + d % 5
+                n_colors = 4 + (d % 61)
+                palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+                img = palette[rng.integers(0, n_colors, size=(h, w))]
+                rows.append(
+                    (d, "image", "image/gif", w, h, None, encode_gif(img))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "mime", "width", "height",
+                    "duration_ms", "payload",
+                ],
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    feats = extract_image_features(media, use_fake=False)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+        F.round(F.element_at("feature", 8), 4).alias("f7"),
+    ).orderBy("media_id")
+
+
+QUERY_REGISTRY["gif_image_features"] = QuerySpec(
+    q_gif_image_features, None, "real GIF decode (stdlib LZW codec) -> features (rows-only)"
+)
+
+
 def q_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-codec audio path end-to-end: synthesize valid RIFF/WAVE PCM
     payloads (a deterministic int16 tone per doc_id), decode them with the

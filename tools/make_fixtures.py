@@ -33,6 +33,7 @@ FIXTURE_QUERIES = (
     "semantic_dedup_paper_policy",
     "bmp_image_features",
     "png_image_features",
+    "gif_image_features",
     "pq_cosine_topk",
     "ivfpq_cosine_topk",
     "approx_aggregates",
