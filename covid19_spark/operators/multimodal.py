@@ -1381,6 +1381,133 @@ def _decode_ima_adpcm(data: bytes, ch: int, block_align: int) -> "np.ndarray":
     return arr / 32768.0
 
 
+#: Microsoft ADPCM predictor coefficient pairs and delta adaptation table —
+#: the canonical constants of the public RIFF/WAVE format-2 specification
+#: (shipped in every fmt-chunk extension; kept here as the default set).
+_MS_ADPCM_COEFFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208), (392, -232)
+)
+_MS_ADPCM_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230
+)
+
+
+def _decode_ms_adpcm(
+    data: bytes, ch: int, block_align: int, coeffs
+) -> "np.ndarray":
+    """Microsoft ADPCM (WAV format 0x02) 'data' chunk → float32 (n, ch) in
+    [-1, 1]. Per block and channel: a predictor index into the coefficient
+    pairs, an initial delta, and the two seed samples (iSamp2 is older and
+    emits first); each 4-bit code then reconstructs
+    ``((s1·c1 + s2·c2) >> 8) + signed_nibble·delta`` with the public
+    16-entry delta adaptation. Blocks are independent — corruption loses
+    only its own block. Stereo alternates channels per nibble."""
+    samples_per_ch: list[list[int]] = [[] for _ in range(ch)]
+    for bstart in range(0, len(data) - len(data) % block_align, block_align):
+        block = data[bstart : bstart + block_align]
+        pred = list(block[:ch])
+        if any(p >= len(coeffs) for p in pred):
+            raise ValueError("corrupt WAV: MS ADPCM predictor out of range")
+        off = ch
+        delta = [
+            int.from_bytes(block[off + 2 * c : off + 2 * c + 2], "little", signed=True)
+            for c in range(ch)
+        ]
+        off += 2 * ch
+        s1 = [
+            int.from_bytes(block[off + 2 * c : off + 2 * c + 2], "little", signed=True)
+            for c in range(ch)
+        ]
+        off += 2 * ch
+        s2 = [
+            int.from_bytes(block[off + 2 * c : off + 2 * c + 2], "little", signed=True)
+            for c in range(ch)
+        ]
+        off += 2 * ch
+        for c in range(ch):
+            samples_per_ch[c].append(s2[c])
+            samples_per_ch[c].append(s1[c])
+        i = 0
+        for b in block[off:]:
+            for nib in (b >> 4, b & 0x0F):
+                c = i % ch
+                i += 1
+                c1, c2 = coeffs[pred[c]]
+                predicted = (s1[c] * c1 + s2[c] * c2) >> 8
+                signed = nib - 16 if nib >= 8 else nib
+                new = max(-32768, min(32767, predicted + signed * delta[c]))
+                s2[c], s1[c] = s1[c], new
+                delta[c] = max(16, (_MS_ADPCM_ADAPT[nib] * delta[c]) >> 8)
+                samples_per_ch[c].append(new)
+    n = min(len(s) for s in samples_per_ch) if ch else 0
+    arr = np.stack([np.array(s[:n], np.float32) for s in samples_per_ch], axis=1)
+    return arr / 32768.0
+
+
+def encode_wav_ms_adpcm(
+    samples: "np.ndarray", sample_rate: int = 8000, block_samples: int = 500
+) -> bytes:
+    """Encode mono int16 samples as a Microsoft ADPCM (format 0x02)
+    RIFF/WAVE file — the test/synthesizer twin of the format-2 decode path.
+    Per block the encoder trials all 7 standard predictors and keeps the
+    one with least total quantization error (the reference strategy);
+    nibbles quantize the prediction error against the adapting delta via
+    the SAME update arithmetic the decoder runs. Writes the full fmt
+    extension (samplesPerBlock, the 7 coefficient pairs) and a 'fact'
+    chunk so partial final blocks decode to the exact input length."""
+    import struct
+
+    arr = np.asarray(samples, dtype=np.int16).reshape(-1)
+    if block_samples < 4:
+        raise ValueError("block_samples must be at least 4")
+    nib_per_block = block_samples - 2  # two seed samples ride the header
+    if nib_per_block % 2:
+        raise ValueError("block_samples must be even")
+    block_align = 7 + nib_per_block // 2
+    out = bytearray()
+    for bstart in range(0, len(arr), block_samples):
+        blk = [int(v) for v in arr[bstart : bstart + block_samples]]
+        if len(blk) < 2:
+            blk += [blk[-1] if blk else 0] * (2 - len(blk))
+        best = None
+        for pi, (c1, c2) in enumerate(_MS_ADPCM_COEFFS):
+            s2_0, s1_0 = blk[0], blk[1]
+            deltas = [abs(blk[i] - ((blk[i - 1] * c1 + blk[i - 2] * c2) >> 8))
+                      for i in range(2, len(blk))]
+            delta0 = max(16, (sum(deltas) // max(len(deltas), 1)) or 16)
+            s1, s2, delta = s1_0, s2_0, delta0
+            nibs = []
+            err_total = 0
+            for i in range(2, len(blk)):
+                predicted = (s1 * c1 + s2 * c2) >> 8
+                err = blk[i] - predicted
+                nib = max(-8, min(7, int(round(err / delta))))
+                code = nib & 0x0F
+                new = max(-32768, min(32767, predicted + nib * delta))
+                err_total += abs(blk[i] - new)
+                s2, s1 = s1, new
+                delta = max(16, (_MS_ADPCM_ADAPT[code] * delta) >> 8)
+                nibs.append(code)
+            if best is None or err_total < best[0]:
+                best = (err_total, pi, delta0, nibs)
+        _, pi, delta0, nibs = best
+        nibs = nibs + [0] * (nib_per_block - len(nibs))
+        out += bytes([pi])
+        out += struct.pack("<hhh", delta0, blk[1], blk[0])
+        for i in range(0, len(nibs), 2):
+            out += bytes([(nibs[i] << 4) | nibs[i + 1]])
+    byte_rate = sample_rate * block_align // block_samples
+    coef_ext = b"".join(struct.pack("<hh", c1, c2) for c1, c2 in _MS_ADPCM_COEFFS)
+    fmt = struct.pack(
+        "<HHIIHHHHH", 0x02, 1, sample_rate, byte_rate, block_align, 4,
+        4 + 4 * len(_MS_ADPCM_COEFFS), block_samples, len(_MS_ADPCM_COEFFS),
+    ) + coef_ext
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, len(arr))
+    body += b"data" + struct.pack("<I", len(out)) + bytes(out)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def encode_wav_ima_adpcm(
     samples: "np.ndarray", sample_rate: int = 8000, block_samples: int = 505
 ) -> bytes:
@@ -1448,15 +1575,18 @@ def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
     (format 1) at 8 (unsigned), 16, 24 (packed), and 32 bits, IEEE float
     (format 3) at 32/64 bits, the ITU-T G.711 companded formats — A-law
     (format 6) and mu-law (format 7), decoded by the public expansion
-    formulas — and IMA/DVI ADPCM (format 0x11, the public 4-bit
-    step-adaptive codec); skips unknown chunks (LIST, cue, ...). The
-    remaining compressed formats (MP3-in-WAV, proprietary ADPCM variants)
-    raise NotImplementedError — the codec-library seam."""
+    formulas — Microsoft ADPCM (format 0x02, the public RIFF coefficient
+    tables, honoring a stream's own fmt-extension table), and IMA/DVI
+    ADPCM (format 0x11, the public 4-bit step-adaptive codec); skips
+    unknown chunks (LIST, cue, ...). The remaining compressed formats
+    (MP3-in-WAV and vendor codecs) raise NotImplementedError — the
+    codec-library seam."""
     import struct
 
     if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos, fmt, data, fact_samples = 12, None, None, None
+    fmt_raw = b""
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (ln,) = struct.unpack_from("<I", payload, pos + 4)
@@ -1467,6 +1597,7 @@ def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
             if ln < 16:
                 raise ValueError("corrupt WAV: short fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+            fmt_raw = payload[pos + 8 : body_end]
         elif cid == b"data":
             data = payload[pos + 8 : body_end]
         elif cid == b"fact" and ln >= 4:
@@ -1511,6 +1642,25 @@ def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
         arr = (
             _ALAW_TABLE if audio_fmt == 6 else _MULAW_TABLE
         )[np.frombuffer(data, np.uint8)]
+    elif audio_fmt == 0x02:  # Microsoft ADPCM (public RIFF spec tables)
+        if bits != 4:
+            raise ValueError(f"corrupt WAV: MS ADPCM requires 4-bit samples, got {bits}")
+        if _align < 7 * ch:
+            raise ValueError("corrupt WAV: MS ADPCM block align below header size")
+        coeffs = _MS_ADPCM_COEFFS
+        # coefficient table travels in the fmt extension (cbSize,
+        # samplesPerBlock, numCoef, pairs) — honor a stream's own table
+        if len(fmt_raw) >= 22:
+            (ncoef,) = struct.unpack_from("<H", fmt_raw, 20)
+            if ncoef and len(fmt_raw) >= 22 + 4 * ncoef:
+                coeffs = tuple(
+                    struct.unpack_from("<hh", fmt_raw, 22 + 4 * i)
+                    for i in range(ncoef)
+                )
+        decoded = _decode_ms_adpcm(data, ch, _align, coeffs)
+        if fact_samples is not None:
+            decoded = decoded[:fact_samples]
+        return decoded, rate
     elif audio_fmt == 0x11:  # IMA/DVI ADPCM, 4-bit nibble codes
         if bits != 4:
             raise ValueError(f"corrupt WAV: IMA ADPCM requires 4-bit samples, got {bits}")

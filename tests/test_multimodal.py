@@ -434,9 +434,13 @@ def test_wav_other_depths_and_float():
     dataf = struct.pack("<3f", -0.5, 0.25, 1.0)
     out, _ = decode_wav(wav(3, 1, 8000, 32, dataf))
     assert np.allclose(out[:, 0], [-0.5, 0.25, 1.0])
-    # compressed formats stay a seam
+    # MS ADPCM (format 2) is now REAL: a malformed block align is the
+    # codec's corrupt-stream error, not the seam
+    with pytest.raises(ValueError, match="MS ADPCM"):
+        decode_wav(wav(2, 1, 8000, 4, b"\x00\x00"))
+    # genuinely compressed formats we lack stay a seam (MP3-in-WAV)
     with pytest.raises(NotImplementedError):
-        decode_wav(wav(2, 1, 8000, 4, b"\x00\x00"))  # ADPCM
+        decode_wav(wav(0x55, 1, 8000, 0, b"\x00\x00"))
     # truncated chunk is corrupt
     with pytest.raises(ValueError, match="truncated"):
         decode_wav(wav(1, 1, 8000, 16, b"\x00" * 8)[:-4])
@@ -1214,3 +1218,42 @@ def test_gif_rejects_corrupt():
     bad[-2] = 0x77  # clobber the final data sub-block terminator chain
     with pytest.raises(ValueError):
         decode_gif(bytes(bad))
+
+
+def test_ms_adpcm_wav_roundtrip(spark):
+    """Microsoft ADPCM WAV (format 0x02 — previously behind the codec
+    seam): encode→decode tracks a smooth signal (SNR > 30 dB for 4-bit
+    step-adaptive coding), block seed samples are verbatim, the fmt
+    extension's own coefficient table is honored, the fact chunk trims
+    partial final blocks, and the payload feeds the real-decode feature
+    extractor distributed."""
+    import math
+
+    from covid19_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_ms_adpcm,
+        extract_audio_features,
+    )
+
+    t = np.arange(4000, dtype=np.float32)
+    sig16 = (12000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    wav = encode_wav_ms_adpcm(sig16, sample_rate=8000, block_samples=500)
+    decoded, rate = decode_wav(wav)
+    assert rate == 8000 and decoded.shape == (4000, 1)
+    got = decoded[:, 0] * 32768.0
+    for b in range(0, 4000, 500):  # per-block seeds are stored verbatim
+        assert got[b] == float(sig16[b]) and got[b + 1] == float(sig16[b + 1])
+    err = got - sig16.astype(np.float64)
+    snr = 10 * math.log10((sig16.astype(np.float64) ** 2).mean() / (err ** 2).mean())
+    assert snr > 30, snr
+
+    short = decode_wav(encode_wav_ms_adpcm(sig16[:123], block_samples=500))[0]
+    assert short.shape == (123, 1)  # fact-chunk trim
+
+    media = spark.createDataFrame(
+        [(1, "audio", "audio/wav", None, None, 500, bytearray(wav))],
+        "media_id long, kind string, mime string, width int, height int, "
+        "duration_ms long, payload binary",
+    )
+    rows = extract_audio_features(media, use_fake=False).collect()
+    assert len(rows) == 1 and len(rows[0]["feature"]) == 16
