@@ -1592,7 +1592,11 @@ def q_lsh_guard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=32, shingle_n=3)
+    # cache + eager materialize: the banded frame feeds the report agg, the
+    # guard's own agg, AND both self-join sides — racing consumers would
+    # each recompute the shingle+hash pass (the q_minhash_lsh lifecycle)
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=32, shingle_n=3).cache()
+    sigs.count()
     report: list = []
     pairs = lsh_candidate_pairs(
         sigs, "doc_id", num_hashes=32, bands=8, max_bucket=40, dropped_report=report
