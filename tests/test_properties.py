@@ -457,3 +457,85 @@ def test_lossless_jpeg_roundtrip_property(h, w, pred, seed):
 
     img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
     assert np.array_equal(decode_jpeg(encode_jpeg_lossless(img, predictor=pred)), img)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    ncolors=st.integers(min_value=1, max_value=256),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@CODEC_SETTINGS
+def test_gif_roundtrip_property(h, w, ncolors, seed):
+    """decode(encode(img)) == img for arbitrary sizes and palette sizes —
+    GIF LZW is lossless within its 256-color bound, including single-color
+    KwKwK chains and palettes straddling code-width boundaries."""
+    from covid19_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    cols = np.unique(rng.integers(0, 256, (ncolors, 3), dtype=np.uint8), axis=0)
+    img = cols[rng.integers(0, len(cols), (h, w))]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=2000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@CODEC_SETTINGS
+def test_ms_adpcm_length_and_seed_property(n, seed):
+    """For any sample count, MS-ADPCM round-trips to EXACTLY n samples
+    (fact-chunk trim) with the per-block seed samples bit-exact."""
+    from covid19_spark.operators.multimodal import decode_wav, encode_wav_ms_adpcm
+
+    rng = np.random.default_rng(seed)
+    sig = (rng.standard_normal(n) * 3000).astype(np.int16)
+    out, _ = decode_wav(encode_wav_ms_adpcm(sig, block_samples=500))
+    assert out.shape == (n, 1)
+    got = out[:, 0] * 32768.0
+    for b in range(0, n, 500):  # block seeds stored verbatim
+        assert got[b] == float(sig[b])
+        if b + 1 < n:
+            assert got[b + 1] == float(sig[b + 1])
+
+
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    quality=st.integers(min_value=50, max_value=95),
+)
+@CODEC_SETTINGS
+def test_jpeg_12bit_progressive_equals_sequential_property(h, w, seed, quality):
+    """12-bit progressive and sequential encodings share quantized
+    coefficients, so decodes are bit-identical for every size/quality."""
+    from covid19_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.random.default_rng(seed).integers(0, 4096, (h, w, 3), dtype=np.uint16)
+    seq = decode_jpeg(encode_jpeg(img, quality=quality, precision=12))
+    prog = decode_jpeg(
+        encode_jpeg(img, quality=quality, precision=12, progressive=True)
+    )
+    assert seq.dtype == np.uint16 and np.array_equal(seq, prog)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=16),
+    w=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    predictor=st.integers(min_value=1, max_value=7),
+    precision=st.sampled_from([8, 12, 16]),
+)
+@CODEC_SETTINGS
+def test_lossless_jpeg_precision_roundtrip_property(h, w, seed, predictor, precision):
+    """Lossless SOF3 is bit-exact for arbitrary images at 8/12/16-bit
+    precision and every predictor — including mod-2^16 wrap diffs."""
+    from covid19_spark.operators.jpeg import decode_jpeg, encode_jpeg_lossless
+
+    rng = np.random.default_rng(seed)
+    hi = 1 << precision
+    img = rng.integers(0, hi, (h, w), dtype=np.uint16)
+    if precision == 8:
+        img = img.astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_lossless(img, predictor=predictor, precision=precision))
+    assert np.array_equal(out[:, :, 0], img)
