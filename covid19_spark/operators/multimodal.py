@@ -623,12 +623,372 @@ def _gif_lzw_encode(indices: "np.ndarray", min_code: int) -> bytes:
     return bytes(out)
 
 
+# --- TIFF 6.0 baseline — pure-stdlib strip codec ------------------------------
+#
+# Scanned-document corpora ship as TIFF, so the decode path covers the
+# baseline profile for real: both byte orders, chunky RGB/grayscale/palette
+# at 8 bits per sample, strip organization, Compression 1 (none), 32773
+# (PackBits) and 5 (LZW — MSB-first bit packing with the spec's "early
+# change" code widening, the documented difference from GIF's LZW), and
+# Predictor 2 (horizontal differencing). `encode_tiff` is the round-trip
+# twin. Tiled/planar/JPEG-in-TIFF variants raise NotImplementedError — the
+# production seam (libtiff).
+
+_TIFF_TAG_NAMES = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    262: "photometric", 273: "strip_offsets", 277: "spp",
+    278: "rows_per_strip", 279: "strip_counts", 284: "planar",
+    317: "predictor", 320: "colormap",
+}
+
+
+def _tiff_read_ifd(payload: bytes, endian: str):
+    import struct
+
+    (ifd_off,) = struct.unpack_from(endian + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("corrupt TIFF: IFD offset out of range")
+    (n_tags,) = struct.unpack_from(endian + "H", payload, ifd_off)
+    tags = {}
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+    for i in range(n_tags):
+        base = ifd_off + 2 + 12 * i
+        if base + 12 > len(payload):
+            raise ValueError("corrupt TIFF: truncated IFD")
+        tag, typ, count = struct.unpack_from(endian + "HHI", payload, base)
+        if tag not in _TIFF_TAG_NAMES or typ not in type_fmt:
+            continue
+        sz = type_size[typ] * count
+        if sz <= 4:
+            off = base + 8
+        else:
+            (off,) = struct.unpack_from(endian + "I", payload, base + 8)
+        if off + sz > len(payload):
+            raise ValueError("corrupt TIFF: tag value out of range")
+        vals = struct.unpack_from(endian + str(count) + type_fmt[typ], payload, off)
+        tags[_TIFF_TAG_NAMES[tag]] = list(vals)
+    return tags
+
+
+def decode_tiff(payload: bytes) -> "np.ndarray":
+    """Baseline TIFF strips → (H, W, 3) uint8 RGB (grayscale replicated,
+    palette expanded). See the section comment for the supported profile."""
+    import struct
+
+    if payload is None or len(payload) < 8:
+        raise ValueError("not a TIFF payload")
+    if payload[:4] == b"II*\x00":
+        endian = "<"
+    elif payload[:4] == b"MM\x00*":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    t = _tiff_read_ifd(payload, endian)
+    for req in ("width", "height", "strip_offsets", "strip_counts"):
+        if req not in t:
+            raise ValueError(f"corrupt TIFF: missing {req}")
+    w, h = t["width"][0], t["height"][0]
+    spp = t.get("spp", [1])[0]
+    bits = t.get("bits", [8] * spp)
+    comp = t.get("compression", [1])[0]
+    photo = t.get("photometric", [1])[0]
+    planar = t.get("planar", [1])[0]
+    predictor = t.get("predictor", [1])[0]
+    rows_per_strip = t.get("rows_per_strip", [h])[0] or h
+    if planar != 1:
+        raise NotImplementedError("planar TIFF not supported (chunky only)")
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"{bits}-bit TIFF samples not supported")
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} needs a codec library (libtiff seam)"
+        )
+    if predictor not in (1, 2):
+        raise ValueError(f"corrupt TIFF: unknown predictor {predictor}")
+    if photo not in (0, 1, 2, 3):
+        raise NotImplementedError(f"TIFF photometric {photo} not supported")
+    if photo == 2 and spp < 3:
+        raise ValueError("corrupt TIFF: RGB needs 3 samples per pixel")
+    row_bytes = w * spp
+    raw = bytearray()
+    n_strips = len(t["strip_offsets"])
+    if len(t["strip_counts"]) != n_strips:
+        raise ValueError("corrupt TIFF: strip offset/count mismatch")
+    for si in range(n_strips):
+        off, cnt = t["strip_offsets"][si], t["strip_counts"][si]
+        if off + cnt > len(payload):
+            raise ValueError("corrupt TIFF: strip out of range")
+        strip = payload[off : off + cnt]
+        strip_rows = min(rows_per_strip, h - si * rows_per_strip)
+        want = strip_rows * row_bytes
+        if comp == 1:
+            out = strip[:want]
+        elif comp == 32773:
+            out = _packbits_decode(strip, want)
+        else:
+            out = _tiff_lzw_decode(strip, want)
+        if len(out) < want:
+            raise ValueError("corrupt TIFF: strip data short of image size")
+        raw += out[:want]
+    arr = np.frombuffer(bytes(raw), np.uint8, h * row_bytes).reshape(h, w, spp)
+    if predictor == 2:
+        arr = np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
+    if photo == 2:
+        return np.ascontiguousarray(arr[:, :, :3])
+    gray = arr[:, :, 0]
+    if photo == 0:  # WhiteIsZero
+        gray = 255 - gray
+    if photo == 3:
+        cmap = t.get("colormap")
+        if not cmap or len(cmap) < 3 * 256:
+            raise ValueError("corrupt TIFF: palette image without colormap")
+        # TIFF colormaps are 16-bit per channel, R then G then B planes
+        cm = np.array(cmap[: 3 * 256], np.uint32).reshape(3, 256) >> 8
+        return cm.T[arr[:, :, 0]].astype(np.uint8)
+    return np.repeat(gray[:, :, None], 3, axis=2)
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1 bytes
+            if i + n + 1 > len(data):
+                raise ValueError("corrupt TIFF: PackBits literal past end")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= len(data):
+                raise ValueError("corrupt TIFF: PackBits repeat past end")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # find run length at i
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i = j + 1
+            continue
+        # literal: extend until a run of >= 3 starts or 128 bytes
+        j = i
+        while j + 1 <= n - 1 and j - i < 127:
+            if j + 2 < n and data[j + 1] == data[j + 2] and (
+                j + 3 >= n or data[j + 3] == data[j + 1]
+            ):
+                break
+            j += 1
+        out += bytes([j - i]) + data[i : j + 1]
+        i = j + 1
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
+    """TIFF LZW (spec section 13): MSB-first bit packing, Clear=256,
+    EOI=257, first free code 258, and EARLY code widening — the width
+    bumps when the next free slot reaches 2^width - 1 (one code earlier
+    than GIF's LZW; the spec's own documented quirk)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    di = 0
+    width = 9
+    table: list[bytes] = []
+    next_code = 258
+    prev = None
+
+    def reset():
+        nonlocal table, next_code, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        next_code = 258
+        width = 9
+        prev = None
+
+    reset()
+    while len(out) < expect:
+        while nbits < width:
+            if di >= len(data):
+                raise ValueError("corrupt TIFF: LZW stream exhausted")
+            acc = (acc << 8) | data[di]
+            di += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt TIFF: LZW code before table entry")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if next_code < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            if next_code < 4096:
+                table.append(entry)
+        else:
+            raise ValueError("corrupt TIFF: LZW code out of range")
+        out += entry
+        prev = entry
+        if next_code < 4096:
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:  # early change
+                width += 1
+    if len(out) < expect:
+        raise ValueError("corrupt TIFF: LZW data short of strip size")
+    return bytes(out[:expect])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    prev = b""
+    for b in data:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        if next_code < 4094:
+            table[cur] = next_code
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:  # early change
+                width += 1
+        else:
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        prev = bytes([b])
+    if prev:
+        emit(table[prev])
+    emit(EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def encode_tiff(
+    pixels: "np.ndarray", compression: str = "none", rows_per_strip: int = 8
+) -> bytes:
+    """Encode (H, W, 3) RGB or (H, W) grayscale uint8 pixels as baseline
+    little-endian TIFF strips — ``compression``: "none", "packbits", or
+    "lzw". Round-trips bit-exactly through ``decode_tiff``."""
+    import struct
+
+    comp_id = {"none": 1, "lzw": 5, "packbits": 32773}.get(compression)
+    if comp_id is None:
+        raise ValueError(f"unsupported compression {compression!r}")
+    arr = np.asarray(pixels, dtype=np.uint8)
+    gray = arr.ndim == 2
+    arr3 = arr[:, :, None] if gray else arr
+    h, w, spp = arr3.shape
+    if spp not in (1, 3):
+        raise ValueError(f"unsupported channel count {spp}")
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        raw = arr3[y0 : y0 + rows_per_strip].tobytes()
+        if comp_id == 1:
+            strips.append(raw)
+        elif comp_id == 32773:
+            strips.append(_packbits_encode(raw))
+        else:
+            strips.append(_tiff_lzw_encode(raw))
+    tags = [
+        (256, 3, [w]), (257, 3, [h]), (258, 3, [8] * spp),
+        (259, 3, [comp_id]), (262, 3, [2 if spp == 3 else 1]),
+        (277, 3, [spp]), (278, 3, [rows_per_strip]),
+    ]
+    n_tags = len(tags) + 2  # + strip offsets/counts
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n_tags + 4
+    # out-of-line tag data (bits for RGB, strip arrays) then strip data
+    extra = bytearray()
+
+    def tag_bytes(tag, typ, vals):
+        nonlocal extra
+        fmt = {3: "H", 4: "I"}[typ]
+        sz = {3: 2, 4: 4}[typ] * len(vals)
+        body = struct.pack("<" + str(len(vals)) + fmt, *vals)
+        if sz <= 4:
+            return struct.pack("<HHI", tag, typ, len(vals)) + body.ljust(4, b"\x00")
+        off = data_off + len(extra)
+        extra += body
+        return struct.pack("<HHII", tag, typ, len(vals), off)
+
+    # assemble twice: first pass to size `extra`, strips go after it
+    entries = []
+    for tag, typ, vals in tags:
+        entries.append(tag_bytes(tag, typ, vals))
+    strip_data_off = data_off + len(extra) + 8 * len(strips) * 0  # placeholder
+    # strip offsets array is itself out-of-line when > 1 strip
+    counts = [len(s) for s in strips]
+    # reserve space for the two arrays if out-of-line
+    arrays_sz = 0
+    if len(strips) > 1:
+        arrays_sz = 4 * len(strips) * 2
+    strip_base = data_off + len(extra) + arrays_sz
+    offsets = []
+    acc_off = strip_base
+    for c in counts:
+        offsets.append(acc_off)
+        acc_off += c
+    entries.append(tag_bytes(273, 4, offsets))
+    entries.append(tag_bytes(279, 4, counts))
+    entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", n_tags)
+    for e in entries:
+        out += e
+    out += struct.pack("<I", 0)  # next IFD
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
     """Real decode path: pure-stdlib readers for uncompressed 24-bpp BMP,
     full PNG (gray/RGB/palette/alpha, depths 1-16, Adam7 — the chart format
     the reference serves), baseline + progressive + lossless JPEG
     (operators/jpeg.py — tables read from the stream's own DQT/DHT), and
-    GIF87a/89a (LZW, interlace, transparency — first composited frame);
+    GIF87a/89a (LZW, interlace, transparency — first composited frame), and
+    baseline TIFF (both byte orders; none/PackBits/LZW strips, predictor 2,
+    RGB/gray/palette);
     anything else needs a codec library the container doesn't ship (a
     production build plugs Pillow/turbojpeg into the fall-through)."""
     if payload is not None and len(payload) >= 2 and payload[:2] == b"BM":
@@ -641,8 +1001,10 @@ def decode_image(payload: bytes) -> "np.ndarray":
         return decode_jpeg(payload)
     if payload is not None and len(payload) >= 6 and payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload is not None and len(payload) >= 4 and payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(payload)
     raise NotImplementedError(
-        "no codec for non-BMP/PNG/JPEG/GIF image formats in this environment"
+        "no codec for non-BMP/PNG/JPEG/GIF/TIFF image formats in this environment"
     )
 
 

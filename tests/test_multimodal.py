@@ -1257,3 +1257,87 @@ def test_ms_adpcm_wav_roundtrip(spark):
     )
     rows = extract_audio_features(media, use_fake=False).collect()
     assert len(rows) == 1 and len(rows[0]["feature"]) == 16
+
+
+# --- TIFF codec ----------------------------------------------------------------
+
+
+def test_tiff_roundtrip_all_compressions():
+    """Baseline TIFF strips round-trip exactly under none/PackBits/LZW,
+    RGB and grayscale, across strip boundaries and LZW width growth."""
+    from covid19_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(1)
+    for comp in ("none", "packbits", "lzw"):
+        for shape in [(5, 7, 3), (16, 9, 3), (1, 1, 3), (40, 33, 3)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            assert np.array_equal(
+                decode_tiff(encode_tiff(img, compression=comp)), img
+            ), (comp, shape)
+        gray = rng.integers(0, 256, (11, 6), dtype=np.uint8)
+        out = decode_tiff(encode_tiff(gray, compression=comp))
+        assert np.array_equal(out[:, :, 0], gray)
+    big = rng.integers(0, 256, (80, 90, 3), dtype=np.uint8)  # LZW 9->12 bits
+    assert np.array_equal(
+        decode_tiff(encode_tiff(big, compression="lzw", rows_per_strip=40)), big
+    )
+    flat = np.zeros((32, 32, 3), dtype=np.uint8)
+    from covid19_spark.operators.multimodal import encode_tiff as et
+    assert len(et(flat, compression="packbits")) < len(et(flat, compression="none"))
+    assert len(et(flat, compression="lzw")) < len(et(flat, compression="none"))
+
+
+def test_tiff_big_endian_predictor_and_rejects():
+    """Big-endian (MM) files decode; predictor 2 undoes horizontal
+    differencing; unsupported profiles fall to the documented seam and
+    corrupt structures raise ValueError."""
+    import struct
+
+    from covid19_spark.operators.multimodal import decode_image, decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(2)
+
+    def hand_tiff(img, endian, extra_tags=()):
+        e = "<" if endian == "II" else ">"
+        h, w = img.shape[:2]
+        raw = img.tobytes()
+        tags = [(256, 3, [w]), (257, 3, [h]), (258, 3, [8, 8, 8]), (259, 3, [1]),
+                (262, 3, [2]), (273, 4, None), (277, 3, [3]), (278, 3, [h]),
+                (279, 4, [len(raw)])] + list(extra_tags)
+        tags.sort(key=lambda x: x[0])
+        n = len(tags)
+        data_off = 8 + 2 + 12 * n + 4
+        extra = b""
+        ents = []
+        for tag, typ, vals in tags:
+            if tag == 273:
+                vals = [data_off + 6]  # strip follows the 6-byte bits array
+            fmt = {3: "H", 4: "I"}[typ]
+            sz = {3: 2, 4: 4}[typ] * len(vals)
+            body = struct.pack(e + str(len(vals)) + fmt, *vals)
+            if sz <= 4:
+                ents.append(struct.pack(e + "HHI", tag, typ, len(vals)) + body.ljust(4, b"\x00"))
+            else:
+                ents.append(struct.pack(e + "HHII", tag, typ, len(vals), data_off + len(extra)))
+                extra += body
+        magic = b"II*\x00" if endian == "II" else b"MM\x00*"
+        return (magic + struct.pack(e + "I", 8) + struct.pack(e + "H", n)
+                + b"".join(ents) + struct.pack(e + "I", 0) + extra + raw)
+
+    img = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_tiff(hand_tiff(img, "MM")), img)
+    assert np.array_equal(decode_image(hand_tiff(img, "II")), img)  # dispatch
+
+    # predictor 2: store horizontal differences, decoder must cumsum back
+    diffs = img.astype(np.int64).copy()
+    diffs[:, 1:] = np.diff(img.astype(np.int64), axis=1)
+    stored = (diffs % 256).astype(np.uint8)
+    pred_file = hand_tiff(stored, "II", extra_tags=[(317, 3, [2])])
+    assert np.array_equal(decode_tiff(pred_file), img)
+
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_tiff(hand_tiff(img, "II", extra_tags=[(259, 3, [7])]))  # JPEG-in-TIFF
+    with pytest.raises(ValueError):
+        decode_tiff(hand_tiff(img, "II")[:40])  # truncated IFD/strip
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"II+\x00\x00\x00\x00\x00")

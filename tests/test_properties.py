@@ -539,3 +539,22 @@ def test_lossless_jpeg_precision_roundtrip_property(h, w, seed, predictor, preci
         img = img.astype(np.uint8)
     out = decode_jpeg(encode_jpeg_lossless(img, predictor=predictor, precision=precision))
     assert np.array_equal(out[:, :, 0], img)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    comp=st.sampled_from(["none", "packbits", "lzw"]),
+    rps=st.integers(min_value=1, max_value=8),
+)
+@CODEC_SETTINGS
+def test_tiff_roundtrip_property(h, w, seed, comp, rps):
+    """decode(encode(img)) == img for arbitrary sizes, strip heights, and
+    every baseline compression — PackBits literal/run boundaries and LZW
+    early-change widths included."""
+    from covid19_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    got = decode_tiff(encode_tiff(img, compression=comp, rows_per_strip=rps))
+    assert np.array_equal(got, img)
