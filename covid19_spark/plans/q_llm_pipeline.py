@@ -773,6 +773,74 @@ QUERY_REGISTRY["gif_image_features"] = QuerySpec(
 )
 
 
+def q_tiff_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec TIFF path end-to-end — the scan/archival format the web
+    formats don't cover: synthesize baseline little-endian TIFFs whose
+    pixels derive deterministically from doc_id, cycling the compression
+    scheme (none / PackBits / LZW) and the strip height per row so every
+    strip-reassembly branch of the stdlib decoder runs distributed, decode
+    with ``use_fake=False`` through ``decode_image``'s TIFF dispatch,
+    featurize. Non-SQL-expressible (binary format parsing) → rows-only
+    driver check + exact checked-in fixture. Same map-only scale shape as
+    the PNG/BMP/GIF twins: synthesis+decode spread across cores, no shuffle
+    but the output sort."""
+    import numpy as np
+    import pandas as pd
+
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_tiff,
+        extract_image_features,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .filter(F.col("doc_id") < 500)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                rng = np.random.default_rng(d + 4_000_000)
+                h, w = 8 + d % 8, 8 + d % 5
+                img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                comp = ("none", "packbits", "lzw")[d % 3]
+                rows.append(
+                    (
+                        d, "image", "image/tiff", w, h, None,
+                        encode_tiff(img, compression=comp,
+                                    rows_per_strip=2 + d % 7),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "mime", "width", "height",
+                    "duration_ms", "payload",
+                ],
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    feats = extract_image_features(media, use_fake=False)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+        F.round(F.element_at("feature", 8), 4).alias("f7"),
+    ).orderBy("media_id")
+
+
+QUERY_REGISTRY["tiff_image_features"] = QuerySpec(
+    q_tiff_image_features, None,
+    "real TIFF decode (none/PackBits/LZW strips) -> features (rows-only)",
+)
+
+
 def q_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-codec audio path end-to-end: synthesize valid RIFF/WAVE PCM
     payloads (a deterministic int16 tone per doc_id), decode them with the

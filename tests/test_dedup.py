@@ -443,6 +443,10 @@ def test_gif_image_features_matches_fixture(spark):
     _assert_matches_fixture(spark, "gif_image_features", ["media_id"])
 
 
+def test_tiff_image_features_matches_fixture(spark):
+    _assert_matches_fixture(spark, "tiff_image_features", ["media_id"])
+
+
 def test_bmp_image_features_matches_fixture(spark):
     _assert_matches_fixture(spark, "bmp_image_features", ["media_id"])
 

@@ -34,6 +34,7 @@ FIXTURE_QUERIES = (
     "bmp_image_features",
     "png_image_features",
     "gif_image_features",
+    "tiff_image_features",
     "pq_cosine_topk",
     "ivfpq_cosine_topk",
     "approx_aggregates",
