@@ -1049,37 +1049,75 @@ def fake_image_features(payload: bytes, dim: int = 8) -> np.ndarray:
     return folded / norm if norm > 0 else folded
 
 
-def extract_image_features(media: DataFrame, use_fake: bool = True) -> DataFrame:
+def _classify_decode_error(exc: Exception) -> str:
+    """Stable, low-cardinality error label for the permissive decode path:
+    ``"unsupported: <msg>"`` for documented codec seams
+    (NotImplementedError), ``"corrupt: <msg>"`` for malformed payloads —
+    bounded length so the error column stays groupable at scale."""
+    kind = "unsupported" if isinstance(exc, NotImplementedError) else "corrupt"
+    return f"{kind}: {str(exc)[:120]}"
+
+
+def _check_on_error(on_error: str) -> None:
+    if on_error not in ("fail", "permissive"):
+        raise ValueError(
+            f"on_error must be 'fail' or 'permissive' (got {on_error!r})"
+        )
+
+
+def extract_image_features(
+    media: DataFrame, use_fake: bool = True, on_error: str = "fail"
+) -> DataFrame:
     """Per-blob feature extraction via ``mapInPandas`` (Arrow batches).
 
     Metadata-only columns pass through untouched; only the payload column is
     read inside Python. ``use_fake=False`` is the REAL path: decode the blob
     (pure-numpy BMP reader; other formats raise where a production codec
     plugs in) and featurize the decoded pixels.
-    """
+
+    ``on_error``: ``"fail"`` (default) lets a decode error fail the task —
+    correct for curated corpora where a bad blob means a pipeline bug.
+    ``"permissive"`` is the 100 TB-crawl contract: a corrupt or
+    unsupported payload yields ``feature = NULL`` plus an ``error`` string
+    column (appended to the schema ONLY in this mode, so default callers
+    see the identical schema as before) instead of killing the job — at
+    scale one bad blob per billion is a certainty, not an anomaly, and a
+    job that dies at 99% on it wastes the whole cluster pass. Decode
+    errors stay per-row observable (`WHERE error IS NOT NULL`), never
+    silently dropped."""
+    _check_on_error(on_error)
+    permissive = on_error == "permissive"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [
-                (
-                    fake_image_features(p)
-                    if use_fake
-                    else image_features_from_pixels(decode_image(p))
-                )
-                for p in pdf["payload"]
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "mime": pdf["mime"],
-                    "width": pdf["width"],
-                    "height": pdf["height"],
-                    "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
-                    "feature": [f.tolist() for f in feats],
-                }
-            )
+            feats, errs = [], []
+            for p in pdf["payload"]:
+                try:
+                    feats.append(
+                        fake_image_features(p)
+                        if use_fake
+                        else image_features_from_pixels(decode_image(p))
+                    )
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001 — policy boundary
+                    if not permissive:
+                        raise
+                    feats.append(None)
+                    errs.append(_classify_decode_error(exc))
+            out = {
+                "media_id": pdf["media_id"],
+                "mime": pdf["mime"],
+                "width": pdf["width"],
+                "height": pdf["height"],
+                "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
+                "feature": [None if f is None else f.tolist() for f in feats],
+            }
+            if permissive:
+                out["error"] = errs
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
+    schema = IMAGE_FEATURES_SCHEMA + (", error string" if permissive else "")
+    return media.mapInPandas(batches, schema=schema)
 
 
 def encode_mjpeg_avi(
@@ -1230,50 +1268,82 @@ VIDEO_FRAME_SCHEMA = (
 
 
 def extract_video_frames(
-    media: DataFrame, every_ms: int = 1000, dim: int = 8, use_fake: bool = True
+    media: DataFrame,
+    every_ms: int = 1000,
+    dim: int = 8,
+    use_fake: bool = True,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Sampled-frame feature extraction for video rows via ``mapInPandas``:
     metadata (kind) prunes before any decode; the real path parses the
     MJPEG AVI container and decodes each sampled frame with the module's
     own JPEG decoder; the fake path derives deterministic features from
-    the payload bytes + timestamp (same output schema)."""
+    the payload bytes + timestamp (same output schema).
+
+    ``on_error="permissive"``: an undecodable container/frame yields ONE
+    sentinel row for the blob (``frame_ts_ms``/``frame_index``/``feature``
+    NULL, ``error`` set) instead of failing the task — the blob stays
+    observable in the output rather than silently vanishing. The error is
+    container-granular: MJPEG frames share the container's coding tables,
+    so a bad frame means a bad blob, not a salvageable remainder."""
     if every_ms <= 0:
         raise ValueError(f"every_ms must be positive (got {every_ms})")
+    _check_on_error(on_error)
+    permissive = on_error == "permissive"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, tss, idxs, feats = [], [], [], []
+            ids, tss, idxs, feats, errs = [], [], [], [], []
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
-                if use_fake:
-                    dur = int(dur) if dur is not None and not pd.isna(dur) else 0
-                    for ts in range(0, dur + 1, every_ms):
-                        ids.append(mid)
-                        tss.append(ts)
-                        idxs.append(ts // max(every_ms, 1))
-                        feats.append(
-                            fake_image_features(
-                                (payload or b"") + ts.to_bytes(4, "little"), dim
-                            ).tolist()
-                        )
-                else:
-                    for ts, idx, feat in video_frame_features(payload, every_ms, dim):
-                        ids.append(mid)
-                        tss.append(ts)
-                        idxs.append(idx)
-                        feats.append(feat.tolist())
-            yield pd.DataFrame(
-                {
-                    "media_id": ids,
-                    "frame_ts_ms": tss,
-                    "frame_index": idxs,
-                    "feature": feats,
-                }
-            )
+                start = len(ids)
+                try:
+                    if use_fake:
+                        dur = int(dur) if dur is not None and not pd.isna(dur) else 0
+                        for ts in range(0, dur + 1, every_ms):
+                            ids.append(mid)
+                            tss.append(ts)
+                            idxs.append(ts // max(every_ms, 1))
+                            feats.append(
+                                fake_image_features(
+                                    (payload or b"") + ts.to_bytes(4, "little"), dim
+                                ).tolist()
+                            )
+                            errs.append(None)
+                    else:
+                        for ts, idx, feat in video_frame_features(
+                            payload, every_ms, dim
+                        ):
+                            ids.append(mid)
+                            tss.append(ts)
+                            idxs.append(idx)
+                            feats.append(feat.tolist())
+                            errs.append(None)
+                except Exception as exc:  # noqa: BLE001 — policy boundary
+                    if not permissive:
+                        raise
+                    # drop any partial frames from this blob: one sentinel row
+                    del ids[start:], tss[start:], idxs[start:], feats[start:]
+                    del errs[start:]
+                    ids.append(mid)
+                    tss.append(None)
+                    idxs.append(None)
+                    feats.append(None)
+                    errs.append(_classify_decode_error(exc))
+            out = {
+                "media_id": ids,
+                "frame_ts_ms": pd.array(tss, dtype="Int64"),
+                "frame_index": pd.array(idxs, dtype="Int32"),
+                "feature": feats,
+            }
+            if permissive:
+                out["error"] = errs
+            yield pd.DataFrame(out)
 
+    schema = VIDEO_FRAME_SCHEMA + (", error string" if permissive else "")
     return media.filter(F.col("kind") == "video").mapInPandas(
-        batches, schema=VIDEO_FRAME_SCHEMA
+        batches, schema=schema
     )
 
 
@@ -1393,7 +1463,10 @@ def dhash_pixels(pixels: "np.ndarray", hash_size: int = 8) -> int:
 
 
 def image_dhash(
-    media: DataFrame, use_fake: bool = True, hash_size: int = 8
+    media: DataFrame,
+    use_fake: bool = True,
+    hash_size: int = 8,
+    on_error: str = "fail",
 ) -> DataFrame:
     """``(media_id, dhash)`` per image row via ``mapInPandas`` — real path
     decodes the payload (BMP/PNG/JPEG), fake path hashes a deterministic
@@ -1412,18 +1485,34 @@ def image_dhash(
     def _real_pixels(payload):
         return decode_image(payload)
 
+    _check_on_error(on_error)
+    permissive = on_error == "permissive"
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             hashes = []
             for payload in pdf["payload"]:
-                if use_fake:
-                    raw = np.frombuffer(payload or b"\x00", dtype=np.uint8)
-                    side = max(int(len(raw) ** 0.5), 1)
-                    grid = np.resize(raw, (side, side)).astype(np.float64)
-                    hashes.append(dhash_pixels(grid, hash_size))
-                else:
-                    hashes.append(dhash_pixels(_real_pixels(payload), hash_size))
-            yield pd.DataFrame({"media_id": pdf["media_id"], "dhash": hashes})
+                try:
+                    if use_fake:
+                        raw = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+                        side = max(int(len(raw) ** 0.5), 1)
+                        grid = np.resize(raw, (side, side)).astype(np.float64)
+                        hashes.append(dhash_pixels(grid, hash_size))
+                    else:
+                        hashes.append(dhash_pixels(_real_pixels(payload), hash_size))
+                except Exception:  # noqa: BLE001 — policy boundary
+                    if not permissive:
+                        raise
+                    # NULL hash, not a dropped row: the bad blob stays
+                    # countable downstream, and the near-dup probe filters
+                    # nulls before banding.
+                    hashes.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                }
+            )
 
     return media.filter(F.col("kind") == "image").mapInPandas(
         batches, schema="media_id long, dhash long"
@@ -1449,7 +1538,11 @@ def image_near_dup_pairs(
     from covid19_spark.operators.dedup import simhash_candidate_pairs
 
     return simhash_candidate_pairs(
-        hash_df.select(F.col(id_col), F.col("dhash").alias("simhash")),
+        # NULL hashes are permissive-mode decode failures: not bandable,
+        # excluded here so they never masquerade as a degenerate bucket.
+        hash_df.filter(F.col("dhash").isNotNull()).select(
+            F.col(id_col), F.col("dhash").alias("simhash")
+        ),
         id_col,
         max_hamming=max_hamming,
         max_bucket=max_bucket,
@@ -1462,6 +1555,7 @@ def video_frame_hashes(
     every_ms: int = 1000,
     hash_size: int = 8,
     decode_path: str = "auto",
+    on_error: str = "fail",
 ) -> DataFrame:
     """``(media_id, frame_rank, dhash)`` — one perceptual hash per sampled
     video frame (real MJPEG-AVI decode; ``frame_rank`` is the 0-based index
@@ -1506,23 +1600,40 @@ def video_frame_hashes(
         )
     min_h, min_w = 8 * hash_size, 8 * (hash_size + 1)
 
+    _check_on_error(on_error)
+    permissive = on_error == "permissive"
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, ranks, hashes = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                for rank, (_ts, _idx, jpeg) in enumerate(
-                    _sampled_avi_frames(payload, every_ms)
-                ):
-                    fh, fw = peek_jpeg_dims(jpeg)
-                    use_dc = decode_path == "dc" or (
-                        decode_path == "auto" and fh >= min_h and fw >= min_w
-                    )
-                    px = decode_jpeg_dc(jpeg) if use_dc else decode_jpeg(jpeg)
+                start = len(ids)
+                try:
+                    for rank, (_ts, _idx, jpeg) in enumerate(
+                        _sampled_avi_frames(payload, every_ms)
+                    ):
+                        fh, fw = peek_jpeg_dims(jpeg)
+                        use_dc = decode_path == "dc" or (
+                            decode_path == "auto" and fh >= min_h and fw >= min_w
+                        )
+                        px = decode_jpeg_dc(jpeg) if use_dc else decode_jpeg(jpeg)
+                        ids.append(mid)
+                        ranks.append(rank)
+                        hashes.append(dhash_pixels(px, hash_size))
+                except Exception:  # noqa: BLE001 — policy boundary
+                    if not permissive:
+                        raise
+                    # container-granular NULL sentinel (see extract_video_frames)
+                    del ids[start:], ranks[start:], hashes[start:]
                     ids.append(mid)
-                    ranks.append(rank)
-                    hashes.append(dhash_pixels(px, hash_size))
+                    ranks.append(None)
+                    hashes.append(None)
             yield pd.DataFrame(
-                {"media_id": ids, "frame_rank": ranks, "dhash": hashes}
+                {
+                    "media_id": ids,
+                    "frame_rank": pd.array(ranks, dtype="Int32"),
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                }
             )
 
     return media.filter(F.col("kind") == "video").mapInPandas(
@@ -1557,9 +1668,12 @@ def video_near_dup_pairs(
     )
 
     bands = hamming_band_keys("dhash")
-    banded = frame_hash_df.select(
-        id_col, "frame_rank", "dhash", F.explode(bands).alias("bb")
-    ).select(id_col, "frame_rank", "dhash", "bb.band", "bb.key")
+    banded = (
+        # NULL frame hashes are permissive-mode sentinels — not bandable.
+        frame_hash_df.filter(F.col("dhash").isNotNull())
+        .select(id_col, "frame_rank", "dhash", F.explode(bands).alias("bb"))
+        .select(id_col, "frame_rank", "dhash", "bb.band", "bb.key")
+    )
     banded = drop_oversized_buckets(
         banded, ["frame_rank", "band", "key"], max_bucket, dropped_report
     )
@@ -2079,21 +2193,38 @@ def audio_fingerprint(samples: "np.ndarray", n_windows: int = 9, n_bands: int = 
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def audio_fingerprints(media: DataFrame, use_fake: bool = True) -> DataFrame:
+def audio_fingerprints(
+    media: DataFrame, use_fake: bool = True, on_error: str = "fail"
+) -> DataFrame:
     """``(media_id, afp)`` per audio row via ``mapInPandas`` — real path
     decodes the WAV payload; fake path fingerprints a deterministic sample
-    stream derived from the payload bytes (same schema)."""
+    stream derived from the payload bytes (same schema).
+    ``on_error="permissive"``: undecodable payload → NULL fingerprint
+    (filtered before banding by ``audio_near_dup_pairs``, countable by the
+    caller) instead of a task failure."""
+    _check_on_error(on_error)
+    permissive = on_error == "permissive"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             fps = []
             for payload in pdf["payload"]:
-                if use_fake:
-                    raw = np.frombuffer(payload or b"\x00", dtype=np.uint8)
-                    fps.append(audio_fingerprint(raw.astype(np.float64) - 128.0))
-                else:
-                    fps.append(audio_fingerprint(decode_wav(payload)[0]))
-            yield pd.DataFrame({"media_id": pdf["media_id"], "afp": fps})
+                try:
+                    if use_fake:
+                        raw = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+                        fps.append(audio_fingerprint(raw.astype(np.float64) - 128.0))
+                    else:
+                        fps.append(audio_fingerprint(decode_wav(payload)[0]))
+                except Exception:  # noqa: BLE001 — policy boundary
+                    if not permissive:
+                        raise
+                    fps.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "afp": pd.array(fps, dtype="Int64"),
+                }
+            )
 
     return media.filter(F.col("kind") == "audio").mapInPandas(
         batches, schema="media_id long, afp long"
@@ -2115,7 +2246,11 @@ def audio_near_dup_pairs(
     from covid19_spark.operators.dedup import simhash_candidate_pairs
 
     return simhash_candidate_pairs(
-        fp_df.select(F.col(id_col), F.col("afp").alias("simhash")),
+        # NULL fingerprints are permissive-mode decode failures (see
+        # image_near_dup_pairs).
+        fp_df.filter(F.col("afp").isNotNull()).select(
+            F.col(id_col), F.col("afp").alias("simhash")
+        ),
         id_col,
         max_hamming=max_hamming,
         max_bucket=max_bucket,
@@ -2157,34 +2292,55 @@ def fake_audio_features(payload: bytes, n_windows: int = 16) -> np.ndarray:
     return (rms / peak if peak > 0 else rms).astype(np.float32)
 
 
-def extract_audio_features(media: DataFrame, n_windows: int = 16, use_fake: bool = True) -> DataFrame:
+def extract_audio_features(
+    media: DataFrame,
+    n_windows: int = 16,
+    use_fake: bool = True,
+    on_error: str = "fail",
+) -> DataFrame:
     """Windowed audio feature extraction via ``mapInPandas`` — same
     metadata-prunes-before-decode and fixed-width-output contract as the
-    image kernel."""
+    image kernel.  ``on_error="permissive"`` matches
+    ``extract_image_features``: bad payloads yield ``feature = NULL`` plus
+    an ``error`` column instead of failing the task (schema unchanged in
+    the default ``"fail"`` mode)."""
+    _check_on_error(on_error)
+    permissive = on_error == "permissive"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if use_fake:
-                feats = [fake_audio_features(p, n_windows) for p in pdf["payload"]]
-            else:
-                # real decode: RIFF/WAVE via the pure-stdlib codec
-                feats = [
-                    audio_features_from_samples(decode_wav(p)[0], n_windows)
-                    for p in pdf["payload"]
-                ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "mime": pdf["mime"],
-                    "duration_ms": pdf["duration_ms"],
-                    "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
-                    "n_windows": n_windows,
-                    "feature": [f.tolist() for f in feats],
-                }
-            )
+            feats, errs = [], []
+            for p in pdf["payload"]:
+                try:
+                    feats.append(
+                        fake_audio_features(p, n_windows)
+                        if use_fake
+                        # real decode: RIFF/WAVE via the pure-stdlib codec
+                        else audio_features_from_samples(
+                            decode_wav(p)[0], n_windows
+                        )
+                    )
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001 — policy boundary
+                    if not permissive:
+                        raise
+                    feats.append(None)
+                    errs.append(_classify_decode_error(exc))
+            out = {
+                "media_id": pdf["media_id"],
+                "mime": pdf["mime"],
+                "duration_ms": pdf["duration_ms"],
+                "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
+                "n_windows": n_windows,
+                "feature": [None if f is None else f.tolist() for f in feats],
+            }
+            if permissive:
+                out["error"] = errs
+            yield pd.DataFrame(out)
 
+    schema = AUDIO_FEATURES_SCHEMA + (", error string" if permissive else "")
     return media.filter(F.col("kind") == "audio").mapInPandas(
-        batches, schema=AUDIO_FEATURES_SCHEMA
+        batches, schema=schema
     )
 
 

@@ -841,6 +841,93 @@ QUERY_REGISTRY["tiff_image_features"] = QuerySpec(
 )
 
 
+def q_permissive_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-crawl robustness contract, end-to-end: a corpus where a
+    deterministic subset of blobs is corrupt (truncated payloads) or in an
+    unsupported format must still complete — ``on_error="permissive"``
+    yields NULL features plus a classified ``error`` column instead of
+    failing the task (at crawl scale a bad blob per billion is a
+    certainty; a job that dies at 99% wastes the whole cluster pass).
+    Synthesizes 500 image blobs (BMP/PNG/GIF/TIFF rotating per doc_id;
+    every 7th truncated to a prefix, every 13th replaced by an alien
+    format), extracts features permissively, and reports decode outcomes
+    per (mime, error_kind) — the per-corpus health dashboard a curation
+    run starts from. Non-SQL-expressible (binary decode) → rows-only
+    driver check + exact checked-in fixture. Scale shape: map-only decode
+    (metadata prunes first), |mime × kind|-sized aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        encode_tiff,
+        extract_image_features,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .filter(F.col("doc_id") < 500)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                rng = np.random.default_rng(d + 5_000_000)
+                h, w = 8 + d % 8, 8 + d % 5
+                img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                fmt = d % 4
+                if fmt == 0:
+                    mime, payload = "image/bmp", encode_bmp(img)
+                elif fmt == 1:
+                    mime, payload = "image/png", encode_png(img)
+                elif fmt == 2:
+                    mime, payload = "image/gif", encode_gif(
+                        np.asarray(img) // 64 * 64
+                    )
+                else:
+                    mime, payload = "image/tiff", encode_tiff(
+                        img, compression=("none", "packbits", "lzw")[d % 3]
+                    )
+                if d % 13 == 0:
+                    mime, payload = "image/x-alien", b"\x7fALIEN" + payload[:16]
+                elif d % 7 == 0:
+                    payload = payload[: max(4, len(payload) // 3)]
+                rows.append((d, "image", mime, w, h, None, payload))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "mime", "width", "height",
+                    "duration_ms", "payload",
+                ],
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    feats = extract_image_features(media, use_fake=False, on_error="permissive")
+    return (
+        feats.select(
+            "mime",
+            F.coalesce(
+                F.split(F.col("error"), ":").getItem(0), F.lit("ok")
+            ).alias("outcome"),
+        )
+        .groupBy("mime", "outcome")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_blobs"))
+        .orderBy("mime", "outcome")
+    )
+
+
+QUERY_REGISTRY["permissive_decode_stats"] = QuerySpec(
+    q_permissive_decode_stats, None,
+    "corrupt-blob-tolerant decode sweep -> per-mime outcome counts (rows-only)",
+)
+
+
 def q_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-codec audio path end-to-end: synthesize valid RIFF/WAVE PCM
     payloads (a deterministic int16 tone per doc_id), decode them with the

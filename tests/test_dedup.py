@@ -447,6 +447,10 @@ def test_tiff_image_features_matches_fixture(spark):
     _assert_matches_fixture(spark, "tiff_image_features", ["media_id"])
 
 
+def test_permissive_decode_stats_matches_fixture(spark):
+    _assert_matches_fixture(spark, "permissive_decode_stats", ["mime", "outcome"])
+
+
 def test_bmp_image_features_matches_fixture(spark):
     _assert_matches_fixture(spark, "bmp_image_features", ["media_id"])
 

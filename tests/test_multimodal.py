@@ -1341,3 +1341,177 @@ def test_tiff_big_endian_predictor_and_rejects():
         decode_tiff(hand_tiff(img, "II")[:40])  # truncated IFD/strip
     with pytest.raises(ValueError, match="not a TIFF"):
         decode_tiff(b"II+\x00\x00\x00\x00\x00")
+
+
+def test_permissive_decode_image_features(spark):
+    """on_error='permissive': corrupt/unsupported blobs yield NULL feature +
+    classified error instead of a task failure; default 'fail' mode is
+    unchanged (same schema, raises on the same corpus)."""
+    import pandas as pd
+    import pytest
+
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_png,
+        extract_image_features,
+    )
+
+    rng = np.random.default_rng(5)
+    good_bmp = encode_bmp(rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8))
+    good_png = encode_png(rng.integers(0, 256, size=(3, 3, 3), dtype=np.uint8))
+    rows = [
+        (0, "image", "image/bmp", 5, 4, None, good_bmp),
+        (1, "image", "image/png", 3, 3, None, good_png),
+        (2, "image", "image/png", 3, 3, None, good_png[:20]),      # truncated
+        (3, "image", "application/x-junk", None, None, None, b"\x00garbage"),
+        (4, "image", "image/bmp", None, None, None, None),          # null payload
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+    out = extract_image_features(media, use_fake=False, on_error="permissive")
+    assert "error" in out.columns
+    got = {r.media_id: r for r in out.collect()}
+    assert len(got) == 5
+    assert got[0].error is None and len(got[0].feature) == 8
+    assert got[1].error is None and len(got[1].feature) == 8
+    assert got[2].feature is None and got[2].error.startswith("corrupt:")
+    assert got[3].feature is None and got[3].error.startswith("unsupported:")
+    assert got[4].feature is None and got[4].error.startswith("unsupported:")
+
+    # default mode: schema has NO error column, and the bad corpus raises
+    strict = extract_image_features(media, use_fake=False)
+    assert "error" not in strict.columns
+    with pytest.raises(Exception, match="corrupt|PNG|unpack"):
+        strict.collect()
+    with pytest.raises(ValueError, match="on_error"):
+        extract_image_features(media, on_error="ignore")
+
+
+def test_permissive_decode_audio_and_video(spark):
+    import pandas as pd
+
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_mjpeg_avi,
+        encode_wav,
+        extract_audio_features,
+        extract_video_frames,
+    )
+
+    rng = np.random.default_rng(6)
+    tone = (1000 * np.sin(np.arange(800) / 5.0)).astype(np.int16)
+    wav = encode_wav(tone, 8000)
+    frames = [
+        rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    avi = encode_mjpeg_avi(frames, fps=10)
+    cols = [f.name for f in MEDIA_SCHEMA.fields]
+    audio = spark.createDataFrame(
+        [
+            (0, "audio", "audio/wav", None, None, 100, wav),
+            (1, "audio", "audio/wav", None, None, 100, wav[:10]),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    a = {
+        r.media_id: r
+        for r in extract_audio_features(
+            audio, use_fake=False, on_error="permissive"
+        ).collect()
+    }
+    assert a[0].error is None and len(a[0].feature) == 16
+    assert a[1].feature is None and a[1].error.startswith("corrupt:")
+
+    video = spark.createDataFrame(
+        [
+            (0, "video", "video/avi", 16, 16, 300, avi),
+            (1, "video", "video/avi", 16, 16, 300, b"RIFFbroken"),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    v = extract_video_frames(
+        video, every_ms=100, use_fake=False, on_error="permissive"
+    ).collect()
+    ok = [r for r in v if r.media_id == 0]
+    bad = [r for r in v if r.media_id == 1]
+    assert len(ok) >= 3 and all(r.error is None for r in ok)
+    assert len(bad) == 1 and bad[0].feature is None
+    assert bad[0].frame_ts_ms is None and bad[0].error.startswith("corrupt:")
+
+
+def test_permissive_hash_kernels_and_near_dup_filter(spark):
+    """Permissive hash kernels emit NULL hashes for bad blobs; the near-dup
+    probes exclude NULLs from banding (no spurious bucket in the dropped
+    report) while good pairs still match."""
+    import pandas as pd
+
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprints,
+        audio_near_dup_pairs,
+        encode_bmp,
+        encode_wav,
+        image_dhash,
+        image_near_dup_pairs,
+        video_frame_hashes,
+        video_near_dup_pairs,
+        encode_mjpeg_avi,
+    )
+
+    rng = np.random.default_rng(7)
+    cols = [f.name for f in MEDIA_SCHEMA.fields]
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] = 255 - near[0, 0]
+    imgs = spark.createDataFrame(
+        [
+            (0, "image", "image/bmp", 32, 32, None, encode_bmp(base)),
+            (1, "image", "image/bmp", 32, 32, None, encode_bmp(near)),
+            (2, "image", "image/bmp", 32, 32, None, b"BMbroken"),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    hashes = image_dhash(imgs, use_fake=False, on_error="permissive")
+    hrows = {r.media_id: r.dhash for r in hashes.collect()}
+    assert hrows[2] is None and hrows[0] is not None
+    report = []
+    pairs = image_near_dup_pairs(
+        hashes, max_bucket=10, dropped_report=report
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(0, 1)}
+    # the NULL hash never formed a bucket: report frame exists but is empty
+    assert all(rf.count() == 0 for rf in report)
+
+    tone = (3000 * np.sin(np.arange(4000) / 3.0)).astype(np.int16)
+    auds = spark.createDataFrame(
+        [
+            (0, "audio", "audio/wav", None, None, 500, encode_wav(tone, 8000)),
+            (1, "audio", "audio/wav", None, None, 500,
+             encode_wav((tone * 0.5).astype(np.int16), 8000)),
+            (2, "audio", "audio/wav", None, None, 500, b"RIFFnope"),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    fps = audio_fingerprints(auds, use_fake=False, on_error="permissive")
+    assert {r.media_id: r.afp for r in fps.collect()}[2] is None
+    apairs = audio_near_dup_pairs(fps).collect()
+    assert {(r.doc_a, r.doc_b) for r in apairs} == {(0, 1)}
+
+    frames = [
+        rng.integers(0, 256, size=(80, 80, 3), dtype=np.uint8) for _ in range(4)
+    ]
+    avi = encode_mjpeg_avi(frames, fps=10)
+    vids = spark.createDataFrame(
+        [
+            (0, "video", "video/avi", 80, 80, 400, avi),
+            (1, "video", "video/avi", 80, 80, 400, avi),
+            (2, "video", "video/avi", 80, 80, 400, avi[:30]),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    vh = video_frame_hashes(vids, every_ms=100, on_error="permissive")
+    vrows = vh.collect()
+    assert any(r.media_id == 2 and r.dhash is None for r in vrows)
+    vpairs = video_near_dup_pairs(vh).collect()
+    assert {(r.doc_a, r.doc_b) for r in vpairs} == {(0, 1)}

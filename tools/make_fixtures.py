@@ -35,6 +35,7 @@ FIXTURE_QUERIES = (
     "png_image_features",
     "gif_image_features",
     "tiff_image_features",
+    "permissive_decode_stats",
     "pq_cosine_topk",
     "ivfpq_cosine_topk",
     "approx_aggregates",
