@@ -626,13 +626,16 @@ def _gif_lzw_encode(indices: "np.ndarray", min_code: int) -> bytes:
 # --- TIFF 6.0 baseline — pure-stdlib strip codec ------------------------------
 #
 # Scanned-document corpora ship as TIFF, so the decode path covers the
-# baseline profile for real: both byte orders, chunky RGB/grayscale/palette
-# at 8 bits per sample, strip organization, Compression 1 (none), 32773
+# baseline profile for real: both byte orders, RGB/grayscale/palette at 8
+# or 16 bits per sample (16-bit decodes keep full uint16 precision —
+# `image_features_from_pixels` is peak-aware), chunky AND separate-plane
+# (PlanarConfiguration 2) strip organization, Compression 1 (none), 32773
 # (PackBits) and 5 (LZW — MSB-first bit packing with the spec's "early
 # change" code widening, the documented difference from GIF's LZW), and
-# Predictor 2 (horizontal differencing). `encode_tiff` is the round-trip
-# twin. Tiled/planar/JPEG-in-TIFF variants raise NotImplementedError — the
-# production seam (libtiff).
+# Predictor 2 (horizontal differencing, per-sample modulo the sample
+# width). `encode_tiff` is the round-trip twin (8/16-bit by input dtype,
+# planar=1|2). Tiled/JPEG-in-TIFF/sub-byte-sample variants raise
+# NotImplementedError — the production seam (libtiff).
 
 _TIFF_TAG_NAMES = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
@@ -696,10 +699,11 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
     planar = t.get("planar", [1])[0]
     predictor = t.get("predictor", [1])[0]
     rows_per_strip = t.get("rows_per_strip", [h])[0] or h
-    if planar != 1:
-        raise NotImplementedError("planar TIFF not supported (chunky only)")
-    if any(b != 8 for b in bits):
+    if planar not in (1, 2):
+        raise ValueError(f"corrupt TIFF: unknown planar config {planar}")
+    if any(b not in (8, 16) for b in bits) or len(set(bits)) != 1:
         raise NotImplementedError(f"{bits}-bit TIFF samples not supported")
+    deep = bits[0] == 16
     if comp not in (1, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} needs a codec library (libtiff seam)"
@@ -710,17 +714,25 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
         raise NotImplementedError(f"TIFF photometric {photo} not supported")
     if photo == 2 and spp < 3:
         raise ValueError("corrupt TIFF: RGB needs 3 samples per pixel")
-    row_bytes = w * spp
-    raw = bytearray()
+    bps = 2 if deep else 1
     n_strips = len(t["strip_offsets"])
     if len(t["strip_counts"]) != n_strips:
         raise ValueError("corrupt TIFF: strip offset/count mismatch")
-    for si in range(n_strips):
+    strips_per_plane = -(-h // rows_per_strip)
+    # planar 1 (chunky): samples interleave within each strip row.
+    # planar 2 (separate): all plane-0 strips, then plane-1, ... — each
+    # strip carries ONE sample plane, w samples per row.
+    n_planes = spp if planar == 2 else 1
+    samples_per_row = w if planar == 2 else w * spp
+    row_bytes = samples_per_row * bps
+    if n_strips < strips_per_plane * n_planes:
+        raise ValueError("corrupt TIFF: too few strips for image size")
+
+    def _decode_strip(si: int, strip_rows: int) -> bytes:
         off, cnt = t["strip_offsets"][si], t["strip_counts"][si]
         if off + cnt > len(payload):
             raise ValueError("corrupt TIFF: strip out of range")
         strip = payload[off : off + cnt]
-        strip_rows = min(rows_per_strip, h - si * rows_per_strip)
         want = strip_rows * row_bytes
         if comp == 1:
             out = strip[:want]
@@ -730,16 +742,38 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
             out = _tiff_lzw_decode(strip, want)
         if len(out) < want:
             raise ValueError("corrupt TIFF: strip data short of image size")
-        raw += out[:want]
-    arr = np.frombuffer(bytes(raw), np.uint8, h * row_bytes).reshape(h, w, spp)
+        return out[:want]
+
+    sample_dtype = np.dtype(endian + ("u2" if deep else "u1"))
+    planes = []
+    for p in range(n_planes):
+        raw = bytearray()
+        for si in range(strips_per_plane):
+            strip_rows = min(rows_per_strip, h - si * rows_per_strip)
+            raw += _decode_strip(p * strips_per_plane + si, strip_rows)
+        plane = np.frombuffer(bytes(raw), sample_dtype, h * samples_per_row)
+        planes.append(plane.reshape(h, samples_per_row))
+    if planar == 2:
+        arr = np.stack(planes, axis=2)  # (h, w, spp)
+    else:
+        arr = planes[0].reshape(h, w, spp)
     if predictor == 2:
-        arr = np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
+        # horizontal differencing is per sample, modulo the sample width
+        arr = np.cumsum(arr.astype(np.int64), axis=1)
+        arr = (arr & (0xFFFF if deep else 0xFF)).astype(
+            np.uint16 if deep else np.uint8
+        )
+    else:
+        arr = arr.astype(np.uint16 if deep else np.uint8)
+    peak = 0xFFFF if deep else 0xFF
     if photo == 2:
         return np.ascontiguousarray(arr[:, :, :3])
     gray = arr[:, :, 0]
     if photo == 0:  # WhiteIsZero
-        gray = 255 - gray
+        gray = peak - gray
     if photo == 3:
+        if deep:
+            raise NotImplementedError("16-bit palette TIFF not supported")
         cmap = t.get("colormap")
         if not cmap or len(cmap) < 3 * 256:
             raise ValueError("corrupt TIFF: palette image without colormap")
@@ -903,36 +937,60 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
 
 
 def encode_tiff(
-    pixels: "np.ndarray", compression: str = "none", rows_per_strip: int = 8
+    pixels: "np.ndarray",
+    compression: str = "none",
+    rows_per_strip: int = 8,
+    planar: int = 1,
 ) -> bytes:
-    """Encode (H, W, 3) RGB or (H, W) grayscale uint8 pixels as baseline
+    """Encode (H, W, 3) RGB or (H, W) grayscale pixels as baseline
     little-endian TIFF strips — ``compression``: "none", "packbits", or
-    "lzw". Round-trips bit-exactly through ``decode_tiff``."""
+    "lzw"; uint8 input writes 8-bit samples, uint16 writes 16-bit;
+    ``planar=2`` writes separate sample planes (all R strips, then G,
+    then B). Round-trips bit-exactly through ``decode_tiff``."""
     import struct
 
     comp_id = {"none": 1, "lzw": 5, "packbits": 32773}.get(compression)
     if comp_id is None:
         raise ValueError(f"unsupported compression {compression!r}")
-    arr = np.asarray(pixels, dtype=np.uint8)
+    if planar not in (1, 2):
+        raise ValueError(f"planar must be 1 or 2 (got {planar})")
+    src = np.asarray(pixels)
+    deep = src.dtype == np.uint16
+    arr = src.astype(np.uint16 if deep else np.uint8)
     gray = arr.ndim == 2
     arr3 = arr[:, :, None] if gray else arr
     h, w, spp = arr3.shape
     if spp not in (1, 3):
         raise ValueError(f"unsupported channel count {spp}")
-    strips = []
-    for y0 in range(0, h, rows_per_strip):
-        raw = arr3[y0 : y0 + rows_per_strip].tobytes()
+    if planar == 2 and spp == 1:
+        planar = 1  # single plane: chunky and separate are identical
+    sample_bits = 16 if deep else 8
+    # little-endian sample bytes match the II header
+    le = arr3.astype("<u2") if deep else arr3
+
+    def _compress(raw: bytes) -> bytes:
         if comp_id == 1:
-            strips.append(raw)
-        elif comp_id == 32773:
-            strips.append(_packbits_encode(raw))
-        else:
-            strips.append(_tiff_lzw_encode(raw))
+            return raw
+        if comp_id == 32773:
+            return _packbits_encode(raw)
+        return _tiff_lzw_encode(raw)
+
+    strips = []
+    if planar == 1:
+        for y0 in range(0, h, rows_per_strip):
+            strips.append(_compress(le[y0 : y0 + rows_per_strip].tobytes()))
+    else:
+        for p in range(spp):
+            plane = np.ascontiguousarray(le[:, :, p])
+            for y0 in range(0, h, rows_per_strip):
+                strips.append(_compress(plane[y0 : y0 + rows_per_strip].tobytes()))
     tags = [
-        (256, 3, [w]), (257, 3, [h]), (258, 3, [8] * spp),
+        (256, 3, [w]), (257, 3, [h]), (258, 3, [sample_bits] * spp),
         (259, 3, [comp_id]), (262, 3, [2 if spp == 3 else 1]),
         (277, 3, [spp]), (278, 3, [rows_per_strip]),
     ]
+    if planar == 2:
+        tags.append((284, 3, [2]))
     n_tags = len(tags) + 2  # + strip offsets/counts
     ifd_off = 8
     data_off = ifd_off + 2 + 12 * n_tags + 4

@@ -1515,3 +1515,83 @@ def test_permissive_hash_kernels_and_near_dup_filter(spark):
     assert any(r.media_id == 2 and r.dhash is None for r in vrows)
     vpairs = video_near_dup_pairs(vh).collect()
     assert {(r.doc_a, r.doc_b) for r in vpairs} == {(0, 1)}
+
+
+def test_tiff_16bit_and_planar():
+    """16-bit samples (both byte orders, predictor 2) and planar
+    configuration 2 decode; 16-bit output keeps full precision (uint16)."""
+    import struct
+
+    from covid19_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(3)
+    img16 = rng.integers(0, 65536, (7, 6, 3), dtype=np.uint16)
+    for comp in ("none", "packbits", "lzw"):
+        for planar in (1, 2):
+            got = decode_tiff(
+                encode_tiff(img16, compression=comp, planar=planar, rows_per_strip=3)
+            )
+            assert got.dtype == np.uint16
+            assert np.array_equal(got, img16), (comp, planar)
+    # 8-bit planar round-trip
+    img8 = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(img8, compression="lzw", planar=2)), img8
+    )
+    # 16-bit grayscale replicates to RGB at full depth
+    g16 = rng.integers(0, 65536, (4, 9), dtype=np.uint16)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(g16, compression="packbits")),
+        np.repeat(g16[:, :, None], 3, axis=2),
+    )
+
+    # hand-built big-endian 16-bit file: sample bytes must honor MM order
+    def hand_tiff16(img, endian, extra_tags=()):
+        e = "<" if endian == "II" else ">"
+        h, w = img.shape[:2]
+        raw = img.astype(e + "u2").tobytes()
+        tags = [(256, 3, [w]), (257, 3, [h]), (258, 3, [16, 16, 16]),
+                (259, 3, [1]), (262, 3, [2]), (273, 4, None), (277, 3, [3]),
+                (278, 3, [h]), (279, 4, [len(raw)])] + list(extra_tags)
+        tags.sort(key=lambda x: x[0])
+        n = len(tags)
+        data_off = 8 + 2 + 12 * n + 4
+        extra = b""
+        ents = []
+        for tag, typ, vals in tags:
+            if tag == 273:
+                vals = [data_off + 6]
+            fmt = {3: "H", 4: "I"}[typ]
+            sz = {3: 2, 4: 4}[typ] * len(vals)
+            body = struct.pack(e + str(len(vals)) + fmt, *vals)
+            if sz <= 4:
+                ents.append(
+                    struct.pack(e + "HHI", tag, typ, len(vals)) + body.ljust(4, b"\x00")
+                )
+            else:
+                ents.append(
+                    struct.pack(e + "HHII", tag, typ, len(vals), data_off + len(extra))
+                )
+                extra += body
+        magic = b"II*\x00" if endian == "II" else b"MM\x00*"
+        return (magic + struct.pack(e + "I", 8) + struct.pack(e + "H", n)
+                + b"".join(ents) + struct.pack(e + "I", 0) + extra + raw)
+
+    assert np.array_equal(decode_tiff(hand_tiff16(img16, "MM")), img16)
+    assert np.array_equal(decode_tiff(hand_tiff16(img16, "II")), img16)
+
+    # 16-bit predictor 2: differences are per sample modulo 65536
+    diffs = img16.astype(np.int64).copy()
+    diffs[:, 1:] = np.diff(img16.astype(np.int64), axis=1)
+    stored = (diffs % 65536).astype(np.uint16)
+    assert np.array_equal(
+        decode_tiff(hand_tiff16(stored, "II", extra_tags=[(317, 3, [2])])), img16
+    )
+
+    # unsupported sample widths still fall to the documented seam: rewrite
+    # the out-of-line bits array [16,16,16] -> [12,12,12]
+    twelve = hand_tiff16(img16, "II").replace(
+        struct.pack("<3H", 16, 16, 16), struct.pack("<3H", 12, 12, 12), 1
+    )
+    with pytest.raises(NotImplementedError, match="samples"):
+        decode_tiff(twelve)
