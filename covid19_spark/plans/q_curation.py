@@ -890,3 +890,110 @@ QUERY_REGISTRY["gopher_quality"] = QuerySpec(
     q_gopher_quality, ORACLE_GOPHER_QUALITY,
     "Gopher rule battery: pretraining quality filter flags",
 )
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix token allocator — the planning step every pretraining
+    data recipe runs (domain weights -> per-source token quotas): apportion
+    a fixed token budget (half the corpus) across sources proportionally
+    to document count using LARGEST-REMAINDER apportionment (exact integer
+    arithmetic: floor allocations, then +1 token to the R largest
+    remainders, R = budget - sum(floors), ties broken by source name), cap
+    each quota at the source's available tokens and report the shortfall.
+    Deterministic and engine-exact: no floating point anywhere — BIGINT
+    multiply/div/mod only. Scale shape: one map-side-partial aggregation
+    to |sources| rows, a broadcast single-row totals join, and a window
+    over |sources| (tiny) — the 100 TB cost is the one corpus scan."""
+    from covid19_spark.operators.text import token_count
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("avail_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_docs").cast("long").alias("total_docs"),
+        F.sum("avail_tokens").cast("long").alias("total_tokens"),
+    )
+    base = per_src.crossJoin(F.broadcast(totals)).select(
+        "source", "n_docs", "avail_tokens", "total_docs",
+        F.expr("total_tokens div 2").cast("long").alias("budget"),
+    )
+    fl = base.select(
+        "*",
+        F.expr("(budget * n_docs) div total_docs").cast("long").alias("floor_alloc"),
+        ((F.col("budget") * F.col("n_docs")) % F.col("total_docs"))
+        .cast("long").alias("rem"),
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("source"))  # |sources| rows only
+    wall = Window.partitionBy()
+    ranked = fl.select(
+        "*",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("floor_alloc").over(wall).cast("long").alias("floor_sum"),
+    )
+    alloc = ranked.select(
+        "source", "n_docs", "avail_tokens",
+        (
+            F.col("floor_alloc")
+            + F.when(
+                F.col("rnk") <= F.col("budget") - F.col("floor_sum"), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("alloc_tokens"),
+    )
+    return alloc.select(
+        "source", "n_docs", "avail_tokens", "alloc_tokens",
+        F.least("alloc_tokens", "avail_tokens").cast("long").alias("quota_tokens"),
+        F.greatest(
+            F.col("alloc_tokens") - F.col("avail_tokens"), F.lit(0)
+        ).cast("long").alias("shortfall"),
+    ).orderBy("source")
+
+
+ORACLE_TOKEN_BUDGET_MIX = """
+WITH tc AS (
+  SELECT source,
+         len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tc
+  FROM documents
+), per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(tc) AS BIGINT) AS avail_tokens
+  FROM tc GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+         CAST(sum(avail_tokens) AS BIGINT) AS total_tokens
+  FROM per_src
+), base AS (
+  SELECT source, n_docs, avail_tokens, total_docs,
+         CAST(total_tokens // 2 AS BIGINT) AS budget
+  FROM per_src, tot
+), fl AS (
+  SELECT *,
+         CAST((budget * n_docs) // total_docs AS BIGINT) AS floor_alloc,
+         CAST((budget * n_docs) % total_docs AS BIGINT) AS rem
+  FROM base
+), ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem DESC, source) AS rnk,
+         CAST(sum(floor_alloc) OVER () AS BIGINT) AS floor_sum
+  FROM fl
+), alloc AS (
+  SELECT source, n_docs, avail_tokens,
+         CAST(floor_alloc
+              + CASE WHEN rnk <= budget - floor_sum THEN 1 ELSE 0 END
+              AS BIGINT) AS alloc_tokens
+  FROM ranked
+)
+SELECT source, n_docs, avail_tokens, alloc_tokens,
+       CAST(least(alloc_tokens, avail_tokens) AS BIGINT) AS quota_tokens,
+       CAST(greatest(alloc_tokens - avail_tokens, 0) AS BIGINT) AS shortfall
+FROM alloc
+ORDER BY source
+"""
+
+
+QUERY_REGISTRY["token_budget_mix"] = QuerySpec(
+    q_token_budget_mix, ORACLE_TOKEN_BUDGET_MIX,
+    "largest-remainder token-budget apportionment across sources",
+)

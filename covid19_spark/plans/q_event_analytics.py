@@ -334,3 +334,94 @@ QUERY_REGISTRY["window_rank_suite"] = QuerySpec(
 )
 
 
+
+
+def _morton_col(x: Column, y: Column, bits: int = 8) -> Column:
+    """Morton (Z-order) interleave of two ``bits``-bit non-negative ints:
+    x occupies even bit positions, y odd — a pure bitwise expression tree
+    (whole-stage-codegen'd, no UDF)."""
+    z = F.lit(0).cast("long")
+    for k in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, k).bitwiseAND(F.lit(1)), 2 * k)
+            + F.shiftleft(F.shiftright(y, k).bitwiseAND(F.lit(1)), 2 * k + 1)
+        )
+    return z
+
+
+def _morton_sql(x: str, y: str, bits: int = 8) -> str:
+    terms = []
+    for k in range(bits):
+        terms.append(f"((({x} >> {k}) & 1) << {2 * k})")
+        terms.append(f"((({y} >> {k}) & 1) << {2 * k + 1})")
+    return " + ".join(terms)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout audit — the multi-dimensional
+    clustering technique that makes 100 TB scans prunable on MORE than one
+    predicate column: interleave the bits of two key dimensions
+    (user_id, event_id mod 256 here) into one sort key, bucket rows by the
+    key's high bits (64 buckets = the file boundaries a layout write would
+    produce via ``repartitionByRange(zval)``), and report each bucket's
+    min/max span in BOTH dimensions. The Z-curve guarantee this audits:
+    every bucket of 2^10 consecutive z-values spans at most a 32 x 32 box
+    in (x, y) — so file-level min/max statistics prune scans on x OR y
+    alike, where a single-column sort leaves the second dimension
+    unprunable. Bit arithmetic only (exact cross-engine); map-only +
+    |buckets|-row aggregate. Production write path: sort by zval via
+    range partitioning, THEN write parquet — this query is the layout's
+    effectiveness report."""
+    events = _t(spark, sf_dir, "events")
+    xy = events.select(
+        (F.col("user_id") % 256).cast("long").alias("x"),
+        (F.col("event_id") % 256).cast("long").alias("y"),
+    )
+    z = xy.select(
+        "x", "y", _morton_col(F.col("x"), F.col("y")).alias("zval")
+    )
+    return (
+        z.groupBy(F.shiftright(F.col("zval"), 10).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("x").cast("long").alias("x_min"),
+            F.max("x").cast("long").alias("x_max"),
+            F.min("y").cast("long").alias("y_min"),
+            F.max("y").cast("long").alias("y_max"),
+        )
+        .select(
+            "zbucket", "n_rows", "x_min", "x_max", "y_min", "y_max",
+            (F.col("x_max") - F.col("x_min")).cast("long").alias("x_span"),
+            (F.col("y_max") - F.col("y_min")).cast("long").alias("y_span"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+ORACLE_ZORDER_LAYOUT = f"""
+WITH xy AS (
+  SELECT CAST(user_id % 256 AS BIGINT) AS x,
+         CAST(event_id % 256 AS BIGINT) AS y
+  FROM events
+), z AS (
+  SELECT x, y, CAST({_morton_sql('x', 'y')} AS BIGINT) AS zval FROM xy
+), b AS (
+  SELECT CAST(zval >> 10 AS BIGINT) AS zbucket,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+         CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+  FROM z GROUP BY 1
+)
+SELECT zbucket, n_rows, x_min, x_max, y_min, y_max,
+       CAST(x_max - x_min AS BIGINT) AS x_span,
+       CAST(y_max - y_min AS BIGINT) AS y_span
+FROM b
+ORDER BY zbucket
+"""
+
+
+QUERY_REGISTRY["zorder_layout"] = QuerySpec(
+    q_zorder_layout, ORACLE_ZORDER_LAYOUT,
+    "Z-order multi-dim layout: per-bucket span audit",
+)

@@ -431,3 +431,21 @@ def test_bigram_backoff_self_scoring_properties(spark):
         assert got[d].neg_logprob_sum >= 0
         assert got[d].nats_per_bigram >= 0
     docs.unpersist()
+
+
+def test_token_budget_mix_invariants(spark):
+    """Largest-remainder apportionment: allocations sum EXACTLY to the
+    budget (floor(total/2)), every quota <= avail, shortfall only where
+    capped."""
+    from covid19_spark.plans.registry import QUERY_REGISTRY
+
+    rows = QUERY_REGISTRY["token_budget_mix"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "no sources"
+    total = sum(r.avail_tokens for r in rows)
+    assert sum(r.alloc_tokens for r in rows) == total // 2
+    for r in rows:
+        assert 0 <= r.quota_tokens <= r.avail_tokens
+        assert r.shortfall == max(r.alloc_tokens - r.avail_tokens, 0)
+        assert r.quota_tokens == min(r.alloc_tokens, r.avail_tokens)

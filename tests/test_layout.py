@@ -62,3 +62,20 @@ def test_write_clustered_requires_keys(spark, tmpd):
     df = spark.range(5)
     with pytest.raises(ValueError, match="at least one"):
         write_clustered(df, f"{tmpd}/x")
+
+
+def test_zorder_bucket_box_bound(spark):
+    """Z-curve guarantee: a bucket of 2^10 consecutive z-values spans at
+    most a 32 x 32 box in (x, y) — the property that makes file min/max
+    stats prunable on either dimension. Also: the morton expression is
+    pure bitwise codegen (no Python UDF in the plan)."""
+    from covid19_spark.plans.registry import QUERY_REGISTRY
+
+    df = QUERY_REGISTRY["zorder_layout"].fn(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.x_span <= 31, r
+        assert 0 <= r.y_span <= 31, r
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
