@@ -96,6 +96,7 @@ def main() -> None:
     # both runs (clearCache between them), so the min never measures a
     # half-cached plan — only warm codegen/IO paths, which is the point.
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = QUERY_REGISTRY[name].fn
         runs: list[float] = []
@@ -114,14 +115,27 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
             _settle()
         timings[name] = round(min(runs), 3)
+        all_runs[name] = [round(r, 3) for r in runs]
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # "queries" stays min-per-query (round-over-round comparable); "runs"
+    # carries every raw run so a load-sensitive query self-identifies
+    # (runs disagreeing >2x means the MIN is a best case, not a typical
+    # cost — VERDICT r07 spent a day separating one real regression from
+    # ~15 s of uniform environmental drift that a spread column shows at
+    # a glance). "spread_flags" lists the queries whose runs disagreed
+    # >2x this sweep.
+    spread_flags = sorted(
+        n for n, rs in all_runs.items() if min(rs) > 0.5 and max(rs) > 2.0 * min(rs)
+    )
     full = {
         "metric": "covid19_spark_headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": all_runs,
+        "spread_flags": spread_flags,
         "sf": sf_val,
     }
     # The driver's artifact keeps only a TAIL of stdout, which decapitates a

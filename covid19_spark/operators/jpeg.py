@@ -380,8 +380,9 @@ def encode_jpeg(
     from uint16 samples in [0, 4095]: level shift 2048, 16-bit DQT entries
     (pq=1, base tables ×16 to keep relative quality), and fixed-length
     Huffman tables covering the wider magnitude categories (DC SSSS 0-16,
-    AC 1-14 — Annex K's 8-bit tables stop at 11/10). Not combinable with
-    ``progressive``."""
+    AC 1-14 — Annex K's 8-bit tables stop at 11/10). 12-bit applies to both
+    output modes: ``progressive=True`` emits a 12-bit SOF2 stream (the
+    precision threads into the same scan script)."""
     if precision not in (8, 12):
         raise ValueError(f"precision must be 8 or 12 (got {precision})")
     center = float(1 << (precision - 1))

@@ -363,6 +363,7 @@ def decode_gif_frames(payload: bytes):
     delay_ms = 0
     disposal = 0
     prev_rect = None
+    prev_disposal = 0
     while True:
         if pos >= len(payload):
             raise ValueError("corrupt GIF: missing trailer")
@@ -443,7 +444,10 @@ def decode_gif_frames(payload: bytes):
             idx = deinter
         if idx.max(initial=0) >= len(ct):
             raise ValueError("corrupt GIF: pixel index outside color table")
-        if disposal == 2 and prev_rect is not None:
+        # A GCE's disposal method says how its OWN image is disposed after
+        # display (GIF89a §23), so before drawing frame N we apply frame
+        # N-1's disposal — not the current GCE's — to frame N-1's rect.
+        if prev_disposal == 2 and prev_rect is not None:
             py, px_, ph_, pw_ = prev_rect
             canvas[py : py + ph_, px_ : px_ + pw_] = (
                 gct[bg_idx] if gct is not None and bg_idx < len(gct) else 0
@@ -456,9 +460,11 @@ def decode_gif_frames(payload: bytes):
         else:
             rect[:, :] = rgb
         prev_rect = (iy, ix, ih, iw)
+        prev_disposal = disposal
         yield delay_ms, canvas.copy()
         transparent = None
         delay_ms = 0
+        disposal = 0
 
 
 def decode_gif(payload: bytes) -> "np.ndarray":
@@ -1066,6 +1072,32 @@ def decode_image(payload: bytes) -> "np.ndarray":
     )
 
 
+def decode_image_with_peak(payload: bytes) -> "tuple[np.ndarray, float]":
+    """``(pixels, sample_peak)`` — ``decode_image`` plus the true peak
+    sample value the decode can produce, for [0, 1]-normalized feature
+    extraction. Dtype alone cannot carry this: a 12-bit JPEG decodes to
+    uint16 with peak 4095, and normalizing it by 65535 shrinks mean-RGB
+    features ~16x and collapses the gray histogram into the lowest buckets
+    (advisor finding, round 8). JPEG is the only format here whose
+    precision is not implied by the output dtype, and its SOF precision
+    field is an O(header) marker-walk sniff; every other codec's peak is
+    the dtype max."""
+    pixels = decode_image(payload)
+    if (
+        payload is not None
+        and len(payload) >= 2
+        and payload[:2] == b"\xff\xd8"
+        and pixels.dtype != np.uint8
+    ):
+        from covid19_spark.operators.jpeg import sniff_jpeg_frame
+
+        _, precision, _, _ = sniff_jpeg_frame(payload)
+        return pixels, float((1 << precision) - 1)
+    if pixels.dtype.kind in "iu":
+        return pixels, float(np.iinfo(pixels.dtype).max)
+    return pixels, 255.0
+
+
 def image_features_from_pixels(
     pixels: "np.ndarray", dim: int = 8, peak: float | None = None
 ) -> np.ndarray:
@@ -1151,11 +1183,11 @@ def extract_image_features(
             feats, errs = [], []
             for p in pdf["payload"]:
                 try:
-                    feats.append(
-                        fake_image_features(p)
-                        if use_fake
-                        else image_features_from_pixels(decode_image(p))
-                    )
+                    if use_fake:
+                        feats.append(fake_image_features(p))
+                    else:
+                        px, peak = decode_image_with_peak(p)
+                        feats.append(image_features_from_pixels(px, peak=peak))
                     errs.append(None)
                 except Exception as exc:  # noqa: BLE001 — policy boundary
                     if not permissive:
@@ -2008,7 +2040,11 @@ def encode_wav_ms_adpcm(
             s2_0, s1_0 = blk[0], blk[1]
             deltas = [abs(blk[i] - ((blk[i - 1] * c1 + blk[i - 2] * c2) >> 8))
                       for i in range(2, len(blk))]
-            delta0 = max(16, (sum(deltas) // max(len(deltas), 1)) or 16)
+            # mean |prediction error| can exceed int16 range for full-swing
+            # alternating input (e.g. ±32767 square wave) — clamp so the
+            # '<h' header pack cannot raise; the adaptive loop recovers the
+            # effective step within a few samples either way
+            delta0 = min(max(16, (sum(deltas) // max(len(deltas), 1)) or 16), 32767)
             s1, s2, delta = s1_0, s2_0, delta0
             nibs = []
             err_total = 0

@@ -456,16 +456,16 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid19_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
 
     base = _perturbed_docs(spark, sf_dir)
-    # cache: the LSH band self-join consumes the signature frame twice; the
-    # frame is |docs| rows of 32 longs (KB-scale), recomputing it doubles the
-    # whole shingle+hash pass.
-    sigs = minhash_signatures(base, "doc_id", "text", num_hashes=32, shingle_n=3).cache()
-    # eager: the self-join + oversized-bucket broadcast build fan out into
-    # concurrent jobs, and concurrent FIRST computation of an unmaterialized
-    # cache duplicates the expensive upstream work (measured: simhash_pairs
-    # 2.7 s warm vs 7.6 s when the consumers race) — materialize once, then
-    # every consumer reads blocks
-    sigs.count()
+    # localCheckpoint(eager): the LSH band self-join consumes the signature
+    # frame twice; the frame is |docs| rows of 32 longs (KB-scale), while
+    # recomputing it doubles the whole shingle+hash pass — and concurrent
+    # FIRST computation of an unmaterialized frame duplicates the upstream
+    # work (measured: simhash_pairs 2.7 s warm vs 7.6 s when consumers
+    # race). Unlike .cache(), the blocks bypass the session CacheManager
+    # and are freed by the ContextCleaner once the result frame dies — a
+    # registry query must not leave session-lifetime cache entries behind
+    # (VERDICT r07 item #2).
+    sigs = minhash_signatures(base, "doc_id", "text", num_hashes=32, shingle_n=3).localCheckpoint(eager=True)
     return (
         lsh_candidate_pairs(sigs, "doc_id", num_hashes=32, bands=8)
         .filter(F.col("est_jaccard") >= 0.3)
@@ -479,9 +479,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid19_spark.operators.dedup import simhash, simhash_candidate_pairs
 
     base = _perturbed_docs(spark, sf_dir)
-    # cache for the same self-join reuse reason as q_minhash_lsh
-    sigs = simhash(base, "doc_id", "text", shingle_n=2).cache()
-    sigs.count()  # eager — see q_minhash_lsh
+    # eager localCheckpoint for the same reuse-without-cache-leak reason as
+    # q_minhash_lsh
+    sigs = simhash(base, "doc_id", "text", shingle_n=2).localCheckpoint(eager=True)
     return simhash_candidate_pairs(sigs, "doc_id", max_hamming=12).orderBy(
         "doc_a", "doc_b"
     )
@@ -1153,12 +1153,11 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
-    # cache: the banded self-join + oversized-bucket count consume the hash
-    # frame three times; it is |media| rows of 2 longs (KB-scale), while one
-    # evaluation costs a full synth+decode pass (bench.py clears caches
-    # between queries — the sanctioned q_minhash_lsh lifecycle)
-    hashes = image_dhash(media, use_fake=False).cache()
-    hashes.count()  # eager — see q_minhash_lsh
+    # eager localCheckpoint: the banded self-join + oversized-bucket count
+    # consume the hash frame three times; it is |media| rows of 2 longs
+    # (KB-scale), while one evaluation costs a full synth+decode pass
+    # (the q_minhash_lsh lifecycle — no CacheManager entry left behind)
+    hashes = image_dhash(media, use_fake=False).localCheckpoint(eager=True)
     return image_near_dup_pairs(hashes, "media_id", max_hamming=10).orderBy(
         "doc_a", "doc_b"
     )
@@ -1232,9 +1231,9 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
-    # cache: three consumers of a KB-scale frame (see q_image_near_dup)
-    fps = audio_fingerprints(media, use_fake=False).cache()
-    fps.count()  # eager — see q_minhash_lsh
+    # eager localCheckpoint: three consumers of a KB-scale frame (see
+    # q_image_near_dup)
+    fps = audio_fingerprints(media, use_fake=False).localCheckpoint(eager=True)
     return audio_near_dup_pairs(fps, "media_id", max_hamming=8).orderBy(
         "doc_a", "doc_b"
     )
@@ -1311,9 +1310,9 @@ def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
-    # cache: three consumers of a KB-scale frame (see q_image_near_dup)
-    hashes = video_frame_hashes(media, every_ms=500).cache()
-    hashes.count()  # eager — see q_minhash_lsh
+    # eager localCheckpoint: three consumers of a KB-scale frame (see
+    # q_image_near_dup)
+    hashes = video_frame_hashes(media, every_ms=500).localCheckpoint(eager=True)
     return video_near_dup_pairs(
         hashes, "media_id", max_hamming=10, min_matching_frames=3
     ).orderBy("doc_a", "doc_b")
@@ -1747,11 +1746,10 @@ def q_lsh_guard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    # cache + eager materialize: the banded frame feeds the report agg, the
+    # eager localCheckpoint: the banded frame feeds the report agg, the
     # guard's own agg, AND both self-join sides — racing consumers would
     # each recompute the shingle+hash pass (the q_minhash_lsh lifecycle)
-    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=32, shingle_n=3).cache()
-    sigs.count()
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=32, shingle_n=3).localCheckpoint(eager=True)
     report: list = []
     pairs = lsh_candidate_pairs(
         sigs, "doc_id", num_hashes=32, bands=8, max_bucket=40, dropped_report=report

@@ -1205,6 +1205,63 @@ def test_gif_animation_frames_and_transparency():
     assert np.array_equal(composited[~mask], frames[1][~mask])
 
 
+def test_gif_disposal_applies_to_own_frame():
+    """GIF89a §23: a GCE's disposal method says how its OWN image is
+    disposed after display. Hand-built repro: frame 1 (full-screen red,
+    disposal=2 restore-to-background) then frame 2 (1x1 green sub-rect,
+    disposal=0). Before frame 2 draws, frame 1's rect must be cleared to
+    the background color — the old code applied frame 2's GCE disposal (0)
+    to frame 1's rect and left red everywhere."""
+    import struct
+
+    from covid19_spark.operators.multimodal import (
+        _gif_lzw_encode,
+        decode_gif_frames,
+    )
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", 4, 4)
+    out += bytes([0x80 | 1, 0, 0])  # 4-entry GCT, background index 0
+    out += bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 0])  # black,red,green,pad
+
+    def gce(disposal):
+        return bytes([0x21, 0xF9, 4, (disposal & 7) << 2, 0, 0, 0, 0])
+
+    def img(ix, iy, iw, ih, idx_val):
+        b = bytes([0x2C]) + struct.pack("<HHHH", ix, iy, iw, ih) + bytes([0])
+        idx = np.full(iw * ih, idx_val, dtype=np.uint16)
+        b += bytes([2])
+        lzw = _gif_lzw_encode(idx, 2)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            b += bytes([len(chunk)]) + chunk
+        return b + b"\x00"
+
+    out += gce(2) + img(0, 0, 4, 4, 1)  # frame 1: full red, dispose-to-bg
+    out += gce(0) + img(0, 0, 1, 1, 2)  # frame 2: 1x1 green, keep
+    out += b"\x3b"
+    frames = [f for _, f in decode_gif_frames(bytes(out))]
+    assert len(frames) == 2
+    assert np.array_equal(frames[0], np.tile(np.array([255, 0, 0], np.uint8), (4, 4, 1)))
+    want = np.zeros((4, 4, 3), np.uint8)
+    want[0, 0] = [0, 255, 0]
+    assert np.array_equal(frames[1], want)
+
+    # and the converse: disposal=0 on frame 1 must NOT clear it, even when
+    # a later GCE carries disposal=2 (which disposes frame 2, not frame 1)
+    out2 = bytearray(b"GIF89a")
+    out2 += struct.pack("<HH", 4, 4)
+    out2 += bytes([0x80 | 1, 0, 0])
+    out2 += bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 0])
+    out2 += gce(0) + img(0, 0, 4, 4, 1)
+    out2 += gce(2) + img(0, 0, 1, 1, 2)
+    out2 += b"\x3b"
+    frames2 = [f for _, f in decode_gif_frames(bytes(out2))]
+    want2 = np.tile(np.array([255, 0, 0], np.uint8), (4, 4, 1))
+    want2[0, 0] = [0, 255, 0]
+    assert np.array_equal(frames2[1], want2)
+
+
 def test_gif_rejects_corrupt():
     from covid19_spark.operators.multimodal import decode_gif, encode_gif
 
@@ -1218,6 +1275,51 @@ def test_gif_rejects_corrupt():
     bad[-2] = 0x77  # clobber the final data sub-block terminator chain
     with pytest.raises(ValueError):
         decode_gif(bytes(bad))
+
+
+def test_ms_adpcm_full_range_input_encodes():
+    """A full-swing alternating ±32767 square wave makes the mean
+    |prediction error| exceed int16 range; the delta0 header field must be
+    clamped to 32767 so the encode succeeds (advisor finding: struct.error
+    instead of a WAV). The decode must still return the right shape with
+    seeds verbatim."""
+    from covid19_spark.operators.multimodal import decode_wav, encode_wav_ms_adpcm
+
+    sig = np.tile(np.array([32767, -32768], dtype=np.int16), 500)
+    wav = encode_wav_ms_adpcm(sig, sample_rate=8000, block_samples=500)
+    decoded, rate = decode_wav(wav)
+    assert rate == 8000 and decoded.shape == (1000, 1)
+    got = decoded[:, 0] * 32768.0
+    assert got[0] == float(sig[0]) and got[1] == float(sig[1])
+
+
+def test_image_features_12bit_jpeg_peak_aware():
+    """extract_image_features' real-decode path must normalize a 12-bit
+    JPEG by its true peak (4095), not the uint16 dtype max: the features
+    of a 12-bit encode and an 8-bit encode of the SAME content must be
+    close (advisor finding: mean-RGB shrank ~16x and the gray histogram
+    collapsed)."""
+    from covid19_spark.operators.jpeg import encode_jpeg
+    from covid19_spark.operators.multimodal import (
+        decode_image_with_peak,
+        image_features_from_pixels,
+    )
+
+    rng = np.random.default_rng(3)
+    img8 = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    img12 = (img8.astype(np.uint16) << 4) | (img8.astype(np.uint16) >> 4)
+
+    px8, peak8 = decode_image_with_peak(encode_jpeg(img8, quality=95))
+    px12, peak12 = decode_image_with_peak(encode_jpeg(img12, quality=95, precision=12))
+    assert peak8 == 255.0 and peak12 == 4095.0
+    f8 = image_features_from_pixels(px8, peak=peak8)
+    f12 = image_features_from_pixels(px12, peak=peak12)
+    # same content, same normalization contract → nearly identical features
+    assert float(np.dot(f8, f12)) > 0.999, (f8, f12)
+    # regression guard: normalizing the 12-bit decode by the dtype max
+    # produces the collapsed feature the advisor measured
+    bad = image_features_from_pixels(px12)  # dtype-max fallback = 65535
+    assert float(np.dot(f8, bad)) < 0.999
 
 
 def test_ms_adpcm_wav_roundtrip(spark):

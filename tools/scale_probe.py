@@ -99,6 +99,28 @@ def build_scaled_dir(spark, out_dir: str, factor: int) -> None:
         f"{out_dir}/embeddings.parquet"
     )
 
+    # customer x10 for the blocked-Levenshtein probe: replicas get fresh
+    # custkeys AND names regenerated in the TPC-H "Customer#%09d" shape from
+    # the new key, so the (nation, 15-char name prefix) blocking keeps its
+    # real statistic — block size stays ~|thousand-key-range|/|nations| and
+    # the NUMBER of blocks grows with the corpus (the linear regime a real
+    # ER pipeline relies on). Replica 0 keeps the original rows verbatim.
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    new_key = F.col("c_custkey") + F.col("__rep").cast("long") * REP_OFFSET
+    scaled_cust = (
+        cust.crossJoin(F.broadcast(reps))
+        .select(
+            new_key.alias("c_custkey"),
+            F.when(F.col("__rep") == 0, F.col("c_name"))
+            .otherwise(F.concat(F.lit("Customer#"), F.lpad(new_key.cast("string"), 9, "0")))
+            .alias("c_name"),
+            *[c for c in cust.columns if c not in ("c_custkey", "c_name")],
+        )
+    )
+    scaled_cust.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/customer.parquet"
+    )
+
 
 def image_probe(spark, n_ids: int):
     """The q_image_near_dup synth+hash+probe pipeline over n_ids images
@@ -171,7 +193,18 @@ def main() -> None:
         build_scaled_dir(spark, x10_dir, args.factor)
 
     results = {}
-    for name in ("minhash_lsh", "dedup_pipeline_e2e", "ivfpq_cosine_topk"):
+    # round-7 families + the exact-kernel heavies (VERDICT r07 task #5):
+    # duplicated_spans/span_dedup pay the per-token k-gram explosion,
+    # fuzzy_name_match pays blocked pairwise Levenshtein — the places a
+    # 100x corpus could surprise if block sizes grew with the corpus.
+    for name in (
+        "minhash_lsh",
+        "dedup_pipeline_e2e",
+        "ivfpq_cosine_topk",
+        "duplicated_spans",
+        "span_dedup",
+        "fuzzy_name_match",
+    ):
         fn = QUERY_REGISTRY[name].fn
         t1 = timed(lambda: fn(spark, SF_DIR).count(), args.runs)
         spark.catalog.clearCache()
