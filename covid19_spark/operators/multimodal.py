@@ -639,15 +639,21 @@ def _gif_lzw_encode(indices: "np.ndarray", min_code: int) -> bytes:
 # (PackBits) and 5 (LZW — MSB-first bit packing with the spec's "early
 # change" code widening, the documented difference from GIF's LZW), and
 # Predictor 2 (horizontal differencing, per-sample modulo the sample
-# width). `encode_tiff` is the round-trip twin (8/16-bit by input dtype,
-# planar=1|2). Tiled/JPEG-in-TIFF/sub-byte-sample variants raise
-# NotImplementedError — the production seam (libtiff).
+# width). TILED organization (TIFF 6.0 §15, tags 322-325 — the layout of
+# satellite/scan corpora) decodes through the same codec kernels over the
+# tile geometry, with the predictor undone per tile (differencing restarts
+# at each tile's left edge). `encode_tiff` is the round-trip twin (8/16-bit
+# by input dtype, planar=1|2, strip or tiled, predictor 1|2).
+# JPEG-in-TIFF/sub-byte-sample variants raise NotImplementedError — the
+# production seam (libtiff).
 
 _TIFF_TAG_NAMES = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "spp",
     278: "rows_per_strip", 279: "strip_counts", 284: "planar",
     317: "predictor", 320: "colormap",
+    322: "tile_width", 323: "tile_length", 324: "tile_offsets",
+    325: "tile_counts",
 }
 
 
@@ -681,8 +687,9 @@ def _tiff_read_ifd(payload: bytes, endian: str):
 
 
 def decode_tiff(payload: bytes) -> "np.ndarray":
-    """Baseline TIFF strips → (H, W, 3) uint8 RGB (grayscale replicated,
-    palette expanded). See the section comment for the supported profile."""
+    """Baseline TIFF (strip or tiled organization) → (H, W, 3) uint8 RGB
+    (grayscale replicated, palette expanded). See the section comment for
+    the supported profile."""
     import struct
 
     if payload is None or len(payload) < 8:
@@ -694,7 +701,12 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
     else:
         raise ValueError("not a TIFF payload")
     t = _tiff_read_ifd(payload, endian)
-    for req in ("width", "height", "strip_offsets", "strip_counts"):
+    tiled = "tile_offsets" in t
+    for req in ("width", "height") + (
+        ("tile_width", "tile_length", "tile_counts")
+        if tiled
+        else ("strip_offsets", "strip_counts")
+    ):
         if req not in t:
             raise ValueError(f"corrupt TIFF: missing {req}")
     w, h = t["width"][0], t["height"][0]
@@ -721,56 +733,97 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
     if photo == 2 and spp < 3:
         raise ValueError("corrupt TIFF: RGB needs 3 samples per pixel")
     bps = 2 if deep else 1
-    n_strips = len(t["strip_offsets"])
-    if len(t["strip_counts"]) != n_strips:
-        raise ValueError("corrupt TIFF: strip offset/count mismatch")
-    strips_per_plane = -(-h // rows_per_strip)
-    # planar 1 (chunky): samples interleave within each strip row.
-    # planar 2 (separate): all plane-0 strips, then plane-1, ... — each
-    # strip carries ONE sample plane, w samples per row.
+    sample_dtype = np.dtype(endian + ("u2" if deep else "u1"))
+    native_dtype = np.uint16 if deep else np.uint8
+    # planar 1 (chunky): samples interleave within each chunk row.
+    # planar 2 (separate): all plane-0 chunks, then plane-1, ... — each
+    # chunk carries ONE sample plane.
     n_planes = spp if planar == 2 else 1
-    samples_per_row = w if planar == 2 else w * spp
-    row_bytes = samples_per_row * bps
-    if n_strips < strips_per_plane * n_planes:
-        raise ValueError("corrupt TIFF: too few strips for image size")
+    row_samples = 1 if planar == 2 else spp
 
-    def _decode_strip(si: int, strip_rows: int) -> bytes:
-        off, cnt = t["strip_offsets"][si], t["strip_counts"][si]
-        if off + cnt > len(payload):
-            raise ValueError("corrupt TIFF: strip out of range")
-        strip = payload[off : off + cnt]
-        want = strip_rows * row_bytes
+    def _decompress(chunk: bytes, want: int, what: str) -> bytes:
         if comp == 1:
-            out = strip[:want]
+            out = chunk[:want]
         elif comp == 32773:
-            out = _packbits_decode(strip, want)
+            out = _packbits_decode(chunk, want)
         else:
-            out = _tiff_lzw_decode(strip, want)
+            out = _tiff_lzw_decode(chunk, want)
         if len(out) < want:
-            raise ValueError("corrupt TIFF: strip data short of image size")
+            raise ValueError(f"corrupt TIFF: {what} data short of image size")
         return out[:want]
 
-    sample_dtype = np.dtype(endian + ("u2" if deep else "u1"))
-    planes = []
-    for p in range(n_planes):
-        raw = bytearray()
-        for si in range(strips_per_plane):
-            strip_rows = min(rows_per_strip, h - si * rows_per_strip)
-            raw += _decode_strip(p * strips_per_plane + si, strip_rows)
-        plane = np.frombuffer(bytes(raw), sample_dtype, h * samples_per_row)
-        planes.append(plane.reshape(h, samples_per_row))
-    if planar == 2:
-        arr = np.stack(planes, axis=2)  # (h, w, spp)
-    else:
-        arr = planes[0].reshape(h, w, spp)
-    if predictor == 2:
-        # horizontal differencing is per sample, modulo the sample width
-        arr = np.cumsum(arr.astype(np.int64), axis=1)
-        arr = (arr & (0xFFFF if deep else 0xFF)).astype(
-            np.uint16 if deep else np.uint8
+    def _chunk_bytes(offsets, counts, ci: int, want: int, what: str) -> bytes:
+        off, cnt = offsets[ci], counts[ci]
+        if off + cnt > len(payload):
+            raise ValueError(f"corrupt TIFF: {what} out of range")
+        return _decompress(payload[off : off + cnt], want, what)
+
+    def _undiff(a: "np.ndarray") -> "np.ndarray":
+        # horizontal differencing is per sample, modulo the sample width;
+        # axis 1 is the scanline axis of the (rows, cols, samples) block
+        a = np.cumsum(a.astype(np.int64), axis=1)
+        return (a & (0xFFFF if deep else 0xFF)).astype(native_dtype)
+
+    if tiled:
+        # TIFF 6.0 §15: the image is a grid of tw×th tiles, each compressed
+        # independently and PADDED to full tile size at the right/bottom
+        # edges; planar 2 stores all plane-0 tiles, then plane-1, ... The
+        # predictor restarts at every tile's left edge (differencing runs
+        # per tile scanline), so it must be undone per tile BEFORE assembly
+        # — the one semantic difference from strips, which span the full
+        # image width.
+        tw, th = t["tile_width"][0], t["tile_length"][0]
+        if tw == 0 or th == 0:
+            raise ValueError("corrupt TIFF: zero tile dimensions")
+        across, down = -(-w // tw), -(-h // th)
+        tiles_per_plane = across * down
+        n_tiles = len(t["tile_offsets"])
+        if len(t["tile_counts"]) != n_tiles:
+            raise ValueError("corrupt TIFF: tile offset/count mismatch")
+        if n_tiles < tiles_per_plane * n_planes:
+            raise ValueError("corrupt TIFF: too few tiles for image size")
+        want = th * tw * row_samples * bps
+        plane_arrs = []
+        for p in range(n_planes):
+            canvas = np.zeros((down * th, across * tw, row_samples), native_dtype)
+            for ti in range(tiles_per_plane):
+                raw = _chunk_bytes(
+                    t["tile_offsets"], t["tile_counts"],
+                    p * tiles_per_plane + ti, want, "tile",
+                )
+                tile = np.frombuffer(raw, sample_dtype).reshape(th, tw, row_samples)
+                tile = _undiff(tile) if predictor == 2 else tile.astype(native_dtype)
+                ty, tx = divmod(ti, across)
+                canvas[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile
+            plane_arrs.append(canvas[:h, :w])
+        arr = (
+            np.concatenate(plane_arrs, axis=2) if planar == 2 else plane_arrs[0]
         )
     else:
-        arr = arr.astype(np.uint16 if deep else np.uint8)
+        n_strips = len(t["strip_offsets"])
+        if len(t["strip_counts"]) != n_strips:
+            raise ValueError("corrupt TIFF: strip offset/count mismatch")
+        strips_per_plane = -(-h // rows_per_strip)
+        samples_per_row = w * row_samples
+        row_bytes = samples_per_row * bps
+        if n_strips < strips_per_plane * n_planes:
+            raise ValueError("corrupt TIFF: too few strips for image size")
+        planes = []
+        for p in range(n_planes):
+            raw = bytearray()
+            for si in range(strips_per_plane):
+                strip_rows = min(rows_per_strip, h - si * rows_per_strip)
+                raw += _chunk_bytes(
+                    t["strip_offsets"], t["strip_counts"],
+                    p * strips_per_plane + si, strip_rows * row_bytes, "strip",
+                )
+            plane = np.frombuffer(bytes(raw), sample_dtype, h * samples_per_row)
+            planes.append(plane.reshape(h, samples_per_row))
+        if planar == 2:
+            arr = np.stack(planes, axis=2)  # (h, w, spp)
+        else:
+            arr = planes[0].reshape(h, w, spp)
+        arr = _undiff(arr) if predictor == 2 else arr.astype(native_dtype)
     peak = 0xFFFF if deep else 0xFF
     if photo == 2:
         return np.ascontiguousarray(arr[:, :, :3])
@@ -947,12 +1000,18 @@ def encode_tiff(
     compression: str = "none",
     rows_per_strip: int = 8,
     planar: int = 1,
+    tile: "tuple[int, int] | None" = None,
+    predictor: int = 1,
 ) -> bytes:
     """Encode (H, W, 3) RGB or (H, W) grayscale pixels as baseline
-    little-endian TIFF strips — ``compression``: "none", "packbits", or
+    little-endian TIFF — ``compression``: "none", "packbits", or
     "lzw"; uint8 input writes 8-bit samples, uint16 writes 16-bit;
-    ``planar=2`` writes separate sample planes (all R strips, then G,
-    then B). Round-trips bit-exactly through ``decode_tiff``."""
+    ``planar=2`` writes separate sample planes (all R chunks, then G,
+    then B); ``tile=(tw, th)`` writes a TIFF 6.0 §15 tiled organization
+    (tags 322-325, edge tiles zero-padded to full size) instead of
+    strips; ``predictor=2`` applies horizontal differencing per
+    strip/tile scanline (tag 317). Round-trips bit-exactly through
+    ``decode_tiff``."""
     import struct
 
     comp_id = {"none": 1, "lzw": 5, "packbits": 32773}.get(compression)
@@ -960,6 +1019,8 @@ def encode_tiff(
         raise ValueError(f"unsupported compression {compression!r}")
     if planar not in (1, 2):
         raise ValueError(f"planar must be 1 or 2 (got {planar})")
+    if predictor not in (1, 2):
+        raise ValueError(f"predictor must be 1 or 2 (got {predictor})")
     src = np.asarray(pixels)
     deep = src.dtype == np.uint16
     arr = src.astype(np.uint16 if deep else np.uint8)
@@ -981,23 +1042,50 @@ def encode_tiff(
             return _packbits_encode(raw)
         return _tiff_lzw_encode(raw)
 
+    def _maybe_diff(block: "np.ndarray") -> "np.ndarray":
+        # horizontal differencing per scanline (axis 1), per sample channel
+        if predictor != 2:
+            return block
+        d = block.astype(np.int64).copy()
+        d[:, 1:] -= block.astype(np.int64)[:, :-1]
+        return (d & (0xFFFF if deep else 0xFF)).astype("<u2" if deep else np.uint8)
+
+    planes = (
+        [le]
+        if planar == 1
+        else [np.ascontiguousarray(le[:, :, p : p + 1]) for p in range(spp)]
+    )
     strips = []
-    if planar == 1:
-        for y0 in range(0, h, rows_per_strip):
-            strips.append(_compress(le[y0 : y0 + rows_per_strip].tobytes()))
+    if tile is not None:
+        tw, th = tile
+        if tw <= 0 or th <= 0:
+            raise ValueError(f"tile dims must be positive (got {tile})")
+        across, down = -(-w // tw), -(-h // th)
+        for pl in planes:
+            padded = np.zeros((down * th, across * tw, pl.shape[2]), pl.dtype)
+            padded[:h, :w] = pl
+            for ty in range(down):
+                for tx in range(across):
+                    blk = padded[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
+                    strips.append(_compress(_maybe_diff(blk).tobytes()))
     else:
-        for p in range(spp):
-            plane = np.ascontiguousarray(le[:, :, p])
+        for pl in planes:
             for y0 in range(0, h, rows_per_strip):
-                strips.append(_compress(plane[y0 : y0 + rows_per_strip].tobytes()))
+                strips.append(_compress(_maybe_diff(pl[y0 : y0 + rows_per_strip]).tobytes()))
     tags = [
         (256, 3, [w]), (257, 3, [h]), (258, 3, [sample_bits] * spp),
         (259, 3, [comp_id]), (262, 3, [2 if spp == 3 else 1]),
-        (277, 3, [spp]), (278, 3, [rows_per_strip]),
+        (277, 3, [spp]),
     ]
+    if tile is not None:
+        tags += [(322, 3, [tile[0]]), (323, 3, [tile[1]])]
+    else:
+        tags.append((278, 3, [rows_per_strip]))
+    if predictor == 2:
+        tags.append((317, 3, [2]))
     if planar == 2:
         tags.append((284, 3, [2]))
-    n_tags = len(tags) + 2  # + strip offsets/counts
+    n_tags = len(tags) + 2  # + strip/tile offsets/counts
     ifd_off = 8
     data_off = ifd_off + 2 + 12 * n_tags + 4
     # out-of-line tag data (bits for RGB, strip arrays) then strip data
@@ -1031,8 +1119,8 @@ def encode_tiff(
     for c in counts:
         offsets.append(acc_off)
         acc_off += c
-    entries.append(tag_bytes(273, 4, offsets))
-    entries.append(tag_bytes(279, 4, counts))
+    entries.append(tag_bytes(324 if tile is not None else 273, 4, offsets))
+    entries.append(tag_bytes(325 if tile is not None else 279, 4, counts))
     entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
     out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
     out += struct.pack("<H", n_tags)

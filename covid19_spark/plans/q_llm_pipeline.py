@@ -777,13 +777,14 @@ def q_tiff_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-codec TIFF path end-to-end — the scan/archival format the web
     formats don't cover: synthesize baseline little-endian TIFFs whose
     pixels derive deterministically from doc_id, cycling the compression
-    scheme (none / PackBits / LZW) and the strip height per row so every
-    strip-reassembly branch of the stdlib decoder runs distributed, decode
-    with ``use_fake=False`` through ``decode_image``'s TIFF dispatch,
-    featurize. Non-SQL-expressible (binary format parsing) → rows-only
-    driver check + exact checked-in fixture. Same map-only scale shape as
-    the PNG/BMP/GIF twins: synthesis+decode spread across cores, no shuffle
-    but the output sort."""
+    scheme (none / PackBits / LZW), the strip height, AND (every 4th doc)
+    the TILED organization with a per-doc tile size plus predictor 2 — so
+    every strip- and tile-reassembly branch of the stdlib decoder runs
+    distributed. Decode with ``use_fake=False`` through ``decode_image``'s
+    TIFF dispatch, featurize. Non-SQL-expressible (binary format parsing)
+    → rows-only driver check + exact checked-in fixture. Same map-only
+    scale shape as the PNG/BMP/GIF twins: synthesis+decode spread across
+    cores, no shuffle but the output sort."""
     import numpy as np
     import pandas as pd
 
@@ -808,13 +809,17 @@ def q_tiff_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h, w = 8 + d % 8, 8 + d % 5
                 img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
                 comp = ("none", "packbits", "lzw")[d % 3]
-                rows.append(
-                    (
-                        d, "image", "image/tiff", w, h, None,
-                        encode_tiff(img, compression=comp,
-                                    rows_per_strip=2 + d % 7),
+                if d % 4 == 0:  # tiled organization (TIFF 6.0 §15)
+                    payload = encode_tiff(
+                        img, compression=comp,
+                        tile=(4 + d % 5, 4 + d % 3),
+                        predictor=2 if d % 8 == 0 else 1,
                     )
-                )
+                else:
+                    payload = encode_tiff(
+                        img, compression=comp, rows_per_strip=2 + d % 7
+                    )
+                rows.append((d, "image", "image/tiff", w, h, None, payload))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -841,20 +846,18 @@ QUERY_REGISTRY["tiff_image_features"] = QuerySpec(
 )
 
 
-def q_permissive_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB-crawl robustness contract, end-to-end: a corpus where a
-    deterministic subset of blobs is corrupt (truncated payloads) or in an
-    unsupported format must still complete — ``on_error="permissive"``
-    yields NULL features plus a classified ``error`` column instead of
-    failing the task (at crawl scale a bad blob per billion is a
-    certainty; a job that dies at 99% wastes the whole cluster pass).
-    Synthesizes 500 image blobs (BMP/PNG/GIF/TIFF rotating per doc_id;
-    every 7th truncated to a prefix, every 13th replaced by an alien
-    format), extracts features permissively, and reports decode outcomes
-    per (mime, error_kind) — the per-corpus health dashboard a curation
-    run starts from. Non-SQL-expressible (binary decode) → rows-only
-    driver check + exact checked-in fixture. Scale shape: map-only decode
-    (metadata prunes first), |mime × kind|-sized aggregate."""
+def permissive_decode_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-blob decode verdicts ``(media_id, mime, outcome)`` for the
+    permissive-decode corpus: 500 deterministic image blobs (BMP/PNG/GIF/
+    TIFF rotating per doc_id; every 7th truncated to a prefix, every 13th
+    replaced by an alien format), decoded with ``on_error="permissive"``.
+    ``outcome`` is the error class head: ``ok`` / ``corrupt`` /
+    ``unsupported``. Shared by the registry aggregation AND the fixture
+    generator that materializes these verdicts for the DuckDB oracle
+    (tests/fixtures/permissive_decode_blobs.parquet — VERDICT r07 task #7:
+    DuckDB cannot decode a TIFF, but it can aggregate the checked-in
+    per-blob verdict parquet, upgrading the check from rows-only to a
+    full value-hash match)."""
     import numpy as np
     import pandas as pd
 
@@ -909,22 +912,53 @@ def q_permissive_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
     feats = extract_image_features(media, use_fake=False, on_error="permissive")
+    return feats.select(
+        "media_id",
+        "mime",
+        F.coalesce(
+            F.split(F.col("error"), ":").getItem(0), F.lit("ok")
+        ).alias("outcome"),
+    )
+
+
+def q_permissive_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-crawl robustness contract, end-to-end: a corpus where a
+    deterministic subset of blobs is corrupt (truncated payloads) or in an
+    unsupported format must still complete — ``on_error="permissive"``
+    yields NULL features plus a classified ``error`` column instead of
+    failing the task (at crawl scale a bad blob per billion is a
+    certainty; a job that dies at 99% wastes the whole cluster pass).
+    Decodes the ``permissive_decode_blobs`` corpus permissively and
+    reports outcomes per (mime, error_kind) — the per-corpus health
+    dashboard a curation run starts from. Oracle: DuckDB aggregates the
+    checked-in per-blob verdict fixture over the same doc_id domain (the
+    decode itself is pinned by the fixture generator + codec pytest
+    vectors). Scale shape: map-only decode (metadata prunes first),
+    |mime × kind|-sized aggregate."""
     return (
-        feats.select(
-            "mime",
-            F.coalesce(
-                F.split(F.col("error"), ":").getItem(0), F.lit("ok")
-            ).alias("outcome"),
-        )
+        permissive_decode_blobs(spark, sf_dir)
         .groupBy("mime", "outcome")
         .agg(F.count(F.lit(1)).cast("long").alias("n_blobs"))
         .orderBy("mime", "outcome")
     )
 
 
+# The verdict fixture is the REPO's checked-in parquet (absolute path: the
+# driver's DuckDB process has an unknown CWD). Joining on documents keeps
+# the oracle tied to the sf tables' actual doc_id domain.
+ORACLE_PERMISSIVE_DECODE_STATS = """
+SELECT b.mime, b.outcome, CAST(count(*) AS BIGINT) AS n_blobs
+FROM read_parquet('/root/repo/tests/fixtures/permissive_decode_blobs.parquet') b
+JOIN documents d ON b.media_id = d.doc_id
+WHERE d.doc_id < 500
+GROUP BY b.mime, b.outcome
+ORDER BY b.mime, b.outcome
+"""
+
+
 QUERY_REGISTRY["permissive_decode_stats"] = QuerySpec(
-    q_permissive_decode_stats, None,
-    "corrupt-blob-tolerant decode sweep -> per-mime outcome counts (rows-only)",
+    q_permissive_decode_stats, ORACLE_PERMISSIVE_DECODE_STATS,
+    "corrupt-blob-tolerant decode sweep -> per-mime outcome counts",
 )
 
 

@@ -59,6 +59,17 @@ def main() -> None:
         path = os.path.join(OUT_DIR, f"{name}_sf0.01.parquet")
         df.toPandas().to_parquet(path, index=False)
         print(f"wrote {path}: {len(df.columns)} cols")
+    if "permissive_decode_stats" in subset or "permissive_decode_blobs" in subset:
+        # Per-blob verdict twin of permissive_decode_stats: the DuckDB oracle
+        # aggregates THIS parquet (it cannot run the decoders), so regenerate
+        # it together with the aggregated fixture after any intentional
+        # codec / corruption-schedule change.
+        from covid19_spark.plans.q_llm_pipeline import permissive_decode_blobs
+
+        blobs = permissive_decode_blobs(spark, SF_DIR).orderBy("media_id")
+        path = os.path.join(OUT_DIR, "permissive_decode_blobs.parquet")
+        blobs.toPandas().to_parquet(path, index=False)
+        print(f"wrote {path}: {len(blobs.columns)} cols")
 
 
 if __name__ == "__main__":
