@@ -653,7 +653,7 @@ _TIFF_TAG_NAMES = {
     278: "rows_per_strip", 279: "strip_counts", 284: "planar",
     317: "predictor", 320: "colormap",
     322: "tile_width", 323: "tile_length", 324: "tile_offsets",
-    325: "tile_counts",
+    325: "tile_counts", 347: "jpeg_tables",
 }
 
 
@@ -665,8 +665,8 @@ def _tiff_read_ifd(payload: bytes, endian: str):
         raise ValueError("corrupt TIFF: IFD offset out of range")
     (n_tags,) = struct.unpack_from(endian + "H", payload, ifd_off)
     tags = {}
-    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
-    type_fmt = {1: "B", 3: "H", 4: "I"}
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
+    type_fmt = {1: "B", 3: "H", 4: "I", 7: "B"}  # 7 = UNDEFINED (raw bytes)
     for i in range(n_tags):
         base = ifd_off + 2 + 12 * i
         if base + 12 > len(payload):
@@ -722,15 +722,24 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
     if any(b not in (8, 16) for b in bits) or len(set(bits)) != 1:
         raise NotImplementedError(f"{bits}-bit TIFF samples not supported")
     deep = bits[0] == 16
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 32773, 7):
         raise NotImplementedError(
             f"TIFF compression {comp} needs a codec library (libtiff seam)"
         )
     if predictor not in (1, 2):
         raise ValueError(f"corrupt TIFF: unknown predictor {predictor}")
-    if photo not in (0, 1, 2, 3):
+    if comp == 7:
+        # new-style JPEG-in-TIFF (TIFF TechNote 2): every strip/tile is a
+        # JPEG stream decoded by operators/jpeg; tag 347 JPEGTables holds
+        # shared DQT/DHT for abbreviated chunk streams. YCbCr (photo 6) is
+        # the JPEG-internal color space — decode_jpeg already returns RGB.
+        if deep:
+            raise NotImplementedError("12-bit JPEG-in-TIFF not supported")
+        if predictor == 2:
+            raise ValueError("corrupt TIFF: predictor with JPEG compression")
+    if photo not in (0, 1, 2, 3) and not (photo == 6 and comp == 7):
         raise NotImplementedError(f"TIFF photometric {photo} not supported")
-    if photo == 2 and spp < 3:
+    if photo in (2, 6) and spp < 3:
         raise ValueError("corrupt TIFF: RGB needs 3 samples per pixel")
     bps = 2 if deep else 1
     sample_dtype = np.dtype(endian + ("u2" if deep else "u1"))
@@ -757,6 +766,35 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
         if off + cnt > len(payload):
             raise ValueError(f"corrupt TIFF: {what} out of range")
         return _decompress(payload[off : off + cnt], want, what)
+
+    jpeg_tables = bytes(t["jpeg_tables"]) if "jpeg_tables" in t else None
+
+    def _jpeg_chunk(offsets, counts, ci: int, rows: int, cols: int, what: str):
+        """Decode one JPEG-compressed strip/tile to a (rows, cols,
+        row_samples) uint8 array. Abbreviated chunk streams (TechNote 2)
+        are merged with the JPEGTables body: SOI + tables + chunk-after-SOI
+        — a full per-chunk stream (JPEGTables absent) passes through."""
+        from covid19_spark.operators.jpeg import decode_jpeg
+
+        off, cnt = offsets[ci], counts[ci]
+        if off + cnt > len(payload):
+            raise ValueError(f"corrupt TIFF: {what} out of range")
+        data = payload[off : off + cnt]
+        if len(data) < 2 or data[:2] != b"\xff\xd8":
+            raise ValueError(f"corrupt TIFF: JPEG {what} missing SOI")
+        if jpeg_tables is not None and len(jpeg_tables) >= 4:
+            if jpeg_tables[:2] != b"\xff\xd8":
+                raise ValueError("corrupt TIFF: JPEGTables missing SOI")
+            body = jpeg_tables[2:]
+            if body.endswith(b"\xff\xd9"):
+                body = body[:-2]
+            data = b"\xff\xd8" + body + data[2:]
+        px = decode_jpeg(data)
+        if px.ndim == 2:
+            px = px[:, :, None]
+        if px.shape[0] < rows or px.shape[1] < cols or px.shape[2] < row_samples:
+            raise ValueError(f"corrupt TIFF: JPEG {what} smaller than declared")
+        return np.ascontiguousarray(px[:rows, :cols, :row_samples]).astype(native_dtype)
 
     def _undiff(a: "np.ndarray") -> "np.ndarray":
         # horizontal differencing is per sample, modulo the sample width;
@@ -787,12 +825,18 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
         for p in range(n_planes):
             canvas = np.zeros((down * th, across * tw, row_samples), native_dtype)
             for ti in range(tiles_per_plane):
-                raw = _chunk_bytes(
-                    t["tile_offsets"], t["tile_counts"],
-                    p * tiles_per_plane + ti, want, "tile",
-                )
-                tile = np.frombuffer(raw, sample_dtype).reshape(th, tw, row_samples)
-                tile = _undiff(tile) if predictor == 2 else tile.astype(native_dtype)
+                if comp == 7:
+                    tile = _jpeg_chunk(
+                        t["tile_offsets"], t["tile_counts"],
+                        p * tiles_per_plane + ti, th, tw, "tile",
+                    )
+                else:
+                    raw = _chunk_bytes(
+                        t["tile_offsets"], t["tile_counts"],
+                        p * tiles_per_plane + ti, want, "tile",
+                    )
+                    tile = np.frombuffer(raw, sample_dtype).reshape(th, tw, row_samples)
+                    tile = _undiff(tile) if predictor == 2 else tile.astype(native_dtype)
                 ty, tx = divmod(ti, across)
                 canvas[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile
             plane_arrs.append(canvas[:h, :w])
@@ -810,6 +854,17 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
             raise ValueError("corrupt TIFF: too few strips for image size")
         planes = []
         for p in range(n_planes):
+            if comp == 7:
+                blocks = []
+                for si in range(strips_per_plane):
+                    strip_rows = min(rows_per_strip, h - si * rows_per_strip)
+                    px = _jpeg_chunk(
+                        t["strip_offsets"], t["strip_counts"],
+                        p * strips_per_plane + si, strip_rows, w, "strip",
+                    )
+                    blocks.append(px.reshape(strip_rows, samples_per_row))
+                planes.append(np.concatenate(blocks, axis=0))
+                continue
             raw = bytearray()
             for si in range(strips_per_plane):
                 strip_rows = min(rows_per_strip, h - si * rows_per_strip)
@@ -825,7 +880,7 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
             arr = planes[0].reshape(h, w, spp)
         arr = _undiff(arr) if predictor == 2 else arr.astype(native_dtype)
     peak = 0xFFFF if deep else 0xFF
-    if photo == 2:
+    if photo in (2, 6):  # 6 = YCbCr, already RGB after the JPEG decode
         return np.ascontiguousarray(arr[:, :, :3])
     gray = arr[:, :, 0]
     if photo == 0:  # WhiteIsZero
@@ -1002,19 +1057,24 @@ def encode_tiff(
     planar: int = 1,
     tile: "tuple[int, int] | None" = None,
     predictor: int = 1,
+    jpeg_quality: int = 90,
 ) -> bytes:
     """Encode (H, W, 3) RGB or (H, W) grayscale pixels as baseline
-    little-endian TIFF — ``compression``: "none", "packbits", or
-    "lzw"; uint8 input writes 8-bit samples, uint16 writes 16-bit;
-    ``planar=2`` writes separate sample planes (all R chunks, then G,
-    then B); ``tile=(tw, th)`` writes a TIFF 6.0 §15 tiled organization
-    (tags 322-325, edge tiles zero-padded to full size) instead of
-    strips; ``predictor=2`` applies horizontal differencing per
-    strip/tile scanline (tag 317). Round-trips bit-exactly through
-    ``decode_tiff``."""
+    little-endian TIFF — ``compression``: "none", "packbits",
+    "lzw", or "jpeg" (new-style JPEG-in-TIFF, compression 7: every
+    strip/tile is a complete JPEG stream from ``operators/jpeg``; lossy,
+    uint8 only, so the round-trip contract is pixel-equality with the
+    per-chunk JPEG round-trip, not the raw input); uint8 input writes
+    8-bit samples, uint16 writes 16-bit; ``planar=2`` writes separate
+    sample planes (all R chunks, then G, then B); ``tile=(tw, th)``
+    writes a TIFF 6.0 §15 tiled organization (tags 322-325, edge tiles
+    zero-padded to full size) instead of strips; ``predictor=2`` applies
+    horizontal differencing per strip/tile scanline (tag 317; not
+    combinable with "jpeg"). Lossless modes round-trip bit-exactly
+    through ``decode_tiff``."""
     import struct
 
-    comp_id = {"none": 1, "lzw": 5, "packbits": 32773}.get(compression)
+    comp_id = {"none": 1, "lzw": 5, "packbits": 32773, "jpeg": 7}.get(compression)
     if comp_id is None:
         raise ValueError(f"unsupported compression {compression!r}")
     if planar not in (1, 2):
@@ -1023,6 +1083,11 @@ def encode_tiff(
         raise ValueError(f"predictor must be 1 or 2 (got {predictor})")
     src = np.asarray(pixels)
     deep = src.dtype == np.uint16
+    if comp_id == 7:
+        if deep:
+            raise ValueError("jpeg compression writes 8-bit samples only")
+        if predictor == 2:
+            raise ValueError("predictor is not combinable with jpeg compression")
     arr = src.astype(np.uint16 if deep else np.uint8)
     gray = arr.ndim == 2
     arr3 = arr[:, :, None] if gray else arr
@@ -1041,6 +1106,15 @@ def encode_tiff(
         if comp_id == 32773:
             return _packbits_encode(raw)
         return _tiff_lzw_encode(raw)
+
+    def _encode_block(block: "np.ndarray") -> bytes:
+        # block is (rows, cols, s) in file sample order
+        if comp_id == 7:
+            from covid19_spark.operators.jpeg import encode_jpeg
+
+            img = block[:, :, 0] if block.shape[2] == 1 else block
+            return encode_jpeg(np.ascontiguousarray(img), quality=jpeg_quality)
+        return _compress(_maybe_diff(block).tobytes())
 
     def _maybe_diff(block: "np.ndarray") -> "np.ndarray":
         # horizontal differencing per scanline (axis 1), per sample channel
@@ -1067,14 +1141,19 @@ def encode_tiff(
             for ty in range(down):
                 for tx in range(across):
                     blk = padded[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
-                    strips.append(_compress(_maybe_diff(blk).tobytes()))
+                    strips.append(_encode_block(blk))
     else:
         for pl in planes:
             for y0 in range(0, h, rows_per_strip):
-                strips.append(_compress(_maybe_diff(pl[y0 : y0 + rows_per_strip]).tobytes()))
+                strips.append(_encode_block(pl[y0 : y0 + rows_per_strip]))
+    # new-style JPEG writes photometric 6 (YCbCr — the JPEG-internal color
+    # space, per TechNote 2 / libtiff practice) for color, 1 for grayscale
+    photometric = (
+        (6 if spp == 3 else 1) if comp_id == 7 else (2 if spp == 3 else 1)
+    )
     tags = [
         (256, 3, [w]), (257, 3, [h]), (258, 3, [sample_bits] * spp),
-        (259, 3, [comp_id]), (262, 3, [2 if spp == 3 else 1]),
+        (259, 3, [comp_id]), (262, 3, [photometric]),
         (277, 3, [spp]),
     ]
     if tile is not None:

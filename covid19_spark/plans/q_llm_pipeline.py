@@ -809,7 +809,11 @@ def q_tiff_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h, w = 8 + d % 8, 8 + d % 5
                 img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
                 comp = ("none", "packbits", "lzw")[d % 3]
-                if d % 4 == 0:  # tiled organization (TIFF 6.0 §15)
+                if d % 10 == 7:  # new-style JPEG-in-TIFF (compression 7)
+                    payload = encode_tiff(
+                        img, compression="jpeg", rows_per_strip=8
+                    )
+                elif d % 4 == 0:  # tiled organization (TIFF 6.0 §15)
                     payload = encode_tiff(
                         img, compression=comp,
                         tile=(4 + d % 5, 4 + d % 3),

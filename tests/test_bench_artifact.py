@@ -1,0 +1,53 @@
+"""Pin the bench artifact schema (VERDICT r07 task #2).
+
+``bench.py`` records, per query, the MIN across runs (round-over-round
+comparable) AND the raw run list plus a ``spread_flags`` column naming the
+queries whose runs disagreed >2x — so a load-sensitive query self-identifies
+in the artifact instead of costing a day of adjudication separating a real
+regression from environmental drift.
+
+The full sweep takes minutes, so these tests exercise the artifact-building
+logic directly: the in-repo BENCH_LOCAL.json (written by the last sweep)
+must carry the schema, and the spread-flag rule is pinned as pure logic.
+"""
+
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH_LOCAL = os.path.join(REPO, "BENCH_LOCAL.json")
+
+
+def _flags(all_runs):
+    # mirror of bench.py's spread rule — keep the two in sync
+    return sorted(
+        n for n, rs in all_runs.items() if min(rs) > 0.5 and max(rs) > 2.0 * min(rs)
+    )
+
+
+def test_spread_flag_rule():
+    runs = {
+        "steady": [1.0, 1.1],
+        "load_sensitive": [10.0, 4.0, 3.9],  # max > 2x min → flagged
+        "tiny_noisy": [0.1, 0.4],  # sub-threshold absolute time → ignored
+        "borderline": [2.0, 3.9],  # < 2x → not flagged
+    }
+    assert _flags(runs) == ["load_sensitive"]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(BENCH_LOCAL), reason="no local bench artifact yet"
+)
+def test_bench_local_schema():
+    with open(BENCH_LOCAL) as f:
+        art = json.loads(f.readline())
+    for key in ("metric", "value", "unit", "queries", "runs", "spread_flags", "sf"):
+        assert key in art, f"bench artifact missing {key!r}"
+    assert set(art["runs"]) == set(art["queries"])
+    for name, rs in art["runs"].items():
+        assert isinstance(rs, list) and 2 <= len(rs) <= 3
+        # the recorded headline number is the min of the raw runs
+        assert abs(min(rs) - art["queries"][name]) < 1e-6, name
+    assert art["spread_flags"] == _flags(art["runs"])

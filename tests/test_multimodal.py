@@ -1438,7 +1438,11 @@ def test_tiff_big_endian_predictor_and_rejects():
     assert np.array_equal(decode_tiff(pred_file), img)
 
     with pytest.raises(NotImplementedError, match="compression"):
-        decode_tiff(hand_tiff(img, "II", extra_tags=[(259, 3, [7])]))  # JPEG-in-TIFF
+        decode_tiff(hand_tiff(img, "II", extra_tags=[(259, 3, [8])]))  # Deflate
+    # compression 7 is REAL now (round 8) — raw strip bytes are not a JPEG
+    # stream, so the decoder rejects the chunk rather than the compression
+    with pytest.raises(ValueError, match="missing SOI"):
+        decode_tiff(hand_tiff(img, "II", extra_tags=[(259, 3, [7])]))
     with pytest.raises(ValueError):
         decode_tiff(hand_tiff(img, "II")[:40])  # truncated IFD/strip
     with pytest.raises(ValueError, match="not a TIFF"):
@@ -1726,6 +1730,111 @@ def test_tiff_tiled_roundtrip():
     # strips with predictor 2 through the ENCODER too (the hand-built
     # vectors above cover the decode side only)
     assert np.array_equal(decode_tiff(encode_tiff(img, compression="lzw", predictor=2)), img)
+
+
+def test_tiff_jpeg_compression():
+    """New-style JPEG-in-TIFF (compression 7, TIFF TechNote 2): every
+    strip/tile is a JPEG stream decoded by operators/jpeg. The contract is
+    pixel-equality with the per-chunk JPEG round-trip (JPEG is lossy), for
+    strips, tiles, grayscale, and separate planes."""
+    from covid19_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from covid19_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, (5, 6, 3)).astype(np.uint8)
+    img = np.repeat(np.repeat(base, 5, axis=0), 5, axis=1)  # 25x30, blocky
+
+    got = decode_tiff(encode_tiff(img, compression="jpeg", rows_per_strip=8))
+    exp = np.concatenate(
+        [decode_jpeg(encode_jpeg(img[y : y + 8], quality=90)) for y in range(0, 25, 8)],
+        axis=0,
+    )
+    assert np.array_equal(got, exp)
+    assert np.abs(got.astype(int) - img.astype(int)).mean() < 10  # lossy but close
+
+    got = decode_tiff(encode_tiff(img, compression="jpeg", tile=(16, 16)))
+    assert got.shape == img.shape
+    assert np.abs(got.astype(int) - img.astype(int)).mean() < 10
+
+    g = np.repeat(np.repeat(rng.integers(0, 256, (4, 5)).astype(np.uint8), 4, 0), 4, 1)
+    got = decode_tiff(encode_tiff(g, compression="jpeg", rows_per_strip=8))
+    assert np.abs(got[:, :, 0].astype(int) - g.astype(int)).mean() < 6
+
+    got = decode_tiff(encode_tiff(img, compression="jpeg", planar=2, tile=(16, 16)))
+    assert np.abs(got.astype(int) - img.astype(int)).mean() < 10
+
+    with pytest.raises(ValueError, match="8-bit"):
+        encode_tiff(img.astype(np.uint16), compression="jpeg")
+    with pytest.raises(ValueError, match="predictor"):
+        encode_tiff(img, compression="jpeg", predictor=2)
+
+
+def test_tiff_jpeg_tables_abbreviated_stream():
+    """TechNote 2's JPEGTables layout: shared DQT/DHT live in tag 347
+    (type UNDEFINED) as an abbreviated tables-only stream; each strip is an
+    abbreviated image stream WITHOUT its tables. The decoder must merge
+    SOI + tables-body + strip-after-SOI and decode identically to the full
+    per-strip stream."""
+    import struct
+
+    from covid19_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from covid19_spark.operators.multimodal import decode_tiff
+
+    rng = np.random.default_rng(23)
+    img = np.repeat(np.repeat(rng.integers(0, 256, (4, 4, 3)).astype(np.uint8), 4, 0), 4, 1)
+    full = encode_jpeg(img, quality=85)  # one full-image strip, 16x16
+
+    # split: DQT (FFDB) / DHT (FFC4) segments -> tables; the rest -> strip
+    tables, rest = bytearray(b"\xff\xd8"), bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 4 <= len(full):
+        assert full[pos] == 0xFF
+        marker = full[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0xDA:  # SOS: scan data runs to EOI, keep in strip
+            rest += full[pos:-2]
+            break
+        (seglen,) = struct.unpack_from(">H", full, pos + 2)
+        seg = full[pos : pos + 2 + seglen]
+        (tables if marker in (0xDB, 0xC4) else rest).extend(seg)
+        pos += 2 + seglen
+    tables += b"\xff\xd9"
+    rest += b"\xff\xd9"
+    # sanity: the abbreviated strip alone must be missing its tables
+    assert b"\xff\xdb" not in bytes(rest[:40])
+
+    e = "<"
+    strip = bytes(rest)
+    tags = [
+        (256, 3, [16]), (257, 3, [16]), (258, 3, None), (259, 3, [7]),
+        (262, 3, [6]), (273, 4, None), (277, 3, [3]), (278, 3, [16]),
+        (279, 4, [len(strip)]), (347, 7, None),
+    ]
+    n = len(tags)
+    data_off = 8 + 2 + 12 * n + 4
+    bits_off = data_off
+    tables_off = bits_off + 6
+    strip_off = tables_off + len(tables)
+    extra = struct.pack(e + "3H", 8, 8, 8) + bytes(tables)
+    ents = []
+    for tag, typ, vals in tags:
+        if tag == 258:
+            ents.append(struct.pack(e + "HHII", 258, 3, 3, bits_off))
+            continue
+        if tag == 273:
+            vals = [strip_off]
+        if tag == 347:
+            ents.append(struct.pack(e + "HHII", 347, 7, len(tables), tables_off))
+            continue
+        fmt = {3: "H", 4: "I"}[typ]
+        body = struct.pack(e + str(len(vals)) + fmt, *vals)
+        ents.append(struct.pack(e + "HHI", tag, typ, len(vals)) + body.ljust(4, b"\x00"))
+    payload = (
+        b"II*\x00" + struct.pack(e + "I", 8) + struct.pack(e + "H", n)
+        + b"".join(ents) + struct.pack(e + "I", 0) + extra + strip
+    )
+    assert np.array_equal(decode_tiff(payload), decode_jpeg(full))
 
 
 def test_tiff_tiled_hand_built_vector():

@@ -45,8 +45,15 @@ REP_OFFSET = 10_000_000
 
 
 def build_scaled_dir(spark, out_dir: str, factor: int) -> None:
+    """Idempotent per table: a table already present in out_dir (e.g. from
+    an earlier probe run this round) is kept, missing ones are built — the
+    round-7 all-or-nothing guard skipped customer.parquet when the dir
+    predated the fuzzy_name_match probe."""
     os.makedirs(out_dir, exist_ok=True)
     reps = spark.range(factor).select(F.col("id").cast("int").alias("__rep"))
+
+    def _have(name: str) -> bool:
+        return os.path.exists(f"{out_dir}/{name}.parquet")
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     words = F.split(F.col("text"), " ")
@@ -75,9 +82,10 @@ def build_scaled_dir(spark, out_dir: str, factor: int) -> None:
             *[c for c in docs.columns if c not in ("doc_id", "text")],
         )
     )
-    scaled_docs.repartition(32).write.mode("overwrite").parquet(
-        f"{out_dir}/documents.parquet"
-    )
+    if not _have("documents"):
+        scaled_docs.repartition(32).write.mode("overwrite").parquet(
+            f"{out_dir}/documents.parquet"
+        )
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     vec = F.col("embedding")
@@ -95,9 +103,10 @@ def build_scaled_dir(spark, out_dir: str, factor: int) -> None:
             *[c for c in emb.columns if c not in ("vec_id", "embedding")],
         )
     )
-    scaled_emb.repartition(32).write.mode("overwrite").parquet(
-        f"{out_dir}/embeddings.parquet"
-    )
+    if not _have("embeddings"):
+        scaled_emb.repartition(32).write.mode("overwrite").parquet(
+            f"{out_dir}/embeddings.parquet"
+        )
 
     # customer x10 for the blocked-Levenshtein probe: replicas get fresh
     # custkeys AND names regenerated in the TPC-H "Customer#%09d" shape from
@@ -117,9 +126,10 @@ def build_scaled_dir(spark, out_dir: str, factor: int) -> None:
             *[c for c in cust.columns if c not in ("c_custkey", "c_name")],
         )
     )
-    scaled_cust.repartition(32).write.mode("overwrite").parquet(
-        f"{out_dir}/customer.parquet"
-    )
+    if not _have("customer"):
+        scaled_cust.repartition(32).write.mode("overwrite").parquet(
+            f"{out_dir}/customer.parquet"
+        )
 
 
 def image_probe(spark, n_ids: int):
@@ -188,9 +198,8 @@ def main() -> None:
 
     spark = get_spark("scale_probe")
     x10_dir = os.path.join(args.workdir, f"x{args.factor}")
-    if not os.path.exists(os.path.join(x10_dir, "embeddings.parquet")):
-        print(f"building {args.factor}x corpus at {x10_dir} ...", file=sys.stderr)
-        build_scaled_dir(spark, x10_dir, args.factor)
+    print(f"ensuring {args.factor}x corpus at {x10_dir} ...", file=sys.stderr)
+    build_scaled_dir(spark, x10_dir, args.factor)
 
     results = {}
     # round-7 families + the exact-kernel heavies (VERDICT r07 task #5):
