@@ -722,7 +722,7 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
     if any(b not in (8, 16) for b in bits) or len(set(bits)) != 1:
         raise NotImplementedError(f"{bits}-bit TIFF samples not supported")
     deep = bits[0] == 16
-    if comp not in (1, 5, 32773, 7):
+    if comp not in (1, 5, 32773, 7, 8, 32946):
         raise NotImplementedError(
             f"TIFF compression {comp} needs a codec library (libtiff seam)"
         )
@@ -755,6 +755,13 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
             out = chunk[:want]
         elif comp == 32773:
             out = _packbits_decode(chunk, want)
+        elif comp in (8, 32946):  # Adobe deflate / old deflate: zlib stream
+            import zlib
+
+            try:
+                out = zlib.decompress(chunk)
+            except zlib.error as exc:
+                raise ValueError(f"corrupt TIFF: bad deflate {what}: {exc}") from exc
         else:
             out = _tiff_lzw_decode(chunk, want)
         if len(out) < want:
@@ -1061,7 +1068,8 @@ def encode_tiff(
 ) -> bytes:
     """Encode (H, W, 3) RGB or (H, W) grayscale pixels as baseline
     little-endian TIFF — ``compression``: "none", "packbits",
-    "lzw", or "jpeg" (new-style JPEG-in-TIFF, compression 7: every
+    "lzw", "deflate" (Adobe deflate, compression 8: zlib per
+    strip/tile), or "jpeg" (new-style JPEG-in-TIFF, compression 7: every
     strip/tile is a complete JPEG stream from ``operators/jpeg``; lossy,
     uint8 only, so the round-trip contract is pixel-equality with the
     per-chunk JPEG round-trip, not the raw input); uint8 input writes
@@ -1074,7 +1082,9 @@ def encode_tiff(
     through ``decode_tiff``."""
     import struct
 
-    comp_id = {"none": 1, "lzw": 5, "packbits": 32773, "jpeg": 7}.get(compression)
+    comp_id = {
+        "none": 1, "lzw": 5, "packbits": 32773, "jpeg": 7, "deflate": 8,
+    }.get(compression)
     if comp_id is None:
         raise ValueError(f"unsupported compression {compression!r}")
     if planar not in (1, 2):
@@ -1105,6 +1115,10 @@ def encode_tiff(
             return raw
         if comp_id == 32773:
             return _packbits_encode(raw)
+        if comp_id == 8:
+            import zlib
+
+            return zlib.compress(raw, 6)
         return _tiff_lzw_encode(raw)
 
     def _encode_block(block: "np.ndarray") -> bytes:

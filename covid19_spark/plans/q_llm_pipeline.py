@@ -813,9 +813,15 @@ def q_tiff_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payload = encode_tiff(
                         img, compression="jpeg", rows_per_strip=8
                     )
+                elif d % 10 == 3:  # Adobe deflate strips (compression 8)
+                    payload = encode_tiff(
+                        img, compression="deflate", rows_per_strip=2 + d % 7,
+                        predictor=2 if d % 20 == 3 else 1,
+                    )
                 elif d % 4 == 0:  # tiled organization (TIFF 6.0 §15)
                     payload = encode_tiff(
-                        img, compression=comp,
+                        img,
+                        compression=("none", "packbits", "lzw", "deflate")[(d // 4) % 4],
                         tile=(4 + d % 5, 4 + d % 3),
                         predictor=2 if d % 8 == 0 else 1,
                     )

@@ -1438,7 +1438,7 @@ def test_tiff_big_endian_predictor_and_rejects():
     assert np.array_equal(decode_tiff(pred_file), img)
 
     with pytest.raises(NotImplementedError, match="compression"):
-        decode_tiff(hand_tiff(img, "II", extra_tags=[(259, 3, [8])]))  # Deflate
+        decode_tiff(hand_tiff(img, "II", extra_tags=[(259, 3, [6])]))  # old-style JPEG
     # compression 7 is REAL now (round 8) — raw strip bytes are not a JPEG
     # stream, so the decoder rejects the chunk rather than the compression
     with pytest.raises(ValueError, match="missing SOI"):
@@ -1730,6 +1730,39 @@ def test_tiff_tiled_roundtrip():
     # strips with predictor 2 through the ENCODER too (the hand-built
     # vectors above cover the decode side only)
     assert np.array_equal(decode_tiff(encode_tiff(img, compression="lzw", predictor=2)), img)
+
+
+def test_tiff_deflate_compression():
+    """Adobe deflate (compression 8): zlib per strip/tile — stdlib-real,
+    bit-exact round-trips for strips, tiles, planar, 16-bit, predictor 2,
+    and the old-deflate code 32946 decodes identically."""
+    from covid19_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    img16 = rng.integers(0, 65536, (9, 11, 3), dtype=np.uint16)
+    for planar in (1, 2):
+        for pred in (1, 2):
+            assert np.array_equal(
+                decode_tiff(encode_tiff(img, compression="deflate", planar=planar,
+                                        predictor=pred, rows_per_strip=5)), img)
+            assert np.array_equal(
+                decode_tiff(encode_tiff(img, compression="deflate", planar=planar,
+                                        tile=(8, 8), predictor=pred)), img)
+    got16 = decode_tiff(encode_tiff(img16, compression="deflate", predictor=2))
+    assert got16.dtype == np.uint16 and np.array_equal(got16, img16)
+    # old-deflate code 32946 is the same zlib stream — patch the tag value
+    import struct
+    p = bytearray(encode_tiff(img, compression="deflate", rows_per_strip=100))
+    i = p.find(struct.pack("<HHI", 259, 3, 1))
+    assert i > 0 and struct.unpack_from("<H", p, i + 8)[0] == 8
+    struct.pack_into("<H", p, i + 8, 32946)
+    assert np.array_equal(decode_tiff(bytes(p)), img)
+    # corrupt deflate stream raises ValueError, not zlib.error
+    bad = bytearray(encode_tiff(img, compression="deflate", rows_per_strip=100))
+    bad[-10] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(bad))
 
 
 def test_tiff_jpeg_compression():
