@@ -642,10 +642,16 @@ def _gif_lzw_encode(indices: "np.ndarray", min_code: int) -> bytes:
 # width). TILED organization (TIFF 6.0 §15, tags 322-325 — the layout of
 # satellite/scan corpora) decodes through the same codec kernels over the
 # tile geometry, with the predictor undone per tile (differencing restarts
-# at each tile's left edge). `encode_tiff` is the round-trip twin (8/16-bit
-# by input dtype, planar=1|2, strip or tiled, predictor 1|2).
-# JPEG-in-TIFF/sub-byte-sample variants raise NotImplementedError — the
-# production seam (libtiff).
+# at each tile's left edge). Round 8 additions: new-style JPEG-in-TIFF
+# (compression 7 + tag-347 JPEGTables merge, each chunk decoded by
+# operators/jpeg), Adobe/old deflate (8/32946, stdlib zlib), sub-byte
+# samples (1/2/4-bit bilevel/gray/palette, MSB-first row-aligned packing),
+# and CCITT Group 4 (compression 4, operators/ccitt.py — the fax/scanned-
+# document codec, photometric-0 convention). `encode_tiff` is the
+# round-trip twin (8/16-bit by dtype or bits=1|2|4, planar=1|2, strip or
+# tiled, predictor 1|2, none/packbits/lzw/deflate/jpeg/g4). Remaining
+# seams raising NotImplementedError: old-style JPEG (compression 6), G3
+# with EOLs (2/3), and non-power-of-two sample widths (e.g. 12-bit).
 
 _TIFF_TAG_NAMES = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
@@ -719,13 +725,32 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
     rows_per_strip = t.get("rows_per_strip", [h])[0] or h
     if planar not in (1, 2):
         raise ValueError(f"corrupt TIFF: unknown planar config {planar}")
-    if any(b not in (8, 16) for b in bits) or len(set(bits)) != 1:
+    if any(b not in (1, 2, 4, 8, 16) for b in bits) or len(set(bits)) != 1:
         raise NotImplementedError(f"{bits}-bit TIFF samples not supported")
+    sub_byte = bits[0] < 8
+    if sub_byte:
+        # bilevel/low-depth gray and palette scans (fax/archival corpora):
+        # rows are bit-packed MSB-first and padded to a byte boundary per
+        # strip/tile row (TIFF 6.0 §Image File Directory, BitsPerSample).
+        # Single-sample images only — sub-byte RGB does not occur in the
+        # wild and the spec's chunky packing for it is ambiguous.
+        if spp != 1:
+            raise NotImplementedError("sub-byte TIFF with multiple samples")
+        if predictor == 2:
+            raise NotImplementedError("predictor with sub-byte TIFF samples")
+        if comp == 7:
+            raise ValueError("corrupt TIFF: JPEG compression with sub-byte samples")
     deep = bits[0] == 16
-    if comp not in (1, 5, 32773, 7, 8, 32946):
+    if comp not in (1, 4, 5, 32773, 7, 8, 32946):
         raise NotImplementedError(
             f"TIFF compression {comp} needs a codec library (libtiff seam)"
         )
+    if comp == 4:
+        # CCITT Group 4 (T.6 MMR, operators/ccitt.py): bilevel only; the
+        # fax convention is photometric 0 (0 = white), which the shared
+        # sub-byte tail then maps to 255/0 gray.
+        if bits[0] != 1 or spp != 1:
+            raise ValueError("corrupt TIFF: G4 requires 1-bit single-sample data")
     if predictor not in (1, 2):
         raise ValueError(f"corrupt TIFF: unknown predictor {predictor}")
     if comp == 7:
@@ -776,6 +801,14 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
 
     jpeg_tables = bytes(t["jpeg_tables"]) if "jpeg_tables" in t else None
 
+    def _g4_chunk(offsets, counts, ci: int, rows: int, cols: int, what: str):
+        from covid19_spark.operators.ccitt import g4_decode
+
+        off, cnt = offsets[ci], counts[ci]
+        if off + cnt > len(payload):
+            raise ValueError(f"corrupt TIFF: {what} out of range")
+        return g4_decode(payload[off : off + cnt], cols, rows)
+
     def _jpeg_chunk(offsets, counts, ci: int, rows: int, cols: int, what: str):
         """Decode one JPEG-compressed strip/tile to a (rows, cols,
         row_samples) uint8 array. Abbreviated chunk streams (TechNote 2)
@@ -809,6 +842,21 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
         a = np.cumsum(a.astype(np.int64), axis=1)
         return (a & (0xFFFF if deep else 0xFF)).astype(native_dtype)
 
+    def _unpack_rows(raw: bytes, rows: int, cols: int, rb: int) -> "np.ndarray":
+        # sub-byte samples: MSB-first bit packing, each row padded to a
+        # byte boundary of rb bytes → (rows, cols) raw sample values
+        b = np.frombuffer(raw, np.uint8).reshape(rows, rb)
+        bit = bits[0]
+        if bit == 1:
+            vals = np.unpackbits(b, axis=1)
+        elif bit == 2:
+            shifts = np.tile(np.array([6, 4, 2, 0], np.uint8), rb)
+            vals = (np.repeat(b, 4, axis=1) >> shifts) & 0x3
+        else:  # 4
+            shifts = np.tile(np.array([4, 0], np.uint8), rb)
+            vals = (np.repeat(b, 2, axis=1) >> shifts) & 0xF
+        return vals[:, :cols].astype(np.uint8)
+
     if tiled:
         # TIFF 6.0 §15: the image is a grid of tw×th tiles, each compressed
         # independently and PADDED to full tile size at the right/bottom
@@ -827,7 +875,8 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
             raise ValueError("corrupt TIFF: tile offset/count mismatch")
         if n_tiles < tiles_per_plane * n_planes:
             raise ValueError("corrupt TIFF: too few tiles for image size")
-        want = th * tw * row_samples * bps
+        tile_rb = (tw * bits[0] + 7) // 8 if sub_byte else tw * row_samples * bps
+        want = th * tile_rb
         plane_arrs = []
         for p in range(n_planes):
             canvas = np.zeros((down * th, across * tw, row_samples), native_dtype)
@@ -837,6 +886,17 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
                         t["tile_offsets"], t["tile_counts"],
                         p * tiles_per_plane + ti, th, tw, "tile",
                     )
+                elif comp == 4:
+                    tile = _g4_chunk(
+                        t["tile_offsets"], t["tile_counts"],
+                        p * tiles_per_plane + ti, th, tw, "tile",
+                    )[:, :, None]
+                elif sub_byte:
+                    raw = _chunk_bytes(
+                        t["tile_offsets"], t["tile_counts"],
+                        p * tiles_per_plane + ti, want, "tile",
+                    )
+                    tile = _unpack_rows(raw, th, tw, tile_rb)[:, :, None]
                 else:
                     raw = _chunk_bytes(
                         t["tile_offsets"], t["tile_counts"],
@@ -856,19 +916,25 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
             raise ValueError("corrupt TIFF: strip offset/count mismatch")
         strips_per_plane = -(-h // rows_per_strip)
         samples_per_row = w * row_samples
-        row_bytes = samples_per_row * bps
+        row_bytes = (w * bits[0] + 7) // 8 if sub_byte else samples_per_row * bps
         if n_strips < strips_per_plane * n_planes:
             raise ValueError("corrupt TIFF: too few strips for image size")
         planes = []
         for p in range(n_planes):
-            if comp == 7:
+            if comp in (4, 7):
                 blocks = []
                 for si in range(strips_per_plane):
                     strip_rows = min(rows_per_strip, h - si * rows_per_strip)
-                    px = _jpeg_chunk(
-                        t["strip_offsets"], t["strip_counts"],
-                        p * strips_per_plane + si, strip_rows, w, "strip",
-                    )
+                    if comp == 7:
+                        px = _jpeg_chunk(
+                            t["strip_offsets"], t["strip_counts"],
+                            p * strips_per_plane + si, strip_rows, w, "strip",
+                        )
+                    else:
+                        px = _g4_chunk(
+                            t["strip_offsets"], t["strip_counts"],
+                            p * strips_per_plane + si, strip_rows, w, "strip",
+                        )[:, :, None]
                     blocks.append(px.reshape(strip_rows, samples_per_row))
                 planes.append(np.concatenate(blocks, axis=0))
                 continue
@@ -879,8 +945,11 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
                     t["strip_offsets"], t["strip_counts"],
                     p * strips_per_plane + si, strip_rows * row_bytes, "strip",
                 )
-            plane = np.frombuffer(bytes(raw), sample_dtype, h * samples_per_row)
-            planes.append(plane.reshape(h, samples_per_row))
+            if sub_byte:
+                planes.append(_unpack_rows(bytes(raw), h, w, row_bytes))
+            else:
+                plane = np.frombuffer(bytes(raw), sample_dtype, h * samples_per_row)
+                planes.append(plane.reshape(h, samples_per_row))
         if planar == 2:
             arr = np.stack(planes, axis=2)  # (h, w, spp)
         else:
@@ -889,18 +958,25 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
     peak = 0xFFFF if deep else 0xFF
     if photo in (2, 6):  # 6 = YCbCr, already RGB after the JPEG decode
         return np.ascontiguousarray(arr[:, :, :3])
-    gray = arr[:, :, 0]
-    if photo == 0:  # WhiteIsZero
-        gray = peak - gray
     if photo == 3:
         if deep:
             raise NotImplementedError("16-bit palette TIFF not supported")
+        n_colors = (1 << bits[0]) if sub_byte else 256
         cmap = t.get("colormap")
-        if not cmap or len(cmap) < 3 * 256:
+        if not cmap or len(cmap) < 3 * n_colors:
             raise ValueError("corrupt TIFF: palette image without colormap")
         # TIFF colormaps are 16-bit per channel, R then G then B planes
-        cm = np.array(cmap[: 3 * 256], np.uint32).reshape(3, 256) >> 8
+        cm = np.array(cmap[: 3 * n_colors], np.uint32).reshape(3, n_colors) >> 8
         return cm.T[arr[:, :, 0]].astype(np.uint8)
+    gray = arr[:, :, 0]
+    if sub_byte:
+        # scale 0..2^bits-1 to full 8-bit range (exact: 255 divides evenly)
+        sval = (1 << bits[0]) - 1
+        if photo == 0:  # WhiteIsZero
+            gray = sval - gray
+        gray = (gray.astype(np.uint16) * (255 // sval)).astype(np.uint8)
+    elif photo == 0:  # WhiteIsZero
+        gray = peak - gray
     return np.repeat(gray[:, :, None], 3, axis=2)
 
 
@@ -1065,6 +1141,7 @@ def encode_tiff(
     tile: "tuple[int, int] | None" = None,
     predictor: int = 1,
     jpeg_quality: int = 90,
+    bits: "int | None" = None,
 ) -> bytes:
     """Encode (H, W, 3) RGB or (H, W) grayscale pixels as baseline
     little-endian TIFF — ``compression``: "none", "packbits",
@@ -1078,12 +1155,17 @@ def encode_tiff(
     writes a TIFF 6.0 §15 tiled organization (tags 322-325, edge tiles
     zero-padded to full size) instead of strips; ``predictor=2`` applies
     horizontal differencing per strip/tile scanline (tag 317; not
-    combinable with "jpeg"). Lossless modes round-trip bit-exactly
-    through ``decode_tiff``."""
+    combinable with "jpeg"); ``bits=1|2|4`` writes sub-byte samples
+    (bilevel/low-depth gray — the fax/archival scan depths) from 2D input
+    whose values fit the depth, rows bit-packed MSB-first and padded to a
+    byte boundary per strip/tile row. Lossless modes round-trip
+    bit-exactly through ``decode_tiff`` (sub-byte gray reads back scaled
+    to the full 8-bit range, e.g. 1-bit → 0/255)."""
     import struct
 
     comp_id = {
         "none": 1, "lzw": 5, "packbits": 32773, "jpeg": 7, "deflate": 8,
+        "g4": 4,
     }.get(compression)
     if comp_id is None:
         raise ValueError(f"unsupported compression {compression!r}")
@@ -1098,6 +1180,17 @@ def encode_tiff(
             raise ValueError("jpeg compression writes 8-bit samples only")
         if predictor == 2:
             raise ValueError("predictor is not combinable with jpeg compression")
+    if bits is not None:
+        if bits not in (1, 2, 4):
+            raise ValueError(f"bits must be 1, 2 or 4 (got {bits})")
+        if src.ndim != 2:
+            raise ValueError("sub-byte encoding requires 2D grayscale input")
+        if deep or comp_id == 7 or predictor == 2:
+            raise ValueError("sub-byte samples: 8-bit input, no jpeg/predictor")
+        if int(src.max(initial=0)) >= (1 << bits):
+            raise ValueError(f"sample values exceed {bits}-bit range")
+    if comp_id == 4 and bits != 1:
+        raise ValueError("g4 compression requires bits=1 bilevel input")
     arr = src.astype(np.uint16 if deep else np.uint8)
     gray = arr.ndim == 2
     arr3 = arr[:, :, None] if gray else arr
@@ -1106,7 +1199,7 @@ def encode_tiff(
         raise ValueError(f"unsupported channel count {spp}")
     if planar == 2 and spp == 1:
         planar = 1  # single plane: chunky and separate are identical
-    sample_bits = 16 if deep else 8
+    sample_bits = bits if bits is not None else (16 if deep else 8)
     # little-endian sample bytes match the II header
     le = arr3.astype("<u2") if deep else arr3
 
@@ -1121,6 +1214,17 @@ def encode_tiff(
             return zlib.compress(raw, 6)
         return _tiff_lzw_encode(raw)
 
+    def _pack_rows(block2d: "np.ndarray") -> bytes:
+        # MSB-first sub-byte packing, rows padded to a byte boundary
+        rows, cols = block2d.shape
+        per_byte = 8 // bits
+        pad = (-cols) % per_byte
+        if pad:
+            block2d = np.pad(block2d, ((0, 0), (0, pad)))
+        grouped = block2d.reshape(rows, -1, per_byte).astype(np.uint16)
+        shifts = np.arange(per_byte - 1, -1, -1, dtype=np.uint16) * bits
+        return (grouped << shifts).sum(axis=2).astype(np.uint8).tobytes()
+
     def _encode_block(block: "np.ndarray") -> bytes:
         # block is (rows, cols, s) in file sample order
         if comp_id == 7:
@@ -1128,6 +1232,12 @@ def encode_tiff(
 
             img = block[:, :, 0] if block.shape[2] == 1 else block
             return encode_jpeg(np.ascontiguousarray(img), quality=jpeg_quality)
+        if comp_id == 4:
+            from covid19_spark.operators.ccitt import g4_encode
+
+            return g4_encode(block[:, :, 0])
+        if bits is not None:
+            return _compress(_pack_rows(block[:, :, 0]))
         return _compress(_maybe_diff(block).tobytes())
 
     def _maybe_diff(block: "np.ndarray") -> "np.ndarray":
@@ -1161,10 +1271,14 @@ def encode_tiff(
             for y0 in range(0, h, rows_per_strip):
                 strips.append(_encode_block(pl[y0 : y0 + rows_per_strip]))
     # new-style JPEG writes photometric 6 (YCbCr — the JPEG-internal color
-    # space, per TechNote 2 / libtiff practice) for color, 1 for grayscale
-    photometric = (
-        (6 if spp == 3 else 1) if comp_id == 7 else (2 if spp == 3 else 1)
-    )
+    # space, per TechNote 2 / libtiff practice) for color, 1 for grayscale;
+    # G4 writes the fax convention 0 (WhiteIsZero: sample 1 = black ink)
+    if comp_id == 4:
+        photometric = 0
+    elif comp_id == 7:
+        photometric = 6 if spp == 3 else 1
+    else:
+        photometric = 2 if spp == 3 else 1
     tags = [
         (256, 3, [w]), (257, 3, [h]), (258, 3, [sample_bits] * spp),
         (259, 3, [comp_id]), (262, 3, [photometric]),

@@ -809,7 +809,12 @@ def q_tiff_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h, w = 8 + d % 8, 8 + d % 5
                 img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
                 comp = ("none", "packbits", "lzw")[d % 3]
-                if d % 10 == 7:  # new-style JPEG-in-TIFF (compression 7)
+                if d % 25 == 21:  # CCITT G4 bilevel scan (compression 4)
+                    ink = (img.mean(axis=2) < 128).astype(np.uint8)
+                    payload = encode_tiff(
+                        ink, compression="g4", bits=1, rows_per_strip=4 + d % 5
+                    )
+                elif d % 10 == 7:  # new-style JPEG-in-TIFF (compression 7)
                     payload = encode_tiff(
                         img, compression="jpeg", rows_per_strip=8
                     )

@@ -1,0 +1,111 @@
+"""CCITT Group 4 (ITU-T T.6) codec tests — `operators/ccitt.py`.
+
+Hand-derivable vectors first (the all-white image encodes to pure V0 bits;
+a known single-transition line exercises horizontal mode with exact T.4
+codes), then dense round-trip fuzzing across densities and shapes, makeup
+chains past 2560, and the TIFF compression-4 integration (strips, tiles,
+photometric-0 fax convention, decode_image dispatch).
+"""
+
+import numpy as np
+import pytest
+
+from covid19_spark.operators.ccitt import g4_decode, g4_encode
+
+
+def test_all_white_is_pure_v0():
+    # each all-white line codes as a single V0 bit "1" (b1 = a1 = w);
+    # 8 lines -> 0b11111111 -> one 0xFF byte without EOFB
+    assert g4_encode(np.zeros((8, 8), np.uint8), eofb=False) == b"\xff"
+    # and decodes back from that byte alone
+    assert np.array_equal(
+        g4_decode(b"\xff", 8, 8), np.zeros((8, 8), np.uint8)
+    )
+
+
+def test_first_line_horizontal_mode_codes():
+    """First line of [0,0,1,1,0,...]: reference is the imaginary white
+    line, so b1=w makes vertical impossible (|a1-b1|>3 for small a1) and
+    the coder must use horizontal mode: 001 + white-run(2) '0111' +
+    black-run(2) '11'."""
+    img = np.zeros((1, 20), np.uint8)
+    img[0, 2:4] = 1
+    enc = g4_encode(img, eofb=False)
+    bits = "".join(f"{b:08b}" for b in enc)
+    # H + white2 + black2, then the remaining white run to EOL is coded by
+    # vertical against b1=w ... the leading 9 bits are fully determined:
+    assert bits.startswith("001" + "0111" + "11"), bits
+    assert np.array_equal(g4_decode(enc, 20, 1), img)
+
+
+def test_roundtrip_fuzz():
+    rng = np.random.default_rng(3)
+    for _ in range(40):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 70))
+        for density in (0.05, 0.5, 0.95):
+            img = (rng.random((h, w)) < density).astype(np.uint8)
+            assert np.array_equal(g4_decode(g4_encode(img), w, h), img)
+
+
+def test_makeup_chains_and_structured():
+    # structured, text-like content
+    img = np.zeros((30, 200), np.uint8)
+    img[5:8, 10:180] = 1
+    img[12, ::3] = 1
+    img[20:25, 50:55] = 1
+    assert np.array_equal(g4_decode(g4_encode(img), 200, 30), img)
+    # runs beyond one 2560-makeup chain
+    img = np.zeros((3, 3000), np.uint8)
+    img[1, 2900:] = 1
+    assert np.array_equal(g4_decode(g4_encode(img), 3000, 3), img)
+    img = np.ones((2, 2800), np.uint8)
+    assert np.array_equal(g4_decode(g4_encode(img), 2800, 2), img)
+
+
+def test_g4_compresses_documents():
+    # a scanned-text-like page compresses far below the packed-bit size
+    rng = np.random.default_rng(7)
+    img = np.zeros((100, 800), np.uint8)
+    for row in range(10, 90, 12):
+        # "words": black runs of 8-40px separated by white gaps, repeated
+        # identically for 6 scan rows (vertical coherence is what G4's 2D
+        # modes exploit — real glyphs have it, noise doesn't)
+        x = 40
+        line = np.zeros(800, np.uint8)
+        while x < 740:
+            run = int(rng.integers(8, 40))
+            line[x : x + run] = 1
+            x += run + int(rng.integers(4, 20))
+        img[row : row + 6] = line
+    packed = 100 * ((800 + 7) // 8)
+    assert len(g4_encode(img)) < packed / 4
+
+
+def test_g4_rejects():
+    with pytest.raises(ValueError, match="2D"):
+        g4_encode(np.zeros((2, 2, 3), np.uint8))
+    with pytest.raises(ValueError, match="0/1"):
+        g4_encode(np.full((2, 2), 9, np.uint8))
+    with pytest.raises(ValueError):
+        g4_decode(b"\x00\x00", 50, 50)  # not enough data for 50 lines
+
+
+def test_g4_in_tiff():
+    """TIFF compression 4: strips and tiles through the G4 codec, with the
+    fax photometric-0 convention (sample 1 = black ink decodes dark)."""
+    from covid19_spark.operators.multimodal import (
+        decode_image,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(9)
+    img = (rng.random((30, 200)) < 0.3).astype(np.uint8)
+    got = decode_tiff(encode_tiff(img, compression="g4", bits=1, rows_per_strip=7))
+    assert np.array_equal(got[:, :, 0], (1 - img) * 255)
+    got = decode_tiff(encode_tiff(img, compression="g4", bits=1, tile=(9, 16)))
+    assert np.array_equal(got[:, :, 0], (1 - img) * 255)
+    got = decode_image(encode_tiff(img, compression="g4", bits=1, rows_per_strip=999))
+    assert np.array_equal(got[:, :, 0], (1 - img) * 255)
+    with pytest.raises(ValueError, match="bilevel"):
+        encode_tiff(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8), compression="g4")

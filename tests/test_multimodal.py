@@ -1732,6 +1732,79 @@ def test_tiff_tiled_roundtrip():
     assert np.array_equal(decode_tiff(encode_tiff(img, compression="lzw", predictor=2)), img)
 
 
+def test_tiff_sub_byte_samples():
+    """1/2/4-bit TIFF samples (bilevel/low-depth gray — fax and archival
+    scan depths): MSB-first bit-packed rows, byte-aligned per strip/tile
+    row, gray scaled exactly to the 8-bit range (1-bit → 0/255), WhiteIsZero
+    inverted within the sample depth, palette indexed by a 2^bits colormap."""
+    import struct
+
+    from covid19_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(41)
+    for bit in (1, 2, 4):
+        scale = 255 // ((1 << bit) - 1)
+        for comp in ("none", "packbits", "lzw", "deflate"):
+            img = rng.integers(0, 1 << bit, (17, 23)).astype(np.uint8)
+            got = decode_tiff(encode_tiff(img, compression=comp, rows_per_strip=5, bits=bit))
+            assert np.array_equal(got[:, :, 0], img * scale), (bit, comp, "strips")
+            got = decode_tiff(encode_tiff(img, compression=comp, tile=(7, 6), bits=bit))
+            assert np.array_equal(got[:, :, 0], img * scale), (bit, comp, "tiles")
+
+    # WhiteIsZero: invert within the 1-bit depth
+    img = rng.integers(0, 2, (10, 11)).astype(np.uint8)
+    p = bytearray(encode_tiff(img, bits=1, rows_per_strip=100))
+    i = p.find(struct.pack("<HHI", 262, 3, 1))
+    struct.pack_into("<H", p, i + 8, 0)
+    assert np.array_equal(decode_tiff(bytes(p))[:, :, 0], (1 - img) * 255)
+
+    # 4-bit palette: photometric 3 + a 16-entry colormap (tag 320, 16-bit
+    # per channel R-plane G-plane B-plane) appended to an encoded file
+    idx = rng.integers(0, 16, (6, 9)).astype(np.uint8)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    # hand-build: nibble pairs per byte, rows byte-aligned
+    rb = (9 * 4 + 7) // 8
+    rows = []
+    for r in range(6):
+        padded = np.pad(idx[r], (0, (-9) % 2))
+        rows.append(bytes(((padded[0::2] << 4) | padded[1::2]).astype(np.uint8)))
+    raw = b"".join(rows)
+    assert len(raw) == 6 * rb
+    cmap_vals = []
+    for ch in range(3):  # R plane then G then B, 16-bit per entry
+        cmap_vals += [int(v) << 8 for v in pal[:, ch]]
+    e = "<"
+    tags = [
+        (256, 3, [9]), (257, 3, [6]), (258, 3, [4]), (259, 3, [1]),
+        (262, 3, [3]), (273, 4, None), (277, 3, [1]), (278, 3, [6]),
+        (279, 4, [len(raw)]), (320, 3, None),
+    ]
+    n = len(tags)
+    data_off = 8 + 2 + 12 * n + 4
+    cmap_off = data_off
+    strip_off = cmap_off + 2 * len(cmap_vals)
+    extra = struct.pack(e + f"{len(cmap_vals)}H", *cmap_vals)
+    ents = []
+    for tag, typ, vals in tags:
+        if tag == 320:
+            ents.append(struct.pack(e + "HHII", 320, 3, len(cmap_vals), cmap_off))
+            continue
+        if tag == 273:
+            vals = [strip_off]
+        body = struct.pack(e + str(len(vals)) + {3: "H", 4: "I"}[typ], *vals)
+        ents.append(struct.pack(e + "HHI", tag, typ, len(vals)) + body.ljust(4, b"\x00"))
+    payload = (
+        b"II*\x00" + struct.pack(e + "I", 8) + struct.pack(e + "H", n)
+        + b"".join(ents) + struct.pack(e + "I", 0) + extra + raw
+    )
+    assert np.array_equal(decode_tiff(payload), pal[idx])
+
+    with pytest.raises(ValueError, match="range"):
+        encode_tiff(np.full((3, 3), 4, np.uint8), bits=2)
+    with pytest.raises(ValueError, match="2D"):
+        encode_tiff(np.zeros((3, 3, 3), np.uint8), bits=1)
+
+
 def test_tiff_deflate_compression():
     """Adobe deflate (compression 8): zlib per strip/tile — stdlib-real,
     bit-exact round-trips for strips, tiles, planar, 16-bit, predictor 2,
