@@ -257,6 +257,51 @@ def g4_encode(bitmap: "np.ndarray", eofb: bool = True) -> bytes:
     return bw.finish()
 
 
+def mh_encode(bitmap: "np.ndarray") -> bytes:
+    """TIFF compression 2 — CCITT Group 3 one-dimensional Modified Huffman
+    (TIFF 6.0 §10): each row codes independently as alternating white/black
+    T.4 run lengths, starting with a (possibly zero-length) white run, no
+    EOL codes, and each row's coding begins on a byte boundary."""
+    arr = np.asarray(bitmap)
+    if arr.ndim != 2:
+        raise ValueError("MH encodes 2D bilevel arrays")
+    if arr.size and int(arr.max()) > 1:
+        raise ValueError("MH samples must be 0/1")
+    out = bytearray()
+    for row in arr:
+        bw = _BitWriter()
+        # sentinel at row end: the final run always closes the line, and a
+        # row starting black gets the T.4-mandated zero-length white run
+        changes = _changes(row) + [len(row)]
+        pos, color = 0, 0
+        for c in changes:
+            _emit_run(bw, c - pos, color)
+            pos, color = c, color ^ 1
+        out += bw.finish()  # byte-align per row
+    return bytes(out)
+
+
+def mh_decode(data: bytes, width: int, height: int) -> "np.ndarray":
+    """Decode TIFF compression-2 MH rows (byte-aligned per row) to a
+    (height, width) uint8 array of 0/1 samples (0 = white)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("MH dimensions must be positive")
+    out = np.zeros((height, width), np.uint8)
+    br = _BitReader(data)
+    for y in range(height):
+        pos, color = 0, 0
+        while pos < width:
+            run = _read_run(br, color)
+            if pos + run > width:
+                raise ValueError("corrupt MH: run overruns line")
+            if color:
+                out[y, pos : pos + run] = 1
+            pos += run
+            color ^= 1
+        br.pos = (br.pos + 7) & ~7  # each row begins on a byte boundary
+    return out
+
+
 def g4_decode(data: bytes, width: int, height: int) -> "np.ndarray":
     """Decode a T.6 G4 block to a (height, width) uint8 array of 0/1
     samples (0 = white). Trailing EOFB/padding bits are ignored."""

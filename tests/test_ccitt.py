@@ -90,6 +90,40 @@ def test_g4_rejects():
         g4_decode(b"\x00\x00", 50, 50)  # not enough data for 50 lines
 
 
+def test_mh_1d_roundtrip_and_vectors():
+    """TIFF compression 2 (CCITT 1D Modified Huffman): rows code
+    independently as alternating T.4 runs starting white, byte-aligned per
+    row. Hand vector: an all-white 8-wide row is white-run-8 '10011'
+    padded to '10011000'."""
+    from covid19_spark.operators.ccitt import mh_decode, mh_encode
+
+    assert mh_encode(np.zeros((1, 8), np.uint8)) == bytes([0b10011000])
+    # row starting black needs the zero-length white run '00110101'
+    row = np.ones((1, 2), np.uint8)
+    bits = "".join(f"{b:08b}" for b in mh_encode(row))
+    assert bits.startswith("00110101" + "11")  # white0 + black2
+    rng = np.random.default_rng(13)
+    for _ in range(30):
+        h, w = int(rng.integers(1, 30)), int(rng.integers(1, 80))
+        for density in (0.1, 0.5, 0.9):
+            img = (rng.random((h, w)) < density).astype(np.uint8)
+            assert np.array_equal(mh_decode(mh_encode(img), w, h), img)
+    wide = np.zeros((2, 3000), np.uint8)
+    wide[0, 10:2990] = 1
+    assert np.array_equal(mh_decode(mh_encode(wide), 3000, 2), wide)
+
+
+def test_mh_in_tiff():
+    from covid19_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(17)
+    img = (rng.random((20, 90)) < 0.4).astype(np.uint8)
+    got = decode_tiff(encode_tiff(img, compression="mh", bits=1, rows_per_strip=6))
+    assert np.array_equal(got[:, :, 0], (1 - img) * 255)
+    got = decode_tiff(encode_tiff(img, compression="mh", bits=1, tile=(8, 16)))
+    assert np.array_equal(got[:, :, 0], (1 - img) * 255)
+
+
 def test_g4_in_tiff():
     """TIFF compression 4: strips and tiles through the G4 codec, with the
     fax photometric-0 convention (sample 1 = black ink decodes dark)."""
