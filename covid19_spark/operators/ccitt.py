@@ -311,7 +311,6 @@ def g4_decode(data: bytes, width: int, height: int) -> "np.ndarray":
     out = np.zeros((height, width), np.uint8)
     ref_changes: list = []
     for y in range(height):
-        cur_changes: list = []
         a0, color = -1, 0
         while a0 < width:
             # read a mode code
@@ -334,12 +333,6 @@ def g4_decode(data: bytes, width: int, height: int) -> "np.ndarray":
                     raise ValueError("corrupt G4: vertical move out of line")
                 if color:
                     out[y, max(a0, 0) : a1] = 1
-                if a1 < width:
-                    # a changing element only exists inside the line
-                    if cur_changes and cur_changes[-1] == a1:
-                        cur_changes.pop()
-                    else:
-                        cur_changes.append(a1)
                 a0 = a1
                 color ^= 1
             else:  # horizontal: two runs, colour unchanged after
@@ -354,12 +347,8 @@ def g4_decode(data: bytes, width: int, height: int) -> "np.ndarray":
                     out[y, start:a1] = 1
                 else:
                     out[y, a1:a2] = 1
-                for p in (a1, a2):
-                    if p < width:
-                        if cur_changes and cur_changes[-1] == p:
-                            cur_changes.pop()
-                        else:
-                            cur_changes.append(p)
                 a0 = a2
+        # the next line's reference changes come from the DECODED pixels —
+        # simpler and safer than tracking changing elements incrementally
         ref_changes = _changes(out[y])
     return out
