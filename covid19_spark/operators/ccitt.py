@@ -1,7 +1,9 @@
-"""CCITT Group 4 (ITU-T T.6) two-dimensional MMR codec for bilevel images.
+"""CCITT fax codecs for bilevel images: Group 4 (ITU-T T.6 MMR), Group 3
+(ITU-T T.4, EOL-framed 1D/2D), and 1D Modified Huffman.
 
-G4 is THE compression of scanned-document / fax TIFF corpora (TIFF 6.0
-compression 4). Pure stdlib+numpy, implemented from the public spec:
+These are THE compressions of scanned-document / fax TIFF corpora (TIFF
+6.0 compressions 4, 3 and 2). Pure stdlib+numpy, implemented from the
+public specs:
 
 - every line is coded relative to the previous (reference) line's changing
   elements with three modes — pass (``0001``), horizontal (``001`` + two
@@ -16,10 +18,12 @@ compression 4). Pure stdlib+numpy, implemented from the public spec:
   byte padding trail the data.
 
 Sample convention matches TIFF fax practice: 0 = white, 1 = black
-(photometric 0, WhiteIsZero). ``g4_encode``/``g4_decode`` round-trip
-bit-exactly; `operators/multimodal.decode_tiff` dispatches compression 4
-(and the uncompressed-but-G4-shaped 3 is NOT claimed — G3 1D/2D with EOLs
-stays a seam).
+(photometric 0, WhiteIsZero). Every encode/decode pair round-trips
+bit-exactly. `operators/multimodal.decode_tiff` dispatches compression 4
+(``g4_*``), 3 (``g3_*`` — EOL-framed lines, T4Options bit 0 selecting 2D
+coding with a 1D line every k-th for error resilience, RTC trailer), and
+2 (``mh_*`` — independent byte-aligned 1D rows). T.4's uncompressed-mode
+extension (T4Options bit 2) stays a documented seam.
 
 Bit order is MSB-first within each byte (TIFF FillOrder 1, the default).
 """
@@ -226,32 +230,8 @@ def g4_encode(bitmap: "np.ndarray", eofb: bool = True) -> bytes:
     bw = _BitWriter()
     ref_changes: list = []  # imaginary all-white reference line
     for y in range(h):
-        line = arr[y]
-        cur_changes = _changes(line)
-        a0, color = -1, 0
-        while a0 < w:
-            from bisect import bisect_right
-
-            i = bisect_right(cur_changes, a0)
-            a1 = cur_changes[i] if i < len(cur_changes) else w
-            b1, b2 = _b1_b2(ref_changes, a0, color, w)
-            if b2 < a1:
-                bw.put("0001")  # pass
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                delta = a1 - b1
-                bw.put({0: "1", 1: "011", -1: "010", 2: "000011",
-                        -2: "000010", 3: "0000011", -3: "0000010"}[delta])
-                a0 = a1
-                color ^= 1
-            else:
-                a2 = cur_changes[i + 1] if i + 1 < len(cur_changes) else w
-                bw.put("001")  # horizontal
-                start = max(a0, 0)
-                _emit_run(bw, a1 - start, color)
-                _emit_run(bw, a2 - a1, color ^ 1)
-                a0 = a2
-        ref_changes = cur_changes
+        _encode_2d_line(bw, arr[y], ref_changes)
+        ref_changes = _changes(arr[y])
     if eofb:
         bw.put("000000000001" * 2)  # EOFB = two EOLs (T.6 §4.2.2)
     return bw.finish()
@@ -270,13 +250,7 @@ def mh_encode(bitmap: "np.ndarray") -> bytes:
     out = bytearray()
     for row in arr:
         bw = _BitWriter()
-        # sentinel at row end: the final run always closes the line, and a
-        # row starting black gets the T.4-mandated zero-length white run
-        changes = _changes(row) + [len(row)]
-        pos, color = 0, 0
-        for c in changes:
-            _emit_run(bw, c - pos, color)
-            pos, color = c, color ^ 1
+        _encode_1d_line(bw, row)
         out += bw.finish()  # byte-align per row
     return bytes(out)
 
@@ -289,16 +263,164 @@ def mh_decode(data: bytes, width: int, height: int) -> "np.ndarray":
     out = np.zeros((height, width), np.uint8)
     br = _BitReader(data)
     for y in range(height):
-        pos, color = 0, 0
-        while pos < width:
-            run = _read_run(br, color)
-            if pos + run > width:
-                raise ValueError("corrupt MH: run overruns line")
-            if color:
-                out[y, pos : pos + run] = 1
-            pos += run
-            color ^= 1
+        _decode_1d_line(br, out[y], width)
         br.pos = (br.pos + 7) & ~7  # each row begins on a byte boundary
+    return out
+
+
+_EOL = "000000000001"
+
+
+def _encode_1d_line(bw: _BitWriter, row: "np.ndarray") -> None:
+    changes = _changes(row) + [len(row)]
+    pos, color = 0, 0
+    for c in changes:
+        _emit_run(bw, c - pos, color)
+        pos, color = c, color ^ 1
+
+
+def _decode_1d_line(br: _BitReader, out_row: "np.ndarray", width: int) -> None:
+    pos, color = 0, 0
+    while pos < width:
+        run = _read_run(br, color)
+        if pos + run > width:
+            raise ValueError("corrupt G3: run overruns line")
+        if color:
+            out_row[pos : pos + run] = 1
+        pos += run
+        color ^= 1
+
+
+def _encode_2d_line(bw: _BitWriter, line: "np.ndarray", ref_changes: list) -> None:
+    """One T.4/T.6 2D-coded line against the reference line's changing
+    elements — the shared kernel of G4 and G3-2D."""
+    from bisect import bisect_right
+
+    w = len(line)
+    cur_changes = _changes(line)
+    a0, color = -1, 0
+    while a0 < w:
+        i = bisect_right(cur_changes, a0)
+        a1 = cur_changes[i] if i < len(cur_changes) else w
+        b1, b2 = _b1_b2(ref_changes, a0, color, w)
+        if b2 < a1:
+            bw.put("0001")  # pass
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            delta = a1 - b1
+            bw.put({0: "1", 1: "011", -1: "010", 2: "000011",
+                    -2: "000010", 3: "0000011", -3: "0000010"}[delta])
+            a0 = a1
+            color ^= 1
+        else:
+            a2 = cur_changes[i + 1] if i + 1 < len(cur_changes) else w
+            bw.put("001")  # horizontal
+            start = max(a0, 0)
+            _emit_run(bw, a1 - start, color)
+            _emit_run(bw, a2 - a1, color ^ 1)
+            a0 = a2
+
+
+def _decode_2d_line(br: _BitReader, out_row: "np.ndarray", ref_changes: list,
+                    width: int) -> None:
+    a0, color = -1, 0
+    while a0 < width:
+        code = ""
+        while len(code) <= _MODE_MAX_BITS:
+            code += "1" if br.read_bit() else "0"
+            if code in _MODE_CODES:
+                break
+        else:
+            raise ValueError("corrupt G3/G4: bad mode code")
+        mode, delta = _MODE_CODES[code]
+        b1, b2 = _b1_b2(ref_changes, a0, color, width)
+        if mode == "P":
+            if color:
+                out_row[max(a0, 0) : b2] = 1
+            a0 = b2
+        elif mode == "V":
+            a1 = b1 + delta
+            if not (0 <= a1 <= width):
+                raise ValueError("corrupt G3/G4: vertical move out of line")
+            if color:
+                out_row[max(a0, 0) : a1] = 1
+            a0 = a1
+            color ^= 1
+        else:
+            start = max(a0, 0)
+            r1 = _read_run(br, color)
+            r2 = _read_run(br, color ^ 1)
+            a1 = start + r1
+            a2 = a1 + r2
+            if a2 > width:
+                raise ValueError("corrupt G3/G4: horizontal runs overrun line")
+            if color:
+                out_row[start:a1] = 1
+            else:
+                out_row[a1:a2] = 1
+            a0 = a2
+
+
+def g3_encode(bitmap: "np.ndarray", two_d: bool = False, k: int = 2) -> bytes:
+    """TIFF compression 3 — CCITT Group 3 (ITU-T T.4) with EOL codes.
+    1D: every line is EOL + MH runs. 2D (``two_d=True``, T4Options bit 0):
+    every EOL carries a tag bit — 1 selects a 1D line, 0 a 2D line coded
+    against the previous line; every ``k``-th line is 1D (the fax error-
+    resilience ladder, T.4 §4.2.2). Ends with RTC (6 EOLs)."""
+    arr = np.asarray(bitmap)
+    if arr.ndim != 2:
+        raise ValueError("G3 encodes 2D bilevel arrays")
+    if arr.size and int(arr.max()) > 1:
+        raise ValueError("G3 samples must be 0/1")
+    bw = _BitWriter()
+    prev: "np.ndarray | None" = None
+    for y, row in enumerate(arr):
+        bw.put(_EOL)
+        if two_d:
+            one_d = (y % k) == 0
+            bw.put("1" if one_d else "0")
+            if one_d:
+                _encode_1d_line(bw, row)
+            else:
+                _encode_2d_line(bw, row, _changes(prev))
+        else:
+            _encode_1d_line(bw, row)
+        prev = row
+    for _ in range(6):  # RTC
+        bw.put(_EOL)
+        if two_d:
+            bw.put("1")
+    return bw.finish()
+
+
+def g3_decode(data: bytes, width: int, height: int, two_d: bool = False) -> "np.ndarray":
+    """Decode a T.4 G3 stream (EOL-framed; ``two_d`` per T4Options bit 0)
+    to (height, width) 0/1 samples. Fill bits before each EOL are consumed
+    by the variable-length EOL scan; trailing RTC is ignored."""
+    if width <= 0 or height <= 0:
+        raise ValueError("G3 dimensions must be positive")
+    br = _BitReader(data)
+    out = np.zeros((height, width), np.uint8)
+    prev_changes: list = []
+    for y in range(height):
+        # scan to the next EOL: zeros (>= 11) then a 1; leading fill bits
+        # are zeros too, so just count zeros until the closing 1
+        zeros = 0
+        while True:
+            if br.read_bit():
+                if zeros >= 11:
+                    break
+                raise ValueError("corrupt G3: expected EOL")
+            zeros += 1
+        if two_d:
+            one_d = br.read_bit() == 1
+        else:
+            one_d = True
+        if one_d:
+            _decode_1d_line(br, out[y], width)
+        else:
+            _decode_2d_line(br, out[y], prev_changes, width)
+        prev_changes = _changes(out[y])
     return out
 
 
@@ -311,43 +433,7 @@ def g4_decode(data: bytes, width: int, height: int) -> "np.ndarray":
     out = np.zeros((height, width), np.uint8)
     ref_changes: list = []
     for y in range(height):
-        a0, color = -1, 0
-        while a0 < width:
-            # read a mode code
-            code = ""
-            while len(code) <= _MODE_MAX_BITS:
-                code += "1" if br.read_bit() else "0"
-                if code in _MODE_CODES:
-                    break
-            else:
-                raise ValueError("corrupt G4: bad mode code")
-            mode, delta = _MODE_CODES[code]
-            b1, b2 = _b1_b2(ref_changes, a0, color, width)
-            if mode == "P":
-                if color:
-                    out[y, max(a0, 0) : b2] = 1
-                a0 = b2
-            elif mode == "V":
-                a1 = b1 + delta
-                if not (0 <= a1 <= width):
-                    raise ValueError("corrupt G4: vertical move out of line")
-                if color:
-                    out[y, max(a0, 0) : a1] = 1
-                a0 = a1
-                color ^= 1
-            else:  # horizontal: two runs, colour unchanged after
-                start = max(a0, 0)
-                r1 = _read_run(br, color)
-                r2 = _read_run(br, color ^ 1)
-                a1 = start + r1
-                a2 = a1 + r2
-                if a2 > width:
-                    raise ValueError("corrupt G4: horizontal runs overrun line")
-                if color:
-                    out[y, start:a1] = 1
-                else:
-                    out[y, a1:a2] = 1
-                a0 = a2
+        _decode_2d_line(br, out[y], ref_changes, width)
         # the next line's reference changes come from the DECODED pixels —
         # simpler and safer than tracking changing elements incrementally
         ref_changes = _changes(out[y])

@@ -646,19 +646,20 @@ def _gif_lzw_encode(indices: "np.ndarray", min_code: int) -> bytes:
 # (compression 7 + tag-347 JPEGTables merge, each chunk decoded by
 # operators/jpeg), Adobe/old deflate (8/32946, stdlib zlib), sub-byte
 # samples (1/2/4-bit bilevel/gray/palette, MSB-first row-aligned packing),
-# and the CCITT fax codecs (compression 4 Group 4 T.6 MMR and
-# compression 2 1D Modified Huffman, operators/ccitt.py — photometric-0
-# convention). `encode_tiff` is the round-trip twin (8/16-bit by dtype or
-# bits=1|2|4, planar=1|2, strip or tiled, predictor 1|2,
-# none/packbits/lzw/deflate/jpeg/g4/mh). Remaining seams raising
-# NotImplementedError: old-style JPEG (compression 6), G3 with EOLs
-# (compression 3), and non-power-of-two sample widths (e.g. 12-bit).
+# and the CCITT fax codecs (compression 4 Group 4 T.6 MMR, compression 3
+# Group 3 T.4 with EOLs incl. 2D mode via T4Options bit 0, compression 2
+# 1D Modified Huffman — operators/ccitt.py, photometric-0 convention).
+# `encode_tiff` is the round-trip twin (8/16-bit by dtype or bits=1|2|4,
+# planar=1|2, strip or tiled, predictor 1|2, none/packbits/lzw/deflate/
+# jpeg/g4/g3/g3_2d/mh). Remaining seams raising NotImplementedError:
+# old-style JPEG (compression 6), T.4 uncompressed-mode extension, and
+# non-power-of-two sample widths (e.g. 12-bit).
 
 _TIFF_TAG_NAMES = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "spp",
     278: "rows_per_strip", 279: "strip_counts", 284: "planar",
-    317: "predictor", 320: "colormap",
+    292: "t4_options", 317: "predictor", 320: "colormap",
     322: "tile_width", 323: "tile_length", 324: "tile_offsets",
     325: "tile_counts", 347: "jpeg_tables",
 }
@@ -742,12 +743,13 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
         if comp == 7:
             raise ValueError("corrupt TIFF: JPEG compression with sub-byte samples")
     deep = bits[0] == 16
-    if comp not in (1, 2, 4, 5, 32773, 7, 8, 32946):
+    if comp not in (1, 2, 3, 4, 5, 32773, 7, 8, 32946):
         raise NotImplementedError(
             f"TIFF compression {comp} needs a codec library (libtiff seam)"
         )
-    if comp in (2, 4):
+    if comp in (2, 3, 4):
         # CCITT codecs (operators/ccitt.py): 2 = 1D Modified Huffman,
+        # 3 = Group 3 T.4 with EOLs (T4Options bit 0 selects 2D lines),
         # 4 = Group 4 T.6 MMR. Bilevel only; the fax convention is
         # photometric 0 (0 = white), which the shared sub-byte tail then
         # maps to 255/0 gray.
@@ -755,6 +757,8 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
             raise ValueError(
                 "corrupt TIFF: CCITT compression requires 1-bit single-sample data"
             )
+        if comp == 3 and t.get("t4_options", [0])[0] & 0x4:
+            raise NotImplementedError("G3 with uncompressed-mode extension")
     if predictor not in (1, 2):
         raise ValueError(f"corrupt TIFF: unknown predictor {predictor}")
     if comp == 7:
@@ -806,13 +810,18 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
     jpeg_tables = bytes(t["jpeg_tables"]) if "jpeg_tables" in t else None
 
     def _fax_chunk(offsets, counts, ci: int, rows: int, cols: int, what: str):
-        from covid19_spark.operators.ccitt import g4_decode, mh_decode
+        from covid19_spark.operators.ccitt import g3_decode, g4_decode, mh_decode
 
         off, cnt = offsets[ci], counts[ci]
         if off + cnt > len(payload):
             raise ValueError(f"corrupt TIFF: {what} out of range")
-        dec = g4_decode if comp == 4 else mh_decode
-        return dec(payload[off : off + cnt], cols, rows)
+        chunk = payload[off : off + cnt]
+        if comp == 4:
+            return g4_decode(chunk, cols, rows)
+        if comp == 3:
+            two_d = bool(t.get("t4_options", [0])[0] & 0x1)
+            return g3_decode(chunk, cols, rows, two_d=two_d)
+        return mh_decode(chunk, cols, rows)
 
     def _jpeg_chunk(offsets, counts, ci: int, rows: int, cols: int, what: str):
         """Decode one JPEG-compressed strip/tile to a (rows, cols,
@@ -891,7 +900,7 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
                         t["tile_offsets"], t["tile_counts"],
                         p * tiles_per_plane + ti, th, tw, "tile",
                     )
-                elif comp in (2, 4):
+                elif comp in (2, 3, 4):
                     tile = _fax_chunk(
                         t["tile_offsets"], t["tile_counts"],
                         p * tiles_per_plane + ti, th, tw, "tile",
@@ -926,7 +935,7 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
             raise ValueError("corrupt TIFF: too few strips for image size")
         planes = []
         for p in range(n_planes):
-            if comp in (2, 4, 7):
+            if comp in (2, 3, 4, 7):
                 blocks = []
                 for si in range(strips_per_plane):
                     strip_rows = min(rows_per_strip, h - si * rows_per_strip)
@@ -1170,7 +1179,7 @@ def encode_tiff(
 
     comp_id = {
         "none": 1, "lzw": 5, "packbits": 32773, "jpeg": 7, "deflate": 8,
-        "g4": 4, "mh": 2,
+        "g4": 4, "mh": 2, "g3": 3, "g3_2d": 3,
     }.get(compression)
     if comp_id is None:
         raise ValueError(f"unsupported compression {compression!r}")
@@ -1194,7 +1203,7 @@ def encode_tiff(
             raise ValueError("sub-byte samples: 8-bit input, no jpeg/predictor")
         if int(src.max(initial=0)) >= (1 << bits):
             raise ValueError(f"sample values exceed {bits}-bit range")
-    if comp_id in (2, 4) and bits != 1:
+    if comp_id in (2, 3, 4) and bits != 1:
         raise ValueError(f"{compression} compression requires bits=1 bilevel input")
     arr = src.astype(np.uint16 if deep else np.uint8)
     gray = arr.ndim == 2
@@ -1237,11 +1246,14 @@ def encode_tiff(
 
             img = block[:, :, 0] if block.shape[2] == 1 else block
             return encode_jpeg(np.ascontiguousarray(img), quality=jpeg_quality)
-        if comp_id in (2, 4):
-            from covid19_spark.operators.ccitt import g4_encode, mh_encode
+        if comp_id in (2, 3, 4):
+            from covid19_spark.operators.ccitt import g3_encode, g4_encode, mh_encode
 
-            enc = g4_encode if comp_id == 4 else mh_encode
-            return enc(block[:, :, 0])
+            if comp_id == 4:
+                return g4_encode(block[:, :, 0])
+            if comp_id == 3:
+                return g3_encode(block[:, :, 0], two_d=(compression == "g3_2d"))
+            return mh_encode(block[:, :, 0])
         if bits is not None:
             return _compress(_pack_rows(block[:, :, 0]))
         return _compress(_maybe_diff(block).tobytes())
@@ -1279,7 +1291,7 @@ def encode_tiff(
     # new-style JPEG writes photometric 6 (YCbCr — the JPEG-internal color
     # space, per TechNote 2 / libtiff practice) for color, 1 for grayscale;
     # G4 writes the fax convention 0 (WhiteIsZero: sample 1 = black ink)
-    if comp_id in (2, 4):
+    if comp_id in (2, 3, 4):
         photometric = 0
     elif comp_id == 7:
         photometric = 6 if spp == 3 else 1
@@ -1290,6 +1302,8 @@ def encode_tiff(
         (259, 3, [comp_id]), (262, 3, [photometric]),
         (277, 3, [spp]),
     ]
+    if comp_id == 3:
+        tags.append((292, 4, [1 if compression == "g3_2d" else 0]))
     if tile is not None:
         tags += [(322, 3, [tile[0]]), (323, 3, [tile[1]])]
     else:

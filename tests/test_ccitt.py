@@ -124,6 +124,46 @@ def test_mh_in_tiff():
     assert np.array_equal(got[:, :, 0], (1 - img) * 255)
 
 
+def test_g3_roundtrip_and_structure():
+    """TIFF compression 3 (CCITT G3, T.4): EOL-framed lines; 2D mode tags
+    every line 1D/2D after its EOL with a 1D line every k-th (error
+    resilience). The stream must START with an EOL and an all-white image
+    must code each line as EOL + white-run(w)."""
+    from covid19_spark.operators.ccitt import g3_decode, g3_encode
+
+    enc = g3_encode(np.zeros((2, 8), np.uint8))
+    bits = "".join(f"{b:08b}" for b in enc)
+    assert bits.startswith("000000000001" + "10011")  # EOL + white-8
+    rng = np.random.default_rng(19)
+    for two_d in (False, True):
+        for _ in range(15):
+            h, w = int(rng.integers(1, 30)), int(rng.integers(1, 80))
+            img = (rng.random((h, w)) < 0.4).astype(np.uint8)
+            dec = g3_decode(g3_encode(img, two_d=two_d, k=4), w, h, two_d=two_d)
+            assert np.array_equal(dec, img), (two_d, h, w)
+
+
+def test_g3_in_tiff():
+    from covid19_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(23)
+    img = (rng.random((20, 90)) < 0.4).astype(np.uint8)
+    for comp in ("g3", "g3_2d"):
+        got = decode_tiff(encode_tiff(img, compression=comp, bits=1, rows_per_strip=6))
+        assert np.array_equal(got[:, :, 0], (1 - img) * 255), comp
+        got = decode_tiff(encode_tiff(img, compression=comp, bits=1, tile=(8, 16)))
+        assert np.array_equal(got[:, :, 0], (1 - img) * 255), (comp, "tiles")
+    # T4Options uncompressed-mode bit (0x4) stays a documented seam
+    import struct
+
+    p = bytearray(encode_tiff(img, compression="g3", bits=1, rows_per_strip=99))
+    i = p.find(struct.pack("<HHI", 292, 4, 1))
+    assert i > 0
+    struct.pack_into("<I", p, i + 8, 0x4)
+    with pytest.raises(NotImplementedError, match="uncompressed-mode"):
+        decode_tiff(bytes(p))
+
+
 def test_g4_in_tiff():
     """TIFF compression 4: strips and tiles through the G4 codec, with the
     fax photometric-0 convention (sample 1 = black ink decodes dark)."""
