@@ -651,15 +651,18 @@ def _gif_lzw_encode(indices: "np.ndarray", min_code: int) -> bytes:
 # 1D Modified Huffman — operators/ccitt.py, photometric-0 convention).
 # `encode_tiff` is the round-trip twin (8/16-bit by dtype or bits=1|2|4,
 # planar=1|2, strip or tiled, predictor 1|2, none/packbits/lzw/deflate/
-# jpeg/g4/g3/g3_2d/mh). Remaining seams raising NotImplementedError:
-# old-style JPEG (compression 6), T.4 uncompressed-mode extension, and
-# non-power-of-two sample widths (e.g. 12-bit).
+# jpeg/g4/g3/g3_2d/mh). Old-style JPEG (compression 6, §22) decodes in
+# the forms real writers produced: a full interchange stream at tag 513,
+# or per-chunk SOI streams via the compression-7 path. Remaining seams
+# raising NotImplementedError: §22's tables-split variant (519-521), T.4
+# uncompressed mode, and non-power-of-two sample widths (e.g. 12-bit).
 
 _TIFF_TAG_NAMES = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "spp",
     278: "rows_per_strip", 279: "strip_counts", 284: "planar",
     292: "t4_options", 317: "predictor", 320: "colormap",
+    513: "jpeg_if", 514: "jpeg_if_len",
     322: "tile_width", 323: "tile_length", 324: "tile_offsets",
     325: "tile_counts", 347: "jpeg_tables",
 }
@@ -710,11 +713,17 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
         raise ValueError("not a TIFF payload")
     t = _tiff_read_ifd(payload, endian)
     tiled = "tile_offsets" in t
-    for req in ("width", "height") + (
+    # old-style JPEG via tag 513 carries the whole image in ONE interchange
+    # stream — many real writers omitted strip tags entirely
+    old_jpeg_stream = (
+        t.get("compression", [1])[0] == 6 and "jpeg_if" in t and not tiled
+    )
+    chunk_req = (
         ("tile_width", "tile_length", "tile_counts")
         if tiled
-        else ("strip_offsets", "strip_counts")
-    ):
+        else () if old_jpeg_stream else ("strip_offsets", "strip_counts")
+    )
+    for req in ("width", "height") + chunk_req:
         if req not in t:
             raise ValueError(f"corrupt TIFF: missing {req}")
     w, h = t["width"][0], t["height"][0]
@@ -743,10 +752,43 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
         if comp == 7:
             raise ValueError("corrupt TIFF: JPEG compression with sub-byte samples")
     deep = bits[0] == 16
-    if comp not in (1, 2, 3, 4, 5, 32773, 7, 8, 32946):
+    if comp not in (1, 2, 3, 4, 5, 32773, 6, 7, 8, 32946):
         raise NotImplementedError(
             f"TIFF compression {comp} needs a codec library (libtiff seam)"
         )
+    if comp == 6:
+        # Old-style JPEG-in-TIFF (TIFF 6.0 §22, deprecated by TechNote 2
+        # for being underspecified). The form real writers produced — a
+        # complete JFIF stream at tag 513 JPEGInterchangeFormat, or strips
+        # that each start with SOI — decodes through operators/jpeg; the
+        # tables-split variants (tags 519-521 without a full stream) stay
+        # the documented seam.
+        if "jpeg_if" in t:
+            off = t["jpeg_if"][0]
+            ln = t.get("jpeg_if_len", [len(payload) - off])[0]
+            if off + ln > len(payload):
+                raise ValueError("corrupt TIFF: JPEGInterchangeFormat out of range")
+            from covid19_spark.operators.jpeg import decode_jpeg
+
+            px = decode_jpeg(payload[off : off + ln])
+            if px.ndim == 2:
+                px = px[:, :, None]
+            if px.shape[0] < h or px.shape[1] < w:
+                raise ValueError("corrupt TIFF: old-JPEG stream smaller than declared")
+            if photo in (2, 6):
+                if px.shape[2] < 3:
+                    raise ValueError("corrupt TIFF: old-JPEG missing color channels")
+                return np.ascontiguousarray(px[:h, :w, :3])
+            g = px[:h, :w, 0]
+            if photo == 0:
+                g = 255 - g
+            return np.repeat(g[:, :, None], 3, axis=2)
+        # No interchange stream: fall through to the per-chunk JPEG decode,
+        # which requires each strip/tile to be a complete SOI stream (the
+        # required-tags check above already guaranteed chunks exist). The
+        # tables-split variant (tags 519-521, chunks without SOI) fails
+        # there with "JPEG strip missing SOI" — the remaining §22 seam.
+        comp = 7
     if comp in (2, 3, 4):
         # CCITT codecs (operators/ccitt.py): 2 = 1D Modified Huffman,
         # 3 = Group 3 T.4 with EOLs (T4Options bit 0 selects 2D lines),

@@ -1438,9 +1438,9 @@ def test_tiff_big_endian_predictor_and_rejects():
     assert np.array_equal(decode_tiff(pred_file), img)
 
     with pytest.raises(NotImplementedError, match="compression"):
-        decode_tiff(hand_tiff(img, "II", extra_tags=[(259, 3, [6])]))  # old-style JPEG
-    # compression 7 is REAL now (round 8) — raw strip bytes are not a JPEG
-    # stream, so the decoder rejects the chunk rather than the compression
+        decode_tiff(hand_tiff(img, "II", extra_tags=[(259, 3, [9])]))  # JBIG
+    # compressions 6 and 7 are REAL now (round 8) — raw strip bytes are
+    # not a JPEG stream, so the decoder rejects the chunk, not the scheme
     with pytest.raises(ValueError, match="missing SOI"):
         decode_tiff(hand_tiff(img, "II", extra_tags=[(259, 3, [7])]))
     with pytest.raises(ValueError):
@@ -1873,6 +1873,59 @@ def test_tiff_jpeg_compression():
         encode_tiff(img.astype(np.uint16), compression="jpeg")
     with pytest.raises(ValueError, match="predictor"):
         encode_tiff(img, compression="jpeg", predictor=2)
+
+
+def test_tiff_old_style_jpeg():
+    """Old-style JPEG-in-TIFF (compression 6, TIFF 6.0 §22): the forms real
+    writers produced decode — (a) a complete interchange stream at tag 513
+    (with or without the 514 length, strips entirely absent), (b) strips
+    that are themselves complete SOI streams (handled by the compression-7
+    fall-through). The tables-split variant without SOI chunks rejects."""
+    import struct
+
+    from covid19_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from covid19_spark.operators.multimodal import decode_tiff
+
+    rng = np.random.default_rng(29)
+    img = np.repeat(np.repeat(rng.integers(0, 256, (4, 4, 3)).astype(np.uint8), 4, 0), 4, 1)
+    stream = encode_jpeg(img, quality=85)  # 16x16
+    e = "<"
+
+    def build(tags_spec, trailer):
+        n = len(tags_spec)
+        data_off = 8 + 2 + 12 * n + 4
+        extra = struct.pack(e + "3H", 8, 8, 8)
+        ents = []
+        for tag, typ, vals in tags_spec:
+            if tag == 258:
+                ents.append(struct.pack(e + "HHII", 258, 3, 3, data_off))
+                continue
+            if vals == "TRAILER":
+                vals = [data_off + len(extra)]
+            fmt = {3: "H", 4: "I"}[typ]
+            body = struct.pack(e + str(len(vals)) + fmt, *vals)
+            ents.append(struct.pack(e + "HHI", tag, typ, len(vals)) + body.ljust(4, b"\x00"))
+        return (b"II*\x00" + struct.pack(e + "I", 8) + struct.pack(e + "H", n)
+                + b"".join(ents) + struct.pack(e + "I", 0) + extra + trailer)
+
+    want = decode_jpeg(stream)
+    base = [(256, 3, [16]), (257, 3, [16]), (258, 3, None), (259, 3, [6]),
+            (262, 3, [6]), (277, 3, [3])]
+    # (a) tag 513 + 514, no strips at all
+    p = build(base + [(513, 4, "TRAILER"), (514, 4, [len(stream)])], stream)
+    assert np.array_equal(decode_tiff(p), want)
+    # (a') tag 513 without 514 — length defaults to end of file
+    p = build(base + [(513, 4, "TRAILER")], stream)
+    assert np.array_equal(decode_tiff(p), want)
+    # (b) per-strip complete streams, no 513
+    p = build(base + [(273, 4, "TRAILER"), (278, 3, [16]),
+                      (279, 4, [len(stream)])], stream)
+    assert np.array_equal(decode_tiff(p), want)
+    # tables-split seam: strips that are not SOI streams
+    p = build(base + [(273, 4, "TRAILER"), (278, 3, [16]),
+                      (279, 4, [100])], b"\x00" * 100)
+    with pytest.raises(ValueError, match="missing SOI"):
+        decode_tiff(p)
 
 
 def test_tiff_jpeg_tables_abbreviated_stream():
