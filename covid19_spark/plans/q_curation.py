@@ -367,9 +367,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 4 < 3)
     batch = docs.filter(F.col("doc_id") % 4 == 3)
+    # materialize=True for cache hygiene — see tests/test_cache_hygiene.py
     return incremental_dedup_against_corpus(
         corpus, batch, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3,
-        threshold=0.5,
+        threshold=0.5, materialize=True,
     ).orderBy("doc_id")
 
 

@@ -1256,7 +1256,12 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid19_spark.operators.spans import duplicated_spans
 
     docs = _t(spark, sf_dir, "documents")
-    return duplicated_spans(docs, k=8, min_docs=2).orderBy("doc_id", "span_start")
+    # materialize=True: evaluate eagerly and release the gram cache — a
+    # registry query must not leave session-lifetime cache entries behind
+    # (the VERDICT r07 item #2 contract, pinned by tests/test_cache_hygiene.py)
+    return duplicated_spans(docs, k=8, min_docs=2, materialize=True).orderBy(
+        "doc_id", "span_start"
+    )
 
 
 ORACLE_DUPLICATED_SPANS = """
@@ -1300,7 +1305,10 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid19_spark.operators.spans import span_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return span_dedup(docs, k=8, min_docs=2, keep_first=True).orderBy("doc_id")
+    # materialize=True for cache hygiene — see q_duplicated_spans
+    return span_dedup(
+        docs, k=8, min_docs=2, keep_first=True, materialize=True
+    ).orderBy("doc_id")
 
 
 ORACLE_SPAN_DEDUP = """

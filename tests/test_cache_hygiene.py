@@ -31,7 +31,14 @@ from tests.conftest import SF_DIR
 # lsh_guard_report share the cheap signature frame; the three media
 # queries pay a real codec pass each, so only the cheapest media query is
 # exercised here (the other two share the exact same lifecycle code shape).
-CHECKED = ["minhash_lsh", "simhash_pairs", "lsh_guard_report", "image_near_dup"]
+# The persist()-based dedup/span pipelines (operators/dedup.py,
+# operators/spans.py) carry their own release machinery — the last three
+# entries verify it actually fires end-to-end through the registry.
+CHECKED = [
+    "minhash_lsh", "simhash_pairs", "lsh_guard_report", "image_near_dup",
+    "dedup_clusters", "span_dedup", "dedup_incremental", "duplicated_spans",
+    "dedup_pipeline_e2e",
+]
 
 
 def _cache_manager_empty(spark) -> bool:
