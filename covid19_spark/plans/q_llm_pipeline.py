@@ -857,7 +857,118 @@ def q_tiff_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERY_REGISTRY["tiff_image_features"] = QuerySpec(
     q_tiff_image_features, None,
-    "real TIFF decode (none/PackBits/LZW strips) -> features (rows-only)",
+    "real TIFF decode (strip/tiled/deflate/JPEG/G4 variants) -> features (rows-only)",
+)
+
+
+# (variant name, encode_tiff kwargs) — every LOSSLESS organization the codec
+# supports; decoded pixels must be bit-identical across all of them, so the
+# feature vectors must match the baseline exactly.
+_TIFF_MATRIX_VARIANTS = [
+    ("a_none_strip", dict(compression="none", rows_per_strip=5)),
+    ("b_packbits_strip", dict(compression="packbits", rows_per_strip=3)),
+    ("c_lzw_strip", dict(compression="lzw", rows_per_strip=4)),
+    ("d_deflate_strip", dict(compression="deflate", rows_per_strip=6)),
+    ("e_none_tile", dict(compression="none", tile=(6, 5))),
+    ("f_lzw_tile_pred2", dict(compression="lzw", tile=(7, 4), predictor=2)),
+    ("g_deflate_planar", dict(compression="deflate", planar=2, rows_per_strip=5)),
+    ("h_lzw_planar_tile", dict(compression="lzw", planar=2, tile=(5, 6))),
+]
+
+
+def q_tiff_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-codec consistency audit: every LOSSLESS TIFF organization the
+    engine supports (strip/tiled × none/PackBits/LZW/Deflate × chunky/
+    planar × predictor) must decode the SAME pixels — so the distributed
+    feature vectors of all 8 variants of one image must be bit-identical.
+    The query encodes each doc's image 8 ways, decodes them all with the
+    real codecs in ``mapInPandas``, and counts per-variant exact feature
+    agreement against the uncompressed-strip baseline.
+
+    Oracle: the expected counts derive from the documents table in SQL —
+    every doc must agree under every variant, so n_match == n_docs per
+    variant. A codec bug in ANY branch (tile padding, predictor restart,
+    planar reassembly, LZW early-change, zlib framing) breaks the hash
+    match. Scale shape: map-only synth+decode, one |variants|-row
+    aggregate after an 8-row-per-doc broadcast-free groupBy."""
+    import numpy as np
+    import pandas as pd
+
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_tiff,
+        extract_image_features,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .filter(F.col("doc_id") < 120)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    variants = _TIFF_MATRIX_VARIANTS
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                rng = np.random.default_rng(d + 6_000_000)
+                h, w = 9 + d % 7, 8 + d % 6
+                img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                for vi, (vname, kwargs) in enumerate(variants):
+                    rows.append(
+                        (d * 100 + vi, "image", vname, w, h, None,
+                         encode_tiff(img, **kwargs))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "mime", "width", "height",
+                    "duration_ms", "payload",
+                ],
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    feats = extract_image_features(media, use_fake=False).select(
+        (F.col("media_id") / 100).cast("long").alias("doc_id"),
+        F.pmod(F.col("media_id"), F.lit(100)).cast("int").alias("__vi"),
+        F.col("mime").alias("variant"),
+        "feature",
+    )
+    base = feats.filter(F.col("__vi") == 0).select(
+        "doc_id", F.col("feature").alias("__base")
+    )
+    return (
+        feats.join(base, "doc_id")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("feature") == F.col("__base"), 1).otherwise(0)
+            ).cast("long").alias("n_match"),
+        )
+        .orderBy("variant")
+    )
+
+
+# the expected-agreement contract in SQL: every variant matches its baseline
+# on every doc — derived from the live documents domain, not hardcoded counts
+ORACLE_TIFF_CODEC_MATRIX = """
+SELECT v.variant,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_match
+FROM (VALUES ('a_none_strip'), ('b_packbits_strip'), ('c_lzw_strip'),
+             ('d_deflate_strip'), ('e_none_tile'), ('f_lzw_tile_pred2'),
+             ('g_deflate_planar'), ('h_lzw_planar_tile')) v(variant)
+CROSS JOIN (SELECT doc_id FROM documents WHERE doc_id < 120) d
+GROUP BY v.variant
+ORDER BY v.variant
+"""
+
+
+QUERY_REGISTRY["tiff_codec_matrix"] = QuerySpec(
+    q_tiff_codec_matrix, ORACLE_TIFF_CODEC_MATRIX,
+    "8-way lossless TIFF organization cross-validation (oracle)",
 )
 
 

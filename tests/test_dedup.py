@@ -447,6 +447,18 @@ def test_tiff_image_features_matches_fixture(spark):
     _assert_matches_fixture(spark, "tiff_image_features", ["media_id"])
 
 
+def test_tiff_codec_matrix_all_variants_agree(spark):
+    """Every lossless TIFF organization decodes the same pixels: the 8-way
+    cross-validation query must report full agreement on every doc (the
+    DuckDB oracle pins the same contract at the driver)."""
+    from covid19_spark.plans.registry import QUERY_REGISTRY
+    from tests.conftest import SF_DIR
+
+    rows = QUERY_REGISTRY["tiff_codec_matrix"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    assert all(r.n_docs == 120 and r.n_match == 120 for r in rows), rows
+
+
 def test_permissive_decode_stats_matches_fixture(spark):
     _assert_matches_fixture(spark, "permissive_decode_stats", ["mime", "outcome"])
 
