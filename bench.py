@@ -64,6 +64,26 @@ def main() -> None:
         .orderBy("k")
         .write.format("noop").mode("overwrite").save()
     )
+    # Warm the array higher-order-function machinery (aggregate/zip_with/
+    # transform/slice/sort_array-of-structs) that every ANN/dedup plan leans
+    # on — without this the alphabetically-first ANN query pays the one-time
+    # compile (ann_cosine_topk was spread-flagged for exactly this).
+    v = F.transform(F.sequence(F.lit(1), F.lit(16)), lambda i: i.cast("double"))
+    (
+        spark.range(2000)
+        .select(v.alias("v1"), F.reverse(v).alias("v2"))
+        .select(
+            F.aggregate(
+                F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+            ).alias("dot"),
+            F.slice("v1", 2, 5).alias("s"),
+            F.sort_array(
+                F.transform("v1", lambda x: F.struct((-x).alias("n"), x.alias("x")))
+            )[0]["x"].alias("m"),
+        )
+        .groupBy().agg(F.sum("dot").alias("d"), F.count(F.lit(1)).alias("c"))
+        .write.format("noop").mode("overwrite").save()
+    )
 
     def _settle() -> None:
         # Queries that self-join cache intermediate frames (LSH signatures,
