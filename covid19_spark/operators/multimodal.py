@@ -2153,19 +2153,42 @@ def video_near_dup_pairs(
     )
 
 
-def encode_wav(samples: "np.ndarray", sample_rate: int = 16000) -> bytes:
+def encode_wav(
+    samples: "np.ndarray", sample_rate: int = 16000, dtype: str = "i16"
+) -> bytes:
     """Encode PCM samples as a RIFF/WAVE file — pure stdlib (struct).
-    ``samples``: int16 array, (n,) mono or (n, channels). Deterministic;
-    exists so tests and synthesizers can produce REAL decodable audio."""
+    ``samples``: int16 array, (n,) mono or (n, channels). ``dtype`` picks
+    the container depth: ``i16`` (default), ``i24``/``i32`` (the int16
+    signal shifted into the wider word — decodes to the SAME normalized
+    float, x/32768, bit-exactly), or ``f32``/``f64`` IEEE float (format 3,
+    storing x/32768 exactly: an int16 over 2^15 is exactly representable).
+    Deterministic; exists so tests and synthesizers can produce REAL
+    decodable audio at every PCM depth the decoder supports."""
     import struct
 
     arr = np.asarray(samples, dtype=np.int16)
     if arr.ndim == 1:
         arr = arr[:, None]
     n, ch = arr.shape
-    data = arr.astype("<i2").tobytes()
-    byte_rate = sample_rate * ch * 2
-    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    if dtype == "i16":
+        audio_fmt, bits, data = 1, 16, arr.astype("<i2").tobytes()
+    elif dtype == "i24":
+        v = (arr.astype("<i4") << 8).tobytes()
+        b = np.frombuffer(v, np.uint8).reshape(-1, 4)
+        audio_fmt, bits, data = 1, 24, b[:, :3].tobytes()
+    elif dtype == "i32":
+        audio_fmt, bits, data = 1, 32, (arr.astype("<i4") << 16).tobytes()
+    elif dtype == "f32":
+        audio_fmt, bits = 3, 32
+        data = (arr.astype(np.float32) / np.float32(32768.0)).astype("<f4").tobytes()
+    elif dtype == "f64":
+        audio_fmt, bits = 3, 64
+        data = (arr.astype(np.float64) / 32768.0).astype("<f8").tobytes()
+    else:
+        raise ValueError(f"dtype must be i16/i24/i32/f32/f64 (got {dtype!r})")
+    step = bits // 8
+    byte_rate = sample_rate * ch * step
+    fmt = struct.pack("<HHIIHH", audio_fmt, ch, sample_rate, byte_rate, ch * step, bits)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body

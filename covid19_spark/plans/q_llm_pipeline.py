@@ -972,6 +972,198 @@ QUERY_REGISTRY["tiff_codec_matrix"] = QuerySpec(
 )
 
 
+def q_image_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-FORMAT lossless consistency: the same pixels encoded as BMP,
+    PNG (8- AND 16-bit — the 16-bit image is x*257, whose peak-normalized
+    features are algebraically identical to the 8-bit ones, so this also
+    pins the sample-peak contract), GIF (palette — every image here has
+    < 256 pixels, hence < 256 distinct colors), tiled-LZW TIFF, and
+    lossless SOF3 JPEG at 8 and 16 bits must produce the same features.
+    Six INDEPENDENT codecs agreeing on every document is a far stronger
+    decode-correctness check than any single round-trip. Features compare
+    rounded to 4 decimals (the 16-bit JPEG path differs from the others by
+    1 ulp of float32 — measured 9e-10).
+
+    Oracle: expected full-agreement counts derived from the live documents
+    domain, as in ``tiff_codec_matrix``. Scale shape: map-only
+    synth+decode, |variants|-row aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    from covid19_spark.operators.jpeg import encode_jpeg_lossless
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        encode_tiff,
+        extract_image_features,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .filter(F.col("doc_id") < 120)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                rng = np.random.default_rng(d + 6_500_000)
+                h, w = 9 + d % 7, 8 + d % 6  # < 256 pixels -> GIF-safe
+                img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                img16 = img.astype(np.uint16) * 257
+                for vi, (vname, payload) in enumerate([
+                    ("a_bmp", encode_bmp(img)),
+                    ("b_png8", encode_png(img)),
+                    ("c_png16", encode_png(img16)),
+                    ("d_gif", encode_gif(img)),
+                    ("e_tiff_lzw_tile", encode_tiff(img, compression="lzw", tile=(6, 5))),
+                    ("f_jpeg_lossless8", encode_jpeg_lossless(img, predictor=4)),
+                    ("g_jpeg_lossless16", encode_jpeg_lossless(img16, predictor=4)),
+                ]):
+                    rows.append((d * 100 + vi, "image", vname, w, h, None, payload))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "mime", "width", "height",
+                    "duration_ms", "payload",
+                ],
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    rounded = F.transform(F.col("feature"), lambda x: F.round(x, 4))
+    feats = extract_image_features(media, use_fake=False).select(
+        (F.col("media_id") / 100).cast("long").alias("doc_id"),
+        F.pmod(F.col("media_id"), F.lit(100)).cast("int").alias("__vi"),
+        F.col("mime").alias("variant"),
+        rounded.alias("__f"),
+    )
+    base = feats.filter(F.col("__vi") == 0).select(
+        "doc_id", F.col("__f").alias("__base")
+    )
+    return (
+        feats.join(base, "doc_id")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("__f") == F.col("__base"), 1).otherwise(0))
+            .cast("long").alias("n_match"),
+        )
+        .orderBy("variant")
+    )
+
+
+ORACLE_IMAGE_CODEC_MATRIX = """
+SELECT v.variant,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_match
+FROM (VALUES ('a_bmp'), ('b_png8'), ('c_png16'), ('d_gif'),
+             ('e_tiff_lzw_tile'), ('f_jpeg_lossless8'),
+             ('g_jpeg_lossless16')) v(variant)
+CROSS JOIN (SELECT doc_id FROM documents WHERE doc_id < 120) d
+GROUP BY v.variant
+ORDER BY v.variant
+"""
+
+
+QUERY_REGISTRY["image_codec_matrix"] = QuerySpec(
+    q_image_codec_matrix, ORACLE_IMAGE_CODEC_MATRIX,
+    "6-codec cross-format lossless image consistency (oracle)",
+)
+
+
+def q_wav_depth_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM depth consistency: the same int16 signal stored at every PCM
+    depth the WAV decoder supports — 16/24/32-bit integer (the signal
+    shifted into the wider word) and 32/64-bit IEEE float (x/32768,
+    exactly representable) — must decode to the BIT-IDENTICAL normalized
+    float stream, so the distributed audio features must agree exactly.
+    Pins the decoder's per-depth normalization constants (x/2^15, x/2^23,
+    x/2^31, float passthrough) against each other.
+
+    Oracle: derived expected counts, as in the image/TIFF matrices."""
+    import numpy as np
+    import pandas as pd
+
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_wav,
+        extract_audio_features,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .filter(F.col("doc_id") < 120)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                rng = np.random.default_rng(d + 6_600_000)
+                t = np.arange(1600, dtype=np.float64)
+                freq = 200 + (d % 17) * 40
+                sig = (
+                    11000 * np.sin(2 * np.pi * freq * t / 8000)
+                    + rng.integers(-800, 800, 1600)
+                ).astype(np.int16)
+                for vi, dt in enumerate(("i16", "i24", "i32", "f32", "f64")):
+                    rows.append(
+                        (d * 100 + vi, "audio", f"{chr(97 + vi)}_{dt}", None,
+                         None, 200, encode_wav(sig, 8000, dtype=dt))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "mime", "width", "height",
+                    "duration_ms", "payload",
+                ],
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    feats = extract_audio_features(media, use_fake=False).select(
+        (F.col("media_id") / 100).cast("long").alias("doc_id"),
+        F.pmod(F.col("media_id"), F.lit(100)).cast("int").alias("__vi"),
+        F.col("mime").alias("variant"),
+        F.col("feature").alias("__f"),
+    )
+    base = feats.filter(F.col("__vi") == 0).select(
+        "doc_id", F.col("__f").alias("__base")
+    )
+    return (
+        feats.join(base, "doc_id")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("__f") == F.col("__base"), 1).otherwise(0))
+            .cast("long").alias("n_match"),
+        )
+        .orderBy("variant")
+    )
+
+
+ORACLE_WAV_DEPTH_MATRIX = """
+SELECT v.variant,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_match
+FROM (VALUES ('a_i16'), ('b_i24'), ('c_i32'), ('d_f32'), ('e_f64')) v(variant)
+CROSS JOIN (SELECT doc_id FROM documents WHERE doc_id < 120) d
+GROUP BY v.variant
+ORDER BY v.variant
+"""
+
+
+QUERY_REGISTRY["wav_depth_matrix"] = QuerySpec(
+    q_wav_depth_matrix, ORACLE_WAV_DEPTH_MATRIX,
+    "PCM depth cross-validation: 5 container depths, bit-identical decode (oracle)",
+)
+
+
 def permissive_decode_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-blob decode verdicts ``(media_id, mime, outcome)`` for the
     permissive-decode corpus: 500 deterministic image blobs (BMP/PNG/GIF/

@@ -447,6 +447,30 @@ def test_tiff_image_features_matches_fixture(spark):
     _assert_matches_fixture(spark, "tiff_image_features", ["media_id"])
 
 
+def test_image_codec_matrix_all_formats_agree(spark):
+    """Six independent lossless image codecs (BMP/PNG8/PNG16/GIF/TIFF/
+    lossless-JPEG 8+16 bit) must produce agreeing features on every doc —
+    including the 16-bit variants, which also pin the sample-peak
+    normalization contract."""
+    from covid19_spark.plans.registry import QUERY_REGISTRY
+    from tests.conftest import SF_DIR
+
+    rows = QUERY_REGISTRY["image_codec_matrix"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 7
+    assert all(r.n_docs == 120 and r.n_match == 120 for r in rows), rows
+
+
+def test_wav_depth_matrix_all_depths_agree(spark):
+    """Every PCM container depth (i16/i24/i32/f32/f64) of the same int16
+    signal decodes bit-identically, so the features agree exactly."""
+    from covid19_spark.plans.registry import QUERY_REGISTRY
+    from tests.conftest import SF_DIR
+
+    rows = QUERY_REGISTRY["wav_depth_matrix"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert all(r.n_docs == 120 and r.n_match == 120 for r in rows), rows
+
+
 def test_tiff_codec_matrix_all_variants_agree(spark):
     """Every lossless TIFF organization decodes the same pixels: the 8-way
     cross-validation query must report full agreement on every doc (the

@@ -1277,6 +1277,32 @@ def test_gif_rejects_corrupt():
         decode_gif(bytes(bad))
 
 
+def test_wav_depth_variants_decode_bit_identically():
+    """encode_wav's i24/i32/f32/f64 containers of an int16 signal decode to
+    the EXACT same normalized float stream as the i16 original: x<<8 over
+    2^23, x<<16 over 2^31, and x/32768 in IEEE float are all exactly
+    x/32768 in float32."""
+    from covid19_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(1)
+    sig = (
+        12000 * np.sin(2 * np.pi * 440 * np.arange(2000) / 8000)
+        + rng.integers(-500, 500, 2000)
+    ).astype(np.int16)
+    base, rate = decode_wav(encode_wav(sig, 8000, dtype="i16"))
+    assert rate == 8000
+    for dt in ("i24", "i32", "f32", "f64"):
+        got, _ = decode_wav(encode_wav(sig, 8000, dtype=dt))
+        assert np.array_equal(got, base), dt
+    # stereo survives every depth too
+    st = np.stack([sig[:100], -sig[:100]], axis=1)
+    for dt in ("i16", "i24", "i32", "f32", "f64"):
+        got, _ = decode_wav(encode_wav(st, 8000, dtype=dt))
+        assert got.shape == (100, 2), dt
+    with pytest.raises(ValueError, match="dtype"):
+        encode_wav(sig, 8000, dtype="i8")
+
+
 def test_ms_adpcm_full_range_input_encodes():
     """A full-swing alternating ±32767 square wave makes the mean
     |prediction error| exceed int16 range; the delta0 header field must be
