@@ -62,6 +62,41 @@ def hex_threshold(rate: float, chars: int = HASH_CHARS) -> str:
     return format(max(t, 0), f"0{chars}x")
 
 
+def grouped_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: "list[tuple[str, float]]",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every row of a GROUP (url
+    domain, author, conversation, source document of chunks, ...) lands in
+    the same split, because the draw is ``md5(group # salt)`` — splitting
+    per-row instead leaks near-identical rows across the train/eval
+    boundary, the classic contamination bug of naive `randomSplit`.
+
+    ``fractions``: ordered ``[(name, frac), ...]`` summing to 1; the draw
+    falls through ascending cumulative hex thresholds (quantized to
+    16^-HASH_CHARS like every sampler here), the last split takes the
+    remainder. Map-only, no shuffle, no RNG state: the same groups route
+    to the same split on every run, partition layout, and engine (DuckDB
+    md5 matches bit-for-bit — oracle-checked). ``salt`` re-deals the
+    assignment without touching group identity.
+    """
+    if not fractions or abs(sum(f for _, f in fractions) - 1.0) > 1e-9:
+        raise ValueError("fractions must be non-empty and sum to 1")
+    u = md5_uniform(F.concat(F.col(group_col).cast("string"), F.lit("#" + salt)))
+    acc = 0.0
+    chain = None
+    for name, frac in fractions[:-1]:
+        acc += frac
+        cond = u < F.lit(hex_threshold(acc))
+        chain = F.when(cond, name) if chain is None else chain.when(cond, name)
+    last = fractions[-1][0]
+    assigned = chain.otherwise(last) if chain is not None else F.lit(last)
+    return df.withColumn(out_col, assigned)
+
+
 def hash_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
     """Deterministic Bernoulli(``rate``) sample keyed on ``md5(id)``.
 

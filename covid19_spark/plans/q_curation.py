@@ -138,6 +138,57 @@ QUERY_REGISTRY["domain_mix_sample"] = QuerySpec(
 )
 
 
+def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 split of documents by GROUP (a synthetic
+    url-domain stand-in, doc_id mod 97): all of a group's docs land in one
+    split because the draw hashes the group, not the row — per-row
+    `randomSplit` is the classic train/eval contamination bug. Per-split
+    doc and distinct-group counts; group-atomicity itself is pinned by
+    test (sum of per-split distinct groups == global distinct groups).
+    Map-only assignment + one |splits|-sized aggregate; scales as a scan."""
+    from covid19_spark.operators.curation import grouped_split
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.pmod(F.col("doc_id"), F.lit(97)).alias("grp")
+    )
+    assigned = grouped_split(
+        docs, "grp", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("grp").cast("long").alias("n_groups"),
+        )
+        .orderBy("split")
+    )
+
+
+# thresholds are hex_threshold(0.8)='cccc' and hex_threshold(0.9)='e666'
+# over the 4-hex-char draw — inlined so the SQL is self-contained
+ORACLE_GROUPED_SPLIT = """
+WITH g AS (SELECT doc_id, doc_id % 97 AS grp FROM documents),
+a AS (
+  SELECT doc_id, grp,
+         CASE WHEN substr(md5(CAST(grp AS VARCHAR) || '#split'), 1, 4) < 'cccc'
+                THEN 'train'
+              WHEN substr(md5(CAST(grp AS VARCHAR) || '#split'), 1, 4) < 'e666'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM g
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT grp) AS BIGINT) AS n_groups
+FROM a GROUP BY split ORDER BY split
+"""
+
+
+QUERY_REGISTRY["grouped_split"] = QuerySpec(
+    q_grouped_split, ORACLE_GROUPED_SPLIT,
+    "leakage-safe group-atomic train/val/test split (oracle)",
+)
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over synthetic PII-bearing text (emails/IPs/phones/SSNs
     injected deterministically from doc_id, since the synthetic corpus has

@@ -53,6 +53,44 @@ def test_hash_sample_monotone_and_partitioning(ids):
     assert hash_sample(ids, "doc_id", 1.0).count() == ids.count()
 
 
+def test_grouped_split_is_group_atomic_and_deterministic(spark):
+    """Every group lands wholly in ONE split (the leakage-safety
+    contract), assignments are deterministic across runs, fractions are
+    approximately honored at the group level, and a different salt
+    re-deals the groups."""
+    from covid19_spark.operators.curation import grouped_split
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 250).alias("grp")
+    )
+    fr = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    a = grouped_split(df, "grp", fr)
+    # group-atomic: each grp maps to exactly one split
+    per_group = a.groupBy("grp").agg(F.countDistinct("split").alias("n"))
+    assert per_group.filter(F.col("n") > 1).count() == 0
+    # deterministic
+    b = grouped_split(df, "grp", fr)
+    assert a.exceptAll(b).count() == 0
+    # fractions ~honored over 250 groups (binomial ±5 sigma)
+    counts = {r["split"]: r["n"] for r in
+              a.select("grp", "split").distinct().groupBy("split")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts.get("train", 0) - 200) < 32
+    # salt re-deals
+    c = grouped_split(df, "grp", fr, salt="v2")
+    assert c.exceptAll(a).count() > 0
+    # degenerate single split + validation
+    assert grouped_split(df, "grp", [("all", 1.0)]).filter(
+        F.col("split") != "all"
+    ).count() == 0
+    with pytest.raises(ValueError, match="sum to 1"):
+        grouped_split(df, "grp", [("a", 0.5)])
+    # leakage audit the registry query relies on: per-split distinct
+    # groups sum to the global distinct count
+    agg = a.groupBy("split").agg(F.countDistinct("grp").alias("g")).collect()
+    assert sum(r["g"] for r in agg) == 250
+
+
 def test_stratified_quota_exact(spark):
     df = spark.range(0, 900).select(
         F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("lang")
