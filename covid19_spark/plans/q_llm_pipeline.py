@@ -929,12 +929,15 @@ def q_tiff_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    # eager localCheckpoint: the baseline branch and the all-variants side
+    # both consume this frame — without it the synth+decode pass runs
+    # twice (the q_minhash_lsh lifecycle; no CacheManager entry left)
     feats = extract_image_features(media, use_fake=False).select(
         (F.col("media_id") / 100).cast("long").alias("doc_id"),
         F.pmod(F.col("media_id"), F.lit(100)).cast("int").alias("__vi"),
         F.col("mime").alias("variant"),
         "feature",
-    )
+    ).localCheckpoint(eager=True)
     base = feats.filter(F.col("__vi") == 0).select(
         "doc_id", F.col("feature").alias("__base")
     )
@@ -1035,12 +1038,13 @@ def q_image_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
     rounded = F.transform(F.col("feature"), lambda x: F.round(x, 4))
+    # eager localCheckpoint — see q_tiff_codec_matrix
     feats = extract_image_features(media, use_fake=False).select(
         (F.col("media_id") / 100).cast("long").alias("doc_id"),
         F.pmod(F.col("media_id"), F.lit(100)).cast("int").alias("__vi"),
         F.col("mime").alias("variant"),
         rounded.alias("__f"),
-    )
+    ).localCheckpoint(eager=True)
     base = feats.filter(F.col("__vi") == 0).select(
         "doc_id", F.col("__f").alias("__base")
     )
@@ -1126,12 +1130,13 @@ def q_wav_depth_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    # eager localCheckpoint — see q_tiff_codec_matrix
     feats = extract_audio_features(media, use_fake=False).select(
         (F.col("media_id") / 100).cast("long").alias("doc_id"),
         F.pmod(F.col("media_id"), F.lit(100)).cast("int").alias("__vi"),
         F.col("mime").alias("variant"),
         F.col("feature").alias("__f"),
-    )
+    ).localCheckpoint(eager=True)
     base = feats.filter(F.col("__vi") == 0).select(
         "doc_id", F.col("__f").alias("__base")
     )
