@@ -500,6 +500,76 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force EXACT cosine top-k — the ground-truth baseline every ANN
+    tier (LSH / IVF / PQ / IVF-PQ) is recall-measured against, as its own
+    first-class query. One corpus scan, |Q| broadcast query vectors, cosine
+    in codegen'd array HOFs, two-stage top-k (rank window over the scored
+    frame — |corpus|·|Q| rows only ever exist as a streamed projection, no
+    materialized cross product). This is the INDEPENDENTLY-oracled anchor
+    of the similarity family: DuckDB recomputes the same cosine ranking
+    from the raw ``embeddings`` view with its own ``list_dot_product``, so
+    the check is a true cross-engine differential, not a fixture pin.
+
+    Similarity is emitted micro-scaled (``CAST(ROUND(sim*1e6) AS BIGINT)``)
+    so the compare is integer-exact: the two engines sum 64-term dot
+    products in double with potentially different instruction orderings
+    (ulp-scale drift), and stringified raw doubles would flag that noise as
+    a mismatch. Scale: |Q| must be broadcast-small (the serving-path
+    contract); corpus side is a single scan + per-partition partial top-k.
+    """
+    from covid19_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return (
+        cosine_topk(emb, queries, k=10)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round(F.col("sim") * 1000000).cast("long").alias("sim_e6"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_KNN_EXACT_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_dot_product(q.qv, c.cv)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+  FROM q JOIN c ON c.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+         ) AS rnk
+  FROM scored
+)
+SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id,
+       CAST(ROUND(sim * 1000000) AS BIGINT) AS sim_e6
+FROM ranked WHERE rnk <= 10
+ORDER BY query_id, rank
+"""
+
+
+QUERY_REGISTRY["knn_exact_topk"] = QuerySpec(
+    q_knn_exact_topk, ORACLE_KNN_EXACT_TOPK,
+    "exact brute-force cosine top-k (cross-engine oracle)",
+)
+
+
 def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (coarse-quantizer) approximate nearest neighbours — the
     clustering scale path next to the sign-hyperplane LSH ANN. Deterministic
