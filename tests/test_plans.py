@@ -7,6 +7,7 @@ broadcast join into a sort-merge join or drops a pushed filter fails here
 long before it shows up in a benchmark."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from covid19_spark.plans.registry import QUERY_REGISTRY
 
@@ -264,10 +265,25 @@ def test_dedup_pipelines_never_go_quadratic(spark):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
-    # dedup_pipeline_e2e's connected-components stage checkpoints eagerly, so
-    # its executed plan only shows the post-CC tail; the (band, bucket) probe
-    # shape is asserted on the incremental pipeline, whose plan is end-to-end.
-    plan = plan_of(spark, "dedup_incremental")
+    # Both registry queries materialize eagerly for cache hygiene
+    # (localCheckpoint truncates the executed plan to the post-checkpoint
+    # tail), so the (band, bucket) probe shape is asserted on the LAZY twin
+    # of the incremental pipeline — pinned result-identical to
+    # materialize=True by test_incremental_materialize_equals_lazy —
+    # whose end-to-end plan exposes the probe join.
+    from covid19_spark.operators.dedup import incremental_dedup_against_corpus
+    from covid19_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF)
+    lazy = incremental_dedup_against_corpus(
+        docs.filter(F.col("doc_id") % 4 < 3),
+        docs.filter(F.col("doc_id") % 4 == 3),
+        "doc_id", "text", num_hashes=32, bands=8, shingle_n=3,
+        threshold=0.5, materialize=False,
+    )
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "band" in plan and "bucket" in plan
 
 
