@@ -358,31 +358,17 @@ def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     )
 
 
-def encode_jpeg(
-    pixels: np.ndarray,
-    quality: int = 85,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-    progressive: bool = False,
-    precision: int = 8,
-) -> bytes:
-    """Encode (H, W, 3) RGB or (H, W) grayscale uint8 pixels as a baseline
-    JFIF JPEG — or, with ``progressive=True``, as a progressive (SOF2)
-    stream using a libjpeg-style scan script (interleaved DC first at Al=1,
-    spectral-selection AC first scans, AC refinements, DC refinement) so
-    every Annex G decode path has a real test vector. ``subsampling``:
-    "444" (no chroma subsampling) or "420" (2x2 chroma averaging).
-    Deterministic for fixed inputs. Both modes produce the SAME quantized
-    coefficients, so progressive and baseline encodings of one image decode
-    to bit-identical pixels.
-
-    ``precision=12`` emits a T.81 extended sequential (SOF1) 12-bit stream
-    from uint16 samples in [0, 4095]: level shift 2048, 16-bit DQT entries
-    (pq=1, base tables ×16 to keep relative quality), and fixed-length
-    Huffman tables covering the wider magnitude categories (DC SSSS 0-16,
-    AC 1-14 — Annex K's 8-bit tables stop at 11/10). 12-bit applies to both
-    output modes: ``progressive=True`` emits a 12-bit SOF2 stream (the
-    precision threads into the same scan script)."""
+def _prepare_quantized_coefs(
+    pixels: np.ndarray, quality: int, subsampling: str, precision: int
+):
+    """Shared encoder front half: RGB→YCbCr (or grayscale), optional 4:2:0
+    chroma averaging, MCU-grid edge padding, FDCT, quality-scaled
+    quantization. Returns ``(gray, factors, qtabs, comp_coefs, h0, w0)``
+    where ``comp_coefs[ci]`` is a (rows, cols, 64) int32 grid in ZIGZAG
+    order — the entropy-coding back halves (baseline/progressive Huffman
+    and the SOF9 arithmetic twin) all consume this one representation, so
+    every entropy mode of one image encodes the SAME quantized
+    coefficients."""
     if precision not in (8, 12):
         raise ValueError(f"precision must be 8 or 12 (got {precision})")
     center = float(1 << (precision - 1))
@@ -432,11 +418,43 @@ def encode_jpeg(
         q = qtabs[0 if ci == 0 else 1].reshape(8, 8)
         quant = np.round(coefs / q).astype(np.int32)
         comp_coefs.append(quant.reshape(quant.shape[0], quant.shape[1], 64)[:, :, ZIGZAG])
+    return gray, factors, qtabs, comp_coefs, h0, w0
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    progressive: bool = False,
+    precision: int = 8,
+) -> bytes:
+    """Encode (H, W, 3) RGB or (H, W) grayscale uint8 pixels as a baseline
+    JFIF JPEG — or, with ``progressive=True``, as a progressive (SOF2)
+    stream using a libjpeg-style scan script (interleaved DC first at Al=1,
+    spectral-selection AC first scans, AC refinements, DC refinement) so
+    every Annex G decode path has a real test vector. ``subsampling``:
+    "444" (no chroma subsampling) or "420" (2x2 chroma averaging).
+    Deterministic for fixed inputs. Both modes produce the SAME quantized
+    coefficients, so progressive and baseline encodings of one image decode
+    to bit-identical pixels.
+
+    ``precision=12`` emits a T.81 extended sequential (SOF1) 12-bit stream
+    from uint16 samples in [0, 4095]: level shift 2048, 16-bit DQT entries
+    (pq=1, base tables ×16 to keep relative quality), and fixed-length
+    Huffman tables covering the wider magnitude categories (DC SSSS 0-16,
+    AC 1-14 — Annex K's 8-bit tables stop at 11/10). 12-bit applies to both
+    output modes: ``progressive=True`` emits a 12-bit SOF2 stream (the
+    precision threads into the same scan script)."""
+    gray, factors, qtabs, comp_coefs, h0, w0 = _prepare_quantized_coefs(
+        pixels, quality, subsampling, precision
+    )
 
     if progressive:
         return _encode_progressive(
             h0, w0, gray, factors, qtabs, comp_coefs, restart_interval, precision
         )
+    planes_n = 1 if gray else 3
 
     if precision == 12:
         # one fixed-length DC and AC table shared by every component: the
@@ -456,7 +474,9 @@ def encode_jpeg(
                     _build_huffman_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
 
     bw = _BitWriter()
-    pred = [0] * len(planes)
+    pred = [0] * planes_n
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
     mcus_y = -(-h0 // (8 * vmax))
     mcus_x = -(-w0 // (8 * hmax))
     mcu_count = 0
@@ -464,7 +484,7 @@ def encode_jpeg(
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 bw.restart(mcu_count // restart_interval - 1)
-                pred = [0] * len(planes)
+                pred = [0] * planes_n
             mcu_count += 1
             for ci, (hf, vf) in enumerate(factors):
                 tsel = 0 if ci == 0 else 1
@@ -847,7 +867,7 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
             )
         if not (
             _sof_prec == 8
-            or (_sof_prec == 12 and _sof_marker in (0xC1, 0xC2))
+            or (_sof_prec == 12 and _sof_marker in (0xC1, 0xC2, 0xC9))
             or (2 <= _sof_prec <= 16 and _sof_marker == 0xC3)
         ):
             raise NotImplementedError(f"{_sof_prec}-bit precision not supported")
@@ -859,6 +879,9 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
     restart_interval = 0
     progressive = False
     lossless = False
+    arith = False
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
     saw_eoi = False
     grids: dict[int, np.ndarray] | None = None
     data = payload
@@ -913,7 +936,7 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
                 vals = list(body[b + 17 : b + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(bits, vals)
                 b += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):
             # SOF0/1 baseline(+ext seq), SOF2 progressive, SOF3 lossless
             if len(body) < 6:
                 raise ValueError("corrupt JPEG: truncated stream")
@@ -925,7 +948,7 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
             # (SOF3) takes the full P=2..16 range.
             if not (
                 prec == 8
-                or (prec == 12 and marker in (0xC1, 0xC2))
+                or (prec == 12 and marker in (0xC1, 0xC2, 0xC9))
                 or (2 <= prec <= 16 and marker == 0xC3)
             ):
                 raise NotImplementedError(f"{prec}-bit precision not supported")
@@ -943,11 +966,22 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
             frame = {"h": h0, "w": w0, "comps": comps, "prec": prec}
             progressive = marker == 0xC2
             lossless = marker == 0xC3
+            arith = marker == 0xC9
         elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "only sequential/progressive/lossless Huffman JPEG supported "
                 f"(got SOF marker {marker:#x})"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            b = 0
+            while b + 1 < len(body):
+                tc, tb = body[b] >> 4, body[b] & 0x0F
+                val = body[b + 1]
+                if tc == 0:
+                    dc_cond[tb] = (val & 0x0F, val >> 4)  # (L, U)
+                else:
+                    ac_cond[tb] = val  # Kx
+                b += 2
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
                 raise ValueError("corrupt JPEG: truncated stream")
@@ -996,6 +1030,38 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
                     )
                     bm = imgf.reshape(ph // 8, 8, pw // 8, 8, 3).mean(axis=(1, 3))
                     return np.clip(bm, 0, 255).astype(np.uint8)
+                return img
+            if arith:
+                from covid19_spark.operators.jpeg_arith import _decode_arith_scan
+
+                # Strictness guard: a truncated arithmetic scan cannot be
+                # detected from the coder itself (the byte feed pads with
+                # 1-bits past any end, per F.2.2.1), so a stream whose EOI
+                # was cut off would silently decode to garbage. Entropy
+                # bytes can never contain 0xFF followed by > 0x8F (bit
+                # stuffing), so finding EOI in the remaining bytes is exact.
+                if b"\xff\xd9" not in data[pos:]:
+                    raise ValueError("corrupt JPEG: truncated stream")
+                img = _decode_arith_scan(
+                    data, pos, frame, scan, qtabs, dc_cond, ac_cond,
+                    restart_interval,
+                )
+                if dc_only:
+                    # same honest fallback as progressive: assembled image's
+                    # 8x8 block means (adaptive contexts give no cheap
+                    # DC-only walk — every AC decision must be decoded)
+                    prec_ = frame.get("prec", 8)
+                    maxv = (1 << prec_) - 1
+                    imgf = img.astype(np.float64)
+                    hh, ww = imgf.shape[:2]
+                    ph, pw = -(-hh // 8) * 8, -(-ww // 8) * 8
+                    imgf = np.pad(
+                        imgf, ((0, ph - hh), (0, pw - ww), (0, 0)), mode="edge"
+                    )
+                    bm = imgf.reshape(ph // 8, 8, pw // 8, 8, 3).mean(axis=(1, 3))
+                    return np.clip(bm, 0, maxv).astype(
+                        np.uint8 if prec_ == 8 else np.uint16
+                    )
                 return img
             if not progressive:
                 return _decode_scan(
@@ -1240,9 +1306,10 @@ def encode_jpeg_lossless(
     return b"\xff\xd8" + dht + sof + sos + entropy + b"\xff\xd9"
 
 
-#: SOF markers for variants behind the codec-library seam (arithmetic
-#: coding, differential/hierarchical modes).
-_UNSUPPORTED_SOF = frozenset({0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF})
+#: SOF markers for variants behind the codec-library seam (progressive/
+#: lossless arithmetic coding, differential/hierarchical modes). Sequential
+#: arithmetic (SOF9, 0xC9) is SUPPORTED — see operators/jpeg_arith.py.
+_UNSUPPORTED_SOF = frozenset({0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF})
 
 
 def sniff_jpeg_frame(payload: bytes) -> tuple[int, int, int, int]:
@@ -1261,7 +1328,7 @@ def sniff_jpeg_frame(payload: bytes) -> tuple[int, int, int, int]:
         if marker in (0x01, 0xD9, *range(0xD0, 0xD8)):
             continue
         (seglen,) = struct.unpack_from(">H", payload, pos)
-        if marker in (0xC0, 0xC1, 0xC2, 0xC3, *_UNSUPPORTED_SOF):
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, *_UNSUPPORTED_SOF):
             if pos + 7 > len(payload):
                 raise ValueError("corrupt JPEG: truncated stream")
             prec, h0, w0 = struct.unpack_from(">BHH", payload, pos + 2)

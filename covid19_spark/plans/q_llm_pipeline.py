@@ -1149,6 +1149,111 @@ QUERY_REGISTRY["image_codec_matrix"] = QuerySpec(
 )
 
 
+def q_jpeg_entropy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-ENTROPY-MODE consistency for the JPEG family: one image's
+    quantized coefficients encoded through every entropy coder the repo
+    implements — baseline Huffman (SOF0), progressive Huffman (SOF2,
+    spectral-selection + successive-approximation scan script), and the
+    T.81 Annex D/E/F adaptive arithmetic coder (SOF9, with and without
+    restart intervals) — must decode to BIT-IDENTICAL pixels, because all
+    four streams share the `_prepare_quantized_coefs` front half and
+    entropy coding is lossless by construction. This pins the QM-coder
+    (state machine, conditioning contexts, bit stuffing, restart
+    reinitialization) against the two independently-tested Huffman paths
+    on the live documents domain, as a driver-checked query rather than
+    only a pytest (the compression edge itself is pinned in
+    tests/test_jpeg_arith.py).
+
+    Oracle: full-agreement counts over the same doc domain (DuckDB cannot
+    decode JPEG; bit-equality of the decodes is the in-repo invariant and
+    any failure shows as n_match < n_docs). Scale shape: map-only
+    synth+decode behind one eager materialization, |variants|-row agg."""
+    import numpy as np
+    import pandas as pd
+
+    from covid19_spark.operators.jpeg import encode_jpeg
+    from covid19_spark.operators.jpeg_arith import encode_jpeg_arith
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_features,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .filter(F.col("doc_id") < 120)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                rng = np.random.default_rng(d + 7_200_000)
+                h, w = 12 + d % 9, 11 + d % 7
+                img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                q = 60 + (d % 4) * 10
+                for vi, (vname, payload) in enumerate([
+                    ("a_huff_baseline", encode_jpeg(img, quality=q)),
+                    ("b_huff_progressive",
+                     encode_jpeg(img, quality=q, progressive=True)),
+                    ("c_arith", encode_jpeg_arith(img, quality=q)),
+                    ("d_arith_restart",
+                     encode_jpeg_arith(img, quality=q, restart_interval=2)),
+                ]):
+                    rows.append(
+                        (d * 100 + vi, "image", vname, w, h, None, payload)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "mime", "width", "height",
+                    "duration_ms", "payload",
+                ],
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    # entropy modes are losslessly interchangeable: compare UNROUNDED
+    # features (bit-identical pixels -> bit-identical float32 features)
+    feats = extract_image_features(media, use_fake=False).select(
+        (F.col("media_id") / 100).cast("long").alias("doc_id"),
+        F.pmod(F.col("media_id"), F.lit(100)).cast("int").alias("__vi"),
+        F.col("mime").alias("variant"),
+        F.col("feature").alias("__f"),
+    ).localCheckpoint(eager=True)
+    base = feats.filter(F.col("__vi") == 0).select(
+        "doc_id", F.col("__f").alias("__base")
+    )
+    return (
+        feats.join(base, "doc_id")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("__f") == F.col("__base"), 1).otherwise(0))
+            .cast("long").alias("n_match"),
+        )
+        .orderBy("variant")
+    )
+
+
+ORACLE_JPEG_ENTROPY_MATRIX = """
+SELECT v.variant,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_match
+FROM (VALUES ('a_huff_baseline'), ('b_huff_progressive'),
+             ('c_arith'), ('d_arith_restart')) v(variant)
+CROSS JOIN (SELECT doc_id FROM documents WHERE doc_id < 120) d
+GROUP BY v.variant
+ORDER BY v.variant
+"""
+
+
+QUERY_REGISTRY["jpeg_entropy_matrix"] = QuerySpec(
+    q_jpeg_entropy_matrix, ORACLE_JPEG_ENTROPY_MATRIX,
+    "JPEG entropy-mode cross-validation: Huffman vs arithmetic (oracle)",
+)
+
+
 def q_wav_depth_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCM depth consistency: the same int16 signal stored at every PCM
     depth the WAV decoder supports — 16/24/32-bit integer (the signal

@@ -86,8 +86,9 @@ def test_rejects_arithmetic_and_garbage():
     img = _gradient(16, 16)
     payload = bytearray(encode_jpeg(img, quality=80))
     i = payload.find(b"\xff\xc0")
-    # arithmetic-coded SOF9 stays an explicit seam
-    payload[i + 1] = 0xC9
+    # PROGRESSIVE arithmetic (SOF10) stays an explicit seam — sequential
+    # SOF9 is now decoded (tests/test_jpeg_arith.py)
+    payload[i + 1] = 0xCA
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(payload))
     # SOF2 is now DECODED — but a baseline scan header (Ss=0, Se=63) under a
@@ -102,7 +103,7 @@ def test_rejects_arithmetic_and_garbage():
 
 
 def test_seam_rejection_happens_at_sniff_cost():
-    """VERDICT r06 task #8: arithmetic/12-bit streams are refused by the
+    """VERDICT r06 task #8: unsupported-variant/12-bit streams are refused by the
     header marker walk BEFORE any DQT/DHT parsing. Proof: plant a DHT whose
     body is corrupt (counts point past the segment) ahead of the SOF — the
     main walk would raise ValueError parsing it, so getting
@@ -120,8 +121,8 @@ def test_seam_rejection_happens_at_sniff_cost():
 
     arith = bytearray(seam)
     j = bytes(arith).find(b"\xff\xc0")
-    arith[j + 1] = 0xC9
-    with pytest.raises(NotImplementedError, match="SOF marker 0xc9"):
+    arith[j + 1] = 0xCA
+    with pytest.raises(NotImplementedError, match="SOF marker 0xca"):
         decode_jpeg(bytes(arith))
 
     deep = bytearray(seam)
@@ -131,7 +132,7 @@ def test_seam_rejection_happens_at_sniff_cost():
 
     # the sniff itself reports the frame header for both
     marker, prec, h, w = sniff_jpeg_frame(bytes(arith))
-    assert (marker, h, w) == (0xC9, 16, 16)
+    assert (marker, h, w) == (0xCA, 16, 16)
     assert sniff_jpeg_frame(bytes(deep))[1] == 12
 
     # control: the same corrupt DHT under a SUPPORTED SOF still surfaces
