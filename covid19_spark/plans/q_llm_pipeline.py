@@ -473,6 +473,165 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_banding_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE cross-engine oracle for the LSH banding machinery. The minhash
+    SIGNATURES are not SQL-expressible (xxhash64 permutations), which is why
+    ``minhash_lsh`` is a rows-only check — but everything downstream of the
+    signature frame IS: banding into 8×4 slices, the (band, bucket)
+    self-join, candidate-pair dedup, and the agreeing-position Jaccard
+    estimator. This query feeds the REAL ``lsh_candidate_pairs`` operator a
+    deterministic arithmetic signature frame both engines can compute
+    (clusters of 5 docs share a k(d)-position prefix, k graded 0..32, so
+    candidates span every band depth and est_jaccard takes many values),
+    and DuckDB independently re-derives the candidate pairs by grouping on
+    the raw band slices. Agreement count is emitted as an exact BIGINT
+    (est_jaccard·32). The one representational difference — Spark buckets
+    by xxhash64 of the slice, the oracle by the slice itself — is the
+    point: a banding/slicing/join bug cannot hide in a shared fixture.
+    Scale shape: identical to minhash_lsh (map-only banding, bucketed
+    equi-join behind the oversized-bucket guard, |pairs| joins back to
+    KB-scale signatures)."""
+    from covid19_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .filter(F.col("doc_id") < 400)
+    )
+    d = F.col("doc_id")
+    grp = d - d % 5
+    kcut = (d * 7) % 33
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda i: (
+            (F.when(i < kcut, grp).otherwise(d) + 1)
+            * (i * 2654435761 + 7919) % 1000003
+        ),
+    )
+    sigs = docs.select("doc_id", sig.cast("array<long>").alias("sig"))
+    return (
+        lsh_candidate_pairs(sigs, "doc_id", num_hashes=32, bands=8)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("est_jaccard") * 32).cast("long").alias("n_agree"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_LSH_BANDING_CROSSCHECK = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+sigs AS (
+  SELECT doc_id,
+         list_transform(range(0, 32), i ->
+           ((CASE WHEN i < (doc_id * 7) % 33
+                  THEN doc_id - doc_id % 5 ELSE doc_id END) + 1)
+           * (i * 2654435761 + 7919) % 1000003) AS sig
+  FROM d
+),
+banded AS (
+  SELECT doc_id, b.band,
+         array_to_string(sig[b.band * 4 + 1 : b.band * 4 + 4], ',') AS bucket
+  FROM sigs, (SELECT unnest(range(0, 8)) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM banded a
+  JOIN banded c
+    ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(len(list_filter(range(0, 32),
+                i -> sa.sig[i + 1] = sb.sig[i + 1])) AS BIGINT) AS n_agree
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.doc_a
+JOIN sigs sb ON sb.doc_id = p.doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERY_REGISTRY["lsh_banding_crosscheck"] = QuerySpec(
+    q_lsh_banding_crosscheck, ORACLE_LSH_BANDING_CROSSCHECK,
+    "LSH band/bucket/pair/estimator machinery vs independent SQL (oracle)",
+)
+
+
+def q_simhash_banding_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE cross-engine oracle for the banded Hamming probe — the twin of
+    ``lsh_banding_crosscheck`` for the SimHash/dHash/audio/video family.
+    The 64-bit signatures themselves are xxhash-derived in production
+    (rows-only), but the probe downstream of a signature column is pure
+    relational machinery: 4×16-bit sub-band keying, (band, key) self-join
+    behind the oversized-bucket guard, ``bit_count(a XOR b)`` Hamming
+    filter, pair dedup. Feed the REAL ``simhash_candidate_pairs`` a
+    deterministic arithmetic signature (four 15-bit fields; clusters of 5
+    docs share their first d%5 fields, so candidates exist at every band
+    and the Hamming filter both keeps and drops pairs), and let DuckDB
+    re-derive the survivors from raw field equality + its own xor/bit_count.
+    Scale shape: identical to simhash_pairs."""
+    from covid19_spark.operators.dedup import simhash_candidate_pairs
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .filter(F.col("doc_id") < 400)
+    )
+    d = F.col("doc_id")
+    grp = d - d % 5
+    mcut = d % 5
+
+    def fld(f: int):
+        seed = F.when(F.lit(f) < mcut, grp).otherwise(d) + 1
+        return (seed * (f * 2654435761 + 7919)) % 32749
+
+    sim = ((fld(0) * 65536 + fld(1)) * 65536 + fld(2)) * 65536 + fld(3)
+    sigs = docs.select("doc_id", sim.cast("long").alias("simhash"))
+    return (
+        simhash_candidate_pairs(sigs, "doc_id", max_hamming=12)
+        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_SIMHASH_BANDING_CROSSCHECK = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+sigs AS (
+  SELECT doc_id,
+         list_transform(range(0, 4), f ->
+           ((CASE WHEN f < doc_id % 5
+                  THEN doc_id - doc_id % 5 ELSE doc_id END) + 1)
+           * (f * 2654435761 + 7919) % 32749) AS flds
+  FROM d
+),
+s2 AS (
+  SELECT doc_id,
+         ((flds[1] * 65536 + flds[2]) * 65536 + flds[3]) * 65536 + flds[4]
+           AS simhash,
+         flds
+  FROM sigs
+),
+banded AS (
+  SELECT doc_id, simhash, b.band, flds[b.band + 1] AS key
+  FROM s2, (SELECT unnest(range(0, 4)) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         bit_count(xor(a.simhash, c.simhash)) AS hamming
+  FROM banded a
+  JOIN banded c
+    ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= 12
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERY_REGISTRY["simhash_banding_crosscheck"] = QuerySpec(
+    q_simhash_banding_crosscheck, ORACLE_SIMHASH_BANDING_CROSSCHECK,
+    "banded Hamming probe machinery vs independent SQL (oracle)",
+)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (64-bit signature, 4×16-bit band probe,
     Hamming ≤ 12 over 2-gram shingles). Rows-only (xxhash64 not in DuckDB)."""
