@@ -652,17 +652,22 @@ def _gif_lzw_encode(indices: "np.ndarray", min_code: int) -> bytes:
 # `encode_tiff` is the round-trip twin (8/16-bit by dtype or bits=1|2|4,
 # planar=1|2, strip or tiled, predictor 1|2, none/packbits/lzw/deflate/
 # jpeg/g4/g3/g3_2d/mh). Old-style JPEG (compression 6, §22) decodes in
-# the forms real writers produced: a full interchange stream at tag 513,
-# or per-chunk SOI streams via the compression-7 path. Remaining seams
-# raising NotImplementedError: §22's tables-split variant (519-521), T.4
-# uncompressed mode, and non-power-of-two sample widths (e.g. 12-bit).
+# ALL the forms real writers produced: a full interchange stream at tag
+# 513, per-chunk SOI streams via the compression-7 path, and the
+# tables-split variant (tags 519-521 raw tables + bare entropy strips,
+# incl. tag-530 subsampling and tag-515 restarts — round 8). Remaining
+# seams raising NotImplementedError: T.4 uncompressed mode, tiled or
+# RGB-photometric tables-split JPEG, lossless JPEGProc, and
+# non-power-of-two sample widths (e.g. 12-bit).
 
 _TIFF_TAG_NAMES = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "spp",
     278: "rows_per_strip", 279: "strip_counts", 284: "planar",
     292: "t4_options", 317: "predictor", 320: "colormap",
-    513: "jpeg_if", 514: "jpeg_if_len",
+    512: "jpeg_proc", 513: "jpeg_if", 514: "jpeg_if_len",
+    515: "jpeg_restart", 519: "jpeg_q", 520: "jpeg_dc", 521: "jpeg_ac",
+    530: "ycbcr_sub",
     322: "tile_width", 323: "tile_length", 324: "tile_offsets",
     325: "tile_counts", 347: "jpeg_tables",
 }
@@ -695,6 +700,87 @@ def _tiff_read_ifd(payload: bytes, endian: str):
         vals = struct.unpack_from(endian + str(count) + type_fmt[typ], payload, off)
         tags[_TIFF_TAG_NAMES[tag]] = list(vals)
     return tags
+
+
+def _decode_old_jpeg_tables_split(payload, t, w, h, spp, photo, rows_per_strip):
+    """TIFF 6.0 §22 tables-split old-style JPEG: rebuild one interchange
+    stream per strip from the tag-pointed raw tables and the strip's bare
+    entropy bytes, decode via operators/jpeg, and stack the strips.
+
+    Table mapping per §22: JPEGQTables/JPEGDCTables/JPEGACTables each hold
+    ONE offset per component; component ci is assigned quant/Huffman table
+    id ci in the synthesized stream (writers shared chroma tables by
+    pointing both chroma components at the same offset — duplicating the
+    table under two ids is byte-identical decode-wise). Luma carries the
+    tag-530 subsampling factors (spec default 2×2); JPEGRestartInterval
+    (tag 515) becomes a DRI segment — the strip data then contains real
+    RSTn markers, which the rebuilt stream's decoder consumes natively."""
+    import struct
+
+    from covid19_spark.operators.jpeg import decode_jpeg
+
+    qoffs = t["jpeg_q"]
+    dcoffs = t.get("jpeg_dc", [])
+    acoffs = t.get("jpeg_ac", [])
+    if len(qoffs) < spp or len(dcoffs) < spp or len(acoffs) < spp:
+        raise ValueError("corrupt TIFF: tables-split JPEG missing per-component tables")
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def huff_body(off, tc, th):
+        if off + 17 > len(payload):
+            raise ValueError("corrupt TIFF: JPEG Huffman table out of range")
+        counts = payload[off : off + 16]
+        n = sum(counts)
+        if off + 16 + n > len(payload):
+            raise ValueError("corrupt TIFF: JPEG Huffman table out of range")
+        return bytes([(tc << 4) | th]) + counts + payload[off + 16 : off + 16 + n]
+
+    tables = b""
+    for ci in range(spp):
+        qo = qoffs[ci]
+        if qo + 64 > len(payload):
+            raise ValueError("corrupt TIFF: JPEG quant table out of range")
+        tables += seg(0xFFDB, bytes([ci]) + payload[qo : qo + 64])
+    for ci in range(spp):
+        tables += seg(0xFFC4, huff_body(dcoffs[ci], 0, ci))
+        tables += seg(0xFFC4, huff_body(acoffs[ci], 1, ci))
+    if t.get("jpeg_restart", [0])[0]:
+        tables += seg(0xFFDD, struct.pack(">H", t["jpeg_restart"][0]))
+    sub_h, sub_v = (t.get("ycbcr_sub", [2, 2]) + [2])[:2] if photo == 6 else (1, 1)
+    offs, cnts = t["strip_offsets"], t["strip_counts"]
+    strips = []
+    y = 0
+    for si, (off, cnt) in enumerate(zip(offs, cnts)):
+        if off + cnt > len(payload):
+            raise ValueError("corrupt TIFF: strip out of range")
+        strip_h = min(rows_per_strip, h - y)
+        if strip_h <= 0:
+            break
+        sof = struct.pack(">BHHB", 8, strip_h, w, spp)
+        sos = bytes([spp])
+        for ci in range(spp):
+            hf, vf = (sub_h, sub_v) if (photo == 6 and ci == 0) else (1, 1)
+            sof += bytes([ci + 1, (hf << 4) | vf, ci])
+            sos += bytes([ci + 1, (ci << 4) | ci])
+        sos += bytes([0, 63, 0])
+        stream = (
+            b"\xff\xd8" + tables + seg(0xFFC0, sof) + seg(0xFFDA, sos)
+            + payload[off : off + cnt] + b"\xff\xd9"
+        )
+        px = decode_jpeg(stream)
+        strips.append(px[:strip_h, :w])
+        y += strip_h
+    if y < h:
+        raise ValueError("corrupt TIFF: strips cover fewer rows than declared")
+    img = np.concatenate(strips, axis=0)
+    if photo == 6:
+        return np.ascontiguousarray(img[:, :, :3])
+    g = img[:, :, 0]
+    if photo == 0:
+        g = 255 - g
+    return np.repeat(g[:, :, None], 3, axis=2)
 
 
 def decode_tiff(payload: bytes) -> "np.ndarray":
@@ -783,11 +869,35 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
             if photo == 0:
                 g = 255 - g
             return np.repeat(g[:, :, None], 3, axis=2)
-        # No interchange stream: fall through to the per-chunk JPEG decode,
-        # which requires each strip/tile to be a complete SOI stream (the
-        # required-tags check above already guaranteed chunks exist). The
-        # tables-split variant (tags 519-521, chunks without SOI) fails
-        # there with "JPEG strip missing SOI" — the remaining §22 seam.
+        if "jpeg_q" in t:
+            # §22 tables-split variant: tags 519/520/521 point at RAW table
+            # data (64-byte zigzag quant tables; 16-count+values Huffman
+            # tables, no DQT/DHT headers) and the strips carry BARE
+            # entropy-coded scan data with no markers at all. Rebuild a
+            # full interchange stream per strip (SOI + synthesized
+            # DQT/SOF0/DHT/DRI/SOS + strip bytes + EOI) and decode through
+            # operators/jpeg. Real writers produced this for grayscale and
+            # YCbCr (tag 530 subsampling, spec default 2×2); RGB-in-JPEG
+            # (photometric 2) stays a seam — decode_jpeg's 3-component path
+            # is YCbCr by JPEG convention and would mis-color it.
+            if tiled:
+                raise NotImplementedError("tiled tables-split old-style JPEG")
+            if photo not in (0, 1, 6):
+                raise NotImplementedError(
+                    f"tables-split old-style JPEG with photometric {photo}"
+                )
+            if t.get("jpeg_proc", [1])[0] != 1:
+                raise NotImplementedError(
+                    "lossless old-style JPEG (JPEGProc != 1) not supported"
+                )
+            return _decode_old_jpeg_tables_split(
+                payload, t, w, h, spp, photo, rows_per_strip
+            )
+        # No interchange stream and no split tables: fall through to the
+        # per-chunk JPEG decode, which requires each strip/tile to be a
+        # complete SOI stream (the required-tags check above already
+        # guaranteed chunks exist); chunks without SOI fail there with
+        # "JPEG strip missing SOI".
         comp = 7
     if comp in (2, 3, 4):
         # CCITT codecs (operators/ccitt.py): 2 = 1D Modified Huffman,

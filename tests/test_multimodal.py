@@ -2086,3 +2086,156 @@ def test_tiff_tiled_hand_built_vector():
     dall[:, 1:] -= whole[:, :-1]
     strip_style_tile1 = (dall[0:2, 2:4] % 256).astype(np.uint8).tobytes()
     assert tiles[1] != strip_style_tile1
+
+
+def test_tiff_old_style_jpeg_tables_split():
+    """TIFF 6.0 §22 tables-split old-style JPEG — the last §22 form: tags
+    519/520/521 point at RAW quant/Huffman table data and the strips are
+    BARE entropy-coded scan data (no markers). The decoder must rebuild an
+    interchange stream per strip and match the plain JPEG decode of the
+    same data. Covers grayscale, multi-strip YCbCr 2x2 (tag 530), restart
+    intervals (tag 515 -> DRI, live RSTn markers in the strip bytes), and
+    the photometric-2 / lossless-proc seams."""
+    import struct
+
+    from covid19_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from covid19_spark.operators.multimodal import decode_tiff
+
+    def split_jpeg(stream):
+        qt, dc, ac = {}, {}, {}
+        dri, entropy = 0, None
+        pos = 2
+        while pos + 4 <= len(stream):
+            assert stream[pos] == 0xFF
+            marker = stream[pos + 1]
+            pos += 2
+            if marker == 0xD9:
+                break
+            ln = int.from_bytes(stream[pos : pos + 2], "big")
+            body = stream[pos + 2 : pos + ln]
+            if marker == 0xDB:
+                b = 0
+                while b < len(body):
+                    qt[body[b] & 0xF] = body[b + 1 : b + 65]
+                    b += 65
+            elif marker == 0xC4:
+                b = 0
+                while b < len(body):
+                    tc, th = body[b] >> 4, body[b] & 0xF
+                    n = sum(body[b + 1 : b + 17])
+                    (dc if tc == 0 else ac)[th] = body[b + 1 : b + 17 + n]
+                    b += 17 + n
+            elif marker == 0xDD:
+                dri = int.from_bytes(body[:2], "big")
+            elif marker == 0xDA:
+                pos += ln
+                entropy = stream[pos:-2]
+                return qt, dc, ac, dri, entropy
+            pos += ln
+        raise AssertionError("no SOS in stream")
+
+    def build(w, h, spp, photo, entropies, rps, qt, dc, ac, dri=0, sub=None,
+              proc=1):
+        e = "<"
+        blobs = []
+
+        def blob(data):
+            blobs.append(bytes(data))
+            return len(blobs) - 1
+
+        tsel = lambda ci: 0 if ci == 0 else 1
+        q_i = [blob(qt[tsel(ci)]) for ci in range(spp)]
+        d_i = [blob(dc[tsel(ci)]) for ci in range(spp)]
+        a_i = [blob(ac[tsel(ci)]) for ci in range(spp)]
+        s_i = [blob(en) for en in entropies]
+        tags = [
+            (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * spp),
+            (259, 3, [6]), (262, 3, [photo]),
+            (273, 4, [("b", i) for i in s_i]),
+            (277, 3, [spp]), (278, 3, [rps]),
+            (279, 4, [len(en) for en in entropies]),
+            (512, 3, [proc]),
+            (519, 4, [("b", i) for i in q_i]),
+            (520, 4, [("b", i) for i in d_i]),
+            (521, 4, [("b", i) for i in a_i]),
+        ]
+        if dri:
+            tags.append((515, 4, [dri]))
+        if sub:
+            tags.append((530, 3, list(sub)))
+        tags.sort()
+        n = len(tags)
+        ifd_end = 8 + 2 + 12 * n + 4
+        tsize = {3: 2, 4: 4}
+        val_area = sum(
+            tsize[typ] * len(vals)
+            for _, typ, vals in tags
+            if tsize[typ] * len(vals) > 4
+        )
+        val_area += val_area % 2
+        blob_offs, off = [], ifd_end + val_area
+        for b in blobs:
+            blob_offs.append(off)
+            off += len(b) + (len(b) % 2)
+        ents, vals_out = [], b""
+        for tag, typ, vals in tags:
+            rv = [blob_offs[i] if isinstance(v, tuple) else v
+                  for v in vals for i in [v[1] if isinstance(v, tuple) else 0]]
+            fmt = {3: "H", 4: "I"}[typ]
+            body = struct.pack(e + str(len(rv)) + fmt, *rv)
+            if len(body) <= 4:
+                ents.append(
+                    struct.pack(e + "HHI", tag, typ, len(rv)) + body.ljust(4, b"\0")
+                )
+            else:
+                voff = ifd_end + len(vals_out)
+                ents.append(struct.pack(e + "HHII", tag, typ, len(rv), voff))
+                vals_out += body
+        vals_out = vals_out.ljust(val_area, b"\0")
+        blob_area = b"".join(
+            b + b"\0" * (len(b) % 2) for b in blobs
+        )
+        return (b"II*\x00" + struct.pack(e + "I", 8) + struct.pack(e + "H", n)
+                + b"".join(ents) + struct.pack(e + "I", 0) + vals_out + blob_area)
+
+    rng = np.random.default_rng(31)
+
+    # grayscale, single strip
+    g = rng.integers(0, 256, size=(24, 17), dtype=np.uint8)
+    full = encode_jpeg(g, quality=85)
+    qt, dc, ac, dri, en = split_jpeg(full)
+    p = build(17, 24, 1, 1, [en], 24, qt, dc, ac)
+    assert np.array_equal(decode_tiff(p), decode_jpeg(full))
+
+    # YCbCr 2x2, three strips (16 + 16 + 8 rows)
+    img = rng.integers(0, 256, size=(40, 32, 3), dtype=np.uint8)
+    strips = [img[0:16], img[16:32], img[32:40]]
+    streams = [encode_jpeg(s, quality=80, subsampling="420") for s in strips]
+    qt, dc, ac, _, _ = split_jpeg(streams[0])
+    ens = [split_jpeg(st)[4] for st in streams]
+    p = build(32, 40, 3, 6, ens, 16, qt, dc, ac, sub=(2, 2))
+    want = np.concatenate([decode_jpeg(st) for st in streams], axis=0)
+    assert np.array_equal(decode_tiff(p), want)
+
+    # restart interval: DRI segment + real RSTn markers in the strip bytes
+    full = encode_jpeg(img, quality=80, subsampling="420", restart_interval=2)
+    qt, dc, ac, dri, en = split_jpeg(full)
+    assert dri == 2 and b"\xff\xd0" in en
+    p = build(32, 40, 3, 6, [en], 40, qt, dc, ac, dri=dri, sub=(2, 2))
+    assert np.array_equal(decode_tiff(p), decode_jpeg(full))
+
+    # photometric 2 (RGB-in-JPEG) stays a seam
+    p = build(32, 40, 3, 2, [en], 40, qt, dc, ac, dri=dri)
+    with pytest.raises(NotImplementedError, match="photometric 2"):
+        decode_tiff(p)
+    # lossless old-style proc stays a seam
+    p = build(32, 40, 3, 6, [en], 40, qt, dc, ac, dri=dri, sub=(2, 2), proc=14)
+    with pytest.raises(NotImplementedError, match="JPEGProc"):
+        decode_tiff(p)
+    # out-of-range table offset is corrupt, not a crash
+    bad = bytearray(build(17, 24, 1, 1, [split_jpeg(encode_jpeg(g))[4]], 24,
+                          {0: b"\xff" * 64}, dc, ac))
+    i = bad.find(struct.pack("<HH", 519, 4))
+    struct.pack_into("<I", bad, i + 8, len(bad) + 10)
+    with pytest.raises(ValueError, match="out of range"):
+        decode_tiff(bytes(bad))
