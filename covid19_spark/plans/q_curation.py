@@ -1049,3 +1049,153 @@ QUERY_REGISTRY["token_budget_mix"] = QuerySpec(
     q_token_budget_mix, ORACLE_TOKEN_BUDGET_MIX,
     "largest-remainder token-budget apportionment across sources",
 )
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-URL canonicalization + dedup grouping (operators/web.py spec:
+    lowercased scheme/host, default-port and fragment removal, trailing-
+    slash strip, tracking-parameter strip with surviving-order preserved).
+    Synthesizes a deterministic messy URL per doc (mixed-case host,
+    explicit :443 / :8080 ports, trailing slashes, utm_ params, fragments)
+    so distinct raw URLs COLLIDE after canonicalization — the group_size
+    column is the dedup payoff a crawl frontier/dedup stage keys on.
+
+    The DuckDB oracle derives the canonical form INDEPENDENTLY from the
+    doc_id arithmetic (it never runs the normalization machinery), so the
+    driver differential cross-checks two implementations of the written
+    spec. Scale shape: map-only expression over the scan + one groupBy on
+    the canonical key (the same shuffle the real dedup pays), broadcast-
+    free."""
+    from covid19_spark.operators.web import canonical_url
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .filter(F.col("doc_id") < 600)
+    )
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"), (d % 5).cast("string"), F.lit(".Com"),
+        F.when(d % 3 == 0, F.lit(":443"))
+         .when(d % 3 == 1, F.lit(""))
+         .otherwise(F.lit(":8080")),
+        F.lit("/A/b"), (d % 10).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.concat(F.lit("?utm_source=x&id="), (d % 20).cast("string")))
+         .when(d % 3 == 1, F.concat(F.lit("?id="), (d % 20).cast("string")))
+         .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    urls = docs.select(
+        d.alias("doc_id"), url.alias("url"), canonical_url(url).alias("canonical")
+    )
+    groups = urls.groupBy("canonical").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    return (
+        urls.join(groups, "canonical")
+        .select("doc_id", "url", "canonical", "group_size")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_URL_CANONICAL_DEDUP = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 600),
+raw AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Site' || CAST(doc_id % 5 AS VARCHAR) || '.Com'
+         || CASE doc_id % 3 WHEN 0 THEN ':443' WHEN 1 THEN '' ELSE ':8080' END
+         || '/A/b' || CAST(doc_id % 10 AS VARCHAR)
+         || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+         || CASE doc_id % 3
+              WHEN 0 THEN '?utm_source=x&id=' || CAST(doc_id % 20 AS VARCHAR)
+              WHEN 1 THEN '?id=' || CAST(doc_id % 20 AS VARCHAR)
+              ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url,
+         -- canonical form derived straight from the spec + the arithmetic:
+         -- scheme/host lowercased, :443 dropped (:8080 kept), trailing
+         -- slash stripped, utm_ params dropped (id survives), fragment off
+         'https://www.site' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+         || CASE WHEN doc_id % 3 = 2 THEN ':8080' ELSE '' END
+         || '/A/b' || CAST(doc_id % 10 AS VARCHAR)
+         || CASE WHEN doc_id % 3 IN (0, 1)
+                 THEN '?id=' || CAST(doc_id % 20 AS VARCHAR) ELSE '' END
+           AS canonical
+  FROM d
+)
+SELECT doc_id, url, canonical,
+       CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT) AS group_size
+FROM raw
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["url_canonical_dedup"] = QuerySpec(
+    q_url_canonical_dedup, ORACLE_URL_CANONICAL_DEDUP,
+    "URL canonicalization + dedup grouping vs spec-derived oracle",
+)
+
+
+def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> visible-text extraction (operators/web.py strip_html):
+    comment/script/style subtrees removed wholesale, tags stripped,
+    universal entities decoded, whitespace collapsed — plus the anchor
+    count feeding the link-density boilerplate heuristic. Each doc's text
+    is wrapped in a deterministic HTML shell whose script body contains a
+    '<' comparison (the classic naive-regex trap: the tag stripper must
+    not eat from `if (x<2)` to the next '>' — subtree removal runs FIRST).
+
+    The oracle never parses HTML: it states the EXPECTED visible text
+    directly from the document words, so the driver differential checks
+    the extraction machinery against a spec-level answer. Scale shape:
+    map-only regexp chain in one codegen stage; no shuffle but the output
+    sort."""
+    from covid19_spark.operators.web import html_link_count, strip_html
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+        .filter(F.col("doc_id") < 400)
+    )
+    d = F.col("doc_id")
+    body = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 12), " ")
+    html = F.concat(
+        F.lit(
+            '<html><head><title>T</title><style>p{color:#000}</style>'
+            '<script type="text/javascript">var x=1; if (x<2) { x = 3; }'
+            "</script></head><body><h1>Doc "
+        ),
+        d.cast("string"),
+        F.lit('</h1><!-- hidden comment --><p class="main">'),
+        body,
+        F.lit(
+            ' &amp; more &lt;tags&gt;</p><a href="/next">next page</a>'
+            '<A HREF="/prev">prev</A></body></html>'
+        ),
+    )
+    vis = strip_html(html)
+    return docs.select(
+        "doc_id",
+        vis.alias("text_visible"),
+        html_link_count(html).alias("n_links"),
+        F.length(vis).cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+ORACLE_HTML_TEXT_EXTRACT = """
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' '
+         || array_to_string(string_split(text, ' ')[1:12], ' ')
+         || ' & more <tags> next page prev' AS text_visible,
+       CAST(2 AS BIGINT) AS n_links,
+       CAST(length('Doc ' || CAST(doc_id AS VARCHAR) || ' '
+         || array_to_string(string_split(text, ' ')[1:12], ' ')
+         || ' & more <tags> next page prev') AS BIGINT) AS n_chars
+FROM documents
+WHERE doc_id < 400
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["html_text_extract"] = QuerySpec(
+    q_html_text_extract, ORACLE_HTML_TEXT_EXTRACT,
+    "HTML visible-text extraction + link count vs spec-level oracle",
+)

@@ -1,0 +1,76 @@
+"""Web-crawl curation expressions (operators/web.py): URL canonicalization
+edge cases and HTML visible-text extraction, per the module-docstring spec
+(the registry queries cross-check the same spec against DuckDB)."""
+
+from pyspark.sql import functions as F
+
+from covid19_spark.operators.web import canonical_url, html_link_count, strip_html
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+
+
+def test_canonical_url_spec_cases(spark):
+    cases = {
+        # scheme+host lowercase, default https port dropped, fragment off
+        "HTTPS://WWW.Example.COM:443/Path#frag": "https://www.example.com/Path",
+        # http default port dropped; non-default kept
+        "http://a.com:80/x": "http://a.com/x",
+        "http://a.com:8080/x": "http://a.com:8080/x",
+        # https with :80 is NOT a default port — kept
+        "https://a.com:80/x": "https://a.com:80/x",
+        # empty path -> /ROOT; trailing slashes stripped but root survives
+        "https://a.com": "https://a.com/",
+        "https://a.com/": "https://a.com/",
+        "https://a.com/x///": "https://a.com/x",
+        # tracking params stripped, surviving ORDER preserved, ? dropped
+        # when emptied
+        "https://a.com/p?utm_source=x&b=2&utm_medium=y&a=1":
+            "https://a.com/p?b=2&a=1",
+        "https://a.com/p?gclid=1&fbclid=2&msclkid=3": "https://a.com/p",
+        # utm must match as a KEY prefix, not a substring of a value
+        "https://a.com/p?q=utm_source": "https://a.com/p?q=utm_source",
+        # query with no path
+        "https://a.com?id=1": "https://a.com/?id=1",
+        # path case is preserved (only scheme/host fold)
+        "HTTP://A.com/CaseKept": "http://a.com/CaseKept",
+        # whitespace trim
+        "  https://a.com/x  ": "https://a.com/x",
+        # scheme-less best effort
+        "A.com/x/": "a.com/x",
+    }
+    got = _canon(spark, list(cases))
+    assert got == list(cases.values()), list(zip(cases, got))
+
+
+def test_canonical_url_null(spark):
+    df = spark.createDataFrame([(None,)], "url string")
+    assert df.select(canonical_url(F.col("url"))).collect()[0][0] is None
+
+
+def test_strip_html_and_link_count(spark):
+    html = (
+        '<html><head><title>Hidden Title</title><meta x="1">'
+        "<style>p{a:1}</style></head>"
+        "<body><h1>Head line</h1><!-- secret -->"
+        '<script>if (x<2 && y>3) { alert("gone"); }</script>'
+        "<p>Visible&nbsp;text &amp;lt; stays, &quot;q&#39;s&quot; &gt; ok</p>"
+        '<a href="/a">one</a> text <A HREF="/b">two</A>'
+        "<STYLE>body{b:2}</STYLE>tail   spaced</body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    text, links = df.select(
+        strip_html(F.col("h")), html_link_count(F.col("h"))
+    ).collect()[0]
+    # head subtree (title/meta/style) gone; script body with '<' inside
+    # removed wholesale; &amp;lt; decodes to the LITERAL &lt;; whitespace
+    # collapsed
+    assert text == "Head line Visible text &lt; stays, \"q's\" > ok one text two tail spaced"
+    assert links == 2
+
+
+def test_strip_html_plain_text_passthrough(spark):
+    df = spark.createDataFrame([("no tags   here",)], "h string")
+    assert df.select(strip_html(F.col("h"))).collect()[0][0] == "no tags here"
