@@ -1199,3 +1199,109 @@ QUERY_REGISTRY["html_text_extract"] = QuerySpec(
     q_html_text_extract, ORACLE_HTML_TEXT_EXTRACT,
     "HTML visible-text extraction + link count vs spec-level oracle",
 )
+
+
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-archive ingest end-to-end (sources/warc.py): synthesize a
+    spec-shaped WARC blob per document (warcinfo + request + response
+    records; odd doc_ids use the Common Crawl member-per-record gzip
+    layout, even ones plain — BOTH layouts flow through one reader),
+    explode records distributed via the Arrow-batched ``warc_records``
+    kernel, and reduce to per-archive facts (record count, HTTP status,
+    extracted response body). A single-stream gunzip bug — the classic
+    WARC reader error — would drop 2 of 3 records on every odd doc and
+    break the oracle's n_records.
+
+    Oracle: spec-level expectation derived from doc_id arithmetic + the
+    raw document text (DuckDB never parses WARC). Scale shape: map-only
+    synth+parse, one groupBy on the archive id."""
+    import numpy as np  # noqa: F401 — parity with sibling synth kernels
+    import pandas as pd
+
+    from covid19_spark.sources.warc import (
+        WARC_RECORD_SCHEMA,
+        encode_warc,
+        encode_warc_record,
+        http_response_block,
+        warc_records,
+    )
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+        .filter(F.col("doc_id") < 400)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    synth_schema = StructType(
+        [StructField("warc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                uri = f"https://site{d % 9}.example/{d}"
+                if d % 7 == 0:
+                    block = http_response_block(404, "Not Found", b"not found")
+                else:
+                    body = " ".join(str(text).split(" ")[:10]).encode()
+                    block = http_response_block(200, "OK", body)
+                recs = [
+                    encode_warc_record(
+                        "warcinfo", f"i{d}", b"software: covid19_spark\r\n",
+                        content_type="application/warc-fields",
+                    ),
+                    encode_warc_record(
+                        "request", f"q{d}",
+                        b"GET / HTTP/1.1\r\nHost: x\r\n\r\n", target_uri=uri,
+                        content_type="application/http; msgtype=request",
+                    ),
+                    encode_warc_record(
+                        "response", f"r{d}", block, target_uri=uri,
+                        content_type="application/http; msgtype=response",
+                    ),
+                ]
+                rows.append((d, encode_warc(recs, gzip_per_record=d % 2 == 1)))
+            yield pd.DataFrame(rows, columns=["warc_id", "payload"])
+
+    blobs = docs.mapInPandas(synth, schema=synth_schema)
+    recs = warc_records(blobs)
+    return (
+        recs.groupBy("warc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.max("http_status").cast("long").alias("http_status"),
+            F.max(F.when(F.col("rec_type") == "response", F.col("body")))
+            .alias("body"),
+            F.max("target_uri").alias("target_uri"),
+        )
+        .select(
+            F.col("warc_id").alias("doc_id"),
+            "n_records", "http_status", "body", "target_uri",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_WARC_INGEST = """
+SELECT doc_id,
+       CAST(3 AS BIGINT) AS n_records,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS BIGINT)
+         AS http_status,
+       CASE WHEN doc_id % 7 = 0 THEN 'not found'
+            ELSE array_to_string(string_split(text, ' ')[1:10], ' ') END
+         AS body,
+       'https://site' || CAST(doc_id % 9 AS VARCHAR) || '.example/'
+         || CAST(doc_id AS VARCHAR) AS target_uri
+FROM documents
+WHERE doc_id < 400
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["warc_ingest"] = QuerySpec(
+    q_warc_ingest, ORACLE_WARC_INGEST,
+    "WARC archive ingest (plain + member-gzip) vs spec-level oracle",
+)
