@@ -74,3 +74,68 @@ def test_strip_html_and_link_count(spark):
 def test_strip_html_plain_text_passthrough(spark):
     df = spark.createDataFrame([("no tags   here",)], "h string")
     assert df.select(strip_html(F.col("h"))).collect()[0][0] == "no tags here"
+
+
+def test_canonical_url_idempotent_property(spark):
+    """Canonicalization must be IDEMPOTENT — canonical(canonical(u)) ==
+    canonical(u) — or a frontier that re-normalizes on every hop never
+    stabilizes. Property-checked over generated URL soup."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scheme = st.sampled_from(["http", "https", "FTP", "HtTpS"])
+    host = st.from_regex(r"[A-Za-z][A-Za-z0-9.\-]{0,15}", fullmatch=True)
+    port = st.sampled_from(["", ":80", ":443", ":8080"])
+    path = st.from_regex(r"(/[A-Za-z0-9._~%\-]{0,6}){0,3}/{0,2}", fullmatch=True)
+    query = st.sampled_from(
+        ["", "?a=1", "?utm_source=x", "?utm_a=1&b=2&utm_b=3&c=4", "?gclid=9&z="]
+    )
+    frag = st.sampled_from(["", "#f", "#a/b?c=1"])
+    urls = st.builds(
+        lambda s, h, po, pa, q, f: f"{s}://{h}{po}{pa}{q}{f}",
+        scheme, host, port, path, query, frag,
+    )
+
+    collected = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(urls)
+    def gather(u):
+        collected.append(u)
+
+    gather()
+    df = spark.createDataFrame([(u,) for u in collected], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("c1"))
+    twice = once.select(
+        F.col("c1"), canonical_url(F.col("c1")).alias("c2")
+    ).collect()
+    for r in twice:
+        assert r.c1 == r.c2, r
+
+
+def test_strip_html_tagfree_is_whitespace_collapse(spark):
+    """On text with no markup characters, extraction must reduce to exactly
+    whitespace collapsing — no other mutation is allowed to leak in."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texts = st.text(
+        alphabet=st.characters(
+            codec="ascii", exclude_characters="<>&", categories=("L", "N", "P", "Z")
+        ),
+        max_size=60,
+    )
+    collected = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(texts)
+    def gather(t):
+        collected.append(t)
+
+    gather()
+    df = spark.createDataFrame([(t,) for t in collected], "t string")
+    got = [r[0] for r in df.select(strip_html(F.col("t"))).collect()]
+    for t, g in zip(collected, got):
+        assert g == re.sub(r"\s+", " ", t).strip(), (t, g)
