@@ -659,6 +659,238 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_adc_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE cross-engine oracle for the PQ machinery — everything in
+    ``pq_cosine_topk`` EXCEPT Lloyd training, which is what keeps the ANN
+    family rows-only: normalization-before-slicing, per-subspace
+    nearest-codeword encoding (squared L2, ties to the lowest code), the
+    ADC dot-product table, shortlist selection by ADC score, and the
+    exact-cosine rerank. Codebooks are supplied externally as a
+    deterministic arithmetic grid both engines construct identically, so
+    DuckDB re-runs the ENTIRE pipeline independently (argmin via window
+    rank, ADC via a codes⋈table join+sum) and the driver hash-compares the
+    final ranked neighbors. Float discipline: the compared similarity is
+    micro-scaled to BIGINT; the internal ADC/argmin comparisons tolerate
+    cross-engine ulp noise because adjacent distances differ by orders of
+    magnitude more on real embeddings (ties break on code/neighbor id in
+    BOTH engines). Scale shape: identical to pq_cosine_topk — broadcast
+    codebooks/tables, map-only encode, no pairwise stage outside the
+    shortlist×|Q| rerank."""
+    from covid19_spark.operators.similarity import pq_cosine_topk
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 256)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    cb = (
+        spark.range(8).select(F.col("id").cast("int").alias("sub"))
+        .crossJoin(spark.range(16).select(F.col("id").cast("int").alias("code")))
+        .select(
+            "sub",
+            "code",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda j: (
+                    ((F.col("sub") * 31 + F.col("code") * 7 + j * 13) % 21) - 10
+                ) / 10.0,
+            ).alias("cvec"),
+        )
+    )
+    return (
+        pq_cosine_topk(
+            emb, queries, k=10, m=8, n_codes=16, shortlist=50, codebooks=cb
+        )
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round(F.col("sim") * 1000000).cast("long").alias("sim_e6"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_PQ_ADC_CROSSCHECK = """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 256
+),
+nrm AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+  FROM emb
+),
+cb AS (
+  SELECT s.sub, c.code,
+         list_transform(range(0, 8), j ->
+           (((s.sub * 31 + c.code * 7 + j * 13) % 21) - 10) / 10.0) AS cvec
+  FROM (SELECT unnest(range(0, 8)) AS sub) s,
+       (SELECT unnest(range(0, 16)) AS code) c
+),
+dists AS (
+  SELECT n.vec_id, cb.sub, cb.code,
+         list_sum(list_transform(range(1, 9), j ->
+           (n.nv[cb.sub * 8 + j] - cb.cvec[j])
+           * (n.nv[cb.sub * 8 + j] - cb.cvec[j]))) AS d2
+  FROM nrm n, cb
+),
+codes AS (
+  SELECT vec_id, sub, code
+  FROM (SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, code) AS rn
+        FROM dists)
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, nv AS qn FROM nrm WHERE vec_id < 8),
+tab AS (
+  SELECT q.query_id, cb.sub, cb.code,
+         list_sum(list_transform(range(1, 9), j ->
+           q.qn[cb.sub * 8 + j] * cb.cvec[j])) AS dp
+  FROM q, cb
+),
+adc AS (
+  SELECT c.vec_id AS neighbor_id, t.query_id, sum(t.dp) AS adc_score
+  FROM codes c
+  JOIN tab t ON t.sub = c.sub AND t.code = c.code
+  WHERE c.vec_id <> t.query_id
+  GROUP BY c.vec_id, t.query_id
+),
+short AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_score DESC, neighbor_id) AS rn
+        FROM adc)
+  WHERE rn <= 50
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(q.qv, e.v)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(e.v, e.v))) AS sim
+  FROM short s
+  JOIN emb e ON e.vec_id = s.neighbor_id
+  JOIN q ON q.query_id = s.query_id
+)
+SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id,
+       CAST(ROUND(sim * 1000000) AS BIGINT) AS sim_e6
+FROM (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM rer)
+WHERE rnk <= 10
+ORDER BY query_id, rank
+"""
+
+
+QUERY_REGISTRY["pq_adc_crosscheck"] = QuerySpec(
+    q_pq_adc_crosscheck, ORACLE_PQ_ADC_CROSSCHECK,
+    "PQ encode+ADC+rerank machinery vs independent SQL (oracle)",
+)
+
+
+def q_ivf_probe_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE cross-engine oracle for the IVF machinery — the twin of
+    ``pq_adc_crosscheck`` for the coarse-quantizer tier: list assignment
+    (nearest centroid by DOT product, probe order dot-desc then
+    centroid_id), multi-probe query routing (n_probes=3), the
+    centroid-keyed candidate join, and the exact-cosine rank. Centroids
+    are a deterministic arithmetic grid both engines construct, so DuckDB
+    re-runs the whole probe pipeline independently; only Lloyd training —
+    the genuinely iterative part — stays out, pinned by fixtures and
+    recall tests as before. Scale shape: identical to ivf_cosine_topk
+    (broadcast centroid row, map-only assignment, hash join on
+    centroid_id)."""
+    from covid19_spark.operators.similarity import ivf_cosine_topk
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 256)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    cents = spark.range(16).select(
+        F.col("id").cast("int").alias("centroid_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (((F.col("id") * 17 + j * 29) % 19) - 9) / 9.0,
+        ).alias("cvec"),
+    )
+    return (
+        ivf_cosine_topk(
+            emb, queries, k=10, n_centroids=16, n_probes=3, centroids=cents
+        )
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round(F.col("sim") * 1000000).cast("long").alias("sim_e6"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_IVF_PROBE_CROSSCHECK = """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 256
+),
+cent AS (
+  SELECT c.cid,
+         list_transform(range(0, 64), j ->
+           (((c.cid * 17 + j * 29) % 19) - 9) / 9.0) AS cvec
+  FROM (SELECT unnest(range(0, 16)) AS cid) c
+),
+scoredc AS (
+  SELECT e.vec_id, c.cid, list_dot_product(e.v, c.cvec) AS dp
+  FROM emb e, cent c
+),
+lists AS (
+  SELECT vec_id AS neighbor_id, cid
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dp DESC, cid) AS rn
+        FROM scoredc)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dp DESC, cid) AS rn
+        FROM scoredc WHERE vec_id < 8)
+  WHERE rn <= 3
+),
+cand AS (
+  SELECT p.query_id, l.neighbor_id,
+         list_dot_product(q.v, n.v)
+           / (sqrt(list_dot_product(q.v, q.v))
+              * sqrt(list_dot_product(n.v, n.v))) AS sim
+  FROM probes p
+  JOIN lists l ON l.cid = p.cid AND l.neighbor_id <> p.query_id
+  JOIN emb q ON q.vec_id = p.query_id
+  JOIN emb n ON n.vec_id = l.neighbor_id
+)
+SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id,
+       CAST(ROUND(sim * 1000000) AS BIGINT) AS sim_e6
+FROM (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM cand)
+WHERE rnk <= 10
+ORDER BY query_id, rank
+"""
+
+
+QUERY_REGISTRY["ivf_probe_crosscheck"] = QuerySpec(
+    q_ivf_probe_crosscheck, ORACLE_IVF_PROBE_CROSSCHECK,
+    "IVF assignment+probe+rank machinery vs independent SQL (oracle)",
+)
+
+
 def q_knn_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force EXACT cosine top-k — the ground-truth baseline every ANN
     tier (LSH / IVF / PQ / IVF-PQ) is recall-measured against, as its own
