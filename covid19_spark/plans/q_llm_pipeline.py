@@ -891,6 +891,112 @@ QUERY_REGISTRY["ivf_probe_crosscheck"] = QuerySpec(
 )
 
 
+def q_lshann_probe_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE cross-engine oracle for the sign-hyperplane LSH ANN — the
+    third and last ANN tier's machinery: per-table sign-bit signatures,
+    the (table, bucket) candidate equi-join, Hamming-1 multi-probe bucket
+    expansion, candidate dedup, exact-cosine rank. The hyperplanes are not
+    random state: ``_plane_component`` derives every component from a
+    splitmix-style integer hash of (seed, i, j), so the ORACLE SQL is
+    GENERATED at import with the identical plane constants inlined as
+    list literals — DuckDB recomputes signatures and probes from scratch
+    (its own dot products, its own xor/shift bit ops) while Spark runs the
+    real ``ann_cosine_topk`` with its Arrow matmul kernel. A sign flip
+    anywhere (projection near 0 is measure-zero on real embeddings), a
+    probe-set bug, or a banding bug breaks the hash. 2 tables × 8 planes
+    keeps the inlined-constant oracle ~25 KB. Scale shape: identical to
+    ann_cosine_topk (broadcast query probes, corpus scanned once)."""
+    from covid19_spark.operators.similarity import ann_cosine_topk
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 256)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    return (
+        ann_cosine_topk(
+            emb, queries, k=10, dim=64, num_planes=8, num_tables=2,
+            multi_probe=True,
+        )
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round(F.col("sim") * 1000000).cast("long").alias("sim_e6"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _lshann_oracle_sql() -> str:
+    """Build the DuckDB oracle with the exact plane constants the Spark
+    kernel derives (seed 42, +1000 per table — see
+    ``hyperplane_signatures_udf``), inlined as DOUBLE[] literals."""
+    from covid19_spark.operators.similarity import _plane_component
+
+    rows = []
+    for t in range(2):
+        for i in range(8):
+            vals = ", ".join(
+                repr(_plane_component(42 + 1000 * t, i, j)) for j in range(64)
+            )
+            rows.append(f"SELECT {t} AS tbl, {i} AS i, [{vals}]::DOUBLE[] AS plane")
+    planes = "\nUNION ALL ".join(rows)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 256
+),
+planes AS (
+{planes}
+),
+bits AS (
+  SELECT e.vec_id, p.tbl,
+         CAST(sum(CASE WHEN list_dot_product(e.v, p.plane) >= 0
+                       THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
+  FROM emb e, planes p
+  GROUP BY e.vec_id, p.tbl
+),
+qprobe AS (
+  SELECT b.vec_id AS query_id, b.tbl,
+         CASE WHEN pr.n = 0 THEN b.bucket
+              ELSE xor(b.bucket, 1 << (pr.n - 1)) END AS bucket
+  FROM bits b, (SELECT unnest(range(0, 9)) AS n) pr
+  WHERE b.vec_id < 8
+),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM qprobe q
+  JOIN bits c ON c.tbl = q.tbl AND c.bucket = q.bucket
+  WHERE c.vec_id <> q.query_id
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         list_dot_product(q.v, n.v)
+           / (sqrt(list_dot_product(q.v, q.v))
+              * sqrt(list_dot_product(n.v, n.v))) AS sim
+  FROM cand cd
+  JOIN emb q ON q.vec_id = cd.query_id
+  JOIN emb n ON n.vec_id = cd.neighbor_id
+)
+SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id,
+       CAST(ROUND(sim * 1000000) AS BIGINT) AS sim_e6
+FROM (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM scored)
+WHERE rnk <= 10
+ORDER BY query_id, rank
+"""
+
+
+QUERY_REGISTRY["lshann_probe_crosscheck"] = QuerySpec(
+    q_lshann_probe_crosscheck, _lshann_oracle_sql(),
+    "sign-LSH signature+multiprobe+rank machinery vs independent SQL (oracle)",
+)
+
+
 def q_knn_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force EXACT cosine top-k — the ground-truth baseline every ANN
     tier (LSH / IVF / PQ / IVF-PQ) is recall-measured against, as its own
