@@ -556,6 +556,84 @@ QUERY_REGISTRY["lsh_banding_crosscheck"] = QuerySpec(
 )
 
 
+def q_lsh_guard_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE cross-engine oracle for the oversized-bucket guard — the skew
+    valve every banded probe shares (`drop_oversized_buckets`) and the one
+    piece of the banding machinery `lsh_banding_crosscheck` leaves
+    unexercised (its buckets are all small). Four planted clusters with
+    IDENTICAL signatures and graded sizes (9/18/27/36) run through the
+    real `lsh_candidate_pairs` with max_bucket=20: the two oversized
+    clusters must be dropped as exactly 8 (band, bucket) groups each —
+    surfaced via `dropped_report`, the r06 observability contract — while
+    the two small clusters must survive as complete within-cluster pair
+    sets. DuckDB derives both sides independently from the cluster-size
+    arithmetic over the live doc domain. Output grain: one row per
+    (kind, cluster size): dropped-bucket counts and surviving pair
+    counts."""
+    from covid19_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .filter(F.col("doc_id") < 90)
+    )
+    d = F.col("doc_id")
+    seed = (
+        F.when(d < 9, 0).when(d < 27, 1).when(d < 54, 2).otherwise(3)
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda i: (seed + 1) * (i * 2654435761 + 7919) % 1000003,
+    )
+    sigs = docs.select("doc_id", sig.cast("array<long>").alias("sig"))
+    rep: list = []
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=32, bands=8, max_bucket=20,
+        dropped_report=rep,
+    )
+    dropped = rep[0].groupBy("bucket_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select(
+        F.lit("dropped_bucket").alias("kind"),
+        F.col("bucket_size").cast("long").alias("metric"),
+        "n",
+    )
+    grp_size = (
+        F.when(F.col("doc_a") < 9, 9)
+        .when(F.col("doc_a") < 27, 18)
+        .when(F.col("doc_a") < 54, 27)
+        .otherwise(36)
+    )
+    survived = pairs.groupBy(grp_size.cast("long").alias("metric")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select(F.lit("pairs").alias("kind"), "metric", "n")
+    return dropped.unionByName(survived).orderBy("kind", "metric")
+
+
+ORACLE_LSH_GUARD_CROSSCHECK = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 90),
+g AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 9 THEN 0 WHEN doc_id < 27 THEN 1
+              WHEN doc_id < 54 THEN 2 ELSE 3 END AS grp
+  FROM d
+),
+s AS (SELECT grp, count(*) AS sz FROM g GROUP BY grp)
+SELECT 'dropped_bucket' AS kind, CAST(sz AS BIGINT) AS metric,
+       CAST(8 AS BIGINT) AS n
+FROM s WHERE sz > 20
+UNION ALL
+SELECT 'pairs', CAST(sz AS BIGINT), CAST(sz * (sz - 1) / 2 AS BIGINT)
+FROM s WHERE sz <= 20
+ORDER BY kind, metric
+"""
+
+
+QUERY_REGISTRY["lsh_guard_crosscheck"] = QuerySpec(
+    q_lsh_guard_crosscheck, ORACLE_LSH_GUARD_CROSSCHECK,
+    "oversized-bucket guard + report vs independent SQL (oracle)",
+)
+
+
 def q_simhash_banding_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE cross-engine oracle for the banded Hamming probe — the twin of
     ``lsh_banding_crosscheck`` for the SimHash/dHash/audio/video family.
