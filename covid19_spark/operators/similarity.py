@@ -511,6 +511,8 @@ def ivfpq_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_sample_mod: int | None = None,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the standard extreme-scale ANN layout (Jégou et al. 2011 §V —
     coarse quantizer + product codes), composed from the two existing tiers:
@@ -523,7 +525,11 @@ def ivfpq_cosine_topk(
 
     At 1B vectors: codes (8 GB) + centroids (KB) are the resident index;
     the full-precision corpus is cold storage hit for ~shortlist rows per
-    query. Both quantizers train deterministically (lowest-id seeds).
+    query. Both quantizers train deterministically (lowest-id seeds) —
+    or are supplied pre-trained via ``centroids``/``codebooks``, the
+    build-index-once-query-many production pattern shared with
+    ``ivf_cosine_topk``/``pq_cosine_topk`` (and the seam the
+    ``ivfpq_probe_crosscheck`` oracle verifies the composite through).
     """
     from pyspark.sql import Window
 
@@ -533,9 +539,11 @@ def ivfpq_cosine_topk(
     # small by contract — FAISS-style practice trains on 10^5-10^6 rows via
     # ``train_sample_mod`` at real scale, so the materialized blocks are
     # MBs, not the corpus.
-    train = quantizer_training_sample(corpus, id_col, train_sample_mod).select(
-        F.col(id_col), F.col(vec_col)
-    ).localCheckpoint(eager=True)
+    train = None
+    if centroids is None or codebooks is None:
+        train = quantizer_training_sample(corpus, id_col, train_sample_mod).select(
+            F.col(id_col), F.col(vec_col)
+        ).localCheckpoint(eager=True)
     # Both quantizer outputs are k-row frames with EXPENSIVE lineages (the
     # full Lloyd chains) and two consumers each (centroids: corpus lists +
     # query probes; codebooks: corpus encode + the broadcast ADC row) — cut
@@ -550,12 +558,14 @@ def ivfpq_cosine_topk(
     # default must be the variance-free plan. localCheckpoint blocks are
     # freed by the ContextCleaner when the frames go out of scope (no cache
     # handle to leak, unlike persist()).
-    centroids = ivf_train_centroids(train, n_centroids, id_col, vec_col).localCheckpoint(
-        eager=True
-    )
-    codebooks = pq_train_codebooks(train, m, n_codes, id_col, vec_col).localCheckpoint(
-        eager=True
-    )
+    if centroids is None:
+        centroids = ivf_train_centroids(train, n_centroids, id_col, vec_col).localCheckpoint(
+            eager=True
+        )
+    if codebooks is None:
+        codebooks = pq_train_codebooks(train, m, n_codes, id_col, vec_col).localCheckpoint(
+            eager=True
+        )
     # ONE map pass builds the resident index: list assignment (top-1
     # centroid, identical expression to ivf_assign) AND the PQ codes
     # (map-only _pq_codes_expr) from the same scan — the former

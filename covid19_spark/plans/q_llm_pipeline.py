@@ -969,6 +969,169 @@ QUERY_REGISTRY["ivf_probe_crosscheck"] = QuerySpec(
 )
 
 
+def q_ivfpq_probe_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE cross-engine oracle for the COMPOSITE extreme-scale tier:
+    ``ivfpq_cosine_topk`` with BOTH quantizers supplied as the same
+    deterministic grids the single-tier crosschecks use — so the fused
+    single-pass index build (top-1 centroid by dot product AND m PQ codes
+    from one scan), the probe-pruned ADC scoring (a neighbor is scored
+    only when its list is among the query's 3 probes), the shortlist, and
+    the rerank are all re-derived independently by DuckDB. Together with
+    the pq/ivf/lsh crosschecks this closes machinery verification over
+    every ANN tier incl. their composition; Lloyd training alone stays
+    fixture-pinned. Scale shape: identical to ivfpq_cosine_topk."""
+    from covid19_spark.operators.similarity import ivfpq_cosine_topk
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 256)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    cents = spark.range(16).select(
+        F.col("id").cast("int").alias("centroid_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (((F.col("id") * 17 + j * 29) % 19) - 9) / 9.0,
+        ).alias("cvec"),
+    )
+    cb = (
+        spark.range(8).select(F.col("id").cast("int").alias("sub"))
+        .crossJoin(spark.range(16).select(F.col("id").cast("int").alias("code")))
+        .select(
+            "sub",
+            "code",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda j: (
+                    ((F.col("sub") * 31 + F.col("code") * 7 + j * 13) % 21) - 10
+                ) / 10.0,
+            ).alias("cvec"),
+        )
+    )
+    return (
+        ivfpq_cosine_topk(
+            emb, queries, k=10, n_centroids=16, n_probes=3, m=8, n_codes=16,
+            shortlist=50, centroids=cents, codebooks=cb,
+        )
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round(F.col("sim") * 1000000).cast("long").alias("sim_e6"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_IVFPQ_PROBE_CROSSCHECK = """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 256
+),
+nrm AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+  FROM emb
+),
+cent AS (
+  SELECT c.cid,
+         list_transform(range(0, 64), j ->
+           (((c.cid * 17 + j * 29) % 19) - 9) / 9.0) AS cvec
+  FROM (SELECT unnest(range(0, 16)) AS cid) c
+),
+cb AS (
+  SELECT s.sub, c.code,
+         list_transform(range(0, 8), j ->
+           (((s.sub * 31 + c.code * 7 + j * 13) % 21) - 10) / 10.0) AS cvec
+  FROM (SELECT unnest(range(0, 8)) AS sub) s,
+       (SELECT unnest(range(0, 16)) AS code) c
+),
+cdots AS (
+  SELECT e.vec_id, c.cid, list_dot_product(e.v, c.cvec) AS dp
+  FROM emb e, cent c
+),
+lists AS (
+  SELECT vec_id, cid
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dp DESC, cid) AS rn
+        FROM cdots)
+  WHERE rn = 1
+),
+dists AS (
+  SELECT n.vec_id, cb.sub, cb.code,
+         list_sum(list_transform(range(1, 9), j ->
+           (n.nv[cb.sub * 8 + j] - cb.cvec[j])
+           * (n.nv[cb.sub * 8 + j] - cb.cvec[j]))) AS d2
+  FROM nrm n, cb
+),
+codes AS (
+  SELECT vec_id, sub, code
+  FROM (SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, code) AS rn
+        FROM dists)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dp DESC, cid) AS rn
+        FROM cdots WHERE vec_id < 8)
+  WHERE rn <= 3
+),
+tab AS (
+  SELECT n.vec_id AS query_id, cb.sub, cb.code,
+         list_sum(list_transform(range(1, 9), j ->
+           n.nv[cb.sub * 8 + j] * cb.cvec[j])) AS dp
+  FROM nrm n, cb WHERE n.vec_id < 8
+),
+adc AS (
+  SELECT c.vec_id AS neighbor_id, t.query_id, sum(t.dp) AS adc_score
+  FROM codes c
+  JOIN lists l ON l.vec_id = c.vec_id
+  JOIN probes p ON p.cid = l.cid
+  JOIN tab t ON t.query_id = p.query_id
+             AND t.sub = c.sub AND t.code = c.code
+  WHERE c.vec_id <> p.query_id
+  GROUP BY c.vec_id, t.query_id
+),
+short AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_score DESC, neighbor_id) AS rn
+        FROM adc)
+  WHERE rn <= 50
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(q.v, e.v)
+           / (sqrt(list_dot_product(q.v, q.v))
+              * sqrt(list_dot_product(e.v, e.v))) AS sim
+  FROM short s
+  JOIN emb e ON e.vec_id = s.neighbor_id
+  JOIN emb q ON q.vec_id = s.query_id
+)
+SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id,
+       CAST(ROUND(sim * 1000000) AS BIGINT) AS sim_e6
+FROM (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM rer)
+WHERE rnk <= 10
+ORDER BY query_id, rank
+"""
+
+
+QUERY_REGISTRY["ivfpq_probe_crosscheck"] = QuerySpec(
+    q_ivfpq_probe_crosscheck, ORACLE_IVFPQ_PROBE_CROSSCHECK,
+    "IVF-PQ composite index+probe+ADC+rerank vs independent SQL (oracle)",
+)
+
+
 def q_lshann_probe_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE cross-engine oracle for the sign-hyperplane LSH ANN — the
     third and last ANN tier's machinery: per-table sign-bit signatures,
