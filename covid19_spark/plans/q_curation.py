@@ -1305,3 +1305,111 @@ QUERY_REGISTRY["warc_ingest"] = QuerySpec(
     q_warc_ingest, ORACLE_WARC_INGEST,
     "WARC archive ingest (plain + member-gzip) vs spec-level oracle",
 )
+
+
+def q_warc_permissive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-robustness contract for WARC ingest, end-to-end: a corpus
+    where a deterministic subset of archives is torn (truncated mid-record,
+    doc_id % 11 == 3) or not WARC at all (doc_id % 13 == 0) must still
+    complete — ``on_error="permissive"`` yields one classified error row
+    per bad archive instead of failing the task, and healthy archives
+    still explode into their records. Reports outcomes per (outcome,
+    rec_type) — the ingest health dashboard a crawl run starts from.
+
+    Oracle: outcome classes derive from the doc_id arithmetic alone
+    (DuckDB never parses WARC). Scale shape: map-only synth+parse, one
+    tiny-grain aggregate."""
+    import pandas as pd
+
+    from covid19_spark.sources.warc import (
+        encode_warc,
+        encode_warc_record,
+        http_response_block,
+        warc_records,
+    )
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .filter(F.col("doc_id") < 400)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    synth_schema = StructType(
+        [StructField("warc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                recs = [
+                    encode_warc_record(
+                        "request", f"q{d}",
+                        b"GET / HTTP/1.1\r\nHost: x\r\n\r\n",
+                        target_uri=f"https://h{d}.example/",
+                        content_type="application/http; msgtype=request",
+                    ),
+                    encode_warc_record(
+                        "response", f"r{d}",
+                        http_response_block(200, "OK", f"body {d}".encode()),
+                        target_uri=f"https://h{d}.example/",
+                        content_type="application/http; msgtype=response",
+                    ),
+                ]
+                blob = encode_warc(recs, gzip_per_record=d % 2 == 1)
+                if d % 13 == 0:
+                    blob = b"\x7fNOTWARC" + blob[:24]
+                elif d % 11 == 3:
+                    # cut the TAIL so the wound is always strictly inside
+                    # the final record/gzip member (a fractional cut can
+                    # land exactly on a member boundary and "parse clean")
+                    blob = blob[:-10]
+                rows.append((d, blob))
+            yield pd.DataFrame(rows, columns=["warc_id", "payload"])
+
+    blobs = docs.mapInPandas(synth, schema=synth_schema)
+    recs = warc_records(blobs, on_error="permissive")
+    return (
+        recs.select(
+            F.coalesce(
+                F.split(F.col("error"), ":").getItem(0), F.lit("ok")
+            ).alias("outcome"),
+            F.coalesce(F.col("rec_type"), F.lit("-")).alias("rec_type"),
+        )
+        .groupBy("outcome", "rec_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("outcome", "rec_type")
+    )
+
+
+# Outcome classes from the synthesis arithmetic: non-WARC magic and
+# truncation both classify as ValueError (one row per bad archive);
+# healthy archives yield one request + one response row each. Truncation
+# cuts the SECOND record's tail: for plain archives the terminator/block
+# check fails; for gzip ones the member stream ends early — both
+# ValueError by the parser's contract.
+ORACLE_WARC_PERMISSIVE_STATS = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN 'bad'
+              WHEN doc_id % 11 = 3 THEN 'bad'
+              ELSE 'ok' END AS cls
+  FROM documents WHERE doc_id < 400
+)
+SELECT outcome, rec_type, CAST(n AS BIGINT) AS n FROM (
+  SELECT 'ValueError' AS outcome, '-' AS rec_type, count(*) AS n
+  FROM d WHERE cls = 'bad'
+  UNION ALL
+  SELECT 'ok', 'request', count(*) FROM d WHERE cls = 'ok'
+  UNION ALL
+  SELECT 'ok', 'response', count(*) FROM d WHERE cls = 'ok'
+)
+ORDER BY outcome, rec_type
+"""
+
+
+QUERY_REGISTRY["warc_permissive_stats"] = QuerySpec(
+    q_warc_permissive_stats, ORACLE_WARC_PERMISSIVE_STATS,
+    "torn-archive-tolerant WARC ingest -> outcome counts (oracle)",
+)
