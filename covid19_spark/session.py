@@ -24,6 +24,14 @@ def get_spark(
     Env overrides: ``SPARK_GRAFT_CPUS`` → master local[N] and shuffle
     partition count, matching the driver's bench invocation.
     """
+    # Bridge google.protobuf from a vendored runtime BEFORE the JVM starts
+    # (workers inherit PYTHONPATH through the JVM env) so the
+    # transformWithStateInPandas binding is runnable; no-op where protobuf
+    # is properly installed or absent. See streaming/tws_delta.py.
+    from covid19_spark.streaming.tws_delta import ensure_protobuf_env
+
+    ensure_protobuf_env()
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"

@@ -9,20 +9,26 @@ kernel (``stateful_delta.delta_kernel``) — the tested
 ``applyInPandasWithState`` path therefore covers the delta logic; this
 module is only the StatefulProcessor binding.
 
-ENVIRONMENT GATE: ``transformWithStateInPandas`` speaks a protobuf-based
-state-server protocol, so it needs the ``protobuf`` package and the RocksDB
-state-store provider. This container has no ``google.protobuf`` (and no pip
-installs), so the binding cannot execute here — ``require_tws_runtime()``
-raises a clear error up front, and the test skips with the same probe.
-Vendoring was investigated and rejected: no protobuf wheel or source exists
-anywhere on this disk (only typeshed type stubs), and Spark's generated
-``StateMessage_pb2`` needs the real descriptor-pool/builder runtime —
-"vendoring" would mean reimplementing the protobuf runtime, whose subtle
-wire-format bugs would surface as hanging streaming queries, not test
-failures. The gate stays until the environment ships ``protobuf``.
-On a real cluster (protobuf present) it runs as-is; RocksDB is also the
-provider you want at 100 TB: state spills to local SSD and checkpoints
-incrementally by changelog instead of full HDFS snapshots.
+ENVIRONMENT GATE (now bridged): ``transformWithStateInPandas`` speaks a
+protobuf-based state-server protocol, so it needs the ``google.protobuf``
+runtime, which is not pip-installed here. ``ensure_protobuf_env()`` below
+bridges the gap when possible: the google-cloud-sdk bundled with this image
+ships a complete PURE-PYTHON protobuf runtime 6.32.0 (BSD-licensed upstream
+protobuf source, vendored for its App Engine tooling), and Spark 4.1's
+generated ``StateMessage_pb2`` was built by protoc 6.33.0 — one public
+patch-minor apart. The bridge adds that directory to ``sys.path`` AND to
+``PYTHONPATH`` in ``os.environ`` (so Python workers forked by the JVM
+inherit it — it must therefore run BEFORE the SparkContext launches the
+JVM; ``session.get_spark`` and tests/conftest both call it first), and
+sets protobuf's own documented escape hatch
+``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK=true`` to waive the 6.33>6.32
+gencode/runtime check (pure descriptor-pool loading of a proto3 file, no
+6.33-only feature in the .proto). Where no vendored runtime exists the
+probe still returns False and callers fall back to the twin.
+On a real cluster (protobuf properly installed) it runs as-is with no
+bridge; RocksDB is also the provider you want at 100 TB: state spills to
+local SSD and checkpoints incrementally by changelog instead of full HDFS
+snapshots.
 
 Scale notes match the twin: state is one fixed-width row (|value_cols|
 doubles) per key, sharded across executors by the groupBy hash; each
@@ -53,13 +59,76 @@ ROCKSDB_PROVIDER = (
 )
 
 
-def tws_runtime_available() -> bool:
-    """True iff the protobuf dependency of transformWithStateInPandas exists."""
+# Known locations of a vendored pure-Python google.protobuf on images that
+# do not pip-install protobuf. Each entry is a sys.path ROOT (the dir that
+# contains google/protobuf/__init__.py). Only consulted when the normal
+# import fails; harmless no-op everywhere else.
+_VENDORED_PROTOBUF_ROOTS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
+def ensure_protobuf_env() -> bool:
+    """Make ``google.protobuf`` importable, bridging to a vendored runtime.
+
+    Returns True iff the runtime is importable after the call. MUST run
+    before the SparkContext starts the JVM for the bridge to reach Python
+    workers: the worker processes inherit ``PYTHONPATH`` and the
+    version-check flag through the JVM's environment, which is captured at
+    JVM launch.
+    """
+    import importlib
+    import os
+    import sys
+
     try:
         from google.protobuf import descriptor  # noqa: F401
 
         return True
     except ImportError:
+        pass
+    for root in _VENDORED_PROTOBUF_ROOTS:
+        if not os.path.isfile(os.path.join(root, "google", "protobuf", "__init__.py")):
+            continue
+        if root not in sys.path:
+            # APPEND, not prepend: the root also exposes unrelated top-level
+            # modules (api_server, run_tests, ...); at the tail they can
+            # never shadow stdlib or site-packages, while google.protobuf
+            # still resolves (nothing earlier provides a google package).
+            sys.path.append(root)
+        # protobuf's own documented override for gencode-newer-than-runtime
+        # (google/protobuf/runtime_version.py); Spark's StateMessage_pb2 is
+        # protoc 6.33.0 vs the vendored 6.32.0 runtime.
+        os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+        parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        if root not in parts:
+            os.environ["PYTHONPATH"] = os.pathsep.join([root] + [p for p in parts if p])
+        importlib.invalidate_caches()
+        # a partially-imported namespace package from the failed try above
+        # would mask the new path entry
+        sys.modules.pop("google", None)
+        break
+    try:
+        from google.protobuf import descriptor  # noqa: F401,F811
+
+        return True
+    except ImportError:
+        return False
+
+
+def tws_runtime_available() -> bool:
+    """True iff transformWithStateInPandas can actually run here: the
+    protobuf runtime imports (bridging to a vendored one if needed) AND
+    Spark's generated state-protocol module loads under it (this exercises
+    the descriptor-pool build and the gencode/runtime version gate, not
+    just the package's presence)."""
+    if not ensure_protobuf_env():
+        return False
+    try:
+        from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401
+
+        return True
+    except Exception:
         return False
 
 
