@@ -54,6 +54,43 @@ def normalize_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(cleaned, " +", " "))
 
 
+# --- typographic normalization (content-preserving) ---------------------
+# 1:1 character folds applied in ONE F.translate pass: typographic quote
+# family -> ASCII quote, prime marks -> quote, dash family + minus sign ->
+# '-', and the fixed-width/ideographic space family -> plain space. The
+# fullwidth ASCII block (U+FF01..U+FF5E) maps positionally onto printable
+# ASCII (U+0021..U+007E) — generated, not hand-typed, so it cannot drift.
+_TYPO_FOLD_SRC = (
+    "‘’‚‛′"  # single quotes + prime
+    "“”„‟″"  # double quotes + double prime
+    "‐‑‒–—―−"  # hyphens/dashes/minus
+    "     　"  # nbsp/figure/thin/hair/nnbsp/ideographic
+)
+_TYPO_FOLD_DST = "'''''" + '"""""' + "-------" + "      "
+_FULLWIDTH_SRC = "".join(chr(0xFF01 + i) for i in range(0x5E))
+_FULLWIDTH_DST = "".join(chr(0x21 + i) for i in range(0x5E))
+#: zero-width characters + soft hyphen: deleted outright (they carry no
+#: visible content but split tokens and defeat exact/near dedup)
+_ZERO_WIDTH_RE = "[​‌‍﻿­]"
+
+
+def normalize_typography(text: Column) -> Column:
+    """Content-preserving typographic normalization — the CCNet/RefinedWeb-
+    style cleanup every crawl corpus runs before tokenization and dedup
+    (distinct from ``normalize_text``, which is DESTRUCTIVE and only for
+    fingerprint keys). Folds curly quotes/primes to ASCII quotes, the
+    dash/minus family to ``-``, exotic spaces to plain space, fullwidth
+    ASCII to ASCII; deletes zero-width characters and soft hyphens;
+    rewrites the ellipsis character to ``...``; collapses whitespace runs
+    and trims. Letters outside the folded ranges (accents, CJK, ...) pass
+    through untouched. NULL stays NULL. Pure built-in expressions — one
+    translate pass + three regexp passes, map-only, codegen-friendly."""
+    t = F.translate(text, _TYPO_FOLD_SRC + _FULLWIDTH_SRC, _TYPO_FOLD_DST + _FULLWIDTH_DST)
+    t = F.regexp_replace(t, _ZERO_WIDTH_RE, "")
+    t = F.regexp_replace(t, "…", "...")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
 def fingerprint(text: Column, length: int = 16) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text,
     truncated. The rolling-hash equivalent for near-canonical dedup keys."""

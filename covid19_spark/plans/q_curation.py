@@ -1413,3 +1413,74 @@ QUERY_REGISTRY["warc_permissive_stats"] = QuerySpec(
     q_warc_permissive_stats, ORACLE_WARC_PERMISSIVE_STATS,
     "torn-archive-tolerant WARC ingest -> outcome counts (oracle)",
 )
+
+
+def q_typography_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-preserving typographic normalization
+    (operators/text.py ``normalize_typography``): curly quotes/primes ->
+    ASCII quotes, dash/minus family -> '-', exotic-space family -> space,
+    fullwidth ASCII -> ASCII, zero-width chars + soft hyphens deleted,
+    ellipsis char -> '...', whitespace runs collapsed, trimmed. The
+    standard crawl-corpus cleanup ahead of tokenization/dedup (CCNet/
+    RefinedWeb-style), beyond-reference LLM-pipeline mandate.
+
+    Synthesizes a deterministic messy string per doc (five templates by
+    doc_id arithmetic, each exercising a different fold class) and emits
+    the normalized text + its char length. The DuckDB oracle states the
+    expected normalized output DIRECTLY from the template arithmetic —
+    spec-level, it never runs the fold machinery — so the driver
+    differential cross-checks implementation against written spec.
+
+    Scale shape: one translate pass + three regexps over the scan,
+    map-only, zero shuffle beyond the output sort.
+    """
+    from covid19_spark.operators.text import normalize_typography
+
+    d = F.col("doc_id")
+    raw = F.concat(
+        # “..” curly quotes, — em-dash
+        F.when(d % 5 == 0, F.lit("“Deep — learning”"))
+        # ’ curly apostrophe, ​ ZWSP, … ellipsis char
+        .when(d % 5 == 1, F.lit("it’s café​ … ok"))
+        # fullwidth MODEL + ideographic space + fullwidth 42
+        .when(d % 5 == 2, F.lit("ＭＯＤＥＬ　４２"))
+        # soft hyphen inside a word, NBSP between words
+        .when(d % 5 == 3, F.lit("pre­train data"))
+        # plain whitespace runs incl. a tab
+        .otherwise(F.lit("multi   space\trun")),
+        F.lit(" #"),
+        d.cast("string"),
+        F.lit("  "),  # trailing run: exercises the final trim
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(d < 500)
+    norm = normalize_typography(raw)
+    return docs.select(
+        d.alias("doc_id"),
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("norm_len"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TYPOGRAPHY_NORMALIZE = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+n AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN '"Deep - learning"'
+           WHEN 1 THEN 'it''s café ... ok'
+           WHEN 2 THEN 'MODEL 42'
+           WHEN 3 THEN 'pretrain data'
+           ELSE 'multi space run'
+         END || ' #' || CAST(doc_id AS VARCHAR) AS norm_text
+  FROM d
+)
+SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS norm_len
+FROM n
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["typography_normalize"] = QuerySpec(
+    q_typography_normalize, ORACLE_TYPOGRAPHY_NORMALIZE,
+    "typographic normalization vs spec-derived oracle (map-only)",
+)

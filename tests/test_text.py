@@ -179,3 +179,41 @@ def test_freq_items_superset_of_exact_heavy_hitters(spark):
         for r in terms.groupBy("term").count().filter(F.col("count") > 100 * support).collect()
     }
     assert exact <= approx  # no false negatives above the support threshold
+
+
+def test_normalize_typography_fold_classes(spark):
+    """Each fold class of the written spec: quotes/dashes fold to ASCII,
+    zero-width + soft hyphen delete, fullwidth -> ASCII, exotic spaces ->
+    space, ellipsis char -> '...', whitespace collapse + trim; accents pass
+    through; NULL stays NULL. The registry query's DuckDB oracle checks the
+    same spec cross-engine; this pins it at unit granularity."""
+    from covid19_spark.operators.text import normalize_typography
+
+    cases = [
+        ("“Quoted” — title", '"Quoted" - title'),
+        ("café​ menu …", "café menu ..."),
+        ("ＦＵＬＬ１２３", "FULL123"),
+        ("soft­hyphen word", "softhyphen word"),
+        ("it’s a test – really", "it's a test - really"),
+        ("  a \t\n b  ", "a b"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)], "i int, t string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalize_typography(F.col("t")).alias("n")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want
+
+
+def test_normalize_typography_is_map_only(spark):
+    from covid19_spark.operators.text import normalize_typography
+
+    docs = spark.createDataFrame([(1, "a — b")], "doc_id long, text string")
+    plan = docs.select(
+        normalize_typography(F.col("text"))
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
