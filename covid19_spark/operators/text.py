@@ -335,3 +335,27 @@ def chunk_documents(
         .cast("long")
         .alias("chunk_n_tokens"),
     )
+
+
+def dedup_paragraphs(text: Column, sep: str = "\n\n") -> Column:
+    """Order-preserving intra-document paragraph dedup: split on ``sep``,
+    keep only the FIRST occurrence of each paragraph, rejoin — the
+    MassiveText/RefinedWeb cleanup for boilerplate repeated inside one
+    document (nav blocks, footers), complementary to corpus-level
+    ``line_dedup`` (which removes lines frequent ACROSS documents).
+
+    Pure higher-order array expressions (split / filter-with-index /
+    slice / array_position / array_join): JVM-side, map-only, zero
+    shuffle. Per-row cost is O(paragraphs²) string compares — paragraphs
+    per document are bounded (hundreds), so this is embarrassingly
+    parallel at 100 TB where a groupBy-based formulation would shuffle
+    the whole corpus. Empty paragraphs (separator runs) are dropped.
+    NULL stays NULL."""
+    import re as _re
+
+    paras = F.filter(F.split(text, _re.escape(sep)), lambda p: p != "")
+    kept = F.filter(
+        paras,
+        lambda p, i: F.array_position(F.slice(paras, F.lit(1), i), p) == 0,
+    )
+    return F.array_join(kept, sep)

@@ -1484,3 +1484,66 @@ QUERY_REGISTRY["typography_normalize"] = QuerySpec(
     q_typography_normalize, ORACLE_TYPOGRAPHY_NORMALIZE,
     "typographic normalization vs spec-derived oracle (map-only)",
 )
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document paragraph dedup (operators/text.py
+    ``dedup_paragraphs``): repeated paragraphs inside one document (nav
+    blocks, footers — the MassiveText/RefinedWeb in-doc cleanup) are
+    removed keeping the first occurrence, order preserved. Complementary
+    to corpus-level ``line_dedup`` (frequent ACROSS documents).
+
+    Synthesizes three paragraph layouts by doc_id arithmetic — repeated
+    boilerplate around unique content, pure repetition, no repetition —
+    and emits the cleaned text plus before/after paragraph counts. The
+    DuckDB oracle states the expected cleaned text and counts DIRECTLY
+    from the layout arithmetic (spec-level; it never runs the dedup).
+
+    Scale shape: higher-order array expressions over the scan, map-only,
+    zero shuffle beyond the output sort; per-row cost O(paragraphs²)
+    string compares with paragraphs bounded per document.
+    """
+    from covid19_spark.operators.text import dedup_paragraphs
+
+    d = F.col("doc_id")
+    x = F.concat(F.lit("alpha"), (d % 5).cast("string"))
+    raw = (
+        F.when(d % 3 == 0, F.concat_ws("\n\n", x, F.lit("beta"), x, F.lit("gamma")))
+        .when(d % 3 == 1, F.concat_ws("\n\n", x, x, x))
+        .otherwise(F.concat_ws("\n\n", x, F.lit("beta"), F.lit("gamma")))
+    )
+    clean = dedup_paragraphs(raw)
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(d < 500)
+    nonempty = lambda arr: F.size(F.filter(arr, lambda p: p != ""))  # noqa: E731
+    return docs.select(
+        d.alias("doc_id"),
+        clean.alias("clean_text"),
+        nonempty(F.split(raw, r"\n\n")).cast("long").alias("n_paras"),
+        nonempty(F.split(clean, r"\n\n")).cast("long").alias("n_kept"),
+    ).orderBy("doc_id")
+
+
+ORACLE_PARAGRAPH_DEDUP = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+n AS (
+  SELECT doc_id,
+         'alpha' || CAST(doc_id % 5 AS VARCHAR) AS x,
+         chr(10) || chr(10) AS s
+  FROM d
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 1 THEN x
+            ELSE x || s || 'beta' || s || 'gamma' END AS clean_text,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE 3 END AS BIGINT)
+         AS n_paras,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 3 END AS BIGINT)
+         AS n_kept
+FROM n
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["paragraph_dedup"] = QuerySpec(
+    q_paragraph_dedup, ORACLE_PARAGRAPH_DEDUP,
+    "intra-doc paragraph dedup vs layout-arithmetic oracle (map-only)",
+)

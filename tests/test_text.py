@@ -217,3 +217,36 @@ def test_normalize_typography_is_map_only(spark):
         normalize_typography(F.col("text"))
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_dedup_paragraphs_first_occurrence_order(spark):
+    """First occurrence wins, order preserved; empty paragraphs (separator
+    runs) dropped; all-unique passes through; NULL stays NULL."""
+    from covid19_spark.operators.text import dedup_paragraphs
+
+    cases = [
+        ("A\n\nB\n\nA\n\nC\n\nB", "A\n\nB\n\nC"),
+        ("X\n\nX\n\nX", "X"),
+        ("one\n\ntwo", "one\n\ntwo"),
+        ("A\n\n\n\nA", "A"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)], "i int, t string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", dedup_paragraphs(F.col("t")).alias("n")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want
+
+
+def test_dedup_paragraphs_is_map_only(spark):
+    from covid19_spark.operators.text import dedup_paragraphs
+
+    docs = spark.createDataFrame([(1, "a\n\na")], "doc_id long, text string")
+    plan = docs.select(
+        dedup_paragraphs(F.col("text"))
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
