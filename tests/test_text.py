@@ -250,3 +250,72 @@ def test_dedup_paragraphs_is_map_only(spark):
         dedup_paragraphs(F.col("text"))
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_normalize_typography_idempotent_property(spark):
+    """Normalization must be IDEMPOTENT — normalize(normalize(x)) ==
+    normalize(x) — or a pipeline that re-normalizes at multiple stages
+    keeps mutating text. Property-checked over generated soup mixing every
+    fold class (curly quotes, dashes, exotic spaces, fullwidth, zero-width,
+    ellipsis, whitespace runs) with plain text."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from covid19_spark.operators.text import normalize_typography
+
+    pieces = st.sampled_from(
+        [
+            "word", "café", "１２", "“q”", "it’s", "—", "–", " ", " ",
+            "　", "​", "­", "…", "\t", "  ", "a-b", '"x"',
+        ]
+    )
+    soups = st.lists(pieces, min_size=0, max_size=12).map("".join)
+    collected = []
+
+    @settings(max_examples=80, deadline=None)
+    @given(soups)
+    def gather(t):
+        collected.append(t)
+
+    gather()
+    df = spark.createDataFrame([(t,) for t in collected], "t string")
+    once = df.select(normalize_typography(F.col("t")).alias("n1"))
+    twice = once.select(
+        "n1", normalize_typography(F.col("n1")).alias("n2")
+    ).collect()
+    for r in twice:
+        assert r.n1 == r.n2, r
+
+
+def test_dedup_paragraphs_idempotent_property(spark):
+    """Paragraph dedup must be idempotent, and its output paragraphs must
+    be exactly the input's distinct non-empty paragraphs in first-seen
+    order (checked against a Python reference)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from covid19_spark.operators.text import dedup_paragraphs
+
+    para = st.sampled_from(["a", "b", "c", "nav bar", "footer", "x y"])
+    docs = st.lists(para, min_size=0, max_size=10).map("\n\n".join)
+    collected = []
+
+    @settings(max_examples=80, deadline=None)
+    @given(docs)
+    def gather(t):
+        collected.append(t)
+
+    gather()
+    df = spark.createDataFrame([(t,) for t in collected], "t string")
+    rows = df.select(
+        "t",
+        dedup_paragraphs(F.col("t")).alias("d1"),
+    ).select("t", "d1", dedup_paragraphs(F.col("d1")).alias("d2")).collect()
+    for r in rows:
+        assert r.d1 == r.d2, r
+        seen, want = set(), []
+        for p in r.t.split("\n\n"):
+            if p and p not in seen:
+                seen.add(p)
+                want.append(p)
+        assert r.d1 == "\n\n".join(want), (r.t, r.d1)
