@@ -1547,3 +1547,75 @@ QUERY_REGISTRY["paragraph_dedup"] = QuerySpec(
     q_paragraph_dedup, ORACLE_PARAGRAPH_DEDUP,
     "intra-doc paragraph dedup vs layout-arithmetic oracle (map-only)",
 )
+
+
+def q_text_cleanup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl text-cleanup chain: split to paragraphs ->
+    typographic normalization PER PARAGRAPH (``normalize_typography``
+    inside ``F.transform`` — document-level normalization would collapse
+    the paragraph separators themselves) -> intra-document first-
+    occurrence dedup (``dedup_paragraphs``). The composition is the point:
+    paragraphs that differ only typographically (curly vs ASCII quotes,
+    em-dash vs hyphen, NBSP vs space) COLLIDE after normalization and the
+    duplicate is removed — running the stages in the other order misses
+    them.
+
+    Three layouts by doc_id arithmetic: messy boilerplate repeated around
+    unique content where the REPEAT differs typographically (ASCII vs
+    curly quotes) from the original, pure repetition, no repetition; the
+    single paragraphs also carry dash/apostrophe mess. The oracle states
+    the cleaned text and counts directly from the layout arithmetic.
+
+    Scale shape: still one map-only pass — higher-order array expressions
+    over the scan, zero shuffle beyond the output sort.
+    """
+    from covid19_spark.operators.text import dedup_paragraphs, normalize_typography
+
+    d = F.col("doc_id")
+    # curly-quoted boilerplate; its repeat uses ASCII quotes — a
+    # typographic near-duplicate that only normalization makes exact
+    x_curly = F.concat(F.lit("“alpha”"), (d % 5).cast("string"))
+    x_ascii = F.concat(F.lit('"alpha"'), (d % 5).cast("string"))
+    y = F.lit("it’s — beta")
+    raw = (
+        F.when(d % 3 == 0, F.concat_ws("\n\n", x_curly, y, x_ascii))
+        .when(d % 3 == 1, F.concat_ws("\n\n", x_curly, x_ascii))
+        .otherwise(F.concat_ws("\n\n", x_curly, y))
+    )
+    paras = F.filter(F.split(raw, r"\n\n"), lambda p: p != "")
+    normed = F.transform(paras, lambda p: normalize_typography(p))
+    clean = dedup_paragraphs(F.array_join(normed, "\n\n"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(d < 500)
+    return docs.select(
+        d.alias("doc_id"),
+        clean.alias("clean_text"),
+        F.size(paras).cast("long").alias("n_paras"),
+        F.size(F.split(clean, r"\n\n")).cast("long").alias("n_kept"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_CLEANUP_PIPELINE = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+n AS (
+  SELECT doc_id,
+         '"alpha"' || CAST(doc_id % 5 AS VARCHAR) AS x,
+         'it''s - beta' AS y,
+         chr(10) || chr(10) AS s
+  FROM d
+)
+SELECT doc_id,
+       CASE doc_id % 3
+         WHEN 0 THEN x || s || y
+         WHEN 1 THEN x
+         ELSE x || s || y END AS clean_text,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 3 ELSE 2 END AS BIGINT) AS n_paras,
+       CAST(CASE doc_id % 3 WHEN 1 THEN 1 ELSE 2 END AS BIGINT) AS n_kept
+FROM n
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["text_cleanup_pipeline"] = QuerySpec(
+    q_text_cleanup_pipeline, ORACLE_TEXT_CLEANUP_PIPELINE,
+    "normalize-then-dedup composed cleanup vs layout oracle (map-only)",
+)
