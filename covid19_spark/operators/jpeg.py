@@ -1032,8 +1032,29 @@ def decode_jpeg(payload: bytes, dc_only: bool = False) -> np.ndarray:
                     return np.clip(bm, 0, 255).astype(np.uint8)
                 return img
             if arith:
-                from covid19_spark.operators.jpeg_arith import _decode_arith_scan
+                from covid19_spark.operators.jpeg_arith import (
+                    ALLOW_FOREIGN_SOF9,
+                    SOF9_SELF_SIGNATURE,
+                    _decode_arith_scan,
+                )
 
+                # Interop gate (ADVICE r08): the QM coder is round-trip
+                # verified only against encode_jpeg_arith; a third-party
+                # SOF9 stream could mis-decode silently if its writer used
+                # a different subinterval-ordering/byte-feed convention.
+                # Our encoder stamps a COM signature into the header; an
+                # unsigned stream fails loudly unless the documented
+                # module flag opts in.
+                sig = struct.pack(
+                    ">HH", 0xFFFE, len(SOF9_SELF_SIGNATURE) + 2
+                ) + SOF9_SELF_SIGNATURE
+                if not ALLOW_FOREIGN_SOF9 and sig not in data[:pos]:
+                    raise NotImplementedError(
+                        "third-party arithmetic-coded JPEG (SOF9): "
+                        "cross-library interop unverified; set "
+                        "jpeg_arith.ALLOW_FOREIGN_SOF9 = True after "
+                        "differential testing against jdarith"
+                    )
                 # Strictness guard: a truncated arithmetic scan cannot be
                 # detected from the coder itself (the byte feed pads with
                 # 1-bits past any end, per F.2.2.1), so a stream whose EOI

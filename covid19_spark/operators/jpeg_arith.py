@@ -47,6 +47,22 @@ import struct
 
 import numpy as np
 
+#: COM-segment payload ``encode_jpeg_arith`` stamps into every stream it
+#: produces. Streams carrying it are round-trip-verified by construction.
+SOF9_SELF_SIGNATURE = b"covid19_spark qm/T.81-D v1"
+
+#: Interop gate. Cross-library SOF9 bitstream interop (LPS subinterval
+#: ordering, 0xFF byte-feed convention) is verified only against this
+#: module's encoder twin — no libjpeg and no external arithmetic-coded
+#: sample files exist in this container. With the gate at False (default),
+#: ``decode_jpeg`` refuses SOF9 streams that do not carry
+#: ``SOF9_SELF_SIGNATURE``, failing loudly instead of risking a silent
+#: mis-decode of a third-party corpus. Flip to True only after
+#: differential-testing against libjpeg-turbo's jdarith on the target
+#: corpus (the production checklist in this docstring's conformance
+#: contract).
+ALLOW_FOREIGN_SOF9 = False
+
 #: T.81 Table D.3 — Qe value, Next_Index_MPS, Next_Index_LPS, Switch_MPS.
 #: 113 adaptive states; index 113 is the frozen equiprobable bin used for
 #: AC coefficient signs (never updated — NMPS/NLPS point at itself).
@@ -606,6 +622,10 @@ def encode_jpeg_arith(
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    # provenance stamp consumed by decode_jpeg's SOF9 interop gate (see
+    # ALLOW_FOREIGN_SOF9): marks the stream as produced by the verified
+    # encoder twin
+    out += seg(0xFFFE, SOF9_SELF_SIGNATURE)
     for tid, q in enumerate(qtabs[: 1 if gray else 2]):
         if precision == 12:
             out += seg(

@@ -922,6 +922,12 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
             raise NotImplementedError("12-bit JPEG-in-TIFF not supported")
         if predictor == 2:
             raise ValueError("corrupt TIFF: predictor with JPEG compression")
+        if photo == 2:
+            # RGB-stored JPEG scans: decode_jpeg treats every 3-component
+            # scan as YCbCr by JPEG convention, so an RGB-photometric
+            # JPEG-in-TIFF would decode mis-colored. Same seam (and same
+            # guard) as the tables-split old-JPEG path above.
+            raise NotImplementedError("RGB-photometric JPEG-in-TIFF not supported")
     if photo not in (0, 1, 2, 3) and not (photo == 6 and comp == 7):
         raise NotImplementedError(f"TIFF photometric {photo} not supported")
     if photo in (2, 6) and spp < 3:

@@ -15,6 +15,16 @@ from covid19_spark.sources.tables import load_table
 
 DEC = "decimal(38,6)"  # exact accumulator type; see plans/registry.py
 
+def fixture_path(name: str) -> str:
+    """Absolute path of a checked-in oracle fixture (tests/fixtures/<name>),
+    derived from the package location so oracles work on any checkout root
+    (the driver's DuckDB process has an unknown CWD, so the path embedded
+    in oracle SQL must be absolute — but not hardcoded)."""
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, "tests", "fixtures", name)
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from covid19_spark.plans.base import DEC, QUERY_REGISTRY, QuerySpec, _t
+from covid19_spark.plans.base import DEC, QUERY_REGISTRY, QuerySpec, _t, fixture_path
 
 
 
@@ -2179,12 +2179,13 @@ def q_permissive_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The verdict fixture is the REPO's checked-in parquet (absolute path: the
-# driver's DuckDB process has an unknown CWD). Joining on documents keeps
-# the oracle tied to the sf tables' actual doc_id domain.
-ORACLE_PERMISSIVE_DECODE_STATS = """
+# The verdict fixture is the REPO's checked-in parquet (absolute path
+# derived from the package location: the driver's DuckDB process has an
+# unknown CWD, and a hardcoded root breaks other checkouts). Joining on
+# documents keeps the oracle tied to the sf tables' actual doc_id domain.
+ORACLE_PERMISSIVE_DECODE_STATS = f"""
 SELECT b.mime, b.outcome, CAST(count(*) AS BIGINT) AS n_blobs
-FROM read_parquet('/root/repo/tests/fixtures/permissive_decode_blobs.parquet') b
+FROM read_parquet('{fixture_path("permissive_decode_blobs.parquet")}') b
 JOIN documents d ON b.media_id = d.doc_id
 WHERE d.doc_id < 500
 GROUP BY b.mime, b.outcome

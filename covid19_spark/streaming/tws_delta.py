@@ -102,7 +102,11 @@ def ensure_protobuf_env() -> bool:
         os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
         parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
         if root not in parts:
-            os.environ["PYTHONPATH"] = os.pathsep.join([root] + [p for p in parts if p])
+            # APPEND here too, mirroring the sys.path placement above:
+            # workers build their sys.path from PYTHONPATH, so a prepended
+            # root would resolve AHEAD of stdlib/site-packages on workers —
+            # the exact shadowing the tail position exists to avoid.
+            os.environ["PYTHONPATH"] = os.pathsep.join([p for p in parts if p] + [root])
         importlib.invalidate_caches()
         # a partially-imported namespace package from the failed try above
         # would mask the new path entry

@@ -173,3 +173,32 @@ def test_marker_layout():
     assert b"\xff\xc9" in p  # SOF9
     assert b"\xff\xcc" in p  # DAC conditioning
     assert b"\xff\xc4" not in p  # no Huffman tables in an arithmetic stream
+
+
+def test_foreign_sof9_gate():
+    """ADVICE r08: cross-library SOF9 interop is unverified, so an
+    arithmetic-coded stream NOT stamped with the encoder twin's COM
+    signature must fail loudly (NotImplementedError), not risk a silent
+    mis-decode — unless the documented module flag opts in."""
+    import struct
+
+    from covid19_spark.operators import jpeg_arith
+
+    rng = np.random.default_rng(47)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    p = encode_jpeg_arith(img)
+    sig_seg = (
+        struct.pack(">HH", 0xFFFE, len(jpeg_arith.SOF9_SELF_SIGNATURE) + 2)
+        + jpeg_arith.SOF9_SELF_SIGNATURE
+    )
+    assert sig_seg in p
+    foreign = p.replace(sig_seg, b"")  # strip the provenance stamp
+    with pytest.raises(NotImplementedError, match="third-party"):
+        decode_jpeg(foreign)
+    # the documented opt-in accepts the same bytes (and they decode
+    # identically: the COM segment carries no entropy state)
+    try:
+        jpeg_arith.ALLOW_FOREIGN_SOF9 = True
+        assert np.array_equal(decode_jpeg(foreign), decode_jpeg(p))
+    finally:
+        jpeg_arith.ALLOW_FOREIGN_SOF9 = False

@@ -2239,3 +2239,22 @@ def test_tiff_old_style_jpeg_tables_split():
     struct.pack_into("<I", bad, i + 8, len(bad) + 10)
     with pytest.raises(ValueError, match="out of range"):
         decode_tiff(bytes(bad))
+
+
+def test_tiff_rgb_photometric_new_jpeg_is_a_seam():
+    """ADVICE r08: decode_jpeg treats every 3-component scan as YCbCr, so a
+    third-party RGB-photometric (photo 2) new-style JPEG-in-TIFF would
+    decode mis-colored; it must raise the documented NotImplementedError
+    instead — the same guard the tables-split old-JPEG path already has."""
+    from covid19_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    payload = bytearray(encode_tiff(img, compression="jpeg"))
+    # tag 262 (PhotometricInterpretation), SHORT, count 1, value 6 (YCbCr)
+    entry = bytes.fromhex("060103000100000006000000")
+    i = payload.find(entry)
+    assert i >= 0
+    payload[i + 8] = 2  # rewrite to photometric 2 (RGB)
+    with pytest.raises(NotImplementedError, match="RGB-photometric"):
+        decode_tiff(bytes(payload))

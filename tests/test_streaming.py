@@ -790,3 +790,34 @@ def test_streaming_lsh_store_probe_is_partition_pruned(stream_env):
     sink(spark.createDataFrame([(200, dup), (201, rows[7][1])], schema), 1)
     accepted = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
     assert 200 not in accepted and 201 not in accepted
+
+
+def test_vendored_protobuf_root_appended_to_pythonpath():
+    """ADVICE r08: ensure_protobuf_env must APPEND the vendored App Engine
+    root to PYTHONPATH (as it does to sys.path), so Python workers resolve
+    stdlib/site-packages first — a prepended root would let its unrelated
+    top-level modules (api_server, lib, ...) shadow same-named imports on
+    workers. Run in a subprocess with a controlled PYTHONPATH so the
+    in-process bridge state doesn't mask the behavior."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import os, sys\n"
+        "from covid19_spark.streaming import tws_delta as t\n"
+        "ok = t.ensure_protobuf_env()\n"
+        "parts = os.environ.get('PYTHONPATH', '').split(os.pathsep)\n"
+        "vend = [p for p in parts if p in t._VENDORED_PROTOBUF_ROOTS]\n"
+        "if ok and vend:\n"
+        "    assert parts.index('/tmp/__sentinel__') < parts.index(vend[0]), parts\n"
+        "    assert parts[-1] == vend[0], parts\n"
+        "print('OK', ok, bool(vend))\n"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYTHONPATH"] = os.pathsep.join(["/tmp/__sentinel__", os.getcwd()])
+    r = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True
+    )
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.startswith("OK")
