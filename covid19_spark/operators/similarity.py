@@ -499,6 +499,54 @@ def ivf_cosine_topk(
     )
 
 
+def _fit_quantizers_driver(ids, vecs, n_centroids: int, m: int, n_codes: int):
+    """Driver-side numpy twin of one Lloyd round of ``ivf_train_centroids``
+    + ``pq_train_codebooks``, semantics replicated exactly: lowest-id seeds,
+    assign by max dot (IVF) / min squared L2 on normalize-then-slice
+    subvectors (PQ) with ties to the lowest centroid/code id, element-wise
+    mean update, empty cluster keeps its seed. Floating-point sums here use
+    numpy's reduction order rather than Spark's fold/partial-agg order, so
+    trained values can differ in final ulps — downstream results are
+    unaffected because centroids/codebooks act only through comparisons
+    (argmax assignment, ADC ranking) whose margins are astronomically wider
+    than an ulp for real embeddings; the registry fixture pins the final
+    top-k bit-exactly either way.
+
+    Returns (centroids, codebooks): (k, dim) array and (m, k', sub_dim)
+    array, k and k' capped at the sample size like the distributed twins
+    (limit(k) of a smaller frame)."""
+    order = np.argsort(np.asarray(ids, dtype=np.int64), kind="stable")
+    v = np.asarray([vecs[i] for i in order], dtype=np.float64)
+    n, dim = v.shape
+    kc = min(n_centroids, n)
+    seeds = v[:kc].copy()  # rows already in ascending-id order
+    assign = np.argmax(v @ seeds.T, axis=1)  # first max → lowest centroid_id
+    centroids = seeds.copy()
+    for c in range(kc):
+        mask = assign == c
+        if mask.any():
+            centroids[c] = v[mask].mean(axis=0)
+
+    norms = np.sqrt((v * v).sum(axis=1))
+    nv = v / norms[:, None]
+    d = dim // m  # Spark's (size/m).cast("int") slice width; tail dropped
+    subs = nv[:, : m * d].reshape(n, m, d)
+    kq = min(n_codes, n)
+    codebooks = np.empty((m, kq, d), dtype=np.float64)
+    for s in range(m):
+        x = subs[:, s, :]
+        c0 = subs[:kq, s, :].copy()  # lowest-id seeds, code = rank
+        d2 = ((x[:, None, :] - c0[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)  # first min → lowest code
+        cb = c0
+        for j in range(kq):
+            mask = a == j
+            if mask.any():
+                cb[j] = x[mask].mean(axis=0)
+        codebooks[s] = cb
+    return centroids, codebooks
+
+
 def ivfpq_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -533,39 +581,44 @@ def ivfpq_cosine_topk(
     """
     from pyspark.sql import Window
 
-    # Materialize the training sample ONCE: both quantizer trainings consume
-    # it, and without the checkpoint each training job re-runs the sample's
-    # whole lineage (parquet scan + any caller repartition). The sample is
-    # small by contract — FAISS-style practice trains on 10^5-10^6 rows via
-    # ``train_sample_mod`` at real scale, so the materialized blocks are
-    # MBs, not the corpus.
-    train = None
+    # Index build (VERDICT r08 task #1): the training sample is SMALL BY
+    # CONTRACT — FAISS-style practice fits quantizers on 10^5-10^6 rows via
+    # ``train_sample_mod`` and encodes everything, so the sample is MBs,
+    # the same sanctioned vocabulary-sized-collect class as BPE's merge
+    # table. Collect it ONCE to the driver, run both Lloyd fits in numpy,
+    # and broadcast the two tiny results back as LocalRelations — this
+    # replaces the former 3-job eager-localCheckpoint barrier chain
+    # (sample, centroids, codebooks) whose sequential stalls multiplied on
+    # a contended box (driver sweeps r07 16.1 s / r08 runs 7.3/33.6/7.7 s
+    # for ~1 s of real training work). Zero barrier jobs remain before the
+    # query; the fully-distributed trainers (``ivf_train_centroids``,
+    # ``pq_train_codebooks``) stay available for corpus-scale fits through
+    # the pre-trained ``centroids=``/``codebooks=`` seam, which the
+    # ``ivfpq_probe_crosscheck`` oracle verifies the composite through.
     if centroids is None or codebooks is None:
-        train = quantizer_training_sample(corpus, id_col, train_sample_mod).select(
-            F.col(id_col), F.col(vec_col)
-        ).localCheckpoint(eager=True)
-    # Both quantizer outputs are k-row frames with EXPENSIVE lineages (the
-    # full Lloyd chains) and two consumers each (centroids: corpus lists +
-    # query probes; codebooks: corpus encode + the broadcast ADC row) — cut
-    # the lineage so training runs once. The trainings materialize
-    # SEQUENTIALLY: a two-thread concurrent variant was measured
-    # load-sensitive on a contended local[32] (driver sweep 16.1 s vs a
-    # 4-5 s isolated best case — two eager localCheckpoint jobs contending
-    # for the same executor threads multiply rather than overlap; VERDICT
-    # r07 item #1), while each training is only ~1 s of real work. On a
-    # genuinely idle multi-executor cluster the two independent jobs can be
-    # submitted from separate driver threads by the caller; the engine
-    # default must be the variance-free plan. localCheckpoint blocks are
-    # freed by the ContextCleaner when the frames go out of scope (no cache
-    # handle to leak, unlike persist()).
-    if centroids is None:
-        centroids = ivf_train_centroids(train, n_centroids, id_col, vec_col).localCheckpoint(
-            eager=True
+        rows = (
+            quantizer_training_sample(corpus, id_col, train_sample_mod)
+            .select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v"))
+            .collect()
         )
-    if codebooks is None:
-        codebooks = pq_train_codebooks(train, m, n_codes, id_col, vec_col).localCheckpoint(
-            eager=True
+        cents, cbs = _fit_quantizers_driver(
+            [r["__id"] for r in rows], [r["__v"] for r in rows], n_centroids, m, n_codes
         )
+        spark = corpus.sparkSession
+        if centroids is None:
+            centroids = spark.createDataFrame(
+                [(int(i) + 1, [float(x) for x in c]) for i, c in enumerate(cents)],
+                "centroid_id INT, cvec ARRAY<DOUBLE>",
+            )
+        if codebooks is None:
+            codebooks = spark.createDataFrame(
+                [
+                    (int(s), int(j), [float(x) for x in cbs[s][j]])
+                    for s in range(len(cbs))
+                    for j in range(len(cbs[s]))
+                ],
+                "sub INT, code INT, cvec ARRAY<DOUBLE>",
+            )
     # ONE map pass builds the resident index: list assignment (top-1
     # centroid, identical expression to ivf_assign) AND the PQ codes
     # (map-only _pq_codes_expr) from the same scan — the former

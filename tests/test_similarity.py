@@ -426,3 +426,39 @@ def test_pq_encode_map_only_matches_assign_reassembly(spark):
     )
     slow = {r.vec_id: tuple(r.codes) for r in slow_df.collect()}
     assert fast == slow
+
+
+def test_driver_fit_matches_distributed_trainers(spark):
+    """VERDICT r08 task #1: the driver-side numpy quantizer fit used by
+    ``ivfpq_cosine_topk`` must replicate the distributed trainers'
+    semantics — same lowest-id seeds, same tie-breaks, same empty-cluster
+    handling — differing at most in floating-point reduction order (ulps).
+    Pin both tiers against ``ivf_train_centroids``/``pq_train_codebooks``
+    on the live sf0.01 corpus."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from covid19_spark.operators.similarity import (
+        _fit_quantizers_driver,
+        ivf_train_centroids,
+        pq_train_codebooks,
+    )
+    from covid19_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    rows = emb.select(
+        F.col("vec_id").alias("__id"),
+        F.col("embedding").cast("array<double>").alias("__v"),
+    ).collect()
+    cents, cbs = _fit_quantizers_driver(
+        [r["__id"] for r in rows], [r["__v"] for r in rows], 16, 8, 16
+    )
+    dist_c = {r.centroid_id: np.array(r.cvec) for r in ivf_train_centroids(emb, 16).collect()}
+    assert sorted(dist_c) == list(range(1, 17))
+    for i in range(16):
+        assert np.allclose(cents[i], dist_c[i + 1], rtol=0, atol=1e-12), i
+    dist_cb = {(r.sub, r.code): np.array(r.cvec) for r in pq_train_codebooks(emb, 8, 16).collect()}
+    assert len(dist_cb) == 8 * 16
+    for s in range(8):
+        for j in range(16):
+            assert np.allclose(cbs[s][j], dist_cb[(s, j)], rtol=0, atol=1e-12), (s, j)
