@@ -85,6 +85,34 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    def _anchor_run() -> float:
+        # Calibration anchor (VERDICT r08 task #2): one FIXED pure-Spark
+        # workload — constant synthetic range, modular hash, 1000-key
+        # aggregate, noop sink; zero project code, zero IO — timed at sweep
+        # start and end. Its runtime moves only with box conditions
+        # (CPU contention, JVM heap state), so two rounds' sweeps can be
+        # compared via anchor-normalized query times instead of
+        # cross-referencing a separate quiet-box rerun (r07 and r08 both
+        # ran the official sweep on a ~1.3-1.4x hot box and the raw deltas
+        # needed a day of adjudication). ~1 s on a quiet local[32].
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 400_000_000, 1, 32)
+            .select(
+                (F.col("id") % 1000).alias("k"),
+                F.pmod(F.col("id") * 2654435761, F.lit(4294967296)).alias("h"),
+            )
+            .groupBy("k")
+            .agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("c"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        return time.perf_counter() - t0
+
+    def _anchor() -> float:
+        # min of 2: the anchor tracks sustained load, not one GC spike
+        runs = [_anchor_run(), _anchor_run()]
+        return round(min(runs), 3)
+
     def _settle() -> None:
         # Queries that self-join cache intermediate frames (LSH signatures,
         # normalized embeddings); drop them so later runs aren't charged for
@@ -115,6 +143,8 @@ def main() -> None:
     # the min is the plan's honest repeat cost. Cache state is identical for
     # both runs (clearCache between them), so the min never measures a
     # half-cached plan — only warm codegen/IO paths, which is the point.
+    anchor_start = _anchor()
+    _settle()
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
@@ -143,8 +173,14 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         all_runs[name] = [round(r, 3) for r in runs]
 
+    anchor_end = _anchor()
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Anchor-normalized view: each query's min divided by the mean anchor —
+    # a unitless, box-hotness-independent number that IS comparable across
+    # rounds (the raw seconds are only comparable when both boxes idle).
+    anchor_sec = round((anchor_start + anchor_end) / 2, 3)
+    queries_norm = {n: round(t / anchor_sec, 3) for n, t in timings.items()}
     # "queries" stays min-per-query (round-over-round comparable); "runs"
     # carries every raw run so a load-sensitive query self-identifies
     # (runs disagreeing >2x means the MIN is a best case, not a typical
@@ -162,6 +198,11 @@ def main() -> None:
         "queries": timings,
         "runs": all_runs,
         "spread_flags": spread_flags,
+        "anchor_sec": anchor_sec,
+        "anchor_start_sec": anchor_start,
+        "anchor_end_sec": anchor_end,
+        "queries_norm": queries_norm,
+        "value_norm": round(total / anchor_sec, 3),
         "sf": sf_val,
     }
     # The driver's artifact keeps only a TAIL of stdout, which decapitates a
@@ -180,6 +221,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "anchor_sec": anchor_sec,
+                "value_norm": round(total / anchor_sec, 3),
                 "queries_file": "BENCH_LOCAL.json",
             }
         ),

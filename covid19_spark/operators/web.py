@@ -105,3 +105,36 @@ def strip_html(html: Column) -> Column:
         t = F.replace(t, F.lit(ent), F.lit(ch))
     t = F.regexp_replace(t, r"\s+", " ")
     return F.trim(t)
+
+
+def html_paragraphs(html: Column) -> Column:
+    """Visible text of an HTML column as an ``array<string>`` of BLOCK
+    paragraphs — the block-aware twin of ``strip_html`` (which collapses
+    the whole page to one line and so cannot feed paragraph-level cleanup).
+    Same subtree removals (head/comments/script/style), but closing
+    block-level tags (``</p> </h1>..</h6> </li> </div> </blockquote>
+    </tr>``) and ``<br>`` become paragraph breaks BEFORE the generic tag
+    strip; the break sentinel is a non-whitespace control char so the
+    whitespace collapse cannot eat it. Within each paragraph the same
+    entity decode + whitespace collapse + trim as ``strip_html``; empty
+    paragraphs (pure-markup blocks) are dropped. Map-only built-ins —
+    this is the crawl pipeline's extraction step feeding
+    ``normalize_typography``/``dedup_paragraphs`` per paragraph."""
+    t = F.regexp_replace(html, r"(?is)<head[\s>].*?</head>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(
+        t, r"(?i)</(p|h[1-6]|li|div|blockquote|tr)\s*>|<br\s*/?>", "\u0001"
+    )
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.filter(
+        F.transform(F.split(t, "\u0001"), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )

@@ -51,3 +51,20 @@ def test_bench_local_schema():
         # the recorded headline number is the min of the raw runs
         assert abs(min(rs) - art["queries"][name]) < 1e-6, name
     assert art["spread_flags"] == _flags(art["runs"])
+    # calibration anchor (VERDICT r08 task #2): a fixed pure-Spark workload
+    # timed at sweep start and end; every query also reported normalized by
+    # it so rounds on differently-loaded boxes compare directly
+    for key in (
+        "anchor_sec", "anchor_start_sec", "anchor_end_sec",
+        "queries_norm", "value_norm",
+    ):
+        assert key in art, f"bench artifact missing {key!r}"
+    assert art["anchor_sec"] > 0
+    assert (
+        abs(art["anchor_sec"] - (art["anchor_start_sec"] + art["anchor_end_sec"]) / 2)
+        < 5e-3
+    )
+    assert set(art["queries_norm"]) == set(art["queries"])
+    for name, norm in art["queries_norm"].items():
+        assert abs(norm - round(art["queries"][name] / art["anchor_sec"], 3)) < 1e-6
+    assert abs(art["value_norm"] - round(art["value"] / art["anchor_sec"], 3)) < 1e-6
