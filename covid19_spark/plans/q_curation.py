@@ -1619,3 +1619,210 @@ QUERY_REGISTRY["text_cleanup_pipeline"] = QuerySpec(
     q_text_cleanup_pipeline, ORACLE_TEXT_CLEANUP_PIPELINE,
     "normalize-then-dedup composed cleanup vs layout oracle (map-only)",
 )
+
+
+def q_crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE crawl-to-corpus flagship (VERDICT r08 task #3): the full
+    WARC-to-training-corpus chain composed into ONE query — the first
+    thing a real LLM-pipeline user runs. Stages, in pipeline order:
+
+      1. WARC ingest (``sources/warc.py``): one spec-shaped archive per
+         document (warcinfo + request + response; odd doc_ids use the
+         Common Crawl member-per-record gzip layout, even ones plain);
+      2. HTTP gate: keep 200-status response records (every 7th doc 404s);
+      3. block-aware HTML extraction (``html_paragraphs``): head/script/
+         style/comment subtrees off, block tags become paragraph breaks;
+      4. per-paragraph typographic normalization (curly quotes / em-dash
+         folded to ASCII) then intra-document first-occurrence paragraph
+         dedup — the repeated "Home" nav block and the typographic repeat
+         of the lead paragraph collapse;
+      5. quality gate: cleaned word count >= 5 (every doc with
+         doc_id % 8 == 3 is built 3 words short and drops here);
+      6. URL dedup: canonicalize (case/port/trailing-slash/utm_*/fragment)
+         and keep the LOWEST surviving doc_id per canonical URL
+         (construction aliases doc_ids mod 120 onto one URL);
+      7. content-fingerprint dedup: every doc with doc_id % 6 == 5 is pure
+         boilerplate whose cleaned text is IDENTICAL corpus-wide — one
+         survivor. Exact text is the window key at this fixture size; at
+         100 TB the key is ``fingerprint(clean_text)`` (md5-16) so the
+         exchange hashes 16 chars, not documents (the row still travels —
+         that is the output contract either way).
+
+    Oracle: spec-level, the ``html_text_extract`` pattern — DuckDB never
+    parses WARC or HTML; it restates the expected cleaned text and the
+    gate/dedup outcomes from the construction arithmetic plus the raw
+    document words, and replays the two keep-lowest-doc_id dedups as
+    QUALIFY windows over that arithmetic. Two implementations of the same
+    written spec, cross-checked by the driver.
+
+    Scale shape: documents is scanned ONCE (plan-pinned in
+    tests/test_plans.py); synth+parse+extract+cleanup is one map-only
+    Arrow/codegen chain over that scan; the only shuffles are the two
+    dedup exchanges (canonical key, content key) and the output sort.
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from covid19_spark.operators.text import dedup_paragraphs, normalize_typography
+    from covid19_spark.operators.web import canonical_url, html_paragraphs
+    from covid19_spark.sources.warc import (
+        encode_warc,
+        encode_warc_record,
+        http_response_block,
+        warc_records,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+        .filter(F.col("doc_id") < 400)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    synth_schema = StructType(
+        [StructField("warc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                ukey = d % 120
+                uri = (
+                    f"HTTPS://Crawl{ukey % 6}.Example:443/page/{ukey}/"
+                    "?utm_source=x&ref=9#top"
+                )
+                if d % 7 == 0:
+                    block = http_response_block(404, "Not Found", b"gone")
+                else:
+                    words = str(text).split(" ")
+                    if d % 6 == 5:
+                        inner = (
+                            "<p>“Free” news</p>"
+                            "<p>Subscribe — today</p>"
+                            '<p>"Free" news</p>'
+                        )
+                    elif d % 8 == 3:
+                        inner = "<p>" + " ".join(words[:2]) + "</p>"
+                    else:
+                        inner = (
+                            "<h1>Doc " + str(d) + "</h1>"
+                            "<p>" + " ".join(words[:12]) + "</p>"
+                            "<!-- boilerplate -->"
+                            "<p>was — cited</p><p>was - cited</p>"
+                        )
+                    html = (
+                        "<html><head><title>T</title>"
+                        "<script>if (a<2) {b=3}</script></head>"
+                        "<body><div>Home</div>" + inner
+                        + "<div>Home</div></body></html>"
+                    )
+                    block = http_response_block(200, "OK", html.encode())
+                recs = [
+                    encode_warc_record(
+                        "warcinfo", f"i{d}", b"software: covid19_spark\r\n",
+                        content_type="application/warc-fields",
+                    ),
+                    encode_warc_record(
+                        "request", f"q{d}",
+                        b"GET / HTTP/1.1\r\nHost: x\r\n\r\n", target_uri=uri,
+                        content_type="application/http; msgtype=request",
+                    ),
+                    encode_warc_record(
+                        "response", f"r{d}", block, target_uri=uri,
+                        content_type="application/http; msgtype=response",
+                    ),
+                ]
+                rows.append((d, encode_warc(recs, gzip_per_record=d % 2 == 1)))
+            yield pd.DataFrame(rows, columns=["warc_id", "payload"])
+
+    pages = (
+        warc_records(docs.mapInPandas(synth, schema=synth_schema))
+        .filter((F.col("rec_type") == "response") & (F.col("http_status") == 200))
+        .select(
+            F.col("warc_id").alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.col("body").alias("__html"),
+        )
+    )
+    paras = html_paragraphs(F.col("__html"))
+    clean = dedup_paragraphs(
+        F.array_join(F.transform(paras, lambda p: normalize_typography(p)), "\n\n")
+    )
+    cleaned = pages.select(
+        "doc_id",
+        "url",
+        canonical_url(F.col("url")).alias("canonical"),
+        clean.alias("clean_text"),
+    ).withColumn(
+        "n_words", F.size(F.split(F.col("clean_text"), r"\s+")).cast("long")
+    ).filter(F.col("n_words") >= 5)
+    url_kept = (
+        cleaned.withColumn(
+            "__mu", F.min("doc_id").over(Window.partitionBy("canonical"))
+        )
+        .filter(F.col("doc_id") == F.col("__mu"))
+        .drop("__mu")
+    )
+    corpus = (
+        url_kept.withColumn(
+            "__mc", F.min("doc_id").over(Window.partitionBy("clean_text"))
+        )
+        .filter(F.col("doc_id") == F.col("__mc"))
+        .drop("__mc")
+    )
+    return corpus.orderBy("doc_id")
+
+
+ORACLE_CRAWL_TO_CORPUS = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+cand AS (
+  SELECT doc_id,
+         doc_id % 120 AS ukey,
+         'HTTPS://Crawl' || CAST((doc_id % 120) % 6 AS VARCHAR)
+           || '.Example:443/page/' || CAST(doc_id % 120 AS VARCHAR)
+           || '/?utm_source=x&ref=9#top' AS url,
+         'https://crawl' || CAST((doc_id % 120) % 6 AS VARCHAR)
+           || '.example/page/' || CAST(doc_id % 120 AS VARCHAR)
+           || '?ref=9' AS canonical,
+         CASE
+           WHEN doc_id % 6 = 5 THEN
+             'Home' || chr(10) || chr(10) || '"Free" news'
+                    || chr(10) || chr(10) || 'Subscribe - today'
+           WHEN doc_id % 8 = 3 THEN
+             'Home' || chr(10) || chr(10)
+                    || array_to_string(string_split(text, ' ')[1:2], ' ')
+           ELSE
+             'Home' || chr(10) || chr(10) || 'Doc ' || CAST(doc_id AS VARCHAR)
+                    || chr(10) || chr(10)
+                    || array_to_string(string_split(text, ' ')[1:12], ' ')
+                    || chr(10) || chr(10) || 'was - cited'
+         END AS clean_text,
+         CASE
+           WHEN doc_id % 6 = 5 THEN 6
+           WHEN doc_id % 8 = 3 THEN 3
+           ELSE len(string_split(text, ' ')[1:12]) + 6
+         END AS n_words
+  FROM d
+  WHERE doc_id % 7 <> 0
+),
+gated AS (SELECT * FROM cand WHERE n_words >= 5),
+url_kept AS (
+  SELECT * FROM gated
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY ukey)
+),
+fp_kept AS (
+  SELECT * FROM url_kept
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY clean_text)
+)
+SELECT doc_id, url, canonical, clean_text, CAST(n_words AS BIGINT) AS n_words
+FROM fp_kept
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["crawl_to_corpus"] = QuerySpec(
+    q_crawl_to_corpus, ORACLE_CRAWL_TO_CORPUS,
+    "WARC -> HTTP gate -> HTML paragraphs -> normalize+dedup -> quality "
+    "gate -> URL dedup -> content dedup, one composed corpus query",
+)

@@ -485,3 +485,16 @@ def test_dup_ngram_stats_no_udfs_two_gram_aggs(spark):
     plan = plan_of(spark, "dup_ngram_stats")
     assert "EvalPython" not in plan
     assert "partial_count" in plan or "partial_" in plan, plan
+
+
+def test_crawl_to_corpus_single_scan_two_dedup_exchanges(spark):
+    """The crawl flagship scans documents ONCE (synth+parse+extract+cleanup
+    is one map chain over that scan); the only exchanges are the two dedup
+    shuffles (canonical URL key, content key), the synth repartition, and
+    the output sort's range partitioning."""
+    plan = plan_of(spark, "crawl_to_corpus")
+    assert plan.count("documents.parquet") == 1, plan
+    import re
+
+    hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hash_ex <= 3, f"unexpected extra shuffles ({hash_ex}):\n{plan}"
