@@ -1407,8 +1407,9 @@ def q_bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-numpy BMP reader (``use_fake=False`` — no fake anywhere), and
     featurize the decoded pixel arrays. Bounded to 500 blobs so the payload
     synthesis stays a demo; the decode/feature plumbing is the production
-    path. Non-SQL-expressible (binary format parsing) → rows-only driver
-    check + exact checked-in fixture."""
+    path. Non-SQL-expressible (binary format parsing) → the per-blob expected
+    features are a checked-in parquet DuckDB joins to the live doc domain
+    (full value-hash oracle) + exact fixture pytest."""
     import numpy as np
     import pandas as pd
 
@@ -1450,8 +1451,22 @@ def q_bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+# Decoded-feature oracle (VERDICT r08 task #4, the permissive_decode_stats
+# pattern): DuckDB cannot decode a BMP, but it CAN read the checked-in
+# per-blob expected-feature parquet — generated by tools/make_fixtures.py
+# from the same decode the codec pytest vectors pin — and join it to the
+# live documents domain. This upgrades the driver check from rows-only to
+# a full rows+schema+value-hash match; an unintended codec/feature change
+# now fails the driver differential, not just the pytest fixture.
+ORACLE_BMP_IMAGE_FEATURES = f"""
+SELECT b.media_id, b.width, b.height, b.n_bytes, b.f0, b.f7
+FROM read_parquet('{fixture_path("bmp_image_features_sf0.01.parquet")}') b
+JOIN documents d ON b.media_id = d.doc_id
+ORDER BY b.media_id
+"""
+
 QUERY_REGISTRY["bmp_image_features"] = QuerySpec(
-    q_bmp_image_features, None, "real BMP decode -> features (rows-only)"
+    q_bmp_image_features, ORACLE_BMP_IMAGE_FEATURES, "real BMP decode -> features vs fixture oracle"
 )
 
 
@@ -1462,7 +1477,9 @@ def q_png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc_id, rotating through all five scanline filter types so every
     unfilter branch of the stdlib decoder runs distributed, decode with
     ``use_fake=False`` and featurize. Non-SQL-expressible (binary format
-    parsing) → rows-only driver check + exact checked-in fixture."""
+    parsing) → the per-blob expected features are a checked-in parquet
+    DuckDB joins to the live doc domain (full value-hash oracle) + exact
+    fixture pytest."""
     import numpy as np
     import pandas as pd
 
@@ -1513,8 +1530,22 @@ def q_png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+# Decoded-feature oracle (VERDICT r08 task #4, the permissive_decode_stats
+# pattern): DuckDB cannot decode a PNG, but it CAN read the checked-in
+# per-blob expected-feature parquet — generated by tools/make_fixtures.py
+# from the same decode the codec pytest vectors pin — and join it to the
+# live documents domain. This upgrades the driver check from rows-only to
+# a full rows+schema+value-hash match; an unintended codec/feature change
+# now fails the driver differential, not just the pytest fixture.
+ORACLE_PNG_IMAGE_FEATURES = f"""
+SELECT b.media_id, b.width, b.height, b.n_bytes, b.f0, b.f7
+FROM read_parquet('{fixture_path("png_image_features_sf0.01.parquet")}') b
+JOIN documents d ON b.media_id = d.doc_id
+ORDER BY b.media_id
+"""
+
 QUERY_REGISTRY["png_image_features"] = QuerySpec(
-    q_png_image_features, None, "real PNG decode (stdlib codec) -> features (rows-only)"
+    q_png_image_features, ORACLE_PNG_IMAGE_FEATURES, "real PNG decode (stdlib codec) -> features vs fixture oracle"
 )
 
 
@@ -1524,8 +1555,8 @@ def q_gif_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose pixels derive deterministically from doc_id (palette size cycles
     4..64 so the LZW width machinery varies per row), decode with
     ``use_fake=False`` through ``decode_image``'s GIF dispatch, featurize.
-    Non-SQL-expressible (binary format parsing) → rows-only driver check +
-    exact checked-in fixture. Same map-only scale shape as the PNG/BMP
+    The per-blob expected features are a checked-in parquet DuckDB joins
+    to the live doc domain (full value-hash oracle) + exact fixture pytest. Same map-only scale shape as the PNG/BMP
     twins: synthesis+decode spread across cores, no shuffle but the output
     sort."""
     import numpy as np
@@ -1576,8 +1607,22 @@ def q_gif_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+# Decoded-feature oracle (VERDICT r08 task #4, the permissive_decode_stats
+# pattern): DuckDB cannot decode a GIF, but it CAN read the checked-in
+# per-blob expected-feature parquet — generated by tools/make_fixtures.py
+# from the same decode the codec pytest vectors pin — and join it to the
+# live documents domain. This upgrades the driver check from rows-only to
+# a full rows+schema+value-hash match; an unintended codec/feature change
+# now fails the driver differential, not just the pytest fixture.
+ORACLE_GIF_IMAGE_FEATURES = f"""
+SELECT b.media_id, b.width, b.height, b.n_bytes, b.f0, b.f7
+FROM read_parquet('{fixture_path("gif_image_features_sf0.01.parquet")}') b
+JOIN documents d ON b.media_id = d.doc_id
+ORDER BY b.media_id
+"""
+
 QUERY_REGISTRY["gif_image_features"] = QuerySpec(
-    q_gif_image_features, None, "real GIF decode (stdlib LZW codec) -> features (rows-only)"
+    q_gif_image_features, ORACLE_GIF_IMAGE_FEATURES, "real GIF decode (stdlib LZW codec) -> features vs fixture oracle"
 )
 
 
@@ -1590,7 +1635,7 @@ def q_tiff_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     every strip- and tile-reassembly branch of the stdlib decoder runs
     distributed. Decode with ``use_fake=False`` through ``decode_image``'s
     TIFF dispatch, featurize. Non-SQL-expressible (binary format parsing)
-    → rows-only driver check + exact checked-in fixture. Same map-only
+    → fixture-parquet oracle (see the ORACLE_* block). Same map-only
     scale shape as the PNG/BMP/GIF twins: synthesis+decode spread across
     cores, no shuffle but the output sort."""
     import numpy as np
@@ -1663,9 +1708,23 @@ def q_tiff_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+# Decoded-feature oracle (VERDICT r08 task #4, the permissive_decode_stats
+# pattern): DuckDB cannot decode a TIFF, but it CAN read the checked-in
+# per-blob expected-feature parquet — generated by tools/make_fixtures.py
+# from the same decode the codec pytest vectors pin — and join it to the
+# live documents domain. This upgrades the driver check from rows-only to
+# a full rows+schema+value-hash match; an unintended codec/feature change
+# now fails the driver differential, not just the pytest fixture.
+ORACLE_TIFF_IMAGE_FEATURES = f"""
+SELECT b.media_id, b.width, b.height, b.n_bytes, b.f0, b.f7
+FROM read_parquet('{fixture_path("tiff_image_features_sf0.01.parquet")}') b
+JOIN documents d ON b.media_id = d.doc_id
+ORDER BY b.media_id
+"""
+
 QUERY_REGISTRY["tiff_image_features"] = QuerySpec(
-    q_tiff_image_features, None,
-    "real TIFF decode (strip/tiled/deflate/JPEG/G4 variants) -> features (rows-only)",
+    q_tiff_image_features, ORACLE_TIFF_IMAGE_FEATURES,
+    "real TIFF decode (strip/tiled/deflate/JPEG/G4 variants) -> features vs fixture oracle",
 )
 
 
@@ -2204,8 +2263,9 @@ def q_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads (a deterministic int16 tone per doc_id), decode them with the
     pure-stdlib WAV reader inside ``mapInPandas`` (``use_fake=False``) and
     featurize the sample stream (per-window RMS, peak-normalized).
-    Non-SQL-expressible (binary container parsing) → rows-only driver
-    check + exact checked-in fixture."""
+    Non-SQL-expressible (binary container parsing) → the per-blob expected
+    features are a checked-in parquet DuckDB joins to the live doc domain
+    (full value-hash oracle) + exact fixture pytest."""
     import numpy as np
     import pandas as pd
 
@@ -2248,8 +2308,22 @@ def q_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+# Decoded-feature oracle (VERDICT r08 task #4, the permissive_decode_stats
+# pattern): DuckDB cannot decode a WAV, but it CAN read the checked-in
+# per-blob expected-feature parquet — generated by tools/make_fixtures.py
+# from the same decode the codec pytest vectors pin — and join it to the
+# live documents domain. This upgrades the driver check from rows-only to
+# a full rows+schema+value-hash match; an unintended codec/feature change
+# now fails the driver differential, not just the pytest fixture.
+ORACLE_WAV_AUDIO_FEATURES = f"""
+SELECT b.media_id, b.duration_ms, b.n_bytes, b.f0, b.f7
+FROM read_parquet('{fixture_path("wav_audio_features_sf0.01.parquet")}') b
+JOIN documents d ON b.media_id = d.doc_id
+ORDER BY b.media_id
+"""
+
 QUERY_REGISTRY["wav_audio_features"] = QuerySpec(
-    q_wav_audio_features, None, "real WAV decode (stdlib codec) -> features (rows-only)"
+    q_wav_audio_features, ORACLE_WAV_AUDIO_FEATURES, "real WAV decode (stdlib codec) -> features vs fixture oracle"
 )
 
 
@@ -2315,9 +2389,23 @@ def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id", "frame_ts_ms")
 
 
+# Decoded-feature oracle (VERDICT r08 task #4, the permissive_decode_stats
+# pattern): DuckDB cannot decode an MJPEG-AVI, but it CAN read the checked-in
+# per-blob expected-feature parquet — generated by tools/make_fixtures.py
+# from the same decode the codec pytest vectors pin — and join it to the
+# live documents domain. This upgrades the driver check from rows-only to
+# a full rows+schema+value-hash match; an unintended codec/feature change
+# now fails the driver differential, not just the pytest fixture.
+ORACLE_VIDEO_FRAME_FEATURES = f"""
+SELECT b.media_id, b.frame_ts_ms, b.frame_index, b.f0, b.f7
+FROM read_parquet('{fixture_path("video_frame_features_sf0.01.parquet")}') b
+JOIN documents d ON b.media_id = d.doc_id
+ORDER BY b.media_id, b.frame_index
+"""
+
 QUERY_REGISTRY["video_frame_features"] = QuerySpec(
-    q_video_frame_features, None,
-    "real MJPEG-AVI decode (container walk + per-frame JPEG) -> sampled frame features (rows-only)",
+    q_video_frame_features, ORACLE_VIDEO_FRAME_FEATURES,
+    "real MJPEG-AVI decode (container walk + per-frame JPEG) -> sampled frame features vs fixture oracle",
 )
 
 
