@@ -23,7 +23,11 @@ bit-exactly. `operators/multimodal.decode_tiff` dispatches compression 4
 (``g4_*``), 3 (``g3_*`` — EOL-framed lines, T4Options bit 0 selecting 2D
 coding with a 1D line every k-th for error resilience, RTC trailer), and
 2 (``mh_*`` — independent byte-aligned 1D rows). T.4's uncompressed-mode
-extension (T4Options bit 2) stays a documented seam.
+extension (T4Options bit 1, §4.2.1.3.5) is supported both ways: the
+decoders accept the 1D/2D enter codes, literal pixel patterns and exit
+tags anywhere a compliant stream may carry them, and ``g3_encode``
+escapes to literal coding per line when run coding would expand
+(``uncompressed=True``).
 
 Bit order is MSB-first within each byte (TIFF FillOrder 1, the default).
 """
@@ -124,8 +128,16 @@ _MODE_CODES = {
     "000011": ("V", 2), "000010": ("V", -2),
     "0000011": ("V", 3), "0000010": ("V", -3),
     "001": ("H", None), "0001": ("P", None),
+    # T.4 §4.2.1.3.5 2D extension code 0000001xxx, xxx=111: enter
+    # uncompressed mode (prefix-free vs the V3 codes 0000011/0000010)
+    "0000001111": ("U", None),
 }
-_MODE_MAX_BITS = 7
+_MODE_MAX_BITS = 10
+
+#: 1D extension code 000000001xxx, xxx=111 — enter uncompressed mode from
+#: the 1D (MH-run) coding scheme
+_UNCOMP_ENTER_1D = "000000001111"
+_UNCOMP_ENTER_2D = "0000001111"
 
 
 class _BitWriter:
@@ -200,7 +212,7 @@ def _emit_run(bw: _BitWriter, run: int, color: int) -> None:
     bw.put(term[run])
 
 
-def _read_run(br: _BitReader, color: int) -> int:
+def _read_run(br: _BitReader, color: int, allow_enter: bool = False) -> "int | None":
     table = _RUN_DECODE[color]
     total = 0
     while True:
@@ -209,12 +221,70 @@ def _read_run(br: _BitReader, color: int) -> int:
             code += "1" if br.read_bit() else "0"
             if code in table:
                 break
+            if allow_enter and total == 0 and code == _UNCOMP_ENTER_1D:
+                return None  # 1D extension: enter uncompressed mode
         else:
             raise ValueError("corrupt G4: bad run-length code")
         val, terminating = table[code]
         total += val
         if terminating:
             return total
+
+
+def _decode_uncompressed(br: _BitReader, out_row: "np.ndarray", pos: int,
+                         width: int) -> "tuple[int, int]":
+    """T.4 §4.2.1.3.5 uncompressed mode: literal pixel patterns until the
+    exit code. Codes by leading-zero count z before the next 1 bit:
+    z ≤ 4 → z white pixels + one black; z = 5 → five white pixels
+    (mode continues); 6 ≤ z ≤ 10 → exit with z-6 trailing white pixels
+    followed by one tag bit giving the colour the normal coding resumes
+    with. Returns (position after the literal pixels, resume colour)."""
+    while True:
+        zeros = 0
+        while not br.read_bit():
+            zeros += 1
+            if zeros > 10:
+                raise ValueError("corrupt G3/G4: bad uncompressed code")
+        if zeros <= 4:
+            if pos + zeros + 1 > width:
+                raise ValueError("corrupt G3/G4: uncompressed overruns line")
+            out_row[pos + zeros] = 1
+            pos += zeros + 1
+        elif zeros == 5:
+            if pos + 5 > width:
+                raise ValueError("corrupt G3/G4: uncompressed overruns line")
+            pos += 5
+        else:
+            n = zeros - 6
+            if pos + n > width:
+                raise ValueError("corrupt G3/G4: uncompressed overruns line")
+            pos += n
+            return pos, br.read_bit()
+
+
+def _emit_uncompressed(bw: _BitWriter, row: "np.ndarray", next_color: int) -> None:
+    """Literal-code a whole line in uncompressed mode (enter code NOT
+    included — 1D and 2D use different extension codes) and exit with
+    ``next_color``. White runs longer than the 4-white headroom of the
+    pattern/exit codes chunk through the five-white code 000001."""
+    zeros = 0
+    for px in row:
+        if px:
+            while zeros > 5:
+                bw.put("000001")
+                zeros -= 5
+            if zeros == 5:
+                bw.put("000001")
+                zeros = 0
+            bw.put("0" * zeros + "1")
+            zeros = 0
+        else:
+            zeros += 1
+    while zeros > 4:
+        bw.put("000001")
+        zeros -= 5
+    bw.put("000000" + "0" * zeros + "1")
+    bw.put("1" if next_color else "0")
 
 
 def g4_encode(bitmap: "np.ndarray", eofb: bool = True) -> bytes:
@@ -282,7 +352,10 @@ def _encode_1d_line(bw: _BitWriter, row: "np.ndarray") -> None:
 def _decode_1d_line(br: _BitReader, out_row: "np.ndarray", width: int) -> None:
     pos, color = 0, 0
     while pos < width:
-        run = _read_run(br, color)
+        run = _read_run(br, color, allow_enter=True)
+        if run is None:  # uncompressed mode until its exit code
+            pos, color = _decode_uncompressed(br, out_row, pos, width)
+            continue
         if pos + run > width:
             raise ValueError("corrupt G3: run overruns line")
         if color:
@@ -333,6 +406,9 @@ def _decode_2d_line(br: _BitReader, out_row: "np.ndarray", ref_changes: list,
         else:
             raise ValueError("corrupt G3/G4: bad mode code")
         mode, delta = _MODE_CODES[code]
+        if mode == "U":  # 2D extension: uncompressed until its exit code
+            a0, color = _decode_uncompressed(br, out_row, max(a0, 0), width)
+            continue
         b1, b2 = _b1_b2(ref_changes, a0, color, width)
         if mode == "P":
             if color:
@@ -361,12 +437,21 @@ def _decode_2d_line(br: _BitReader, out_row: "np.ndarray", ref_changes: list,
             a0 = a2
 
 
-def g3_encode(bitmap: "np.ndarray", two_d: bool = False, k: int = 2) -> bytes:
+def g3_encode(
+    bitmap: "np.ndarray", two_d: bool = False, k: int = 2,
+    uncompressed: bool = False,
+) -> bytes:
     """TIFF compression 3 — CCITT Group 3 (ITU-T T.4) with EOL codes.
     1D: every line is EOL + MH runs. 2D (``two_d=True``, T4Options bit 0):
     every EOL carries a tag bit — 1 selects a 1D line, 0 a 2D line coded
     against the previous line; every ``k``-th line is 1D (the fax error-
-    resilience ladder, T.4 §4.2.2). Ends with RTC (6 EOLs)."""
+    resilience ladder, T.4 §4.2.2). Ends with RTC (6 EOLs).
+
+    ``uncompressed=True`` (T4Options bit 1, §4.2.1.3.5): a line whose
+    run/2D coding would be LONGER than its literal form is written in
+    uncompressed mode instead (enter extension code + pixel-pattern codes
+    + exit) — the spec's escape for noisy lines where MH coding expands.
+    Deterministic: strictly-shorter wins, ties keep normal coding."""
     arr = np.asarray(bitmap)
     if arr.ndim != 2:
         raise ValueError("G3 encodes 2D bilevel arrays")
@@ -374,17 +459,34 @@ def g3_encode(bitmap: "np.ndarray", two_d: bool = False, k: int = 2) -> bytes:
         raise ValueError("G3 samples must be 0/1")
     bw = _BitWriter()
     prev: "np.ndarray | None" = None
+
+    def line_bits(row, one_d: bool) -> str:
+        tmp = _BitWriter()
+        if one_d:
+            _encode_1d_line(tmp, row)
+        else:
+            _encode_2d_line(tmp, row, _changes(prev))
+        coded = "".join(
+            format(b, "08b") for b in tmp.out
+        ) + (format(tmp.acc, f"0{tmp.n}b") if tmp.n else "")
+        if not uncompressed:
+            return coded
+        tmp2 = _BitWriter()
+        tmp2.put(_UNCOMP_ENTER_1D if one_d else _UNCOMP_ENTER_2D)
+        _emit_uncompressed(tmp2, row, 0)
+        literal = "".join(
+            format(b, "08b") for b in tmp2.out
+        ) + (format(tmp2.acc, f"0{tmp2.n}b") if tmp2.n else "")
+        return literal if len(literal) < len(coded) else coded
+
     for y, row in enumerate(arr):
         bw.put(_EOL)
         if two_d:
             one_d = (y % k) == 0
             bw.put("1" if one_d else "0")
-            if one_d:
-                _encode_1d_line(bw, row)
-            else:
-                _encode_2d_line(bw, row, _changes(prev))
+            bw.put(line_bits(row, one_d))
         else:
-            _encode_1d_line(bw, row)
+            bw.put(line_bits(row, True))
         prev = row
     for _ in range(6):  # RTC
         bw.put(_EOL)

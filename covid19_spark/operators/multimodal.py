@@ -749,16 +749,13 @@ def _decode_old_jpeg_tables_split(payload, t, w, h, spp, photo, rows_per_strip):
     if t.get("jpeg_restart", [0])[0]:
         tables += seg(0xFFDD, struct.pack(">H", t["jpeg_restart"][0]))
     sub_h, sub_v = (t.get("ycbcr_sub", [2, 2]) + [2])[:2] if photo == 6 else (1, 1)
-    offs, cnts = t["strip_offsets"], t["strip_counts"]
-    strips = []
-    y = 0
-    for si, (off, cnt) in enumerate(zip(offs, cnts)):
+
+    def chunk_px(off, cnt, ch, cw, what):
+        # one rebuilt interchange stream per chunk — strips and tiles share
+        # everything but the declared SOF dimensions
         if off + cnt > len(payload):
-            raise ValueError("corrupt TIFF: strip out of range")
-        strip_h = min(rows_per_strip, h - y)
-        if strip_h <= 0:
-            break
-        sof = struct.pack(">BHHB", 8, strip_h, w, spp)
+            raise ValueError(f"corrupt TIFF: {what} out of range")
+        sof = struct.pack(">BHHB", 8, ch, cw, spp)
         sos = bytes([spp])
         for ci in range(spp):
             hf, vf = (sub_h, sub_v) if (photo == 6 and ci == 0) else (1, 1)
@@ -770,11 +767,44 @@ def _decode_old_jpeg_tables_split(payload, t, w, h, spp, photo, rows_per_strip):
             + payload[off : off + cnt] + b"\xff\xd9"
         )
         px = decode_jpeg(stream)
-        strips.append(px[:strip_h, :w])
-        y += strip_h
-    if y < h:
-        raise ValueError("corrupt TIFF: strips cover fewer rows than declared")
-    img = np.concatenate(strips, axis=0)
+        if px.shape[0] < ch or px.shape[1] < cw:
+            raise ValueError(f"corrupt TIFF: {what} smaller than declared")
+        return px[:ch, :cw]
+
+    if "tile_offsets" in t:
+        # tiled organization (TIFF 6.0 §15 framing over the same §22
+        # kernel): every tile is a FULL tile_width x tile_length scan
+        # (edge tiles padded by the writer), assembled in row-major grid
+        # order and cropped to the declared image size.
+        tw, tl = t["tile_width"][0], t["tile_length"][0]
+        offs, cnts = t["tile_offsets"], t["tile_counts"]
+        tiles_x, tiles_y = -(-w // tw), -(-h // tl)
+        if len(offs) < tiles_x * tiles_y:
+            raise ValueError("corrupt TIFF: tiles cover less than declared size")
+        rows = []
+        for ty in range(tiles_y):
+            row = [
+                chunk_px(
+                    offs[ty * tiles_x + tx], cnts[ty * tiles_x + tx],
+                    tl, tw, f"tile {ty * tiles_x + tx}",
+                )
+                for tx in range(tiles_x)
+            ]
+            rows.append(np.concatenate(row, axis=1))
+        img = np.concatenate(rows, axis=0)[:h, :w]
+    else:
+        offs, cnts = t["strip_offsets"], t["strip_counts"]
+        strips = []
+        y = 0
+        for si, (off, cnt) in enumerate(zip(offs, cnts)):
+            strip_h = min(rows_per_strip, h - y)
+            if strip_h <= 0:
+                break
+            strips.append(chunk_px(off, cnt, strip_h, w, f"strip {si}")[:, :w])
+            y += strip_h
+        if y < h:
+            raise ValueError("corrupt TIFF: strips cover fewer rows than declared")
+        img = np.concatenate(strips, axis=0)
     if photo == 6:
         return np.ascontiguousarray(img[:, :, :3])
     g = img[:, :, 0]
@@ -874,14 +904,14 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
             # data (64-byte zigzag quant tables; 16-count+values Huffman
             # tables, no DQT/DHT headers) and the strips carry BARE
             # entropy-coded scan data with no markers at all. Rebuild a
-            # full interchange stream per strip (SOI + synthesized
-            # DQT/SOF0/DHT/DRI/SOS + strip bytes + EOI) and decode through
-            # operators/jpeg. Real writers produced this for grayscale and
+            # full interchange stream per strip/tile (SOI + synthesized
+            # DQT/SOF0/DHT/DRI/SOS + chunk bytes + EOI) and decode through
+            # operators/jpeg; the tiled organization is the same kernel
+            # under §15 grid framing (full-size edge-padded tiles, cropped
+            # after assembly). Real writers produced this for grayscale and
             # YCbCr (tag 530 subsampling, spec default 2×2); RGB-in-JPEG
             # (photometric 2) stays a seam — decode_jpeg's 3-component path
             # is YCbCr by JPEG convention and would mis-color it.
-            if tiled:
-                raise NotImplementedError("tiled tables-split old-style JPEG")
             if photo not in (0, 1, 6):
                 raise NotImplementedError(
                     f"tables-split old-style JPEG with photometric {photo}"
@@ -909,8 +939,10 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
             raise ValueError(
                 "corrupt TIFF: CCITT compression requires 1-bit single-sample data"
             )
-        if comp == 3 and t.get("t4_options", [0])[0] & 0x4:
-            raise NotImplementedError("G3 with uncompressed-mode extension")
+        # T4Options (tag 292): bit 0 = 2D coding, bit 1 = uncompressed-mode
+        # extension (decoded natively by operators/ccitt), bit 2 = fill
+        # bits before EOL (the EOL scanner consumes leading zeros anyway)
+        # — every defined bit is handled, so no option value is a seam.
     if predictor not in (1, 2):
         raise ValueError(f"corrupt TIFF: unknown predictor {predictor}")
     if comp == 7:
@@ -1337,7 +1369,7 @@ def encode_tiff(
 
     comp_id = {
         "none": 1, "lzw": 5, "packbits": 32773, "jpeg": 7, "deflate": 8,
-        "g4": 4, "mh": 2, "g3": 3, "g3_2d": 3,
+        "g4": 4, "mh": 2, "g3": 3, "g3_2d": 3, "g3_uncomp": 3,
     }.get(compression)
     if comp_id is None:
         raise ValueError(f"unsupported compression {compression!r}")
@@ -1410,7 +1442,11 @@ def encode_tiff(
             if comp_id == 4:
                 return g4_encode(block[:, :, 0])
             if comp_id == 3:
-                return g3_encode(block[:, :, 0], two_d=(compression == "g3_2d"))
+                return g3_encode(
+                    block[:, :, 0],
+                    two_d=(compression == "g3_2d"),
+                    uncompressed=(compression == "g3_uncomp"),
+                )
             return mh_encode(block[:, :, 0])
         if bits is not None:
             return _compress(_pack_rows(block[:, :, 0]))
@@ -1461,7 +1497,11 @@ def encode_tiff(
         (277, 3, [spp]),
     ]
     if comp_id == 3:
-        tags.append((292, 4, [1 if compression == "g3_2d" else 0]))
+        # T4Options: bit 0 = 2D coding, bit 1 = uncompressed mode in use
+        tags.append(
+            (292, 4, [1 if compression == "g3_2d"
+                      else 2 if compression == "g3_uncomp" else 0])
+        )
     if tile is not None:
         tags += [(322, 3, [tile[0]]), (323, 3, [tile[1]])]
     else:

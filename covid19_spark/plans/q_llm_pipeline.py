@@ -1742,6 +1742,17 @@ _TIFF_MATRIX_VARIANTS = [
     ("h_lzw_planar_tile", dict(compression="lzw", planar=2, tile=(5, 6))),
 ]
 
+#: bilevel (fax) group — every CCITT coding of one 1-bit scan must decode
+#: identically; baseline is MH (vi 50). g3_uncomp exercises the T.4
+#: uncompressed-mode extension end-to-end (VERDICT r08 task #7).
+_TIFF_BILEVEL_VARIANTS = [
+    ("m_bilevel_mh", dict(compression="mh", bits=1, rows_per_strip=5)),
+    ("n_bilevel_g3", dict(compression="g3", bits=1, rows_per_strip=6)),
+    ("o_bilevel_g3_2d", dict(compression="g3_2d", bits=1, rows_per_strip=4)),
+    ("p_bilevel_g3_uncomp", dict(compression="g3_uncomp", bits=1, rows_per_strip=5)),
+    ("q_bilevel_g4", dict(compression="g4", bits=1, rows_per_strip=7)),
+]
+
 
 def q_tiff_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-codec consistency audit: every LOSSLESS TIFF organization the
@@ -1787,6 +1798,14 @@ def q_tiff_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (d * 100 + vi, "image", vname, w, h, None,
                          encode_tiff(img, **kwargs))
                     )
+                # bilevel group (vi 50+): noisy ink so the g3_uncomp
+                # variant actually takes the literal escape on most lines
+                ink = rng.integers(0, 2, size=(h, w), dtype=np.uint8)
+                for vi, (vname, kwargs) in enumerate(_TIFF_BILEVEL_VARIANTS):
+                    rows.append(
+                        (d * 100 + 50 + vi, "image", vname, w, h, None,
+                         encode_tiff(ink, **kwargs))
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -1805,11 +1824,16 @@ def q_tiff_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mime").alias("variant"),
         "feature",
     ).localCheckpoint(eager=True)
-    base = feats.filter(F.col("__vi") == 0).select(
-        "doc_id", F.col("feature").alias("__base")
+    # per-group baselines: vi 0 anchors the RGB organizations, vi 50 the
+    # bilevel (fax) codings — each variant must match ITS group's decode
+    base = feats.filter(F.col("__vi").isin(0, 50)).select(
+        "doc_id",
+        (F.col("__vi") / 50).cast("int").alias("__grp"),
+        F.col("feature").alias("__base"),
     )
     return (
-        feats.join(base, "doc_id")
+        feats.withColumn("__grp", (F.col("__vi") / 50).cast("int"))
+        .join(base, ["doc_id", "__grp"])
         .groupBy("variant")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1829,7 +1853,9 @@ SELECT v.variant,
        CAST(count(*) AS BIGINT) AS n_match
 FROM (VALUES ('a_none_strip'), ('b_packbits_strip'), ('c_lzw_strip'),
              ('d_deflate_strip'), ('e_none_tile'), ('f_lzw_tile_pred2'),
-             ('g_deflate_planar'), ('h_lzw_planar_tile')) v(variant)
+             ('g_deflate_planar'), ('h_lzw_planar_tile'),
+             ('m_bilevel_mh'), ('n_bilevel_g3'), ('o_bilevel_g3_2d'),
+             ('p_bilevel_g3_uncomp'), ('q_bilevel_g4')) v(variant)
 CROSS JOIN (SELECT doc_id FROM documents WHERE doc_id < 120) d
 GROUP BY v.variant
 ORDER BY v.variant
@@ -1838,7 +1864,7 @@ ORDER BY v.variant
 
 QUERY_REGISTRY["tiff_codec_matrix"] = QuerySpec(
     q_tiff_codec_matrix, ORACLE_TIFF_CODEC_MATRIX,
-    "8-way lossless TIFF organization cross-validation (oracle)",
+    "13-way lossless TIFF organization cross-validation incl. CCITT fax group (oracle)",
 )
 
 

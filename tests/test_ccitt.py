@@ -153,15 +153,19 @@ def test_g3_in_tiff():
         assert np.array_equal(got[:, :, 0], (1 - img) * 255), comp
         got = decode_tiff(encode_tiff(img, compression=comp, bits=1, tile=(8, 16)))
         assert np.array_equal(got[:, :, 0], (1 - img) * 255), (comp, "tiles")
-    # T4Options uncompressed-mode bit (0x4) stays a documented seam
+    # every defined T4Options bit decodes: bit 1 (uncompressed mode
+    # allowed) and bit 2 (fill bits) on a stream that carries neither is a
+    # no-op, not a seam (the EOL scanner absorbs fill zeros; the run
+    # decoder recognizes the T.4 enter codes natively)
     import struct
 
     p = bytearray(encode_tiff(img, compression="g3", bits=1, rows_per_strip=99))
     i = p.find(struct.pack("<HHI", 292, 4, 1))
     assert i > 0
-    struct.pack_into("<I", p, i + 8, 0x4)
-    with pytest.raises(NotImplementedError, match="uncompressed-mode"):
-        decode_tiff(bytes(p))
+    for opts in (0x2, 0x4, 0x6):
+        struct.pack_into("<I", p, i + 8, opts)
+        got = decode_tiff(bytes(p))
+        assert np.array_equal(got[:, :, 0], (1 - img) * 255), hex(opts)
 
 
 def test_g4_in_tiff():
@@ -183,3 +187,60 @@ def test_g4_in_tiff():
     assert np.array_equal(got[:, :, 0], (1 - img) * 255)
     with pytest.raises(ValueError, match="bilevel"):
         encode_tiff(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8), compression="g4")
+
+
+def test_t4_uncompressed_mode_roundtrip_and_escape():
+    """T.4 §4.2.1.3.5 uncompressed mode (VERDICT r08 task #7): noisy lines
+    escape to literal pixel-pattern coding (strictly smaller stream), the
+    stream still decodes bit-exactly, and smooth inputs keep normal coding
+    (byte-identical output with and without the option)."""
+    from covid19_spark.operators.ccitt import g3_decode, g3_encode
+
+    rng = np.random.default_rng(5)
+    noisy = rng.integers(0, 2, size=(23, 61), dtype=np.uint8)
+    smooth = np.zeros((23, 61), np.uint8)
+    smooth[:, 20:40] = 1
+    for two_d in (False, True):
+        plain = g3_encode(noisy, two_d=two_d)
+        unc = g3_encode(noisy, two_d=two_d, uncompressed=True)
+        assert len(unc) < len(plain)  # the escape pays off on noise
+        assert np.array_equal(g3_decode(unc, 61, 23, two_d=two_d), noisy)
+        assert g3_encode(smooth, two_d=two_d, uncompressed=True) == g3_encode(
+            smooth, two_d=two_d
+        )
+
+
+def test_t4_uncompressed_hand_vector():
+    """Pin the literal code table against a hand-derived bitstream: pattern
+    codes (z<=4 white + black, 000001 = five white), exit 000000+0^n+1+tag.
+    Row 01000001000 -> '01' '000001' '1' exit(3 zeros) tag 0."""
+    from covid19_spark.operators.ccitt import (
+        _BitReader,
+        _BitWriter,
+        _decode_uncompressed,
+        _emit_uncompressed,
+    )
+
+    row = np.array([0, 1, 0, 0, 0, 0, 0, 1, 0, 0, 0], np.uint8)
+    bw = _BitWriter()
+    _emit_uncompressed(bw, row, 0)
+    bits = "".join(format(b, "08b") for b in bw.finish())
+    assert bits.startswith("01" + "000001" + "1" + "000000000" + "1" + "0")
+    out = np.zeros(11, np.uint8)
+    pos, color = _decode_uncompressed(_BitReader(bw.finish()), out, 0, 11)
+    assert (pos, color) == (11, 0) and np.array_equal(out, row)
+
+
+def test_t4_uncompressed_in_tiff():
+    """compression='g3_uncomp' writes T4Options=2 (bit 1: uncompressed mode
+    in use) and round-trips through decode_tiff; a stream with BOTH fill
+    bits tolerated and the uncompressed option set is not a seam anymore."""
+    import struct
+
+    from covid19_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(11)
+    ink = rng.integers(0, 2, size=(19, 43), dtype=np.uint8)
+    p = encode_tiff(ink, compression="g3_uncomp", bits=1, rows_per_strip=6)
+    assert struct.pack("<HHI", 292, 4, 1) + struct.pack("<I", 2) in p
+    assert np.array_equal(decode_tiff(p)[:, :, 0], (1 - ink) * 255)

@@ -1,5 +1,7 @@
 """Multimodal binary-column plumbing: schema, mapInPandas batches, stubs."""
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -1465,9 +1467,10 @@ def test_tiff_big_endian_predictor_and_rejects():
 
     with pytest.raises(NotImplementedError, match="compression"):
         decode_tiff(hand_tiff(img, "II", extra_tags=[(259, 3, [9])]))  # JBIG
-    # compressions 6 and 7 are REAL now (round 8) — raw strip bytes are
-    # not a JPEG stream, so the decoder rejects the chunk, not the scheme
-    with pytest.raises(ValueError, match="missing SOI"):
+    # compressions 6 and 7 are REAL now (round 8) — but an RGB-photometric
+    # (photo 2) JPEG-in-TIFF hits the ADVICE-r08 interop guard before any
+    # chunk is touched (decode_jpeg would mis-color an RGB-stored scan)
+    with pytest.raises(NotImplementedError, match="RGB-photometric"):
         decode_tiff(hand_tiff(img, "II", extra_tags=[(259, 3, [7])]))
     with pytest.raises(ValueError):
         decode_tiff(hand_tiff(img, "II")[:40])  # truncated IFD/strip
@@ -2088,6 +2091,115 @@ def test_tiff_tiled_hand_built_vector():
     assert tiles[1] != strip_style_tile1
 
 
+def _split_jpeg(stream):
+    qt, dc, ac = {}, {}, {}
+    dri, entropy = 0, None
+    pos = 2
+    while pos + 4 <= len(stream):
+        assert stream[pos] == 0xFF
+        marker = stream[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(stream[pos : pos + 2], "big")
+        body = stream[pos + 2 : pos + ln]
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                qt[body[b] & 0xF] = body[b + 1 : b + 65]
+                b += 65
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                n = sum(body[b + 1 : b + 17])
+                (dc if tc == 0 else ac)[th] = body[b + 1 : b + 17 + n]
+                b += 17 + n
+        elif marker == 0xDD:
+            dri = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:
+            pos += ln
+            entropy = stream[pos:-2]
+            return qt, dc, ac, dri, entropy
+        pos += ln
+    raise AssertionError("no SOS in stream")
+
+def _build_tables_split(w, h, spp, photo, entropies, rps, qt, dc, ac, dri=0, sub=None,
+          proc=1, tile=None):
+    e = "<"
+    blobs = []
+
+    def blob(data):
+        blobs.append(bytes(data))
+        return len(blobs) - 1
+
+    tsel = lambda ci: 0 if ci == 0 else 1
+    q_i = [blob(qt[tsel(ci)]) for ci in range(spp)]
+    d_i = [blob(dc[tsel(ci)]) for ci in range(spp)]
+    a_i = [blob(ac[tsel(ci)]) for ci in range(spp)]
+    s_i = [blob(en) for en in entropies]
+    if tile:
+        chunk_tags = [
+            (322, 4, [tile[0]]), (323, 4, [tile[1]]),
+            (324, 4, [("b", i) for i in s_i]),
+            (325, 4, [len(en) for en in entropies]),
+        ]
+    else:
+        chunk_tags = [
+            (273, 4, [("b", i) for i in s_i]),
+            (278, 3, [rps]),
+            (279, 4, [len(en) for en in entropies]),
+        ]
+    tags = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * spp),
+        (259, 3, [6]), (262, 3, [photo]),
+        (277, 3, [spp]),
+        (512, 3, [proc]),
+        (519, 4, [("b", i) for i in q_i]),
+        (520, 4, [("b", i) for i in d_i]),
+        (521, 4, [("b", i) for i in a_i]),
+    ] + chunk_tags
+    if dri:
+        tags.append((515, 4, [dri]))
+    if sub:
+        tags.append((530, 3, list(sub)))
+    tags.sort()
+    n = len(tags)
+    ifd_end = 8 + 2 + 12 * n + 4
+    tsize = {3: 2, 4: 4}
+    val_area = sum(
+        tsize[typ] * len(vals)
+        for _, typ, vals in tags
+        if tsize[typ] * len(vals) > 4
+    )
+    val_area += val_area % 2
+    blob_offs, off = [], ifd_end + val_area
+    for b in blobs:
+        blob_offs.append(off)
+        off += len(b) + (len(b) % 2)
+    ents, vals_out = [], b""
+    for tag, typ, vals in tags:
+        rv = [blob_offs[i] if isinstance(v, tuple) else v
+              for v in vals for i in [v[1] if isinstance(v, tuple) else 0]]
+        fmt = {3: "H", 4: "I"}[typ]
+        body = struct.pack(e + str(len(rv)) + fmt, *rv)
+        if len(body) <= 4:
+            ents.append(
+                struct.pack(e + "HHI", tag, typ, len(rv)) + body.ljust(4, b"\0")
+            )
+        else:
+            voff = ifd_end + len(vals_out)
+            ents.append(struct.pack(e + "HHII", tag, typ, len(rv), voff))
+            vals_out += body
+    vals_out = vals_out.ljust(val_area, b"\0")
+    blob_area = b"".join(
+        b + b"\0" * (len(b) % 2) for b in blobs
+    )
+    return (b"II*\x00" + struct.pack(e + "I", 8) + struct.pack(e + "H", n)
+            + b"".join(ents) + struct.pack(e + "I", 0) + vals_out + blob_area)
+
+
+
 def test_tiff_old_style_jpeg_tables_split():
     """TIFF 6.0 §22 tables-split old-style JPEG — the last §22 form: tags
     519/520/521 point at RAW quant/Huffman table data and the strips are
@@ -2101,102 +2213,7 @@ def test_tiff_old_style_jpeg_tables_split():
     from covid19_spark.operators.jpeg import decode_jpeg, encode_jpeg
     from covid19_spark.operators.multimodal import decode_tiff
 
-    def split_jpeg(stream):
-        qt, dc, ac = {}, {}, {}
-        dri, entropy = 0, None
-        pos = 2
-        while pos + 4 <= len(stream):
-            assert stream[pos] == 0xFF
-            marker = stream[pos + 1]
-            pos += 2
-            if marker == 0xD9:
-                break
-            ln = int.from_bytes(stream[pos : pos + 2], "big")
-            body = stream[pos + 2 : pos + ln]
-            if marker == 0xDB:
-                b = 0
-                while b < len(body):
-                    qt[body[b] & 0xF] = body[b + 1 : b + 65]
-                    b += 65
-            elif marker == 0xC4:
-                b = 0
-                while b < len(body):
-                    tc, th = body[b] >> 4, body[b] & 0xF
-                    n = sum(body[b + 1 : b + 17])
-                    (dc if tc == 0 else ac)[th] = body[b + 1 : b + 17 + n]
-                    b += 17 + n
-            elif marker == 0xDD:
-                dri = int.from_bytes(body[:2], "big")
-            elif marker == 0xDA:
-                pos += ln
-                entropy = stream[pos:-2]
-                return qt, dc, ac, dri, entropy
-            pos += ln
-        raise AssertionError("no SOS in stream")
-
-    def build(w, h, spp, photo, entropies, rps, qt, dc, ac, dri=0, sub=None,
-              proc=1):
-        e = "<"
-        blobs = []
-
-        def blob(data):
-            blobs.append(bytes(data))
-            return len(blobs) - 1
-
-        tsel = lambda ci: 0 if ci == 0 else 1
-        q_i = [blob(qt[tsel(ci)]) for ci in range(spp)]
-        d_i = [blob(dc[tsel(ci)]) for ci in range(spp)]
-        a_i = [blob(ac[tsel(ci)]) for ci in range(spp)]
-        s_i = [blob(en) for en in entropies]
-        tags = [
-            (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * spp),
-            (259, 3, [6]), (262, 3, [photo]),
-            (273, 4, [("b", i) for i in s_i]),
-            (277, 3, [spp]), (278, 3, [rps]),
-            (279, 4, [len(en) for en in entropies]),
-            (512, 3, [proc]),
-            (519, 4, [("b", i) for i in q_i]),
-            (520, 4, [("b", i) for i in d_i]),
-            (521, 4, [("b", i) for i in a_i]),
-        ]
-        if dri:
-            tags.append((515, 4, [dri]))
-        if sub:
-            tags.append((530, 3, list(sub)))
-        tags.sort()
-        n = len(tags)
-        ifd_end = 8 + 2 + 12 * n + 4
-        tsize = {3: 2, 4: 4}
-        val_area = sum(
-            tsize[typ] * len(vals)
-            for _, typ, vals in tags
-            if tsize[typ] * len(vals) > 4
-        )
-        val_area += val_area % 2
-        blob_offs, off = [], ifd_end + val_area
-        for b in blobs:
-            blob_offs.append(off)
-            off += len(b) + (len(b) % 2)
-        ents, vals_out = [], b""
-        for tag, typ, vals in tags:
-            rv = [blob_offs[i] if isinstance(v, tuple) else v
-                  for v in vals for i in [v[1] if isinstance(v, tuple) else 0]]
-            fmt = {3: "H", 4: "I"}[typ]
-            body = struct.pack(e + str(len(rv)) + fmt, *rv)
-            if len(body) <= 4:
-                ents.append(
-                    struct.pack(e + "HHI", tag, typ, len(rv)) + body.ljust(4, b"\0")
-                )
-            else:
-                voff = ifd_end + len(vals_out)
-                ents.append(struct.pack(e + "HHII", tag, typ, len(rv), voff))
-                vals_out += body
-        vals_out = vals_out.ljust(val_area, b"\0")
-        blob_area = b"".join(
-            b + b"\0" * (len(b) % 2) for b in blobs
-        )
-        return (b"II*\x00" + struct.pack(e + "I", 8) + struct.pack(e + "H", n)
-                + b"".join(ents) + struct.pack(e + "I", 0) + vals_out + blob_area)
+    split_jpeg, build = _split_jpeg, _build_tables_split
 
     rng = np.random.default_rng(31)
 
@@ -2258,3 +2275,65 @@ def test_tiff_rgb_photometric_new_jpeg_is_a_seam():
     payload[i + 8] = 2  # rewrite to photometric 2 (RGB)
     with pytest.raises(NotImplementedError, match="RGB-photometric"):
         decode_tiff(bytes(payload))
+
+
+def test_tiff_old_style_jpeg_tables_split_tiled():
+    """VERDICT r08 task #7: the tiled organization of the §22 tables-split
+    form — the same rebuilt-stream kernel over TIFF 6.0 §15 grid framing.
+    Every tile is a FULL tile-size scan (edge tiles padded by the writer);
+    the decoder assembles row-major and crops. Grayscale and YCbCr 2x2
+    grids, plus the short-tile-list corruption guard."""
+    from covid19_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from covid19_spark.operators.multimodal import decode_tiff
+
+    rng = np.random.default_rng(37)
+
+    def tiles_of(img, tw, tl):
+        h, w = img.shape[:2]
+        padded = np.pad(
+            img,
+            ((0, -h % tl), (0, -w % tw)) + ((0, 0),) * (img.ndim - 2),
+            mode="edge",
+        )
+        return [
+            padded[y : y + tl, x : x + tw]
+            for y in range(0, padded.shape[0], tl)
+            for x in range(0, padded.shape[1], tw)
+        ]
+
+    # grayscale 40x50, 16x16 tiles (4x3 grid, both edges ragged)
+    g = rng.integers(0, 256, size=(40, 50), dtype=np.uint8)
+    streams = [encode_jpeg(tp, quality=85) for tp in tiles_of(g, 16, 16)]
+    qt, dc, ac, _, _ = _split_jpeg(streams[0])
+    ens = [_split_jpeg(st)[4] for st in streams]
+    p = _build_tables_split(50, 40, 1, 1, ens, 0, qt, dc, ac, tile=(16, 16))
+    rows = [
+        np.concatenate([decode_jpeg(st) for st in streams[r * 4 : r * 4 + 4]], axis=1)
+        for r in range(3)
+    ]
+    want = np.concatenate(rows, axis=0)[:40, :50]
+    assert np.array_equal(decode_tiff(p), want)
+
+    # YCbCr 2x2-subsampled RGB, 32x16 tiles over 30x40
+    img = rng.integers(0, 256, size=(30, 40, 3), dtype=np.uint8)
+    streams = [
+        encode_jpeg(tp, quality=80, subsampling="420")
+        for tp in tiles_of(img, 32, 16)
+    ]
+    qt, dc, ac, _, _ = _split_jpeg(streams[0])
+    ens = [_split_jpeg(st)[4] for st in streams]
+    p = _build_tables_split(
+        40, 30, 3, 6, ens, 0, qt, dc, ac, sub=(2, 2), tile=(32, 16)
+    )
+    rows = [
+        np.concatenate([decode_jpeg(st) for st in streams[r * 2 : r * 2 + 2]], axis=1)
+        for r in range(2)
+    ]
+    want = np.concatenate(rows, axis=0)[:30, :40]
+    assert np.array_equal(decode_tiff(p), want)
+
+    # a tile list shorter than the grid is corrupt, not a crash
+    p = _build_tables_split(40, 30, 3, 6, ens[:2], 0, qt, dc, ac,
+                            sub=(2, 2), tile=(32, 16))
+    with pytest.raises(ValueError, match="tiles cover less"):
+        decode_tiff(p)

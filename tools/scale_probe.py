@@ -189,17 +189,123 @@ def timed(fn, runs: int) -> float:
     return best
 
 
+def _stage_metrics(spark) -> list[dict]:
+    """Per-stage IO metrics from the live AppStatusStore (the structure
+    behind the UI/REST API; populated even with spark.ui.enabled=false) —
+    no listener callback server needed from Python."""
+    sc = spark.sparkContext
+    jvm, gw = sc._jvm, sc._gateway
+    store = sc._jsc.sc().statusStore()
+    stages = store.stageList(
+        jvm.java.util.ArrayList(), False, False,
+        gw.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+    )
+    out = []
+    for i in range(stages.size()):
+        s = stages.apply(i)
+        out.append(
+            {
+                "stage": s.stageId(),
+                "name": s.name().split(" at ")[0][:48],
+                "shuffle_read": s.shuffleReadBytes(),
+                "shuffle_write": s.shuffleWriteBytes(),
+                "spill_mem": s.memoryBytesSpilled(),
+                "spill_disk": s.diskBytesSpilled(),
+                "input": s.inputBytes(),
+            }
+        )
+    return out
+
+
+def bytes_probe(spark, name: str, sf_dir: str, n_docs: int) -> dict:
+    """Shuffle/storage BYTES for one full run of a registry query (VERDICT
+    r08 task #6): wall-time exponents say dedup_pipeline_e2e is exactly
+    linear, so its 100 TB cost is set by CONSTANTS — bytes moved per
+    document. Runs the query through a noop sink (full computation; the
+    wall-time probes' ``.count()`` lets Spark prune projections, which
+    would understate bytes), then reads per-stage shuffle read/write +
+    spill from the AppStatusStore and the peak persisted footprint from
+    the RDD storage listing (the eager localCheckpoints are still pinned
+    by the returned frame's lineage at sample time)."""
+    sc = spark.sparkContext
+    before = _stage_metrics(spark)
+    min_id = max((s["stage"] for s in before), default=-1) + 1
+    df = QUERY_REGISTRY[name].fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    store = sc._jsc.sc().statusStore()
+    rdds = store.rddList(True)
+    persisted = sum(
+        rdds.apply(i).memoryUsed() + rdds.apply(i).diskUsed()
+        for i in range(rdds.size())
+    )
+    stages = [s for s in _stage_metrics(spark) if s["stage"] >= min_id]
+    tot_read = sum(s["shuffle_read"] for s in stages)
+    tot_write = sum(s["shuffle_write"] for s in stages)
+    tot_spill = sum(s["spill_mem"] + s["spill_disk"] for s in stages)
+    top = sorted(stages, key=lambda s: -s["shuffle_write"])[:5]
+    del df
+    spark.catalog.clearCache()
+    import gc
+
+    gc.collect()
+    return {
+        "family": name,
+        "n_docs": n_docs,
+        "shuffle_read_bytes": tot_read,
+        "shuffle_write_bytes": tot_write,
+        "spill_bytes": tot_spill,
+        "persisted_bytes": persisted,
+        "shuffle_write_per_doc": round(tot_write / n_docs, 1),
+        "persisted_per_doc": round(persisted / n_docs, 1),
+        "n_stages": len(stages),
+        "top_write_stages": [
+            {"stage": s["stage"], "name": s["name"], "write": s["shuffle_write"]}
+            for s in top
+        ],
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--workdir", default="/tmp/scaleprobe")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--bytes-only", action="store_true",
+        help="run only the bytes probe (skip the wall-time exponent sweep)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("scale_probe")
     x10_dir = os.path.join(args.workdir, f"x{args.factor}")
     print(f"ensuring {args.factor}x corpus at {x10_dir} ...", file=sys.stderr)
     build_scaled_dir(spark, x10_dir, args.factor)
+
+    # Bytes, not just seconds, for the linear dedup family (r08 task #6):
+    # one full noop-sink run at 1x and at Nx, per-stage shuffle bytes from
+    # the status store; bytes/doc flat across scales == the constants that
+    # set the 100 TB bill are scale-independent.
+    n1 = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    byte_rows = []
+    for name in ("dedup_pipeline_e2e", "minhash_lsh"):
+        b1 = bytes_probe(spark, name, SF_DIR, n1)
+        b10 = bytes_probe(spark, name, x10_dir, n1 * args.factor)
+        byte_rows.append((name, b1, b10))
+        print(json.dumps({"probe": "bytes", "scale": "1x", **b1}))
+        print(json.dumps({"probe": "bytes", "scale": f"{args.factor}x", **b10}))
+
+    print("\n--- SCALING.md bytes block ---")
+    print("| family | scale | docs | shuffle write | write B/doc | persisted | persisted B/doc | spill |")
+    print("|---|---|---|---|---|---|---|---|")
+    for name, b1, b10 in byte_rows:
+        for label, b in (("1x", b1), (f"{args.factor}x", b10)):
+            print(
+                f"| {name} | {label} | {b['n_docs']} | {b['shuffle_write_bytes']:,} "
+                f"| {b['shuffle_write_per_doc']} | {b['persisted_bytes']:,} "
+                f"| {b['persisted_per_doc']} | {b['spill_bytes']:,} |"
+            )
+    if args.bytes_only:
+        return
 
     results = {}
     # round-7 families + the exact-kernel heavies (VERDICT r07 task #5):
