@@ -606,3 +606,76 @@ def linear_classifier_columns(text: Column) -> dict[str, Column]:
         "score": score,
         "label": F.when(score > 0, F.lit("keep")).otherwise(F.lit("drop")),
     }
+
+
+def shuffle_key(id_col: Column, salt: str = "sh") -> Column:
+    """Deterministic order-randomizing sort key: ``md5(salt#id)`` as
+    lowercase hex. Fixed-width hex compares lexicographically ==
+    numerically and DuckDB's md5 matches Spark's bit-for-bit (the
+    ``md5_uniform`` contract), so the full shuffle order is cross-engine
+    verifiable. Changing ``salt`` re-rolls the whole permutation — the
+    epoch-reshuffle knob of a training-data pipeline."""
+    return F.md5(F.concat(F.lit(salt + "#"), id_col.cast("string")))
+
+
+def corpus_shard(id_col: Column, n_shards: int, salt: str = "sh") -> Column:
+    """Deterministic shard of a row: the top 12 bits of the shuffle key
+    (first 3 hex chars) divided into ``n_shards`` equal key ranges — so
+    shard boundaries are FIXED key-space split points, independent of the
+    data sample (unlike repartitionByRange's sampled boundaries), and any
+    engine can recompute membership. ``n_shards`` must divide 4096."""
+    if not 1 <= n_shards <= 4096 or 4096 % n_shards:
+        raise ValueError(f"n_shards must divide 4096 (got {n_shards})")
+    hex3 = F.conv(F.substring(shuffle_key(id_col, salt), 1, 3), 16, 10)
+    return F.floor(hex3.cast("long") / (4096 // n_shards)).cast("int")
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "sh",
+) -> DataFrame:
+    """Global order-randomizing shuffle + shard assignment — the LAST stage
+    of a training-data pipeline (training wants documents in random order,
+    sharded into same-sized files; GPT/LLaMA-style data loaders consume
+    exactly this layout). Adds ``shuffle_key`` (md5 of the salted id) and
+    ``shard`` columns, clusters rows so each shard is contiguous, and
+    key-sorts within shards — every property deterministic in (ids, salt):
+    re-running produces the identical layout, and a different salt is a
+    full epoch reshuffle.
+
+    Scale shape: ONE hash exchange on the shard id + an in-partition sort
+    — the same shuffle any writer would pay; no global sort barrier (a
+    ``repartitionByRange`` would add a sampling pass and make boundaries
+    data-dependent, breaking cross-engine determinism). At 100 TB with
+    n_shards sized to ~1 GB files, the write is
+    ``write_corpus_shards`` = this + ``partitionBy("shard")`` +
+    ``maxRecordsPerFile`` as the straggler backstop.
+
+    Reference behavior anchor: beyond-reference LLM-pipeline mandate (the
+    reference's Kafka topology has no batch corpus writer)."""
+    out = df.withColumn("shuffle_key", shuffle_key(F.col(id_col), salt)).withColumn(
+        "shard", corpus_shard(F.col(id_col), n_shards, salt)
+    )
+    return out.repartition(n_shards, "shard").sortWithinPartitions(
+        "shard", "shuffle_key", id_col
+    )
+
+
+def write_corpus_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "sh",
+    records_per_file: int | None = None,
+) -> None:
+    """Materialize the shuffled corpus as ``path/shard=K/*.parquet``:
+    deterministic membership (see ``corpus_shard``), key-sorted rows within
+    each file, ``maxRecordsPerFile`` bounding any straggler shard. Two runs
+    over the same rows produce byte-identical row orders per shard."""
+    w = corpus_shuffle(df, id_col, n_shards, salt).write.mode("overwrite")
+    if records_per_file:
+        w = w.option("maxRecordsPerFile", int(records_per_file))
+    w.partitionBy("shard").parquet(path)

@@ -1826,3 +1826,88 @@ QUERY_REGISTRY["crawl_to_corpus"] = QuerySpec(
     "WARC -> HTTP gate -> HTML paragraphs -> normalize+dedup -> quality "
     "gate -> URL dedup -> content dedup, one composed corpus query",
 )
+
+
+def q_corpus_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout audit of the deterministic corpus shuffle (VERDICT r08 task
+    #8, the ``zorder_layout`` pattern): per shard — row count (no straggler
+    shards: md5 keys are uniform, so 64 shards of the top-12-bit key space
+    stay balanced), the key span, and an ORDER FINGERPRINT (md5 of the
+    doc_ids concatenated in shuffle order) that pins the exact permutation.
+
+    The oracle recomputes everything from first principles in DuckDB —
+    same md5, same 3-hex-char shard arithmetic (via strpos-based hex
+    decode), same ordered aggregation — so the driver differential checks
+    the full shuffle contract: membership, balance, AND order. A
+    nondeterministic shuffle (rand()-keyed, sample-based boundaries) could
+    never pass this.
+
+    Scale shape: map-only key/shard derivation on the scan + one groupBy
+    on the 64-value shard id; the ordered collect is per-shard bounded
+    (|docs|/64). The production write is ``write_corpus_shards`` (same
+    key, same shard column, partitionBy + maxRecordsPerFile)."""
+    from covid19_spark.operators.curation import corpus_shard, shuffle_key
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        F.col("doc_id"),
+        shuffle_key(F.col("doc_id"), "audit").alias("__k"),
+        corpus_shard(F.col("doc_id"), 64, "audit").alias("shard"),
+    )
+    return (
+        keyed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("__k").alias("key_min"),
+            F.max("__k").alias("key_max"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("__k"),
+                                    F.col("doc_id").cast("string").alias("__id"),
+                                )
+                            )
+                        ),
+                        lambda s: s["__id"],
+                    ),
+                )
+            ).alias("order_md5"),
+        )
+        .orderBy("shard")
+    )
+
+
+ORACLE_CORPUS_SHUFFLE_AUDIT = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5('audit#' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+), sharded AS (
+  SELECT doc_id, k,
+         CAST(floor((
+             (strpos('0123456789abcdef', substring(k, 1, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substring(k, 2, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substring(k, 3, 1)) - 1)
+         ) / 64.0) AS INT) AS shard
+  FROM keyed
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(k) AS key_min,
+       max(k) AS key_max,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY k, CAST(doc_id AS VARCHAR))) AS order_md5
+FROM sharded
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+QUERY_REGISTRY["corpus_shuffle_audit"] = QuerySpec(
+    q_corpus_shuffle_audit, ORACLE_CORPUS_SHUFFLE_AUDIT,
+    "deterministic corpus shuffle: per-shard balance + exact order fingerprint",
+)

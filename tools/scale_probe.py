@@ -57,20 +57,20 @@ def build_scaled_dir(spark, out_dir: str, factor: int) -> None:
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     words = F.split(F.col("text"), " ")
+    # Construction v2 (round 9). v1 sorted each replica's words by a
+    # replica-keyed hash — which made every pair of docs sharing VOCABULARY
+    # near-identical within a replica (identical sorted sequences), a
+    # QUADRATIC candidate-pair blowup: measured 256 LSH pairs at 1x vs
+    # 6,059,585 at 10x (23,670x for 10x docs). v2 suffixes every word with
+    # the replica id and keeps order: word-shingle Jaccard between two docs
+    # of the same replica is EXACTLY the original pair's Jaccard (the
+    # suffix is a bijection on shingles), so within-replica pair structure
+    # is preserved verbatim and cross-replica pairs are destroyed —
+    # candidate-pair density truly scales linearly, as a real crawl's does.
     shuffled = F.array_join(
         F.transform(
-            F.array_sort(
-                F.transform(
-                    words,
-                    lambda w: F.struct(
-                        F.xxhash64(
-                            F.concat_ws("#", w, F.col("__rep").cast("string"))
-                        ).alias("h"),
-                        w.alias("w"),
-                    ),
-                )
-            ),
-            lambda s: s["w"],
+            words,
+            lambda w: F.concat(w, F.lit("_"), F.col("__rep").cast("string")),
         ),
         " ",
     )
@@ -227,12 +227,27 @@ def bytes_probe(spark, name: str, sf_dir: str, n_docs: int) -> dict:
     spill from the AppStatusStore and the peak persisted footprint from
     the RDD storage listing (the eager localCheckpoints are still pinned
     by the returned frame's lineage at sample time)."""
+    import gc
+    import time as _time
+
     sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    # drain leftover storage from the PREVIOUS probe run first: the
+    # ContextCleaner frees localCheckpoint blocks asynchronously, and a
+    # stale block showing up in this run's rddList sample mislabels the
+    # previous query's footprint as ours (seen: minhash 1x "inheriting"
+    # dedup 10x's 300 MB)
+    spark.catalog.clearCache()
+    for _ in range(100):
+        gc.collect()
+        if store.rddList(True).size() == 0:
+            break
+        spark._jvm.System.gc()
+        _time.sleep(0.1)
     before = _stage_metrics(spark)
     min_id = max((s["stage"] for s in before), default=-1) + 1
     df = QUERY_REGISTRY[name].fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
-    store = sc._jsc.sc().statusStore()
     rdds = store.rddList(True)
     persisted = sum(
         rdds.apply(i).memoryUsed() + rdds.apply(i).diskUsed()
@@ -245,8 +260,6 @@ def bytes_probe(spark, name: str, sf_dir: str, n_docs: int) -> dict:
     top = sorted(stages, key=lambda s: -s["shuffle_write"])[:5]
     del df
     spark.catalog.clearCache()
-    import gc
-
     gc.collect()
     return {
         "family": name,
