@@ -3153,3 +3153,223 @@ QUERY_REGISTRY["lsh_guard_report"] = QuerySpec(
     None,
     "dropped-bucket skew-guard audit over a planted boilerplate cluster (rows-only)",
 )
+
+
+def q_old_jpeg_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-FORM consistency for deprecated old-style JPEG-in-TIFF (TIFF
+    6.0 §22) — every real-world framing of the SAME entropy stream must
+    decode bit-identical pixels: (a) tag-513 JPEGInterchangeFormat whole
+    stream, (b) per-chunk complete-SOI stream (writers that omitted 513),
+    (c) §22 tables-split — raw tag-519/520/521 tables + bare entropy
+    strip, (d) the same tables-split under §15 TILED framing (VERDICT r08
+    task #7, new this round), and (e) tables-split with a restart
+    interval (tag 515 → DRI, live RSTn markers). One ``encode_jpeg``
+    stream per doc underlies all five (gray and YCbCr 4:2:0 alternating
+    by doc arithmetic), so decode equality is exact, not approximate —
+    this turns the pytest-only §22 decode paths into a driver-checked
+    oracle query (the ``jpeg_entropy_matrix`` pattern).
+
+    Oracle: full-agreement counts over the doc domain (DuckDB cannot
+    parse TIFF; any framing bug shows as n_match < n_docs). Scale shape:
+    map-only synth+decode behind one eager materialization,
+    |variants|-row aggregate."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from covid19_spark.operators.jpeg import encode_jpeg
+    from covid19_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_features,
+    )
+
+    def jpeg_split(stream: bytes):
+        """Raw tables + bare entropy of a baseline interchange stream."""
+        qt, dc, ac, dri = {}, {}, {}, 0
+        pos = 2
+        while pos + 4 <= len(stream):
+            marker = stream[pos + 1]
+            pos += 2
+            ln = int.from_bytes(stream[pos : pos + 2], "big")
+            body = stream[pos + 2 : pos + ln]
+            if marker == 0xDB:
+                b = 0
+                while b < len(body):
+                    qt[body[b] & 0xF] = body[b + 1 : b + 65]
+                    b += 65
+            elif marker == 0xC4:
+                b = 0
+                while b < len(body):
+                    tc, th = body[b] >> 4, body[b] & 0xF
+                    n = sum(body[b + 1 : b + 17])
+                    (dc if tc == 0 else ac)[th] = body[b + 1 : b + 17 + n]
+                    b += 17 + n
+            elif marker == 0xDD:
+                dri = int.from_bytes(body[:2], "big")
+            elif marker == 0xDA:
+                return qt, dc, ac, dri, stream[pos + ln : -2]
+            pos += ln
+        raise ValueError("no SOS")
+
+    def tiff_le(tags):
+        """Minimal little-endian TIFF writer; tag values may be
+        ("b", blob_bytes) placeholders resolved to file offsets."""
+        blobs, spec = [], []
+        for tag, typ, vals in sorted(tags):
+            rv = []
+            for v in vals:
+                if isinstance(v, tuple):
+                    blobs.append(v[1])
+                    rv.append(("b", len(blobs) - 1))
+                else:
+                    rv.append(v)
+            spec.append((tag, typ, rv))
+        n = len(spec)
+        ifd_end = 8 + 2 + 12 * n + 4
+        tsize = {3: 2, 4: 4}
+        val_area = sum(
+            tsize[t] * len(v) for _, t, v in spec if tsize[t] * len(v) > 4
+        )
+        val_area += val_area % 2
+        off = ifd_end + val_area
+        blob_offs = []
+        for b in blobs:
+            blob_offs.append(off)
+            off += len(b) + (len(b) % 2)
+        ents, vals_out = [], b""
+        for tag, typ, rv in spec:
+            ints = [blob_offs[i] if isinstance(v, tuple) else v
+                    for v in rv for i in [v[1] if isinstance(v, tuple) else 0]]
+            fmt = {3: "H", 4: "I"}[typ]
+            body = struct.pack("<" + str(len(ints)) + fmt, *ints)
+            if len(body) <= 4:
+                ents.append(
+                    struct.pack("<HHI", tag, typ, len(ints)) + body.ljust(4, b"\0")
+                )
+            else:
+                ents.append(
+                    struct.pack("<HHII", tag, typ, len(ints), ifd_end + len(vals_out))
+                )
+                vals_out += body
+        vals_out = vals_out.ljust(val_area, b"\0")
+        blob_area = b"".join(b + b"\0" * (len(b) % 2) for b in blobs)
+        return (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", n)
+                + b"".join(ents) + struct.pack("<I", 0) + vals_out + blob_area)
+
+    def base_tags(w, h, spp, photo):
+        return [
+            (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * spp),
+            (259, 3, [6]), (262, 3, [photo]), (277, 3, [spp]),
+            (512, 3, [1]),
+        ]
+
+    def split_tags(qt, dc, ac, spp, sub):
+        tsel = lambda ci: 0 if ci == 0 else 1  # noqa: E731
+        tags = [
+            (519, 4, [("b", bytes(qt[tsel(ci)])) for ci in range(spp)]),
+            (520, 4, [("b", bytes(dc[tsel(ci)])) for ci in range(spp)]),
+            (521, 4, [("b", bytes(ac[tsel(ci)])) for ci in range(spp)]),
+        ]
+        if sub:
+            tags.append((530, 3, list(sub)))
+        return tags
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .filter(F.col("doc_id") < 120)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                rng = np.random.default_rng(d + 8_300_000)
+                h, w = 13 + d % 8, 12 + d % 6
+                gray = d % 3 == 0
+                img = rng.integers(
+                    0, 256, size=(h, w) if gray else (h, w, 3), dtype=np.uint8
+                )
+                spp = 1 if gray else 3
+                photo = 1 if gray else 6
+                subs = "444" if gray or d % 2 else "420"
+                sub = None if gray else {"444": (1, 1), "420": (2, 2)}[subs]
+                q = 70 + (d % 3) * 10
+                full = encode_jpeg(img, quality=q, subsampling=subs)
+                qt, dc, ac, _, entropy = jpeg_split(full)
+                fr = encode_jpeg(img, quality=q, subsampling=subs, restart_interval=2)
+                _, _, _, dri_r, entropy_r = jpeg_split(fr)
+                common = base_tags(w, h, spp, photo)
+                variants = [
+                    ("a_interchange", tiff_le(
+                        common + [(513, 4, [("b", full)]), (514, 4, [len(full)]),
+                                  (278, 3, [h])])),
+                    ("b_chunk_soi", tiff_le(
+                        common + [(273, 4, [("b", full)]), (279, 4, [len(full)]),
+                                  (278, 3, [h])])),
+                    ("c_split_strip", tiff_le(
+                        common + split_tags(qt, dc, ac, spp, sub)
+                        + [(273, 4, [("b", entropy)]), (279, 4, [len(entropy)]),
+                           (278, 3, [h])])),
+                    ("d_split_tiled", tiff_le(
+                        common + split_tags(qt, dc, ac, spp, sub)
+                        + [(322, 4, [w]), (323, 4, [h]),
+                           (324, 4, [("b", entropy)]), (325, 4, [len(entropy)])])),
+                    ("e_split_restart", tiff_le(
+                        common + split_tags(qt, dc, ac, spp, sub)
+                        + [(515, 4, [dri_r]),
+                           (273, 4, [("b", entropy_r)]), (279, 4, [len(entropy_r)]),
+                           (278, 3, [h])])),
+                ]
+                for vi, (vname, payload) in enumerate(variants):
+                    rows.append(
+                        (d * 100 + vi, "image", vname, w, h, None, payload)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "mime", "width", "height",
+                    "duration_ms", "payload",
+                ],
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    feats = extract_image_features(media, use_fake=False).select(
+        (F.col("media_id") / 100).cast("long").alias("doc_id"),
+        F.pmod(F.col("media_id"), F.lit(100)).cast("int").alias("__vi"),
+        F.col("mime").alias("variant"),
+        F.col("feature").alias("__f"),
+    ).localCheckpoint(eager=True)
+    base = feats.filter(F.col("__vi") == 0).select(
+        "doc_id", F.col("__f").alias("__base")
+    )
+    return (
+        feats.join(base, "doc_id")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("__f") == F.col("__base"), 1).otherwise(0))
+            .cast("long").alias("n_match"),
+        )
+        .orderBy("variant")
+    )
+
+
+ORACLE_OLD_JPEG_MATRIX = """
+SELECT v.variant,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_match
+FROM (VALUES ('a_interchange'), ('b_chunk_soi'), ('c_split_strip'),
+             ('d_split_tiled'), ('e_split_restart')) v(variant)
+CROSS JOIN (SELECT doc_id FROM documents WHERE doc_id < 120) d
+GROUP BY v.variant
+ORDER BY v.variant
+"""
+
+
+QUERY_REGISTRY["old_jpeg_matrix"] = QuerySpec(
+    q_old_jpeg_matrix, ORACLE_OLD_JPEG_MATRIX,
+    "old-style JPEG-in-TIFF: 5 framings of one entropy stream decode identically (oracle)",
+)

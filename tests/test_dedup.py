@@ -472,14 +472,15 @@ def test_wav_depth_matrix_all_depths_agree(spark):
 
 
 def test_tiff_codec_matrix_all_variants_agree(spark):
-    """Every lossless TIFF organization decodes the same pixels: the 8-way
-    cross-validation query must report full agreement on every doc (the
+    """Every lossless TIFF organization decodes the same pixels: the 13-way
+    cross-validation query (8 RGB organizations + the CCITT fax group incl.
+    T.4 uncompressed mode) must report full agreement on every doc (the
     DuckDB oracle pins the same contract at the driver)."""
     from covid19_spark.plans.registry import QUERY_REGISTRY
     from tests.conftest import SF_DIR
 
     rows = QUERY_REGISTRY["tiff_codec_matrix"].fn(spark, SF_DIR).collect()
-    assert len(rows) == 8
+    assert len(rows) == 13  # 8 RGB organizations + 5-way CCITT bilevel group
     assert all(r.n_docs == 120 and r.n_match == 120 for r in rows), rows
 
 

@@ -139,3 +139,41 @@ def test_strip_html_tagfree_is_whitespace_collapse(spark):
     got = [r[0] for r in df.select(strip_html(F.col("t"))).collect()]
     for t, g in zip(collected, got):
         assert g == re.sub(r"\s+", " ", t).strip(), (t, g)
+
+
+def test_html_paragraphs_blocks_and_cleanup(spark):
+    """Block-aware twin of strip_html: closing block tags and <br> become
+    paragraph breaks, head/script/style/comment subtrees vanish, entities
+    decode per paragraph, empty (pure-markup) blocks drop, and inline tags
+    do NOT split paragraphs."""
+    from covid19_spark.operators.web import html_paragraphs
+
+    html = (
+        '<html><head><title>T</title><style>p{x:1}</style>'
+        '<script>if (a<2) {b=3}</script></head><body>'
+        "<div>Nav</div>"
+        "<h1>Title 7</h1>"
+        "<p>one <b>two</b> three</p>"
+        "<!-- hidden --><p> &amp; four &lt;five&gt; </p>"
+        "<p></p>"  # empty block: dropped
+        "line a<br>line b<br/>"
+        "<ul><li>item 1</li><li>item 2</li></ul>"
+        "</body></html>"
+    )
+    got = spark.range(1).select(
+        html_paragraphs(F.lit(html)).alias("p")
+    ).collect()[0]["p"]
+    assert got == [
+        "Nav", "Title 7", "one two three", "& four <five>",
+        "line a", "line b", "item 1", "item 2",
+    ]
+    # join(strip per-paragraph) == strip_html of the same page
+    from covid19_spark.operators.web import strip_html
+
+    flat = spark.range(1).select(strip_html(F.lit(html)).alias("t")).collect()[0]["t"]
+    assert " ".join(got) == flat
+    # NULL stays NULL
+    row = spark.createDataFrame([(None,)], "h string").select(
+        html_paragraphs(F.col("h")).alias("p")
+    ).collect()[0]
+    assert row["p"] is None
