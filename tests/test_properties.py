@@ -558,3 +558,27 @@ def test_tiff_roundtrip_property(h, w, seed, comp, rps):
     img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
     got = decode_tiff(encode_tiff(img, compression=comp, rows_per_strip=rps))
     assert np.array_equal(got, img)
+
+
+@given(
+    st.integers(1, 40), st.integers(1, 80), st.integers(0, 2**32 - 1),
+    st.sampled_from([0.05, 0.5, 0.95]),
+)
+@settings(max_examples=40, deadline=None)
+def test_g3_uncompressed_roundtrip_property(h, w, seed, density):
+    """T.4 uncompressed-mode escape: for ANY bitmap shape/density, G3 with
+    uncompressed=True round-trips bit-exactly in both 1D and 2D coding,
+    and never produces a LONGER stream than plain coding (the escape is
+    taken only when strictly shorter)."""
+    import numpy as np
+
+    from covid19_spark.operators.ccitt import g3_decode, g3_encode
+
+    rng = np.random.default_rng(seed)
+    bm = (rng.random((h, w)) < density).astype(np.uint8)
+    for two_d in (False, True):
+        plain = g3_encode(bm, two_d=two_d)
+        unc = g3_encode(bm, two_d=two_d, uncompressed=True)
+        assert len(unc) <= len(plain)
+        assert np.array_equal(g3_decode(unc, w, h, two_d=two_d), bm)
+        assert np.array_equal(g3_decode(plain, w, h, two_d=two_d), bm)
