@@ -39,6 +39,7 @@ shuffles.
 from __future__ import annotations
 
 import zlib
+from collections.abc import Sequence
 from typing import Iterator
 
 import pandas as pd
@@ -212,23 +213,33 @@ def warc_records(
     id_col: str = "warc_id",
     payload_col: str = "payload",
     on_error: str = "fail",
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Explode a frame of WARC blobs into one row per record via
     Arrow-batched ``mapInPandas``. ``on_error="permissive"`` follows the
     multimodal kernel contract: an unparseable blob yields ONE row with
     NULL fields and a classified ``error`` column (schema gains the column
-    only in this mode)."""
+    only in this mode). ``keep_cols`` are per-blob metadata columns
+    (fetch timestamp, crawl source, ...) carried verbatim onto every
+    exploded record — crawl pipelines always need these downstream, and a
+    passthrough here keeps STREAMING consumers join-free (re-attaching
+    metadata by id after the explode would be a stream-stream join with
+    unbounded state)."""
     if on_error not in ("fail", "permissive"):
         raise ValueError(f"on_error must be 'fail' or 'permissive' (got {on_error!r})")
     permissive = on_error == "permissive"
-    schema = _PERMISSIVE_SCHEMA if permissive else WARC_RECORD_SCHEMA
+    base = _PERMISSIVE_SCHEMA if permissive else WARC_RECORD_SCHEMA
+    keep_cols = list(keep_cols)
+    schema = StructType(base.fields + [df.schema[c] for c in keep_cols])
     cols = [f.name for f in schema.fields]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for wid, p in zip(pdf[id_col], pdf[payload_col]):
+            keeps = [pdf[c] for c in keep_cols]
+            for j, (wid, p) in enumerate(zip(pdf[id_col], pdf[payload_col])):
                 wid = int(wid)
+                kept = tuple(k.iloc[j] for k in keeps)
                 try:
                     recs = parse_warc(p)
                 except Exception as e:  # noqa: BLE001 — classified below
@@ -236,7 +247,7 @@ def warc_records(
                         raise
                     rows.append(
                         (wid, None, None, None, None, None, None, None,
-                         f"{type(e).__name__}: {e}")
+                         f"{type(e).__name__}: {e}") + kept
                     )
                     continue
                 for i, r in enumerate(recs):
@@ -245,7 +256,9 @@ def warc_records(
                         r["content_length"], r["http_status"],
                         r["http_content_type"], r["body"],
                     )
-                    rows.append(row + (None,) if permissive else row)
+                    rows.append((row + (None,) if permissive else row) + kept)
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.select(id_col, payload_col).mapInPandas(batches, schema=schema)
+    return df.select(id_col, payload_col, *keep_cols).mapInPandas(
+        batches, schema=schema
+    )

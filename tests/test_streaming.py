@@ -821,3 +821,83 @@ def test_vendored_protobuf_root_appended_to_pythonpath():
     )
     assert r.returncode == 0, r.stderr
     assert r.stdout.startswith("OK")
+
+
+def test_crawl_corpus_stream_cross_batch_dedup(stream_env):
+    """Continuous crawl ingestion (streaming twin of crawl_to_corpus): the
+    extraction chain runs per micro-batch and the URL/content dedups hold
+    ACROSS batches — a page re-crawled under the same canonical URL in a
+    later batch is dropped, as is a different URL carrying already-seen
+    content; genuinely new pages survive. First-arrival-wins (the crawl
+    frontier semantic), vs the batch query's lowest-doc_id policy."""
+    import os
+
+    from covid19_spark.sources.warc import (
+        encode_warc,
+        encode_warc_record,
+        http_response_block,
+    )
+    from covid19_spark.streaming.crawl_stream import crawl_corpus_stream
+
+    spark, d, src, ckpt = stream_env
+    os.makedirs(src)
+
+    def page(words):
+        return (
+            "<html><head><script>if (a<2){}</script></head><body>"
+            "<div>Home</div><p>" + words + "</p><p>was — cited</p>"
+            "<p>was - cited</p><div>Home</div></body></html>"
+        ).encode()
+
+    def blob(wid, url, body, status=200):
+        block = http_response_block(status, "OK" if status == 200 else "Bad", body)
+        return encode_warc(
+            [
+                encode_warc_record(
+                    "response", f"r{wid}", block, target_uri=url,
+                    content_type="application/http; msgtype=response",
+                )
+            ],
+            gzip_per_record=wid % 2 == 1,
+        )
+
+    schema = "warc_id long, payload binary, fetched_at timestamp"
+    batch1 = [
+        (1, blob(1, "HTTPS://A.Example:443/p1/?utm_source=x", page("alpha beta gamma delta")), ts("2024-01-01T10:00:00")),
+        (2, blob(2, "https://b.example/p2", page("epsilon zeta eta theta")), ts("2024-01-01T10:01:00")),
+        (3, blob(3, "https://c.example/p404", b"nope", 404), ts("2024-01-01T10:02:00")),
+        (4, blob(4, "https://d.example/short", "<p>tiny</p>".encode()), ts("2024-01-01T10:03:00")),
+    ]
+    batch2 = [
+        # same canonical URL as doc 1 (case/port/utm variants) -> dropped
+        (5, blob(5, "https://a.example/p1", page("totally new words here")), ts("2024-01-01T11:00:00")),
+        # new URL, same CONTENT as doc 2 -> dropped by the fingerprint dedup
+        (6, blob(6, "https://e.example/p6", page("epsilon zeta eta theta")), ts("2024-01-01T11:01:00")),
+        # genuinely new -> survives
+        (7, blob(7, "https://f.example/p7", page("iota kappa lambda mu")), ts("2024-01-01T11:02:00")),
+    ]
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        crawl_corpus_stream(stream, retention="2 days")
+        .writeStream.format("memory")
+        .queryName("crawl_corpus")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        out = {r.doc_id: r for r in spark.table("crawl_corpus").collect()}
+    finally:
+        q.stop()
+
+    assert sorted(out) == [1, 2, 7]  # 3 = 404, 4 = short, 5 = URL dup, 6 = content dup
+    assert out[1].canonical == "https://a.example/p1"
+    assert out[1].clean_text == "Home\n\nalpha beta gamma delta\n\nwas - cited"
+    assert out[1].n_words == 8
+    assert out[7].clean_text == "Home\n\niota kappa lambda mu\n\nwas - cited"
