@@ -89,10 +89,18 @@ def cosine_near_dup_pairs(
     # mode minhash_signatures documents). One KB-scale exchange buys
     # full-cluster parallelism for the scoring stage.
     n_parts = df.sparkSession.sparkContext.defaultParallelism
+    # ``base`` has up to FOUR consumers in one plan (oversized-block guard
+    # aggregate, its anti-join probe, the self-join's two sides); lazy
+    # localCheckpoint cuts the caller's upstream lineage to ONE
+    # materialization. At sf0.1 this measures as a wash (the lineage is a
+    # scan + map), but when the caller's upstream is expensive — e.g.
+    # semantic_dedup feeding a k-means assignment — recompute-per-consumer
+    # is the dominant cost; blocks are freed by the ContextCleaner when
+    # the result frame dies.
     base = df.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col), *[F.col(c) for c in block_cols],
         F.transform(v, lambda x: x / norm).alias("__v"),
-    )
+    ).localCheckpoint(eager=False)
     if block_cols and max_block is not None:
         oversized = (
             base.groupBy(*block_cols)
@@ -1115,16 +1123,19 @@ def semantic_dedup(
         raise ValueError(
             f"unknown keep_policy {keep_policy!r}: use 'min_id' or 'low_centroid_sim'"
         )
-    centroids = ivf_train_centroids(corpus, n_centroids, id_col, vec_col, iterations)
-    if keep_policy == "low_centroid_sim":
-        # the paper policy consumes BOTH frames twice (the pair generator
-        # AND the centroid-similarity pass) — cut the Lloyd-chain lineage
-        # so training and assignment run once. localCheckpoint blocks are
-        # freed by the ContextCleaner when the frames go out of scope.
-        centroids = centroids.localCheckpoint(eager=False)
+    # BOTH policies consume these frames multiply — centroids feeds the
+    # assignment and (paper policy) the similarity pass; assigned feeds the
+    # pair generator whose self-join alone reads it from several plan
+    # branches. Cut the Lloyd-chain lineage unconditionally so training and
+    # assignment run once (r09: the min_id policy WITHOUT these checkpoints
+    # measured SLOWER than the strictly-more-work paper policy WITH them —
+    # 4.6 vs 3.2 s — pure recompute). localCheckpoint blocks are freed by
+    # the ContextCleaner when the frames go out of scope.
+    centroids = ivf_train_centroids(
+        corpus, n_centroids, id_col, vec_col, iterations
+    ).localCheckpoint(eager=False)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_probes=1)
-    if keep_policy == "low_centroid_sim":
-        assigned = assigned.localCheckpoint(eager=False)
+    assigned = assigned.localCheckpoint(eager=False)
     pairs = cosine_near_dup_pairs(
         assigned.select(F.col(id_col), "centroid_id", F.col("vec").alias(vec_col)),
         id_col,
