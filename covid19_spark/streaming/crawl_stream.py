@@ -96,3 +96,46 @@ def crawl_corpus_stream(
         .dropDuplicatesWithinWatermark(["__fp"])
         .drop("__fp")
     )
+
+
+def crawl_health_stream(
+    blobs: DataFrame,
+    ts_col: str = "fetched_at",
+    watermark: str = "1 hour",
+    window_duration: str = "10 minutes",
+) -> DataFrame:
+    """Ingest-health monitor: the streaming twin of the batch
+    ``warc_permissive_stats`` query. Archives parse PERMISSIVELY — a torn
+    or non-WARC blob yields one classified error row instead of killing
+    the stream (at crawl scale a bad archive per million is a certainty) —
+    and a watermarked tumbling window counts outcomes per (window,
+    outcome): ``ok`` responses by status class, parse-error classes, and
+    non-response records. This is the dashboard feed an ingest operator
+    watches; the corpus stream (``crawl_corpus_stream``) stays strict so
+    data bugs fail loudly there.
+
+    Output: window_start, outcome, n — append mode on window close.
+    """
+    recs = warc_records(blobs, on_error="permissive", keep_cols=[ts_col])
+    outcome = (
+        F.when(
+            F.col("error").isNotNull(),
+            F.concat(F.lit("error:"), F.split(F.col("error"), ":").getItem(0)),
+        )
+        .when(
+            F.col("rec_type") == "response",
+            F.concat(
+                F.lit("http_"),
+                (F.col("http_status") / 100).cast("int").cast("string"),
+                F.lit("xx"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("rec:"), F.col("rec_type")))
+    )
+    return (
+        recs.select(F.col(ts_col), outcome.alias("outcome"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), "outcome")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "outcome", "n")
+    )

@@ -901,3 +901,75 @@ def test_crawl_corpus_stream_cross_batch_dedup(stream_env):
     assert out[1].clean_text == "Home\n\nalpha beta gamma delta\n\nwas - cited"
     assert out[1].n_words == 8
     assert out[7].clean_text == "Home\n\niota kappa lambda mu\n\nwas - cited"
+
+
+def test_crawl_health_stream_classifies_and_windows(stream_env):
+    """The permissive ingest monitor: torn/non-WARC archives become
+    classified error rows (the stream survives), response statuses roll up
+    by class per tumbling window, and counts are correct on window close."""
+    import os
+
+    from covid19_spark.sources.warc import (
+        encode_warc,
+        encode_warc_record,
+        http_response_block,
+    )
+    from covid19_spark.streaming.crawl_stream import crawl_health_stream
+
+    spark, d, src, ckpt = stream_env
+    os.makedirs(src)
+
+    def blob(wid, status=200):
+        recs = [
+            encode_warc_record(
+                "request", f"q{wid}", b"GET / HTTP/1.1\r\n\r\n",
+                target_uri=f"https://h{wid}.example/",
+                content_type="application/http; msgtype=request",
+            ),
+            encode_warc_record(
+                "response", f"r{wid}",
+                http_response_block(status, "S", b"x"),
+                target_uri=f"https://h{wid}.example/",
+                content_type="application/http; msgtype=response",
+            ),
+        ]
+        return encode_warc(recs, gzip_per_record=wid % 2 == 1)
+
+    schema = "warc_id long, payload binary, fetched_at timestamp"
+    t0 = ts("2024-01-01T10:00:00")
+    rows = [
+        (1, blob(1, 200), t0),
+        (2, blob(2, 404), t0),
+        (3, b"\x7fNOTWARC" + blob(3)[:24], t0),  # classified, not fatal
+        (4, blob(4, 200), t0),
+        # a later-window record whose arrival CLOSES the first window
+        (5, blob(5, 200), ts("2024-01-01T12:00:00")),
+    ]
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        crawl_health_stream(stream, watermark="30 minutes", window_duration="10 minutes")
+        .writeStream.format("memory")
+        .queryName("crawl_health")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        spark.createDataFrame(rows[:4], schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        spark.createDataFrame(rows[4:], schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        out = {
+            (r.window_start.isoformat(), r.outcome): r.n
+            for r in spark.table("crawl_health").collect()
+        }
+    finally:
+        q.stop()
+
+    w0 = "2024-01-01T10:00:00"
+    assert out[(w0, "http_2xx")] == 2
+    assert out[(w0, "http_4xx")] == 1
+    assert out[(w0, "rec:request")] == 3  # the torn blob parses no records
+    assert len([k for k in out if k[0] == w0 and k[1].startswith("error:")]) == 1
