@@ -1911,3 +1911,120 @@ QUERY_REGISTRY["corpus_shuffle_audit"] = QuerySpec(
     q_corpus_shuffle_audit, ORACLE_CORPUS_SHUFFLE_AUDIT,
     "deterministic corpus shuffle: per-shard balance + exact order fingerprint",
 )
+
+
+def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data build, end-to-end in one query: the
+    ``crawl_to_corpus`` chain (WARC -> HTTP gate -> HTML paragraphs ->
+    normalize + dedup -> quality gate -> URL dedup -> content dedup)
+    feeding the deterministic corpus shuffle (``corpus_shard`` /
+    ``shuffle_key``), audited per shard - row count, key span, and the md5
+    fingerprint of the clean texts concatenated in shuffle order. This is
+    what a user runs to go from raw crawl archives to training-ready
+    shards; every stage's outcome is pinned by ONE DuckDB oracle that
+    composes the crawl construction arithmetic with the same md5 shard
+    arithmetic.
+
+    Scale shape: the crawl pipeline's plan (single documents scan, two
+    dedup exchanges) plus the shuffle's one groupBy on the 16-value shard
+    id; the ordered collect is per-shard bounded. The production write is
+    ``write_corpus_shards`` on the corpus frame (same key, same shards)."""
+    from covid19_spark.operators.curation import corpus_shard, shuffle_key
+
+    corpus = q_crawl_to_corpus(spark, sf_dir).select("doc_id", "clean_text")
+    keyed = corpus.select(
+        "doc_id",
+        "clean_text",
+        shuffle_key(F.col("doc_id"), "crawl9").alias("__k"),
+        corpus_shard(F.col("doc_id"), 16, "crawl9").alias("shard"),
+    )
+    return (
+        keyed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("__k").alias("key_min"),
+            F.max("__k").alias("key_max"),
+            F.md5(
+                F.concat_ws(
+                    "\u0001",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("__k"), F.col("clean_text")))
+                        ),
+                        lambda s: s["clean_text"],
+                    ),
+                )
+            ).alias("order_md5"),
+        )
+        .orderBy("shard")
+    )
+
+
+# the crawl CTEs restate q_crawl_to_corpus's construction arithmetic (see
+# ORACLE_CRAWL_TO_CORPUS); the shard/key arithmetic is the corpus_shuffle
+# contract replayed in SQL - one oracle pins the WHOLE build
+ORACLE_CRAWL_TO_SHARDS = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+cand AS (
+  SELECT doc_id,
+         doc_id % 120 AS ukey,
+         CASE
+           WHEN doc_id % 6 = 5 THEN
+             'Home' || chr(10) || chr(10) || '"Free" news'
+                    || chr(10) || chr(10) || 'Subscribe - today'
+           WHEN doc_id % 8 = 3 THEN
+             'Home' || chr(10) || chr(10)
+                    || array_to_string(string_split(text, ' ')[1:2], ' ')
+           ELSE
+             'Home' || chr(10) || chr(10) || 'Doc ' || CAST(doc_id AS VARCHAR)
+                    || chr(10) || chr(10)
+                    || array_to_string(string_split(text, ' ')[1:12], ' ')
+                    || chr(10) || chr(10) || 'was - cited'
+         END AS clean_text,
+         CASE
+           WHEN doc_id % 6 = 5 THEN 6
+           WHEN doc_id % 8 = 3 THEN 3
+           ELSE len(string_split(text, ' ')[1:12]) + 6
+         END AS n_words
+  FROM d
+  WHERE doc_id % 7 <> 0
+),
+gated AS (SELECT * FROM cand WHERE n_words >= 5),
+url_kept AS (
+  SELECT * FROM gated
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY ukey)
+),
+corpus AS (
+  SELECT * FROM url_kept
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY clean_text)
+),
+keyed AS (
+  SELECT doc_id, clean_text,
+         md5('crawl9#' || CAST(doc_id AS VARCHAR)) AS k
+  FROM corpus
+),
+sharded AS (
+  SELECT doc_id, clean_text, k,
+         CAST(floor((
+             (strpos('0123456789abcdef', substring(k, 1, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substring(k, 2, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substring(k, 3, 1)) - 1)
+         ) / 256.0) AS INT) AS shard
+  FROM keyed
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(k) AS key_min,
+       max(k) AS key_max,
+       md5(string_agg(clean_text, chr(1) ORDER BY k, clean_text)) AS order_md5
+FROM sharded
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+QUERY_REGISTRY["crawl_to_shards"] = QuerySpec(
+    q_crawl_to_shards, ORACLE_CRAWL_TO_SHARDS,
+    "crawl archives -> clean corpus -> deterministic shards, one oracle "
+    "pinning every stage",
+)
