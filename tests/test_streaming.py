@@ -973,3 +973,48 @@ def test_crawl_health_stream_classifies_and_windows(stream_env):
     assert out[(w0, "http_4xx")] == 1
     assert out[(w0, "rec:request")] == 3  # the torn blob parses no records
     assert len([k for k in out if k[0] == w0 and k[1].startswith("error:")]) == 1
+
+
+def test_chained_topology_equal_across_stateful_bindings(stream_env):
+    """The §3.1 chained topology (stateful delta -> daily windowed rollup,
+    one query) must produce IDENTICAL results whichever stateful binding
+    the delta stage uses — so the auto-selection (TWS on TWS-capable
+    sessions) can never change chained-pipeline semantics."""
+    from covid19_spark.streaming.tws_delta import (
+        ROCKSDB_PROVIDER,
+        tws_runtime_available,
+    )
+
+    spark, d, src_base, ckpt_base = stream_env
+    import os
+
+    results = {}
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        bindings = ["applyInPandas"]
+        if tws_runtime_available():
+            bindings.append("tws")
+        for binding in bindings:
+            src, ckpt = f"{src_base}_{binding}", f"{ckpt_base}_{binding}"
+            os.makedirs(src)
+            spark.createDataFrame(SNAPSHOTS, SNAP_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            stream = spark.readStream.schema(SNAP_SCHEMA).parquet(src)
+            chained = daily_states_count(stats_delta_stream(stream, binding=binding))
+            out = run_stream_to_memory(
+                spark, chained, f"chain_{binding}", ckpt, mode="update"
+            ).collect()
+            results[binding] = sorted(
+                (str(r.date), r.state, r.sum_delta_confirmed, r.last_confirmed)
+                for r in out
+            )
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+    assert len(results["applyInPandas"]) == 4
+    if "tws" in results:
+        assert results["tws"] == results["applyInPandas"]
