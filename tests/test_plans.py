@@ -498,3 +498,10 @@ def test_crawl_to_corpus_single_scan_two_dedup_exchanges(spark):
 
     hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
     assert hash_ex <= 3, f"unexpected extra shuffles ({hash_ex}):\n{plan}"
+
+
+def test_crawl_to_shards_single_scan(spark):
+    """The end-to-end build (crawl chain + shard audit) still scans
+    documents exactly once — the shard stage adds only its own groupBy."""
+    plan = plan_of(spark, "crawl_to_shards")
+    assert plan.count("documents.parquet") == 1, plan
