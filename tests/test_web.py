@@ -177,3 +177,58 @@ def test_html_paragraphs_blocks_and_cleanup(spark):
         html_paragraphs(F.col("h")).alias("p")
     ).collect()[0]
     assert row["p"] is None
+
+
+def test_html_paragraphs_agree_with_strip_html_property(spark):
+    """Structural invariant over GENERATED pages: joining the block
+    paragraphs with single spaces must equal strip_html of the same page —
+    the two extractors share subtree removal/entity decode/collapse and may
+    differ ONLY in where they put paragraph breaks. Pages are built from a
+    small grammar: block elements, inline markup, comments, script/style
+    subtrees (with '<' inside), entities, <br>, empty blocks, whitespace
+    runs."""
+    import random
+
+    from covid19_spark.operators.web import html_paragraphs
+
+    rng = random.Random(20240815)
+    words = ["alpha", "beta", "gamma", "x1", "&amp;", "&lt;a&gt;", "Z"]
+
+    def text(n):
+        return " ".join(rng.choice(words) for _ in range(rng.randint(0, n)))
+
+    def page():
+        parts = ["<html><head><title>T</title>"]
+        if rng.random() < 0.5:
+            parts.append("<script>if (a<2) { b=3 }</script>")
+        if rng.random() < 0.5:
+            parts.append("<style>p { color: #000 }</style>")
+        parts.append("</head><body>")
+        for _ in range(rng.randint(0, 6)):
+            kind = rng.randrange(6)
+            t = text(5)
+            if kind == 0:
+                parts.append(f"<p>{t}</p>")
+            elif kind == 1:
+                parts.append(f"<div> {t} <b>{text(2)}</b></div>")
+            elif kind == 2:
+                parts.append(f"<h2>{t}</h2>")
+            elif kind == 3:
+                parts.append(f"{t}<br>{text(3)}<br/>")
+            elif kind == 4:
+                parts.append("<!-- hidden " + text(2) + " -->")
+            else:
+                parts.append(f"<ul><li>{t}</li><li></li><li>{text(2)}</li></ul>")
+        parts.append("</body></html>")
+        return "".join(parts)
+
+    pages = [(page(),) for _ in range(80)]
+    df = spark.createDataFrame(pages, "h string")
+    rows = df.select(
+        F.array_join(html_paragraphs(F.col("h")), " ").alias("joined"),
+        strip_html(F.col("h")).alias("flat"),
+        F.exists(html_paragraphs(F.col("h")), lambda p: p == "").alias("has_empty"),
+    ).collect()
+    for (h,), r in zip(pages, rows):
+        assert r.joined == r.flat, h
+        assert not r.has_empty, h
