@@ -318,3 +318,84 @@ def test_stats_delta_auto_binding_selection(env):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+
+
+def test_crawl_stream_to_corpus_table(env):
+    """Full crawl system: continuous WARC ingestion (crawl_corpus_stream)
+    feeding the incremental hash-bucketed upsert sink into a queryable
+    corpus table — a recrawl of an already-ingested canonical URL inside
+    the dedup horizon never reaches the table, and the table end-state is
+    one row per surviving page with the cleaned text."""
+    import datetime as _dt
+
+    from covid19_spark.sources.warc import (
+        encode_warc,
+        encode_warc_record,
+        http_response_block,
+    )
+    from covid19_spark.streaming.crawl_stream import crawl_corpus_stream
+    from covid19_spark.streaming.table import make_upsert_sink
+
+    spark, d = env
+    src, ckpt, table = f"{d}/crawl_src", f"{d}/crawl_ckpt", f"{d}/corpus"
+    os.makedirs(src)
+    t = _dt.datetime.fromisoformat
+
+    def blob(wid, url, words):
+        html = (
+            "<html><body><div>Home</div><p>" + words + "</p>"
+            "<p>was — cited</p><p>was - cited</p><div>Home</div></body></html>"
+        ).encode()
+        return encode_warc(
+            [
+                encode_warc_record(
+                    "response", f"r{wid}", http_response_block(200, "OK", html),
+                    target_uri=url,
+                    content_type="application/http; msgtype=response",
+                )
+            ],
+            gzip_per_record=wid % 2 == 1,
+        )
+
+    schema = "warc_id long, payload binary, fetched_at timestamp"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        crawl_corpus_stream(stream, retention="1 day")
+        .writeStream.foreachBatch(
+            make_upsert_sink(table, ["canonical"], "fetched_at", n_buckets=4)
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        spark.createDataFrame(
+            [
+                (1, blob(1, "https://a.example/p", "alpha beta gamma delta"), t("2024-02-01T10:00:00")),
+                (2, blob(2, "https://b.example/p", "epsilon zeta eta theta"), t("2024-02-01T10:01:00")),
+            ],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [
+                # recrawl of a.example within the horizon: never reaches the sink
+                (3, blob(3, "HTTPS://A.Example:443/p", "different words now here"), t("2024-02-01T11:00:00")),
+                (4, blob(4, "https://c.example/p", "iota kappa lambda mu"), t("2024-02-01T11:01:00")),
+            ],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {r.canonical: r for r in spark.read.parquet(table).collect()}
+    assert sorted(rows) == [
+        "https://a.example/p", "https://b.example/p", "https://c.example/p"
+    ]
+    assert rows["https://a.example/p"].doc_id == 1  # the recrawl never landed
+    assert rows["https://a.example/p"].clean_text == (
+        "Home\n\nalpha beta gamma delta\n\nwas - cited"
+    )
+    assert rows["https://c.example/p"].doc_id == 4
