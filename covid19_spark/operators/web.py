@@ -138,3 +138,31 @@ def html_paragraphs(html: Column) -> Column:
         F.transform(F.split(t, "\u0001"), lambda p: F.trim(p)),
         lambda p: p != "",
     )
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host of a URL column (port stripped) — the join key of
+    domain-policy filters. Scheme-less inputs best-effort like
+    ``canonical_url``."""
+    rest = F.regexp_replace(F.trim(url), r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    return F.lower(
+        F.regexp_extract(F.regexp_extract(rest, r"^([^/?#]*)", 1), r"^([^:]*)", 1)
+    )
+
+
+def domain_suffixes(url: Column, max_labels: int = 6) -> Column:
+    """Array of registrable-suffix candidates of a URL's host, shortest
+    first: for ``a.b.example.com`` → ``[com, example.com, b.example.com,
+    a.b.example.com]`` (capped at ``max_labels`` labels). A blocklist entry
+    blocks a URL iff it equals ONE of these — label-boundary suffix
+    semantics, so ``example.com`` blocks every subdomain but never
+    ``notexample.com``. Pure array expressions over one split: the filter
+    join explodes ≤ ``max_labels`` short strings per URL, hash-joinable
+    against a broadcast blocklist — the 100 TB shape (a regex-per-entry
+    scan would be |blocklist|×|corpus|)."""
+    labels = F.split(host_of(url), r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), F.least(n, F.lit(max_labels))),
+        lambda k: F.array_join(F.slice(labels, n - k + 1, k), "."),
+    )

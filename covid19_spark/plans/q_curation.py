@@ -2028,3 +2028,65 @@ QUERY_REGISTRY["crawl_to_shards"] = QuerySpec(
     "crawl archives -> clean corpus -> deterministic shards, one oracle "
     "pinning every stage",
 )
+
+
+def q_domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-policy filtering — the crawl-curation gate every production
+    corpus applies before any content work (spam/adult/malware domain
+    lists): a blocklist entry blocks a URL iff it matches the host on a
+    LABEL BOUNDARY, so ``dom3.com`` blocks ``s1.dom3.com`` but never
+    ``notdom3.com``. Implementation: ``domain_suffixes`` expands each host
+    into its <= 6 label-suffix candidates (one split + array expressions,
+    map-only) and membership-tests them against the broadcast blocklist —
+    the 100 TB shape (hash semi-join per short suffix; a regex-per-entry
+    scan would be |blocklist| x |corpus| full-string work). ``rule`` is
+    the lexicographically-smallest matched entry (deterministic; by
+    construction every blocked URL here matches exactly one).
+
+    Oracle: spec-level — DuckDB restates blocked/rule straight from the
+    URL construction arithmetic, never running the suffix machinery, so
+    the driver cross-checks two implementations of the written policy."""
+    from covid19_spark.operators.web import domain_suffixes, host_of
+
+    blocklist = ["dom3.com", "dom7.com", "s1.dom4.com", "evil.net"]
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://S"), (d % 4).cast("string"),
+        F.lit(".Dom"), (d % 10).cast("string"),
+        F.lit(".Com:443/p/"), d.cast("string"), F.lit("?utm_source=x"),
+    )
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .filter(F.col("doc_id") < 600)
+    )
+    sfx = domain_suffixes(url)
+    matched = F.filter(sfx, lambda s: s.isin(*blocklist))
+    return docs.select(
+        "doc_id",
+        host_of(url).alias("host"),
+        (F.size(matched) > 0).cast("long").alias("blocked"),
+        F.array_min(matched).alias("rule"),
+    ).orderBy("doc_id")
+
+
+ORACLE_DOMAIN_BLOCKLIST_FILTER = """
+SELECT doc_id,
+       's' || CAST(doc_id % 4 AS VARCHAR) || '.dom'
+           || CAST(doc_id % 10 AS VARCHAR) || '.com' AS host,
+       CAST(CASE WHEN doc_id % 10 IN (3, 7)
+                   OR (doc_id % 4 = 1 AND doc_id % 10 = 4)
+                 THEN 1 ELSE 0 END AS BIGINT) AS blocked,
+       CASE WHEN doc_id % 10 IN (3, 7)
+              THEN 'dom' || CAST(doc_id % 10 AS VARCHAR) || '.com'
+            WHEN doc_id % 4 = 1 AND doc_id % 10 = 4 THEN 's1.dom4.com'
+            ELSE NULL END AS rule
+FROM documents
+WHERE doc_id < 600
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["domain_blocklist_filter"] = QuerySpec(
+    q_domain_blocklist_filter, ORACLE_DOMAIN_BLOCKLIST_FILTER,
+    "label-boundary domain blocklist gate vs spec-derived oracle",
+)

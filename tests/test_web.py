@@ -232,3 +232,27 @@ def test_html_paragraphs_agree_with_strip_html_property(spark):
     for (h,), r in zip(pages, rows):
         assert r.joined == r.flat, h
         assert not r.has_empty, h
+
+
+def test_domain_suffixes_label_boundary(spark):
+    """Suffix candidates respect label boundaries and the cap; hosts parse
+    through scheme/port/case mess."""
+    from covid19_spark.operators.web import domain_suffixes, host_of
+
+    rows = spark.createDataFrame(
+        [
+            ("HTTPS://A.B.Example.COM:443/x?q=1#f",),
+            ("http://notexample.com/y",),
+            ("example.com/plain",),
+            ("https://a.b.c.d.e.f.g.h.example.org/",),
+        ],
+        "u string",
+    ).select(
+        host_of(F.col("u")).alias("h"),
+        domain_suffixes(F.col("u")).alias("s"),
+    ).collect()
+    assert rows[0].h == "a.b.example.com"
+    assert rows[0].s == ["com", "example.com", "b.example.com", "a.b.example.com"]
+    assert rows[1].s == ["com", "notexample.com"]  # no boundary-crossing match
+    assert rows[2].s == ["com", "example.com"]  # scheme-less best effort
+    assert len(rows[3].s) == 6  # label cap
