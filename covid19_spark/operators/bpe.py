@@ -15,7 +15,10 @@ trainer) is two-phase:
      vocabulary size (~1M rows regardless of corpus size — ~100 MB), so the
      textbook implementation iterates driver-side over the AGGREGATE, never
      over the corpus. This is the sanctioned use of ``collect()``: the
-     collected frame is corpus-size-independent.
+     collected frame is bounded BY CONTRACT — a distributed top-N cap
+     (``max_vocab_candidates``, default 5M) guarantees it stays
+     driver-sized even on web text whose distinct-"word" set (typos, URLs,
+     numbers) grows without bound.
 
 Encoding is map-only: the merge table broadcasts (it is ``n_merges`` rows)
 and an Arrow-batched ``mapInPandas`` kernel applies the greedy merge
@@ -69,14 +72,30 @@ def train_bpe(
     text_col: str = "text",
     n_merges: int = 200,
     min_freq: int = 1,
+    max_vocab_candidates: int = 5_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from a corpus.
 
     Distributed word-count scan, then the classic sequential merge loop on
     the driver over the (vocabulary-sized) frequency table. Returns the
     ordered merge list ``[(left, right), ...]`` — rank = position.
-    """
-    wc = word_counts(df, text_col).filter(F.col("cnt") >= min_freq).collect()
+
+    The driver collect is CONTRACT-bounded, not data-bounded (VERDICT r09
+    task #4): natural-language vocabulary saturates near ~1M words, but at
+    web scale the distinct-"word" set is unbounded (typos, URLs, numbers
+    — 10⁸⁺ rows at 100 TB), so the frequency table is capped to the top
+    ``max_vocab_candidates`` words by (count desc, word asc) BEFORE the
+    collect, via Spark's distributed TakeOrderedAndProject (per-partition
+    partial top-N, no full sort). The dropped tail is the min-count fringe
+    whose pair contributions are each < min(cnt of kept words) — at the
+    default 5M cap on real text the cut sits deep in the hapax tail, far
+    below any pair a 10⁵-merge vocabulary would learn. Deterministic: the
+    (cnt, word) order is total, so the kept set is a pure function of the
+    corpus."""
+    wc = word_counts(df, text_col).filter(F.col("cnt") >= min_freq)
+    if max_vocab_candidates is not None:
+        wc = wc.orderBy(F.desc("cnt"), F.asc("word")).limit(max_vocab_candidates)
+    wc = wc.collect()
     agg: dict[tuple, int] = {}
     for row in wc:
         symbols = tuple(row["word"]) + (END,)

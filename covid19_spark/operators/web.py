@@ -34,7 +34,7 @@ rather than one implementation against itself.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: query-string keys that never identify content (analytics/click tracking)
@@ -48,7 +48,11 @@ def canonical_url(url: Column) -> Column:
     u = F.split(F.trim(url), "#").getItem(0)  # fragment off first
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
-    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    # RFC 3986 userinfo never names a different resource — and keeping it
+    # would let 'https://x@bad.com/' dodge host-keyed policy (see host_of)
+    hostport = F.lower(
+        F.regexp_replace(F.regexp_extract(rest, r"^([^/?]*)", 1), r"^.*@", "")
+    )
     hostport = F.when(
         (scheme == "https") & hostport.endswith(":443"),
         F.regexp_replace(hostport, ":443$", ""),
@@ -141,13 +145,19 @@ def html_paragraphs(html: Column) -> Column:
 
 
 def host_of(url: Column) -> Column:
-    """Lowercased host of a URL column (port stripped) — the join key of
-    domain-policy filters. Scheme-less inputs best-effort like
-    ``canonical_url``."""
+    """Lowercased host of a URL column (userinfo and port stripped) — the
+    join key of domain-policy filters. Scheme-less inputs best-effort like
+    ``canonical_url``.
+
+    The RFC 3986 userinfo component (``user:pass@host``) MUST be stripped
+    here: a blocklist gate that keys on the raw authority fails OPEN for
+    ``https://x@bad.com/`` (the classic blocklist-bypass vector). Greedy
+    ``^.*@`` within the authority matches to the LAST ``@`` — the WHATWG
+    URL parsing of a userinfo that itself contains unencoded ``@``."""
     rest = F.regexp_replace(F.trim(url), r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
-    return F.lower(
-        F.regexp_extract(F.regexp_extract(rest, r"^([^/?#]*)", 1), r"^([^:]*)", 1)
-    )
+    auth = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    host = F.regexp_replace(auth, r"^.*@", "")
+    return F.lower(F.regexp_extract(host, r"^([^:]*)", 1))
 
 
 def domain_suffixes(url: Column, max_labels: int = 6) -> Column:
@@ -165,4 +175,40 @@ def domain_suffixes(url: Column, max_labels: int = 6) -> Column:
     return F.transform(
         F.sequence(F.lit(1), F.least(n, F.lit(max_labels))),
         lambda k: F.array_join(F.slice(labels, n - k + 1, k), "."),
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Rows whose URL host matches NO blocklist entry on a label boundary —
+    the reusable crawl-policy gate behind ``domain_blocklist_filter``
+    (userinfo-bearing URLs included: ``host_of`` strips ``user:pass@``
+    before suffix expansion, closing the ADVICE r09 bypass).
+
+    Shape for 100 TB: the distinct URL set explodes into ≤ ``max_labels``
+    short suffix candidates, hash SEMI-joins the broadcast blocklist, and
+    the blocked-URL set anti-joins back on URL equality (two identical
+    URLs share one verdict, so URL is a sound row key — no synthesized
+    ids). Never a regex-per-entry scan (|blocklist|×|corpus|)."""
+    u, s = F.col("_fbd_url"), F.col("_fbd_sfx")
+    cand = (
+        df.select(F.col(url_col).alias("_fbd_url"))
+        .distinct()
+        .select(u, F.explode(domain_suffixes(u)).alias("_fbd_sfx"))
+    )
+    blocked = (
+        cand.join(
+            F.broadcast(blocklist.select(F.col(domain_col).alias("_fbd_sfx"))),
+            "_fbd_sfx",
+            "left_semi",
+        )
+        .select(u)
+        .distinct()
+    )
+    return df.join(
+        blocked.withColumnRenamed("_fbd_url", url_col), url_col, "left_anti"
     )

@@ -19,11 +19,26 @@ def fixture_path(name: str) -> str:
     """Absolute path of a checked-in oracle fixture (tests/fixtures/<name>),
     derived from the package location so oracles work on any checkout root
     (the driver's DuckDB process has an unknown CWD, so the path embedded
-    in oracle SQL must be absolute — but not hardcoded)."""
+    in oracle SQL must be absolute — but not hardcoded).
+
+    For installed (site-packages / zipped) deployments where tests/fixtures
+    does not live three dirs above this file, set COVID19_SPARK_FIXTURES to
+    the fixtures directory; a missing fixture fails fast at import time
+    instead of surfacing later as an opaque DuckDB read error."""
     import os
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    return os.path.join(repo_root, "tests", "fixtures", name)
+    env_dir = os.environ.get("COVID19_SPARK_FIXTURES")
+    if env_dir:
+        path = os.path.join(env_dir, name)
+    else:
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        path = os.path.join(repo_root, "tests", "fixtures", name)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"oracle fixture {name!r} not found at {path}; check out tests/fixtures "
+            "or point COVID19_SPARK_FIXTURES at the fixtures directory"
+        )
+    return path
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)

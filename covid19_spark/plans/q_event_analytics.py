@@ -163,31 +163,81 @@ QUERY_REGISTRY["curation_pipeline"] = QuerySpec(
 
 
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB aggregation path: approx_count_distinct (HLL++) and
-    approx_percentile (t-digest-style) sketches ONLY — single partial-agg
-    pass, bounded sketch state per group, no exact-distinct shuffle and no
-    full per-group sort. (The exact twins live in tests/test_approx.py,
-    which asserts the sketches land within documented error bounds; keeping
-    them here would saddle the scale-path query with the exact-percentile
-    plan it exists to avoid.)
+    """The 100 TB aggregation path, restated as the cross-engine ERROR-BOUND
+    check VERDICT r09 task #1 requested: the sketch aggregates —
+    approx_count_distinct (HLL++, rsd 0.02) and percentile_approx (rank
+    error ≤ 1/10000) — are engine-specific bit-wise, so the driver-compared
+    output is (a) the EXACT distinct counts, which DuckDB recomputes
+    independently, and (b) booleans asserting each sketch landed inside its
+    documented error envelope: ±3·rsd for HLL++, a ±0.01 rank envelope
+    (exact percentile at p±0.01 brackets the approx value) for the t-digest
+    twins — which the oracle states as literal TRUE, making any
+    out-of-bound sketch a value-hash mismatch.
 
-    Rows-only driver check (DuckDB's sketches differ bit-wise by design).
-    """
+    Scale note: the exact twins exist to VERIFY the bound at test scale; at
+    100 TB you run only the sketch half (``sketch_aggregates`` below —
+    single partial-agg pass, bounded state per group; its plan contract is
+    pinned by tests/test_approx.py)."""
     events = _t(spark, sf_dir, "events")
+    sketches = sketch_aggregates(events)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("event_id").alias("exact_events"),
+        F.expr("percentile(value, 0.49)").alias("_p50_lo"),
+        F.expr("percentile(value, 0.51)").alias("_p50_hi"),
+        F.expr("percentile(value, 0.94)").alias("_p95_lo"),
+        F.expr("percentile(value, 0.96)").alias("_p95_hi"),
+    )
     return (
-        events.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-            F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
-            F.percentile_approx("value", 0.95, 10000).alias("approx_p95"),
-            F.approx_count_distinct("event_id", 0.02).alias("approx_events"),
+        sketches.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "exact_events",
+            # ±3·rsd relative, with a ±3 absolute floor for tiny groups
+            # (HLL++'s relative bound degenerates at single-digit counts)
+            (F.abs(F.col("approx_users") - F.col("exact_users"))
+             <= F.greatest(F.lit(3.0), 0.06 * F.col("exact_users"))).alias("users_ok"),
+            (F.abs(F.col("approx_events") - F.col("exact_events"))
+             <= F.greatest(F.lit(3.0), 0.06 * F.col("exact_events"))).alias("events_ok"),
+            ((F.col("approx_p50") >= F.col("_p50_lo"))
+             & (F.col("approx_p50") <= F.col("_p50_hi"))).alias("p50_ok"),
+            ((F.col("approx_p95") >= F.col("_p95_lo"))
+             & (F.col("approx_p95") <= F.col("_p95_hi"))).alias("p95_ok"),
         )
         .orderBy("event_type")
     )
 
 
+def sketch_aggregates(events: DataFrame) -> DataFrame:
+    """The sketch-ONLY scale path (what a 100 TB deployment runs): one
+    partial-agg pass, bounded sketch state per group — no exact-distinct
+    Expand, no per-group sort. tests/test_approx.py pins this plan shape."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx("value", 0.95, 10000).alias("approx_p95"),
+        F.approx_count_distinct("event_id", 0.02).alias("approx_events"),
+    )
+
+
+ORACLE_APPROX_AGGREGATES = """
+SELECT
+  event_type,
+  count(DISTINCT user_id) AS exact_users,
+  count(DISTINCT event_id) AS exact_events,
+  TRUE AS users_ok,
+  TRUE AS events_ok,
+  TRUE AS p50_ok,
+  TRUE AS p95_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 QUERY_REGISTRY["approx_aggregates"] = QuerySpec(
-    q_approx_aggregates, None, "HLL++/t-digest approx aggregates (rows-only)"
+    q_approx_aggregates, ORACLE_APPROX_AGGREGATES,
+    "HLL++/t-digest sketches vs exact cross-engine error-bound check",
 )
 
 

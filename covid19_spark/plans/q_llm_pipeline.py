@@ -1327,8 +1327,22 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+# Fixture oracle (VERDICT r09 task #1): iterative k-means keeps the ANN
+# family out of single-statement SQL, but the training is deterministic
+# (lowest-id seeds over fixed parquet), so the checked-in expected ranking
+# joined to the live embeddings domain gives the driver a full
+# rows+schema+value-hash differential. The Lloyd/assignment/probe/ADC
+# MACHINERY is independently SQL-oracled by the *_crosscheck queries above.
+ORACLE_IVF_COSINE_TOPK = f"""
+SELECT b.query_id, b.rank, b.neighbor_id, b.sim
+FROM read_parquet('{fixture_path("ivf_cosine_topk_sf0.01.parquet")}') b
+JOIN embeddings e ON b.neighbor_id = e.vec_id
+ORDER BY b.query_id, b.rank
+"""
+
 QUERY_REGISTRY["ivf_cosine_topk"] = QuerySpec(
-    q_ivf_cosine_topk, None, "IVF coarse-quantizer ANN top-k (rows-only)"
+    q_ivf_cosine_topk, ORACLE_IVF_COSINE_TOPK,
+    "IVF coarse-quantizer ANN top-k vs fixture oracle",
 )
 
 
@@ -1349,8 +1363,16 @@ def q_pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+ORACLE_PQ_COSINE_TOPK = f"""
+SELECT b.query_id, b.rank, b.neighbor_id, b.sim
+FROM read_parquet('{fixture_path("pq_cosine_topk_sf0.01.parquet")}') b
+JOIN embeddings e ON b.neighbor_id = e.vec_id
+ORDER BY b.query_id, b.rank
+"""
+
 QUERY_REGISTRY["pq_cosine_topk"] = QuerySpec(
-    q_pq_cosine_topk, None, "product-quantization ADC ANN top-k (rows-only)"
+    q_pq_cosine_topk, ORACLE_PQ_COSINE_TOPK,
+    "product-quantization ADC ANN top-k vs fixture oracle",
 )
 
 
@@ -1369,8 +1391,16 @@ def q_ivfpq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+ORACLE_IVFPQ_COSINE_TOPK = f"""
+SELECT b.query_id, b.rank, b.neighbor_id, b.sim
+FROM read_parquet('{fixture_path("ivfpq_cosine_topk_sf0.01.parquet")}') b
+JOIN embeddings e ON b.neighbor_id = e.vec_id
+ORDER BY b.query_id, b.rank
+"""
+
 QUERY_REGISTRY["ivfpq_cosine_topk"] = QuerySpec(
-    q_ivfpq_cosine_topk, None, "IVF-PQ composed ANN top-k (rows-only)"
+    q_ivfpq_cosine_topk, ORACLE_IVFPQ_COSINE_TOPK,
+    "IVF-PQ composed ANN top-k vs fixture oracle",
 )
 
 
@@ -2454,8 +2484,20 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+# Fixture oracle (VERDICT r09 task #1): the merge table has no per-doc key
+# to join, so the live-domain anchor is a scalar documents aggregate — the
+# oracle still touches the live corpus (an empty/moved documents table fails
+# the differential) while the checked-in ranks pin the learned merges.
+ORACLE_BPE_MERGES = f"""
+SELECT b.rank, b."left", b."right"
+FROM read_parquet('{fixture_path("bpe_merges_sf0.01.parquet")}') b
+CROSS JOIN (SELECT count(*) AS _n FROM documents HAVING count(*) > 0) anchor
+ORDER BY b.rank
+"""
+
 QUERY_REGISTRY["bpe_merges"] = QuerySpec(
-    q_bpe_merges, None, "BPE tokenizer training -> merge table (rows-only)"
+    q_bpe_merges, ORACLE_BPE_MERGES,
+    "BPE tokenizer training -> merge table vs fixture oracle",
 )
 
 
@@ -2479,8 +2521,16 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+ORACLE_BPE_TOKENIZE = f"""
+SELECT b.doc_id, b.n_words, b.n_tokens, b.first_token, b.last_token
+FROM read_parquet('{fixture_path("bpe_tokenize_sf0.01.parquet")}') b
+JOIN documents d ON b.doc_id = d.doc_id
+ORDER BY b.doc_id
+"""
+
 QUERY_REGISTRY["bpe_tokenize"] = QuerySpec(
-    q_bpe_tokenize, None, "BPE encoding with corpus-trained merges (rows-only)"
+    q_bpe_tokenize, ORACLE_BPE_TOKENIZE,
+    "BPE encoding with corpus-trained merges vs fixture oracle",
 )
 
 
@@ -2548,9 +2598,21 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixture oracles (VERDICT r09 task #1): codec decode + perceptual hashing
+# has no SQL twin, but the synthesized corpora are doc_id-seeded and
+# deterministic, so the checked-in pair lists re-anchored onto the live doc
+# ids (% 100000 strips the planted-variant offset) give the driver a full
+# value-hash differential.
+ORACLE_IMAGE_NEAR_DUP = f"""
+SELECT b.doc_a, b.doc_b, b.hamming
+FROM read_parquet('{fixture_path("image_near_dup_sf0.01.parquet")}') b
+JOIN documents d ON (b.doc_a % 100000) = d.doc_id
+ORDER BY b.doc_a, b.doc_b
+"""
+
 QUERY_REGISTRY["image_near_dup"] = QuerySpec(
-    q_image_near_dup, None,
-    "perceptual dHash near-dup pairs across real BMP/JPEG re-encodes (rows-only)",
+    q_image_near_dup, ORACLE_IMAGE_NEAR_DUP,
+    "perceptual dHash near-dup pairs across real BMP/JPEG re-encodes vs fixture oracle",
 )
 
 
@@ -2624,9 +2686,16 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ORACLE_AUDIO_NEAR_DUP = f"""
+SELECT b.doc_a, b.doc_b, b.hamming
+FROM read_parquet('{fixture_path("audio_near_dup_sf0.01.parquet")}') b
+JOIN documents d ON (b.doc_a % 100000) = d.doc_id
+ORDER BY b.doc_a, b.doc_b
+"""
+
 QUERY_REGISTRY["audio_near_dup"] = QuerySpec(
-    q_audio_near_dup, None,
-    "perceptual audio fingerprint near-dup pairs across gain/requant copies (rows-only)",
+    q_audio_near_dup, ORACLE_AUDIO_NEAR_DUP,
+    "perceptual audio fingerprint near-dup pairs across gain/requant copies vs fixture oracle",
 )
 
 
@@ -2703,11 +2772,55 @@ def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+ORACLE_VIDEO_NEAR_DUP = f"""
+SELECT b.doc_a, b.doc_b, b.matching_frames, b.mean_hamming
+FROM read_parquet('{fixture_path("video_near_dup_sf0.01.parquet")}') b
+JOIN documents d ON (b.doc_a % 100000) = d.doc_id
+ORDER BY b.doc_a, b.doc_b
+"""
+
 QUERY_REGISTRY["video_near_dup"] = QuerySpec(
-    q_video_near_dup, None,
-    "video near-dup via aligned per-frame dHash across real re-encodes (rows-only)",
+    q_video_near_dup, ORACLE_VIDEO_NEAR_DUP,
+    "video near-dup via aligned per-frame dHash across real re-encodes vs fixture oracle",
 )
 
+
+# Fixture oracles for the non-SQL-expressible dedup/ANN family (VERDICT r09
+# task #1, the proven png_image_features pattern): the expected output at
+# sf0.01 is a checked-in parquet (tools/make_fixtures.py regenerates it from
+# the same deterministic xxhash64-seeded pipeline the exact pytest fixtures
+# pin), and the oracle SQL joins it back to the LIVE table domain — so the
+# driver differential now fails on any drift in shingling, banding, hashing,
+# candidate capping or the testdata itself, instead of burning a sweep slot
+# on err:no_oracle. Pair ids above 100000 are the planted-variant twins
+# (doc_id + 100000), hence the `% 100000` re-anchor onto the live doc ids.
+ORACLE_MINHASH_LSH = f"""
+SELECT b.doc_a, b.doc_b, b.est_jaccard
+FROM read_parquet('{fixture_path("minhash_lsh_sf0.01.parquet")}') b
+JOIN documents d ON (b.doc_a % 100000) = d.doc_id
+ORDER BY b.doc_a, b.doc_b
+"""
+
+ORACLE_SIMHASH_PAIRS = f"""
+SELECT b.doc_a, b.doc_b, b.hamming
+FROM read_parquet('{fixture_path("simhash_pairs_sf0.01.parquet")}') b
+JOIN documents d ON (b.doc_a % 100000) = d.doc_id
+ORDER BY b.doc_a, b.doc_b
+"""
+
+ORACLE_ANN_COSINE_TOPK = f"""
+SELECT b.query_id, b.rank, b.neighbor_id, b.sim
+FROM read_parquet('{fixture_path("ann_cosine_topk_sf0.01.parquet")}') b
+JOIN embeddings e ON b.neighbor_id = e.vec_id
+ORDER BY b.query_id, b.rank
+"""
+
+ORACLE_MULTIMODAL_FEATURES = f"""
+SELECT b.media_id, b.n_bytes, b.f0, b.f7
+FROM read_parquet('{fixture_path("multimodal_features_sf0.01.parquet")}') b
+JOIN documents d ON b.media_id = d.doc_id
+ORDER BY b.media_id
+"""
 
 QUERY_REGISTRY.update(
     {
@@ -2717,10 +2830,19 @@ QUERY_REGISTRY.update(
         "dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT, "exact hash dedup"),
         "ngram_jaccard": QuerySpec(q_ngram_jaccard, ORACLE_NGRAM_JACCARD, "n-gram Jaccard pairs"),
         "cosine_topk": QuerySpec(q_cosine_topk, ORACLE_COSINE_TOPK, "brute-force cosine top-k"),
-        "minhash_lsh": QuerySpec(q_minhash_lsh, None, "MinHash+LSH candidates (rows-only)"),
-        "simhash_pairs": QuerySpec(q_simhash_pairs, None, "SimHash candidates (rows-only)"),
-        "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, None, "LSH ANN top-k (rows-only)"),
-        "multimodal_features": QuerySpec(q_multimodal_features, None, "binary payload features (rows-only)"),
+        "minhash_lsh": QuerySpec(
+            q_minhash_lsh, ORACLE_MINHASH_LSH, "MinHash+LSH candidates vs fixture oracle"
+        ),
+        "simhash_pairs": QuerySpec(
+            q_simhash_pairs, ORACLE_SIMHASH_PAIRS, "SimHash candidates vs fixture oracle"
+        ),
+        "ann_cosine_topk": QuerySpec(
+            q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK, "LSH ANN top-k vs fixture oracle"
+        ),
+        "multimodal_features": QuerySpec(
+            q_multimodal_features, ORACLE_MULTIMODAL_FEATURES,
+            "binary payload features vs fixture oracle",
+        ),
     }
 )
 
@@ -3148,10 +3270,25 @@ def q_lsh_guard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixture oracle (VERDICT r09 task #1): the xxhash64 bucket keys have no
+# DuckDB twin, but the planted-cluster report is deterministic over the
+# fixed sf0.01 corpus; the live-domain anchor re-derives the planted
+# boilerplate cluster size (|doc_id % 10 == 0|) from the live documents
+# table and requires every dropped bucket to be exactly that size — so the
+# oracle independently verifies the guard's one semantic invariant while
+# the checked-in band/bucket ids pin the hash machinery.
+ORACLE_LSH_GUARD_REPORT = f"""
+SELECT b.band, b.bucket, b.bucket_size, b.kept_pairs
+FROM read_parquet('{fixture_path("lsh_guard_report_sf0.01.parquet")}') b
+JOIN (SELECT count(*) AS planted FROM documents WHERE doc_id % 10 = 0) p
+  ON b.bucket_size = p.planted
+ORDER BY b.band, b.bucket
+"""
+
 QUERY_REGISTRY["lsh_guard_report"] = QuerySpec(
     q_lsh_guard_report,
-    None,
-    "dropped-bucket skew-guard audit over a planted boilerplate cluster (rows-only)",
+    ORACLE_LSH_GUARD_REPORT,
+    "dropped-bucket skew-guard audit over a planted boilerplate cluster vs fixture oracle",
 )
 
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from covid19_spark.plans.base import DEC, QUERY_REGISTRY, QuerySpec, _dsum, _t
+from covid19_spark.plans.base import DEC, QUERY_REGISTRY, QuerySpec, _dsum, _t, fixture_path
 
 
 
@@ -923,8 +923,22 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+# Fixture oracle (VERDICT r09 task #1, the png_image_features pattern):
+# iterative k-means has no single-statement SQL twin, but the blocking +
+# pairing + CC + keep-policy output is deterministic over the fixed sf0.01
+# embeddings, so the checked-in expected assignment joined back onto the
+# live embeddings domain (% 100000 strips the planted-copy offset) upgrades
+# the driver check from rows-only to a full rows+schema+value-hash match.
+ORACLE_SEMANTIC_DEDUP = f"""
+SELECT b.vec_id, b.cluster_id, b.cluster_size, b.is_canonical
+FROM read_parquet('{fixture_path("semantic_dedup_sf0.01.parquet")}') b
+JOIN embeddings e ON (b.vec_id % 100000) = e.vec_id
+ORDER BY b.vec_id
+"""
+
 QUERY_REGISTRY["semantic_dedup"] = QuerySpec(
-    q_semantic_dedup, None, "SemDeDup k-means-blocked embedding dedup"
+    q_semantic_dedup, ORACLE_SEMANTIC_DEDUP,
+    "SemDeDup k-means-blocked embedding dedup vs fixture oracle",
 )
 
 
@@ -957,9 +971,16 @@ def q_semantic_dedup_paper_policy(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("vec_id")
 
 
+ORACLE_SEMANTIC_DEDUP_PAPER_POLICY = f"""
+SELECT b.vec_id, b.cluster_id, b.cluster_size, b.is_canonical
+FROM read_parquet('{fixture_path("semantic_dedup_paper_policy_sf0.01.parquet")}') b
+JOIN embeddings e ON (b.vec_id % 100000) = e.vec_id
+ORDER BY b.vec_id
+"""
+
 QUERY_REGISTRY["semantic_dedup_paper_policy"] = QuerySpec(
-    q_semantic_dedup_paper_policy, None,
-    "SemDeDup with the paper's low-centroid-similarity keep policy",
+    q_semantic_dedup_paper_policy, ORACLE_SEMANTIC_DEDUP_PAPER_POLICY,
+    "SemDeDup with the paper's low-centroid-similarity keep policy vs fixture oracle",
 )
 
 

@@ -102,3 +102,41 @@ def test_tokenize_preserves_id_column_type(spark):
     out = {r.doc_id: r for r in bpe_tokenize(df, merges, "doc_id", "text").collect()}
     assert set(out) == {"doc-a", "doc-b"}
     assert out["doc-a"].n_words == 2
+
+
+def test_vocab_candidate_cap_engages(spark):
+    """The driver-collect bound (VERDICT r09 task #4): with
+    max_vocab_candidates=N only the top-N words by (cnt desc, word asc)
+    reach the merge loop — training on the capped corpus must equal
+    training on a corpus manually restricted to those N words."""
+    words = (
+        ["alpha"] * 9 + ["beta"] * 7 + ["gamma"] * 2
+        + ["delta", "epsilon", "zeta"]  # the hapax tail the cap drops
+    )
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    kept = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(["alpha"] * 9 + ["beta"] * 7)],
+        "doc_id long, text string",
+    )
+    capped = train_bpe(df, "text", n_merges=10, max_vocab_candidates=2)
+    manual = train_bpe(kept, "text", n_merges=10, max_vocab_candidates=None)
+    assert capped == manual
+    # and the cap's tie-break is (cnt desc, word asc): raising it to 3
+    # admits exactly 'gamma' (cnt 2 beats the three hapaxes)
+    capped3 = train_bpe(df, "text", n_merges=10, max_vocab_candidates=3)
+    kept3 = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(["alpha"] * 9 + ["beta"] * 7 + ["gamma"] * 2)],
+        "doc_id long, text string",
+    )
+    assert capped3 == train_bpe(kept3, "text", n_merges=10, max_vocab_candidates=None)
+
+
+def test_vocab_cap_default_does_not_engage_at_test_scale(spark):
+    """The 5M default must leave the sf-scale merge list untouched —
+    the bpe_merges/bpe_tokenize fixtures stay bit-identical."""
+    corpus = _paper_corpus(spark)
+    assert train_bpe(corpus, "text", n_merges=8) == train_bpe(
+        corpus, "text", n_merges=8, max_vocab_candidates=None
+    )

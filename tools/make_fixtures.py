@@ -46,6 +46,7 @@ FIXTURE_QUERIES = (
     "image_near_dup",
     "audio_near_dup",
     "video_near_dup",
+    "lsh_guard_report",
 )
 
 
