@@ -536,6 +536,11 @@ def _fit_quantizers_driver(ids, vecs, n_centroids: int, m: int, n_codes: int):
             centroids[c] = v[mask].mean(axis=0)
 
     norms = np.sqrt((v * v).sum(axis=1))
+    # zero-norm guard (ADVICE r09): a zero embedding normalizes to ITSELF
+    # (zero subvectors, finite distances, deterministic lowest-code
+    # assignment) instead of NaN-poisoning distances and codebook means —
+    # the same rule the distributed ``_normalized_vec`` twin applies.
+    norms[norms == 0] = 1.0
     nv = v / norms[:, None]
     d = dim // m  # Spark's (size/m).cast("int") slice width; tail dropped
     subs = nv[:, : m * d].reshape(n, m, d)
@@ -834,8 +839,10 @@ def _pq_subvectors(
     norm = F.sqrt(
         F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
     )
+    # zero-norm guard: see _normalized_vec (same rule, same driver twin)
+    safe = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
     normed = df.select(
-        F.col(id_col), F.transform(v, lambda x: x / norm).alias("__nv")
+        F.col(id_col), F.transform(v, lambda x: x / safe).alias("__nv")
     )
     return normed.select(
         F.col(id_col),
@@ -887,7 +894,10 @@ def _normalized_vec(vec_col: str):
     norm = F.sqrt(
         F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
     )
-    return F.transform(v, lambda x: x / norm)
+    # zero-norm guard: 0-vector → 0-vector (not NaN), matching the driver
+    # fit twin (_fit_quantizers_driver) bit-for-bit
+    safe = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
+    return F.transform(v, lambda x: x / safe)
 
 
 def _pq_codes_expr(m: int, nv_col: str = "__nv", cb_col: str = "__cb"):

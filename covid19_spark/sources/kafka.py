@@ -47,6 +47,21 @@ def reader_options(
     }
 
 
+def reader_spec(
+    topic: str,
+    bootstrap: str = "localhost:9092",
+    starting_offsets: str = "earliest",
+) -> dict:
+    """COMPLETE reader assembly as data — format + options — so the wiring
+    ``read_topic_stream`` applies is golden-testable offline (VERDICT r09
+    stretch #7: no broker exists here, so the first live deployment must
+    not be the first time the assembly is exercised)."""
+    return {
+        "format": "kafka",
+        "options": reader_options(topic, bootstrap, starting_offsets),
+    }
+
+
 def read_topic_stream(
     spark: SparkSession,
     topic: str,
@@ -55,11 +70,8 @@ def read_topic_stream(
     starting_offsets: str = "earliest",
 ) -> DataFrame:
     """Streaming source for one topic, JSON values decoded to ``schema``."""
-    raw = (
-        spark.readStream.format("kafka")
-        .options(**reader_options(topic, bootstrap, starting_offsets))
-        .load()
-    )
+    spec = reader_spec(topic, bootstrap, starting_offsets)
+    raw = spark.readStream.format(spec["format"]).options(**spec["options"]).load()
     return decode_json_value(raw, schema)
 
 
@@ -87,6 +99,43 @@ def writer_options(
     return opts
 
 
+def writer_spec(
+    topic: str,
+    bootstrap: str = "localhost:9092",
+    checkpoint: str | None = None,
+    trigger_seconds: int = 10,
+) -> dict:
+    """COMPLETE writer assembly as data (see ``reader_spec``): format,
+    options, trigger. The 10 s trigger mirrors the reference's commit
+    interval (``Covid19Stats.java:68``)."""
+    return {
+        "format": "kafka",
+        "options": writer_options(topic, bootstrap, checkpoint),
+        "trigger": {"processingTime": f"{trigger_seconds} seconds"},
+    }
+
+
+def build_topic_writer(
+    df: DataFrame,
+    topic: str,
+    key_col: Column,
+    bootstrap: str = "localhost:9092",
+    checkpoint: str | None = None,
+    trigger_seconds: int = 10,
+):
+    """Fully-configured (unstarted) Kafka DataStreamWriter — serde applied,
+    format/options/trigger set. Split from ``write_topic`` so the whole
+    assembly short of ``start()`` (the only step needing a broker) is
+    exercisable in tests."""
+    spec = writer_spec(topic, bootstrap, checkpoint, trigger_seconds)
+    return (
+        encode_json_value(df, key_col)
+        .writeStream.format(spec["format"])
+        .options(**spec["options"])
+        .trigger(**spec["trigger"])
+    )
+
+
 def write_topic(
     df: DataFrame,
     topic: str,
@@ -95,15 +144,10 @@ def write_topic(
     checkpoint: str | None = None,
     trigger_seconds: int = 10,
 ):
-    """Streaming sink to a topic; 10s trigger mirrors the reference's commit
-    interval (``Covid19Stats.java:68``)."""
-    writer = (
-        encode_json_value(df, key_col)
-        .writeStream.format("kafka")
-        .options(**writer_options(topic, bootstrap, checkpoint))
-        .trigger(processingTime=f"{trigger_seconds} seconds")
-    )
-    return writer.start()
+    """Streaming sink to a topic (see ``build_topic_writer``)."""
+    return build_topic_writer(
+        df, topic, key_col, bootstrap, checkpoint, trigger_seconds
+    ).start()
 
 
 # --- file-backed topic emulation ---------------------------------------------

@@ -230,6 +230,19 @@ def warc_records(
     permissive = on_error == "permissive"
     base = _PERMISSIVE_SCHEMA if permissive else WARC_RECORD_SCHEMA
     keep_cols = list(keep_cols)
+    # ADVICE r09: fail fast on keep_cols that are missing from the input
+    # (raw KeyError otherwise) or that collide with the record schema —
+    # a duplicate StructType field name makes downstream references
+    # ambiguous or silently wrong.
+    record_names = {f.name for f in base.fields}
+    collisions = [c for c in keep_cols if c in record_names]
+    if collisions:
+        raise ValueError(
+            f"keep_cols collide with WARC record schema fields: {collisions}"
+        )
+    missing = [c for c in keep_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"keep_cols not in input frame: {missing}")
     schema = StructType(base.fields + [df.schema[c] for c in keep_cols])
     cols = [f.name for f in schema.fields]
 

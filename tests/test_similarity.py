@@ -462,3 +462,36 @@ def test_driver_fit_matches_distributed_trainers(spark):
     for s in range(8):
         for j in range(16):
             assert np.allclose(cbs[s][j], dist_cb[(s, j)], rtol=0, atol=1e-12), (s, j)
+
+
+def test_driver_fit_zero_norm_vector_matches_distributed(spark):
+    """ADVICE r09: a zero embedding must not NaN-poison either trainer —
+    both normalize 0-vector -> 0-vector (norm guard), so codebook fits stay
+    finite and the driver twin still matches the distributed trainers."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from covid19_spark.operators.similarity import (
+        _fit_quantizers_driver,
+        ivf_train_centroids,
+        pq_train_codebooks,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(12)]
+    rows[3] = (3, [0.0] * 8)  # the zero-norm row
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents, cbs = _fit_quantizers_driver(
+        [r[0] for r in rows], [r[1] for r in rows], 4, 2, 4
+    )
+    assert np.isfinite(cents).all() and np.isfinite(cbs).all()
+
+    dist_c = {r.centroid_id: np.array(r.cvec) for r in ivf_train_centroids(emb, 4).collect()}
+    for i in range(4):
+        assert np.allclose(cents[i], dist_c[i + 1], rtol=0, atol=1e-12), i
+    dist_cb = {(r.sub, r.code): np.array(r.cvec) for r in pq_train_codebooks(emb, 2, 4).collect()}
+    for s in range(2):
+        for j in range(4):
+            assert np.isfinite(dist_cb[(s, j)]).all(), (s, j)
+            assert np.allclose(cbs[s][j], dist_cb[(s, j)], rtol=0, atol=1e-12), (s, j)

@@ -1018,3 +1018,87 @@ def test_chained_topology_equal_across_stateful_bindings(stream_env):
     assert len(results["applyInPandas"]) == 4
     if "tws" in results:
         assert results["tws"] == results["applyInPandas"]
+
+
+def test_crawl_corpus_stream_checkpoint_recovery(stream_env):
+    """VERDICT r09 task #6: the crawl-frontier guarantee must survive a
+    restart — kill the query after batch 1, start a NEW query from the same
+    checkpoint, and both stateful dedups (canonical URL and content
+    fingerprint) must still drop batch-2 duplicates of batch-1 pages.
+    The reference's dedup transformer survives restarts via changelog
+    restore (DeduplicationTransformer.java:37-88); here the state store +
+    checkpoint carry the same first-arrival-wins contract."""
+    import os
+
+    from covid19_spark.sources.warc import (
+        encode_warc,
+        encode_warc_record,
+        http_response_block,
+    )
+    from covid19_spark.streaming.crawl_stream import crawl_corpus_stream
+
+    spark, d, src, ckpt = stream_env
+    os.makedirs(src)
+
+    def page(words):
+        return f"<html><body><p>{words}</p></body></html>".encode()
+
+    def blob(wid, url, body):
+        block = http_response_block(200, "OK", body)
+        return encode_warc(
+            [
+                encode_warc_record(
+                    "response", f"r{wid}", block, target_uri=url,
+                    content_type="application/http; msgtype=response",
+                )
+            ]
+        )
+
+    schema = "warc_id long, payload binary, fetched_at timestamp"
+    batch1 = [
+        (1, blob(1, "https://a.example/p1", page("alpha beta gamma delta epsilon")), ts("2024-01-01T10:00:00")),
+        (2, blob(2, "https://b.example/p2", page("zeta eta theta iota kappa")), ts("2024-01-01T10:01:00")),
+    ]
+    batch2 = [
+        # URL dup of doc 1 (state from BEFORE the restart must catch it)
+        (5, blob(5, "https://a.example/p1", page("all new words after restart ok")), ts("2024-01-01T11:00:00")),
+        # content dup of doc 2 under a fresh URL (fingerprint state likewise)
+        (6, blob(6, "https://e.example/p6", page("zeta eta theta iota kappa")), ts("2024-01-01T11:01:00")),
+        # genuinely new -> must survive
+        (7, blob(7, "https://f.example/p7", page("lambda mu nu xi omicron")), ts("2024-01-01T11:02:00")),
+    ]
+
+    out_dir = f"{d}/out"
+
+    def start():
+        # file sink: the one built-in sink that SUPPORTS checkpoint
+        # recovery (memory/console refuse), and the production shape anyway
+        stream = spark.readStream.schema(schema).parquet(src)
+        return (
+            crawl_corpus_stream(stream, retention="2 days")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    try:
+        spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+        q1.processAllAvailable()
+    finally:
+        q1.stop()  # the mid-stream kill
+    got1 = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    assert got1 == [1, 2]
+
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    q2 = start()  # fresh query object, SAME checkpoint
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got2 = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    # 5 (URL dup of 1) and 6 (content dup of 2) must still be dropped by
+    # state restored from the checkpoint; only 7 is new
+    assert got2 == [1, 2, 7], "batch-1 dedup state must survive the restart"
