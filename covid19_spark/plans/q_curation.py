@@ -1660,6 +1660,20 @@ def q_crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow/codegen chain over that scan; the only shuffles are the two
     dedup exchanges (canonical key, content key) and the output sort.
     """
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+        .filter(F.col("doc_id") < 400)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return crawl_corpus_build(docs).orderBy("doc_id")
+
+
+def crawl_corpus_build(docs: DataFrame) -> DataFrame:
+    """The parameterized WARC→corpus chain behind ``crawl_to_corpus``
+    (input: a ``(doc_id, text)`` frame), split out so tools/scale_probe.py
+    can drive the SAME pipeline past the registry query's 400-doc fixture
+    cap (VERDICT r09 task #5) — the probe measures this function, the
+    driver oracle pins its semantics."""
     import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql.types import BinaryType, LongType, StructField, StructType
@@ -1671,12 +1685,6 @@ def q_crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_warc_record,
         http_response_block,
         warc_records,
-    )
-
-    docs = (
-        _t(spark, sf_dir, "documents").select("doc_id", "text")
-        .filter(F.col("doc_id") < 400)
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     synth_schema = StructType(
         [StructField("warc_id", LongType()), StructField("payload", BinaryType())]
@@ -1771,7 +1779,7 @@ def q_crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("__mc"))
         .drop("__mc")
     )
-    return corpus.orderBy("doc_id")
+    return corpus
 
 
 ORACLE_CRAWL_TO_CORPUS = """
@@ -1929,14 +1937,21 @@ def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup exchanges) plus the shuffle's one groupBy on the 16-value shard
     id; the ordered collect is per-shard bounded. The production write is
     ``write_corpus_shards`` on the corpus frame (same key, same shards)."""
+    corpus = q_crawl_to_corpus(spark, sf_dir).select("doc_id", "clean_text")
+    return crawl_shards_audit(corpus)
+
+
+def crawl_shards_audit(corpus: DataFrame, n_shards: int = 16) -> DataFrame:
+    """The shard/audit stage behind ``crawl_to_shards`` (input: a
+    ``(doc_id, clean_text)`` corpus frame) — split out for the same
+    scale-probe reason as ``crawl_corpus_build``."""
     from covid19_spark.operators.curation import corpus_shard, shuffle_key
 
-    corpus = q_crawl_to_corpus(spark, sf_dir).select("doc_id", "clean_text")
     keyed = corpus.select(
         "doc_id",
         "clean_text",
         shuffle_key(F.col("doc_id"), "crawl9").alias("__k"),
-        corpus_shard(F.col("doc_id"), 16, "crawl9").alias("shard"),
+        corpus_shard(F.col("doc_id"), n_shards, "crawl9").alias("shard"),
     )
     return (
         keyed.groupBy("shard")

@@ -180,6 +180,48 @@ def image_probe(spark, n_ids: int):
     return n
 
 
+
+def crawl_probe(spark, sf_dir: str):
+    """The crawl flagships past their fixture caps (VERDICT r09 task #5):
+    drive crawl_corpus_build / crawl_shards_audit / the blocklist gate over
+    the FULL documents table of ``sf_dir`` (the registry queries cap at
+    400/600 ids by design, so their bench times are scale-constant; the
+    probe scales the underlying pipeline the caps protect)."""
+    from covid19_spark.operators.web import domain_suffixes, host_of
+    from covid19_spark.plans.q_curation import crawl_corpus_build, crawl_shards_audit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def corpus():
+        return crawl_corpus_build(docs).count()
+
+    def shards():
+        corpus_df = crawl_corpus_build(docs).select("doc_id", "clean_text")
+        return crawl_shards_audit(corpus_df).count()
+
+    def blocklist():
+        blocked = ["dom3.com", "dom7.com", "s1.dom4.com", "evil.net"]
+        d = F.col("doc_id")
+        url = F.concat(
+            F.lit("HTTPS://S"), (d % 4).cast("string"),
+            F.lit(".Dom"), (d % 10).cast("string"),
+            F.lit(".Com:443/p/"), d.cast("string"), F.lit("?utm_source=x"),
+        )
+        sfx = domain_suffixes(url)
+        matched = F.filter(sfx, lambda s: s.isin(*blocked))
+        return docs.select(
+            "doc_id",
+            host_of(url).alias("host"),
+            (F.size(matched) > 0).cast("long").alias("blocked"),
+            F.array_min(matched).alias("rule"),
+        ).count()
+
+    return {"crawl_to_corpus": corpus, "crawl_to_shards": shards,
+            "domain_blocklist_filter": blocklist}
+
+
 def timed(fn, runs: int) -> float:
     best = math.inf
     for _ in range(runs):
@@ -287,6 +329,10 @@ def main() -> None:
         "--bytes-only", action="store_true",
         help="run only the bytes probe (skip the wall-time exponent sweep)",
     )
+    ap.add_argument(
+        "--crawl-only", action="store_true",
+        help="run only the crawl-flagship wall-time probes",
+    )
     args = ap.parse_args()
 
     spark = get_spark("scale_probe")
@@ -298,6 +344,26 @@ def main() -> None:
     # one full noop-sink run at 1x and at Nx, per-stage shuffle bytes from
     # the status store; bytes/doc flat across scales == the constants that
     # set the 100 TB bill are scale-independent.
+    if args.crawl_only:
+        results = {}
+        probes_1x = crawl_probe(spark, SF_DIR)
+        probes_Nx = crawl_probe(spark, x10_dir)
+        for name in probes_1x:
+            t1 = timed(probes_1x[name], args.runs)
+            spark.catalog.clearCache()
+            t10 = timed(probes_Nx[name], args.runs)
+            spark.catalog.clearCache()
+            alpha = math.log(t10 / t1) / math.log(args.factor)
+            key = f"{name}(uncapped)"
+            results[key] = {"t1": round(t1, 2), "t10": round(t10, 2), "alpha": round(alpha, 2)}
+            print(json.dumps({"family": key, **results[key]}))
+        print("\n--- SCALING.md block ---")
+        print("| family | t(1x) s | t(10x) s | exponent |")
+        print("|---|---|---|---|")
+        for name, r in results.items():
+            print(f"| {name} | {r['t1']} | {r['t10']} | {r['alpha']} |")
+        return
+
     n1 = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     byte_rows = []
     for name in ("dedup_pipeline_e2e", "minhash_lsh"):
@@ -341,6 +407,18 @@ def main() -> None:
         alpha = math.log(t10 / t1) / math.log(args.factor)
         results[name] = {"t1": round(t1, 2), "t10": round(t10, 2), "alpha": round(alpha, 2)}
         print(json.dumps({"family": name, **results[name]}))
+
+    probes_1x = crawl_probe(spark, SF_DIR)
+    probes_Nx = crawl_probe(spark, x10_dir)
+    for name in probes_1x:
+        t1 = timed(probes_1x[name], args.runs)
+        spark.catalog.clearCache()
+        t10 = timed(probes_Nx[name], args.runs)
+        spark.catalog.clearCache()
+        alpha = math.log(t10 / t1) / math.log(args.factor)
+        key = f"{name}(uncapped)"
+        results[key] = {"t1": round(t1, 2), "t10": round(t10, 2), "alpha": round(alpha, 2)}
+        print(json.dumps({"family": key, **results[key]}))
 
     t1 = timed(lambda: image_probe(spark, 250), args.runs)
     t10 = timed(lambda: image_probe(spark, 250 * args.factor), args.runs)
