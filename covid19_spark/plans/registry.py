@@ -67,8 +67,16 @@ _HEAVY_NAME_PARTS = (
 
 
 def load_correctness_artifacts() -> dict[int, set[str]]:
-    """Round number -> set of query names with a driver row in that round's
-    ``CORRECTNESS_r{N}.json``.  Unreadable artifacts are skipped."""
+    """Round number -> set of query names VERIFIED in that round's
+    ``CORRECTNESS_r{N}.json``.  Unreadable artifacts are skipped.
+
+    A row whose value records a driver error (``err`` set — e.g. the
+    r09 ``no_oracle`` rows) or a failed row-count match does NOT count as
+    verified: the sweep ran it but produced no verification, so the LRU
+    must re-front it (round 10: 16 queries gained fixture oracles AFTER
+    appearing as ``err: no_oracle`` keys in r09 — counting bare keys would
+    have parked exactly those outside the sweep window).  Rows with an
+    unrecognized shape count as verified (the pre-r09 artifact formats)."""
     import glob
     import json
     import os
@@ -80,9 +88,17 @@ def load_correctness_artifacts() -> dict[int, set[str]]:
         rnd = int(re.search(r"r(\d+)\.json$", p).group(1))
         try:
             with open(p) as f:
-                out[rnd] = set(json.load(f))
+                data = json.load(f)
         except (OSError, ValueError):
             continue
+        verified = set()
+        for name, row in (data.items() if isinstance(data, dict) else []):
+            if isinstance(row, dict) and (
+                row.get("err") is not None or row.get("rows_match") is False
+            ):
+                continue
+            verified.add(name)
+        out[rnd] = verified
     return out
 
 

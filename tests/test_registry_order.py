@@ -125,3 +125,29 @@ def test_every_query_has_spec_fn_and_doc():
     for name, spec in QUERY_REGISTRY.items():
         assert callable(spec.fn), name
         assert spec.doc, name
+
+
+def test_errored_rows_do_not_count_as_verified(tmp_path, monkeypatch):
+    """Round-10 regression guard: a CORRECTNESS row with err set (the r09
+    no_oracle rows) or rows_match false must NOT park the query outside the
+    sweep window — load_correctness_artifacts drops it from the round's
+    verified set so derive_front_list re-fronts it."""
+    import json
+
+    import covid19_spark.plans.registry as reg
+
+    art = {
+        "good": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+        "erred": {"rows_match": None, "schema_match": None, "hash_match": None, "err": "no_oracle"},
+        "wrong": {"rows_match": False, "schema_match": True, "hash_match": False, "err": None},
+    }
+    (tmp_path / "CORRECTNESS_r42.json").write_text(json.dumps(art))
+    monkeypatch.setattr(
+        "os.path.abspath", lambda p: str(tmp_path), raising=True
+    )
+    loaded = reg.load_correctness_artifacts()
+    assert loaded == {42: {"good"}}
+    front = reg.derive_front_list(["good", "erred", "wrong", "brand_new"], loaded)
+    assert "good" not in front
+    assert set(front) == {"erred", "wrong", "brand_new"}
+    assert front[0] == "brand_new"  # never-verified leads
