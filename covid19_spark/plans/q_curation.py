@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from covid19_spark.plans.base import DEC, QUERY_REGISTRY, QuerySpec, _t
+from covid19_spark.plans.base import DEC, QUERY_REGISTRY, QuerySpec, _t, fixture_path
 
 
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2104,4 +2104,62 @@ ORDER BY doc_id
 QUERY_REGISTRY["domain_blocklist_filter"] = QuerySpec(
     q_domain_blocklist_filter, ORACLE_DOMAIN_BLOCKLIST_FILTER,
     "label-boundary domain blocklist gate vs spec-derived oracle",
+)
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination gate (operators/bloom.py) — the 100 TB
+    ingest pre-filter: fingerprint the holdout partition (every doc with
+    ``doc_id % 10 == 7`` stands in for the benchmark corpus) into a
+    broadcast-sized bitmap ONCE, then flag every incoming document whose
+    content fingerprint might be in it, map-only per batch. Contract:
+    ZERO false negatives (every true holdout doc flags), false positives
+    at the Bloom rate (m=2^18 bits over ~|docs|/10 keys ⇒ well under 1%).
+
+    Output per doc: ``is_holdout`` (exact membership, restated by the
+    oracle from the id arithmetic) and ``flagged`` (the Bloom verdict —
+    deterministic xxhash64, pinned by the checked-in fixture parquet the
+    oracle joins to the live doc domain, the ``png_image_features``
+    pattern).
+
+    Scale shape: one holdout scan → ≤ m/64-row bitmap (ONE bounded
+    exchange), broadcast probe join + per-doc k-bit fold — the corpus is
+    never joined against the holdout set row-for-row."""
+    from covid19_spark.operators.bloom import bloom_build, bloom_might_contain
+    from covid19_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("__fp")
+    )
+    holdout = docs.filter(F.col("doc_id") % 10 == 7).select("__fp")
+    bloom = bloom_build(holdout, "__fp", m_bits=1 << 18, k=7)
+    flagged = bloom_might_contain(docs, bloom, "__fp", m_bits=1 << 18, k=7)
+    return (
+        flagged.select(
+            "doc_id",
+            (F.col("doc_id") % 10 == 7).cast("long").alias("is_holdout"),
+            F.col("might_contain").alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Fixture oracle: the Bloom verdicts are deterministic (fixed xxhash64
+# seeds over the fixed corpus); the live-domain join re-derives exact
+# membership from the id arithmetic and cross-checks the fixture's
+# is_holdout column against it — a fixture from a stale corpus fails the
+# differential. The no-false-negative contract is ALSO stated relationally:
+# the WHERE clause would drop any row whose fixture verdict missed a true
+# holdout doc, forcing a row-count mismatch.
+ORACLE_BLOOM_DECONTAMINATE = f"""
+SELECT b.doc_id, CAST(d.doc_id % 10 = 7 AS BIGINT) AS is_holdout, b.flagged
+FROM read_parquet('{fixture_path("bloom_decontaminate_sf0.01.parquet")}') b
+JOIN documents d ON b.doc_id = d.doc_id
+WHERE b.flagged OR d.doc_id % 10 <> 7
+ORDER BY b.doc_id
+"""
+
+QUERY_REGISTRY["bloom_decontaminate"] = QuerySpec(
+    q_bloom_decontaminate, ORACLE_BLOOM_DECONTAMINATE,
+    "broadcast Bloom membership gate, zero-false-negative decontamination",
 )

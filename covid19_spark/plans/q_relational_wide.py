@@ -435,3 +435,107 @@ QUERY_REGISTRY.update(
 )
 
 
+
+
+def q_pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration weighted PageRank (operators/graph.py) over the
+    symmetrized customer↔supplier trade graph: an edge per distinct
+    (customer, supplier) pair that traded (weight = lineitem count, both
+    directions, supplier node ids offset by 10^6 into a shared id space —
+    symmetry means no dangling nodes). 3 rounds, d = 0.85 — the iterative
+    family's registry exemplar: one edge-list shuffle per round, rank
+    state co-partitioned, nothing pairwise.
+
+    TRUE cross-engine oracle: DuckDB replays the SAME 3 rounds as chained
+    CTEs — per-term DECIMAL(38,18) sums make every Σ exact and
+    order-independent, and each term is the identical left-to-right double
+    expression in both engines, so full-precision doubles hash-match."""
+    from covid19_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    fwd = pairs.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        "w",
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    return (
+        pagerank(edges, iterations=3, damping=0.85)
+        .select(F.col("node").cast("long").alias("node"), "rank")
+        .orderBy("node")
+    )
+
+
+ORACLE_PAGERANK_SUPPLY_GRAPH = """
+WITH pairs AS (
+  SELECT o_custkey, l_suppkey, CAST(count(*) AS DOUBLE) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey
+),
+edges AS (
+  SELECT o_custkey AS src, l_suppkey + 1000000 AS dst, w FROM pairs
+  UNION ALL
+  SELECT l_suppkey + 1000000 AS src, o_custkey AS dst, w FROM pairs
+),
+outw AS (
+  SELECT src, sum(w) AS wu
+  FROM edges GROUP BY src
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+n AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM n) AS rank FROM nodes),
+it1 AS (
+  SELECT e.dst AS node,
+         sum(CAST(floor(((r.rank * e.w) / o.wu) * 1000000000000000.0) AS BIGINT))
+           / 1000000000000000.0 AS acc
+  FROM edges e JOIN outw o ON e.src = o.src JOIN r0 r ON e.src = r.node
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT nd.node, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM n)
+         + CAST(0.85 AS DOUBLE) * COALESCE(i.acc, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes nd LEFT JOIN it1 i ON nd.node = i.node
+),
+it2 AS (
+  SELECT e.dst AS node,
+         sum(CAST(floor(((r.rank * e.w) / o.wu) * 1000000000000000.0) AS BIGINT))
+           / 1000000000000000.0 AS acc
+  FROM edges e JOIN outw o ON e.src = o.src JOIN r1 r ON e.src = r.node
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT nd.node, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM n)
+         + CAST(0.85 AS DOUBLE) * COALESCE(i.acc, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes nd LEFT JOIN it2 i ON nd.node = i.node
+),
+it3 AS (
+  SELECT e.dst AS node,
+         sum(CAST(floor(((r.rank * e.w) / o.wu) * 1000000000000000.0) AS BIGINT))
+           / 1000000000000000.0 AS acc
+  FROM edges e JOIN outw o ON e.src = o.src JOIN r2 r ON e.src = r.node
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT nd.node, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM n)
+         + CAST(0.85 AS DOUBLE) * COALESCE(i.acc, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes nd LEFT JOIN it3 i ON nd.node = i.node
+)
+SELECT CAST(node AS BIGINT) AS node, rank FROM r3 ORDER BY node
+"""
+
+QUERY_REGISTRY["pagerank_supply_graph"] = QuerySpec(
+    q_pagerank_supply_graph, ORACLE_PAGERANK_SUPPLY_GRAPH,
+    "3-iteration weighted PageRank over the trade graph (cross-engine oracle)",
+)

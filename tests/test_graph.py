@@ -1,0 +1,51 @@
+"""PageRank: probability conservation, a hand-computable star graph,
+partitioning determinism, and the weighted-edge semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from covid19_spark.operators.graph import pagerank
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, w double")
+
+
+def test_star_graph_hand_values(spark):
+    """Hub 0 <-> leaves 1..4, unit weights, one iteration: every node has
+    out-edges, so rank'(leaf) = 0.15/5 + 0.85 * (0.2/4) and
+    rank'(hub) = 0.15/5 + 0.85 * (4 * 0.2)."""
+    rows = [(0, i, 1.0) for i in range(1, 5)] + [(i, 0, 1.0) for i in range(1, 5)]
+    out = {r.node: r.rank for r in pagerank(_edges(spark, rows), iterations=1).collect()}
+    assert out[0] == pytest.approx(0.15 / 5 + 0.85 * (4 * 0.2), abs=1e-12)
+    for leaf in range(1, 5):
+        assert out[leaf] == pytest.approx(0.15 / 5 + 0.85 * (0.2 / 4), abs=1e-12)
+
+
+def test_rank_mass_conserved(spark):
+    """With no dangling nodes the rank vector stays a probability
+    distribution at every iteration (up to the 1e-15 grid quantization)."""
+    rows = [(a, b, float(1 + (a + b) % 3)) for a in range(20) for b in range(20) if (a * 7 + b) % 5 == 0 and a != b]
+    for it in (1, 3, 5):
+        total = (
+            pagerank(_edges(spark, rows), iterations=it)
+            .agg(F.sum("rank").alias("s"))
+            .collect()[0]["s"]
+        )
+        assert total == pytest.approx(1.0, abs=1e-9), (it, total)
+
+
+def test_weights_shift_rank(spark):
+    """A node receiving the heavier edge ends up with the higher rank."""
+    rows = [(0, 1, 9.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)]
+    out = {r.node: r.rank for r in pagerank(_edges(spark, rows), iterations=3).collect()}
+    assert out[1] > out[2]
+
+
+def test_deterministic_across_partitionings(spark):
+    rows = [(a, (a * 13 + 7) % 30, float(1 + a % 4)) for a in range(30)] + [
+        ((a * 13 + 7) % 30, a, 1.0) for a in range(30)
+    ]
+    a = {r.node: r.rank for r in pagerank(_edges(spark, rows).repartition(1), iterations=3).collect()}
+    b = {r.node: r.rank for r in pagerank(_edges(spark, rows).repartition(17), iterations=3).collect()}
+    assert a == b  # bit-identical, not approx: the grid sum is exact

@@ -47,6 +47,7 @@ FIXTURE_QUERIES = (
     "audio_near_dup",
     "video_near_dup",
     "lsh_guard_report",
+    "bloom_decontaminate",
 )
 
 
