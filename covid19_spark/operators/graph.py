@@ -6,8 +6,8 @@ result's lineage) and each iteration is one join + one keyed aggregation,
 i.e. exactly one shuffle of the edge list per iteration. Rank state is a
 |V|-row frame, never driver-side. This is the textbook Pregel-on-dataflow
 reduction (Page et al. 1999; Malewicz et al. 2010 §2 message-passing view):
-``contrib(u→v) = rank(u) · w(u,v)/W(u)``,
-``rank'(v) = (1-d)/N + d · Σ contrib``.
+``contrib(u→v) = rank(u) · nw(u,v)`` over once-normalized edge weights
+``nw = w/W(u)``, ``rank'(v) = (1-d)/N + d · Σ contrib``.
 
 Determinism across engines (the DuckDB oracle replays the same fixed
 number of iterations): each contribution term is the same left-to-right
@@ -61,12 +61,23 @@ def pagerank(
     ).localCheckpoint(eager=True)
 
     # w is integral (a count): double partial sums are EXACT below 2^53,
-    # so a plain sum is already order-independent and engine-identical
+    # so a plain sum is already order-independent and engine-identical.
+    # Normalize out-weights ONCE (nw = w / W(u)) instead of re-joining the
+    # out-weight frame inside every iteration — the per-round plan shrinks
+    # to one join + one aggregate. edges_n and nodes are eager
+    # localCheckpoints because every round (and the final left join)
+    # re-reads them; both free with the result's lineage.
     out_w = edges.groupBy("src").agg(F.sum("w").alias("wu"))
+    edges_n = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("wu")).alias("nw"))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()  # scalar by contract (|V| is a count, not a frame)
     base = (1.0 - damping) / n
@@ -74,11 +85,10 @@ def pagerank(
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
         contribs = (
-            edges.join(out_w, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            edges_n.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
-                ((F.col("rank") * F.col("w")) / F.col("wu")).alias("__c"),
+                (F.col("rank") * F.col("nw")).alias("__c"),
             )
             .groupBy("node")
             .agg(_gridsum(F.col("__c")).alias("__in"))

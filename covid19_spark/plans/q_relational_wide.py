@@ -489,6 +489,10 @@ outw AS (
   SELECT src, sum(w) AS wu
   FROM edges GROUP BY src
 ),
+edges_n AS (
+  SELECT e.src, e.dst, e.w / o.wu AS nw
+  FROM edges e JOIN outw o ON e.src = o.src
+),
 nodes AS (
   SELECT DISTINCT node FROM (
     SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
@@ -498,9 +502,9 @@ n AS (SELECT count(*) AS n FROM nodes),
 r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM n) AS rank FROM nodes),
 it1 AS (
   SELECT e.dst AS node,
-         sum(CAST(floor(((r.rank * e.w) / o.wu) * 1000000000000000.0) AS BIGINT))
+         sum(CAST(floor((r.rank * e.nw) * 1000000000000000.0) AS BIGINT))
            / 1000000000000000.0 AS acc
-  FROM edges e JOIN outw o ON e.src = o.src JOIN r0 r ON e.src = r.node
+  FROM edges_n e JOIN r0 r ON e.src = r.node
   GROUP BY e.dst
 ),
 r1 AS (
@@ -510,9 +514,9 @@ r1 AS (
 ),
 it2 AS (
   SELECT e.dst AS node,
-         sum(CAST(floor(((r.rank * e.w) / o.wu) * 1000000000000000.0) AS BIGINT))
+         sum(CAST(floor((r.rank * e.nw) * 1000000000000000.0) AS BIGINT))
            / 1000000000000000.0 AS acc
-  FROM edges e JOIN outw o ON e.src = o.src JOIN r1 r ON e.src = r.node
+  FROM edges_n e JOIN r1 r ON e.src = r.node
   GROUP BY e.dst
 ),
 r2 AS (
@@ -522,9 +526,9 @@ r2 AS (
 ),
 it3 AS (
   SELECT e.dst AS node,
-         sum(CAST(floor(((r.rank * e.w) / o.wu) * 1000000000000000.0) AS BIGINT))
+         sum(CAST(floor((r.rank * e.nw) * 1000000000000000.0) AS BIGINT))
            / 1000000000000000.0 AS acc
-  FROM edges e JOIN outw o ON e.src = o.src JOIN r2 r ON e.src = r.node
+  FROM edges_n e JOIN r2 r ON e.src = r.node
   GROUP BY e.dst
 ),
 r3 AS (
