@@ -359,3 +359,44 @@ def dedup_paragraphs(text: Column, sep: str = "\n\n") -> Column:
         lambda p, i: F.array_position(F.slice(paras, F.lit(1), i), p) == 0,
     )
     return F.array_join(kept, sep)
+
+
+def compression_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id_col, n_bytes, z_bytes, ratio)`` — DEFLATE compression ratio
+    per document, the Gopher-family repetitiveness signal (Rae et al. 2021
+    arXiv:2112.11446 §A1 uses repetition fractions; the compression-ratio
+    form is the cheap proxy CCNet-style pipelines apply at ingest): highly
+    repetitive/boilerplate text compresses far below normal prose, natural
+    text sits near ~0.4-0.7 at paragraph length.
+
+    Arrow-batched ``mapInPandas`` (zlib level 6 — the one Python kernel
+    this signal needs; the stream is stdlib zlib, available everywhere and
+    deterministic for a fixed library, which the checked-in fixture pins).
+    Map-only: no shuffle at any corpus size."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in it:
+            raw = [str(t or "").encode("utf-8") for t in pdf[text_col]]
+            n = [len(b) for b in raw]
+            z = [len(zlib.compress(b, 6)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": pd.Series(n, dtype="int64"),
+                    "z_bytes": pd.Series(z, dtype="int64"),
+                    "ratio": [
+                        (zz / nn) if nn else 1.0 for zz, nn in zip(z, n)
+                    ],
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        batches,
+        schema=f"{id_col} {id_type}, n_bytes long, z_bytes long, ratio double",
+    )

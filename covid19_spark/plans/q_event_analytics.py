@@ -475,3 +475,82 @@ QUERY_REGISTRY["zorder_layout"] = QuerySpec(
     q_zorder_layout, ORACLE_ZORDER_LAYOUT,
     "Z-order multi-dim layout: per-bucket span audit",
 )
+
+
+def q_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection — the ops-dashboard twin of the
+    EWMA query: per (event_type, day) counts scored against their own
+    trailing 7-day window (rows-frame mean/variance), flagging |z| > 2.
+    The monitoring pass a 100 TB ingest pipeline runs over its own volume
+    counters (same shape as the crawl health stream, batch form).
+
+    Cross-engine determinism: daily counts are integers, the window sums
+    (Σn, Σn²) are exact long arithmetic, and every double op downstream
+    (mean = Σn/c, m2 = Σn²/c − mean², z = (n−mean)/√m2) is written as the
+    identical expression in both engines — no decimal casts needed, the
+    driver hashes full doubles. One exchange for the daily rollup; the
+    window runs within the event_type partitioning."""
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            F.col("ts").cast("date").alias("date"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("date")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    s = F.sum("n").over(w).cast("double")
+    c = F.count(F.lit(1)).over(w)
+    mean = s / c
+    m2 = F.sum(F.col("n") * F.col("n")).over(w).cast("double") / c - mean * mean
+    z = (F.col("n") - mean) / F.sqrt(m2)
+    return (
+        daily.select(
+            F.date_format("date", "yyyy-MM-dd").alias("date"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            mean.alias("mean"),
+            F.when(m2 > 1e-12, z).alias("z"),
+            F.when(m2 > 1e-12, F.abs(z) > 2.0).otherwise(F.lit(False)).alias(
+                "is_anomaly"
+            ),
+        )
+        .orderBy("event_type", "date")
+    )
+
+
+ORACLE_ROLLING_ANOMALIES = """
+WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+daily AS (
+  SELECT CAST(ts AS DATE) AS date, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2
+),
+win AS (
+  SELECT date, event_type, n,
+         CAST(sum(n) OVER w AS DOUBLE) AS s,
+         CAST(sum(n * n) OVER w AS DOUBLE) AS s2,
+         count(*) OVER w AS c
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY date
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+stats AS (
+  SELECT date, event_type, n, s / c AS mean,
+         s2 / c - (s / c) * (s / c) AS m2
+  FROM win
+)
+SELECT strftime(date, '%Y-%m-%d') AS date, event_type, n, mean,
+       CASE WHEN m2 > 1e-12 THEN (n - mean) / sqrt(m2) END AS z,
+       COALESCE(CASE WHEN m2 > 1e-12 THEN abs((n - mean) / sqrt(m2)) > 2.0 END,
+                FALSE) AS is_anomaly
+FROM stats
+ORDER BY event_type, date
+"""
+
+QUERY_REGISTRY["rolling_anomalies"] = QuerySpec(
+    q_rolling_anomalies, ORACLE_ROLLING_ANOMALIES,
+    "trailing-window z-score anomaly flags over daily volumes (cross-engine oracle)",
+)

@@ -3510,3 +3510,53 @@ QUERY_REGISTRY["old_jpeg_matrix"] = QuerySpec(
     q_old_jpeg_matrix, ORACLE_OLD_JPEG_MATRIX,
     "old-style JPEG-in-TIFF: 5 framings of one entropy stream decode identically (oracle)",
 )
+
+
+def q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFLATE compression-ratio quality signal (operators/text.py
+    ``compression_features``) — the cheap repetitiveness proxy next to the
+    exact ``repetition_stats``/``gopher_quality`` rules: every doc plus a
+    planted boilerplate twin for the first 40 ids (the same sentence
+    repeated — the failure mode the signal exists to catch; planted twins
+    compress several times harder than their originals). Flag = ratio
+    below 0.35. Map-only Arrow kernel, one pass, no shuffle.
+
+    Non-SQL-expressible (DEFLATE) → fixture oracle joined to the live doc
+    domain (the png_image_features pattern); the planted/organic ratio
+    separation is additionally pinned by pytest."""
+    from covid19_spark.operators.text import compression_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 400
+    )
+    planted = docs.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("subscribe to our newsletter today"), 60)
+        ).alias("text"),
+    )
+    base = docs.unionByName(planted)
+    feats = compression_features(base, "doc_id", "text")
+    return (
+        feats.select(
+            "doc_id",
+            "n_bytes",
+            "z_bytes",
+            F.round("ratio", 6).alias("ratio"),
+            (F.col("ratio") < 0.35).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_COMPRESSION_QUALITY = f"""
+SELECT b.doc_id, b.n_bytes, b.z_bytes, b.ratio, b.repetitive
+FROM read_parquet('{fixture_path("compression_quality_sf0.01.parquet")}') b
+JOIN documents d ON (b.doc_id % 100000) = d.doc_id
+ORDER BY b.doc_id
+"""
+
+QUERY_REGISTRY["compression_quality"] = QuerySpec(
+    q_compression_quality, ORACLE_COMPRESSION_QUALITY,
+    "DEFLATE compression-ratio repetitiveness signal vs fixture oracle",
+)

@@ -319,3 +319,41 @@ def test_dedup_paragraphs_idempotent_property(spark):
                 seen.add(p)
                 want.append(p)
         assert r.d1 == "\n\n".join(want), (r.t, r.d1)
+
+
+def test_compression_features_separate_repetitive_text(spark):
+    """The DEFLATE ratio signal: repeated-boilerplate text compresses far
+    harder than mixed prose; empty text is ratio 1.0 by definition; the
+    kernel is deterministic across partitionings."""
+    from covid19_spark.operators.text import compression_features
+
+    rows = [
+        (1, "subscribe now " * 80),
+        (2, "The quick brown fox jumps over a lazy dog while seventeen "
+            "other animals watch quietly from thirty-two distinct vantage "
+            "points, each described once and never repeated verbatim here."),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in compression_features(df, "doc_id", "text").collect()}
+    assert out[1].ratio < 0.2 < out[2].ratio  # boilerplate vs prose
+    assert out[3].n_bytes == 0 and out[3].ratio == 1.0
+    assert out[2].z_bytes < out[2].n_bytes
+    a = sorted(map(tuple, compression_features(df.repartition(1), "doc_id", "text").collect()))
+    b = sorted(map(tuple, compression_features(df.repartition(7), "doc_id", "text").collect()))
+    assert a == b
+
+
+def test_compression_quality_planted_twins_flag(spark):
+    """Registry query: every planted boilerplate twin flags repetitive;
+    the organic corpus majority does not."""
+    from covid19_spark.plans.registry import QUERY_REGISTRY
+
+    rows = QUERY_REGISTRY["compression_quality"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    planted = [r for r in rows if r.doc_id >= 100000]
+    organic = [r for r in rows if r.doc_id < 100000]
+    assert planted and all(r.repetitive for r in planted)
+    frac = sum(1 for r in organic if r.repetitive) / len(organic)
+    assert frac < 0.2, frac

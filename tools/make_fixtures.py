@@ -48,6 +48,7 @@ FIXTURE_QUERIES = (
     "video_near_dup",
     "lsh_guard_report",
     "bloom_decontaminate",
+    "compression_quality",
 )
 
 
