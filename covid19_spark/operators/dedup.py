@@ -25,7 +25,7 @@ from __future__ import annotations
 from collections.abc import Callable, Sequence
 
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from covid19_spark.operators.text import word_shingles
@@ -1202,3 +1202,107 @@ def dedup_clusters(
             (F.col("node") == F.col("comp")).cast("long").alias("is_canonical"),
         )
     )
+
+
+def prefix_filter_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs set-similarity join via prefix filtering (PPJoin
+    family, Xiao et al. 2008 WWW §3; Chaudhuri et al. 2006 SSJoin) —
+    the exactness-guaranteed complement to MinHash-LSH: every pair with
+    word-set Jaccard ≥ ``threshold`` is returned, none missed, none
+    approximate.
+
+    The pruning theorem: order every document's distinct tokens by ONE
+    global total order (document frequency ascending, then token — rarest
+    first), keep only the first ``|d| - ⌈t·|d|⌉ + 1`` tokens (the prefix);
+    two documents with J ≥ t MUST share a prefix token, so the candidate
+    join runs on prefix tokens only. Because prefixes are the RAREST
+    tokens, candidate buckets stay small by construction — the frequent
+    tokens that would explode a naive token join never enter the join key.
+    A size filter (``t·|a| ≤ |b| ≤ |a|/t``) prunes candidates before the
+    verify stage computes exact Jaccard on the full token sets.
+
+    Scale shape: tokenize scan → document-frequency aggregate → per-doc
+    window rank → prefix self-join (rare-token buckets) → set verify on
+    candidates only. Nothing is all-pairs; the verify population is the
+    candidate set, which J ≥ t bounds. Returns (doc_a, doc_b, jaccard).
+    """
+    from covid19_spark.operators.text import tokenize
+
+    if shingle_n is not None:
+        # n-gram shingles as the set elements (``word_shingles`` — same
+        # unit as the MinHash/ngram_jaccard family); essential on
+        # small-vocabulary corpora where word SETS saturate (the sf
+        # corpus draws from ~31 words: word-set Jaccard ≥ 0.5 holds for
+        # 70% of ALL pairs, 3-gram-shingle Jaccard for ~1%)
+        elems = word_shingles(F.col(text_col), shingle_n, distinct=True)
+        toks = df.select(F.col(id_col), F.explode(elems).alias("tok"))
+    else:
+        toks = (
+            df.select(
+                F.col(id_col),
+                F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"),
+            )
+            .filter(F.col("tok") != "")
+        )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy("__df", "tok")
+    ranked = (
+        toks.join(dfreq, "tok")
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    prefix = ranked.filter(
+        F.col("__rn") <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+    ).select(F.col(id_col), "tok", "__sz")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # size filter: |b| within [t·|a|, |a|/t] is necessary for J ≥ t
+            & (F.col("b.__sz") >= F.lit(threshold) * F.col("a.__sz"))
+            & (F.col("a.__sz") >= F.lit(threshold) * F.col("b.__sz")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = toks.groupBy(id_col).agg(
+        F.collect_set("tok").alias("__set"), F.count(F.lit(1)).alias("__sz")
+    )
+    verified = (
+        cands.join(
+            sets.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("__set").alias("__sa"),
+                F.col("__sz").alias("__na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("__set").alias("__sb"),
+                F.col("__sz").alias("__nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("__i", F.size(F.array_intersect("__sa", "__sb")))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified

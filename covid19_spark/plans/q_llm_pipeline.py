@@ -3560,3 +3560,65 @@ QUERY_REGISTRY["compression_quality"] = QuerySpec(
     q_compression_quality, ORACLE_COMPRESSION_QUALITY,
     "DEFLATE compression-ratio repetitiveness signal vs fixture oracle",
 )
+
+
+def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering
+    (operators/dedup.prefix_filter_join) over the perturbed corpus — the
+    guaranteed-complete complement to the MinHash-LSH candidate generator:
+    every pair with 3-gram-shingle Jaccard ≥ 0.6 is found (the planted
+    drop-3-tokens variants land near 1.0, the organic corpus near 0 —
+    shingles, not word sets, because the synthetic ~31-word vocabulary
+    saturates word-set similarity: at word level 70% of ALL pairs clear
+    0.5). TRUE cross-
+    engine oracle: DuckDB computes ground truth by ALL-PAIRS exact Jaccard
+    (deliberately quadratic at toy scale — the asymmetry documented in
+    SCALING.md), so any pair the prefix filter missed or invented is a
+    row-count mismatch, and the double division ``i/(|a|+|b|-i)`` is the
+    identical expression in both engines."""
+    from covid19_spark.operators.dedup import prefix_filter_join
+
+    docs = _perturbed_docs(spark, sf_dir).filter(
+        (F.col("doc_id") % 100000) < 300
+    )
+    return prefix_filter_join(
+        docs, "doc_id", "text", threshold=0.6, shingle_n=3
+    ).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+ORACLE_SETSIM_PREFIX_JOIN = """
+WITH base AS (
+  SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(string_split(lower(text), ' ')[4:], ' ') AS text
+  FROM documents WHERE doc_id < 50
+),
+toks AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, len(string_split(text, ' ')) - 1),
+    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         || ' ' || string_split(text, ' ')[i+2]))) AS tok
+  FROM base
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       i.i / CAST(sa.sz + sb.sz - i.i AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE i.i / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= 0.6
+ORDER BY doc_a, doc_b
+"""
+
+QUERY_REGISTRY["setsim_prefix_join"] = QuerySpec(
+    q_setsim_prefix_join, ORACLE_SETSIM_PREFIX_JOIN,
+    "exact prefix-filtered set-similarity join vs all-pairs oracle",
+)

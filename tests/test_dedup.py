@@ -841,3 +841,74 @@ def test_lsh_guard_report_query_surfaces_planted_cluster(spark):
     assert [r.band for r in rows] == list(range(8))
     assert all(r.bucket_size == 50 for r in rows)  # 500 docs / 10
     assert all(r.kept_pairs > 0 for r in rows)
+
+
+def test_prefix_filter_join_complete_vs_bruteforce(spark):
+    """PPJoin completeness: the prefix-filtered result must equal brute-force
+    all-pairs Jaccard exactly (pairs AND values) — the operator's whole
+    contract is exactness."""
+    from covid19_spark.operators.dedup import prefix_filter_join
+    from covid19_spark.operators.text import tokenize
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),      # 5/7 with doc 1
+        (3, "one two three four five six"),
+        (4, "one two three four five six"),             # identical to 3
+        (5, "alpha beta gamma delta epsilon zeta eta"), # superset of 1
+        (6, "totally different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.6
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_join(df, "doc_id", "text", threshold=t).collect()
+    }
+    sets = {
+        r.doc_id: set(r.s)
+        for r in df.select(
+            "doc_id", F.array_distinct(tokenize(F.col("text"))).alias("s")
+        ).collect()
+    }
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= t:
+                want[(a, b)] = j
+    assert got == want and (3, 4) in got and (1, 2) in got
+
+
+def test_prefix_filter_join_prunes_candidates(spark):
+    """The point of the prefix: the candidate join must touch far fewer
+    pairs than all-pairs — rare-first ordering keeps frequent tokens out
+    of the join key entirely."""
+    from covid19_spark.operators.dedup import prefix_filter_join
+
+    # 40 docs sharing a universal stopword head + distinct rare tails:
+    # a naive token join would bucket all 40 on 'the'/'of'
+    rows = [
+        (i, "the of and " + " ".join(f"w{i}_{j}" for j in range(8)))
+        for i in range(40)
+    ] + [(100, "the of and " + " ".join(f"w7_{j}" for j in range(8)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prefix_filter_join(df, "doc_id", "text", threshold=0.8).collect()
+    assert {(r.doc_a, r.doc_b) for r in out} == {(7, 100)}
+
+
+def test_prefix_filter_join_shingle_mode_matches_word_shingles(spark):
+    from covid19_spark.operators.dedup import prefix_filter_join
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "x y a b c d e f g h"),   # shares the long run -> high shingle overlap
+        (3, "h g f e d c b a"),       # same WORDS, reversed: shingles disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_join(df, "doc_id", "text", threshold=0.5, shingle_n=3).collect()
+    }
+    assert (1, 2) in out and (1, 3) not in out
