@@ -554,3 +554,123 @@ QUERY_REGISTRY["rolling_anomalies"] = QuerySpec(
     q_rolling_anomalies, ORACLE_ROLLING_ANOMALIES,
     "trailing-window z-score anomaly flags over daily volumes (cross-engine oracle)",
 )
+
+
+# ---------------------------------------------------------------------------
+# Explicit skew handling (operators/skew.py) surfaced as catalog queries:
+# the salted join and the two-phase aggregation are semantics-neutral, so
+# each oracle is the PLAIN join / plain GROUP BY — the driver differential
+# proves "skew-safe rewrite ≡ naive plan" cross-engine, and the plan pins
+# in tests/test_plans.py freeze the salted shape itself.
+# ---------------------------------------------------------------------------
+
+# The order-priority dimension: five values, ALL hot (every fact row carries
+# one of them) — the canonical low-cardinality hot-key join that broadcast
+# normally absorbs; salted_join is the strategy when the small side exceeds
+# the broadcast threshold (wide dim payloads) yet the key stays this skewed.
+_PRIORITY_WEIGHTS = [
+    ("1-URGENT", 1.00),
+    ("2-HIGH", 0.80),
+    ("3-MEDIUM", 0.60),
+    ("4-NOT SPECIFIED", 0.40),
+    ("5-LOW", 0.20),
+]
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted hot-key join (operators/skew.py:32): orders ⋈ a priority
+    weight dim on ``o_orderpriority`` — 5 distinct keys over the whole
+    fact, the worst-case key skew — with the dim replicated 8× and the
+    fact's rows spread by ``xxhash64(o_orderkey) % 8``, so each hot key
+    occupies 8 tasks instead of 1.
+
+    Deterministic salting (hash of the row key, not ``rand()``) keeps the
+    result reproducible under any partitioning; the oracle is the PLAIN
+    join — salting must be invisible in the output.
+
+    Scale: dim×8 rows replicate (bounded by contract); the shuffle spreads
+    uniformly by (key, salt); the downstream weighted aggregate combines
+    map-side. At 100 TB no single task owns a priority class.
+    """
+    from covid19_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders")
+    dim = spark.createDataFrame(_PRIORITY_WEIGHTS, ["o_orderpriority", "weight"])
+    joined = salted_join(orders, dim, ["o_orderpriority"], salt_source="o_orderkey", buckets=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice") * F.col("weight")).alias("weighted_revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_SKEW_SALTED_JOIN = """
+WITH dim(o_orderpriority, weight) AS (
+  VALUES ('1-URGENT', 1.00), ('2-HIGH', 0.80), ('3-MEDIUM', 0.60),
+         ('4-NOT SPECIFIED', 0.40), ('5-LOW', 0.20)
+)
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice * weight AS DECIMAL(38,6))) AS DOUBLE)
+         AS weighted_revenue
+FROM orders JOIN dim USING (o_orderpriority)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_skew_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase skew-safe aggregation (operators/skew.py:55): events
+    aggregated by ``event_type`` (a handful of values over the whole fact)
+    via (key, salt) partials → per-key combine, for the case where one hot
+    group's post-map-combine partials still exceed a single reducer task.
+
+    The value column is cast DECIMAL(38,6) BEFORE the partial sum, so both
+    phases are exact and order-independent — the plain-GROUP-BY oracle
+    hashes identically.
+
+    Scale: phase 1 shuffles ≤ |mappers|×|keys|×buckets partial rows;
+    phase 2 shuffles |keys|×buckets. Nothing is proportional to |events|
+    after the map side.
+    """
+    from covid19_spark.operators.skew import two_phase_agg
+
+    events = _t(spark, sf_dir, "events")
+    prepared = events.withColumn("value_dec", F.col("value").cast(DEC))
+    out = two_phase_agg(
+        prepared, ["event_type"], salt_source="event_id", sums=["value_dec"], buckets=16
+    )
+    return (
+        out.select(
+            "event_type",
+            F.col("sum_value_dec").cast("double").alias("sum_value"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_SKEW_TWO_PHASE_AGG = """
+SELECT event_type,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+       count(*) AS n_rows
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERY_REGISTRY.update(
+    {
+        "skew_salted_join": QuerySpec(
+            q_skew_salted_join, ORACLE_SKEW_SALTED_JOIN,
+            "salted hot-key join ≡ plain join (cross-engine)",
+        ),
+        "skew_two_phase_agg": QuerySpec(
+            q_skew_two_phase_agg, ORACLE_SKEW_TWO_PHASE_AGG,
+            "two-phase skew-safe aggregation ≡ plain GROUP BY",
+        ),
+    }
+)

@@ -543,3 +543,276 @@ QUERY_REGISTRY["pagerank_supply_graph"] = QuerySpec(
     q_pagerank_supply_graph, ORACLE_PAGERANK_SUPPLY_GRAPH,
     "3-iteration weighted PageRank over the trade graph (cross-engine oracle)",
 )
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery suite: the classic decision-support shapes (TPC-H
+# Q17/Q15/Q18/Q21 families) restated over the driver's star schema.  The
+# reference engine has no subquery surface at all — these pin how the same
+# semantics decompose into aggregate-then-join plans that Catalyst would
+# produce by decorrelating the SQL form, with every correlated predicate
+# made exact via integer micro-units (no cross-engine float thresholds).
+# ---------------------------------------------------------------------------
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery): revenue carried by
+    lineitems whose quantity is below HALF that part's average quantity,
+    rolled up per brand.
+
+    The correlated ``l_quantity < 0.5 * (SELECT avg(l_quantity) ... WHERE
+    p_partkey = l_partkey)`` is decorrelated into a per-part aggregate
+    joined back to the fact — exactly Catalyst's own rewrite.  The
+    threshold compare is integer-exact: quantities become micro-units and
+    ``2 * qty_u * cnt < sum_qty_u`` avoids any division, so Spark and
+    DuckDB select bit-identical row sets.
+
+    Scale: per-part aggregate shuffles |parts| rows (≪ |lineitem|); the
+    join back is fact×aggregate on the fact's own partition key candidate
+    (l_partkey), AQE-planned; the part dim is broadcast.  No correlated
+    per-row subquery execution anywhere.
+    """
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty_u", F.round(F.col("l_quantity") * 1_000_000).cast("long")
+    )
+    part = _t(spark, sf_dir, "part")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty_u").alias("sum_qty_u"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .where(F.col("qty_u") * 2 * F.col("cnt") < F.col("sum_qty_u"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            _dsum(F.col("l_extendedprice")).alias("lost_revenue"),
+            F.count(F.lit(1)).alias("n_small_lineitems"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_SMALL_QTY_REVENUE = """
+WITH li AS (
+  SELECT *, CAST(round(l_quantity * 1000000) AS BIGINT) AS qty_u FROM lineitem
+),
+pp AS (
+  SELECT l_partkey, sum(qty_u) AS sum_qty_u, count(*) AS cnt FROM li GROUP BY 1
+)
+SELECT p_brand,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS lost_revenue,
+       count(*) AS n_small_lineitems
+FROM li
+JOIN pp USING (l_partkey)
+JOIN part ON l_partkey = p_partkey
+WHERE qty_u * 2 * cnt < sum_qty_u
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (aggregate-of-aggregate subquery): suppliers whose
+    total revenue is within 10% of the maximum supplier revenue.
+
+    ``revenue >= 0.9 * (SELECT max(total_revenue) FROM per_supplier)`` —
+    the inner max is a one-row frame broadcast against the per-supplier
+    aggregate (a crossJoin of a single row, not a window over an
+    unpartitioned sort).  Revenue is DECIMAL(38,6)-exact per supplier and
+    cast to DOUBLE before the 0.9× compare, so both engines evaluate the
+    identical IEEE product and select the same suppliers.
+
+    Scale: per-supplier agg shuffles |suppliers| rows; max is one row;
+    the supplier dim is broadcast.  Nothing here grows with |lineitem|
+    after the first map-side-combined aggregate.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    per_supp = li.groupBy("l_suppkey").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    max_rev = per_supp.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        per_supp.crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_revenue") >= F.lit(0.9) * F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "total_revenue",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_TOP_REVENUE_SUPPLIERS = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue >= 0.9 * (SELECT max(total_revenue) FROM per_supp)
+ORDER BY s_suppkey
+"""
+
+
+def q_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (group-by-HAVING feeding an IN): customers holding
+    orders whose total quantity exceeds 250 units — the "large volume
+    customer" report.
+
+    The ``o_orderkey IN (SELECT l_orderkey ... HAVING sum(l_quantity) >
+    250)`` becomes a per-order aggregate filtered then inner-joined to
+    orders (Catalyst's LeftSemi rewrite, kept inner here because the
+    aggregate also supplies the output measure).  Quantity sums are
+    micro-unit BIGINTs, so the HAVING threshold is integer-exact.
+
+    Scale: the per-order aggregate shuffles |orders| rows and the HAVING
+    prunes to the extreme tail (~0.5%) BEFORE the join with orders —
+    the join input is tiny regardless of fact size; customer dim broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty_u", F.round(F.col("l_quantity") * 1_000_000).cast("long")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty_u").alias("order_qty_u"))
+        .where(F.col("order_qty_u") > 250 * 1_000_000)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_totalprice").alias("o_totalprice"),
+            (F.col("order_qty_u").cast("double") / F.lit(1_000_000.0)).alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+    )
+
+
+ORACLE_BIG_ORDER_CUSTOMERS = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(round(l_quantity * 1000000) AS BIGINT)) AS order_qty_u
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(round(l_quantity * 1000000) AS BIGINT)) > 250 * 1000000
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+       o_totalprice,
+       CAST(order_qty_u AS DOUBLE) / 1000000.0 AS total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+"""
+
+
+def q_lone_slow_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS over siblings): for each
+    multi-supplier order, find the supplier who ALONE shipped more than
+    90 days after the order date — then rank suppliers by how many orders
+    they lone-delayed.
+
+    The classic form is a self-join with ``EXISTS (another supplier on the
+    order) AND NOT EXISTS (another LATE supplier on the order)``; here the
+    sibling existence tests collapse into unordered window aggregates over
+    the per-order partition (supplier count, late-supplier count) — the
+    set-based rewrite of the double correlated EXISTS, with NO join back
+    and NO second scan of the fact.  Day lags are ``datediff`` integers:
+    exact in both engines.
+
+    Scale: one (order, supplier) aggregate (shuffle ≤ |lineitem|,
+    combinable map-side), one re-shuffle onto l_orderkey for the sibling
+    window (partition width = suppliers-per-order, bounded), final agg is
+    |suppliers|.  The fact is scanned exactly once; no self-join.
+    """
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    per_os = (
+        li.join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))).alias("lag_days"))
+    )
+    by_order = Window.partitionBy("l_orderkey")
+    lone = (
+        per_os.withColumn("n_suppliers", F.count(F.lit(1)).over(by_order))
+        .withColumn(
+            "n_slow",
+            F.sum(F.when(F.col("lag_days") > 90, 1).otherwise(0)).over(by_order),
+        )
+        .where(
+            (F.col("lag_days") > 90)
+            & (F.col("n_suppliers") >= 2)
+            & (F.col("n_slow") == 1)
+        )
+    )
+    return (
+        lone.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_lone_slow_orders"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "n_lone_slow_orders",
+        )
+        .orderBy(F.col("n_lone_slow_orders").desc(), "s_suppkey")
+    )
+
+
+ORACLE_LONE_SLOW_SUPPLIER = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+         max(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS lag_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+siblings AS (
+  SELECT l_orderkey, count(*) AS n_suppliers,
+         sum(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END) AS n_slow
+  FROM per_os GROUP BY 1
+)
+SELECT CAST(p.l_suppkey AS BIGINT) AS s_suppkey, s_name,
+       count(*) AS n_lone_slow_orders
+FROM per_os p
+JOIN siblings s ON p.l_orderkey = s.l_orderkey
+                AND s.n_suppliers >= 2 AND s.n_slow = 1
+JOIN supplier ON p.l_suppkey = s_suppkey
+WHERE p.lag_days > 90
+GROUP BY 1, 2
+ORDER BY n_lone_slow_orders DESC, s_suppkey
+"""
+
+
+QUERY_REGISTRY.update(
+    {
+        "small_qty_revenue": QuerySpec(
+            q_small_qty_revenue, ORACLE_SMALL_QTY_REVENUE,
+            "Q17-shape correlated scalar subquery, decorrelated",
+        ),
+        "top_revenue_suppliers": QuerySpec(
+            q_top_revenue_suppliers, ORACLE_TOP_REVENUE_SUPPLIERS,
+            "Q15-shape aggregate-of-aggregate subquery",
+        ),
+        "big_order_customers": QuerySpec(
+            q_big_order_customers, ORACLE_BIG_ORDER_CUSTOMERS,
+            "Q18-shape group-by-HAVING semi-join",
+        ),
+        "lone_slow_supplier": QuerySpec(
+            q_lone_slow_supplier, ORACLE_LONE_SLOW_SUPPLIER,
+            "Q21-shape double-EXISTS via sibling aggregate",
+        ),
+    }
+)

@@ -505,3 +505,76 @@ def test_crawl_to_shards_single_scan(spark):
     documents exactly once — the shard stage adds only its own groupBy."""
     plan = plan_of(spark, "crawl_to_shards")
     assert plan.count("documents.parquet") == 1, plan
+
+
+def test_bloom_decontaminate_probe_is_broadcast(spark):
+    """The bitmap side must broadcast (it is ≤ m/64 rows by construction);
+    the corpus must never sort-merge against it."""
+    plan = plan_of(spark, "bloom_decontaminate")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "documents.parquet" in plan
+
+
+def test_setsim_prefix_join_no_cartesian(spark):
+    """The exact set-similarity join must stay a keyed join on prefix
+    tokens — no cartesian/broadcast-nested-loop pair stage anywhere."""
+    plan = plan_of(spark, "setsim_prefix_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_anomalies_single_rollup_exchange(spark):
+    """Daily rollup + window run inside the event_type partitioning: one
+    aggregate exchange, one window exchange, nothing quadratic."""
+    plan = plan_of(spark, "rolling_anomalies")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
+
+
+def test_small_qty_revenue_broadcasts_part_no_subquery_exec(spark):
+    """The Q17 decorrelation must stay aggregate-then-join: the part dim is
+    broadcast, and there is no per-row subquery or cartesian stage."""
+    plan = plan_of(spark, "small_qty_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_revenue_suppliers_one_row_broadcast(spark):
+    """The Q15 max-of-aggregate is a one-row broadcast against the
+    per-supplier aggregate — never a window over an unpartitioned sort."""
+    plan = plan_of(spark, "top_revenue_suppliers")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_big_order_customers_having_prunes_before_join(spark):
+    """The Q18 HAVING filter must sit on the aggregate side of the join
+    (prune-then-join), and the customer dim must broadcast."""
+    plan = plan_of(spark, "big_order_customers")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lone_slow_supplier_single_fact_scan(spark):
+    """The Q21 double-EXISTS rewrite scans lineitem exactly once — the
+    sibling tests are window aggregates, not a join back to a second
+    scan of the fact."""
+    plan = plan_of(spark, "lone_slow_supplier")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window" in plan
+
+
+def test_skew_salted_join_salts_the_join_key(spark):
+    """The salted join must actually join on (key, salt): the salt column
+    appears in the join keys, spreading each hot key over `buckets` tasks."""
+    plan = plan_of(spark, "skew_salted_join")
+    assert "__salt" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_two_phase_agg_two_hash_exchanges_no_join(spark):
+    """Two-phase aggregation is aggregate → aggregate: two hash exchanges
+    ((key, salt) partials, then key combine), no join anywhere."""
+    plan = plan_of(spark, "skew_two_phase_agg")
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning") >= 2
