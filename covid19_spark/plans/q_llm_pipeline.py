@@ -3622,3 +3622,70 @@ QUERY_REGISTRY["setsim_prefix_join"] = QuerySpec(
     q_setsim_prefix_join, ORACLE_SETSIM_PREFIX_JOIN,
     "exact prefix-filtered set-similarity join vs all-pairs oracle",
 )
+
+
+def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (Kudo 2018, arXiv:1804.10959 — the
+    SentencePiece ``unigram`` model): one distributed word-frequency scan
+    (map-side combined, vocabulary-sized, top-N-capped — the same
+    sanctioned two-phase split as ``bpe_merges``), then seed-substring
+    extraction + Viterbi-EM + prune-to-size on the driver over that
+    aggregate. Output: the fitted (piece, logprob) vocabulary —
+    deterministic (total-order tie-breaks throughout), so it carries an
+    exact checked-in fixture. Non-SQL-expressible (iterative EM) →
+    fixture oracle."""
+    from covid19_spark.operators.unigram import train_unigram
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = train_unigram(docs, "text", vocab_size=300, max_piece_len=6)
+    return spark.createDataFrame(
+        vocab, "piece string, logprob double"
+    ).orderBy("piece")
+
+
+ORACLE_UNIGRAM_VOCAB = f"""
+SELECT v.piece, v.logprob
+FROM read_parquet('{fixture_path("unigram_vocab_sf0.01.parquet")}') v
+CROSS JOIN (SELECT count(*) AS _n FROM documents HAVING count(*) > 0) anchor
+ORDER BY v.piece
+"""
+
+QUERY_REGISTRY["unigram_vocab"] = QuerySpec(
+    q_unigram_vocab, ORACLE_UNIGRAM_VOCAB,
+    "unigram-LM (SentencePiece-style) tokenizer training -> piece/logprob vocab vs fixture oracle",
+)
+
+
+def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi ENCODING under the corpus-trained unigram LM: the vocab
+    ships in the task closure (KB-scale) and an Arrow-batched kernel
+    best-path-segments per word with a per-batch cache (Zipf
+    amortization) — map-only, no shuffle at any corpus size. ``nll`` is
+    the per-doc negative log-likelihood, the LM-quality signal
+    SentencePiece exposes. Deterministic → exact fixture oracle."""
+    from covid19_spark.operators.unigram import train_unigram, unigram_tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = train_unigram(docs, "text", vocab_size=300, max_piece_len=6)
+    out = unigram_tokenize(docs, vocab, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.round(F.col("nll"), 6).alias("nll"),
+        F.element_at("tokens", 1).alias("first_token"),
+        F.element_at("tokens", -1).alias("last_token"),
+    ).orderBy("doc_id")
+
+
+ORACLE_UNIGRAM_TOKENIZE = f"""
+SELECT u.doc_id, u.n_words, u.n_tokens, u.nll, u.first_token, u.last_token
+FROM read_parquet('{fixture_path("unigram_tokenize_sf0.01.parquet")}') u
+JOIN documents d ON u.doc_id = d.doc_id
+ORDER BY u.doc_id
+"""
+
+QUERY_REGISTRY["unigram_tokenize"] = QuerySpec(
+    q_unigram_tokenize, ORACLE_UNIGRAM_TOKENIZE,
+    "unigram-LM Viterbi encoding with corpus-trained vocab vs fixture oracle",
+)

@@ -578,3 +578,12 @@ def test_skew_two_phase_agg_two_hash_exchanges_no_join(spark):
     plan = plan_of(spark, "skew_two_phase_agg")
     assert "Join" not in plan
     assert plan.count("hashpartitioning") >= 2
+
+
+def test_unigram_tokenize_map_only(spark):
+    """The Viterbi encoder is one Arrow-batched map over the corpus: no
+    join, no hash exchange — the vocab rides the task closure."""
+    plan = plan_of(spark, "unigram_tokenize")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan

@@ -43,6 +43,8 @@ FIXTURE_QUERIES = (
     "video_frame_features",
     "bpe_merges",
     "bpe_tokenize",
+    "unigram_vocab",
+    "unigram_tokenize",
     "image_near_dup",
     "audio_near_dup",
     "video_near_dup",
