@@ -131,6 +131,59 @@ def build_scaled_dir(spark, out_dir: str, factor: int) -> None:
             f"{out_dir}/customer.parquet"
         )
 
+    # Relational facts xN for the correlated-subquery / skew probes (round
+    # 10): replicas get fresh order/event/user keys (+rep*REP_OFFSET, the
+    # same offset on BOTH sides of the orders⋈lineitem key so the join
+    # fan-out is preserved verbatim), while part/supplier keys stay — so
+    # per-part and per-supplier row counts grow linearly (the statistic the
+    # decorrelated aggregates shuffle on), per-ORDER width stays constant
+    # (the sibling-window statistic), and per-USER event counts stay
+    # constant while the number of users grows (the sessionize statistic).
+    # Dimension tables (part/supplier/nation/region) are NOT scaled — they
+    # are dims; symlinking keeps the probe honest about broadcast sides.
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    if not _have("orders"):
+        (
+            orders.crossJoin(F.broadcast(reps))
+            .select(
+                (F.col("o_orderkey") + F.col("__rep").cast("long") * REP_OFFSET).alias("o_orderkey"),
+                (F.col("o_custkey") + F.col("__rep").cast("long") * REP_OFFSET).alias("o_custkey"),
+                *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey")],
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/orders.parquet")
+        )
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    if not _have("lineitem"):
+        (
+            li.crossJoin(F.broadcast(reps))
+            .select(
+                (F.col("l_orderkey") + F.col("__rep").cast("long") * REP_OFFSET).alias("l_orderkey"),
+                *[c for c in li.columns if c != "l_orderkey"],
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/lineitem.parquet")
+        )
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if not _have("events"):
+        (
+            ev.crossJoin(F.broadcast(reps))
+            .select(
+                (F.col("event_id") + F.col("__rep").cast("long") * REP_OFFSET).alias("event_id"),
+                (F.col("user_id") + F.col("__rep").cast("long") * REP_OFFSET).alias("user_id"),
+                *[c for c in ev.columns if c not in ("event_id", "user_id")],
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/events.parquet")
+        )
+    for dim in ("part", "supplier", "nation", "region"):
+        dst = f"{out_dir}/{dim}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SF_DIR}/{dim}.parquet", dst)
+
 
 def image_probe(spark, n_ids: int):
     """The q_image_near_dup synth+hash+probe pipeline over n_ids images
@@ -333,6 +386,10 @@ def main() -> None:
         "--crawl-only", action="store_true",
         help="run only the crawl-flagship wall-time probes",
     )
+    ap.add_argument(
+        "--queries", nargs="*", default=None,
+        help="probe only these registry queries (1x vs Nx over the scaled dir)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("scale_probe")
@@ -344,6 +401,26 @@ def main() -> None:
     # one full noop-sink run at 1x and at Nx, per-stage shuffle bytes from
     # the status store; bytes/doc flat across scales == the constants that
     # set the 100 TB bill are scale-independent.
+    if args.queries is not None:
+        # arbitrary registry queries at 1x vs Nx — used round 10 for the
+        # correlated-subquery / skew / unigram families
+        results = {}
+        for name in args.queries:
+            fn = QUERY_REGISTRY[name].fn
+            t1 = timed(lambda: fn(spark, SF_DIR).count(), args.runs)
+            spark.catalog.clearCache()
+            t10 = timed(lambda: fn(spark, x10_dir).count(), args.runs)
+            spark.catalog.clearCache()
+            alpha = math.log(t10 / t1) / math.log(args.factor)
+            results[name] = {"t1": round(t1, 2), "t10": round(t10, 2), "alpha": round(alpha, 2)}
+            print(json.dumps({"family": name, **results[name]}))
+        print("\n--- SCALING.md block ---")
+        print("| family | t(1x) s | t(10x) s | exponent |")
+        print("|---|---|---|---|")
+        for name, r in results.items():
+            print(f"| {name} | {r['t1']} | {r['t10']} | {r['alpha']} |")
+        return
+
     if args.crawl_only:
         results = {}
         probes_1x = crawl_probe(spark, SF_DIR)
