@@ -674,3 +674,76 @@ QUERY_REGISTRY.update(
         ),
     }
 )
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy-hitters sketch (operators/sketch.py) over the
+    corpus token stream, restated as the cross-engine error-bound check
+    (the ``approx_aggregates`` pattern): the sketch estimates depend on
+    partition boundaries, so the driver-compared output is (a) the EXACT
+    top-20 token counts, which DuckDB recomputes independently, and (b)
+    partition-INVARIANT booleans asserting the Misra-Gries guarantees —
+    ``present_ok``: every true heavy hitter (count·capacity > N) appears
+    in the merged sketch; ``bound_ok``: ``true − N/capacity ≤ est ≤
+    true`` (checked in integer arithmetic, ``est·m ≥ cnt·m − N``) — which
+    the oracle states as literal TRUE, making any violated guarantee a
+    value-hash mismatch.
+
+    Scale note: at 100 TB you run only the sketch half
+    (``heavy_hitters`` — map side emits ≤ capacity rows per task, merge
+    shuffles capacity×tasks rows, NEVER |vocabulary|); the exact twin
+    here exists to verify the bound at test scale.
+    """
+    from covid19_spark.operators.sketch import heavy_hitters
+    from covid19_spark.operators.text import tokenize
+
+    m = 256
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("word")).filter(
+        F.col("word") != ""
+    )
+    sketch = heavy_hitters(toks, "word", capacity=m)
+    exact = toks.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    total = exact.agg(F.sum("exact_cnt").alias("n_total"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("word")).limit(20)
+    return (
+        top.join(sketch, top.word == sketch.item, "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "word",
+            "exact_cnt",
+            # heavy hitter (cnt·m > N) must be present in the sketch
+            (
+                (F.col("exact_cnt") * m <= F.col("n_total"))
+                | F.col("est").isNotNull()
+            ).alias("present_ok"),
+            # true − N/m ≤ est ≤ true, in exact integer arithmetic
+            (
+                (F.coalesce(F.col("est"), F.lit(0)) <= F.col("exact_cnt"))
+                & (
+                    F.coalesce(F.col("est"), F.lit(0)) * m
+                    >= F.col("exact_cnt") * m - F.col("n_total")
+                )
+            ).alias("bound_ok"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("word"))
+    )
+
+
+ORACLE_HEAVY_HITTERS = """
+WITH toks AS (
+  SELECT t.word
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(word)
+  WHERE t.word <> ''
+),
+exact AS (SELECT word, count(*) AS exact_cnt FROM toks GROUP BY 1)
+SELECT word, exact_cnt, TRUE AS present_ok, TRUE AS bound_ok
+FROM exact
+ORDER BY exact_cnt DESC, word
+LIMIT 20
+"""
+
+QUERY_REGISTRY["heavy_hitters"] = QuerySpec(
+    q_heavy_hitters, ORACLE_HEAVY_HITTERS,
+    "Misra-Gries frequent-items sketch vs exact cross-engine error-bound check",
+)

@@ -587,3 +587,13 @@ def test_unigram_tokenize_map_only(spark):
     assert "MapInPandas" in plan
     assert "Join" not in plan
     assert "hashpartitioning" not in plan
+
+
+def test_heavy_hitters_sketch_side_is_bounded(spark):
+    """The sketch half is mapInPandas summaries merged by a groupBy whose
+    input is capacity x tasks rows — present in the plan alongside the
+    exact verification twin; the only nested-loop is the one-row total
+    broadcast."""
+    plan = plan_of(spark, "heavy_hitters")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
