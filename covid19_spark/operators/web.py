@@ -212,3 +212,146 @@ def filter_blocked_domains(
     return df.join(
         blocked.withColumnRenamed("_fbd_url", url_col), url_col, "left_anti"
     )
+
+
+def path_of(url: Column) -> Column:
+    """The path component of a URL (query/fragment stripped, empty → ``/``)
+    — the matching key of robots.txt rules. Case preserved (robots paths
+    are case-sensitive per the RFC 9309 match semantics)."""
+    rest = F.regexp_replace(F.trim(url), r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    path = F.regexp_extract(rest, r"^[^/?#]*(/[^?#]*)?", 1)
+    return F.when(path == "", F.lit("/")).otherwise(path)
+
+
+def robots_rules(
+    robots: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """Parse robots.txt bodies into ``(host, agent, directive, path)`` rule
+    rows — fully declarative (split / posexplode / regexp / window), no
+    Python in the parse path.
+
+    Grammar subset (RFC 9309 §2): ``User-agent`` lines open a group
+    (consecutive UA lines stack — every stacked agent owns the group's
+    rules); ``Allow``/``Disallow`` lines attach to the CURRENT group;
+    ``#`` comments and blank lines are ignored; an empty-path
+    ``Disallow:`` asserts nothing (no rule emitted). Wildcards (``*``,
+    ``$``) are NOT interpreted — paths match as plain prefixes
+    (documented subset; the pre-wildcard original semantics).
+
+    Scale: one posexplode of line arrays (robots bodies are KB-bounded by
+    convention, so fan-out per host is bounded), two windows partitioned
+    by host ordered by line position — per-host work, no global sort. The
+    output rule table is dimension-sized (rules-per-host × hosts) and
+    broadcastable into the URL-side gate.
+    """
+    lines = (
+        robots.select(
+            F.col(host_col).alias("host"),
+            F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "line"),
+        )
+        .withColumn("line", F.trim(F.regexp_replace("line", "#.*", "")))
+        .withColumn(
+            "kind",
+            F.lower(F.regexp_extract("line", r"(?i)^(user-agent|allow|disallow)\s*:", 1)),
+        )
+        .withColumn(
+            "value",
+            F.trim(F.regexp_extract("line", r"(?i)^(?:user-agent|allow|disallow)\s*:\s*(\S*)", 1)),
+        )
+        .filter(F.col("kind") != "")
+    )
+    from pyspark.sql import Window
+
+    by_pos = Window.partitionBy("host").orderBy("pos")
+    # group id increments at the FIRST user-agent line of each stacked
+    # header block (a UA line whose predecessor is not a UA line)
+    grouped = lines.withColumn(
+        "grp",
+        F.sum(
+            (
+                (F.col("kind") == "user-agent")
+                & (F.coalesce(F.lag("kind").over(by_pos), F.lit("")) != "user-agent")
+            ).cast("int")
+        ).over(by_pos),
+    )
+    agents = (
+        grouped.filter(F.col("kind") == "user-agent")
+        .select("host", "grp", F.lower(F.col("value")).alias("agent"))
+        .distinct()
+    )
+    rules = grouped.filter(
+        F.col("kind").isin("allow", "disallow") & (F.col("value") != "")
+    ).select("host", "grp", F.col("kind").alias("directive"), F.col("value").alias("path"))
+    return agents.join(rules, ["host", "grp"]).select(
+        "host", "agent", "directive", "path"
+    )
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-URL robots verdict under RFC 9309 group-selection and
+    longest-match semantics: input rows gain ``allowed`` (boolean) and
+    ``matched_rule`` (the winning rule path, null when no rule matched).
+
+    Semantics: the effective group is the ``agent``-specific one when the
+    host defines it, else ``*`` (a host with neither allows everything —
+    and so does a host absent from ``rules`` entirely: crawl-gate
+    fail-open per the RFC's missing-file rule); among matching rules
+    (plain path-prefix subset) the LONGEST path wins, allow beating
+    disallow on equal length, lexicographically-smaller path as the final
+    deterministic tiebreak.
+
+    Shape for 100 TB: the dimension side pre-aggregates each host's ONE
+    effective rule group into an array (``collect_list`` over a
+    dimension-sized frame), broadcast-joins on host, and the winner is
+    reduced per row with array expressions — the corpus side is MAP-ONLY
+    (no groupBy, no window, no regex-per-rule scan), so the gate runs at
+    scan speed like the blocklist filter.
+
+    Tie-break note: among rules matching one URL, equal (length,
+    directive) implies an IDENTICAL rule path (equal-length prefixes of
+    the same string are equal), so (length, allow-wins) is already a
+    deterministic total order on distinct verdicts.
+    """
+    agent = agent.lower()
+    exact_hosts = rules.filter(F.col("agent") == agent).select("host").distinct()
+    effective = (
+        rules.filter(F.col("agent").isin(agent, "*"))
+        .join(F.broadcast(exact_hosts.withColumnRenamed("host", "_xh")),
+              F.col("host") == F.col("_xh"), "left")
+        .filter(
+            F.when(F.col("_xh").isNotNull(), F.col("agent") == agent)
+            .otherwise(F.col("agent") == "*")
+        )
+        .select("host", "directive", "path")
+    )
+    host_rules = effective.groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.length("path").alias("l"),
+                (F.col("directive") == "allow").cast("int").alias("a"),
+                F.col("path").alias("rule"),
+            )
+        ).alias("_rules")
+    )
+    u = urls.withColumn("_r_host", host_of(F.col(url_col))).withColumn(
+        "_r_path", path_of(F.col(url_col))
+    )
+    joined = u.join(
+        F.broadcast(host_rules), u["_r_host"] == host_rules["host"], "left"
+    )
+    # null _rules (host without robots) propagates: filter→null,
+    # array_max→null, verdict→allowed (the RFC's missing-file fail-open)
+    matching = F.filter(
+        F.col("_rules"), lambda r: F.col("_r_path").startswith(r["rule"])
+    )
+    best = F.array_max(matching)
+    return joined.select(
+        *[c for c in urls.columns],
+        (best.isNull() | (best["a"] == 1)).alias("allowed"),
+        best["rule"].alias("matched_rule"),
+    )

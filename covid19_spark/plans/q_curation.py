@@ -2163,3 +2163,100 @@ QUERY_REGISTRY["bloom_decontaminate"] = QuerySpec(
     q_bloom_decontaminate, ORACLE_BLOOM_DECONTAMINATE,
     "broadcast Bloom membership gate, zero-false-negative decontamination",
 )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt crawl-policy gate (operators/web.py robots_rules/robots_allowed)
+# ---------------------------------------------------------------------------
+
+_ROBOTS_BODIES = [
+    # h % 3 == 0: wildcard group, longest-match allow carve-out + comment
+    "User-agent: *\n# staff only\nDisallow: /private\nAllow: /private/ok\n",
+    # h % 3 == 1: agent-specific group preempts the total '*' lockout
+    "User-agent: crawler\nDisallow: /p/1\n\nUser-agent: *\nDisallow: /\n",
+    # h % 3 == 2: only an unrelated agent's group -> fail-open for ours
+    "User-agent: other\nDisallow: /\n",
+]
+
+
+def q_robots_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt policy gate — the politeness filter every crawler applies
+    before fetch (RFC 9309): parse per-host robots bodies into rule rows
+    (declarative: posexplode + regexp + per-host windows), then gate a URL
+    frame under group-selection (agent-specific group preempts ``*``;
+    neither → fail-open) and longest-match semantics (allow beats disallow
+    on equal length). The corpus side is MAP-ONLY: each host's effective
+    rule group pre-aggregates into a broadcast array and the winner is an
+    array-expression reduction — scan-speed at 100 TB, like the blocklist
+    gate.
+
+    Oracle: spec-level — DuckDB restates allowed/matched_rule straight
+    from the URL/robots construction arithmetic, never running the
+    parser, so the driver cross-checks two implementations of RFC 9309's
+    written semantics."""
+    from covid19_spark.operators.web import host_of, path_of, robots_allowed, robots_rules
+
+    robots = spark.createDataFrame(
+        [(f"dom{h}.com", _ROBOTS_BODIES[h % 3]) for h in range(10)],
+        "host string, robots_txt string",
+    )
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 4 == 0, F.concat(F.lit("/p/"), (d % 5).cast("string")))
+        .when(d % 4 == 1, F.lit("/private"))
+        .when(d % 4 == 2, F.concat(F.lit("/private/ok/"), (d % 7).cast("string")))
+        .otherwise(F.lit("/"))
+    )
+    url = F.concat(F.lit("https://dom"), (d % 10).cast("string"), F.lit(".com"), path)
+    urls = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 600)
+        .select("doc_id", url.alias("url"))
+    )
+    rules = robots_rules(robots)
+    return (
+        robots_allowed(urls, rules, agent="crawler")
+        .select(
+            "doc_id",
+            host_of(F.col("url")).alias("host"),
+            path_of(F.col("url")).alias("path"),
+            F.col("allowed"),
+            "matched_rule",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_ROBOTS_POLICY_FILTER = """
+WITH u AS (
+  SELECT doc_id, doc_id % 10 AS h, doc_id % 4 AS p,
+         CASE doc_id % 4
+           WHEN 0 THEN '/p/' || CAST(doc_id % 5 AS VARCHAR)
+           WHEN 1 THEN '/private'
+           WHEN 2 THEN '/private/ok/' || CAST(doc_id % 7 AS VARCHAR)
+           ELSE '/'
+         END AS path
+  FROM documents WHERE doc_id < 600
+)
+SELECT doc_id,
+       'dom' || CAST(h AS VARCHAR) || '.com' AS host,
+       path,
+       CASE
+         WHEN h % 3 = 0 AND p = 1 THEN FALSE                       -- /private blocked
+         WHEN h % 3 = 1 AND p = 0 AND doc_id % 5 = 1 THEN FALSE    -- crawler: /p/1
+         ELSE TRUE                                                 -- incl. h%3=2 fail-open
+       END AS allowed,
+       CASE
+         WHEN h % 3 = 0 AND p = 1 THEN '/private'
+         WHEN h % 3 = 0 AND p = 2 THEN '/private/ok'               -- allow wins by length
+         WHEN h % 3 = 1 AND p = 0 AND doc_id % 5 = 1 THEN '/p/1'
+       END AS matched_rule
+FROM u
+ORDER BY doc_id
+"""
+
+QUERY_REGISTRY["robots_policy_filter"] = QuerySpec(
+    q_robots_policy_filter, ORACLE_ROBOTS_POLICY_FILTER,
+    "RFC 9309 robots.txt gate (declarative parse + map-only longest-match) vs spec-level oracle",
+)

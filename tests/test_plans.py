@@ -597,3 +597,17 @@ def test_heavy_hitters_sketch_side_is_bounded(spark):
     plan = plan_of(spark, "heavy_hitters")
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_robots_policy_filter_corpus_side_map_only(spark):
+    """The per-host rule arrays broadcast; the CORPUS pays one broadcast
+    hash join + array expressions — no corpus-side shuffle. (The
+    dimension-side parse may sort-merge agents⋈rules on (host, grp) —
+    that is robots-table-sized work, and co-partitioned is the right
+    shape for it.)"""
+    import re
+
+    plan = plan_of(spark, "robots_policy_filter")
+    assert re.search(r"BroadcastHashJoin \[_r_host", plan), plan
+    assert "documents.parquet" in plan
+    assert plan.count("documents.parquet") == 1

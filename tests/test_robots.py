@@ -1,0 +1,108 @@
+"""robots.txt gate (operators/web.py robots_rules / robots_allowed):
+RFC 9309 group selection, longest-match, stacking, fail-open."""
+
+from __future__ import annotations
+
+from covid19_spark.operators.web import path_of, robots_allowed, robots_rules
+
+from pyspark.sql import functions as F
+
+
+def _rules(spark, bodies):
+    robots = spark.createDataFrame(bodies, "host string, robots_txt string")
+    return robots_rules(robots)
+
+
+def _verdicts(spark, rules, urls, agent="crawler"):
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "id long, url string"
+    )
+    rows = robots_allowed(df, rules, agent).orderBy("id").collect()
+    return [(r.allowed, r.matched_rule) for r in rows]
+
+
+def test_longest_match_allow_carveout(spark):
+    rules = _rules(
+        spark,
+        [("a.com", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n")],
+    )
+    got = _verdicts(
+        spark,
+        rules,
+        ["https://a.com/p", "https://a.com/private/x", "https://a.com/private/ok/x"],
+    )
+    assert got == [(True, None), (False, "/private"), (True, "/private/ok")]
+
+
+def test_agent_group_preempts_wildcard(spark):
+    rules = _rules(
+        spark,
+        [("b.com", "User-agent: crawler\nDisallow: /p/1\n\nUser-agent: *\nDisallow: /\n")],
+    )
+    got = _verdicts(spark, rules, ["https://b.com/p/1", "https://b.com/p/2"])
+    # the '*' total lockout must NOT leak into the crawler group
+    assert got == [(False, "/p/1"), (True, None)]
+    # ...but an agent WITHOUT its own group gets the '*' lockout
+    other = _verdicts(spark, rules, ["https://b.com/p/2"], agent="someone")
+    assert other == [(False, "/")]
+
+
+def test_fail_open_without_applicable_group_or_robots(spark):
+    rules = _rules(spark, [("c.com", "User-agent: other\nDisallow: /\n")])
+    got = _verdicts(
+        spark, rules, ["https://c.com/x", "https://unknown-host.com/x"]
+    )
+    assert got == [(True, None), (True, None)]
+
+
+def test_stacked_user_agent_lines_share_rules(spark):
+    rules = _rules(
+        spark, [("d.com", "User-agent: x\nUser-agent: crawler\nDisallow: /s\n")]
+    )
+    assert _verdicts(spark, rules, ["https://d.com/s/1"]) == [(False, "/s")]
+    assert _verdicts(spark, rules, ["https://d.com/s/1"], agent="x") == [(False, "/s")]
+
+
+def test_comments_blanks_and_empty_disallow_ignored(spark):
+    body = "# top comment\nUser-agent: *\n\nDisallow:\nDisallow: /real # inline\n"
+    rules = _rules(spark, [("e.com", body)])
+    rows = rules.collect()
+    # the empty Disallow asserts nothing; only /real survives
+    assert [(r.directive, r.path) for r in rows] == [("disallow", "/real")]
+    got = _verdicts(spark, rules, ["https://e.com/", "https://e.com/real/x"])
+    assert got == [(True, None), (False, "/real")]
+
+
+def test_agent_matching_is_case_insensitive(spark):
+    rules = _rules(spark, [("f.com", "User-Agent: CRAWLER\ndisallow: /x\n")])
+    assert _verdicts(spark, rules, ["https://f.com/x"], agent="Crawler") == [
+        (False, "/x")
+    ]
+
+
+def test_path_of(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://a.com", "/"),
+            ("https://a.com/", "/"),
+            ("https://a.com/p/q?x=1#f", "/p/q"),
+            ("http://u:p@a.com:8080/deep/path", "/deep/path"),
+        ],
+        "url string, want string",
+    )
+    bad = df.filter(path_of(F.col("url")) != F.col("want")).count()
+    assert bad == 0
+
+
+def test_original_columns_and_multiplicity_preserved(spark):
+    rules = _rules(spark, [("a.com", "User-agent: *\nDisallow: /x\n")])
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x", "m1"), (2, "https://a.com/x", "m2")],
+        "id long, url string, meta string",
+    )
+    rows = robots_allowed(df, rules, "crawler").orderBy("id").collect()
+    # duplicate URLs stay two rows (map-only gate, no row-key collapse)
+    assert [(r.id, r.meta, r.allowed) for r in rows] == [
+        (1, "m1", False),
+        (2, "m2", False),
+    ]
