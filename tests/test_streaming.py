@@ -1102,3 +1102,59 @@ def test_crawl_corpus_stream_checkpoint_recovery(stream_env):
     # 5 (URL dup of 1) and 6 (content dup of 2) must still be dropped by
     # state restored from the checkpoint; only 7 is new
     assert got2 == [1, 2, 7], "batch-1 dedup state must survive the restart"
+
+
+def test_stream_stream_left_outer_join_flushes_unmatched(stream_env):
+    """Left-outer interval join: unmatched left rows must EMIT with nulls
+    once the watermark passes their join window (the unattributed-click
+    case) — not silently vanish with the state. Two files per side +
+    maxFilesPerTrigger=1 force a second micro-batch whose far-future rows
+    advance the watermark past batch 1's windows."""
+    from pyspark.sql import types as TT
+
+    from covid19_spark.streaming.joins import interval_join
+
+    spark, d, src, ckpt = stream_env
+    S = TT.StructType(
+        [
+            TT.StructField("id", TT.LongType()),
+            TT.StructField("k", TT.LongType()),
+            TT.StructField("ts", TT.TimestampType()),
+        ]
+    )
+    src_l, src_r = f"{d}/lsrc", f"{d}/rsrc"
+    spark.createDataFrame(
+        [(1, 7, ts("2024-01-01T10:00:00")), (4, 8, ts("2024-01-01T10:05:00"))], S
+    ).coalesce(1).write.parquet(f"{src_l}/f1")
+    spark.createDataFrame([(2, 7, ts("2024-01-01T10:10:00"))], S).coalesce(
+        1
+    ).write.parquet(f"{src_r}/f1")
+    # watermark flush: far-future rows on both sides (unmatched themselves)
+    spark.createDataFrame([(99, 99, ts("2024-01-02T10:00:00"))], S).coalesce(
+        1
+    ).write.parquet(f"{src_l}/f2")
+    spark.createDataFrame([(98, 98, ts("2024-01-02T10:00:00"))], S).coalesce(
+        1
+    ).write.parquet(f"{src_r}/f2")
+
+    l = (
+        spark.readStream.schema(S)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_l}/*")
+        .withColumnRenamed("id", "lid")
+    )
+    r = (
+        spark.readStream.schema(S)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_r}/*")
+        .withColumnRenamed("id", "rid")
+    )
+    j = interval_join(
+        l, r, "k", "ts", "ts",
+        max_delay="30 minutes", watermark="10 minutes", how="left_outer",
+    ).select("lid", "rid")
+    out = run_stream_to_memory(spark, j, "outer_join_stream", ckpt).collect()
+    got = sorted((row.lid, row.rid) for row in out)
+    # click 1 attributed to purchase 2; click 4 flushed unmatched;
+    # the flush rows themselves are NOT yet past the watermark -> held
+    assert got == [(1, 2), (4, None)]
