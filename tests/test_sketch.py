@@ -102,3 +102,62 @@ def test_nulls_are_ignored(spark):
     ).coalesce(1)
     got = {r.item: r.est for r in heavy_hitters(df, "item", 8).collect()}
     assert got == {"a": 2}
+
+
+def test_streaming_heavy_hitters_accumulates_across_batches(spark):
+    """The streaming twin: Misra-Gries state carries across micro-batches,
+    the newest per-shard emission satisfies the batch operator's bounds
+    against the EXACT counts of everything streamed so far, and every
+    global heavy hitter is present in its shard's summary."""
+    import shutil
+    import tempfile
+
+    from covid19_spark.streaming.heavy_hitters_stream import streaming_heavy_hitters
+
+    d = tempfile.mkdtemp(prefix="hhstream_")
+    src, ckpt = f"{d}/src", f"{d}/ckpt"
+    m, shards = 16, 4
+    batch1 = ["hot"] * 200 + [f"tail{j}" for j in range(150)]
+    batch2 = ["hot"] * 300 + [f"mid{j}" for j in range(10) for _ in range(40)]
+    try:
+        for i, items in enumerate((batch1, batch2)):
+            spark.createDataFrame(
+                [(x,) for x in items], "item string"
+            ).coalesce(1).write.parquet(f"{src}/f{i}")
+        stream = (
+            spark.readStream.schema("item string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        sk = streaming_heavy_hitters(stream, "item", capacity=m, shards=shards)
+        q = (
+            sk.writeStream.format("memory")
+            .queryName("hh_stream")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.table("hh_stream").collect()
+        latest_emission = {}
+        for r in rows:
+            latest_emission[r.shard] = max(latest_emission.get(r.shard, 0), r.emission)
+        est = {
+            r.item: r.est
+            for r in rows
+            if r.emission == latest_emission[r.shard]
+        }
+        truth = Counter(batch1 + batch2)
+        n = len(batch1) + len(batch2)
+        for item, cnt in truth.items():
+            e = est.get(item, 0)
+            assert e <= cnt, item
+            assert e * m >= cnt * m - n, item
+            if cnt * m > n:
+                assert item in est and est[item] > 0, item
+        # 'hot' spans both batches: state must have accumulated, so its
+        # estimate exceeds anything a single batch could produce alone
+        assert est["hot"] > 300 - n // m
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
