@@ -98,6 +98,67 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    n: int = 2,
+    threshold: float = 0.5,
+    max_block: int | None = 10_000,
+) -> DataFrame:
+    """Directional Jaccard CONTAINMENT ``|A∩B| / |A|`` over distinct word
+    n-gram shingles for same-block pairs — the asymmetric companion of
+    ``ngram_jaccard_pairs`` (Broder 1997 distinguishes *containment* from
+    *resemblance*): a short document quoted whole inside a long one scores
+    containment ≈ 1 while resemblance stays low (the union dilutes it) —
+    exactly the partial-duplication pairs (excerpts, quotations, boilerplate
+    inclusion) a resemblance threshold misses.
+
+    Same blocked-verify contract as the resemblance operator: empty
+    ``block_cols`` refused, oversized blocks dropped via the broadcast
+    anti-join guard, pairwise work only inside blocks. Emits pairs where
+    ``max(containment_a_in_b, containment_b_in_a) >= threshold``, with both
+    directions reported.
+    """
+    block_cols = list(block_cols)
+    if not block_cols:
+        raise ValueError(
+            "containment_pairs requires non-empty block_cols: unblocked "
+            "pairwise containment is O(n^2); generate candidates with LSH first"
+        )
+    sh = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], word_shingles(F.col(text_col), n).alias("sh")
+    )
+    if max_block is not None:
+        oversized = (
+            sh.groupBy(*block_cols)
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") > max_block)
+            .select(*block_cols)
+        )
+        sh = sh.join(F.broadcast(oversized), block_cols, "left_anti")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            *[F.col(f"a.{c}").alias(c) for c in block_cols],
+            (inter / F.size(F.col("a.sh"))).alias("containment_a_in_b"),
+            (inter / F.size(F.col("b.sh"))).alias("containment_b_in_a"),
+        )
+        .filter(
+            F.greatest(F.col("containment_a_in_b"), F.col("containment_b_in_a"))
+            >= threshold
+        )
+    )
+
+
 def blocked_edit_distance_pairs(
     df: DataFrame,
     id_col: str,

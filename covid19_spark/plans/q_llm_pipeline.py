@@ -3689,3 +3689,72 @@ QUERY_REGISTRY["unigram_tokenize"] = QuerySpec(
     q_unigram_tokenize, ORACLE_UNIGRAM_TOKENIZE,
     "unigram-LM Viterbi encoding with corpus-trained vocab vs fixture oracle",
 )
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-duplication — Jaccard CONTAINMENT (Broder 1997)
+    over word bigrams: the corpus is doc_id < 100 plus a deterministic
+    one-third-prefix EXCERPT of each (doc_id + 10000), and every excerpt
+    must surface with containment_a_in_b = 1.0 against its source while
+    resemblance dedup would score the pair low (the union dilutes it).
+    Same blocked-verify shape as ngram_jaccard (operators/dedup.py
+    containment_pairs): pairwise work only inside (lang) blocks, oversized
+    blocks dropped by the broadcast anti-join guard.
+
+    Determinism: shingle sets are exact; both containments are
+    int/int double divisions — identical IEEE results cross-engine. Docs
+    shorter than 3 words are excluded up front (an empty bigram set would
+    hit 0/0, where Spark nulls and DuckDB NaNs diverge)."""
+    from covid19_spark.operators.dedup import containment_pairs
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select("doc_id", "lang", "text")
+    )
+    words = F.split(F.col("text"), " ")
+    exc_len = F.greatest(F.lit(2), F.floor(F.size(words) / F.lit(3)).cast("int"))
+    excerpts = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        "lang",
+        F.array_join(F.slice(words, 1, exc_len), " ").alias("text"),
+    )
+    corpus = base.unionByName(excerpts)
+    return containment_pairs(
+        corpus, "doc_id", "text", ["lang"], n=2, threshold=0.6
+    ).orderBy("doc_a", "doc_b")
+
+
+ORACLE_CONTAINMENT_PAIRS = """
+WITH base AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 3
+),
+exc AS (
+  SELECT doc_id + 10000 AS doc_id, lang,
+         array_to_string(
+           list_slice(string_split(text, ' '), 1,
+                      greatest(2, len(string_split(text, ' ')) // 3)), ' ') AS text
+  FROM base
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM exc),
+d AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS sh
+  FROM corpus
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+       len(list_intersect(a.sh, b.sh)) / CAST(len(a.sh) AS DOUBLE) AS containment_a_in_b,
+       len(list_intersect(a.sh, b.sh)) / CAST(len(b.sh) AS DOUBLE) AS containment_b_in_a
+FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE greatest(len(list_intersect(a.sh, b.sh)) / CAST(len(a.sh) AS DOUBLE),
+               len(list_intersect(a.sh, b.sh)) / CAST(len(b.sh) AS DOUBLE)) >= 0.6
+ORDER BY doc_a, doc_b
+"""
+
+QUERY_REGISTRY["containment_pairs"] = QuerySpec(
+    q_containment_pairs, ORACLE_CONTAINMENT_PAIRS,
+    "asymmetric near-dup: Jaccard containment (excerpt/quotation detection) vs exact oracle",
+)

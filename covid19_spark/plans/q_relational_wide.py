@@ -816,3 +816,72 @@ QUERY_REGISTRY.update(
         ),
     }
 )
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (scalar subquery + NOT EXISTS): customers whose
+    balance exceeds the average positive balance AND who never placed an
+    URGENT order — the "global sales opportunity" report, grouped by
+    market segment. (The synthetic orders table covers every custkey, so
+    the NOT EXISTS carries a predicate — the unrestricted form would be
+    vacuously empty and verify nothing.)
+
+    The scalar ``> (SELECT avg(...))`` is a one-row broadcast; the ``NOT
+    EXISTS (orders)`` is a LEFT ANTI join (Catalyst's own rewrite). The
+    average is an exact DECIMAL(38,6) sum divided by a count — both
+    engines evaluate the identical IEEE division, so the filter selects
+    identical rows.
+
+    Scale: the anti join is the only fact-sized exchange; the rich-filter
+    prunes the customer side FIRST (predicate ordered before the join),
+    so the anti join's left input is the filtered minority. At 100 TB the
+    orders side can be pre-projected to distinct custkeys per AQE; no
+    correlated per-row subquery anywhere.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (_dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal")
+        )
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            F.col("o_custkey")
+        ),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(F.col("c_acctbal")).alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_IDLE_RICH_CUSTOMERS = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_balance
+FROM customer
+WHERE c_acctbal > (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        FROM customer WHERE c_acctbal > 0
+      )
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+QUERY_REGISTRY["idle_rich_customers"] = QuerySpec(
+    q_idle_rich_customers, ORACLE_IDLE_RICH_CUSTOMERS,
+    "Q22-shape scalar subquery + NOT-EXISTS anti join",
+)

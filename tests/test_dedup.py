@@ -912,3 +912,33 @@ def test_prefix_filter_join_shingle_mode_matches_word_shingles(spark):
         for r in prefix_filter_join(df, "doc_id", "text", threshold=0.5, shingle_n=3).collect()
     }
     assert (1, 2) in out and (1, 3) not in out
+
+
+def test_containment_asymmetry_and_exactness(spark):
+    """An excerpt wholly inside a longer doc: containment(excerpt→doc)=1.0
+    while resemblance stays low; the reverse direction reports the true
+    fraction; blocking is honored."""
+    from covid19_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    long = "a b c d e f g h i j k l"
+    excerpt = "a b c d"          # bigrams: ab bc cd — all inside long
+    df = spark.createDataFrame(
+        [(1, "en", long), (2, "en", excerpt), (3, "fr", excerpt)],
+        "doc_id long, lang string, text string",
+    )
+    rows = containment_pairs(
+        df, "doc_id", "text", ["lang"], n=2, threshold=0.5
+    ).collect()
+    assert len(rows) == 1  # the fr copy is in another block
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.containment_b_in_a == 1.0          # excerpt fully contained
+    assert r.containment_a_in_b == 3 / 11       # 3 shared of long's 11 bigrams
+    jac = ngram_jaccard_pairs(
+        df, "doc_id", "text", ["lang"], n=2, threshold=0.0
+    ).collect()[0]
+    assert jac.jaccard == 3 / 11                # resemblance diluted by the union
+    import pytest
+
+    with pytest.raises(ValueError):
+        containment_pairs(df, "doc_id", "text", [], n=2)

@@ -611,3 +611,20 @@ def test_robots_policy_filter_corpus_side_map_only(spark):
     assert re.search(r"BroadcastHashJoin \[_r_host", plan), plan
     assert "documents.parquet" in plan
     assert plan.count("documents.parquet") == 1
+
+
+def test_containment_pairs_stays_blocked(spark):
+    """The containment verify stage must remain a keyed (lang-block) join —
+    no cartesian / nested-loop pair stage."""
+    plan = plan_of(spark, "containment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_idle_rich_customers_anti_join_after_rich_filter(spark):
+    """The Q22 NOT EXISTS is a LEFT ANTI join whose left input is already
+    rich-filtered (one-row average broadcast), never a correlated per-row
+    subquery."""
+    plan = plan_of(spark, "idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
