@@ -747,3 +747,77 @@ QUERY_REGISTRY["heavy_hitters"] = QuerySpec(
     q_heavy_hitters, ORACLE_HEAVY_HITTERS,
     "Misra-Gries frequent-items sketch vs exact cross-engine error-bound check",
 )
+
+
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count rollup — THE pre-aggregation pattern
+    a 100 TB metrics store runs on: per-day Apache DataSketches HLL
+    sketches (``hll_sketch_agg``) built ONCE from the raw events, then
+    coarser grains derived by UNIONING the daily sketches
+    (``hll_union_agg``) — never re-touching raw data. An exact
+    ``count(DISTINCT)`` cannot do this: distinct counts are not additive
+    across days (the same user appears on many days), which is exactly
+    why naive daily→weekly rollups are wrong and sketches are the
+    industry answer.
+
+    Cross-engine check (the ``approx_aggregates`` error-envelope
+    pattern): the output is the exact per-week distinct-user count (which
+    DuckDB recomputes independently) plus booleans asserting (a) the
+    unioned weekly estimate lands within the published HLL_4/lgK=12
+    envelope (±3σ ≈ ±2.4% + an absolute floor for tiny weeks) and (b)
+    union-vs-direct consistency: sketching the week directly and unioning
+    the days agree exactly (same sketch algebra) — stated as literal TRUE
+    in the oracle.
+
+    Scale: the daily sketch pass is one map-side-combinable aggregate
+    (bounded sketch state per group); the weekly union shuffles |days|
+    sketch blobs, not |events| rows. The exact twin exists only to verify
+    the envelope at test scale."""
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        F.to_date("ts").alias("day"),
+        F.weekofyear(F.to_date("ts")).alias("week"),
+        "user_id",
+    )
+    daily = base.groupBy("week", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    weekly_union = daily.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("approx_users")
+    )
+    weekly_direct = base.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long").alias("direct_users")
+    )
+    exact = base.groupBy("week").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        weekly_union.join(weekly_direct, "week")
+        .join(exact, "week")
+        .select(
+            "week",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(F.lit(3.0), 0.024 * F.col("exact_users"))
+            ).alias("estimate_ok"),
+            (F.col("approx_users") == F.col("direct_users")).alias("union_consistent"),
+        )
+        .orderBy("week")
+    )
+
+
+ORACLE_SKETCH_ROLLUP = """
+SELECT weekofyear(CAST(ts AS DATE)) AS week,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS estimate_ok,
+       TRUE AS union_consistent
+FROM events
+GROUP BY 1
+ORDER BY week
+"""
+
+QUERY_REGISTRY["sketch_rollup"] = QuerySpec(
+    q_sketch_rollup, ORACLE_SKETCH_ROLLUP,
+    "re-aggregatable HLL distinct rollup (daily sketches unioned to weeks) vs exact error-bound check",
+)

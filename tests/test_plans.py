@@ -628,3 +628,13 @@ def test_idle_rich_customers_anti_join_after_rich_filter(spark):
     plan = plan_of(spark, "idle_rich_customers")
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_sketch_rollup_unions_sketches_not_raw_rows(spark):
+    """The weekly grain must derive from unioning daily sketch blobs
+    (hll_union_agg over |days| rows), with partial aggregation on the
+    daily sketch pass."""
+    plan = plan_of(spark, "sketch_rollup")
+    assert "hll_union_agg" in plan
+    assert "hll_sketch_agg" in plan
+    assert "partial_hll_sketch_agg" in plan or "partial" in plan
