@@ -244,6 +244,21 @@ def robots_rules(
     output rule table is dimension-sized (rules-per-host × hosts) and
     broadcastable into the URL-side gate.
     """
+    grouped, agents = _robots_directive_groups(robots, host_col, body_col)
+    rules = grouped.filter(
+        F.col("kind").isin("allow", "disallow") & (F.col("value") != "")
+    ).select("host", "grp", F.col("kind").alias("directive"), F.col("value").alias("path"))
+    return agents.join(rules, ["host", "grp"]).select(
+        "host", "agent", "directive", "path"
+    )
+
+
+def _robots_directive_groups(
+    robots: DataFrame, host_col: str, body_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared robots.txt line/group machinery: (grouped directive lines
+    with ``grp`` ids, agents-per-group frame). Group ids increment at the
+    FIRST user-agent line of each stacked header block."""
     lines = (
         robots.select(
             F.col(host_col).alias("host"),
@@ -252,19 +267,27 @@ def robots_rules(
         .withColumn("line", F.trim(F.regexp_replace("line", "#.*", "")))
         .withColumn(
             "kind",
-            F.lower(F.regexp_extract("line", r"(?i)^(user-agent|allow|disallow)\s*:", 1)),
+            F.lower(
+                F.regexp_extract(
+                    "line", r"(?i)^(user-agent|allow|disallow|crawl-delay)\s*:", 1
+                )
+            ),
         )
         .withColumn(
             "value",
-            F.trim(F.regexp_extract("line", r"(?i)^(?:user-agent|allow|disallow)\s*:\s*(\S*)", 1)),
+            F.trim(
+                F.regexp_extract(
+                    "line",
+                    r"(?i)^(?:user-agent|allow|disallow|crawl-delay)\s*:\s*(\S*)",
+                    1,
+                )
+            ),
         )
         .filter(F.col("kind") != "")
     )
     from pyspark.sql import Window
 
     by_pos = Window.partitionBy("host").orderBy("pos")
-    # group id increments at the FIRST user-agent line of each stacked
-    # header block (a UA line whose predecessor is not a UA line)
     grouped = lines.withColumn(
         "grp",
         F.sum(
@@ -279,12 +302,28 @@ def robots_rules(
         .select("host", "grp", F.lower(F.col("value")).alias("agent"))
         .distinct()
     )
-    rules = grouped.filter(
-        F.col("kind").isin("allow", "disallow") & (F.col("value") != "")
-    ).select("host", "grp", F.col("kind").alias("directive"), F.col("value").alias("path"))
-    return agents.join(rules, ["host", "grp"]).select(
-        "host", "agent", "directive", "path"
+    return grouped, agents
+
+
+def robots_crawl_delays(
+    robots: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """``(host, agent, delay_s)`` — Crawl-delay directives per UA group
+    (the de-facto extension most crawlers honor; not in RFC 9309 but in
+    every production politeness layer). Non-numeric values are dropped;
+    several delays in one group keep the LARGEST (the conservative
+    reading)."""
+    grouped, agents = _robots_directive_groups(robots, host_col, body_col)
+    delays = (
+        grouped.filter(
+            (F.col("kind") == "crawl-delay")
+            & F.col("value").rlike(r"^\d+(\.\d+)?$")
+        )
+        .select("host", "grp", F.col("value").cast("double").alias("delay_s"))
+        .groupBy("host", "grp")
+        .agg(F.max("delay_s").alias("delay_s"))
     )
+    return agents.join(delays, ["host", "grp"]).select("host", "agent", "delay_s")
 
 
 def robots_allowed(
@@ -354,4 +393,53 @@ def robots_allowed(
         *[c for c in urls.columns],
         (best.isNull() | (best["a"] == 1)).alias("allowed"),
         best["rule"].alias("matched_rule"),
+    )
+
+
+def politeness_schedule(
+    urls: DataFrame,
+    delays: DataFrame,
+    agent: str,
+    default_delay_s: float = 1.0,
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-host fetch scheduling under Crawl-delay politeness: input rows
+    gain ``slot`` (0-based per-host fetch position, deterministic — URLs
+    order lexicographically within a host), ``delay_s`` (the host's
+    effective Crawl-delay: agent-specific group first, else ``*``, else
+    ``default_delay_s``) and ``fetch_offset_s = slot × delay_s`` — the
+    earliest time each URL may be fetched relative to the host's first
+    fetch.
+
+    Shape for 100 TB: the delay table is dimension-sized → broadcast;
+    the slot is ONE window partitioned by host. The per-host window is
+    the schedule itself — politeness serializes fetches per host by
+    definition, so per-host partition width equals per-host queue depth,
+    which is exactly the quantity a frontier shards on.
+    """
+    from pyspark.sql import Window
+
+    agent = agent.lower()
+    # agent-specific delay preferred over '*' — smallest rank wins
+    pref = (
+        delays.filter(F.col("agent").isin(agent, "*"))
+        .withColumn("_pref", F.when(F.col("agent") == agent, 0).otherwise(1))
+        .groupBy("host")
+        .agg(F.min_by(F.col("delay_s"), F.col("_pref")).alias("delay_s"))
+    )
+    u = urls.withColumn("_p_host", host_of(F.col(url_col)))
+    slot = (
+        F.row_number().over(
+            Window.partitionBy("_p_host").orderBy(F.col(url_col).asc())
+        )
+        - 1
+    )
+    joined = u.join(F.broadcast(pref), u["_p_host"] == pref["host"], "left")
+    eff = F.coalesce(F.col("delay_s"), F.lit(float(default_delay_s)))
+    return joined.select(
+        *[c for c in urls.columns],
+        F.col("_p_host").alias("host"),
+        slot.alias("slot"),
+        eff.alias("delay_s"),
+        (slot.cast("double") * eff).alias("fetch_offset_s"),
     )

@@ -2260,3 +2260,78 @@ QUERY_REGISTRY["robots_policy_filter"] = QuerySpec(
     q_robots_policy_filter, ORACLE_ROBOTS_POLICY_FILTER,
     "RFC 9309 robots.txt gate (declarative parse + map-only longest-match) vs spec-level oracle",
 )
+
+
+_POLITE_ROBOTS = [
+    # h % 3 == 0: wildcard Crawl-delay 2s
+    "User-agent: *\nCrawl-delay: 2\nDisallow: /private\n",
+    # h % 3 == 1: agent-specific 0.5s preempts the punitive wildcard 10s
+    "User-agent: crawler\nCrawl-delay: 0.5\n\nUser-agent: *\nCrawl-delay: 10\n",
+    # h % 3 == 2: only an unrelated agent -> our crawler uses the default
+    "User-agent: other\nCrawl-delay: 9\n",
+]
+
+
+def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness scheduling: per-host fetch slots spaced by
+    the host's effective Crawl-delay (agent-specific group over ``*`` over
+    the 1 s default) — the layer between robots policy and the fetch pool
+    in every production crawler. ``robots_crawl_delays`` parses the
+    directive with the same declarative group machinery as the rule
+    parser; ``politeness_schedule`` broadcasts the dimension-sized delay
+    table and assigns slots with ONE window partitioned by host (the
+    per-host serialization IS the politeness semantics).
+
+    Oracle: spec-level — DuckDB recomputes slots with its own
+    ``row_number`` over the identical URL construction and restates the
+    effective delay straight from the host arithmetic."""
+    from covid19_spark.operators.web import politeness_schedule, robots_crawl_delays
+
+    robots = spark.createDataFrame(
+        [(f"dom{h}.com", _POLITE_ROBOTS[h % 3]) for h in range(10)],
+        "host string, robots_txt string",
+    )
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://dom"), (d % 10).cast("string"), F.lit(".com/p/"), d.cast("string")
+    )
+    urls = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", url.alias("url"))
+    )
+    delays = robots_crawl_delays(robots)
+    return (
+        politeness_schedule(urls, delays, agent="crawler", default_delay_s=1.0)
+        .select("doc_id", "host", "slot", "delay_s", "fetch_offset_s")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_POLITENESS_SCHEDULE = """
+WITH u AS (
+  SELECT doc_id, doc_id % 10 AS h,
+         'https://dom' || CAST(doc_id % 10 AS VARCHAR) || '.com/p/'
+             || CAST(doc_id AS VARCHAR) AS url
+  FROM documents WHERE doc_id < 400
+),
+s AS (
+  SELECT doc_id, h, url,
+         row_number() OVER (PARTITION BY h ORDER BY url) - 1 AS slot,
+         CASE h % 3 WHEN 0 THEN 2.0 WHEN 1 THEN 0.5 ELSE 1.0 END AS delay_s
+  FROM u
+)
+SELECT doc_id,
+       'dom' || CAST(h AS VARCHAR) || '.com' AS host,
+       CAST(slot AS INT) AS slot,
+       delay_s,
+       CAST(slot AS DOUBLE) * delay_s AS fetch_offset_s
+FROM s
+ORDER BY doc_id
+"""
+
+QUERY_REGISTRY["politeness_schedule"] = QuerySpec(
+    q_politeness_schedule, ORACLE_POLITENESS_SCHEDULE,
+    "Crawl-delay politeness scheduling (per-host slots x effective delay) vs spec-level oracle",
+)

@@ -106,3 +106,44 @@ def test_original_columns_and_multiplicity_preserved(spark):
         (1, "m1", False),
         (2, "m2", False),
     ]
+
+
+def test_crawl_delays_parse_and_conservative_max(spark):
+    from covid19_spark.operators.web import robots_crawl_delays
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nCrawl-delay: 2\nCrawl-delay: 5\n"),
+            ("b.com", "User-agent: bot\nCrawl-delay: 0.5\n"),
+            ("c.com", "User-agent: *\nCrawl-delay: fast\n"),  # non-numeric -> dropped
+        ],
+        "host string, robots_txt string",
+    )
+    got = {(r.host, r.agent): r.delay_s for r in robots_crawl_delays(robots).collect()}
+    assert got == {("a.com", "*"): 5.0, ("b.com", "bot"): 0.5}
+
+
+def test_politeness_schedule_slots_and_group_preference(spark):
+    from covid19_spark.operators.web import politeness_schedule, robots_crawl_delays
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: crawler\nCrawl-delay: 0.5\n\nUser-agent: *\nCrawl-delay: 10\n")],
+        "host string, robots_txt string",
+    )
+    delays = robots_crawl_delays(robots)
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.com/x1"), (2, "https://a.com/x2"), (3, "https://a.com/x3"),
+            (4, "https://nodelay.com/y"),
+        ],
+        "id long, url string",
+    )
+    rows = {
+        r.id: r
+        for r in politeness_schedule(urls, delays, "Crawler", default_delay_s=1.0).collect()
+    }
+    # agent group (0.5s) preempts the punitive '*' 10s
+    assert [rows[i].slot for i in (1, 2, 3)] == [0, 1, 2]
+    assert [rows[i].fetch_offset_s for i in (1, 2, 3)] == [0.0, 0.5, 1.0]
+    # unknown host falls back to the default delay at slot 0
+    assert rows[4].slot == 0 and rows[4].delay_s == 1.0
