@@ -2335,3 +2335,94 @@ QUERY_REGISTRY["politeness_schedule"] = QuerySpec(
     q_politeness_schedule, ORACLE_POLITENESS_SCHEDULE,
     "Crawl-delay politeness scheduling (per-host slots x effective delay) vs spec-level oracle",
 )
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-atomic train/val/test split — the contamination guarantee a
+    per-GROUP split gives only if the group IS the duplicate cluster: the
+    corpus (documents plus a re-keyed copy of doc_id < 50, planting 50
+    known multi-document clusters) is clustered by exact content
+    fingerprint (``md5(lower(text))``), every cluster takes its MINIMUM
+    doc_id as representative (one window exchange), and the whole cluster
+    draws its split from ``md5(rep # salt)`` via ``grouped_split`` — so
+    near-identical documents can never straddle the train/eval boundary
+    (the classic eval-leakage bug of row-wise ``randomSplit``).
+
+    Output pins both the split sizes AND the guarantee itself:
+    ``no_leakage`` counts fingerprints spanning >1 split (stated TRUE by
+    the oracle, so a single straddling cluster is a value-hash mismatch).
+
+    Scale: one fingerprint window + the map-only split draw; clusters of
+    EXACT duplicates only here (SQL-expressible oracle) — the same
+    composition runs with MinHash/CC cluster ids for near-dup atomicity
+    (operators/dedup.dedup_clusters supplies them)."""
+    from covid19_spark.operators.curation import grouped_split
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 20000).alias("doc_id"), "text"
+        )
+    )
+    fp = F.md5(F.lower(F.col("text")))
+    clustered = corpus.withColumn("fp", fp).withColumn(
+        "rep", F.min("doc_id").over(Window.partitionBy("fp"))
+    )
+    split = grouped_split(
+        clustered, "rep", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+    crossings = (
+        split.groupBy("fp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .agg(F.count(F.lit(1)).alias("n_leaks"))
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(crossings))
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            (F.col("n_leaks") == 0).alias("no_leakage"),
+        )
+        .orderBy("split")
+    )
+
+
+ORACLE_LEAKAGE_SAFE_SPLIT = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000, text FROM documents WHERE doc_id < 50
+),
+c AS (
+  SELECT doc_id, md5(lower(text)) AS fp FROM corpus
+),
+r AS (
+  SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS rep FROM c
+),
+a AS (
+  SELECT doc_id, fp,
+         CASE WHEN substr(md5(CAST(rep AS VARCHAR) || '#split'), 1, 4) < 'cccc'
+                THEN 'train'
+              WHEN substr(md5(CAST(rep AS VARCHAR) || '#split'), 1, 4) < 'e666'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM r
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_clusters,
+       TRUE AS no_leakage
+FROM a GROUP BY split ORDER BY split
+"""
+
+QUERY_REGISTRY["leakage_safe_split"] = QuerySpec(
+    q_leakage_safe_split, ORACLE_LEAKAGE_SAFE_SPLIT,
+    "cluster-atomic split: exact-dup clusters never straddle train/eval (oracle-pinned guarantee)",
+)
