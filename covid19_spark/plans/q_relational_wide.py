@@ -885,3 +885,76 @@ QUERY_REGISTRY["idle_rich_customers"] = QuerySpec(
     q_idle_rich_customers, ORACLE_IDLE_RICH_CUSTOMERS,
     "Q22-shape scalar subquery + NOT-EXISTS anti join",
 )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (conditional share-of-total per group): for each
+    order year, NATION_7's share of the revenue supplied into ASIA-region
+    customers' orders — the two-level ``sum(CASE)/sum(*)`` ratio pattern.
+
+    Both sums are per-row DECIMAL(38,6)-exact before the single double
+    division, so the ratio hashes identically cross-engine. One pass: the
+    conditional numerator rides the same aggregate as the denominator
+    (no second scan, no self-join).
+
+    Scale: three broadcast dims (supplier→nation for the flag,
+    customer→nation→region for the filter); the only fact-sized exchange
+    is lineitem⋈orders; the aggregate shuffles |years| rows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    asia_cust = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(asia_cust), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(F.lit(0).cast(DEC))).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+ORACLE_MARKET_SHARE = """
+SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                     ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS mkt_share,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS total_volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region    ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+GROUP BY 1
+ORDER BY o_year
+"""
+
+QUERY_REGISTRY["market_share"] = QuerySpec(
+    q_market_share, ORACLE_MARKET_SHARE,
+    "Q8-shape conditional share-of-total per year (single-pass sum(CASE)/sum ratio)",
+)

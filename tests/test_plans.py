@@ -638,3 +638,21 @@ def test_sketch_rollup_unions_sketches_not_raw_rows(spark):
     assert "hll_union_agg" in plan
     assert "hll_sketch_agg" in plan
     assert "partial_hll_sketch_agg" in plan or "partial" in plan
+
+
+def test_market_share_single_pass_broadcast_dims(spark):
+    """The Q8 ratio rides ONE aggregate over ONE lineitem scan; every
+    dimension side broadcasts."""
+    plan = plan_of(spark, "market_share")
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_leakage_safe_split_one_fp_window(spark):
+    """Cluster representative = one window over the fingerprint partition;
+    the split draw itself is map-only (md5 expression, no extra
+    exchange)."""
+    plan = plan_of(spark, "leakage_safe_split")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
