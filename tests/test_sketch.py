@@ -161,3 +161,62 @@ def test_streaming_heavy_hitters_accumulates_across_batches(spark):
         assert est["hot"] > 300 - n // m
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_heavy_hitters_checkpoint_recovery(spark, tmp_path):
+    """The sketch counters must survive a kill/restart from checkpoint:
+    batch 2 (processed by a FRESH query object on the same checkpoint)
+    builds on batch 1's counters, so the post-restart estimate for an
+    item spanning both batches reflects BOTH — not a cold restart."""
+    from covid19_spark.streaming.heavy_hitters_stream import streaming_heavy_hitters
+
+    import os
+
+    d = str(tmp_path)
+    src, ckpt, out = f"{d}/src", f"{d}/ckpt", f"{d}/out"
+    os.makedirs(src)
+    m, shards = 16, 2
+
+    def start():
+        stream = spark.readStream.schema("item string").parquet(src)
+        return (
+            streaming_heavy_hitters(stream, "item", capacity=m, shards=shards)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    batch1 = ["hot"] * 100 + [f"a{j}" for j in range(40)]
+    batch2 = ["hot"] * 150 + [f"b{j}" for j in range(40)]
+
+    q1 = start()
+    try:
+        spark.createDataFrame([(x,) for x in batch1], "item string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q1.processAllAvailable()
+    finally:
+        q1.stop()  # mid-stream kill
+
+    spark.createDataFrame([(x,) for x in batch2], "item string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q2 = start()  # fresh query, SAME checkpoint
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in rows:
+        latest[r.shard] = max(latest.get(r.shard, 0), r.emission)
+    est = {r.item: r.est for r in rows if r.emission == latest[r.shard]}
+    n = len(batch1) + len(batch2)
+    # 250 true 'hot' occurrences; a cold restart could report at most
+    # 150; the carried state must push it above that even after MG decay
+    assert est["hot"] > 150, est.get("hot")
+    assert est["hot"] >= 250 - n // m
+    assert est["hot"] <= 250
