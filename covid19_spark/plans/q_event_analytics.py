@@ -821,3 +821,57 @@ QUERY_REGISTRY["sketch_rollup"] = QuerySpec(
     q_sketch_rollup, ORACLE_SKETCH_ROLLUP,
     "re-aggregatable HLL distinct rollup (daily sketches unioned to weeks) vs exact error-bound check",
 )
+
+
+def q_range_window_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame — the rolling aggregate ROWS frames get
+    WRONG on irregular event streams: per user, the trailing-7-day value
+    sum at every event, framed by ``RANGE BETWEEN <7 days of µs>
+    PRECEDING AND CURRENT ROW`` over exact epoch-microsecond ordering
+    (``unix_micros`` ↔ DuckDB ``epoch_us`` — integer keys, so frame
+    boundaries are bit-identical cross-engine, no float epoch rounding).
+    A ROWS frame would count a FIXED number of events regardless of their
+    spacing; the RANGE frame answers the actual question ("how much in
+    the last week") and is also tie-safe: simultaneous events are all in
+    or all out, independent of physical row order.
+
+    Scale: one hash exchange on user_id + per-user sort — the same
+    account as every per-key ordered window here; the value rides the
+    DECIMAL(38,6) contract through the frame sum."""
+    events = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    week_us = 7 * 86_400 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-week_us, 0)
+    )
+    return (
+        events.filter(F.col("user_id") < 100)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("trailing_7d"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_RANGE_WINDOW_SPEND = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (
+              PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+            ) AS DOUBLE) AS trailing_7d
+FROM events
+WHERE user_id < 100
+ORDER BY event_id
+"""
+
+QUERY_REGISTRY["range_window_spend"] = QuerySpec(
+    q_range_window_spend, ORACLE_RANGE_WINDOW_SPEND,
+    "time-RANGE window frame: trailing-7-day per-user sums over exact microsecond keys",
+)
