@@ -1,0 +1,85 @@
+"""Holt double-exponential smoothing (linear-trend forecasting) as a
+per-key JVM-side fold.
+
+The recurrence (Holt 1957; the ``statsmodels`` ``Holt`` initialization
+``l₀ = y₀``, ``b₀ = y₁ − y₀``, recursion from the second observation):
+
+    lₜ = α·yₜ + (1−α)·(lₜ₋₁ + bₜ₋₁)
+    bₜ = β·(lₜ − lₜ₋₁) + (1−β)·bₜ₋₁
+    ŷₜ₊ₕ = lₜ + h·bₜ
+
+is inherently sequential PER KEY — but keys are independent, so the
+scale shape is: one groupBy collecting each key's ordered series into an
+array (bounded by the series length — days per key, not corpus size),
+then ``F.aggregate`` folds the recurrence INSIDE the JVM (Catalyst
+higher-order function — no Python, no UDF, no per-row state store).
+This is the registry's exemplar of the fold-over-collected-series
+pattern: the iterative-algorithm analogue of what PageRank does across
+rounds, done within a row.
+
+Determinism: the fold is a left-to-right double recurrence with literal
+coefficients — the DuckDB oracle replays the identical expressions
+through a recursive CTE, so full-precision doubles hash-match
+(coefficients are chosen binary-exact: α = 0.5, β = 0.25).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def holt_linear(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    y_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizon: int = 7,
+) -> DataFrame:
+    """``(key_cols..., n_obs, level, trend, h, forecast)`` — one row per
+    key and forecast step ``h ∈ 1..horizon``. Keys with fewer than two
+    observations are dropped (the trend is undefined)."""
+    key_cols = list(key_cols)
+    a, one_a = float(alpha), 1.0 - float(alpha)
+    b_, one_b = float(beta), 1.0 - float(beta)
+
+    series = (
+        df.groupBy(*key_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(y_col).alias("y")))
+            ).alias("s")
+        )
+        .filter(F.size("s") >= 2)
+    )
+    ys = F.transform(F.col("s"), lambda r: r["y"].cast("double"))
+    init = F.struct(
+        F.element_at(ys, 1).alias("l"),
+        (F.element_at(ys, 2) - F.element_at(ys, 1)).alias("b"),
+    )
+
+    def step(acc, y):
+        new_l = F.lit(a) * y + F.lit(one_a) * (acc["l"] + acc["b"])
+        new_b = F.lit(b_) * (new_l - acc["l"]) + F.lit(one_b) * acc["b"]
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    folded = F.aggregate(F.slice(ys, 2, F.size(ys)), init, step)
+    fitted = series.select(
+        *key_cols,
+        F.size("s").cast("long").alias("n_obs"),
+        folded["l"].alias("level"),
+        folded["b"].alias("trend"),
+    )
+    h = F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("h")
+    return fitted.select(*key_cols, "n_obs", "level", "trend", h).select(
+        *key_cols,
+        "n_obs",
+        "level",
+        "trend",
+        F.col("h").cast("int").alias("h"),
+        (F.col("level") + F.col("h").cast("double") * F.col("trend")).alias("forecast"),
+    )

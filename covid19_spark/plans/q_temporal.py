@@ -1384,3 +1384,66 @@ QUERY_REGISTRY["span_dedup"] = QuerySpec(
 )
 
 
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast (operators/forecast.py) of the daily
+    event-count series per type: 7-day horizon from double-exponential
+    smoothing, the recurrence folded per key inside the JVM with
+    ``F.aggregate`` over the collected ordered series — the registry's
+    fold-over-series exemplar (iterative per key, zero Python, zero
+    per-row state).
+
+    TRUE cross-engine oracle: DuckDB replays the identical recurrence
+    through a RECURSIVE CTE — binary-exact coefficients (α=0.5, β=0.25)
+    and textually-identical double expressions, so full-precision levels,
+    trends and forecasts hash-match."""
+    from covid19_spark.operators.forecast import holt_linear
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("date")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    return holt_linear(
+        daily, ["event_type"], "date", "y", alpha=0.5, beta=0.25, horizon=7
+    ).orderBy("event_type", "h")
+
+
+ORACLE_HOLT_FORECAST = """
+WITH RECURSIVE e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS date, CAST(count(*) AS DOUBLE) AS y
+  FROM e GROUP BY 1, 2
+),
+idxd AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY date) AS idx,
+         count(*) OVER (PARTITION BY event_type) AS n_obs
+  FROM daily
+),
+init AS (
+  SELECT a.event_type, a.n_obs, 1 AS t, a.y AS l, b.y - a.y AS b
+  FROM idxd a JOIN idxd b ON a.event_type = b.event_type AND a.idx = 1 AND b.idx = 2
+),
+rec AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT r.event_type, r.n_obs, r.t + 1,
+         0.5 * d.y + 0.5 * (r.l + r.b) AS l,
+         0.25 * ((0.5 * d.y + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b AS b
+  FROM rec r JOIN idxd d ON d.event_type = r.event_type AND d.idx = r.t + 1
+),
+final AS (
+  SELECT event_type, n_obs, l, b FROM rec WHERE t = n_obs
+)
+SELECT f.event_type, CAST(f.n_obs AS BIGINT) AS n_obs, f.l AS level, f.b AS trend,
+       CAST(h.h AS INT) AS h,
+       f.l + CAST(h.h AS DOUBLE) * f.b AS forecast
+FROM final f, (SELECT unnest(range(1, 8)) AS h) h
+ORDER BY event_type, h
+"""
+
+QUERY_REGISTRY["holt_forecast"] = QuerySpec(
+    q_holt_forecast, ORACLE_HOLT_FORECAST,
+    "Holt linear-trend 7-day forecast: JVM fold vs recursive-CTE cross-engine oracle",
+)
