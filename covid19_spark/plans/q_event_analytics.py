@@ -875,3 +875,95 @@ QUERY_REGISTRY["range_window_spend"] = QuerySpec(
     q_range_window_spend, ORACLE_RANGE_WINDOW_SPEND,
     "time-RANGE window frame: trailing-7-day per-user sums over exact microsecond keys",
 )
+
+
+def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample experiment readout (Welch's unequal-variance t-test) per
+    event_type: users hash-split 50/50 into arms by ``md5(user_id)`` (the
+    deterministic engine-portable assignment every sampler here uses —
+    never RNG state), then ONE conditional aggregate carries n/Σx/Σx² per
+    arm and the t-statistic is closed-form map-only math on the group
+    row. The |t| > 1.96 flag is the 95% two-sided normal cut — the
+    decision column an experimentation platform serves.
+
+    Determinism: Σx and Σx² ride the DECIMAL(38,6) contract (x² computed
+    as an IEEE double product per row first — identical cross-engine);
+    every division/sqrt is a textually identical double expression in the
+    oracle, so means, variances and t hash-match bit-for-bit.
+
+    Scale: one map-side-combinable aggregate over the fact (shuffle =
+    |event types|), zero joins, zero extra passes — the whole experiment
+    readout is one scan regardless of corpus size.
+    """
+    ev = _t(spark, sf_dir, "events")
+    arm_a = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8"
+    x = F.col("value")
+    x2 = (x * x).cast(DEC)
+    xd = x.cast(DEC)
+
+    def csum(cond, col):
+        return F.sum(F.when(cond, col).otherwise(F.lit(0).cast(DEC))).cast("double")
+
+    agg = ev.groupBy("event_type").agg(
+        F.sum(arm_a.cast("long")).alias("n_a"),
+        F.sum((~arm_a).cast("long")).alias("n_b"),
+        csum(arm_a, xd).alias("sum_a"),
+        csum(~arm_a, xd).alias("sum_b"),
+        csum(arm_a, x2).alias("sum2_a"),
+        csum(~arm_a, x2).alias("sum2_b"),
+    )
+    mean_a = F.col("sum_a") / F.col("n_a")
+    mean_b = F.col("sum_b") / F.col("n_b")
+    var_a = (F.col("sum2_a") - F.col("sum_a") * F.col("sum_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("sum2_b") - F.col("sum_b") * F.col("sum_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    t = (mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        t.alias("welch_t"),
+        (F.abs(t) > 1.96).alias("significant_95"),
+    ).orderBy("event_type")
+
+
+ORACLE_AB_TEST_REPORT = """
+WITH agg AS (
+  SELECT event_type,
+         sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' THEN 0 ELSE 1 END) AS n_b,
+         CAST(sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                       THEN CAST(value AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS sum_a,
+         CAST(sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                       THEN CAST(0 AS DECIMAL(38,6)) ELSE CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS sum_b,
+         CAST(sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                       THEN CAST(value * value AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS sum2_a,
+         CAST(sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                       THEN CAST(0 AS DECIMAL(38,6)) ELSE CAST(value * value AS DECIMAL(38,6)) END) AS DOUBLE) AS sum2_b
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       sum_a / n_a AS mean_a,
+       sum_b / n_b AS mean_b,
+       (sum_a / n_a - sum_b / n_b)
+         / sqrt(((sum2_a - sum_a * sum_a / n_a) / (n_a - 1)) / n_a
+                + ((sum2_b - sum_b * sum_b / n_b) / (n_b - 1)) / n_b) AS welch_t,
+       abs((sum_a / n_a - sum_b / n_b)
+         / sqrt(((sum2_a - sum_a * sum_a / n_a) / (n_a - 1)) / n_a
+                + ((sum2_b - sum_b * sum_b / n_b) / (n_b - 1)) / n_b)) > 1.96
+         AS significant_95
+FROM agg
+ORDER BY event_type
+"""
+
+QUERY_REGISTRY["ab_test_report"] = QuerySpec(
+    q_ab_test_report, ORACLE_AB_TEST_REPORT,
+    "Welch two-sample t-test per event type over hash-assigned arms (single-pass, bit-exact)",
+)

@@ -1447,3 +1447,110 @@ QUERY_REGISTRY["holt_forecast"] = QuerySpec(
     q_holt_forecast, ORACLE_HOLT_FORECAST,
     "Holt linear-trend 7-day forecast: JVM fold vs recursive-CTE cross-engine oracle",
 )
+
+
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against SCD2 validity intervals —
+    the warehouse pattern that closes the loop on the SCD2 build
+    (``scd2_user_type``): for a weekly probe grid × the first 100 users,
+    "which event_type was in effect for this user AT date D?" — the
+    attribute a fact row at time D must be enriched with to avoid
+    time-travel leakage (joining TODAY's dimension onto YESTERDAY's facts
+    is the classic slowly-changing-dimension bug).
+
+    Implementation: the SCD2 intervals are contiguous per user, so the
+    lookup is the as-of join (operators/asof.py union-window shape — one
+    hash exchange, no broadcast requirement) on ``valid_from``, then a
+    validity clamp nulls out probes at-or-after the matched interval's
+    ``valid_to`` (only possible past the key's last interval or before
+    its first). Oracle: DuckDB rebuilds the same intervals
+    (gaps-and-islands) and picks the max ``valid_from <= D`` row per
+    probe with a lateral argmax."""
+    from covid19_spark.operators.asof import asof_join
+    from covid19_spark.operators.cdc import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    iv = scd2_intervals(ev, ["user_id"], "ts", ["event_type"], tiebreak_cols=["event_id"])
+    probes = (
+        spark.range(100)
+        .select(F.col("id").alias("user_id"))
+        .crossJoin(
+            spark.range(5).select(
+                F.date_add(F.lit("2024-01-08"), (F.col("id") * 7).cast("int")).alias("probe_date")
+            )
+        )
+        .select("user_id", F.col("probe_date").cast("timestamp").alias("probe_ts"))
+    )
+    joined = asof_join(
+        probes,
+        iv.select("user_id", "valid_from", "valid_to", "event_type", "version"),
+        on=["user_id"],
+        left_ts="probe_ts",
+        right_ts="valid_from",
+        right_payload=["event_type", "valid_to", "version"],
+        right_tiebreak="version",
+    )
+    active = F.col("valid_from").isNotNull() & (
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.col("probe_ts"))
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("probe_ts", "yyyy-MM-dd").alias("probe_date"),
+        F.when(active, F.col("event_type")).alias("type_at_date"),
+        F.when(active, F.col("version")).cast("long").alias("version_at_date"),
+    ).orderBy("user_id", "probe_date")
+
+
+ORACLE_SCD2_POINT_IN_TIME = """
+WITH e AS (
+  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE user_id < 100
+),
+marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+              THEN 0 ELSE 1 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM marked
+),
+iv AS (
+  SELECT user_id, run_id AS version, any_value(event_type) AS event_type,
+         min(ts) AS valid_from
+  FROM runs GROUP BY user_id, run_id
+),
+iv2 AS (
+  SELECT *, lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+  FROM iv
+),
+probes AS (
+  SELECT u.user_id, CAST(DATE '2024-01-08' + INTERVAL (7 * d.k) DAY AS TIMESTAMP) AS probe_ts
+  FROM (SELECT unnest(range(0, 100)) AS user_id) u,
+       (SELECT unnest(range(0, 5)) AS k) d
+),
+matched AS (
+  SELECT p.user_id, p.probe_ts, i.event_type, i.valid_to, i.version,
+         row_number() OVER (PARTITION BY p.user_id, p.probe_ts
+                            ORDER BY i.valid_from DESC) AS rn
+  FROM probes p
+  LEFT JOIN iv2 i ON i.user_id = p.user_id AND i.valid_from <= p.probe_ts
+)
+SELECT user_id,
+       strftime(probe_ts, '%Y-%m-%d') AS probe_date,
+       CASE WHEN event_type IS NOT NULL
+              AND (valid_to IS NULL OR valid_to > probe_ts)
+            THEN event_type END AS type_at_date,
+       CAST(CASE WHEN event_type IS NOT NULL
+              AND (valid_to IS NULL OR valid_to > probe_ts)
+            THEN version END AS BIGINT) AS version_at_date
+FROM matched
+WHERE rn = 1
+ORDER BY user_id, probe_date
+"""
+
+QUERY_REGISTRY["scd2_point_in_time"] = QuerySpec(
+    q_scd2_point_in_time, ORACLE_SCD2_POINT_IN_TIME,
+    "point-in-time SCD2 dimension lookup via as-of join + validity clamp",
+)

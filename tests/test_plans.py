@@ -656,3 +656,21 @@ def test_leakage_safe_split_one_fp_window(spark):
     plan = plan_of(spark, "leakage_safe_split")
     assert "Window" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_point_in_time_single_exchange_asof(spark):
+    """The point-in-time lookup must use the union-window as-of shape on
+    the probe/interval union — no per-probe correlated work, no
+    cartesian."""
+    plan = plan_of(spark, "scd2_point_in_time")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_ab_test_report_single_pass_no_join(spark):
+    """The experiment readout is ONE conditional aggregate over ONE scan:
+    no join, one hash exchange on event_type."""
+    plan = plan_of(spark, "ab_test_report")
+    assert "Join" not in plan
+    assert plan.count("events.parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
