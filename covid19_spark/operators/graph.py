@@ -100,3 +100,76 @@ def pagerank(
             ),
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """One-row ``(n_nodes, n_edges, n_triangles)`` for the undirected
+    simple graph induced by ``edges`` (direction/duplicates/self-loops
+    normalized away).
+
+    Degree-ordered orientation (Chiba & Nishizeki 1985; the MapReduce
+    formulation of Suri & Vassilvitskii 2011): each undirected edge
+    orients from the lower (degree, id) endpoint to the higher, so every
+    triangle is counted EXACTLY once and — the scale property — each
+    node's out-degree is O(√E), which bounds the wedge join's fan-out
+    per node regardless of hub degree. Shuffles: one degree aggregate,
+    the wedge self-join on the center node, one closing-edge semi join.
+    No unoriented neighbor-list explosion (a hub of degree d would
+    otherwise emit d² wedges).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    keyed = und.join(da, "a").join(db, "b")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.v") < F.col("o2.v")),
+    ).select(F.col("o1.v").alias("x"), F.col("o2.v").alias("y"))
+    # the closing edge may be oriented either way between x and y
+    closing = oriented.select(
+        F.least("u", "v").alias("cx"), F.greatest("u", "v").alias("cy")
+    )
+    tri = wedges.join(
+        closing,
+        (F.least("x", "y") == F.col("cx")) & (F.greatest("x", "y") == F.col("cy")),
+        "left_semi",
+    )
+    # left_semi dedups; wedges are already unique per (u, {x,y}) and each
+    # triangle has exactly ONE lowest-ordered center, so count the wedges
+    # that close (inner join would equal semi here; semi states the intent)
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_tri))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+        )
+    )

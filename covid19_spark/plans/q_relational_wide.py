@@ -958,3 +958,67 @@ QUERY_REGISTRY["market_share"] = QuerySpec(
     q_market_share, ORACLE_MARKET_SHARE,
     "Q8-shape conditional share-of-total per year (single-pass sum(CASE)/sum ratio)",
 )
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the supplier CO-SUPPLY graph (suppliers are
+    adjacent iff they supplied the same order — the clustering structure
+    of the supply network): edges from one within-order self-join of the
+    distinct (order, supplier) pairs (fan-out bounded by
+    suppliers-per-order), triangles via degree-ordered orientation
+    (operators/graph.py triangle_count) — every hub's wedge fan-out is
+    O(√E) regardless of degree, the property that keeps the count
+    feasible on a 100 TB co-occurrence graph.
+
+    Oracle: DuckDB replays the same normalized-edge/orientation/wedge
+    algebra — exact integers."""
+    from covid19_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    os_pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    a = os_pairs.alias("a")
+    b = os_pairs.alias("b")
+    co = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+    return triangle_count(co)
+
+
+ORACLE_TRIANGLE_COUNT = """
+WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+und AS (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM os a JOIN os b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+  ) GROUP BY n
+),
+orient AS (
+  SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS u,
+         CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS v
+  FROM und u JOIN deg da ON u.a = da.n JOIN deg db ON u.b = db.n
+),
+wedges AS (
+  SELECT o1.v AS x, o2.v AS y
+  FROM orient o1 JOIN orient o2 ON o1.u = o2.u AND o1.v < o2.v
+),
+closing AS (SELECT least(u, v) AS cx, greatest(u, v) AS cy FROM orient),
+tri AS (
+  SELECT count(*) AS n_triangles FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM closing c
+                WHERE c.cx = least(w.x, w.y) AND c.cy = greatest(w.x, w.y))
+)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+       CAST(n_triangles AS BIGINT) AS n_triangles
+FROM tri
+"""
+
+QUERY_REGISTRY["triangle_count"] = QuerySpec(
+    q_triangle_count, ORACLE_TRIANGLE_COUNT,
+    "co-supply graph triangle census via degree-ordered orientation (exact oracle)",
+)

@@ -49,3 +49,35 @@ def test_deterministic_across_partitionings(spark):
     a = {r.node: r.rank for r in pagerank(_edges(spark, rows).repartition(1), iterations=3).collect()}
     b = {r.node: r.rank for r in pagerank(_edges(spark, rows).repartition(17), iterations=3).collect()}
     assert a == b  # bit-identical, not approx: the grid sum is exact
+
+
+def test_triangle_count_known_graphs(spark):
+    from covid19_spark.operators.graph import triangle_count
+
+    def tri(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        r = triangle_count(df).collect()[0]
+        return (r.n_nodes, r.n_edges, r.n_triangles)
+
+    # K4: 4 nodes, 6 edges, 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert tri(k4) == (4, 6, 4)
+    # triangle + pendant edge: 4 nodes, 4 edges, 1 triangle
+    assert tri([(1, 2), (2, 3), (3, 1), (3, 4)]) == (4, 4, 1)
+    # path: no triangles
+    assert tri([(1, 2), (2, 3), (3, 4)]) == (4, 3, 0)
+    # duplicates / reversed directions / self-loops normalize away
+    messy = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (1, 1)]
+    assert tri(messy) == (3, 3, 1)
+
+
+def test_triangle_count_hub_star_is_triangle_free(spark):
+    """A star (one hub, many leaves): the degree orientation must emit
+    ZERO wedges from the hub (all edges orient leaf->hub), so the count
+    is 0 without a d² blowup."""
+    from covid19_spark.operators.graph import triangle_count
+
+    star = [(0, i) for i in range(1, 40)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    r = triangle_count(df).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (40, 39, 0)
