@@ -1022,3 +1022,55 @@ QUERY_REGISTRY["triangle_count"] = QuerySpec(
     q_triangle_count, ORACLE_TRIANGLE_COUNT,
     "co-supply graph triangle census via degree-ordered orientation (exact oracle)",
 )
+
+
+def q_sql_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape, deliberately written as SQL TEXT with a CORRELATED
+    EXISTS (``sources/views.register_views`` + ``spark.sql``): orders per
+    priority that had at least one lineitem shipped more than 60 days
+    after the order date. Unlike the hand-decorrelated Q17/Q21/Q22
+    queries, the rewrite here is CATALYST'S OWN — the plan pin asserts
+    the correlated subquery compiled to a LeftSemi join, proving the SQL
+    face of the engine gets the same aggregate-then-join physics as the
+    DataFrame face.
+
+    Scale: the EXISTS side prunes to (orderkey) before the semi join;
+    the aggregate shuffles |priorities| rows."""
+    from covid19_spark.sources.views import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAYS
+              )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+ORACLE_SQL_PRIORITY_EXISTS = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+QUERY_REGISTRY["sql_priority_exists"] = QuerySpec(
+    q_sql_priority_exists, ORACLE_SQL_PRIORITY_EXISTS,
+    "Q4-shape SQL-text correlated EXISTS (Catalyst decorrelates; LeftSemi plan-pinned)",
+)

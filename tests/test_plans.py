@@ -674,3 +674,19 @@ def test_ab_test_report_single_pass_no_join(spark):
     assert "Join" not in plan
     assert plan.count("events.parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sql_priority_exists_decorrelates_to_semi_join(spark):
+    """The SQL-text correlated EXISTS must compile to a LeftSemi join
+    (Catalyst's decorrelation), never a per-row subquery, with the date
+    range pushed into the orders scan."""
+    plan = plan_of(spark, "sql_priority_exists")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_triangle_count_no_cartesian_wedges(spark):
+    """Wedge and closing joins stay keyed equi-joins — no cartesian
+    anywhere in the census."""
+    plan = plan_of(spark, "triangle_count")
+    assert "CartesianProduct" not in plan
