@@ -1201,3 +1201,90 @@ def semantic_dedup(
             (F.col("__rk") == 1).cast("long").alias("is_canonical"),
         )
     )
+
+
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``mapInArrow`` twin of ``cosine_topk``: the zero-copy Python fast
+    path for numeric array columns. Each Arrow batch's embedding column
+    flattens to ONE contiguous numpy matrix (no pandas materialization,
+    no per-row objects), scores against the closure-broadcast query
+    matrix as a single BLAS matmul, and emits only the per-batch local
+    top-k per query — the global exact rank then runs over
+    ≤ k × batches × |queries| candidate rows, never the full score
+    matrix.
+
+    Equivalence contract: same (query_id, rank, neighbor_id) results as
+    the JVM-expression path; ``sim`` may differ in the last float ulps
+    (BLAS pairwise summation vs the SQL left-to-right fold) — pinned by
+    ``tests/test_similarity_arrow.py`` at 1e-9, which is why this binding
+    backs no registry oracle (the JVM path does) and exists as the
+    measured fast path for wide embeddings.
+    """
+    import pyarrow as pa
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).collect()  # contract-small: queries are the broadcast side by contract
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0] = 1.0
+
+    out_schema_arrow = pa.schema(
+        [
+            pa.field("query_id", pa.int64()),
+            pa.field("neighbor_id", pa.int64()),
+            pa.field("sim", pa.float64()),
+        ]
+    )
+
+    def score(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            col = batch.column(1)
+            if isinstance(col, pa.ChunkedArray):  # pragma: no cover - defensive
+                col = col.combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            x = flat.reshape(len(ids), -1).astype(np.float64, copy=False)
+            xn = np.linalg.norm(x, axis=1)
+            xn[xn == 0] = 1.0
+            sims = (qm @ x.T) / qn[:, None] / xn[None, :]
+            # self-match mask + per-batch local top-k per query
+            for qi, qid in enumerate(q_ids):
+                s = sims[qi]
+                mask = ids != qid
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                take = min(k, len(cand_idx))
+                # argpartition for the local cut, exact sort of the cut
+                part = cand_idx[np.argpartition(-s[cand_idx], take - 1)[:take]]
+                yield pa.record_batch(
+                    [
+                        pa.array(np.full(take, qid), type=pa.int64()),
+                        pa.array(ids[part].astype(np.int64)),
+                        pa.array(s[part]),
+                    ],
+                    schema=out_schema_arrow,
+                )
+
+    cand = corpus.select(
+        F.col(id_col).cast("long").alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).mapInArrow(score, schema="query_id long, neighbor_id long, sim double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
