@@ -26,7 +26,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 WARC_SOURCE_DDL = (
     "src_file string, rec_index bigint, rec_type string, target_uri string, "
@@ -99,8 +105,83 @@ class WarcDataSource(DataSource):
     def reader(self, schema) -> WarcDataSourceReader:
         return WarcDataSourceReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        return WarcDataSourceWriter(self.options, overwrite)
+
 
 def register_warc_source(spark) -> None:
     """Idempotent registration: after this, ``spark.read.format("warc")``
     resolves to this source for the session."""
     spark.dataSource.register(WarcDataSource)
+
+
+class WarcCommitMessage(WriterCommitMessage):
+    def __init__(self, path: str, n_records: int):
+        self.path = path
+        self.n_records = n_records
+
+
+class WarcDataSourceWriter(DataSourceWriter):
+    """``df.write.format("warc").save(dir)`` — corpus re-export as WARC
+    segment files, one file per task (the Common Crawl layout the reader
+    plans on). Input schema contract: ``target_uri string, body string``
+    (+ optional ``rec_type``, default ``response``); rows become
+    ``response`` records with an HTTP 200 wrapper, matching what
+    ``parse_warc`` extracts back — the round-trip is pinned by test.
+
+    Task writes go to ``_tmp.<uuid>`` names; ``commit`` renames them into
+    place and ``abort`` removes them — per-file atomicity on a
+    rename-capable filesystem (the standard job-commit discipline)."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc writer requires a save path")
+        self.gzip = str(options.get("gzip_per_record", "false")).lower() == "true"
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        from covid19_spark.sources.warc import (
+            encode_warc,
+            encode_warc_record,
+            http_response_block,
+        )
+
+        os.makedirs(self.path, exist_ok=True)
+        records = []
+        for i, row in enumerate(iterator):
+            body = (row["body"] or "").encode("utf-8")
+            block = http_response_block(200, "OK", body, "text/html")
+            records.append(
+                encode_warc_record(
+                    getattr(row, "rec_type", None) or "response",
+                    f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, row['target_uri'] or str(i))}>",
+                    block,
+                    target_uri=row["target_uri"],
+                    content_type="application/http; msgtype=response",
+                )
+            )
+        tmp = os.path.join(self.path, f"_tmp.{uuid.uuid4().hex}.warc")
+        if records:
+            with open(tmp, "wb") as f:
+                f.write(encode_warc(records, gzip_per_record=self.gzip))
+        return WarcCommitMessage(tmp, len(records))
+
+    def commit(self, messages):
+        import os
+
+        for i, m in enumerate(messages):
+            if m is None or m.n_records == 0:
+                continue
+            final = m.path.replace("_tmp.", f"part-{i:05d}.", 1)
+            os.rename(m.path, final)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages or []:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)

@@ -102,3 +102,39 @@ def test_bad_on_error_option_rejected(spark, warc_dir):
     df = spark.read.format("warc").option("on_error", "wat").load(warc_dir)
     with pytest.raises(Exception, match="fail\\|permissive"):
         df.count()
+
+
+def test_writer_round_trips_through_reader(spark, tmp_path):
+    register_warc_source(spark)
+    out = str(tmp_path / "export")
+    df = spark.createDataFrame(
+        [
+            ("https://x1/", "<html>one</html>"),
+            ("https://x2/", "<html>two</html>"),
+            ("https://x3/", None),
+        ],
+        "target_uri string, body string",
+    ).repartition(2)
+    df.write.format("warc").mode("append").save(out)
+    files = sorted(os.listdir(out))
+    assert files and all(f.startswith("part-") and f.endswith(".warc") for f in files)
+    back = spark.read.format("warc").load(out)
+    rows = {r.target_uri: r for r in back.collect()}
+    assert set(rows) == {"https://x1/", "https://x2/", "https://x3/"}
+    assert rows["https://x1/"].body == "<html>one</html>"
+    assert rows["https://x3/"].body == ""  # null body writes an empty block
+    assert all(r.http_status == 200 and r.error is None for r in rows.values())
+
+
+def test_writer_gzip_per_record_round_trip(spark, tmp_path):
+    register_warc_source(spark)
+    out = str(tmp_path / "gz")
+    spark.createDataFrame(
+        [("https://g1/", "gz body")], "target_uri string, body string"
+    ).coalesce(1).write.format("warc").option("gzip_per_record", "true").mode(
+        "append"
+    ).save(out)
+    with open(os.path.join(out, sorted(os.listdir(out))[0]), "rb") as f:
+        assert f.read(2) == b"\x1f\x8b"  # gzip member framing on disk
+    back = spark.read.format("warc").load(out).collect()
+    assert len(back) == 1 and back[0].body == "gz body"
