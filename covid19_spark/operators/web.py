@@ -420,12 +420,18 @@ def politeness_schedule(
     from pyspark.sql import Window
 
     agent = agent.lower()
-    # agent-specific delay preferred over '*' — smallest rank wins
+    # agent-specific delay preferred over '*'; if a host names the same
+    # class in several groups, take the LARGEST delay of the preferred
+    # class (the conservative reading, and deterministic where a min_by
+    # over a preference rank would tie-break arbitrarily between groups)
     pref = (
         delays.filter(F.col("agent").isin(agent, "*"))
-        .withColumn("_pref", F.when(F.col("agent") == agent, 0).otherwise(1))
         .groupBy("host")
-        .agg(F.min_by(F.col("delay_s"), F.col("_pref")).alias("delay_s"))
+        .agg(
+            F.max(F.when(F.col("agent") == agent, F.col("delay_s"))).alias("_ad"),
+            F.max(F.when(F.col("agent") == "*", F.col("delay_s"))).alias("_sd"),
+        )
+        .select("host", F.coalesce(F.col("_ad"), F.col("_sd")).alias("delay_s"))
     )
     u = urls.withColumn("_p_host", host_of(F.col(url_col)))
     slot = (

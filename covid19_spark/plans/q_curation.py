@@ -2426,3 +2426,88 @@ QUERY_REGISTRY["leakage_safe_split"] = QuerySpec(
     q_leakage_safe_split, ORACLE_LEAKAGE_SAFE_SPLIT,
     "cluster-atomic split: exact-dup clusters never straddle train/eval (oracle-pinned guarantee)",
 )
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration report — the reliability diagram every
+    quality-filter deployment reads before trusting a score as a keep
+    probability: the hashed linear classifier's score maps to p ∈ [0,1],
+    docs bucket into 10 equal-width confidence bins, and each bin reports
+    volume, mean confidence, and the observed positive rate (outcome here:
+    the n_chars ≥ 400 length gate) plus the |confidence − accuracy| gap —
+    the per-bin term of Expected Calibration Error.
+
+    Determinism: p is an identical IEEE expression in both engines; its
+    per-bin mean rides the pagerank-style 1e-15 floor-grid integer sum
+    (double→DECIMAL casts round differently cross-engine, integer grids
+    do not); bin ids and rates are integer math. One aggregate pass.
+
+    Scale: map-only scoring (the classifier fold) + one |bins|-row
+    aggregate — the report costs one scan at any corpus size."""
+    from covid19_spark.operators.curation import linear_classifier_columns
+
+    docs = _t(spark, sf_dir, "documents")
+    cols = linear_classifier_columns(F.col("text"))
+    score = cols["score"]
+    p = (score + 1.0) / 2.0
+    binc = F.least(F.lit(9), F.floor(p * 10).cast("int"))
+    outcome = (F.col("n_chars") >= 400).cast("long")
+    grid = F.floor(p * 1e15).cast("long")
+    scored = docs.select(
+        binc.alias("bin"), grid.alias("p_grid"), outcome.alias("pos")
+    ).filter(F.col("bin").isNotNull())
+    return (
+        scored.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("p_grid") / 1e15 / F.count(F.lit(1))).alias("mean_confidence"),
+            (F.sum("pos") / F.count(F.lit(1))).alias("positive_rate"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "mean_confidence",
+            "positive_rate",
+            F.abs(F.col("mean_confidence") - F.col("positive_rate")).alias("calibration_gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE_CALIBRATION_BINS = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_chars, len(toks) AS n_tokens,
+         coalesce(CAST(list_aggregate(
+             list_transform(toks,
+                 x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % 2001 - 1000),
+             'sum') AS BIGINT), 0) AS weight_sum
+  FROM t
+),
+p AS (
+  SELECT n_chars,
+         (weight_sum / (1000.0 * n_tokens) + 1.0) / 2.0 AS p
+  FROM s WHERE n_tokens > 0
+),
+b AS (
+  SELECT least(9, CAST(floor(p * 10) AS INT)) AS bin,
+         CAST(floor(p * 1e15) AS BIGINT) AS p_grid,
+         CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS pos
+  FROM p
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       sum(p_grid) / 1e15 / count(*) AS mean_confidence,
+       CAST(sum(pos) AS DOUBLE) / count(*) AS positive_rate,
+       abs(sum(p_grid) / 1e15 / count(*)
+           - CAST(sum(pos) AS DOUBLE) / count(*)) AS calibration_gap
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+QUERY_REGISTRY["calibration_bins"] = QuerySpec(
+    q_calibration_bins, ORACLE_CALIBRATION_BINS,
+    "classifier reliability bins (confidence vs observed rate, floor-grid exact means)",
+)

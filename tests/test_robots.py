@@ -147,3 +147,19 @@ def test_politeness_schedule_slots_and_group_preference(spark):
     assert [rows[i].fetch_offset_s for i in (1, 2, 3)] == [0.0, 0.5, 1.0]
     # unknown host falls back to the default delay at slot 0
     assert rows[4].slot == 0 and rows[4].delay_s == 1.0
+
+
+def test_politeness_same_agent_in_two_groups_takes_max(spark):
+    """A host naming the agent's class in TWO groups with different
+    delays resolves deterministically to the larger (conservative) one."""
+    from covid19_spark.operators.web import politeness_schedule, robots_crawl_delays
+
+    robots = spark.createDataFrame(
+        [("a.com",
+          "User-agent: crawler\nCrawl-delay: 2\n\n"
+          "User-agent: crawler\nCrawl-delay: 5\n")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame([(1, "https://a.com/x")], "id long, url string")
+    r = politeness_schedule(urls, robots_crawl_delays(robots), "crawler").collect()[0]
+    assert r.delay_s == 5.0
