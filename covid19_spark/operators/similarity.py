@@ -1220,11 +1220,15 @@ def cosine_topk_arrow(
     matrix.
 
     Equivalence contract: same (query_id, rank, neighbor_id) results as
-    the JVM-expression path; ``sim`` may differ in the last float ulps
-    (BLAS pairwise summation vs the SQL left-to-right fold) — pinned by
-    ``tests/test_similarity_arrow.py`` at 1e-9, which is why this binding
-    backs no registry oracle (the JVM path does) and exists as the
-    measured fast path for wide embeddings.
+    the JVM-expression path — including exact ties, whose local cut is
+    ordered (sim desc, neighbor_id asc) like the global rank; ``sim`` may
+    differ in the last float ulps (BLAS pairwise summation vs the SQL
+    left-to-right fold) — pinned by ``tests/test_similarity_arrow.py`` at
+    1e-9, which is why this binding backs no registry oracle (the JVM
+    path does) and exists as the measured fast path for wide embeddings.
+    One deliberate divergence: zero-norm vectors score NULL here and rank
+    last (the JVM expression RAISES under ANSI mode on the 0/0) —
+    strictly more permissive on degenerate inputs.
     """
     import pyarrow as pa
 
@@ -1232,9 +1236,10 @@ def cosine_topk_arrow(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     ).collect()  # contract-small: queries are the broadcast side by contract
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
-    qm = np.array([r["qv"] for r in q_rows], dtype=np.float64)
-    qn = np.linalg.norm(qm, axis=1)
-    qn[qn == 0] = 1.0
+    qm = np.array([r["qv"] for r in q_rows], dtype=np.float64).reshape(len(q_rows), -1)
+    qn = np.linalg.norm(qm, axis=1) if len(q_rows) else np.zeros(0)
+    q_zero = qn == 0
+    qn_safe = np.where(q_zero, 1.0, qn)
 
     out_schema_arrow = pa.schema(
         [
@@ -1245,31 +1250,47 @@ def cosine_topk_arrow(
     )
 
     def score(batches):
+        if len(q_ids) == 0:
+            return
         for batch in batches:
             ids = batch.column(0).to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                continue
             col = batch.column(1)
             if isinstance(col, pa.ChunkedArray):  # pragma: no cover - defensive
                 col = col.combine_chunks()
             flat = col.flatten().to_numpy(zero_copy_only=False)
             x = flat.reshape(len(ids), -1).astype(np.float64, copy=False)
             xn = np.linalg.norm(x, axis=1)
-            xn[xn == 0] = 1.0
-            sims = (qm @ x.T) / qn[:, None] / xn[None, :]
-            # self-match mask + per-batch local top-k per query
+            x_zero = xn == 0
+            xn_safe = np.where(x_zero, 1.0, xn)
+            sims = (qm @ x.T) / qn_safe[:, None] / xn_safe[None, :]
             for qi, qid in enumerate(q_ids):
                 s = sims[qi]
-                mask = ids != qid
-                cand_idx = np.nonzero(mask)[0]
-                if len(cand_idx) == 0:
+                # 0/0 is NULL in the JVM twin (Spark div-by-zero) and NULL
+                # sorts LAST under the global (sim desc, id asc) rank — so
+                # null-sim candidates fill the local cut only AFTER every
+                # finite one, ordered by id, and emit as nulls
+                null_sim = x_zero | q_zero[qi]
+                cand = ids != qid
+                fin = np.nonzero(cand & ~null_sim)[0]
+                nul = np.nonzero(cand & null_sim)[0]
+                if len(fin) == 0 and len(nul) == 0:
                     continue
-                take = min(k, len(cand_idx))
-                # argpartition for the local cut, exact sort of the cut
-                part = cand_idx[np.argpartition(-s[cand_idx], take - 1)[:take]]
+                # exact local order: (-sim, neighbor_id) — lexsort keys are
+                # last-key-primary, so pass (id, -sim)
+                fin = fin[np.lexsort((ids[fin], -s[fin]))][:k]
+                out_ids = list(ids[fin].astype(np.int64))
+                out_sims: list = list(s[fin])
+                if len(out_ids) < k and len(nul):
+                    nul = nul[np.argsort(ids[nul])][: k - len(out_ids)]
+                    out_ids += list(ids[nul].astype(np.int64))
+                    out_sims += [None] * len(nul)
                 yield pa.record_batch(
                     [
-                        pa.array(np.full(take, qid), type=pa.int64()),
-                        pa.array(ids[part].astype(np.int64)),
-                        pa.array(s[part]),
+                        pa.array([int(qid)] * len(out_ids), type=pa.int64()),
+                        pa.array(out_ids, type=pa.int64()),
+                        pa.array(out_sims, type=pa.float64()),
                     ],
                     schema=out_schema_arrow,
                 )

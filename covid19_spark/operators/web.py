@@ -248,7 +248,12 @@ def robots_rules(
     rules = grouped.filter(
         F.col("kind").isin("allow", "disallow") & (F.col("value") != "")
     ).select("host", "grp", F.col("kind").alias("directive"), F.col("value").alias("path"))
-    return agents.join(rules, ["host", "grp"]).select(
+    # LEFT join: a UA group with NO rules still emits one (host, agent,
+    # NULL, NULL) marker row — group PRESENCE drives RFC 9309 group
+    # selection (an empty specific group means "everything allowed for
+    # this agent" and must still preempt '*'; deriving presence from
+    # rules-only rows would wrongly apply the '*' group)
+    return agents.join(rules, ["host", "grp"], "left").select(
         "host", "agent", "directive", "path"
     )
 
@@ -368,12 +373,21 @@ def robots_allowed(
         )
         .select("host", "directive", "path")
     )
+    # marker rows (empty groups) participate in group selection above but
+    # carry no matchable rule; collect_list skips the null structs they
+    # produce, so an empty effective group yields an EMPTY rule array —
+    # which the verdict reduction reads as "everything allowed", exactly
+    # the RFC's empty-group semantics (distinct from a missing host, whose
+    # _rules is NULL — same verdict, different provenance)
     host_rules = effective.groupBy("host").agg(
         F.collect_list(
-            F.struct(
-                F.length("path").alias("l"),
-                (F.col("directive") == "allow").cast("int").alias("a"),
-                F.col("path").alias("rule"),
+            F.when(
+                F.col("path").isNotNull(),
+                F.struct(
+                    F.length("path").alias("l"),
+                    (F.col("directive") == "allow").cast("int").alias("a"),
+                    F.col("path").alias("rule"),
+                ),
             )
         ).alias("_rules")
     )

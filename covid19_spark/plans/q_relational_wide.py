@@ -1036,7 +1036,7 @@ QUERY_REGISTRY["triangle_count"] = QuerySpec(
 
 def q_sql_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape, deliberately written as SQL TEXT with a CORRELATED
-    EXISTS (``sources/views.register_views`` + ``spark.sql``): orders per
+    EXISTS (``sources/tables.register_views`` + ``spark.sql``): orders per
     priority that had at least one lineitem shipped more than 60 days
     after the order date. Unlike the hand-decorrelated Q17/Q21/Q22
     queries, the rewrite here is CATALYST'S OWN — the plan pin asserts
@@ -1046,7 +1046,7 @@ def q_sql_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the EXISTS side prunes to (orderkey) before the semi join;
     the aggregate shuffles |priorities| rows."""
-    from covid19_spark.sources.views import register_views
+    from covid19_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)
     return spark.sql(

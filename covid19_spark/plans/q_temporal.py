@@ -1533,7 +1533,7 @@ probes AS (
 matched AS (
   SELECT p.user_id, p.probe_ts, i.event_type, i.valid_to, i.version,
          row_number() OVER (PARTITION BY p.user_id, p.probe_ts
-                            ORDER BY i.valid_from DESC) AS rn
+                            ORDER BY i.valid_from DESC, i.version DESC) AS rn
   FROM probes p
   LEFT JOIN iv2 i ON i.user_id = p.user_id AND i.valid_from <= p.probe_ts
 )

@@ -129,9 +129,12 @@ class WarcDataSourceWriter(DataSourceWriter):
     ``response`` records with an HTTP 200 wrapper, matching what
     ``parse_warc`` extracts back — the round-trip is pinned by test.
 
-    Task writes go to ``_tmp.<uuid>`` names; ``commit`` renames them into
-    place and ``abort`` removes them — per-file atomicity on a
-    rename-capable filesystem (the standard job-commit discipline)."""
+    Task writes stream record-by-record to ``_tmp.<uuid>`` names
+    (constant executor memory at any partition size); ``commit`` renames
+    them into place — after removing pre-existing ``part-*`` segments
+    when the save mode is overwrite — and ``abort`` removes the temp
+    files: per-file atomicity on a rename-capable filesystem (the
+    standard job-commit discipline)."""
 
     def __init__(self, options: dict, overwrite: bool):
         self.path = options.get("path")
@@ -151,33 +154,49 @@ class WarcDataSourceWriter(DataSourceWriter):
         )
 
         os.makedirs(self.path, exist_ok=True)
-        records = []
-        for i, row in enumerate(iterator):
-            body = (row["body"] or "").encode("utf-8")
-            block = http_response_block(200, "OK", body, "text/html")
-            records.append(
-                encode_warc_record(
+        tmp = os.path.join(self.path, f"_tmp.{uuid.uuid4().hex}.warc")
+        n = 0
+        f = None
+        try:
+            for i, row in enumerate(iterator):
+                body = (row["body"] or "").encode("utf-8")
+                block = http_response_block(200, "OK", body, "text/html")
+                rec = encode_warc_record(
                     getattr(row, "rec_type", None) or "response",
                     f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, row['target_uri'] or str(i))}>",
                     block,
                     target_uri=row["target_uri"],
                     content_type="application/http; msgtype=response",
                 )
-            )
-        tmp = os.path.join(self.path, f"_tmp.{uuid.uuid4().hex}.warc")
-        if records:
-            with open(tmp, "wb") as f:
-                f.write(encode_warc(records, gzip_per_record=self.gzip))
-        return WarcCommitMessage(tmp, len(records))
+                if f is None:
+                    f = open(tmp, "wb")
+                # one record encoded and flushed at a time: peak memory is
+                # one record, not the partition
+                f.write(encode_warc([rec], gzip_per_record=self.gzip))
+                n += 1
+        finally:
+            if f is not None:
+                f.close()
+        return WarcCommitMessage(tmp, n)
 
     def commit(self, messages):
+        import glob
         import os
 
+        if self.overwrite:
+            # replace semantics: pre-existing segments go away atomically
+            # with the commit (readers before the commit saw the old set,
+            # after it the new set; the tmp names are invisible to the
+            # reader's glob either way)
+            survivors = {m.path for m in messages if m is not None}
+            for p in glob.glob(os.path.join(self.path, "*")):
+                if os.path.isfile(p) and p not in survivors and not os.path.basename(p).startswith("_tmp."):
+                    os.remove(p)
         for i, m in enumerate(messages):
             if m is None or m.n_records == 0:
                 continue
-            final = m.path.replace("_tmp.", f"part-{i:05d}.", 1)
-            os.rename(m.path, final)
+            d, base = os.path.split(m.path)
+            os.rename(m.path, os.path.join(d, base.replace("_tmp.", f"part-{i:05d}.", 1)))
 
     def abort(self, messages):
         import os

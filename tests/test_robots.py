@@ -163,3 +163,29 @@ def test_politeness_same_agent_in_two_groups_takes_max(spark):
     urls = spark.createDataFrame([(1, "https://a.com/x")], "id long, url string")
     r = politeness_schedule(urls, robots_crawl_delays(robots), "crawler").collect()[0]
     assert r.delay_s == 5.0
+
+
+def test_empty_specific_group_preempts_wildcard(spark):
+    """RFC 9309 group selection is by group PRESENCE, not by having rules:
+    a crawler group containing only a Crawl-delay line has an EMPTY rule
+    set — meaning 'everything allowed for crawler' — and must still
+    preempt a '*' total lockout."""
+    rules = _rules(
+        spark,
+        [("g.com", "User-agent: crawler\nCrawl-delay: 1\nUser-agent: *\nDisallow: /\n")],
+    )
+    got = _verdicts(spark, rules, ["https://g.com/anything"])
+    assert got == [(True, None)]
+    # an agent WITHOUT its own group still gets the lockout
+    assert _verdicts(spark, rules, ["https://g.com/x"], agent="other") == [(False, "/")]
+
+
+def test_ua_lines_stack_across_blank_lines_per_rfc_abnf(spark):
+    """RFC 9309 ABNF: startgrouplines separated only by blank lines belong
+    to ONE group — so 'crawler' and '*' here share the lockout (a blank
+    line does NOT end a group; only a rule line does)."""
+    rules = _rules(
+        spark,
+        [("h.com", "User-agent: crawler\n\nUser-agent: *\nDisallow: /\n")],
+    )
+    assert _verdicts(spark, rules, ["https://h.com/x"]) == [(False, "/")]

@@ -39,13 +39,41 @@ def test_arrow_kernel_partition_invariant(spark):
     assert sorted(map(key, one)) == sorted(map(key, many))
 
 
-def test_arrow_kernel_excludes_self_and_handles_zero_vectors(spark):
+def test_arrow_kernel_matches_jvm_on_exact_ties(spark):
+    """Duplicate corpus vectors give bit-identical sims; the local cut must
+    break ties by neighbor_id exactly like the global (sim desc, id asc)
+    rank — matching the JVM path pair-for-pair."""
     rows = [
-        (0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0]),
+        (0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+        (4, [1.0, 0.0]), (5, [-1.0, 0.0]), (6, [1.0, 0.0]),
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    out = cosine_topk_arrow(df, df.filter("vec_id = 0"), k=3).collect()
-    ids = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
-    assert 0 not in ids                      # self excluded
-    assert ids[0] == 1                       # identical vector ranks first
-    assert len(ids) == 3                     # zero vector scored (0.0), not crashed
+    q = df.filter("vec_id = 0")
+    # k below the tie-set size: the cut itself must be id-ordered
+    jvm = [(r.rank, r.neighbor_id) for r in cosine_topk(df, q, k=2).collect()]
+    arrow = [
+        (r.rank, r.neighbor_id)
+        for r in cosine_topk_arrow(df.repartition(3), q, k=2).collect()
+    ]
+    assert jvm == arrow == [(1, 1), (2, 4)]
+
+
+def test_arrow_kernel_zero_vectors_score_null_and_rank_last(spark):
+    """Zero-norm vectors: the JVM expression path RAISES under ANSI mode
+    (0/0); this kernel scores them NULL and ranks them last — strictly
+    more permissive, documented in the operator."""
+    rows = [
+        (0, [1.0, 0.0]), (1, [1.0, 0.0]), (3, [0.0, 0.0]), (5, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sorted(
+        cosine_topk_arrow(df, df.filter("vec_id = 0"), k=3).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.neighbor_id for r in out] == [1, 5, 3]
+    assert out[-1].sim is None and out[0].sim == pytest.approx(1.0)
+    # zero-norm QUERY: every candidate is null-sim, filled by id order
+    zq = cosine_topk_arrow(df, df.filter("vec_id = 3"), k=2).collect()
+    assert sorted((r.rank, r.neighbor_id, r.sim) for r in zq) == [
+        (1, 0, None), (2, 1, None),
+    ]

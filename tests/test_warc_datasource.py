@@ -138,3 +138,21 @@ def test_writer_gzip_per_record_round_trip(spark, tmp_path):
         assert f.read(2) == b"\x1f\x8b"  # gzip member framing on disk
     back = spark.read.format("warc").load(out).collect()
     assert len(back) == 1 and back[0].body == "gz body"
+
+
+def test_writer_overwrite_replaces_previous_segments(spark, tmp_path):
+    register_warc_source(spark)
+    out = str(tmp_path / "ow")
+    one = spark.createDataFrame(
+        [("https://old/", "old body")], "target_uri string, body string"
+    ).coalesce(1)
+    two = spark.createDataFrame(
+        [("https://new/", "new body")], "target_uri string, body string"
+    ).coalesce(1)
+    one.write.format("warc").mode("overwrite").save(out)
+    two.write.format("warc").mode("overwrite").save(out)
+    back = spark.read.format("warc").load(out).collect()
+    assert [r.target_uri for r in back] == ["https://new/"]
+    # append keeps both
+    one.write.format("warc").mode("append").save(out)
+    assert spark.read.format("warc").load(out).count() == 2
