@@ -1367,3 +1367,64 @@ def prefix_filter_join(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified
+
+
+def adaptive_block_assignment(
+    df: DataFrame,
+    key_levels: "Sequence[Column]",
+    max_block: int = 10_000,
+) -> DataFrame:
+    """Assign each row the COARSEST blocking key whose block fits
+    ``max_block`` — the escalation alternative to the drop-guard used by
+    the verify operators: instead of discarding an oversized block, its
+    rows re-block under the next, more specific key level (e.g. name
+    prefix 1 char → 2 chars → 4 chars), so recall degrades to
+    finer-grained pairing instead of to zero.
+
+    ``key_levels``: coarse→specific key expressions; every level's block
+    sizes are computed in ONE aggregate each (k levels → k
+    vocabulary-sized aggregates joined back broadcast-style), then a
+    single CASE picks, per row, the first level whose block fits. Rows
+    whose FINEST block still exceeds the cap keep the finest key with
+    ``saturated = true`` (the caller's drop/cap decision, now explicit
+    and observable instead of silent).
+
+    Output: input columns + ``block_level`` (int), ``block_key``
+    (string), ``saturated``. Pairing then joins on (block_level,
+    block_key): rows pair only within their ASSIGNED level — escalated
+    rows never pair against the coarse block they escaped, which keeps
+    the pair space bounded by ``max_block`` per block by construction.
+    """
+    levels = list(key_levels)
+    if not levels:
+        raise ValueError("adaptive_block_assignment requires at least one key level")
+    out = df
+    for i, expr in enumerate(levels):
+        out = out.withColumn(f"__k{i}", expr.cast("string"))
+    for i in range(len(levels)):
+        sizes = (
+            out.groupBy(f"__k{i}")
+            .agg(F.count(F.lit(1)).alias(f"__s{i}"))
+        )
+        out = out.join(F.broadcast(sizes), f"__k{i}")
+    level = None
+    for i in range(len(levels)):
+        cond = F.col(f"__s{i}") <= max_block
+        level = F.when(cond, i) if level is None else level.when(cond, i)
+    last = len(levels) - 1
+    level = level.otherwise(last)
+    key = None
+    for i in range(len(levels)):
+        key = (
+            F.when(level == i, F.col(f"__k{i}"))
+            if key is None
+            else key.when(level == i, F.col(f"__k{i}"))
+        )
+    saturated = F.col(f"__s{last}") > max_block
+    result = out.select(
+        *[c for c in df.columns],
+        level.cast("int").alias("block_level"),
+        key.alias("block_key"),
+        (saturated & (level == last)).alias("saturated"),
+    )
+    return result

@@ -1084,3 +1084,209 @@ QUERY_REGISTRY["sql_priority_exists"] = QuerySpec(
     q_sql_priority_exists, ORACLE_SQL_PRIORITY_EXISTS,
     "Q4-shape SQL-text correlated EXISTS (Catalyst decorrelates; LeftSemi plan-pinned)",
 )
+
+
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution SURVIVORSHIP — the fourth ER stage after
+    blocking/matching/clustering (``fuzzy_name_match`` →
+    ``dedup_clusters``): fuse each duplicate cluster into one golden
+    record under deterministic survivorship rules. Corpus: customers ≤
+    500 plus two planted near-duplicate copies each (one with a longer
+    name variant and higher balance, one with a divergent segment), so
+    every rule has something to decide.
+
+    Rules (all single-aggregate, no per-cluster subqueries):
+    - name: LONGEST, tie → lexicographically smallest
+      (``min_by(name, (-len, name))`` — a total order, so deterministic);
+    - acctbal: maximum (most-recent-update proxy);
+    - mktsegment: MODE with lexicographic tiebreak — a two-level
+      aggregate (votes per value, then ``min_by(value, (-votes, value))``);
+    - provenance: record count + distinct source-id list fingerprint.
+
+    Scale: two hash aggregates (votes, fusion) on the cluster key —
+    survivorship is aggregation, never a self-join."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    copy1 = cust.select(
+        (F.col("c_custkey") + 10000).alias("c_custkey"),
+        F.concat(F.col("c_name"), F.lit("-ALT")).alias("c_name"),
+        "c_nationkey",
+        (F.col("c_acctbal") + 50.5).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    copy2 = cust.select(
+        (F.col("c_custkey") + 20000).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") - 10.25).alias("c_acctbal"),
+        F.lit("MACHINERY").alias("c_mktsegment"),
+    )
+    recs = cust.select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).unionByName(copy1).unionByName(copy2)
+    clustered = recs.withColumn("cluster", F.col("c_custkey") % 10000)
+
+    votes = clustered.groupBy("cluster", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    seg_mode = votes.groupBy("cluster").agg(
+        F.min_by(
+            F.col("c_mktsegment"), F.struct((-F.col("v")).alias("nv"), F.col("c_mktsegment"))
+        ).alias("golden_segment")
+    )
+    fused = clustered.groupBy("cluster").agg(
+        F.min_by(
+            F.col("c_name"),
+            F.struct((-F.length("c_name")).alias("nl"), F.col("c_name")),
+        ).alias("golden_name"),
+        F.max(F.col("c_acctbal").cast(DEC)).cast("double").alias("golden_acctbal"),
+        F.count(F.lit(1)).alias("n_records"),
+        F.sort_array(F.collect_set("c_custkey")).alias("source_keys"),
+    )
+    return (
+        fused.join(seg_mode, "cluster")
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "golden_name",
+            "golden_acctbal",
+            "golden_segment",
+            F.col("n_records").cast("long").alias("n_records"),
+            F.array_join(F.transform("source_keys", lambda k: k.cast("string")), ",").alias(
+                "source_keys"
+            ),
+        )
+        .orderBy("cluster")
+    )
+
+
+ORACLE_GOLDEN_RECORD = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey <= 500
+),
+recs AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT c_custkey + 10000, c_name || '-ALT', c_nationkey,
+         c_acctbal + 50.5, c_mktsegment FROM base
+  UNION ALL
+  SELECT c_custkey + 20000, c_name, c_nationkey,
+         c_acctbal - 10.25, 'MACHINERY' FROM base
+),
+clustered AS (SELECT *, c_custkey % 10000 AS cluster FROM recs),
+votes AS (
+  SELECT cluster, c_mktsegment, count(*) AS v
+  FROM clustered GROUP BY 1, 2
+),
+seg_mode AS (
+  SELECT cluster, c_mktsegment AS golden_segment
+  FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+                                     ORDER BY v DESC, c_mktsegment) AS rn
+        FROM votes)
+  WHERE rn = 1
+),
+name_pick AS (
+  SELECT cluster, c_name AS golden_name
+  FROM (SELECT cluster, c_name,
+               row_number() OVER (PARTITION BY cluster
+                                  ORDER BY len(c_name) DESC, c_name) AS rn
+        FROM clustered)
+  WHERE rn = 1
+),
+fused AS (
+  SELECT cluster,
+         CAST(max(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS golden_acctbal,
+         count(*) AS n_records,
+         array_to_string(list_sort(list(DISTINCT c_custkey)), ',') AS source_keys
+  FROM clustered GROUP BY cluster
+)
+SELECT CAST(f.cluster AS BIGINT) AS cluster, n.golden_name, golden_acctbal,
+       golden_segment, CAST(n_records AS BIGINT) AS n_records, source_keys
+FROM fused f
+JOIN seg_mode s ON f.cluster = s.cluster
+JOIN name_pick n ON f.cluster = n.cluster
+ORDER BY cluster
+"""
+
+QUERY_REGISTRY["golden_record"] = QuerySpec(
+    q_golden_record, ORACLE_GOLDEN_RECORD,
+    "ER survivorship: cluster fusion under deterministic rules (longest-name/max-balance/mode-segment)",
+)
+
+
+def q_adaptive_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive (escalating) ER blocking — the recall-preserving
+    alternative to the oversized-block DROP guard the verify operators
+    use: every customer takes the COARSEST key level whose block fits the
+    cap (global → segment → segment|nation), so an oversized block
+    re-blocks finer instead of being discarded, and rows whose finest
+    block still overflows surface as ``saturated`` (the drop decision
+    made explicit). With cap 300 the segment sizes straddle the cap, so
+    the assignment genuinely mixes levels.
+
+    Output: per (block_level, saturated): row count, distinct blocks,
+    and the largest assigned block — which the cap bounds BY CONSTRUCTION
+    for non-saturated rows (the oracle recomputes it, so a violation is a
+    value mismatch, not just a failed test).
+
+    Scale: k levels → k vocabulary-sized size-aggregates broadcast back;
+    assignment is a CASE — no pairwise work here; the downstream pair
+    join keys on (level, key) with per-block width ≤ cap."""
+    from covid19_spark.operators.dedup import adaptive_block_assignment
+
+    cust = _t(spark, sf_dir, "customer")
+    assigned = adaptive_block_assignment(
+        cust,
+        [
+            F.lit("*"),
+            F.col("c_mktsegment"),
+            F.concat(F.col("c_mktsegment"), F.lit("|"), F.col("c_nationkey").cast("string")),
+        ],
+        max_block=300,
+    )
+    per_block = assigned.groupBy("block_level", "saturated", "block_key").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    return (
+        per_block.groupBy("block_level", "saturated")
+        .agg(
+            F.sum("bn").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.max("bn").cast("long").alias("max_block_size"),
+        )
+        .orderBy("block_level", "saturated")
+    )
+
+
+ORACLE_ADAPTIVE_BLOCKING = """
+WITH c AS (
+  SELECT c_custkey,
+         '*' AS k0,
+         c_mktsegment AS k1,
+         c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR) AS k2
+  FROM customer
+),
+s0 AS (SELECT k0, count(*) AS n0 FROM c GROUP BY 1),
+s1 AS (SELECT k1, count(*) AS n1 FROM c GROUP BY 1),
+s2 AS (SELECT k2, count(*) AS n2 FROM c GROUP BY 1),
+a AS (
+  SELECT c.*,
+         CASE WHEN n0 <= 300 THEN 0 WHEN n1 <= 300 THEN 1 ELSE 2 END AS block_level,
+         CASE WHEN n0 <= 300 THEN k0 WHEN n1 <= 300 THEN k1 ELSE k2 END AS block_key,
+         (n0 > 300 AND n1 > 300 AND n2 > 300) AS saturated
+  FROM c JOIN s0 USING (k0) JOIN s1 USING (k1) JOIN s2 USING (k2)
+),
+pb AS (
+  SELECT block_level, saturated, block_key, count(*) AS bn
+  FROM a GROUP BY 1, 2, 3
+)
+SELECT CAST(block_level AS INT) AS block_level, saturated,
+       CAST(sum(bn) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(max(bn) AS BIGINT) AS max_block_size
+FROM pb GROUP BY 1, 2 ORDER BY block_level, saturated
+"""
+
+QUERY_REGISTRY["adaptive_blocking"] = QuerySpec(
+    q_adaptive_blocking, ORACLE_ADAPTIVE_BLOCKING,
+    "escalating ER blocking: coarsest fitting key level per row, saturation explicit (oracle recomputes the cap bound)",
+)

@@ -942,3 +942,42 @@ def test_containment_asymmetry_and_exactness(spark):
 
     with pytest.raises(ValueError):
         containment_pairs(df, "doc_id", "text", [], n=2)
+
+
+def test_adaptive_block_assignment_escalates_and_saturates(spark):
+    from covid19_spark.operators.dedup import adaptive_block_assignment
+
+    # block A: 2 rows (fits at level 1); block B: 4 rows (oversized at
+    # level 1, splits at level 2); block C: 3 identical to the finest
+    # level -> saturated
+    rows = [
+        (1, "A", "A1"), (2, "A", "A2"),
+        (3, "B", "B1"), (4, "B", "B1"), (5, "B", "B2"), (6, "B", "B2"),
+        (7, "C", "C1"), (8, "C", "C1"), (9, "C", "C1"),
+    ]
+    df = spark.createDataFrame(rows, "id long, coarse string, fine string")
+    out = {
+        r.id: (r.block_level, r.block_key, r.saturated)
+        for r in adaptive_block_assignment(
+            df, [F.col("coarse"), F.col("fine")], max_block=2
+        ).collect()
+    }
+    assert out[1] == (0, "A", False) and out[2] == (0, "A", False)
+    assert out[3] == (1, "B1", False) and out[5] == (1, "B2", False)
+    # C: coarse block of 3 > 2, fine block of 3 > 2 -> saturated at level 1
+    assert out[7] == (1, "C1", True)
+    # bound: every non-saturated assigned block fits the cap
+    from collections import Counter
+
+    sizes = Counter((lvl, key) for lvl, key, sat in out.values() if not sat)
+    assert max(sizes.values()) <= 2
+
+
+def test_adaptive_block_assignment_requires_levels(spark):
+    import pytest
+
+    from covid19_spark.operators.dedup import adaptive_block_assignment
+
+    df = spark.createDataFrame([(1, "x")], "id long, k string")
+    with pytest.raises(ValueError):
+        adaptive_block_assignment(df, [], max_block=10)
