@@ -1290,3 +1290,174 @@ QUERY_REGISTRY["adaptive_blocking"] = QuerySpec(
     q_adaptive_blocking, ORACLE_ADAPTIVE_BLOCKING,
     "escalating ER blocking: coarsest fitting key level per row, saturation explicit (oracle recomputes the cap bound)",
 )
+
+
+def q_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (OR-of-ANDs across a join): revenue from lineitems
+    whose part matches one of three disjunctive brand/size/quantity
+    clauses — the shape that tests the optimizer's predicate
+    DECOMPOSITION: Catalyst extracts the common single-side conjuncts of
+    the OR (each clause constrains p_size and l_quantity) and pushes the
+    derived range filters into BOTH scans below the join, so the join
+    input shrinks even though no single clause applies globally. The plan
+    pin asserts the derived l_quantity bound reached the lineitem scan.
+
+    Micro-unit quantity bounds keep the clause membership integer-exact
+    cross-engine; revenue rides the DECIMAL contract."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty_u", F.round(F.col("l_quantity") * 1_000_000).cast("long")
+    )
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    m = 1_000_000
+    clause1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("qty_u").between(1 * m, 11 * m))
+    )
+    clause2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("qty_u").between(10 * m, 20 * m))
+    )
+    clause3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 35))
+        & (F.col("qty_u").between(20 * m, 30 * m))
+    )
+    return (
+        j.filter(clause1 | clause2 | clause3)
+        .groupBy("p_brand")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_DISJUNCTIVE_PREDICATES = """
+WITH li AS (
+  SELECT *, CAST(round(l_quantity * 1000000) AS BIGINT) AS qty_u FROM lineitem
+)
+SELECT p_brand,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM li JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND qty_u BETWEEN 1000000 AND 11000000)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND qty_u BETWEEN 10000000 AND 20000000)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND qty_u BETWEEN 20000000 AND 30000000)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+QUERY_REGISTRY["disjunctive_predicates"] = QuerySpec(
+    q_disjunctive_predicates, ORACLE_DISJUNCTIVE_PREDICATES,
+    "Q19-shape OR-of-ANDs across a join (derived bounds pushed below the join)",
+)
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the fact
+    side keys on ``nullif(event_type, 'click')`` — so 'click' rows carry a
+    NULL key — and joins a per-key dim built from the same expression.
+    Plain equality silently DROPS the null-keyed rows (null = null is
+    null); the null-safe operator matches them to the dim's null row —
+    the semantics gap this query pins cross-engine (DuckDB: IS NOT
+    DISTINCT FROM). The dim is pre-aggregated to one row per key, so the
+    null⋈null match is 1:1, never an n² null-block blowup.
+
+    Scale: dim is |keys|+1 rows (broadcast); the fact join is map-side.
+    """
+    ev = _t(spark, sf_dir, "events")
+    key = F.nullif(F.col("event_type"), F.lit("click"))
+    fact = ev.select(key.alias("k"), "value")
+    dim = (
+        fact.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("dim_rows"))
+        .withColumnRenamed("k", "dk")
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.k.eqNullSafe(dim.dk))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("dim_rows").cast("long").alias("dim_rows"),
+            _dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("k"), F.lit("<null>")).alias("key"),
+            "n_rows",
+            "dim_rows",
+            "sum_value",
+        )
+        .orderBy("key")
+    )
+
+
+ORACLE_NULL_SAFE_JOIN = """
+WITH fact AS (
+  SELECT nullif(event_type, 'click') AS k, value FROM events
+),
+dim AS (SELECT k AS dk, count(*) AS dim_rows FROM fact GROUP BY 1)
+SELECT coalesce(k, '<null>') AS key,
+       count(*) AS n_rows,
+       CAST(max(dim_rows) AS BIGINT) AS dim_rows,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM fact JOIN dim ON fact.k IS NOT DISTINCT FROM dim.dk
+GROUP BY k
+ORDER BY key
+"""
+
+QUERY_REGISTRY["null_safe_join"] = QuerySpec(
+    q_null_safe_join, ORACLE_NULL_SAFE_JOIN,
+    "null-safe equality join (<=>): null keys match the dim's null row instead of dropping",
+)
+
+
+def q_grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the shapes CUBE/ROLLUP can't express:
+    exactly two independent single-column groupings + the grand total, no
+    cross products) as SQL text, with ``grouping_id`` disambiguating the
+    levels — one aggregation pass produces the region report, the segment
+    report, and the total that a dashboard would otherwise run three
+    queries for. DuckDB replays the identical sets with GROUPING()."""
+    from covid19_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(r_name, '<all>') AS region,
+               coalesce(c_mktsegment, '<all>') AS segment,
+               grouping_id(r_name, c_mktsegment) AS gid,
+               count(*) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_balance
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+        ORDER BY gid, region, segment
+        """
+    )
+
+
+ORACLE_GROUPING_SETS_REPORT = """
+SELECT coalesce(r_name, '<all>') AS region,
+       coalesce(c_mktsegment, '<all>') AS segment,
+       CAST(grouping(r_name) * 2 + grouping(c_mktsegment) AS BIGINT) AS gid,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+ORDER BY gid, region, segment
+"""
+
+QUERY_REGISTRY["grouping_sets_report"] = QuerySpec(
+    q_grouping_sets_report, ORACLE_GROUPING_SETS_REPORT,
+    "explicit GROUPING SETS with grouping_id: two reports + total in one pass",
+)

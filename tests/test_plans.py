@@ -690,3 +690,28 @@ def test_triangle_count_no_cartesian_wedges(spark):
     anywhere in the census."""
     plan = plan_of(spark, "triangle_count")
     assert "CartesianProduct" not in plan
+
+
+def test_disjunctive_predicates_decomposed_below_join(spark):
+    """Catalyst must push the OR-of-ANDs' single-side components below the
+    join: the full disjunction reaches the part scan's pushed filters and
+    the derived quantity bounds sit in the lineitem scan's data filters."""
+    plan = plan_of(spark, "disjunctive_predicates")
+    li_scan = [l for l in plan.splitlines() if "lineitem.parquet" in l][0]
+    part_scan = [l for l in plan.splitlines() if "part.parquet" in l][0]
+    assert "EqualTo(p_brand" in part_scan     # OR tree pushed to parquet
+    assert "1000000" in li_scan               # derived qty bound at the scan
+
+
+def test_null_safe_join_broadcasts_and_keeps_nulls(spark):
+    plan = plan_of(spark, "null_safe_join")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    """GROUPING SETS compiles to ONE Expand + one aggregate — a single
+    pass over the joined input, not three queries."""
+    plan = plan_of(spark, "grouping_sets_report")
+    assert plan.count("Expand") == 1
+    assert plan.count("customer.parquet") == 1
