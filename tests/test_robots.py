@@ -189,3 +189,46 @@ def test_ua_lines_stack_across_blank_lines_per_rfc_abnf(spark):
         [("h.com", "User-agent: crawler\n\nUser-agent: *\nDisallow: /\n")],
     )
     assert _verdicts(spark, rules, ["https://h.com/x"]) == [(False, "/")]
+
+
+def test_robots_gate_works_unchanged_on_a_stream(spark, tmp_path):
+    """Batch/stream symmetry: robots_allowed is a broadcast stream-static
+    join + array expressions, so the SAME operator gates a streaming URL
+    frontier with no code change — the policy layer of the crawl stream."""
+    import os
+
+    from covid19_spark.operators.web import robots_allowed, robots_rules
+
+    d = str(tmp_path)
+    src, ckpt = f"{d}/src", f"{d}/ckpt"
+    os.makedirs(src)
+    rules = robots_rules(
+        spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n")],
+            "host string, robots_txt string",
+        )
+    )
+    spark.createDataFrame(
+        [
+            (1, "https://a.com/page"),
+            (2, "https://a.com/private/x"),
+            (3, "https://a.com/private/ok/y"),
+            (4, "https://elsewhere.com/z"),
+        ],
+        "id long, url string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("id long, url string").parquet(src)
+    gated = robots_allowed(stream, rules, agent="crawler").filter("allowed")
+    q = (
+        gated.select("id")
+        .writeStream.format("memory")
+        .queryName("robots_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.id for r in spark.table("robots_stream").collect())
+    assert got == [1, 3, 4]  # /private blocked; allow carve-out + fail-open pass
