@@ -967,3 +967,104 @@ QUERY_REGISTRY["ab_test_report"] = QuerySpec(
     q_ab_test_report, ORACLE_AB_TEST_REPORT,
     "Welch two-sample t-test per event type over hash-assigned arms (single-pass, bit-exact)",
 )
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the sweep-line interval
+    aggregation (capacity planning's headline number): user sessions
+    (30-minute gap) become ±1 boundary events at their start/end
+    micro-timestamps; a running sum ordered by (time, delta, user, id)
+    inside each DAY partition is the live concurrency curve, and its
+    per-day max is the answer. Sessions are attributed to their START
+    day (documented; the synthetic corpus has no cross-midnight
+    sessions to split).
+
+    Determinism: boundary order is a total order — epoch-microsecond
+    integers, ends (−1) before starts (+1) at the same instant (the
+    conservative reading: a session ending exactly when another starts
+    doesn't overlap it), then user/session ids. Both engines replay the
+    identical running sum.
+
+    Scale: the sweep is a window partitioned by DATE — one exchange,
+    per-day partition width; never a global single-partition sort.
+    """
+    from covid19_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    sess = session_stats(ev, ["user_id"], "ts", gap="30 minutes",
+                         tiebreak_cols=["event_id"])
+    starts = sess.select(
+        F.to_date("session_start").alias("date"),
+        F.unix_micros("session_start").alias("t"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "session_id",
+    )
+    ends = sess.select(
+        F.to_date("session_start").alias("date"),  # attributed to start day
+        F.unix_micros("session_end").alias("t"),
+        F.lit(-1).alias("delta"),
+        "user_id",
+        "session_id",
+    )
+    from pyspark.sql import Window
+
+    sweep = Window.partitionBy("date").orderBy(
+        F.col("t").asc(), F.col("delta").asc(), F.col("user_id").asc(),
+        F.col("session_id").asc(),
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    curve = starts.unionByName(ends).withColumn("live", F.sum("delta").over(sweep))
+    return (
+        curve.groupBy("date")
+        .agg(
+            F.max("live").cast("long").alias("peak_concurrency"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
+        )
+        .select(F.date_format("date", "yyyy-MM-dd").alias("date"),
+                "peak_concurrency", "n_sessions")
+        .orderBy("date")
+    )
+
+
+ORACLE_PEAK_CONCURRENCY = """
+WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+sess AS (
+  SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+  FROM runs GROUP BY 1, 2
+),
+bounds AS (
+  SELECT CAST(s AS DATE) AS date, epoch_us(s) AS t, 1 AS delta,
+         user_id, session_id FROM sess
+  UNION ALL
+  SELECT CAST(s AS DATE) AS date, epoch_us(e) AS t, -1 AS delta,
+         user_id, session_id FROM sess
+),
+curve AS (
+  SELECT date, sum(delta) OVER (PARTITION BY date
+                                ORDER BY t, delta, user_id, session_id
+                                ROWS UNBOUNDED PRECEDING) AS live
+  FROM bounds
+)
+SELECT strftime(date, '%Y-%m-%d') AS date,
+       CAST(max(live) AS BIGINT) AS peak_concurrency,
+       CAST(count(*) / 2 AS BIGINT) AS n_sessions
+FROM curve GROUP BY date ORDER BY date
+"""
+
+QUERY_REGISTRY["peak_concurrency"] = QuerySpec(
+    q_peak_concurrency, ORACLE_PEAK_CONCURRENCY,
+    "sweep-line peak concurrent sessions per day (day-partitioned running sum)",
+)

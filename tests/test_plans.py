@@ -715,3 +715,11 @@ def test_grouping_sets_single_expand_pass(spark):
     plan = plan_of(spark, "grouping_sets_report")
     assert plan.count("Expand") == 1
     assert plan.count("customer.parquet") == 1
+
+
+def test_peak_concurrency_sweep_is_day_partitioned(spark):
+    """The sweep-line running sum must partition by date — never a global
+    single-partition window over all boundaries."""
+    plan = plan_of(spark, "peak_concurrency")
+    assert not _global_windows(plan)
+    assert "CartesianProduct" not in plan
