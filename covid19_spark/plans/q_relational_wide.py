@@ -1461,3 +1461,70 @@ QUERY_REGISTRY["grouping_sets_report"] = QuerySpec(
     q_grouping_sets_report, ORACLE_GROUPING_SETS_REPORT,
     "explicit GROUPING SETS with grouping_id: two reports + total in one pass",
 )
+
+
+def q_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical percent-of-parent report (nation share of its region,
+    region share of the world) in ONE pass: the nation-level aggregate is
+    computed once, then region and world totals are window sums OVER the
+    aggregate (25 rows) — never re-scanning or re-joining the fact. The
+    BI tool's drill-down ratio columns, done with two zero-cost windows.
+
+    Determinism: shares divide two DECIMAL-exact doubles — identical IEEE
+    division both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    base = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias(
+                "rev_dec"
+            )
+        )
+    )
+    from pyspark.sql import Window
+
+    # window totals stay DECIMAL (exact, order-independent — a double
+    # window sum re-associates differently per engine and drifts ulps);
+    # the single double division happens last
+    by_region = Window.partitionBy("r_name")
+    world = Window.partitionBy()
+    r_dec = F.sum("rev_dec").over(by_region)
+    w_dec = F.sum("rev_dec").over(world)
+    return base.select(
+        "r_name",
+        "n_name",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (F.col("rev_dec").cast("double") / r_dec.cast("double")).alias("share_of_region"),
+        (r_dec.cast("double") / w_dec.cast("double")).alias("region_share_of_world"),
+    ).orderBy("r_name", "n_name")
+
+
+ORACLE_PERCENT_OF_PARENT = """
+WITH base AS (
+  SELECT r_name, n_name,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rev_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(rev_dec AS DOUBLE)
+         / CAST(sum(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE) AS share_of_region,
+       CAST(sum(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE)
+         / CAST(sum(rev_dec) OVER () AS DOUBLE) AS region_share_of_world
+FROM base
+ORDER BY r_name, n_name
+"""
+
+QUERY_REGISTRY["percent_of_parent"] = QuerySpec(
+    q_percent_of_parent, ORACLE_PERCENT_OF_PARENT,
+    "hierarchical percent-of-parent shares via windows over the aggregate (single fact pass)",
+)
