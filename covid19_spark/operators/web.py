@@ -416,10 +416,14 @@ def politeness_schedule(
     agent: str,
     default_delay_s: float = 1.0,
     url_col: str = "url",
+    tiebreak_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """Per-host fetch scheduling under Crawl-delay politeness: input rows
     gain ``slot`` (0-based per-host fetch position, deterministic — URLs
-    order lexicographically within a host), ``delay_s`` (the host's
+    order lexicographically within a host; pass ``tiebreak_cols`` (e.g. a
+    row id) whenever the frontier can contain DUPLICATE URLs, or the slot
+    order among the duplicates is engine/partitioning-dependent),
+    ``delay_s`` (the host's
     effective Crawl-delay: agent-specific group first, else ``*``, else
     ``default_delay_s``) and ``fetch_offset_s = slot × delay_s`` — the
     earliest time each URL may be fetched relative to the host's first
@@ -448,11 +452,9 @@ def politeness_schedule(
         .select("host", F.coalesce(F.col("_ad"), F.col("_sd")).alias("delay_s"))
     )
     u = urls.withColumn("_p_host", host_of(F.col(url_col)))
+    order = [F.col(url_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
     slot = (
-        F.row_number().over(
-            Window.partitionBy("_p_host").orderBy(F.col(url_col).asc())
-        )
-        - 1
+        F.row_number().over(Window.partitionBy("_p_host").orderBy(*order)) - 1
     )
     joined = u.join(F.broadcast(pref), u["_p_host"] == pref["host"], "left")
     eff = F.coalesce(F.col("delay_s"), F.lit(float(default_delay_s)))

@@ -2511,3 +2511,125 @@ QUERY_REGISTRY["calibration_bins"] = QuerySpec(
     q_calibration_bins, ORACLE_CALIBRATION_BINS,
     "classifier reliability bins (confidence vs observed rate, floor-grid exact means)",
 )
+
+
+def q_frontier_policy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE crawl-frontier policy pipeline in ONE plan — the four
+    gates every fetch candidate passes, composed: (1) URL
+    canonicalization (tracking params off, case/port normalized), (2)
+    label-boundary domain blocklist, (3) RFC 9309 robots verdict, (4)
+    Crawl-delay politeness slot for the survivors — emitting per URL its
+    canonical form, each gate's outcome, and the fetch offset (null for
+    refused URLs). One broadcast per policy table, one per-host window
+    for the slots, a single pass over the frontier otherwise.
+
+    Oracle: spec-level — DuckDB restates every gate and the slot
+    arithmetic straight from the synthesis (the component queries'
+    oracles, composed), never running the operators."""
+    from covid19_spark.operators.web import (
+        canonical_url,
+        host_of,
+        politeness_schedule,
+        robots_allowed,
+        robots_crawl_delays,
+        robots_rules,
+    )
+
+    d = F.col("doc_id")
+    raw_url = F.concat(
+        F.lit("HTTPS://Dom"), (d % 10).cast("string"), F.lit(".com:443"),
+        F.when(d % 4 == 0, F.concat(F.lit("/p/"), (d % 5).cast("string")))
+        .when(d % 4 == 1, F.lit("/private"))
+        .when(d % 4 == 2, F.concat(F.lit("/private/ok/"), (d % 7).cast("string")))
+        .otherwise(F.lit("/")),
+        F.lit("?utm_source=x"),
+    )
+    frontier = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", canonical_url(raw_url).alias("url"))
+    )
+    blocklist = ["dom3.com", "dom7.com"]
+    robots = spark.createDataFrame(
+        [(f"dom{h}.com", _ROBOTS_BODIES[h % 3]) for h in range(10)],
+        "host string, robots_txt string",
+    )
+    polite = spark.createDataFrame(
+        [(f"dom{h}.com", _POLITE_ROBOTS[h % 3]) for h in range(10)],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(robots)
+    delays = robots_crawl_delays(polite)
+
+    gated = frontier.withColumn(
+        "blocked", host_of(F.col("url")).isin(*blocklist)
+    )
+    verdicts = robots_allowed(gated, rules, agent="crawler")
+    eligible = verdicts.filter(~F.col("blocked") & F.col("allowed"))
+    # the canonical frontier CONTAINS duplicate URLs (many docs share
+    # /p/0) — doc_id tiebreaks the slot order into a total order
+    scheduled = politeness_schedule(
+        eligible.select("doc_id", "url"), delays, agent="crawler",
+        default_delay_s=1.0, tiebreak_cols=["doc_id"],
+    ).select("doc_id", "slot", "fetch_offset_s")
+    return (
+        verdicts.join(scheduled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "url",
+            "blocked",
+            "allowed",
+            "matched_rule",
+            F.col("slot").cast("long").alias("slot"),
+            "fetch_offset_s",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_FRONTIER_POLICY_PIPELINE = """
+WITH u AS (
+  SELECT doc_id, doc_id % 10 AS h, doc_id % 4 AS p,
+         CASE doc_id % 4
+           WHEN 0 THEN '/p/' || CAST(doc_id % 5 AS VARCHAR)
+           WHEN 1 THEN '/private'
+           WHEN 2 THEN '/private/ok/' || CAST(doc_id % 7 AS VARCHAR)
+           ELSE '/'
+         END AS path
+  FROM documents WHERE doc_id < 400
+),
+v AS (
+  SELECT doc_id, h, p, path,
+         'https://dom' || CAST(h AS VARCHAR) || '.com' || path AS url,
+         h IN (3, 7) AS blocked,
+         CASE
+           WHEN h % 3 = 0 AND p = 1 THEN FALSE
+           WHEN h % 3 = 1 AND p = 0 AND doc_id % 5 = 1 THEN FALSE
+           ELSE TRUE
+         END AS allowed,
+         CASE
+           WHEN h % 3 = 0 AND p = 1 THEN '/private'
+           WHEN h % 3 = 0 AND p = 2 THEN '/private/ok'
+           WHEN h % 3 = 1 AND p = 0 AND doc_id % 5 = 1 THEN '/p/1'
+         END AS matched_rule,
+         CASE h % 3 WHEN 0 THEN 2.0 WHEN 1 THEN 0.5 ELSE 1.0 END AS delay_s
+  FROM u
+),
+sched AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY h ORDER BY url, doc_id) - 1 AS slot,
+         delay_s
+  FROM v WHERE NOT blocked AND allowed
+)
+SELECT v.doc_id, v.url, v.blocked, v.allowed, v.matched_rule,
+       CAST(s.slot AS BIGINT) AS slot,
+       CAST(s.slot AS DOUBLE) * s.delay_s AS fetch_offset_s
+FROM v LEFT JOIN sched s ON v.doc_id = s.doc_id
+ORDER BY v.doc_id
+"""
+
+QUERY_REGISTRY["frontier_policy_pipeline"] = QuerySpec(
+    q_frontier_policy_pipeline, ORACLE_FRONTIER_POLICY_PIPELINE,
+    "composed crawl-frontier policy: canonicalize -> blocklist -> robots -> politeness, one plan vs spec-level oracle",
+)

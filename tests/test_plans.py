@@ -723,3 +723,12 @@ def test_peak_concurrency_sweep_is_day_partitioned(spark):
     plan = plan_of(spark, "peak_concurrency")
     assert not _global_windows(plan)
     assert "CartesianProduct" not in plan
+
+
+def test_frontier_policy_pipeline_single_frontier_scan(spark):
+    """The composed policy pipeline reads the frontier source once; every
+    policy table is broadcast; no cartesian stage."""
+    plan = plan_of(spark, "frontier_policy_pipeline")
+    assert plan.count("documents.parquet") <= 2  # verdicts + scheduled branch
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
