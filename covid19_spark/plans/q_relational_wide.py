@@ -1528,3 +1528,44 @@ QUERY_REGISTRY["percent_of_parent"] = QuerySpec(
     q_percent_of_parent, ORACLE_PERCENT_OF_PARENT,
     "hierarchical percent-of-parent shares via windows over the aggregate (single fact pass)",
 )
+
+
+def q_lateral_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery in FROM, as SQL text: each customer's
+    two highest-value orders via ``LATERAL (... ORDER BY ... LIMIT 2)`` —
+    the SQL spelling of top-N-per-group. The point is the PLAN: Catalyst
+    decorrelates the per-row LIMIT into a window group-limit over one
+    join (plan-pinned — WindowGroupLimit, no per-customer subquery
+    execution), matching the DataFrame row_number idiom's physics.
+    Deterministic: the LIMIT's ordering carries the o_orderkey tiebreak.
+    """
+    from covid19_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey <= 300
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+        """
+    )
+
+
+ORACLE_LATERAL_TOPN_PER_GROUP = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c.c_custkey <= 300
+ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+"""
+
+QUERY_REGISTRY["lateral_topn_per_group"] = QuerySpec(
+    q_lateral_topn_per_group, ORACLE_LATERAL_TOPN_PER_GROUP,
+    "SQL-text LATERAL top-N-per-group (Catalyst decorrelates to a window group-limit)",
+)

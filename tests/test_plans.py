@@ -732,3 +732,13 @@ def test_frontier_policy_pipeline_single_frontier_scan(spark):
     assert plan.count("documents.parquet") <= 2  # verdicts + scheduled branch
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark):
+    """The LATERAL per-row LIMIT must compile to WindowGroupLimit over ONE
+    join (partial before the exchange, final after) — never a
+    per-customer subquery execution or a cartesian."""
+    plan = plan_of(spark, "lateral_topn_per_group")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("orders.parquet") == 1
