@@ -1569,3 +1569,57 @@ QUERY_REGISTRY["lateral_topn_per_group"] = QuerySpec(
     q_lateral_topn_per_group, ORACLE_LATERAL_TOPN_PER_GROUP,
     "SQL-text LATERAL top-N-per-group (Catalyst decorrelates to a window group-limit)",
 )
+
+
+def q_recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE in Spark SQL (4.x): ancestor chains over the
+    synthetic binary hierarchy ``parent(k) = floor(k/2)`` on customer
+    keys ≤ 127 — each row walks to the root emitting depth and the full
+    path string. The genuinely recursive surface (unbounded-depth
+    iteration inside ONE SQL statement) that the fixed-iteration queries
+    (PageRank, Holt) unroll manually; DuckDB replays the identical
+    recursion. Arithmetic is ``floor(k / 2.0)`` in both engines (exact
+    for these magnitudes; integer-division syntax differs between them).
+
+    Scale note: each recursion step is a self-join of the frontier —
+    depth ≤ log2(max key), so the plan is ~7 chained joins here; at
+    scale the frontier shrinks geometrically and rows carry their own
+    state (no driver loop)."""
+    from covid19_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(k, anc, depth, path) AS (
+          SELECT c_custkey, c_custkey, 0, CAST(c_custkey AS STRING)
+          FROM customer WHERE c_custkey <= 127
+          UNION ALL
+          SELECT k, CAST(FLOOR(anc / 2.0) AS BIGINT), depth + 1,
+                 path || '>' || CAST(CAST(FLOOR(anc / 2.0) AS BIGINT) AS STRING)
+          FROM chain WHERE anc > 1
+        )
+        SELECT k AS c_custkey, depth, path
+        FROM chain WHERE anc = 1
+        ORDER BY c_custkey
+        """
+    )
+
+
+ORACLE_RECURSIVE_CTE_CHAIN = """
+WITH RECURSIVE chain(k, anc, depth, path) AS (
+  SELECT c_custkey, c_custkey, 0, CAST(c_custkey AS VARCHAR)
+  FROM customer WHERE c_custkey <= 127
+  UNION ALL
+  SELECT k, CAST(FLOOR(anc / 2.0) AS BIGINT), depth + 1,
+         path || '>' || CAST(CAST(FLOOR(anc / 2.0) AS BIGINT) AS VARCHAR)
+  FROM chain WHERE anc > 1
+)
+SELECT k AS c_custkey, CAST(depth AS INT) AS depth, path
+FROM chain WHERE anc = 1
+ORDER BY c_custkey
+"""
+
+QUERY_REGISTRY["recursive_cte_chain"] = QuerySpec(
+    q_recursive_cte_chain, ORACLE_RECURSIVE_CTE_CHAIN,
+    "WITH RECURSIVE ancestor chains (Spark 4 recursive CTE vs DuckDB replay)",
+)
