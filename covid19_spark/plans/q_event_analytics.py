@@ -1068,3 +1068,51 @@ QUERY_REGISTRY["peak_concurrency"] = QuerySpec(
     q_peak_concurrency, ORACLE_PEAK_CONCURRENCY,
     "sweep-line peak concurrent sessions per day (day-partitioned running sum)",
 )
+
+
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads through Spark 4's VARIANT type: the
+    events' JSON ``props`` column parses once (``parse_json`` — binary
+    variant encoding, no per-access re-parse) and typed extraction
+    (``try_variant_get $.k`` — null on missing/mistyped, never a crash)
+    feeds an ordinary exact aggregate per event type. The modern
+    schema-on-read path for payload columns whose shape evolves ahead of
+    the warehouse schema — the engine treats it as just another column.
+
+    Oracle: DuckDB extracts the same path with its JSON operators —
+    integer-exact stats."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_VARIANT_PROPS_STATS = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+QUERY_REGISTRY["variant_props_stats"] = QuerySpec(
+    q_variant_props_stats, ORACLE_VARIANT_PROPS_STATS,
+    "Spark 4 VARIANT schema-on-read over JSON props (typed try-extraction) vs DuckDB JSON oracle",
+)
