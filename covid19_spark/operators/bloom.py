@@ -142,11 +142,14 @@ def bloom_might_contain_inline(
     for i in range(k):
         pos = F.pmod(F.xxhash64(key, F.lit(seed_base + i)), F.lit(m_bits))
         word = F.element_at(lit_words, (pos / 64).cast("int") + 1)
-        mask = F.expr(
-            f"shiftleft(1L, cast(pmod(xxhash64({key_col}, {seed_base + i}), "
-            f"{m_bits}) % 64 as int))"
+        # Column-API bit probe reusing the SAME `pos` column as the word
+        # index — an F.expr SQL fragment here would re-interpolate key_col
+        # raw, and a name needing backticks (space/hyphen/reserved word)
+        # would fail to parse or bind a different column than the word
+        # lookup.  bit_get accepts a Column position (shiftleft does not).
+        checks.append(
+            F.bit_get(word, F.pmod(pos, F.lit(64)).cast("int")) == 1
         )
-        checks.append(word.bitwiseAND(mask) != 0)
     verdict = checks[0]
     for c in checks[1:]:
         verdict = verdict & c

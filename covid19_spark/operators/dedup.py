@@ -1394,13 +1394,29 @@ def adaptive_block_assignment(
     block_key): rows pair only within their ASSIGNED level — escalated
     rows never pair against the coarse block they escaped, which keeps
     the pair space bounded by ``max_block`` per block by construction.
+
+    NULL key values at any level are mapped to the sentinel ``"\\x00null"``
+    (one shared block per level) rather than dropped: plain equi-joins
+    would silently lose null-keyed rows, and a downstream pairing join on
+    ``block_key`` would lose them a second time.  Null-keyed rows
+    therefore block together and stay subject to the same ``max_block``
+    escalation as every other block.
     """
     levels = list(key_levels)
     if not levels:
         raise ValueError("adaptive_block_assignment requires at least one key level")
     out = df
     for i, expr in enumerate(levels):
-        out = out.withColumn(f"__k{i}", expr.cast("string"))
+        # Coalesce NULL keys to a sentinel BEFORE the size join: the per-level
+        # size frame is attached with an inner equi-join, and SQL null-safe
+        # equality does not apply there — a raw NULL key (e.g. a null
+        # attribute in the caller's concat) would silently drop the row from
+        # the output, defeating this operator's whole point of making drop
+        # decisions explicit via ``saturated``.  NUL is unreachable from
+        # ``cast("string")`` of real data, so no collision with user keys.
+        out = out.withColumn(
+            f"__k{i}", F.coalesce(expr.cast("string"), F.lit("\x00null"))
+        )
     for i in range(len(levels)):
         sizes = (
             out.groupBy(f"__k{i}")

@@ -1235,6 +1235,15 @@ def cosine_topk_arrow(
     q_rows = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     ).collect()  # contract-small: queries are the broadcast side by contract
+    if not q_rows:
+        # np.array([]).reshape(0, -1) cannot infer the trailing dim, so the
+        # empty-query case must short-circuit BEFORE building the matrix;
+        # an empty result frame with the output schema preserves downstream
+        # unions/joins.
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], schema="query_id long, rank int, neighbor_id long, sim double"
+        )
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     qm = np.array([r["qv"] for r in q_rows], dtype=np.float64).reshape(len(q_rows), -1)
     qn = np.linalg.norm(qm, axis=1) if len(q_rows) else np.zeros(0)

@@ -71,9 +71,9 @@ def load_correctness_artifacts() -> dict[int, set[str]]:
     ``CORRECTNESS_r{N}.json``.  Unreadable artifacts are skipped.
 
     A row whose value records a driver error (``err`` set — e.g. the
-    r09 ``no_oracle`` rows) or a failed row-count match does NOT count as
-    verified: the sweep ran it but produced no verification, so the LRU
-    must re-front it (round 10: 16 queries gained fixture oracles AFTER
+    r09 ``no_oracle`` rows) or a failed row-count, schema, or value-hash
+    match does NOT count as verified: the sweep ran it but produced no
+    (full) verification, so the LRU must re-front it (round 10: 16 queries gained fixture oracles AFTER
     appearing as ``err: no_oracle`` keys in r09 — counting bare keys would
     have parked exactly those outside the sweep window).  Rows with an
     unrecognized shape count as verified (the pre-r09 artifact formats)."""
@@ -94,7 +94,10 @@ def load_correctness_artifacts() -> dict[int, set[str]]:
         verified = set()
         for name, row in (data.items() if isinstance(data, dict) else []):
             if isinstance(row, dict) and (
-                row.get("err") is not None or row.get("rows_match") is False
+                row.get("err") is not None
+                or row.get("rows_match") is False
+                or row.get("schema_match") is False
+                or row.get("hash_match") is False
             ):
                 continue
             verified.add(name)

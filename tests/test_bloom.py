@@ -93,3 +93,33 @@ def test_inline_probe_plan_is_map_only(spark):
     assert "Join" not in plan and "Exchange" not in plan.replace(
         "Exchange RoundRobin", ""
     ), plan  # repartition from _keys is the only allowed exchange
+
+
+def test_inline_probe_handles_awkward_column_names(spark):
+    """ADVICE r10: the probe mask is built with the Column API (no SQL
+    string interpolation), so a key column whose name needs backticks in
+    SQL (space, hyphen) binds correctly and matches the join path."""
+    from covid19_spark.operators.bloom import (
+        bloom_bitmap_words,
+        bloom_might_contain_inline,
+    )
+
+    m, k = 1 << 13, 4
+    indexed = _keys(spark, 0, 500)
+    bloom = bloom_build(indexed, "key", m_bits=m, k=k)
+    words = bloom_bitmap_words(bloom, m)
+    cands = _keys(spark, 0, 1000).withColumnRenamed("key", "doc key-1")
+    got = {
+        r["doc key-1"]: r.might_contain
+        for r in bloom_might_contain_inline(
+            cands, words, "doc key-1", m_bits=m, k=k
+        ).collect()
+    }
+    ref = {
+        r.key: r.might_contain
+        for r in bloom_might_contain(
+            _keys(spark, 0, 1000), bloom, "key", m_bits=m, k=k
+        ).collect()
+    }
+    assert {k_: v for k_, v in got.items()} == ref
+    assert all(got[f"doc:{i}"] for i in range(500))

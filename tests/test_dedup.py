@@ -981,3 +981,30 @@ def test_adaptive_block_assignment_requires_levels(spark):
     df = spark.createDataFrame([(1, "x")], "id long, k string")
     with pytest.raises(ValueError):
         adaptive_block_assignment(df, [], max_block=10)
+
+
+def test_adaptive_block_assignment_null_keys_not_dropped(spark):
+    """ADVICE r10: a NULL key at any level must not vanish through the
+    inner size-join — null-keyed rows block together under the sentinel
+    and stay subject to the max_block escalation/saturation rules."""
+    from covid19_spark.operators.dedup import adaptive_block_assignment
+
+    rows = [
+        (1, "A", "A1"), (2, "A", "A2"),
+        (3, None, "N1"), (4, None, "N1"), (5, None, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, coarse string, fine string")
+    out = {
+        r.id: (r.block_level, r.block_key, r.saturated)
+        for r in adaptive_block_assignment(
+            df, [F.col("coarse"), F.col("fine")], max_block=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}  # nothing silently dropped
+    assert out[1] == (0, "A", False) and out[2] == (0, "A", False)
+    # the 3 null-coarse rows share one oversized level-0 block -> escalate:
+    # ids 3,4 fit at level 1 ("N1"); id 5's fine key is ALSO null -> the
+    # level-1 sentinel block of size 1 fits the cap
+    assert out[3] == (1, "N1", False) and out[4] == (1, "N1", False)
+    lvl5, key5, sat5 = out[5]
+    assert lvl5 == 1 and sat5 is False and key5 == "\x00null"

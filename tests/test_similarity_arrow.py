@@ -77,3 +77,14 @@ def test_arrow_kernel_zero_vectors_score_null_and_rank_last(spark):
     assert sorted((r.rank, r.neighbor_id, r.sim) for r in zq) == [
         (1, 0, None), (2, 1, None),
     ]
+
+
+def test_arrow_kernel_empty_queries_returns_empty(spark):
+    """ADVICE r10: an empty queries frame must short-circuit before the
+    (0, -1) reshape and return an empty frame with the output schema."""
+    emb = load_table(spark, "embeddings", SF)
+    out = cosine_topk_arrow(emb, emb.filter("vec_id < 0"), k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "rank", "neighbor_id", "sim",
+    ]
