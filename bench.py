@@ -145,6 +145,25 @@ def main() -> None:
     # half-cached plan — only warm codegen/IO paths, which is the point.
     anchor_start = _anchor()
     _settle()
+    # Previous sweep's per-query mins + anchor, for CROSS-SWEEP drift
+    # arbitration (VERDICT r10 #2): the intra-sweep rules below re-run only
+    # when a query's two runs DISAGREE, which is blind to interference that
+    # hits both runs equally at one sweep position (r10: pq_cosine_topk
+    # recorded 9.9 s with two agreeing runs, re-timed 2.9 s isolated).
+    # Comparison is anchor-NORMALIZED so a uniformly hot box doesn't flag
+    # the whole sweep.
+    prev_norm: dict[str, float] = {}
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+            )
+        ) as f:
+            _prev = json.load(f)
+        if _prev.get("sf") == (float(sf) if sf.replace(".", "").isdigit() else sf):
+            prev_norm = dict(_prev.get("queries_norm") or {})
+    except (OSError, ValueError):
+        prev_norm = {}
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
@@ -173,6 +192,30 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         all_runs[name] = [round(r, 3) for r in runs]
 
+    # Cross-sweep drift pass (VERDICT r10 #2): any query whose min is >2x
+    # its previous sweep's anchor-normalized min gets ONE isolated re-time
+    # here — at the sweep's end, after a settle, away from whatever
+    # position-local cleaner/GC storm inflated both in-sweep runs equally.
+    # Both numbers are recorded ("drift_retimes"), and the headline min
+    # includes the re-time, so a position artifact can no longer masquerade
+    # as a plan regression for a whole round.
+    mid_anchor = _anchor()
+    _settle()
+    drift_retimes: dict[str, float] = {}
+    for name, t in sorted(timings.items()):
+        prev = prev_norm.get(name)
+        if prev is None or prev <= 0 or t <= 1.0:
+            continue
+        if t / mid_anchor > 2.0 * prev:
+            fn = QUERY_REGISTRY[name].fn
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            retime = time.perf_counter() - t0
+            _settle()
+            drift_retimes[name] = round(retime, 3)
+            all_runs[name].append(round(retime, 3))
+            timings[name] = round(min(timings[name], retime), 3)
+
     anchor_end = _anchor()
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -198,6 +241,7 @@ def main() -> None:
         "queries": timings,
         "runs": all_runs,
         "spread_flags": spread_flags,
+        "drift_retimes": drift_retimes,
         "anchor_sec": anchor_sec,
         "anchor_start_sec": anchor_start,
         "anchor_end_sec": anchor_end,
