@@ -535,6 +535,17 @@ def _fit_quantizers_driver(ids, vecs, n_centroids: int, m: int, n_codes: int):
         if mask.any():
             centroids[c] = v[mask].mean(axis=0)
 
+    codebooks = _pq_codebooks_from_sorted(v, m, n_codes)
+    return centroids, codebooks
+
+
+def _pq_codebooks_from_sorted(v: "np.ndarray", m: int, n_codes: int):
+    """PQ half of the driver fit, over an ascending-id-sorted (n, dim)
+    matrix: normalize-then-slice subvectors, lowest-id seeds, one Lloyd
+    round with first-min (lowest-code) ties and empty-cluster-keeps-seed —
+    the exact ``pq_train_codebooks(iterations=1)`` semantics (see
+    ``_fit_quantizers_driver`` for the ulp caveat on numpy sum order)."""
+    n, dim = v.shape
     norms = np.sqrt((v * v).sum(axis=1))
     # zero-norm guard (ADVICE r09): a zero embedding normalizes to ITSELF
     # (zero subvectors, finite distances, deterministic lowest-code
@@ -557,7 +568,17 @@ def _fit_quantizers_driver(ids, vecs, n_centroids: int, m: int, n_codes: int):
             if mask.any():
                 cb[j] = x[mask].mean(axis=0)
         codebooks[s] = cb
-    return centroids, codebooks
+    return codebooks
+
+
+def _fit_pq_codebooks_driver(ids, vecs, m: int, n_codes: int):
+    """Driver-side numpy twin of ``pq_train_codebooks(iterations=1)`` alone
+    (no IVF tier) — the sanctioned contract-small fit ``pq_cosine_topk``
+    uses for its default index build. Sorts by id first so results are
+    collect-order-independent."""
+    order = np.argsort(np.asarray(ids, dtype=np.int64), kind="stable")
+    v = np.asarray([vecs[i] for i in order], dtype=np.float64)
+    return _pq_codebooks_from_sorted(v, m, n_codes)
 
 
 def ivfpq_cosine_topk(
@@ -571,7 +592,7 @@ def ivfpq_cosine_topk(
     shortlist: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    train_sample_mod: int | None = None,
+    train_sample_mod: "int | str | None" = "auto",
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
 ) -> DataFrame:
@@ -957,15 +978,31 @@ def pq_encode(
     )
 
 
+# FAISS-style training budget: quantizer fits see ~this many rows under
+# ``sample_mod="auto"`` (10⁵-10⁶ is standard practice; 2·10⁵ keeps the
+# driver-side collect in the low tens of MBs for 64-dim embeddings).
+_TRAIN_TARGET_ROWS = 200_000
+
+
 def quantizer_training_sample(
-    corpus: DataFrame, id_col: str, sample_mod: int | None
+    corpus: DataFrame, id_col: str, sample_mod: "int | str | None"
 ) -> DataFrame:
     """Deterministic training subset for quantizer fitting: keep rows where
     ``xxhash64(id) % sample_mod == 0`` (~1/sample_mod of the corpus, map-only,
     no RNG state). Quantizer training needs a representative sample, not the
     corpus — at 1B vectors, fitting codebooks/centroids on every row per
     index build is pure waste (FAISS-style practice: train on 10⁵-10⁶
-    samples, encode everything). ``None`` → full corpus."""
+    samples, encode everything). ``None`` → full corpus.
+
+    ``"auto"`` (VERDICT r10 #3) sizes the mod from one metadata-cheap
+    ``count()``: ``max(1, n // _TRAIN_TARGET_ROWS)`` — the sample is then
+    BOUNDED (~2·10⁵ rows) regardless of corpus size, which is what makes
+    the driver-side fit's collect contract-small at 100 TB, while a corpus
+    already under the target trains on every row (mod = 1), keeping
+    small-scale results bit-identical to the full-corpus fit."""
+    if sample_mod == "auto":
+        n = corpus.count()
+        sample_mod = max(1, n // _TRAIN_TARGET_ROWS)
     if sample_mod is None or sample_mod <= 1:
         return corpus
     return corpus.filter(
@@ -983,7 +1020,7 @@ def pq_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks: DataFrame | None = None,
-    train_sample_mod: int | None = None,
+    train_sample_mod: "int | str | None" = "auto",
 ) -> DataFrame:
     """PQ-ADC approximate top-k: the memory-scale path for 1B+ vectors.
 
@@ -1009,12 +1046,38 @@ def pq_cosine_topk(
     from pyspark.sql import Window
 
     if codebooks is None:
-        # two consumers (corpus encode + broadcast ADC row) — train once
-        # (see ivfpq_cosine_topk)
-        codebooks = pq_train_codebooks(
-            quantizer_training_sample(corpus, id_col, train_sample_mod),
-            m, n_codes, id_col, vec_col,
-        ).localCheckpoint(eager=False)
+        # Index build (VERDICT r10 #3, mirroring ivfpq_cosine_topk's r9
+        # fix): the training sample is SMALL BY CONTRACT — the "auto"
+        # default bounds it at ~_TRAIN_TARGET_ROWS rows via one count()
+        # regardless of corpus size (FAISS practice: fit on 10^5-10^6,
+        # encode everything), so collecting it is the sanctioned
+        # vocabulary-sized-collect class. Fit Lloyd in numpy driver-side
+        # and broadcast the tiny m·n_codes result back as a LocalRelation —
+        # this kills both the full-corpus distributed k-means per index
+        # build AND the two-consumer lazy localCheckpoint lineage. The
+        # fully-distributed ``pq_train_codebooks`` stays reachable via the
+        # pre-trained ``codebooks=`` seam (the ``pq_adc_crosscheck`` oracle
+        # path), and corpora under the target train on every row (mod=1),
+        # bit-identical small-scale results.
+        rows = (
+            quantizer_training_sample(corpus, id_col, train_sample_mod)
+            .select(
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).cast("array<double>").alias("__v"),
+            )
+            .collect()
+        )
+        cbs = _fit_pq_codebooks_driver(
+            [r["__id"] for r in rows], [r["__v"] for r in rows], m, n_codes
+        )
+        codebooks = corpus.sparkSession.createDataFrame(
+            [
+                (int(s), int(j), [float(x) for x in cbs[s][j]])
+                for s in range(len(cbs))
+                for j in range(len(cbs[s]))
+            ],
+            "sub INT, code INT, cvec ARRAY<DOUBLE>",
+        )
     codes = pq_encode(corpus, codebooks, m, id_col, vec_col)
 
     qv = F.col(vec_col).cast("array<double>")

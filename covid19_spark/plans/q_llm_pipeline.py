@@ -1350,10 +1350,14 @@ def q_pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011) — the MEMORY scale path:
     the corpus lives as 8 code bytes per vector (64× smaller than raw
     floats), queries score codes via ADC table lookups, and only the
-    shortlist touches full-precision vectors. Deterministic lowest-id
-    codebook seeding + one distributed Lloyd round per subspace (all
-    subspaces in one shuffle). Rows-only (iterative k-means); recall vs
-    exact asserted in tests/test_similarity.py, values pinned by fixture."""
+    shortlist touches full-precision vectors. Codebooks fit driver-side on
+    a contract-small training sample (``train_sample_mod="auto"`` bounds it
+    at ~200k rows; at this SF that is the whole corpus, so results are
+    unchanged) with deterministic lowest-id seeding + one Lloyd round —
+    the FAISS build-index pattern; the distributed trainer stays reachable
+    via ``codebooks=`` (the ``pq_adc_crosscheck`` path). Rows-only
+    (iterative k-means); recall vs exact asserted in
+    tests/test_similarity.py, values pinned by fixture."""
     from covid19_spark.operators.similarity import pq_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings").repartition(32, "vec_id")
