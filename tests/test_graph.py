@@ -81,3 +81,25 @@ def test_triangle_count_hub_star_is_triangle_free(spark):
     df = spark.createDataFrame(star, "src long, dst long")
     r = triangle_count(df).collect()[0]
     assert (r.n_nodes, r.n_edges, r.n_triangles) == (40, 39, 0)
+
+
+def test_pagerank_deep_run_bounded_lineage_and_same_values(spark):
+    """VERDICT r10 #4: iterations=10 must not build a 10-deep join+agg
+    plan — the rank lineage is cut every ``checkpoint_every`` rounds, and
+    the checkpointed run returns bit-identical ranks (the grid sum is
+    exact, a checkpoint only materializes it)."""
+    rows = [(1, 2, 1.0), (2, 3, 2.0), (3, 1, 1.0), (2, 1, 1.0)]
+    deep = pagerank(_edges(spark, rows), iterations=10, checkpoint_every=4)
+    plan = deep._jdf.queryExecution().optimizedPlan().toString()
+    # lineage above the last checkpoint: at most (10 mod 4)=2 rounds of
+    # (edge join + left join) plus the final left join -> well under the
+    # 20 joins an uncheckpointed 10-round plan would carry
+    assert plan.count("Join") <= 2 * 4 + 1, plan.count("Join")
+    unchecked = {
+        r.node: r.rank
+        for r in pagerank(
+            _edges(spark, rows), iterations=10, checkpoint_every=0
+        ).collect()
+    }
+    checked = {r.node: r.rank for r in deep.collect()}
+    assert checked == unchecked
