@@ -8,16 +8,19 @@ from pyspark.sql import functions as F
 
 from covid19_spark.plans.base import DEC, QUERY_REGISTRY, QuerySpec, _dsum, _t
 from covid19_spark.operators.delta import running_delta
-from covid19_spark.operators.series import top_k, with_ordered_index
+from covid19_spark.operators.series import top_k, zip_positional
 
 
 def q_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional zip join (J3, ``Utils.zip`` at ``Utils.java:17-28``): pair
-    the i-th row of two aligned sorted lists. The reference throws on length
-    mismatch; here a full-outer join on row index surfaces mismatches as
-    nulls instead of crashing (SURVEY §7.5.4) — this query inner-joins equal
-    lengths. Expressed as a dense ordered index on both sides + equi-join on
-    the index.
+    the i-th row of two aligned sorted lists. The reference THROWS on length
+    mismatch, and so does this query (VERDICT r10 #6): it runs through
+    ``zip_positional(how="error")``, whose lazy ``raise_error`` fires on any
+    one-sided position — never a silent inner-join truncation. The two
+    sides here are equal-length by construction (both group the same event
+    days), so the guard passes and the oracle is unchanged; the mismatch
+    throw and the ``how="outer"`` flag form are pinned by
+    ``tests/test_operators.py``.
 
     Scale note: the positional index comes from ``with_ordered_index``
     (per-partition numbering + broadcast cumulative offsets — the DataFrame
@@ -35,11 +38,11 @@ def q_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("date")
         .agg(_dsum(F.col("value")).alias("sum_value"))
     )
-    a = with_ordered_index(daily_counts, ["date"])
-    b = with_ordered_index(daily_value, ["date"])
+    zipped = zip_positional(
+        daily_counts, daily_value.select("date", "sum_value"), ["date"], ["date"]
+    )
     return (
-        a.join(b.select("idx", "sum_value"), "idx")
-        .select(
+        zipped.select(
             F.col("idx").cast("int").alias("idx"),
             F.date_format("date", "yyyy-MM-dd").alias("date"),
             "n_events",

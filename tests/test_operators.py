@@ -202,3 +202,43 @@ def test_pairwise_correlations_hand_case_and_single_pass(spark):
     assert "Join" not in final and final.count("Scan") <= 1  # one pass, no self-join
     with _pytest.raises(ValueError, match="two columns"):
         pairwise_correlations(df, ["x"])
+
+
+def test_zip_positional_equal_lengths_pairs_in_order(spark):
+    from covid19_spark.operators.series import zip_positional
+
+    a = spark.createDataFrame([(3, "c"), (1, "a"), (2, "b")], "ka int, va string")
+    b = spark.createDataFrame([(20, "B"), (10, "A"), (30, "C")], "kb int, vb string")
+    out = zip_positional(a, b, ["ka"], ["kb"]).orderBy("idx").collect()
+    assert [(r.idx, r.va, r.vb) for r in out] == [(1, "a", "A"), (2, "b", "B"), (3, "c", "C")]
+
+
+def test_zip_positional_length_mismatch_raises(spark):
+    """VERDICT r10 #6 / SURVEY §7.5.4: the reference's Utils.zip
+    (Utils.java:17-28) throws on unequal lengths — how='error' must
+    surface the mismatch at execution, not silently inner-join."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from covid19_spark.operators.series import zip_positional
+
+    a = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    b = spark.createDataFrame([(10,), (20,)], "k int")
+    out = zip_positional(a, b, ["k"], ["k"], how="error")
+    with pytest.raises(SparkRuntimeException, match="length mismatch"):
+        out.collect()
+
+
+def test_zip_positional_outer_flags_unmatched(spark):
+    from covid19_spark.operators.series import zip_positional
+
+    a = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    b = spark.createDataFrame([(10,), (20,)], "k int")
+    rows = {
+        r.idx: (r.k, r.k_b, r.matched)
+        for r in zip_positional(a, b, ["k"], ["k"], how="outer").collect()
+    }
+    assert rows[1] == (1, 10, True) and rows[2] == (2, 20, True)
+    assert rows[3] == (3, None, False)
+    inner = zip_positional(a, b, ["k"], ["k"], how="inner").collect()
+    assert len(inner) == 2
