@@ -52,47 +52,13 @@ def streaming_asof_enrich(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         carried = state.get if state.exists else (None, None, None)
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if not chunks:
-            state.update(carried)
-            return
-        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        is_right = pdf[side_col] == right_side
-        pdf = pdf.assign(__side=(~is_right).astype("int8"))
-        pdf = pdf.sort_values(
-            [ts_col, "__side", id_col], kind="mergesort", ignore_index=True
+        out, carried = asof_enrich_kernel(
+            [pdf for pdf in pdfs if len(pdf)],
+            carried, key_col, ts_col, side_col, id_col, value_col, right_side,
         )
-        is_right = pdf[side_col] == right_side
-        # forward-fill the reference triple over the time-sorted frame,
-        # seeded with the carried state for records before this batch's
-        # first reference row
-        ref = pd.DataFrame(
-            {
-                "ref_ts": pdf[ts_col].where(is_right),
-                "ref_id": pdf[id_col].where(is_right),
-                "ref_value": pdf[value_col].where(is_right),
-            }
-        ).ffill()
-        seed_ts, seed_id, seed_val = carried
-        if seed_ts is not None:
-            lead = ref["ref_ts"].isna()
-            ref.loc[lead, "ref_ts"] = seed_ts
-            ref.loc[lead, "ref_id"] = seed_id
-            ref.loc[lead, "ref_value"] = seed_val
-        lefts = ~is_right
-        out = pdf.loc[lefts, [key_col, ts_col, id_col, value_col]].copy()
-        out["ref_ts"] = ref.loc[lefts, "ref_ts"]
-        out["ref_id"] = ref.loc[lefts, "ref_id"].astype("Int64")
-        out["ref_value"] = ref.loc[lefts, "ref_value"]
-        if is_right.any():
-            last = pdf.loc[is_right].iloc[-1]
-            carried = (
-                last[ts_col].to_pydatetime(),
-                int(last[id_col]),
-                float(last[value_col]),
-            )
         state.update(carried)
-        yield out
+        if out is not None:
+            yield out
 
     return stream.groupBy(key_col).applyInPandasWithState(
         fn,
@@ -101,3 +67,58 @@ def streaming_asof_enrich(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def asof_enrich_kernel(
+    chunks: "list[pd.DataFrame]",
+    carried: tuple,
+    key_col: str,
+    ts_col: str,
+    side_col: str,
+    id_col: str,
+    value_col: str,
+    right_side: str,
+) -> "tuple[pd.DataFrame | None, tuple]":
+    """Vectorized per-key as-of enrichment over one micro-batch's chunks —
+    shared by the ``applyInPandasWithState`` binding above and the
+    ``transformWithStateInPandas`` twin (``tws_ops``), so both bindings
+    carry identical semantics by construction (the ``delta_kernel``
+    pattern). Returns ``(out_frame_or_None, new_carried_triple)``."""
+    if not chunks:
+        return None, carried
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    is_right = pdf[side_col] == right_side
+    pdf = pdf.assign(__side=(~is_right).astype("int8"))
+    pdf = pdf.sort_values(
+        [ts_col, "__side", id_col], kind="mergesort", ignore_index=True
+    )
+    is_right = pdf[side_col] == right_side
+    # forward-fill the reference triple over the time-sorted frame, seeded
+    # with the carried state for records before this batch's first
+    # reference row
+    ref = pd.DataFrame(
+        {
+            "ref_ts": pdf[ts_col].where(is_right),
+            "ref_id": pdf[id_col].where(is_right),
+            "ref_value": pdf[value_col].where(is_right),
+        }
+    ).ffill()
+    seed_ts, seed_id, seed_val = carried
+    if seed_ts is not None:
+        lead = ref["ref_ts"].isna()
+        ref.loc[lead, "ref_ts"] = seed_ts
+        ref.loc[lead, "ref_id"] = seed_id
+        ref.loc[lead, "ref_value"] = seed_val
+    lefts = ~is_right
+    out = pdf.loc[lefts, [key_col, ts_col, id_col, value_col]].copy()
+    out["ref_ts"] = ref.loc[lefts, "ref_ts"]
+    out["ref_id"] = ref.loc[lefts, "ref_id"].astype("Int64")
+    out["ref_value"] = ref.loc[lefts, "ref_value"]
+    if is_right.any():
+        last = pdf.loc[is_right].iloc[-1]
+        carried = (
+            last[ts_col].to_pydatetime(),
+            int(last[id_col]),
+            float(last[value_col]),
+        )
+    return out, carried

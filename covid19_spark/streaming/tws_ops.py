@@ -1,0 +1,203 @@
+"""transformWithStateInPandas twins for the remaining custom stateful ops
+(VERDICT r10 stretch #7): as-of enrichment and first-wins dedup.
+
+``applyInPandasWithState`` is the API Spark documents as superseded by
+``transformWithStateInPandas`` (SURVEY §7.3.3 names TWS the preferred
+surface); these bindings make the engine ready for that deprecation path.
+Each twin reuses the SAME vectorized kernel as its applyInPandasWithState
+sibling (``asof_stream.asof_enrich_kernel``; the dedup processor's logic is
+pinned against ``dropDuplicatesWithinWatermark`` by test), so semantics are
+shared by construction — the ``tws_delta`` pattern.
+
+What TWS adds beyond API parity:
+
+- **native state TTL** (``getValueState(..., ttlDurationMs=...)``): the
+  dedup processor bounds its per-id state exactly like the reference's
+  7-day windowed store (``DeduplicationTransformer.java:37-88`` evicts by
+  window retention) — no watermark plumbing needed, RocksDB evicts expired
+  entries itself. At 100 TB of stream that TTL IS the state-size bound.
+- RocksDB provider + changelog checkpointing (see ``tws_delta`` module
+  docstring) — state spills to local SSD, checkpoints incrementally.
+
+Environment note: requires the protobuf runtime (vendored bridge in
+``tws_delta.ensure_protobuf_env``); every entry point goes through
+``require_tws_runtime`` and tests skip where the runtime is absent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+from covid19_spark.streaming.asof_stream import asof_enrich_kernel
+from covid19_spark.streaming.tws_delta import require_tws_runtime
+
+__all__ = [
+    "streaming_asof_enrich_tws",
+    "streaming_dedup_first_tws",
+]
+
+
+class AsofEnrichProcessor(StatefulProcessor):
+    """Latest at-or-before reference record per key (see
+    ``asof_stream.streaming_asof_enrich``): ValueState carries the
+    (ref_ts, ref_id, ref_value) triple across micro-batches."""
+
+    def __init__(
+        self, key_col: str, ts_col: str, side_col: str, id_col: str,
+        value_col: str, right_side: str,
+    ) -> None:
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.side_col = side_col
+        self.id_col = id_col
+        self.value_col = value_col
+        self.right_side = right_side
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._carried = handle.getValueState(
+            "carried_ref", "ref_ts timestamp, ref_id long, ref_value double"
+        )
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        existing = self._carried.get() if self._carried.exists() else None
+        carried = tuple(existing) if existing is not None else (None, None, None)
+        chunks = []
+        for pdf in rows:
+            if len(pdf):
+                # TWS may strip grouping columns from the input batch;
+                # restore them from the key tuple either way.
+                pdf[self.key_col] = key[0]
+                chunks.append(pdf)
+        out, carried = asof_enrich_kernel(
+            chunks, carried, self.key_col, self.ts_col, self.side_col,
+            self.id_col, self.value_col, self.right_side,
+        )
+        if carried[0] is not None:
+            self._carried.update(tuple(carried))
+        if out is not None and len(out):
+            yield out
+
+    def close(self) -> None:  # protocol hook; no resources held
+        pass
+
+
+def streaming_asof_enrich_tws(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    side_col: str,
+    id_col: str,
+    value_col: str,
+    right_side: str,
+) -> DataFrame:
+    """``transformWithStateInPandas`` form of ``streaming_asof_enrich`` —
+    identical output schema and semantics (shared kernel)."""
+    require_tws_runtime()
+    out_schema = (
+        f"{key_col} long, {ts_col} timestamp, {id_col} long, {value_col} double, "
+        "ref_ts timestamp, ref_id long, ref_value double"
+    )
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        AsofEnrichProcessor(key_col, ts_col, side_col, id_col, value_col, right_side),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+class DedupFirstProcessor(StatefulProcessor):
+    """First occurrence per id-key wins; later records drop while the
+    key's state row lives. With ``ttl_ms`` the state row expires like the
+    reference's windowed dedup store retention — a re-arrival after expiry
+    is treated as new (exactly the reference's 7-day-window behavior)."""
+
+    def __init__(
+        self,
+        id_cols: Sequence[str],
+        ts_col: str,
+        sort_cols: Sequence[str],
+        ttl_ms: int | None,
+    ) -> None:
+        self.id_cols = list(id_cols)
+        self.ts_col = ts_col
+        self.sort_cols = list(sort_cols)
+        self.ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._seen = handle.getValueState(
+            "first_seen", "first_ts timestamp", ttlDurationMs=self.ttl_ms
+        )
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        if self._seen.exists():
+            return  # duplicate within retention: drop the whole batch
+        first = None
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            for i, c in enumerate(self.id_cols):
+                # TWS may strip grouping columns; restore from the key tuple
+                pdf[c] = key[i]
+            # deterministic first-wins inside the batch: earliest event
+            # time, then the caller's tiebreaker columns
+            cand = pdf.sort_values(
+                [self.ts_col, *self.sort_cols], kind="mergesort"
+            ).head(1)
+            if first is None:
+                first = cand
+            else:
+                both = pd.concat([first, cand], ignore_index=True)
+                first = both.sort_values(
+                    [self.ts_col, *self.sort_cols], kind="mergesort"
+                ).head(1)
+        if first is None:
+            return
+        self._seen.update((first.iloc[0][self.ts_col].to_pydatetime(),))
+        yield first
+
+    def close(self) -> None:  # protocol hook; no resources held
+        pass
+
+
+def streaming_dedup_first_tws(
+    stream: DataFrame,
+    id_cols: Sequence[str],
+    ts_col: str,
+    ttl_ms: int | None = None,
+    sort_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """TWS first-wins dedup keyed by ``id_cols`` — the custom-stateful form
+    of ``dedup_within_watermark`` with the reference's windowed-store
+    retention expressed as native state TTL.
+
+    ``ttl_ms=None`` keeps state forever (exact global first-wins);
+    ``ttl_ms=7*24*3600*1000`` reproduces the reference's 7-day window.
+    TTL requires processing-time semantics, so ``timeMode`` switches to
+    ``processingTime`` when a TTL is set. State per key is ONE timestamp
+    row — |distinct ids within retention| × ~tens of bytes, RocksDB-backed
+    and TTL-evicted: bounded at 100 TB by construction.
+
+    Output: the input schema, first record per id-key only. Emission order
+    inside a batch is deterministic (event time, then ``sort_cols``,
+    default: the id columns)."""
+    require_tws_runtime()
+    id_cols = list(id_cols)
+    sort_cols = list(sort_cols) if sort_cols is not None else id_cols
+    return stream.groupBy(*id_cols).transformWithStateInPandas(
+        DedupFirstProcessor(id_cols, ts_col, sort_cols, ttl_ms),
+        outputStructType=stream.schema,
+        outputMode="append",
+        timeMode="processingTime" if ttl_ms is not None else "none",
+    )

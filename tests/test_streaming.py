@@ -4,6 +4,7 @@ batch-vs-streaming equivalence for the stateful delta (SURVEY §7.3.3)."""
 import datetime as dt
 import shutil
 import tempfile
+from contextlib import contextmanager
 
 import pytest
 from pyspark.sql import functions as F
@@ -1158,3 +1159,105 @@ def test_stream_stream_left_outer_join_flushes_unmatched(stream_env):
     # click 1 attributed to purchase 2; click 4 flushed unmatched;
     # the flush rows themselves are NOT yet past the watermark -> held
     assert got == [(1, 2), (4, None)]
+
+
+@contextmanager
+def _rocksdb_provider(spark):
+    from covid19_spark.streaming.tws_delta import ROCKSDB_PROVIDER
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
+def test_tws_asof_enrich_matches_apply_in_pandas_twin(stream_env):
+    """VERDICT r10 stretch #7: the transformWithStateInPandas as-of twin
+    shares asof_enrich_kernel with the applyInPandasWithState binding, so
+    the same two-micro-batch feed must produce the identical enrichment map
+    (incl. the carried-state match for event 5 and the equal-ts inclusive
+    match for event 7)."""
+    from covid19_spark.streaming.tws_delta import tws_runtime_available
+    from covid19_spark.streaming.tws_ops import streaming_asof_enrich_tws
+
+    if not tws_runtime_available():
+        pytest.skip("transformWithStateInPandas needs protobuf (not in env)")
+    spark, d, src, ckpt = stream_env
+    import os
+
+    os.makedirs(src)
+    spark.createDataFrame(ASOF_EVENTS_B1, ASOF_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(ASOF_EVENTS_B2, ASOF_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(ASOF_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    with _rocksdb_provider(spark):
+        out = run_stream_to_memory(
+            spark,
+            streaming_asof_enrich_tws(
+                stream, "user_id", "ts", "event_type", "event_id", "value", "view"
+            ),
+            "tws_asof_stream",
+            ckpt,
+        ).collect()
+    got = {r["event_id"]: (r["ref_id"], r["ref_value"]) for r in out}
+    assert got == {2: (1, 10.0), 4: (None, None), 5: (3, 11.0), 7: (6, 20.0)}
+
+
+def test_tws_dedup_first_wins_across_batches(stream_env):
+    """TWS first-wins dedup: in-batch dup keeps the earliest event time,
+    a cross-batch re-arrival drops against the persistent state row, and
+    a TTL-configured variant (processingTime timeMode) behaves identically
+    while the retention has not elapsed — the reference's 7-day windowed
+    dedup store expressed as native state TTL."""
+    from covid19_spark.streaming.tws_delta import tws_runtime_available
+    from covid19_spark.streaming.tws_ops import streaming_dedup_first_tws
+
+    if not tws_runtime_available():
+        pytest.skip("transformWithStateInPandas needs protobuf (not in env)")
+    spark, d, src, ckpt = stream_env
+    import os
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    b1 = [
+        (1, ts("2024-01-01T10:05:00"), "later"),
+        (1, ts("2024-01-01T10:00:00"), "first"),   # earliest ts wins in-batch
+        (2, ts("2024-01-01T10:00:00"), "b"),
+    ]
+    b2 = [
+        (1, ts("2024-01-01T11:00:00"), "dup"),     # cross-batch dup: dropped
+        (3, ts("2024-01-01T11:00:00"), "c"),
+    ]
+    for ttl_ms, tag in ((None, "nottl"), (3_600_000, "ttl")):
+        sdir, cdir = f"{src}_{tag}", f"{ckpt}_{tag}"
+        os.makedirs(sdir)
+        spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(sdir)
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(sdir)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(sdir)
+        with _rocksdb_provider(spark):
+            out = run_stream_to_memory(
+                spark,
+                streaming_dedup_first_tws(stream, ["doc_id"], "ts", ttl_ms=ttl_ms),
+                f"tws_dedup_{tag}",
+                cdir,
+            ).collect()
+        got = {r.doc_id: r.payload for r in out}
+        assert got == {1: "first", 2: "b", 3: "c"}, (tag, got)
