@@ -1261,3 +1261,69 @@ def test_tws_dedup_first_wins_across_batches(stream_env):
             ).collect()
         got = {r.doc_id: r.payload for r in out}
         assert got == {1: "first", 2: "b", 3: "c"}, (tag, got)
+
+
+def test_observe_metrics_and_state_store_health(stream_env):
+    """observe() metrics ride each micro-batch's progress event (n_rows,
+    event-time bounds, null-key count) and stateOperators expose the store
+    size — the reference's StateStoresManager warm-up latch + store
+    telemetry, Spark-side (VERDICT r10 stretch #8)."""
+    from covid19_spark.streaming.dedup_stream import dedup_within_watermark
+    from covid19_spark.streaming.observability import (
+        await_stores_ready,
+        observe_stream,
+        observed_history,
+        observed_metrics,
+        state_store_metrics,
+        stores_ready,
+    )
+
+    spark, d, src, ckpt = stream_env
+    import os
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    rows = [
+        (1, ts("2024-01-01T10:00:00")),
+        (1, ts("2024-01-01T10:05:00")),  # dup -> dropped by dedup, counted by observe
+        (2, ts("2024-01-01T10:10:00")),
+        (None, ts("2024-01-01T10:15:00")),  # null key -> n_null_keys
+    ]
+    os.makedirs(src)
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    observed = observe_stream(stream, "ingest", ts_col="ts", key_cols=["doc_id"])
+    q = (
+        dedup_within_watermark(observed, ["doc_id"], "ts", retention="1 hour")
+        .writeStream.format("memory")
+        .queryName("obs_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert await_stores_ready(q, timeout_sec=30) and stores_ready(q)
+        m = observed_metrics(q, "ingest")
+        assert m is not None and m["n_rows"] in (0, 4)  # trailing batch may be empty
+        hist = observed_history(q, "ingest")
+        data = [h for h in hist if h["n_rows"] > 0]
+        assert len(data) == 1 and data[0]["n_rows"] == 4
+        assert data[0]["n_null_keys"] == 1
+        # progress events serialize observed timestamps as strings
+        assert str(data[0]["min_ts"]) == "2024-01-01 10:00:00"
+        assert str(data[0]["max_ts"]) == "2024-01-01 10:15:00"
+        stores = state_store_metrics(q)
+        assert len(stores) == 1
+        # dedup state holds one row per distinct key seen (1, 2, null)
+        assert stores[0]["numRowsTotal"] == 3
+        assert stores[0]["memoryUsedBytes"] is None or stores[0]["memoryUsedBytes"] >= 0
+    finally:
+        q.stop()
+    # dedup output: null keys pass through dropDuplicates as their own key
+    out = {r.doc_id for r in spark.table("obs_dedup").collect()}
+    assert out == {1, 2, None}
