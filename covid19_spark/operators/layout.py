@@ -1,0 +1,176 @@
+"""Data-layout optimization: Z-order clustering, compaction planning, and
+a file-pruning cost model (VERDICT r10 stretch #8 — the serving-table
+layout toolkit).
+
+At 100 TB the dominant query cost is files TOUCHED, not rows scanned:
+parquet readers skip whole files/row-groups whose min/max statistics
+exclude the predicate. A single-column sort gives perfect pruning on that
+column and none on any other; a Z-order (Morton) layout interleaves the
+bits of several key columns so file boundaries approximate axis-aligned
+tiles in the multi-dimensional key space — every interleaved column prunes
+reasonably well (the standard lakehouse trade; Morton 1966, and the same
+layout Delta/Iceberg expose as ``OPTIMIZE ZORDER BY``).
+
+Everything here is expression-level (JVM-side, codegen-friendly) and
+engine-portable: bucketization is ``floor((x − min) · 2^bits / span)`` on
+exact-below-2^53 doubles and bit interleaving is integer shift/mask — the
+identical arithmetic replays in DuckDB, which is what lets the registry
+queries carry full value oracles (no fixtures).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def int_bucket(col: Column, vmin: Column, vmax: Column, bits: int) -> Column:
+    """Rank-free quantization of ``col`` into ``[0, 2^bits)``:
+    ``floor((x − min) · 2^bits / (max − min + 1))`` — monotone, exact
+    (the numerator stays far below 2^53 for any real key domain after the
+    min shift), and needs only a broadcast one-row min/max, not a global
+    sort. The +1 span makes x = max land in the top bucket without a
+    clamp."""
+    span = (vmax - vmin + F.lit(1)).cast("double")
+    return F.floor(
+        (col - vmin).cast("double") * F.lit(float(1 << bits)) / span
+    ).cast("long")
+
+
+def morton_interleave(cols: Sequence[Column], bits: int) -> Column:
+    """Morton (Z-order) code: interleave ``bits`` low bits of each input
+    round-robin — column j's bit i lands at output position
+    ``i·n_cols + j``, so consecutive codes walk a Z-shaped curve through
+    the key grid. Pure shift/mask expression: ``n_cols × bits`` codegen'd
+    integer terms, no UDF, no shuffle."""
+    cols = list(cols)
+    n = len(cols)
+    if not cols:
+        raise ValueError("morton_interleave requires at least one column")
+    acc: Column | None = None
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            term = F.shiftleft(
+                F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)), i * n + j
+            )
+            acc = term if acc is None else acc + term
+    return acc.cast("long")
+
+
+def morton_interleave_sql(col_names: Sequence[str], bits: int) -> str:
+    """The EXACT DuckDB/ANSI replay of ``morton_interleave`` — generated
+    from the same (i, j) walk so the two engines agree bit for bit; used
+    by the registry oracles."""
+    names = list(col_names)
+    n = len(names)
+    terms = [
+        f"((({names[j]} >> {i}) & 1) << {i * n + j})"
+        for i in range(bits)
+        for j in range(n)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def zorder_code(
+    df: DataFrame, cols: Sequence[str], bits: int = 8, z_col: str = "z"
+) -> DataFrame:
+    """Attach the Z-order code of ``cols`` (numeric/date-ordinal columns)
+    as ``z_col``. One aggregate computes every column's min/max in a
+    single pass; the one-row result broadcasts back (a literal-sized
+    cross join), so the whole op is scan → map — no shuffle of the fact
+    rows."""
+    cols = list(cols)
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
+    bounds = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(bounds))
+    buckets = [
+        int_bucket(F.col(c), F.col(f"__mn_{c}"), F.col(f"__mx_{c}"), bits)
+        for c in cols
+    ]
+    out = out.withColumn(z_col, morton_interleave(buckets, bits))
+    return out.drop(*[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols])
+
+
+def zorder_layout(
+    df: DataFrame, cols: Sequence[str], num_files: int, bits: int = 8
+) -> DataFrame:
+    """The write-side layout op: range-partition by Z-code into
+    ``num_files`` output splits and sort within each — what an
+    ``OPTIMIZE ZORDER BY`` rewrite does before handing files to the
+    writer. Range partitioning (sampled boundaries) keeps output files
+    near-equal-sized even when the Z-space is unevenly populated; the
+    plan is pinned to exactly one rangepartitioning exchange."""
+    coded = zorder_code(df, cols, bits)
+    return coded.repartitionByRange(num_files, "z").sortWithinPartitions("z")
+
+
+def compaction_bins(
+    files: DataFrame,
+    size_col: str,
+    order_cols: Sequence[str],
+    target_bytes: int,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Assign manifest rows (files) to compaction bins: walk files in
+    ``order_cols`` order, cut a new bin whenever the running byte total
+    crosses ``target_bytes`` — ``bin = floor(cum_bytes_before / target)``,
+    the streaming first-fit plan every table-maintenance service runs.
+
+    Deliberately a GLOBAL-ORDER window: the input is a file MANIFEST
+    (metadata — one row per file, millions of rows for a 100 TB table,
+    i.e. MBs), not data rows; a single-partition window over it is the
+    correct tool, the same contract class as the sanctioned driver-side
+    collects. The division is exact below 2^53, so the identical
+    expression replays in DuckDB."""
+    w = (
+        Window.orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum(size_col).over(w) - F.col(size_col)
+    return files.withColumn(
+        bin_col,
+        F.floor(cum_before.cast("double") / F.lit(float(target_bytes))).cast("long"),
+    )
+
+
+def bucket_stats(
+    df: DataFrame, bucket_col: str, stat_cols: Sequence[str]
+) -> DataFrame:
+    """Per-bucket min/max statistics — the file-footer stats a pruning
+    reader consults, computed for a simulated layout. One partial-agg
+    shuffle of |buckets| rows."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.groupBy(bucket_col).agg(*aggs)
+
+
+def buckets_touched(
+    stats: DataFrame,
+    predicates: DataFrame,
+    ranges: Sequence[tuple[str, str, str]],
+) -> DataFrame:
+    """Pruning cost model: for each predicate row, count the buckets whose
+    min/max stats OVERLAP every range — exactly the file-skipping decision
+    a reader makes from footer statistics. ``ranges`` maps each stats
+    column to the predicate's bounds: ``(stats_col, lo_col, hi_col)``.
+    The predicate set is a literal workload (a handful of rows) —
+    broadcast join against |buckets| stats rows, then one small agg."""
+    cond = None
+    for stat_col, lo, hi in ranges:
+        c = (F.col(f"max_{stat_col}") >= F.col(lo)) & (
+            F.col(f"min_{stat_col}") <= F.col(hi)
+        )
+        cond = c if cond is None else cond & c
+    return (
+        stats.crossJoin(F.broadcast(predicates))
+        .filter(cond)
+        .groupBy(*predicates.columns)
+        .agg(F.count(F.lit(1)).alias("buckets_touched"))
+    )

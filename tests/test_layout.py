@@ -1,81 +1,95 @@
-"""Clustered-write layout: partition pruning + file skipping evidence."""
+"""Z-order / compaction / pruning layout operators (operators/layout.py):
+hand-computed Morton codes, bucket bounds, the write-layout plan shape,
+and the first-fit compaction bins."""
 
-import shutil
-import tempfile
-
-import pytest
 from pyspark.sql import functions as F
 
-from covid19_spark.sources.layout import files_touched, write_clustered
+from covid19_spark.operators.layout import (
+    bucket_stats,
+    buckets_touched,
+    compaction_bins,
+    int_bucket,
+    morton_interleave,
+    morton_interleave_sql,
+    zorder_layout,
+)
 
 
-@pytest.fixture()
-def tmpd():
-    d = tempfile.mkdtemp(prefix="c19layout_")
-    yield d
-    shutil.rmtree(d, ignore_errors=True)
+def test_morton_interleave_hand_case(spark):
+    # cb=0b011, db=0b101, bits=3: cb bits land at even positions, db at
+    # odd -> z = 1 + 2 + 4 + 32 = 39
+    df = spark.createDataFrame([(3, 5)], "cb long, db long")
+    out = df.select(
+        morton_interleave([F.col("cb"), F.col("db")], 3).alias("z")
+    ).collect()
+    assert out[0].z == 39
 
 
-def test_clustered_write_skips_files_and_prunes_partitions(spark, tmpd):
-    df = (
-        spark.range(0, 40_000)
-        .select(
-            F.col("id").alias("user_id"),
-            (F.col("id") % 4).cast("string").alias("event_type"),
-            (F.rand(seed=7) * 100).alias("value"),
-        )
+def test_morton_sql_twin_matches_spark(spark):
+    """The generated SQL replay must agree with the Column expression on
+    every code in an 8-bit 2-D grid corner sample."""
+    import duckdb
+
+    rows = [(a, b) for a in (0, 1, 7, 128, 255) for b in (0, 3, 64, 200, 255)]
+    df = spark.createDataFrame(rows, "cb long, db long")
+    got = {
+        (r.cb, r.db): r.z
+        for r in df.select(
+            "cb", "db", morton_interleave([F.col("cb"), F.col("db")], 8).alias("z")
+        ).collect()
+    }
+    con = duckdb.connect()
+    expr = morton_interleave_sql(["cb", "db"], 8)
+    for (a, b), z in got.items():
+        assert con.execute(f"SELECT {expr} FROM (SELECT {a} cb, {b} db)").fetchone()[0] == z
+
+
+def test_int_bucket_bounds_and_monotonicity(spark):
+    df = spark.createDataFrame([(v,) for v in range(100, 131)], "x long")
+    b = df.crossJoin(
+        F.broadcast(df.agg(F.min("x").alias("mn"), F.max("x").alias("mx")))
+    ).select("x", int_bucket(F.col("x"), F.col("mn"), F.col("mx"), 4).alias("b"))
+    rows = sorted((r.x, r.b) for r in b.collect())
+    assert rows[0][1] == 0 and rows[-1][1] == 15  # min -> 0, max -> top bucket
+    assert all(b2 >= b1 for (_, b1), (_, b2) in zip(rows, rows[1:]))  # monotone
+
+
+def test_zorder_layout_plan_is_one_range_exchange(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 37).alias("a"), (F.col("id") % 53).alias("b")
     )
-    clustered = f"{tmpd}/clustered"
-    scattered = f"{tmpd}/scattered"
-    write_clustered(
-        df, clustered, partition_cols=["event_type"], cluster_cols=["user_id"],
-        num_files=16,
+    out = zorder_layout(df, ["a", "b"], num_files=8, bits=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("rangepartitioning") == 1, plan
+    # the bounds agg broadcasts; the fact side never hash-shuffles
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_compaction_bins_first_fit_hand_case(spark):
+    files = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "fid long, bytes long"
     )
-    # scattered twin: same data, hash-distributed so every file spans the
-    # full user_id range
-    df.repartition(16).write.partitionBy("event_type").parquet(scattered)
+    out = {
+        r.fid: r.bin
+        for r in compaction_bins(files, "bytes", ["fid"], target_bytes=50).collect()
+    }
+    # cum_before: 0, 10, 30, 60 -> bins 0, 0, 0, 1
+    assert out == {1: 0, 2: 0, 3: 0, 4: 1}
 
-    pred = (F.col("user_id") >= 1000) & (F.col("user_id") < 1500) & (
-        F.col("event_type") == "1"
+
+def test_buckets_touched_overlap_semantics(spark):
+    data = spark.createDataFrame(
+        [(0, 0, 0), (0, 1, 1), (1, 10, 10), (2, 20, 25)], "f long, x long, y long"
     )
-    c = spark.read.parquet(clustered).filter(pred)
-    s = spark.read.parquet(scattered).filter(pred)
-    assert c.count() == s.count() > 0  # same answer either way
-
-    # partition pruning: the event_type filter reaches the scan as a
-    # PartitionFilter (directory-level skip), user_id as a PushedFilter
-    plan = c._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "event_type" in plan.split(
-        "PartitionFilters"
-    )[1].split("]")[0]
-    assert "PushedFilters" in plan and "user_id" in plan.split("PushedFilters")[1]
-
-    # file skipping: range-clustered layout keeps the 500-id slice in a
-    # couple of files; the scattered layout spreads it over ~all of them
-    touched_c = files_touched(c)
-    touched_s = files_touched(s)
-    assert touched_c <= 2, touched_c
-    assert touched_s >= 8, touched_s
-
-
-def test_write_clustered_requires_keys(spark, tmpd):
-    df = spark.range(5)
-    with pytest.raises(ValueError, match="at least one"):
-        write_clustered(df, f"{tmpd}/x")
-
-
-def test_zorder_bucket_box_bound(spark):
-    """Z-curve guarantee: a bucket of 2^10 consecutive z-values spans at
-    most a 32 x 32 box in (x, y) — the property that makes file min/max
-    stats prunable on either dimension. Also: the morton expression is
-    pure bitwise codegen (no Python UDF in the plan)."""
-    from covid19_spark.plans.registry import QUERY_REGISTRY
-
-    df = QUERY_REGISTRY["zorder_layout"].fn(spark, "/root/testdata/sf0.001")
-    rows = df.collect()
-    assert rows
-    for r in rows:
-        assert 0 <= r.x_span <= 31, r
-        assert 0 <= r.y_span <= 31, r
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    stats = bucket_stats(data, "f", ["x", "y"])
+    preds = spark.createDataFrame(
+        [(1, 0, 5, 0, 5), (2, 9, 30, 9, 30), (3, 2, 8, 2, 8)],
+        "pred_id int, xlo long, xhi long, ylo long, yhi long",
+    )
+    out = {
+        r.pred_id: r.buckets_touched
+        for r in buckets_touched(
+            stats, preds, [("x", "xlo", "xhi"), ("y", "ylo", "yhi")]
+        ).collect()
+    }
+    assert out == {1: 1, 2: 2}  # pred 3 overlaps nothing -> absent
