@@ -70,7 +70,7 @@ def morton_interleave_sql(col_names: Sequence[str], bits: int) -> str:
         for i in range(bits)
         for j in range(n)
     ]
-    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+    return " + ".join(terms)
 
 
 def zorder_code(

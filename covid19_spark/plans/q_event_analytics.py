@@ -387,25 +387,20 @@ QUERY_REGISTRY["window_rank_suite"] = QuerySpec(
 
 
 def _morton_col(x: Column, y: Column, bits: int = 8) -> Column:
-    """Morton (Z-order) interleave of two ``bits``-bit non-negative ints:
-    x occupies even bit positions, y odd — a pure bitwise expression tree
-    (whole-stage-codegen'd, no UDF)."""
-    z = F.lit(0).cast("long")
-    for k in range(bits):
-        z = (
-            z
-            + F.shiftleft(F.shiftright(x, k).bitwiseAND(F.lit(1)), 2 * k)
-            + F.shiftleft(F.shiftright(y, k).bitwiseAND(F.lit(1)), 2 * k + 1)
-        )
-    return z
+    """Morton (Z-order) interleave of two ``bits``-bit non-negative ints —
+    delegates to the shared ``operators/layout`` generator (round 11
+    refactor: one (bit, column) walk feeds this query, the layout operator
+    family, AND both engines' SQL, so the interleave can never drift
+    between consumers). x occupies even bit positions, y odd."""
+    from covid19_spark.operators.layout import morton_interleave
+
+    return morton_interleave([x, y], bits)
 
 
 def _morton_sql(x: str, y: str, bits: int = 8) -> str:
-    terms = []
-    for k in range(bits):
-        terms.append(f"((({x} >> {k}) & 1) << {2 * k})")
-        terms.append(f"((({y} >> {k}) & 1) << {2 * k + 1})")
-    return " + ".join(terms)
+    from covid19_spark.operators.layout import morton_interleave_sql
+
+    return morton_interleave_sql([x, y], bits)
 
 
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,7 +49,7 @@ q AS (
   FROM orders CROSS JOIN b
 ),
 z AS (
-  SELECT cb, db, {morton_interleave_sql(["cb", "db"], _BITS)} AS z FROM q
+  SELECT cb, db, CAST({morton_interleave_sql(["cb", "db"], _BITS)} AS BIGINT) AS z FROM q
 )
 """
 
