@@ -42,6 +42,7 @@ from covid19_spark.streaming.tws_delta import require_tws_runtime
 __all__ = [
     "streaming_asof_enrich_tws",
     "streaming_dedup_first_tws",
+    "streaming_heavy_hitters_tws",
 ]
 
 
@@ -169,6 +170,91 @@ class DedupFirstProcessor(StatefulProcessor):
 
     def close(self) -> None:  # protocol hook; no resources held
         pass
+
+
+class HeavyHittersProcessor(StatefulProcessor):
+    """Per-shard Misra-Gries counters in a TWS ``MapState`` (item → count)
+    — the natural fit: the summary is a bounded MAP whose entries update
+    incrementally, and MapState persists exactly that shape (per-entry
+    point reads/writes against RocksDB instead of the apply-twin's
+    rewrite-two-arrays-per-batch value row). The MG step itself is the
+    shared ``mg_update`` kernel: the map is materialized to a dict at
+    batch start (≤ capacity entries by contract — the same bounded-state
+    class), updated, and only the DIFF is written back (changed values
+    updated, evicted items removed)."""
+
+    def __init__(self, capacity: int) -> None:
+        self.capacity = capacity
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState("mg_counters", "item string", "cnt long")
+        self._emission = handle.getValueState("emission", "emission int")
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        from covid19_spark.streaming.heavy_hitters_stream import mg_update
+
+        counters: dict[str, int] = {}
+        if self._counts.exists():
+            for k, v in self._counts.iterator():
+                counters[k[0]] = int(v[0])
+        before = dict(counters)
+        emission = (
+            int(self._emission.get()[0]) if self._emission.exists() else 0
+        )
+        saw = False
+        for pdf in rows:
+            if len(pdf):
+                saw = True
+                mg_update(counters, iter(pdf["item"]), self.capacity)
+        if not saw:
+            return
+        emission += 1
+        for item in before:
+            if item not in counters:
+                self._counts.removeKey((item,))
+        for item, cnt in counters.items():
+            if before.get(item) != cnt:
+                self._counts.updateValue((item,), (cnt,))
+        self._emission.update((emission,))
+        if counters:
+            yield pd.DataFrame(
+                {
+                    "shard": int(key[0]),
+                    "emission": emission,
+                    "item": list(counters.keys()),
+                    "est": list(counters.values()),
+                }
+            )
+
+    def close(self) -> None:  # protocol hook; no resources held
+        pass
+
+
+def streaming_heavy_hitters_tws(
+    stream: DataFrame,
+    item_col: str,
+    capacity: int = 256,
+    shards: int = 8,
+) -> DataFrame:
+    """``transformWithStateInPandas`` twin of
+    ``heavy_hitters_stream.streaming_heavy_hitters`` — identical output
+    contract ``(shard, emission, item, est)`` and identical estimates
+    (shared ``mg_update`` kernel, same xxhash64 sharding)."""
+    from pyspark.sql import functions as F
+
+    require_tws_runtime()
+    sharded = stream.select(
+        F.pmod(F.xxhash64(F.col(item_col)), F.lit(shards)).cast("int").alias("shard"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    return sharded.groupBy("shard").transformWithStateInPandas(
+        HeavyHittersProcessor(capacity),
+        outputStructType="shard int, emission int, item string, est long",
+        outputMode="append",
+        timeMode="none",
+    )
 
 
 def streaming_dedup_first_tws(
