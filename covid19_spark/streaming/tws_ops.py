@@ -1,23 +1,37 @@
-"""transformWithStateInPandas twins for the remaining custom stateful ops
-(VERDICT r10 stretch #7): as-of enrichment and first-wins dedup.
+"""transformWithStateInPandas bindings for the custom stateful ops
+(VERDICT r10 stretch #7 and beyond): as-of enrichment, first-wins dedup,
+gap sessionization, recent-N buffers, and heavy hitters.
 
 ``applyInPandasWithState`` is the API Spark documents as superseded by
 ``transformWithStateInPandas`` (SURVEY §7.3.3 names TWS the preferred
 surface); these bindings make the engine ready for that deprecation path.
-Each twin reuses the SAME vectorized kernel as its applyInPandasWithState
-sibling (``asof_stream.asof_enrich_kernel``; the dedup processor's logic is
-pinned against ``dropDuplicatesWithinWatermark`` by test), so semantics are
-shared by construction — the ``tws_delta`` pattern.
+Where an applyInPandasWithState sibling exists the twin reuses the SAME
+vectorized kernel (``asof_stream.asof_enrich_kernel``,
+``heavy_hitters_stream.mg_update``) and equivalence is test-pinned, so
+semantics are shared by construction — the ``tws_delta`` pattern.
 
-What TWS adds beyond API parity:
+Together the five processors exercise EVERY TWS state primitive, each
+where it is the structurally right tool:
 
-- **native state TTL** (``getValueState(..., ttlDurationMs=...)``): the
-  dedup processor bounds its per-id state exactly like the reference's
-  7-day windowed store (``DeduplicationTransformer.java:37-88`` evicts by
-  window retention) — no watermark plumbing needed, RocksDB evicts expired
-  entries itself. At 100 TB of stream that TTL IS the state-size bound.
-- RocksDB provider + changelog checkpointing (see ``tws_delta`` module
-  docstring) — state spills to local SSD, checkpoints incrementally.
+- **ValueState + native TTL** (``DedupFirstProcessor``): one timestamp
+  row per id; ``ttlDurationMs`` bounds state exactly like the reference's
+  7-day windowed dedup store (``DeduplicationTransformer.java:37-88``) —
+  no watermark plumbing, RocksDB evicts expired entries itself. At
+  100 TB of stream that TTL IS the state-size bound.
+- **ValueState summaries** (``AsofEnrichProcessor``,
+  ``SessionizeProcessor``): fixed-width per-key rows — the scalable shape
+  for carried references and open-session aggregates.
+- **MapState** (``HeavyHittersProcessor``): the Misra-Gries summary is a
+  bounded map updated incrementally; per-entry diff writeback instead of
+  rewriting two arrays per batch.
+- **ListState** (``LastNProcessor``): the recent-events buffer is
+  list-shaped and bounded by contract (N rows per key).
+- **Event-time timers** (``SessionizeProcessor.handleExpiredTimer``):
+  the open session closes exactly when the watermark passes end+gap —
+  state cleanup driven by the engine, not by the next record.
+
+RocksDB provider + changelog checkpointing (see ``tws_delta`` module
+docstring) — state spills to local SSD, checkpoints incrementally.
 
 Environment note: requires the protobuf runtime (vendored bridge in
 ``tws_delta.ensure_protobuf_env``); every entry point goes through
@@ -43,6 +57,8 @@ __all__ = [
     "streaming_asof_enrich_tws",
     "streaming_dedup_first_tws",
     "streaming_heavy_hitters_tws",
+    "streaming_last_n_tws",
+    "streaming_sessionize_tws",
 ]
 
 
@@ -170,6 +186,185 @@ class DedupFirstProcessor(StatefulProcessor):
 
     def close(self) -> None:  # protocol hook; no resources held
         pass
+
+
+class SessionizeProcessor(StatefulProcessor):
+    """Gap-based sessionization with EVENT-TIME TIMERS — the canonical
+    TWS pattern (and the semantics of ``F.session_window`` /
+    ``operators/sessions.session_stats``, expressed as explicit state):
+
+    - state: ONE (start, end, n) summary row per key — the 100 TB-scale
+      shape (never a buffered event list);
+    - input rows sort by event time; gaps > ``gap_ms`` INSIDE the batch
+      close and emit sessions immediately; the trailing open session
+      persists with a timer at ``end + gap``;
+    - the timer fires when the WATERMARK passes it (handleExpiredTimer):
+      the open session is emitted and cleared — exactly when no
+      within-watermark event could extend it any more.
+
+    Output rows carry ``closed_by`` ('gap' | 'timer') for observability.
+    """
+
+    def __init__(self, key_col: str, ts_col: str, gap_ms: int) -> None:
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.gap_ms = gap_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._open = handle.getValueState(
+            "open_session", "start timestamp, end timestamp, n long"
+        )
+
+    def _emit(self, key, start, end, n, closed_by: str) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                self.key_col: [key[0]],
+                "session_start": [start],
+                "session_end": [end],
+                "n_events": [int(n)],
+                "closed_by": [closed_by],
+            }
+        )
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        ts = pdf[self.ts_col].sort_values(ignore_index=True)
+        if self._open.exists():
+            start, end, n = self._open.get()
+            start, end, n = (
+                start.to_pydatetime() if hasattr(start, "to_pydatetime") else start,
+                end.to_pydatetime() if hasattr(end, "to_pydatetime") else end,
+                int(n),
+            )
+            self._handle.deleteTimer(
+                int(end.timestamp() * 1000) + self.gap_ms
+            )
+        else:
+            start = end = None
+            n = 0
+        for t in ts:
+            t = t.to_pydatetime()
+            if start is None:
+                start, end, n = t, t, 1
+            elif (t - end).total_seconds() * 1000 <= self.gap_ms:
+                end = max(end, t)
+                n += 1
+            else:
+                yield self._emit(key, start, end, n, "gap")
+                start, end, n = t, t, 1
+        self._open.update((start, end, n))
+        self._handle.registerTimer(int(end.timestamp() * 1000) + self.gap_ms)
+
+    def handleExpiredTimer(
+        self, key: tuple, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        if not self._open.exists():
+            return
+        start, end, n = self._open.get()
+        yield self._emit(key, start, end, int(n), "timer")
+        self._open.clear()
+
+    def close(self) -> None:  # protocol hook; no resources held
+        pass
+
+
+def streaming_sessionize_tws(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Timer-driven gap sessionization on TWS. ``stream`` must carry event
+    time in ``ts_col``; a watermark is applied here (event-time timers
+    fire against it). Output:
+    ``key, session_start, session_end, n_events, closed_by``."""
+    require_tws_runtime()
+    wm = stream.withWatermark(ts_col, watermark_delay)
+    return wm.groupBy(key_col).transformWithStateInPandas(
+        SessionizeProcessor(key_col, ts_col, gap_seconds * 1000),
+        outputStructType=(
+            f"{key_col} long, session_start timestamp, session_end timestamp, "
+            "n_events long, closed_by string"
+        ),
+        outputMode="append",
+        timeMode="eventTime",
+    )
+
+
+class LastNProcessor(StatefulProcessor):
+    """Most-recent-N records per key in a TWS ``ListState`` — the
+    feature-store "recent events" pattern (bounded BY CONTRACT at N rows
+    per key, the list-shaped state MapState/ValueState don't model).
+    Each batch appends its rows in one ``appendList`` call, then rewrites
+    the truncated top-N only when the buffer overflowed."""
+
+    def __init__(self, ts_col: str, payload_col: str, n: int) -> None:
+        self.ts_col = ts_col
+        self.payload_col = payload_col
+        self.n = n
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._buf = handle.getListState(
+            "recent", f"{self.ts_col} timestamp, {self.payload_col} double"
+        )
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        new = []
+        for pdf in rows:
+            for _, r in pdf.iterrows():
+                new.append((r[self.ts_col].to_pydatetime(), float(r[self.payload_col])))
+        if not new:
+            return
+        self._buf.appendList(new)
+        entries = [
+            (t.to_pydatetime() if hasattr(t, "to_pydatetime") else t, float(v))
+            for t, v in self._buf.get()
+        ]
+        entries.sort(key=lambda e: e[0])
+        if len(entries) > self.n:
+            entries = entries[-self.n:]
+            self._buf.put(entries)
+        yield pd.DataFrame(
+            {
+                "key": [int(key[0])] * len(entries),
+                self.ts_col: [e[0] for e in entries],
+                self.payload_col: [e[1] for e in entries],
+            }
+        )
+
+    def close(self) -> None:  # protocol hook; no resources held
+        pass
+
+
+def streaming_last_n_tws(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    payload_col: str,
+    n: int = 10,
+) -> DataFrame:
+    """Keep the N most recent (by ``ts_col``) records per key; each batch
+    that touches a key re-emits the key's full current buffer (newest
+    wins downstream, like the heavy-hitters emission contract)."""
+    require_tws_runtime()
+    keyed = stream.select(
+        stream[key_col].cast("long").alias("key"), ts_col, payload_col
+    )
+    return keyed.groupBy("key").transformWithStateInPandas(
+        LastNProcessor(ts_col, payload_col, n),
+        outputStructType=f"key long, {ts_col} timestamp, {payload_col} double",
+        outputMode="append",
+        timeMode="none",
+    )
 
 
 class HeavyHittersProcessor(StatefulProcessor):

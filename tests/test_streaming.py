@@ -1327,3 +1327,101 @@ def test_observe_metrics_and_state_store_health(stream_env):
     # dedup output: null keys pass through dropDuplicates as their own key
     out = {r.doc_id for r in spark.table("obs_dedup").collect()}
     assert out == {1, 2, None}
+
+
+def test_tws_sessionize_gap_and_timer_close(stream_env):
+    """TWS event-time timers: intra-batch gaps close sessions immediately
+    ('gap'); the trailing open session closes when the WATERMARK passes
+    end+gap ('timer' via handleExpiredTimer) — the canonical TWS pattern,
+    with one (start, end, n) summary row per key as state."""
+    from covid19_spark.streaming.tws_delta import tws_runtime_available
+    from covid19_spark.streaming.tws_ops import streaming_sessionize_tws
+
+    if not tws_runtime_available():
+        pytest.skip("transformWithStateInPandas needs protobuf (not in env)")
+    spark, d, src, ckpt = stream_env
+    import os
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    feeds = [
+        # session A: 10:00-10:05; gap > 10 min -> session B opens at 11:00
+        [(1, ts("2024-01-01T10:00:00")), (1, ts("2024-01-01T10:05:00")),
+         (1, ts("2024-01-01T11:00:00"))],
+        # watermark advancers (other key, far future)
+        [(2, ts("2024-01-01T23:00:00"))],
+        [(2, ts("2024-01-01T23:30:00"))],
+    ]
+    os.makedirs(src)
+    for i, rows in enumerate(feeds):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{src}/f{i}")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{src}/*")
+    with _rocksdb_provider(spark):
+        out = run_stream_to_memory(
+            spark,
+            streaming_sessionize_tws(
+                stream, "user_id", "ts", gap_seconds=600,
+                watermark_delay="10 minutes",
+            ),
+            "tws_sessions",
+            ckpt,
+        ).collect()
+    u1 = sorted(
+        (r.session_start, r.session_end, r.n_events, r.closed_by)
+        for r in out
+        if r.user_id == 1
+    )
+    assert u1 == [
+        (ts("2024-01-01T10:00:00"), ts("2024-01-01T10:05:00"), 2, "gap"),
+        (ts("2024-01-01T11:00:00"), ts("2024-01-01T11:00:00"), 1, "timer"),
+    ]
+
+
+def test_tws_last_n_buffer_truncates_and_carries(stream_env):
+    """TWS ListState: the per-key recent-events buffer appends across
+    micro-batches and truncates to the newest N by event time."""
+    from collections import Counter
+
+    from covid19_spark.streaming.tws_delta import tws_runtime_available
+    from covid19_spark.streaming.tws_ops import streaming_last_n_tws
+
+    if not tws_runtime_available():
+        pytest.skip("transformWithStateInPandas needs protobuf (not in env)")
+    spark, d, src, ckpt = stream_env
+    import os
+
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    b1 = [(1, ts(f"2024-01-01T10:0{i}:00"), float(i)) for i in range(1, 6)]  # ts 1..5
+    b2 = [(1, ts(f"2024-01-01T10:0{i}:00"), float(i)) for i in range(6, 9)]  # ts 6..8
+    os.makedirs(src)
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{src}/f{i}")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{src}/*")
+    with _rocksdb_provider(spark):
+        out = run_stream_to_memory(
+            spark,
+            streaming_last_n_tws(stream, "uid", "ts", "v", n=4),
+            "tws_lastn",
+            ckpt,
+        ).collect()
+    counts = Counter(r.v for r in out)
+    # batch 1 emits the truncated buffer {2,3,4,5}; batch 2 emits {5,6,7,8}
+    assert counts == {2.0: 1, 3.0: 1, 4.0: 1, 5.0: 2, 6.0: 1, 7.0: 1, 8.0: 1}
