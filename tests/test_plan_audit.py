@@ -1,0 +1,106 @@
+"""Global physical-plan audit over EVERY registered query.
+
+The per-query pins in test_plans.py freeze individual plan shapes; this
+module sweeps the whole registry once and enforces the repo-wide scale
+invariants that no single-query pin can guarantee stays true as queries
+are added:
+
+- **No CartesianProduct, ever.** An unkeyed join that isn't a broadcast
+  is quadratic at 100 TB no matter what the query is.
+- **No row-at-a-time Python UDFs** (``BatchEvalPython``): SURVEY §2.8's
+  design goal — Python kernels must be Arrow-vectorized or absent.
+- **ArrowEvalPython only where declared**: the one pandas_udf in the
+  repo is the hyperplane LSH signer (operators/similarity.py); any new
+  Arrow eval node must be consciously added here.
+- **BroadcastNestedLoopJoin only where audited**: every BNLJ in the
+  registry is a crossJoin against a *one-row* aggregate (corpus-level
+  bounds, norms, thresholds) — broadcast cost O(1). A new BNLJ showing
+  up in any other query is, until proven otherwise, an accidental
+  unkeyed join; it must be audited for one-row-ness (see the dedicated
+  pins, e.g. test_top_revenue_suppliers_one_row_broadcast) and added to
+  the allowlist below before this audit passes.
+
+One sweep builds all plans at sf0.001 (~90 s: a handful of queries run
+contract-small driver-side fits during construction) and reports every
+violation at once.
+"""
+
+import pytest
+
+from covid19_spark.plans.registry import QUERY_REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+# The only pandas_udf in the repo: the sign-LSH hyperplane signer.
+ARROW_EVAL_ALLOWED = {"ann_cosine_topk", "lshann_probe_crosscheck"}
+
+# Every query whose plan contains a BroadcastNestedLoopJoin. Each is a
+# crossJoin against a one-row aggregate (global norm / count / threshold
+# / code-grid literal) — audited in VERDICT r10 and pinned one-by-one in
+# test_plans.py where the one-row claim is load-bearing.
+BNLJ_ALLOWED = {
+    "adaptive_blocking",
+    "array_prefs_fanout",
+    "asof_latest",
+    "bigram_backoff_lm",
+    "bigram_pmi",
+    "bm25_topk",
+    "corpus_drift",
+    "cosine_topk",
+    "domain_mix_sample",
+    "heavy_hitters",
+    "idle_rich_customers",
+    "interpolate_revenue",
+    "ivf_cosine_topk",
+    "ivf_probe_crosscheck",
+    "ivfpq_cosine_topk",
+    "ivfpq_probe_crosscheck",
+    "key_skew_report",
+    "knn_exact_topk",
+    "layout_pruning_gain",
+    "leakage_safe_split",
+    "lsh_guard_report",
+    "pq_adc_crosscheck",
+    "pq_cosine_topk",
+    "scd2_point_in_time",
+    "semantic_dedup_paper_policy",
+    "tfidf_top_terms",
+    "token_budget_mix",
+    "top_revenue_suppliers",
+    "topk_users",
+    "triangle_count",
+    "unigram_logprob",
+    "zip_join",
+    "zorder_clustering",
+}
+
+
+def test_registry_wide_plan_invariants(spark):
+    violations = []
+    arrow_seen, bnlj_seen = set(), set()
+    for name, spec in QUERY_REGISTRY.items():
+        plan = spec.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            violations.append(f"{name}: CartesianProduct (unkeyed non-broadcast join)")
+        if "BatchEvalPython" in plan:
+            violations.append(f"{name}: BatchEvalPython (row-at-a-time Python UDF)")
+        if "ArrowEvalPython" in plan:
+            arrow_seen.add(name)
+            if name not in ARROW_EVAL_ALLOWED:
+                violations.append(f"{name}: undeclared ArrowEvalPython node")
+        if "BroadcastNestedLoopJoin" in plan:
+            bnlj_seen.add(name)
+            if name not in BNLJ_ALLOWED:
+                violations.append(
+                    f"{name}: unaudited BroadcastNestedLoopJoin — verify the "
+                    "broadcast side is a one-row bound, then allowlist"
+                )
+    assert not violations, "\n".join(violations)
+    # Allowlists must not rot: an entry whose query no longer produces the
+    # node (or left the registry) is stale evidence — prune it.
+    assert arrow_seen == ARROW_EVAL_ALLOWED & set(QUERY_REGISTRY), (
+        f"stale ArrowEvalPython allowlist: {sorted(ARROW_EVAL_ALLOWED - arrow_seen)}"
+    )
+    assert bnlj_seen == BNLJ_ALLOWED & set(QUERY_REGISTRY), (
+        f"stale BNLJ allowlist: {sorted(BNLJ_ALLOWED - bnlj_seen)}"
+    )
