@@ -1,0 +1,161 @@
+"""Persisted IVF-PQ ANN index: build once, query many.
+
+The in-memory ANN operators (operators/similarity.py) rebuild their index
+per query — fine for a pipeline stage, wrong for the production serving
+shape. At 1B vectors the index is built ONCE (quantizer fit on a
+contract-small sample + one encode pass over the corpus) and then served
+against for months; re-encoding 100 TB per query batch is the single
+largest cost a naive port would pay. This module is that build/serve split,
+expressed as plain parquet so any Spark (or DuckDB — the files are
+engine-portable) session can reopen the index:
+
+    <path>/centroids/   (centroid_id INT, cvec ARRAY<DOUBLE>)   — KBs
+    <path>/codebooks/   (sub INT, code INT, cvec ARRAY<DOUBLE>) — KBs
+    <path>/meta/        one row: n_centroids, m, n_codes, dim, id/vec col
+    <path>/codes/       (id, codes ARRAY<INT>) PARTITIONED BY centroid_id
+
+``codes`` is partitioned by the IVF list id, which is what makes a probe a
+*file-pruning* operation: a query batch that probes ``n_probes`` of
+``n_centroids`` lists reads only those directories. ``ivfpq_index_topk``
+collects the batch's distinct probed list ids — bounded by ``n_centroids``
+rows, a contract-small driver list regardless of corpus or batch size —
+and pushes them as a static ``centroid_id IN (...)`` partition filter, so
+the scan's ``PartitionFilters`` prune at planning time (pinned in
+tests/test_ann_index.py). At nlist=65536 / nprobe=64 that is 0.1 % of the
+code files touched per batch.
+
+Query results are bit-identical to ``ivfpq_cosine_topk`` on the same
+quantizers: build and search share the exact encode/search expressions
+(``ivfpq_encode``/``ivfpq_search``), ints and doubles round-trip parquet
+exactly, and the registry query ``ann_index_persist_topk`` pins the
+round-trip against the same fixture oracle as the in-memory operator.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from covid19_spark.operators.similarity import (
+    ivf_assign,
+    ivfpq_encode,
+    ivfpq_quantizers,
+    ivfpq_search,
+)
+
+
+class IvfPqIndex(NamedTuple):
+    """An opened persisted index: three small frames + the codes scan."""
+
+    codes: DataFrame
+    centroids: DataFrame
+    codebooks: DataFrame
+    meta: dict
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample_mod: "int | str | None" = "auto",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> dict:
+    """Build the index at ``path`` (overwrite): fit quantizers (or take
+    pre-trained ones via ``centroids=``/``codebooks=``), encode the corpus
+    in one map pass, write codes partitioned by IVF list. The only
+    corpus-sized work is the encode scan; everything else is KB-sized.
+    Returns the meta dict that was persisted."""
+    centroids, codebooks = ivfpq_quantizers(
+        corpus, n_centroids, m, n_codes,
+        id_col=id_col, vec_col=vec_col,
+        train_sample_mod=train_sample_mod,
+        centroids=centroids, codebooks=codebooks,
+    )
+    spark = corpus.sparkSession
+    dim = codebooks.select(
+        (F.size("cvec") * m).alias("d")
+    ).limit(1).collect()[0]["d"]
+    meta = {
+        "n_centroids": int(n_centroids),
+        "m": int(m),
+        "n_codes": int(n_codes),
+        "dim": int(dim),
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    codebooks.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(meta["n_centroids"], meta["m"], meta["n_codes"], meta["dim"],
+          meta["id_col"], meta["vec_col"])],
+        "n_centroids INT, m INT, n_codes INT, dim INT, id_col STRING, vec_col STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    (
+        ivfpq_encode(corpus, centroids, codebooks, m, id_col=id_col, vec_col=vec_col)
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/codes")
+    )
+    return meta
+
+
+def read_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
+    """Reopen a persisted index. The codes frame is a lazy parquet scan —
+    nothing corpus-sized is materialized until a query prunes it."""
+    meta_row = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta = {k: meta_row[k] for k in
+            ("n_centroids", "m", "n_codes", "dim", "id_col", "vec_col")}
+    return IvfPqIndex(
+        codes=spark.read.parquet(f"{path}/codes"),
+        centroids=spark.read.parquet(f"{path}/centroids"),
+        codebooks=spark.read.parquet(f"{path}/codebooks"),
+        meta=meta,
+    )
+
+
+def ivfpq_index_topk(
+    index: IvfPqIndex,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 3,
+    shortlist: int = 50,
+    prune: str = "static",
+) -> DataFrame:
+    """Serve a query batch from a persisted index: probe → ADC over probed
+    lists only → exact-cosine rerank against ``corpus`` (the full-precision
+    cold store; the index itself holds no vectors).
+
+    ``prune="static"`` (default) collects the batch's DISTINCT probed list
+    ids — at most ``n_centroids`` ints however large the batch, the same
+    sanctioned contract-small class as dedup_lsh_stream's bucket keys — and
+    filters codes with ``isin`` so the parquet scan carries a static
+    ``PartitionFilters`` and untouched list directories are never opened.
+    ``prune="none"`` leaves pruning to the runtime join (full scan; useful
+    when the batch probes nearly every list and the filter buys nothing).
+
+    Output (query_id, rank, neighbor_id, sim) is bit-identical to
+    ``ivfpq_cosine_topk`` with the same quantizers."""
+    meta = index.meta
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    codes = index.codes
+    if prune == "static":
+        probed = ivf_assign(
+            queries, index.centroids, id_col, vec_col, n_probes=n_probes
+        ).select("centroid_id").distinct().collect()
+        codes = codes.filter(
+            F.col("centroid_id").isin(sorted(int(r["centroid_id"]) for r in probed))
+        )
+    elif prune != "none":
+        raise ValueError(f"prune must be 'static' or 'none', got {prune!r}")
+    return ivfpq_search(
+        codes, index.centroids, index.codebooks, corpus, queries,
+        k=k, n_probes=n_probes, m=meta["m"], n_codes=meta["n_codes"],
+        shortlist=shortlist, id_col=id_col, vec_col=vec_col,
+    )

@@ -613,22 +613,46 @@ def ivfpq_cosine_topk(
     ``ivf_cosine_topk``/``pq_cosine_topk`` (and the seam the
     ``ivfpq_probe_crosscheck`` oracle verifies the composite through).
     """
-    from pyspark.sql import Window
+    # Index build (VERDICT r08 task #1, fit extracted to ivfpq_quantizers):
+    # the training sample is SMALL BY CONTRACT — FAISS-style practice fits
+    # quantizers on 10^5-10^6 rows via ``train_sample_mod`` and encodes
+    # everything, so the driver-side fit's collect is the same sanctioned
+    # vocabulary-sized class as BPE's merge table, and zero barrier jobs
+    # remain before the query. The fully-distributed trainers
+    # (``ivf_train_centroids``, ``pq_train_codebooks``) stay available for
+    # corpus-scale fits through the pre-trained ``centroids=``/
+    # ``codebooks=`` seam, which the ``ivfpq_probe_crosscheck`` oracle
+    # verifies the composite through.
+    centroids, codebooks = ivfpq_quantizers(
+        corpus, n_centroids, m, n_codes,
+        id_col=id_col, vec_col=vec_col,
+        train_sample_mod=train_sample_mod,
+        centroids=centroids, codebooks=codebooks,
+    )
+    codes = ivfpq_encode(corpus, centroids, codebooks, m, id_col=id_col, vec_col=vec_col)
+    return ivfpq_search(
+        codes, centroids, codebooks, corpus, queries,
+        k=k, n_probes=n_probes, m=m, n_codes=n_codes, shortlist=shortlist,
+        id_col=id_col, vec_col=vec_col,
+    )
 
-    # Index build (VERDICT r08 task #1): the training sample is SMALL BY
-    # CONTRACT — FAISS-style practice fits quantizers on 10^5-10^6 rows via
-    # ``train_sample_mod`` and encodes everything, so the sample is MBs,
-    # the same sanctioned vocabulary-sized-collect class as BPE's merge
-    # table. Collect it ONCE to the driver, run both Lloyd fits in numpy,
-    # and broadcast the two tiny results back as LocalRelations — this
-    # replaces the former 3-job eager-localCheckpoint barrier chain
-    # (sample, centroids, codebooks) whose sequential stalls multiplied on
-    # a contended box (driver sweeps r07 16.1 s / r08 runs 7.3/33.6/7.7 s
-    # for ~1 s of real training work). Zero barrier jobs remain before the
-    # query; the fully-distributed trainers (``ivf_train_centroids``,
-    # ``pq_train_codebooks``) stay available for corpus-scale fits through
-    # the pre-trained ``centroids=``/``codebooks=`` seam, which the
-    # ``ivfpq_probe_crosscheck`` oracle verifies the composite through.
+
+def ivfpq_quantizers(
+    corpus: DataFrame,
+    n_centroids: int,
+    m: int,
+    n_codes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample_mod: "int | str | None" = "auto",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> "tuple[DataFrame, DataFrame]":
+    """Fit (or pass through pre-trained) IVF centroids + PQ codebooks — the
+    driver-side contract-small fit extracted from ``ivfpq_cosine_topk`` so
+    the persisted-index build path (operators/ann_index.py) shares one
+    trainer. Returns two LocalRelation-backed frames:
+    (centroid_id INT, cvec ARRAY<DOUBLE>) and (sub, code, cvec)."""
     if centroids is None or codebooks is None:
         rows = (
             quantizer_training_sample(corpus, id_col, train_sample_mod)
@@ -653,18 +677,29 @@ def ivfpq_cosine_topk(
                 ],
                 "sub INT, code INT, cvec ARRAY<DOUBLE>",
             )
-    # ONE map pass builds the resident index: list assignment (top-1
-    # centroid, identical expression to ivf_assign) AND the PQ codes
-    # (map-only _pq_codes_expr) from the same scan — the former
-    # pq_encode→join(lists) shape paid a groupBy shuffle plus an id join
-    # to glue together two columns of the same row.
+    return centroids, codebooks
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the resident IVF-PQ index rows (id, centroid_id, codes) in ONE
+    map pass: list assignment (top-1 centroid, identical expression to
+    ``ivf_assign``) AND the PQ codes (map-only ``_pq_codes_expr``) from the
+    same scan — the former pq_encode→join(lists) shape paid a groupBy
+    shuffle plus an id join to glue together two columns of the same row."""
     cb_row = codebooks.select(F.struct("sub", "code", "cvec").alias("__e")).agg(
         F.collect_list("__e").alias("__cb")
     )
     c_row = centroids.select(
         F.col("centroid_id"), F.col("cvec").cast("array<double>").alias("__c")
     ).agg(F.collect_list(F.struct("centroid_id", "__c")).alias("__cs"))
-    codes = (
+    return (
         corpus.select(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("__v"),
@@ -690,6 +725,32 @@ def ivfpq_cosine_topk(
         )
     )
 
+
+def ivfpq_search(
+    codes: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 3,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The query half of IVF-PQ over an already-built ``codes`` frame
+    (in-memory from ``ivfpq_encode`` or read back from a persisted index):
+    probe assignment, ADC table-lookup scoring of only the probed lists,
+    exact-cosine rerank of the shortlist against the full-precision
+    ``corpus`` (cold storage). Extracted verbatim from ``ivfpq_cosine_topk``
+    so persisted and in-memory paths are the SAME plan, bit-identical."""
+    from pyspark.sql import Window
+
+    cb_row = codebooks.select(F.struct("sub", "code", "cvec").alias("__e")).agg(
+        F.collect_list("__e").alias("__cb")
+    )
     qv = F.col(vec_col).cast("array<double>")
     qnorm = F.sqrt(F.aggregate(F.zip_with(qv, qv, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x))
     qn = queries.select(

@@ -1408,6 +1408,48 @@ QUERY_REGISTRY["ivfpq_cosine_topk"] = QuerySpec(
 )
 
 
+def q_ann_index_persist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/query-many ANN serving (operators/ann_index.py): the
+    IVF-PQ index is WRITTEN as parquet — codes partitioned by IVF list id —
+    reopened, and served against, with the probe pushed down as a static
+    ``centroid_id IN (...)`` PartitionFilters so untouched list directories
+    are never opened (the FAISS/Milvus deployment shape: at 100 TB the
+    encode pass runs once, query batches read ~n_probes/n_centroids of the
+    code files). Same params as ``ivfpq_cosine_topk`` and bit-identical to
+    it by construction (shared encode/search expressions + exact parquet
+    round-trip of ints/doubles), so the SAME fixture pins the round-trip:
+    any divergence between the persisted and in-memory paths fails the
+    hash. Index scratch lives under /tmp, rebuilt (overwrite) per run —
+    the build cost is deliberately part of the measured query."""
+    import os
+
+    from covid19_spark.operators.ann_index import (
+        ivfpq_index_topk, read_ivfpq_index, write_ivfpq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    queries = emb.filter(F.col("vec_id") < 8)
+    path = f"/tmp/covid19_spark_ann_index_{os.path.basename(sf_dir.rstrip('/'))}"
+    write_ivfpq_index(emb, path, n_centroids=16, m=8, n_codes=16)
+    idx = read_ivfpq_index(spark, path)
+    return ivfpq_index_topk(
+        idx, emb, queries, k=10, n_probes=3, shortlist=50
+    ).orderBy("query_id", "rank")
+
+
+ORACLE_ANN_INDEX_PERSIST_TOPK = f"""
+SELECT b.query_id, b.rank, b.neighbor_id, b.sim
+FROM read_parquet('{fixture_path("ivfpq_cosine_topk_sf0.01.parquet")}') b
+JOIN embeddings e ON b.neighbor_id = e.vec_id
+ORDER BY b.query_id, b.rank
+"""
+
+QUERY_REGISTRY["ann_index_persist_topk"] = QuerySpec(
+    q_ann_index_persist_topk, ORACLE_ANN_INDEX_PERSIST_TOPK,
+    "persisted IVF-PQ index round-trip top-k (ivfpq fixture pins bit-equality)",
+)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing: documents' text bytes treated as an
     opaque payload, features extracted via Arrow-batched mapInPandas (the

@@ -1,0 +1,118 @@
+"""Persisted IVF-PQ index (operators/ann_index.py): build-once/query-many.
+
+The load-bearing claims: (1) the persisted round-trip is BIT-identical to
+the in-memory ``ivfpq_cosine_topk`` — the index adds durability, never
+drift; (2) probing is FILE pruning — a query batch opens only the probed
+lists' code directories (static PartitionFilters, measured by the files
+actually read); (3) the index directory is self-describing (meta) and
+rebuildable in place (overwrite)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from covid19_spark.operators.ann_index import (
+    ivfpq_index_topk,
+    read_ivfpq_index,
+    write_ivfpq_index,
+)
+from covid19_spark.operators.similarity import ivf_assign, ivfpq_cosine_topk
+from covid19_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+PARAMS = dict(k=10, n_probes=3, shortlist=50)
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("annidx") / "ivfpq")
+    emb = load_table(spark, "embeddings", SF).repartition(8, "vec_id")
+    meta = write_ivfpq_index(emb, path, n_centroids=16, m=8, n_codes=16)
+    assert meta["dim"] == 64 and meta["id_col"] == "vec_id"
+    return path
+
+
+def _emb_and_queries(spark):
+    emb = load_table(spark, "embeddings", SF).repartition(8, "vec_id")
+    return emb, emb.filter(F.col("vec_id") < 8)
+
+
+def test_roundtrip_bit_identical_to_inmemory(spark, index_path):
+    emb, queries = _emb_and_queries(spark)
+    idx = read_ivfpq_index(spark, index_path)
+    got = (
+        ivfpq_index_topk(idx, emb, queries, **PARAMS)
+        .orderBy("query_id", "rank").collect()
+    )
+    want = (
+        ivfpq_cosine_topk(emb, queries, m=8, n_codes=16, n_centroids=16, **PARAMS)
+        .orderBy("query_id", "rank").collect()
+    )
+    assert got == want  # bit-exact: same sims, same ranks, same neighbors
+
+
+def test_probe_is_static_partition_pruning(spark, index_path):
+    """The probe reaches the codes scan as a planning-time partition filter
+    and the scan physically opens ONLY the probed lists' files."""
+    emb, queries = _emb_and_queries(spark)
+    idx = read_ivfpq_index(spark, index_path)
+    plan = (
+        ivfpq_index_topk(idx, emb, queries, **PARAMS)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    assert re.search(r"PartitionFilters: \[centroid_id#\d+ INSET ", plan)
+    # ground truth: which lists does this batch probe?
+    probed = {
+        r["centroid_id"]
+        for r in ivf_assign(queries, idx.centroids, "vec_id", "embedding", n_probes=3)
+        .select("centroid_id").distinct().collect()
+    }
+    n_lists = idx.centroids.count()
+    assert 0 < len(probed) < n_lists  # the batch must not probe everything
+    # files ACTUALLY read by the pruned scan (input_file_name is assigned
+    # post-pruning) vs the directory's total — the pruning gain itself
+    pruned_codes = idx.codes.filter(F.col("centroid_id").isin(sorted(probed)))
+    files_read = {
+        r[0] for r in pruned_codes.select(F.input_file_name()).distinct().collect()
+    }
+    files_total = {
+        r[0] for r in idx.codes.select(F.input_file_name()).distinct().collect()
+    }
+    assert files_read < files_total  # strict subset: pruning is physical
+    # every file read belongs to a probed list directory
+    assert all(
+        any(f"centroid_id={c}/" in f for c in probed) for f in files_read
+    )
+    # and no probed list was dropped by pruning
+    survived = {
+        r["centroid_id"]
+        for r in pruned_codes.select("centroid_id").distinct().collect()
+    }
+    assert survived == probed
+
+
+def test_prune_none_same_answer_and_bad_mode_raises(spark, index_path):
+    emb, queries = _emb_and_queries(spark)
+    idx = read_ivfpq_index(spark, index_path)
+    a = (
+        ivfpq_index_topk(idx, emb, queries, prune="none", **PARAMS)
+        .orderBy("query_id", "rank").collect()
+    )
+    b = (
+        ivfpq_index_topk(idx, emb, queries, prune="static", **PARAMS)
+        .orderBy("query_id", "rank").collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="prune"):
+        ivfpq_index_topk(idx, emb, queries, prune="dynamic", **PARAMS)
+
+
+def test_rebuild_in_place_overwrites(spark, index_path):
+    """A second build at the same path replaces the index (mode=overwrite
+    everywhere) — the refresh story for a periodically re-encoded corpus."""
+    emb, queries = _emb_and_queries(spark)
+    write_ivfpq_index(emb, index_path, n_centroids=16, m=8, n_codes=16)
+    idx = read_ivfpq_index(spark, index_path)
+    got = ivfpq_index_topk(idx, emb, queries, **PARAMS)
+    assert got.count() == 80  # 8 queries x k=10, unchanged after rebuild

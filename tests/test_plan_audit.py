@@ -40,6 +40,7 @@ ARROW_EVAL_ALLOWED = {"ann_cosine_topk", "lshann_probe_crosscheck"}
 # test_plans.py where the one-row claim is load-bearing.
 BNLJ_ALLOWED = {
     "adaptive_blocking",
+    "ann_index_persist_topk",
     "array_prefs_fanout",
     "asof_latest",
     "bigram_backoff_lm",
