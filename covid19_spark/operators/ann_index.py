@@ -105,6 +105,37 @@ def write_ivfpq_index(
     return meta
 
 
+def append_ivfpq_index(corpus_delta: DataFrame, path: str) -> int:
+    """Add new vectors to an EXISTING index without touching what's there —
+    the FAISS ``add()`` story at parquet granularity: the delta is encoded
+    with the index's OWN persisted quantizers (never refit — refitting
+    would silently shift every existing code's meaning) and appended into
+    the same list-partitioned layout. At 100 TB this is the daily-ingest
+    shape: the encode pass scans only the delta, and append mode writes
+    only the probed-by-nobody new files; existing list directories gain
+    files, they are never rewritten. Returns the number of rows appended.
+
+    Caller contract: delta ids must be new (the index is id-keyed but
+    append does not dedup — run exact dedup upstream, the same contract
+    as the corpus itself). Quantizer drift is the refresh seam: when the
+    corpus distribution moves far enough that recall sags, rebuild with
+    ``write_ivfpq_index`` (overwrite) — the classic reindex tradeoff."""
+    spark = corpus_delta.sparkSession
+    idx = read_ivfpq_index(spark, path)
+    meta = idx.meta
+    n = corpus_delta.count()
+    (
+        ivfpq_encode(
+            corpus_delta, idx.centroids, idx.codebooks, meta["m"],
+            id_col=meta["id_col"], vec_col=meta["vec_col"],
+        )
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/codes")
+    )
+    return n
+
+
 def read_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
     """Reopen a persisted index. The codes frame is a lazy parquet scan —
     nothing corpus-sized is materialized until a query prunes it."""

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from covid19_spark.operators.ann_index import (
+    append_ivfpq_index,
     ivfpq_index_topk,
     read_ivfpq_index,
     write_ivfpq_index,
@@ -106,6 +107,41 @@ def test_prune_none_same_answer_and_bad_mode_raises(spark, index_path):
     assert a == b
     with pytest.raises(ValueError, match="prune"):
         ivfpq_index_topk(idx, emb, queries, prune="dynamic", **PARAMS)
+
+
+def test_append_equals_full_build_on_same_quantizers(spark, tmp_path):
+    """Incremental ingest: build on half the corpus, append the other half —
+    queries must answer EXACTLY as a one-shot build over the full corpus
+    with the same quantizers (append encodes with the persisted quantizers,
+    so codes are identical rows, just written later)."""
+    emb, queries = _emb_and_queries(spark)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    inc_path = str(tmp_path / "inc")
+    write_ivfpq_index(old, inc_path, n_centroids=16, m=8, n_codes=16)
+    idx_half = read_ivfpq_index(spark, inc_path)
+    n_before = idx_half.codes.count()
+    appended = append_ivfpq_index(new, inc_path)
+    assert appended == new.count()
+    idx = read_ivfpq_index(spark, inc_path)
+    assert idx.codes.count() == n_before + appended
+    full_path = str(tmp_path / "full")
+    # one-shot build over everything, pinned to the SAME quantizers the
+    # incremental index fitted on its first half
+    write_ivfpq_index(
+        emb, full_path, n_centroids=16, m=8, n_codes=16,
+        centroids=idx.centroids, codebooks=idx.codebooks,
+    )
+    idx_full = read_ivfpq_index(spark, full_path)
+    got = (
+        ivfpq_index_topk(idx, emb, queries, **PARAMS)
+        .orderBy("query_id", "rank").collect()
+    )
+    want = (
+        ivfpq_index_topk(idx_full, emb, queries, **PARAMS)
+        .orderBy("query_id", "rank").collect()
+    )
+    assert got == want
 
 
 def test_rebuild_in_place_overwrites(spark, index_path):
