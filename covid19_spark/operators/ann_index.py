@@ -150,6 +150,55 @@ def read_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
     )
 
 
+def make_ann_query_sink(
+    index_path: str,
+    corpus: DataFrame,
+    results_path: str,
+    k: int = 10,
+    n_probes: int = 3,
+    shortlist: int = 50,
+):
+    """foreachBatch sink serving a STREAM of query vectors against the
+    persisted index: each micro-batch is answered with ``ivfpq_index_topk``
+    (so per-batch file pruning applies — a batch probing 3 of 64k lists
+    opens 3 directories) and appended to ``results_path`` with its
+    ``batch_id``. The index is reopened per batch ON PURPOSE: meta/
+    centroids/codebooks are KB-sized reads, and a fresh codes scan is what
+    makes rows ingested by ``make_ann_ingest_sink`` between batches
+    immediately searchable — an index frame opened once outside the loop
+    would pin the file listing of the first batch."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        idx = read_ivfpq_index(batch_df.sparkSession, index_path)
+        (
+            ivfpq_index_topk(
+                idx, corpus, batch_df, k=k, n_probes=n_probes, shortlist=shortlist
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append").parquet(results_path)
+        )
+
+    return sink
+
+
+def make_ann_ingest_sink(index_path: str):
+    """foreachBatch sink streaming NEW vectors into the persisted index:
+    each micro-batch is encoded with the index's persisted quantizers and
+    appended (``append_ivfpq_index`` semantics — never refits, see its
+    contract note on upstream dedup). Exactly-once at the ingest level
+    comes from the stream's checkpoint: a replayed batch re-appends, so
+    pair with dedup_within_watermark upstream or idempotent ids when the
+    source can replay."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.take(1):
+            append_ivfpq_index(batch_df, index_path)
+
+    return sink
+
+
 def ivfpq_index_topk(
     index: IvfPqIndex,
     corpus: DataFrame,

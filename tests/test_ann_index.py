@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 from covid19_spark.operators.ann_index import (
     append_ivfpq_index,
     ivfpq_index_topk,
+    make_ann_ingest_sink,
+    make_ann_query_sink,
     read_ivfpq_index,
     write_ivfpq_index,
 )
@@ -142,6 +144,61 @@ def test_append_equals_full_build_on_same_quantizers(spark, tmp_path):
         .orderBy("query_id", "rank").collect()
     )
     assert got == want
+
+
+def test_streaming_serve_and_ingest_roundtrip(spark, index_path, tmp_path):
+    """The full serving loop on streams: (1) a query-vector stream answered
+    per micro-batch against the persisted index matches the batch answers;
+    (2) vectors ingested by the ingest sink between batches are searchable
+    by the NEXT query batch (the reopen-per-batch contract)."""
+    emb, _ = _emb_and_queries(spark)
+    # own index copy — this test mutates it via the ingest sink
+    idx_path = str(tmp_path / "serveidx")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 200))
+    write_ivfpq_index(old, idx_path, n_centroids=16, m=8, n_codes=16)
+
+    # ingest stream: one file = one micro-batch of new vectors
+    ingest_src = str(tmp_path / "ingest_src")
+    new.coalesce(1).write.parquet(ingest_src)
+    ingest = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(ingest_src)
+        .writeStream.foreachBatch(make_ann_ingest_sink(idx_path))
+        .option("checkpointLocation", str(tmp_path / "ingest_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    ingest.awaitTermination(120)
+
+    # query stream against the (now grown) index
+    q_src = str(tmp_path / "q_src")
+    queries = emb.filter(F.col("vec_id") < 8)
+    queries.coalesce(1).write.parquet(q_src)
+    results_path = str(tmp_path / "results")
+    corpus = old.unionByName(new)  # full-precision cold store for rerank
+    serve = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(q_src)
+        .writeStream.foreachBatch(
+            make_ann_query_sink(idx_path, corpus, results_path, **PARAMS)
+        )
+        .option("checkpointLocation", str(tmp_path / "serve_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    serve.awaitTermination(120)
+
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in spark.read.parquet(results_path).collect()
+    )
+    idx = read_ivfpq_index(spark, idx_path)
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in ivfpq_index_topk(idx, corpus, queries, **PARAMS).collect()
+    )
+    assert got == want
+    # ingested (odd-id) vectors are actually being retrieved
+    assert any(n % 2 == 1 for (_, _, n, _) in got)
 
 
 def test_rebuild_in_place_overwrites(spark, index_path):
