@@ -1039,6 +1039,149 @@ def pq_encode(
     )
 
 
+def sq8_minmax(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension min/max over RAW corpus values, collapsed to one row
+    of (mins, maxs) double arrays — the whole training state of a scalar
+    quantizer (FAISS ``SQ8`` / Milvus ``SQ8``: byte-per-dimension, 4×
+    memory cut vs float32, no codebook).
+
+    Trained on L2-NORMALIZED values (``_normalized_vec``) so the integer
+    code dot tracks cosine order — and still engine-portable bit-for-bit:
+    the normalization is a fixed-order sequential fold (Spark
+    ``F.aggregate`` ≡ DuckDB ``list_reduce``, same operand order, each IEEE
+    op exactly rounded) and min/max then SELECT an existing double. That is
+    what lets ``sq8_topk`` carry a true cross-engine oracle instead of a
+    fixture.
+
+    Plan: posexplode → groupBy(pos) is dim·|corpus| rows on paper, but
+    partial aggregation combines to ≤dim rows per task before the exchange
+    — the shuffle is dim × n_partitions rows, independent of corpus size."""
+    per_dim = (
+        corpus.select(F.posexplode(_normalized_vec(vec_col)).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    return per_dim.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("maxs"),
+    )
+
+
+def _sq8_codes_expr(vec_col: str) -> Column:
+    """uint8 codes from a row's NORMALIZED vector + the broadcast
+    (mins, maxs) arrays: ``least(255, floor((nv - mn) / (mx - mn) * 256))``,
+    0 where the dimension is constant. Every operand is bit-identical
+    cross-engine (see ``sq8_minmax`` on the fold-ordered normalization) and
+    the quantize step is a fixed IEEE-754 dag (sub/div/mul each exactly
+    rounded, no reassociable sum), so codes — floor boundaries included —
+    are engine-portable by construction."""
+    v = _normalized_vec(vec_col)
+
+    def code(i):
+        idx = (i + 1).cast("int")
+        x, mn, mx = F.element_at(v, idx), F.element_at("mins", idx), F.element_at("maxs", idx)
+        return (
+            F.when(mx > mn, F.least(F.lit(255), F.floor((x - mn) / (mx - mn) * 256)))
+            .otherwise(0)
+            .cast("int")
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.size(v) - 1), code)
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    minmax: DataFrame | None = None,
+) -> DataFrame:
+    """SQ8 ANN: scalar-quantize the corpus to a byte per dimension, scan
+    with the FAISS-style ASYMMETRIC distance — full-precision normalized
+    query against decoded codes (``mn + (c + 0.5)·(mx − mn)/256``) — then
+    exact-cosine rerank the shortlist. The memory story sits between brute
+    force and PQ: 4× smaller scan than float32 with no codebook training,
+    the standard first rung of index compression. (A symmetric code×code
+    dot would be cheaper still but ranks in the per-dim WHITENED space —
+    the affine mn/width terms cancel out of it — which diverges badly from
+    cosine order on anisotropic data; asymmetric ADC is what FAISS's
+    SQ8 IndexScalarQuantizer computes, and recall shows why.)
+
+    Verification story: every ADC term is a fixed IEEE dag over
+    bit-identical inputs (see ``sq8_minmax``), and the sum is a fold whose
+    operand order DuckDB's ``list_reduce`` reproduces exactly — the two
+    engines agree on the shortlist bit-for-bit: a true cross-engine
+    oracle, no fixture; only the knn-style rerank cosine is micro-scaled
+    like every sim output.
+
+    Scale: one corpus scan for codes (map-only after the one-row minmax
+    broadcast), |Q| broadcast, per-partition partial top-k via the rank
+    window; ``minmax=`` takes a pre-trained bounds row (the persisted-index
+    pattern) so serving never re-scans the corpus for training."""
+    from pyspark.sql import Window
+
+    mm = minmax if minmax is not None else sq8_minmax(corpus, id_col, vec_col)
+    codes = corpus.crossJoin(F.broadcast(mm)).select(
+        F.col(id_col).alias("neighbor_id"), _sq8_codes_expr(vec_col).alias("cc")
+    )
+    # queries stay full precision (normalized) and carry the bounds arrays
+    qn = queries.crossJoin(F.broadcast(mm)).select(
+        F.col(id_col).alias("query_id"),
+        _normalized_vec(vec_col).alias("qn"),
+        "mins",
+        "maxs",
+    )
+    el = lambda c, i: F.element_at(c, (i + 1).cast("int"))  # noqa: E731
+    adc_term = lambda i: el("qn", i) * (  # noqa: E731
+        el("mins", i)
+        + (el("cc", i) + F.lit(0.5)) * (el("maxs", i) - el("mins", i)) / F.lit(256.0)
+    )
+    scored = codes.join(
+        F.broadcast(qn), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.sequence(F.lit(0), F.size("qn") - 1),
+            F.lit(0.0),
+            lambda acc, i: acc + adc_term(i),
+        ).alias("adc"),
+    )
+    w_s = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        scored.withColumn("__r", F.row_number().over(w_s))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    c_full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    q_full = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    reranked = (
+        short.join(c_full, "neighbor_id")
+        .join(F.broadcast(q_full), "query_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
 # FAISS-style training budget: quantizer fits see ~this many rows under
 # ``sample_mod="auto"`` (10⁵-10⁶ is standard practice; 2·10⁵ keeps the
 # driver-side collect in the low tens of MBs for 64-dim embeddings).

@@ -1450,6 +1450,106 @@ QUERY_REGISTRY["ann_index_persist_topk"] = QuerySpec(
 )
 
 
+def q_sq8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization ANN (operators/similarity.sq8_topk): byte-
+    per-dimension codes (4× memory cut, no codebook — FAISS SQ8), INTEGER
+    code-dot scan for the shortlist, exact-cosine rerank. Unlike the
+    LSH/IVF/PQ tiers this carries a TRUE cross-engine oracle: the quantizer
+    bounds are exact min/max selections, the quantize expression is a fixed
+    IEEE dag, and the scan score is an integer sum — DuckDB re-derives the
+    identical shortlist from raw embeddings with zero epsilon; only the
+    knn-style rerank sim is micro-scaled."""
+    from covid19_spark.operators.similarity import sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return (
+        sq8_topk(emb, queries, k=10, shortlist=50)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round(F.col("sim") * 1000000).cast("long").alias("sim_e6"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_SQ8_COSINE_TOPK = """
+WITH nv AS (
+  -- L2 normalization with the EXACT fold order of Spark's F.aggregate:
+  -- list_reduce is the same left fold (init 0.0 + x1 == x1 for squares),
+  -- so normalized values are bit-identical and floor boundaries safe
+  SELECT vec_id,
+         list_transform(v, x -> x / (CASE WHEN norm = 0 THEN 1.0 ELSE norm END)) AS v
+  FROM (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                            (a, b) -> a + b)) AS norm
+    FROM embeddings
+  )
+),
+el AS (
+  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+  FROM nv
+),
+mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM el GROUP BY i),
+code AS (
+  SELECT vec_id, i,
+         CAST(CASE WHEN mx > mn
+              THEN least(255, floor((x - mn) / (mx - mn) * 256))
+              ELSE 0 END AS BIGINT) AS c
+  FROM el JOIN mm USING (i)
+),
+-- collapse per-dim rows back to ordered lists so the ADC fold below runs
+-- in the SAME left-to-right operand order as Spark's F.aggregate
+codel AS (SELECT vec_id, list(c ORDER BY i) AS cc FROM code GROUP BY vec_id),
+mma AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM mm),
+adc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(
+           list_transform(range(1, 1 + len(q.v)),
+             i -> q.v[i] * (m.mins[i] + (c.cc[i] + 0.5) * (m.maxs[i] - m.mins[i]) / 256.0)),
+           (a, b) -> a + b) AS adc
+  FROM nv q, codel c, mma m
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC
+         ) AS r
+  FROM adc
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS sim
+  FROM short s
+  JOIN embeddings q ON q.vec_id = s.query_id
+  JOIN embeddings c ON c.vec_id = s.neighbor_id
+  WHERE s.r <= 50
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+         ) AS rnk
+  FROM rer
+)
+SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id,
+       CAST(ROUND(sim * 1000000) AS BIGINT) AS sim_e6
+FROM ranked WHERE rnk <= 10
+ORDER BY query_id, rank
+"""
+
+QUERY_REGISTRY["sq8_cosine_topk"] = QuerySpec(
+    q_sq8_cosine_topk, ORACLE_SQ8_COSINE_TOPK,
+    "SQ8 scalar-quantization ANN: integer code scan + exact rerank (cross-engine oracle)",
+)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing: documents' text bytes treated as an
     opaque payload, features extracted via Arrow-batched mapInPandas (the

@@ -65,6 +65,7 @@ BNLJ_ALLOWED = {
     "pq_cosine_topk",
     "scd2_point_in_time",
     "semantic_dedup_paper_policy",
+    "sq8_cosine_topk",
     "tfidf_top_terms",
     "token_budget_mix",
     "top_revenue_suppliers",

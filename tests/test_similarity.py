@@ -558,3 +558,59 @@ def test_pq_default_plan_has_no_checkpoint_barrier(spark):
     out = pq_cosine_topk(emb, emb.filter("vec_id < 3"), k=5)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Checkpoint" not in plan and "ExistingRDD" not in plan, plan
+
+
+def test_sq8_recall_and_hand_quantizer(spark):
+    """SQ8 on clustered data: high recall vs exact (byte quantization is the
+    gentlest compression tier), plus the quantizer arithmetic on a hand
+    case — constant dimensions code to 0, max values saturate at 255."""
+    from covid19_spark.operators.similarity import sq8_minmax, sq8_topk
+
+    emb = _clustered(spark)
+    queries = emb.filter("vec_id IN (0, 40, 80, 120)")
+    exact = cosine_topk(emb, queries, k=10).collect()
+    approx = sq8_topk(emb, queries, k=10, shortlist=50).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9
+
+    # hand case on NORMALIZED vectors: (0,7)->(0,1), (7,0)->(1,0),
+    # (7,7)->(~0.7071, ~0.7071); per-dim bounds span [0,1]
+    hand = spark.createDataFrame(
+        [(0, [0.0, 7.0]), (1, [7.0, 0.0]), (2, [7.0, 7.0])],
+        ["vec_id", "embedding"],
+    )
+    mm = sq8_minmax(hand).collect()[0]
+    assert mm["mins"] == [0.0, 0.0] and mm["maxs"] == [1.0, 1.0]
+    from pyspark.sql import functions as F
+    from covid19_spark.operators.similarity import _sq8_codes_expr
+
+    codes = {
+        r["vec_id"]: r["cc"]
+        for r in hand.crossJoin(F.broadcast(sq8_minmax(hand)))
+        .select("vec_id", _sq8_codes_expr("embedding").alias("cc")).collect()
+    }
+    assert codes[0] == [0, 255]    # min -> 0; max saturates via least(255, floor(256))
+    assert codes[1] == [255, 0]
+    assert codes[2] == [181, 181]  # floor(0.70710678... * 256)
+
+
+def test_sq8_pretrained_minmax_seam(spark):
+    """Serving path: bounds trained once (persisted-index pattern) answer
+    identically to the inline fit — and the integer scan means the equality
+    is exact, not approximate."""
+    from covid19_spark.operators.similarity import sq8_minmax, sq8_topk
+
+    emb = _clustered(spark, n_clusters=4, per_cluster=20)
+    queries = emb.filter("vec_id IN (0, 20)")
+    inline = sq8_topk(emb, queries, k=5).orderBy("query_id", "rank").collect()
+    mm = sq8_minmax(emb)
+    seam = sq8_topk(emb, queries, k=5, minmax=mm).orderBy("query_id", "rank").collect()
+    assert inline == seam
