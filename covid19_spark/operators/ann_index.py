@@ -45,6 +45,20 @@ from covid19_spark.operators.similarity import (
 )
 
 
+def _fast_committer(spark: SparkSession) -> None:
+    """Switch the session's Hadoop output committer to algorithm v2 before
+    index writes (idempotent, runtime-safe): v1's job-commit rename pass
+    costs a flat ~4.5 s per write on a local fs — 4 writes per index build
+    — while v2 commits at task level (measured 0.3 s). Set here, not only
+    in get_spark, because the index is written from whatever session the
+    caller owns (the driver's vanilla session included). Same partial-file
+    failure tradeoff as every object-store deployment; rebuilds are
+    overwrite-idempotent."""
+    spark.sparkContext._jsc.hadoopConfiguration().set(
+        "mapreduce.fileoutputcommitter.algorithm.version", "2"
+    )
+
+
 class IvfPqIndex(NamedTuple):
     """An opened persisted index: three small frames + the codes scan."""
 
@@ -78,6 +92,7 @@ def write_ivfpq_index(
         centroids=centroids, codebooks=codebooks,
     )
     spark = corpus.sparkSession
+    _fast_committer(spark)
     dim = codebooks.select(
         (F.size("cvec") * m).alias("d")
     ).limit(1).collect()[0]["d"]
@@ -89,15 +104,27 @@ def write_ivfpq_index(
         "id_col": id_col,
         "vec_col": vec_col,
     }
-    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    codebooks.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    # repartition(1), NOT coalesce(1): these frames originate from Python
+    # createDataFrame (32 pickled slices on local[32]); coalesce folds all
+    # slices into ONE task that launches a Python worker per slice
+    # serially (~4.5 s measured for a 16-row frame), while repartition
+    # evaluates the slices in parallel and shuffles one tiny block each.
+    centroids.repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    codebooks.repartition(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     spark.createDataFrame(
         [(meta["n_centroids"], meta["m"], meta["n_codes"], meta["dim"],
           meta["id_col"], meta["vec_col"])],
         "n_centroids INT, m INT, n_codes INT, dim INT, id_col STRING, vec_col STRING",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
     (
         ivfpq_encode(corpus, centroids, codebooks, m, id_col=id_col, vec_col=vec_col)
+        # shuffle onto the list id before the partitioned write: without
+        # this, partitionBy fans out n_tasks × n_lists files (at 1000
+        # executors × 65536 lists that is tens of MILLIONS of near-empty
+        # files); with it, files-per-list tracks data volume via
+        # spark.sql.shuffle.partitions + AQE coalescing. The shuffled
+        # payload is codes (m bytes/row), ~64× smaller than the vectors.
+        .repartition("centroid_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(f"{path}/codes")
@@ -121,6 +148,7 @@ def append_ivfpq_index(corpus_delta: DataFrame, path: str) -> int:
     corpus distribution moves far enough that recall sags, rebuild with
     ``write_ivfpq_index`` (overwrite) — the classic reindex tradeoff."""
     spark = corpus_delta.sparkSession
+    _fast_committer(spark)
     idx = read_ivfpq_index(spark, path)
     meta = idx.meta
     n = corpus_delta.count()
@@ -129,6 +157,7 @@ def append_ivfpq_index(corpus_delta: DataFrame, path: str) -> int:
             corpus_delta, idx.centroids, idx.codebooks, meta["m"],
             id_col=meta["id_col"], vec_col=meta["vec_col"],
         )
+        .repartition("centroid_id")  # same fan-out control as the build
         .write.mode("append")
         .partitionBy("centroid_id")
         .parquet(f"{path}/codes")

@@ -1081,18 +1081,27 @@ def _sq8_codes_expr(vec_col: str) -> Column:
     the quantize step is a fixed IEEE-754 dag (sub/div/mul each exactly
     rounded, no reassociable sum), so codes — floor boundaries included —
     are engine-portable by construction."""
-    v = _normalized_vec(vec_col)
-
-    def code(i):
-        idx = (i + 1).cast("int")
-        x, mn, mx = F.element_at(v, idx), F.element_at("mins", idx), F.element_at("maxs", idx)
-        return (
-            F.when(mx > mn, F.least(F.lit(255), F.floor((x - mn) / (mx - mn) * 256)))
+    # zip_with chains, NOT per-index element_at: an indexed transform would
+    # re-inline the whole normalization subexpression once per element
+    # (64× tree duplication — measured 100+ s of codegen/eval on a 2k-row
+    # corpus), while zip_with evaluates each input array once per row.
+    paired = F.zip_with(
+        _normalized_vec(vec_col),
+        F.col("mins"),
+        lambda x, mn: F.struct(x.alias("x"), mn.alias("mn")),
+    )
+    return F.zip_with(
+        paired,
+        F.col("maxs"),
+        lambda s, mx: (
+            F.when(
+                mx > s["mn"],
+                F.least(F.lit(255), F.floor((s["x"] - s["mn"]) / (mx - s["mn"]) * 256)),
+            )
             .otherwise(0)
             .cast("int")
-        )
-
-    return F.transform(F.sequence(F.lit(0), F.size(v) - 1), code)
+        ),
+    )
 
 
 def sq8_topk(
@@ -1129,31 +1138,33 @@ def sq8_topk(
     from pyspark.sql import Window
 
     mm = minmax if minmax is not None else sq8_minmax(corpus, id_col, vec_col)
-    codes = corpus.crossJoin(F.broadcast(mm)).select(
-        F.col(id_col).alias("neighbor_id"), _sq8_codes_expr(vec_col).alias("cc")
+    # decode ONCE per corpus row (query-independent), so the per-pair scan
+    # work collapses to a plain zip_with dot — without this the ADC decode
+    # re-evaluates |Q|× per neighbor and the scan is ~5× the flops of
+    # brute-force cosine instead of matching it
+    code_mn = F.zip_with(
+        _sq8_codes_expr(vec_col),
+        F.col("mins"),
+        lambda c, mn: F.struct(c.alias("c"), mn.alias("mn")),
     )
-    # queries stay full precision (normalized) and carry the bounds arrays
-    qn = queries.crossJoin(F.broadcast(mm)).select(
-        F.col(id_col).alias("query_id"),
-        _normalized_vec(vec_col).alias("qn"),
-        "mins",
-        "maxs",
+    decoded = corpus.crossJoin(F.broadcast(mm)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.zip_with(
+            code_mn,
+            F.col("maxs"),
+            lambda s, mx: s["mn"] + (s["c"] + F.lit(0.5)) * (mx - s["mn"]) / F.lit(256.0),
+        ).alias("dv"),
     )
-    el = lambda c, i: F.element_at(c, (i + 1).cast("int"))  # noqa: E731
-    adc_term = lambda i: el("qn", i) * (  # noqa: E731
-        el("mins", i)
-        + (el("cc", i) + F.lit(0.5)) * (el("maxs", i) - el("mins", i)) / F.lit(256.0)
+    # queries stay full precision (normalized)
+    qn = queries.select(
+        F.col(id_col).alias("query_id"), _normalized_vec(vec_col).alias("qn")
     )
-    scored = codes.join(
+    scored = decoded.join(
         F.broadcast(qn), F.col("neighbor_id") != F.col("query_id")
     ).select(
         "query_id",
         "neighbor_id",
-        F.aggregate(
-            F.sequence(F.lit(0), F.size("qn") - 1),
-            F.lit(0.0),
-            lambda acc, i: acc + adc_term(i),
-        ).alias("adc"),
+        dot(F.col("qn"), F.col("dv")).alias("adc"),
     )
     w_s = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id").asc()

@@ -1501,17 +1501,19 @@ code AS (
               ELSE 0 END AS BIGINT) AS c
   FROM el JOIN mm USING (i)
 ),
--- collapse per-dim rows back to ordered lists so the ADC fold below runs
--- in the SAME left-to-right operand order as Spark's F.aggregate
-codel AS (SELECT vec_id, list(c ORDER BY i) AS cc FROM code GROUP BY vec_id),
-mma AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM mm),
+-- decode once per corpus row and collapse back to ordered lists so the
+-- ADC fold below runs in the SAME left-to-right operand order as Spark's
+-- F.aggregate over zip_with products
+codel AS (
+  SELECT code.vec_id, list(mn + (c + 0.5) * (mx - mn) / 256.0 ORDER BY i) AS dv
+  FROM code JOIN mm USING (i) GROUP BY code.vec_id
+),
 adc AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          list_reduce(
-           list_transform(range(1, 1 + len(q.v)),
-             i -> q.v[i] * (m.mins[i] + (c.cc[i] + 0.5) * (m.maxs[i] - m.mins[i]) / 256.0)),
+           list_transform(range(1, 1 + len(q.v)), i -> q.v[i] * c.dv[i]),
            (a, b) -> a + b) AS adc
-  FROM nv q, codel c, mma m
+  FROM nv q, codel c
   WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
 ),
 short AS (

@@ -57,6 +57,14 @@ def get_spark(
         # 133 s total with 8-10 s outliers; 16 g → 90 s, stable). 16 g is
         # the sweet spot for this box; override via SPARK_GRAFT_DRIVER_MEM.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # v2 file-output committer: task outputs move to the destination at
+        # TASK commit, skipping the v1 job-commit serial rename pass that
+        # costs a flat ~4.5 s per write on this box's fs (measured: 16-row
+        # parquet write 4.6 s → 0.3 s). Tradeoff: a failed job can leave
+        # partial task files in the destination — the standard Spark
+        # setting for object stores, where real deployments use
+        # cloud-native committers anyway.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         # Streaming state: RocksDB provider = disk-backed per-key state, the
         # analogue of the reference's RocksDB stores (SURVEY §4).
         .config(
