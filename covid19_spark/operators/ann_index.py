@@ -54,9 +54,14 @@ def _fast_committer(spark: SparkSession) -> None:
     caller owns (the driver's vanilla session included). Same partial-file
     failure tradeoff as every object-store deployment; rebuilds are
     overwrite-idempotent."""
-    spark.sparkContext._jsc.hadoopConfiguration().set(
-        "mapreduce.fileoutputcommitter.algorithm.version", "2"
-    )
+    try:
+        spark.sparkContext._jsc.hadoopConfiguration().set(
+            "mapreduce.fileoutputcommitter.algorithm.version", "2"
+        )
+    except Exception:
+        # No JVM-side context (e.g. Spark Connect): writes still work,
+        # just under whatever committer the cluster configured.
+        pass
 
 
 class IvfPqIndex(NamedTuple):
@@ -93,6 +98,10 @@ def write_ivfpq_index(
     )
     spark = corpus.sparkSession
     _fast_committer(spark)
+    # dim is reconstructed as sub_dim·m — when the input dimension is not a
+    # multiple of m this is the ENCODED width (PQ's slice drops the tail,
+    # same as the in-memory operators), which is the width that matters to
+    # every consumer of the index
     dim = codebooks.select(
         (F.size("cvec") * m).alias("d")
     ).limit(1).collect()[0]["d"]
