@@ -209,3 +209,105 @@ def test_rebuild_in_place_overwrites(spark, index_path):
     idx = read_ivfpq_index(spark, index_path)
     got = ivfpq_index_topk(idx, emb, queries, **PARAMS)
     assert got.count() == 80  # 8 queries x k=10, unchanged after rebuild
+
+
+def test_duckdb_serves_persisted_index(spark, index_path):
+    """The module docstring's portability claim, proven: a DIFFERENT engine
+    reopens the index files (codes + centroids + codebooks parquet) and
+    serves the same query batch — probe assignment, ADC over probed lists,
+    exact-cosine rerank — landing the identical top-k. This is the
+    build-once story's real payoff: the index artifact is not Spark-shaped,
+    it is parquet."""
+    import duckdb
+
+    emb_path = f"{SF}/embeddings.parquet"
+    sql = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM read_parquet('{emb_path}') WHERE vec_id < 8
+),
+qn AS (
+  SELECT query_id, v,
+         list_transform(v, x -> x / (CASE WHEN n = 0 THEN 1.0 ELSE n END)) AS nv
+  FROM (SELECT query_id, v, sqrt(list_dot_product(v, v)) AS n FROM q)
+),
+cent AS (
+  SELECT centroid_id, CAST(cvec AS DOUBLE[]) AS cvec
+  FROM read_parquet('{index_path}/centroids/*.parquet')
+),
+cb AS (
+  SELECT sub, code, CAST(cvec AS DOUBLE[]) AS cvec
+  FROM read_parquet('{index_path}/codebooks/*.parquet')
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.v, c.cvec) DESC, c.centroid_id
+           ) AS rn
+    FROM q, cent c
+  ) WHERE rn <= 3
+),
+tab AS (  -- per (query, sub, code): dot of the query's normalized sub-slice
+  SELECT qn.query_id, cb.sub, cb.code,
+         list_sum(list_transform(range(1, 1 + len(cb.cvec)),
+           j -> qn.nv[cb.sub * len(cb.cvec) + j] * cb.cvec[j])) AS dp
+  FROM qn, cb
+),
+codes AS (
+  SELECT vec_id, codes, CAST(centroid_id AS INT) AS centroid_id
+  FROM read_parquet('{index_path}/codes/*/*.parquet', hive_partitioning = true)
+),
+pairs AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id, c.codes
+  FROM codes c JOIN probes p USING (centroid_id)
+  WHERE c.vec_id <> p.query_id
+),
+adc AS (
+  SELECT pr.query_id, pr.neighbor_id, sum(t.dp) AS s
+  FROM pairs pr JOIN tab t
+    ON t.query_id = pr.query_id AND t.code = pr.codes[t.sub + 1]
+  GROUP BY pr.query_id, pr.neighbor_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY s DESC, neighbor_id
+           ) AS rn
+    FROM adc
+  ) WHERE rn <= 50
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(q.v, CAST(e.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(q.v, q.v))
+              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))) AS sim
+  FROM short s
+  JOIN q ON q.query_id = s.query_id
+  JOIN read_parquet('{emb_path}') e ON e.vec_id = s.neighbor_id
+)
+SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id,
+       CAST(ROUND(sim * 1000000) AS BIGINT) AS sim_e6
+FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+         ) AS rnk
+  FROM rer
+) WHERE rnk <= 10
+ORDER BY query_id, rank
+"""
+    con = duckdb.connect()
+    duck = con.sql(sql).fetchall()
+    con.close()
+    emb, queries = _emb_and_queries(spark)
+    idx = read_ivfpq_index(spark, index_path)
+    got = [
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["sim"] * 1_000_000))
+        for r in ivfpq_index_topk(idx, emb, queries, **PARAMS)
+        .orderBy("query_id", "rank").collect()
+    ]
+    assert [tuple(r) for r in duck] == got
