@@ -141,7 +141,9 @@ def write_ivfpq_index(
     return meta
 
 
-def append_ivfpq_index(corpus_delta: DataFrame, path: str) -> int:
+def append_ivfpq_index(
+    corpus_delta: DataFrame, path: str, return_count: bool = True
+) -> "int | None":
     """Add new vectors to an EXISTING index without touching what's there —
     the FAISS ``add()`` story at parquet granularity: the delta is encoded
     with the index's OWN persisted quantizers (never refit — refitting
@@ -149,7 +151,8 @@ def append_ivfpq_index(corpus_delta: DataFrame, path: str) -> int:
     the same list-partitioned layout. At 100 TB this is the daily-ingest
     shape: the encode pass scans only the delta, and append mode writes
     only the probed-by-nobody new files; existing list directories gain
-    files, they are never rewritten. Returns the number of rows appended.
+    files, they are never rewritten. Returns the number of rows appended
+    (``return_count=False`` skips that extra delta scan and returns None).
 
     Caller contract: delta ids must be new (the index is id-keyed but
     append does not dedup — run exact dedup upstream, the same contract
@@ -160,7 +163,10 @@ def append_ivfpq_index(corpus_delta: DataFrame, path: str) -> int:
     _fast_committer(spark)
     idx = read_ivfpq_index(spark, path)
     meta = idx.meta
-    n = corpus_delta.count()
+    # the count exists only for the return value — a second full scan of
+    # the delta; streaming ingest (one call per micro-batch) passes
+    # return_count=False so each batch is scanned exactly once
+    n = corpus_delta.count() if return_count else None
     (
         ivfpq_encode(
             corpus_delta, idx.centroids, idx.codebooks, meta["m"],
@@ -190,7 +196,7 @@ def read_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
 
 def make_ann_query_sink(
     index_path: str,
-    corpus: DataFrame,
+    corpus: "DataFrame | str",
     results_path: str,
     k: int = 10,
     n_probes: int = 3,
@@ -204,15 +210,24 @@ def make_ann_query_sink(
     centroids/codebooks are KB-sized reads, and a fresh codes scan is what
     makes rows ingested by ``make_ann_ingest_sink`` between batches
     immediately searchable — an index frame opened once outside the loop
-    would pin the file listing of the first batch."""
+    would pin the file listing of the first batch.
+
+    ``corpus`` is the full-precision cold store for the exact rerank. Pass
+    a PATH (reopened per batch) whenever the cold store grows alongside
+    the index — a DataFrame pins its file listing at sink creation, so
+    freshly-ingested vectors would reach the ADC shortlist but silently
+    VANISH at the rerank's inner join. A DataFrame argument is only right
+    for a truly static corpus."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        idx = read_ivfpq_index(batch_df.sparkSession, index_path)
+        spark = batch_df.sparkSession
+        idx = read_ivfpq_index(spark, index_path)
+        cold = spark.read.parquet(corpus) if isinstance(corpus, str) else corpus
         (
             ivfpq_index_topk(
-                idx, corpus, batch_df, k=k, n_probes=n_probes, shortlist=shortlist
+                idx, cold, batch_df, k=k, n_probes=n_probes, shortlist=shortlist
             )
             .withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("append").parquet(results_path)
@@ -232,7 +247,7 @@ def make_ann_ingest_sink(index_path: str):
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.take(1):
-            append_ivfpq_index(batch_df, index_path)
+            append_ivfpq_index(batch_df, index_path, return_count=False)
 
     return sink
 

@@ -49,6 +49,7 @@ def morton_interleave(cols: Sequence[Column], bits: int) -> Column:
     n = len(cols)
     if not cols:
         raise ValueError("morton_interleave requires at least one column")
+    _check_morton_width(n, bits)
     acc: Column | None = None
     for i in range(bits):
         for j, c in enumerate(cols):
@@ -59,12 +60,29 @@ def morton_interleave(cols: Sequence[Column], bits: int) -> Column:
     return acc.cast("long")
 
 
+def _check_morton_width(n_cols: int, bits: int) -> None:
+    """The interleaved code must fit the POSITIVE range of a 64-bit long:
+    bit position ``n_cols·bits − 1`` may not reach 63 (the sign bit breaks
+    range ordering) and certainly not 64+ (JVM shift amounts wrap mod 64,
+    silently COLLIDING distinct coordinates onto one code). Fail loudly
+    instead — callers trade ``bits`` down when interleaving many columns."""
+    if bits < 1:
+        raise ValueError(f"morton: bits must be >= 1, got {bits}")
+    if n_cols * bits > 63:
+        raise ValueError(
+            f"morton: {n_cols} cols x {bits} bits = {n_cols * bits} code bits "
+            "exceeds the 63-bit positive-long budget (JVM shifts wrap mod 64, "
+            "which would alias distinct keys); reduce bits"
+        )
+
+
 def morton_interleave_sql(col_names: Sequence[str], bits: int) -> str:
     """The EXACT DuckDB/ANSI replay of ``morton_interleave`` — generated
     from the same (i, j) walk so the two engines agree bit for bit; used
     by the registry oracles."""
     names = list(col_names)
     n = len(names)
+    _check_morton_width(n, bits)
     terms = [
         f"((({names[j]} >> {i}) & 1) << {i * n + j})"
         for i in range(bits)

@@ -140,18 +140,21 @@ def zip_positional(
     matched = F.col("__pa").isNotNull() & F.col("__pb").isNotNull()
     cols = [idx_col, *a.columns, *[renames[c] for c in b.columns]]
     if how == "error":
-        guard = F.when(
-            matched, F.col(idx_col)
-        ).otherwise(
+        # The guard lives in a FILTER, not a projected column: a projected
+        # raise_error is silently DROPPED by column pruning the moment a
+        # caller selects a subset without it (select('va','vb') would then
+        # null-pad instead of throwing). A filter predicate always
+        # executes; matched rows pass as plain TRUE.
+        guard = F.when(matched, F.lit(True)).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit("zip_positional: length mismatch at position "),
                     F.col(idx_col).cast("string"),
                     F.lit(" (reference Utils.zip throws on unequal lengths)"),
                 )
-            )
+            ).cast("boolean")
         )
-        return out.withColumn(idx_col, guard).select(*cols)
+        return out.filter(guard).select(*cols)
     if how == "outer":
         return out.withColumn("matched", matched).select(*cols, "matched")
     return out.select(*cols)

@@ -1096,7 +1096,18 @@ def _sq8_codes_expr(vec_col: str) -> Column:
         lambda s, mx: (
             F.when(
                 mx > s["mn"],
-                F.least(F.lit(255), F.floor((s["x"] - s["mn"]) / (mx - s["mn"]) * 256)),
+                # clamp BOTH ends (FAISS semantics): with pretrained
+                # ``minmax=`` bounds, serving-time vectors can fall outside
+                # the trained range — below-min must saturate to 0, not go
+                # negative and break the byte contract. Inline-trained
+                # corpora never hit either clamp's off-branch, so the
+                # cross-engine oracle is unchanged.
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.lit(255), F.floor((s["x"] - s["mn"]) / (mx - s["mn"]) * 256)
+                    ),
+                ),
             )
             .otherwise(0)
             .cast("int")

@@ -1497,7 +1497,7 @@ mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM el GROUP BY i),
 code AS (
   SELECT vec_id, i,
          CAST(CASE WHEN mx > mn
-              THEN least(255, floor((x - mn) / (mx - mn) * 256))
+              THEN greatest(0, least(255, floor((x - mn) / (mx - mn) * 256)))
               ELSE 0 END AS BIGINT) AS c
   FROM el JOIN mm USING (i)
 ),

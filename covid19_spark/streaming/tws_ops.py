@@ -248,18 +248,31 @@ class SessionizeProcessor(StatefulProcessor):
         else:
             start = end = None
             n = 0
-        for t in ts:
-            t = t.to_pydatetime()
-            if start is None:
-                start, end, n = t, t, 1
-            elif (t - end).total_seconds() * 1000 <= self.gap_ms:
-                end = max(end, t)
-                n += 1
+        # Interval-merge (Kafka Streams session-window semantics): the
+        # carried open session is one weighted interval, each event a point
+        # interval; sort by start and merge neighbors within gap. This is
+        # what makes LATE-but-within-watermark events correct — a point
+        # older than the carried start LOWERS session_start (the previous
+        # formulation's (t − end) ≤ gap test was vacuously true for any
+        # t ≤ end, absorbing arbitrarily-old points without widening the
+        # span), and a point older than start − gap forms its own session
+        # instead of being swallowed.
+        items = [(t.to_pydatetime(),) * 2 + (1,) for t in ts]
+        if start is not None:
+            items.append((start, end, n))
+        items.sort(key=lambda it: (it[0], it[1]))
+        cur_s, cur_e, cur_n = items[0]
+        sessions = []
+        for s, e, c in items[1:]:
+            if (s - cur_e).total_seconds() * 1000 <= self.gap_ms:
+                cur_e, cur_n = max(cur_e, e), cur_n + c
             else:
-                yield self._emit(key, start, end, n, "gap")
-                start, end, n = t, t, 1
-        self._open.update((start, end, n))
-        self._handle.registerTimer(int(end.timestamp() * 1000) + self.gap_ms)
+                sessions.append((cur_s, cur_e, cur_n))
+                cur_s, cur_e, cur_n = s, e, c
+        for s, e, c in sessions:  # all but the chronologically-last close
+            yield self._emit(key, s, e, c, "gap")
+        self._open.update((cur_s, cur_e, cur_n))
+        self._handle.registerTimer(int(cur_e.timestamp() * 1000) + self.gap_ms)
 
     def handleExpiredTimer(
         self, key: tuple, timerValues, expiredTimerInfo

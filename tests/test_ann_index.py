@@ -150,13 +150,17 @@ def test_streaming_serve_and_ingest_roundtrip(spark, index_path, tmp_path):
     """The full serving loop on streams: (1) a query-vector stream answered
     per micro-batch against the persisted index matches the batch answers;
     (2) vectors ingested by the ingest sink between batches are searchable
-    by the NEXT query batch (the reopen-per-batch contract)."""
+    by the NEXT query batch (the reopen-per-batch contract) — INCLUDING at
+    the exact rerank, which is why the cold store goes to the sink as a
+    PATH that grows alongside the index, not a pinned DataFrame."""
     emb, _ = _emb_and_queries(spark)
     # own index copy — this test mutates it via the ingest sink
     idx_path = str(tmp_path / "serveidx")
+    corpus_dir = str(tmp_path / "cold_store")
     old = emb.filter(F.col("vec_id") % 2 == 0)
     new = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 200))
     write_ivfpq_index(old, idx_path, n_centroids=16, m=8, n_codes=16)
+    old.write.parquet(corpus_dir)  # cold store holds only OLD at sink creation
 
     # ingest stream: one file = one micro-batch of new vectors
     ingest_src = str(tmp_path / "ingest_src")
@@ -169,18 +173,21 @@ def test_streaming_serve_and_ingest_roundtrip(spark, index_path, tmp_path):
         .trigger(availableNow=True).start()
     )
     ingest.awaitTermination(120)
+    # the raw-data landing that in reality PRECEDES indexing: the cold
+    # store gains the same vectors the ingest stream just indexed
+    new.write.mode("append").parquet(corpus_dir)
 
-    # query stream against the (now grown) index
+    # query stream against the (now grown) index; the sink reopens the
+    # cold store per batch from the PATH, so rerank sees the new vectors
     q_src = str(tmp_path / "q_src")
     queries = emb.filter(F.col("vec_id") < 8)
     queries.coalesce(1).write.parquet(q_src)
     results_path = str(tmp_path / "results")
-    corpus = old.unionByName(new)  # full-precision cold store for rerank
     serve = (
         spark.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", "1").parquet(q_src)
         .writeStream.foreachBatch(
-            make_ann_query_sink(idx_path, corpus, results_path, **PARAMS)
+            make_ann_query_sink(idx_path, corpus_dir, results_path, **PARAMS)
         )
         .option("checkpointLocation", str(tmp_path / "serve_ckpt"))
         .trigger(availableNow=True).start()
@@ -194,7 +201,9 @@ def test_streaming_serve_and_ingest_roundtrip(spark, index_path, tmp_path):
     idx = read_ivfpq_index(spark, idx_path)
     want = sorted(
         (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
-        for r in ivfpq_index_topk(idx, corpus, queries, **PARAMS).collect()
+        for r in ivfpq_index_topk(
+            idx, spark.read.parquet(corpus_dir), queries, **PARAMS
+        ).collect()
     )
     assert got == want
     # ingested (odd-id) vectors are actually being retrieved

@@ -93,3 +93,20 @@ def test_buckets_touched_overlap_semantics(spark):
         ).collect()
     }
     assert out == {1: 1, 2: 2}  # pred 3 overlaps nothing -> absent
+
+
+def test_morton_width_guard(spark):
+    """Positions past bit 62 would hit the sign bit / wrap mod 64 and alias
+    distinct keys — the generators refuse instead (round-11 review fix)."""
+    import pytest
+    from covid19_spark.operators.layout import morton_interleave, morton_interleave_sql
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="63-bit"):
+        morton_interleave([F.col("a")] * 8, bits=8)  # 64 code bits
+    with pytest.raises(ValueError, match="63-bit"):
+        morton_interleave_sql(["a"] * 9, bits=8)
+    with pytest.raises(ValueError, match="bits"):
+        morton_interleave([F.col("a")], bits=0)
+    # 63 code bits (positions 0..62) is the last legal width
+    assert morton_interleave_sql(["a"] * 7, bits=9).count("<<") == 63

@@ -227,6 +227,14 @@ def test_zip_positional_length_mismatch_raises(spark):
     out = zip_positional(a, b, ["k"], ["k"], how="error")
     with pytest.raises(SparkRuntimeException, match="length mismatch"):
         out.collect()
+    # round-11 review fix: the guard must survive COLUMN PRUNING — a
+    # caller that never selects idx (the old guard's carrier column) still
+    # gets the throw, because the guard now lives in a filter predicate
+    a2 = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "k int, v string")
+    b2 = spark.createDataFrame([(10, "X"), (20, "Y")], "k int, v string")
+    pruned = zip_positional(a2, b2, ["k"], ["k"], how="error").select("v", "v_b")
+    with pytest.raises(SparkRuntimeException, match="length mismatch"):
+        pruned.collect()
 
 
 def test_zip_positional_outer_flags_unmatched(spark):

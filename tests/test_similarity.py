@@ -614,3 +614,17 @@ def test_sq8_pretrained_minmax_seam(spark):
     mm = sq8_minmax(emb)
     seam = sq8_topk(emb, queries, k=5, minmax=mm).orderBy("query_id", "rank").collect()
     assert inline == seam
+    # round-11 review fix: serving-time vectors OUTSIDE the trained bounds
+    # clamp to the byte range on both ends (below-min was going negative)
+    from pyspark.sql import functions as F
+    from covid19_spark.operators.similarity import _sq8_codes_expr
+
+    wild = spark.createDataFrame(
+        [(9001, [100.0] * 16), (9002, [-100.0] * 16)], ["vec_id", "embedding"]
+    )
+    codes = [
+        r["cc"]
+        for r in wild.crossJoin(F.broadcast(mm))
+        .select(_sq8_codes_expr("embedding").alias("cc")).collect()
+    ]
+    assert all(0 <= c <= 255 for cc in codes for c in cc), codes

@@ -1385,6 +1385,61 @@ def test_tws_sessionize_gap_and_timer_close(stream_env):
     ]
 
 
+def test_tws_sessionize_late_event_widens_session_start(stream_env):
+    """Round-11 review fix: a late-but-within-watermark event OLDER than
+    the open session's start must LOWER session_start (interval-merge
+    semantics). The previous (t − end) ≤ gap test absorbed the event but
+    kept the too-late start, reporting a wrong session span."""
+    from covid19_spark.streaming.tws_delta import tws_runtime_available
+    from covid19_spark.streaming.tws_ops import streaming_sessionize_tws
+
+    if not tws_runtime_available():
+        pytest.skip("transformWithStateInPandas needs protobuf (not in env)")
+    spark, d, src, ckpt = stream_env
+    import os
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    feeds = [
+        [(1, ts("2024-01-01T10:10:00"))],
+        # late by 5 min (watermark delay 10 min): merges BEFORE the start
+        [(1, ts("2024-01-01T10:05:00"))],
+        # watermark advancers close the session by timer
+        [(2, ts("2024-01-01T23:00:00"))],
+        [(2, ts("2024-01-01T23:30:00"))],
+    ]
+    os.makedirs(src)
+    for i, rows in enumerate(feeds):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{src}/f{i}")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{src}/*")
+    with _rocksdb_provider(spark):
+        out = run_stream_to_memory(
+            spark,
+            streaming_sessionize_tws(
+                stream, "user_id", "ts", gap_seconds=600,
+                watermark_delay="10 minutes",
+            ),
+            "tws_sessions_late",
+            ckpt,
+        ).collect()
+    u1 = [
+        (r.session_start, r.session_end, r.n_events, r.closed_by)
+        for r in out
+        if r.user_id == 1
+    ]
+    assert u1 == [
+        (ts("2024-01-01T10:05:00"), ts("2024-01-01T10:10:00"), 2, "timer")
+    ]
+
+
 def test_tws_last_n_buffer_truncates_and_carries(stream_env):
     """TWS ListState: the per-key recent-events buffer appends across
     micro-batches and truncates to the newest N by event time."""
