@@ -679,3 +679,57 @@ def write_corpus_shards(
     if records_per_file:
         w = w.option("maxRecordsPerFile", int(records_per_file))
     w.partitionBy("shard").parquet(path)
+
+
+def md5_u01_exact(id_col: Column) -> Column:
+    """Deterministic uniform in (0, 1) from the first 8 hex chars of
+    ``md5(id)``, decoded to an integer by pure ascii arithmetic —
+    bit-identical in any engine that has md5 + ascii (DuckDB does), unlike
+    a float RNG or an engine-specific hash. ``(v + 0.5) / 2^32`` keeps the
+    draw strictly inside (0, 1) so ``ln(u)`` is finite."""
+    h = F.md5(id_col.cast("string"))
+    v = F.lit(0).cast("long")
+    for i in range(1, 9):
+        a = F.ascii(F.substring(h, i, 1))
+        digit = F.when(a <= 57, a - 48).otherwise(a - 87)  # '0'-'9' else 'a'-'f'
+        v = v * 16 + digit.cast("long")
+    return (v.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+
+
+def weighted_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, ``k`` rows per stratum —
+    Efraimidis & Spirakis 2006: each row draws ``u ~ U(0,1)`` and the top-k
+    by ``u^(1/w)`` is an exact weighted sample (a row's inclusion odds are
+    proportional to its weight, no replacement, single pass). The corpus-
+    mixing use: upsample long/high-quality documents into a fixed-size
+    training slice without duplication.
+
+    Ranking uses the monotone-equivalent ``ln(u)/w`` (largest first) —
+    no ``pow``, whose cross-engine rounding is the loosest of the libm
+    family. ``u`` is the exact integer-derived :func:`md5_u01_exact`, so
+    both engines rank identical key values; the (ties → lowest id) order
+    is total. Rows with non-positive weight are excluded (they'd get
+    ``-inf``/undefined keys) — the same contract as the paper.
+
+    Plan: map-only key computation, ONE shuffle on the strata key for the
+    rank window — the stratified_quota_sample shape with weights."""
+    strata = [F.col(c) for c in strata_cols]
+    w = F.col(weight_col).cast("double")
+    keyed = df.filter(w > 0).withColumn(
+        "__es_key", F.log(md5_u01_exact(F.col(id_col))) / w
+    )
+    win = Window.partitionBy(*strata).orderBy(
+        F.col("__es_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        keyed.withColumn(rank_col, F.row_number().over(win))
+        .filter(F.col(rank_col) <= k)
+        .drop("__es_key")
+    )

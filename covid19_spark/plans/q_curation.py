@@ -2633,3 +2633,59 @@ QUERY_REGISTRY["frontier_policy_pipeline"] = QuerySpec(
     q_frontier_policy_pipeline, ORACLE_FRONTIER_POLICY_PIPELINE,
     "composed crawl-frontier policy: canonicalize -> blocklist -> robots -> politeness, one plan vs spec-level oracle",
 )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (operators/curation.weighted_sample): 20 docs per source, inclusion
+    odds proportional to document length — the corpus-mixing upsample that
+    never duplicates a row. The ranking key ln(u)/w uses the exact
+    integer-derived md5 uniform (md5_u01_exact), so DuckDB re-derives the
+    identical keys and the identical sample; ln is the only float op and
+    both engines' 1-ulp agreement has the knn precedent."""
+    from covid19_spark.operators.curation import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        weighted_sample(docs, ["source"], "doc_id", "n_chars", k=20)
+        .select("source", "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+                F.col("sample_rank").cast("int").alias("sample_rank"))
+        .orderBy("source", "sample_rank")
+    )
+
+
+def _hexval_sql(expr: str) -> str:
+    """ascii-decoded integer of the first 8 hex chars of md5(expr) — the
+    SQL twin of md5_u01_exact's decode, generated from the same walk."""
+    terms = []
+    for i in range(1, 9):
+        d = (f"(CASE WHEN ascii(substr(md5(CAST({expr} AS VARCHAR)), {i}, 1)) <= 57 "
+             f"THEN ascii(substr(md5(CAST({expr} AS VARCHAR)), {i}, 1)) - 48 "
+             f"ELSE ascii(substr(md5(CAST({expr} AS VARCHAR)), {i}, 1)) - 87 END)")
+        terms.append(f"CAST({d} AS BIGINT) * {16 ** (8 - i)}")
+    return " + ".join(terms)
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH keyed AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         ln(({_hexval_sql('doc_id')} + 0.5) / 4294967296.0)
+           / CAST(n_chars AS DOUBLE) AS es_key
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY es_key DESC, doc_id ASC
+         ) AS r
+  FROM keyed
+)
+SELECT source, doc_id, n_chars, CAST(r AS INT) AS sample_rank
+FROM ranked WHERE r <= 20
+ORDER BY source, sample_rank
+"""
+
+QUERY_REGISTRY["weighted_sample"] = QuerySpec(
+    q_weighted_sample, ORACLE_WEIGHTED_SAMPLE,
+    "Efraimidis-Spirakis weighted sample per source (exact md5 uniforms, cross-engine oracle)",
+)

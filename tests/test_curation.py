@@ -546,3 +546,46 @@ def test_corpus_shuffle_deterministic_shards(spark, tmp_path):
     assert all(
         spark.read.parquet(f).count() <= 20 for f in files
     )
+
+
+def test_weighted_sample_matches_python_replay_and_biases_heavy(spark):
+    """E-S weighted sample: (1) the Spark top-k per stratum equals a pure-
+    Python replay of the same md5 uniforms + ln(u)/w ranking (exactness);
+    (2) heavier rows are sampled more often (the semantics)."""
+    import hashlib
+    import math
+
+    from covid19_spark.operators.curation import weighted_sample
+
+    rows = [(i, "s", 10.0 if i % 10 == 0 else 1.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, st string, w double")
+    got = sorted(
+        r["id"] for r in weighted_sample(df, ["st"], "id", "w", k=40).collect()
+    )
+
+    def u01(i):
+        v = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        return (v + 0.5) / 4294967296.0
+
+    keyed = sorted(
+        ((math.log(u01(i)) / w, -i), i) for i, _, w in rows
+    )[::-1]
+    want = sorted(i for _, i in keyed[:40])
+    assert got == want
+    # 40 of 400 drawn; the 40 weight-10 rows should dominate the sample
+    heavy = sum(1 for i in got if i % 10 == 0)
+    # threshold analysis: solving 40·(1−t^10) + 360·(1−t) = 40 gives t≈0.94,
+    # i.e. ~18-19 heavy rows expected (observed 20); a uniform draw of 40
+    # from 400 would include ~4 of the heavy rows
+    assert heavy >= 12, heavy
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from covid19_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 0.0), (3, "a", -1.0), (4, "a", 1.0)],
+        "id long, st string, w double",
+    )
+    ids = {r["id"] for r in weighted_sample(df, ["st"], "id", "w", k=10).collect()}
+    assert ids == {1, 4}
