@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 
 from covid19_spark.operators.layout import (
     bucket_stats,
+    hilbert_code,
+    hilbert_sql,
     buckets_touched,
     compaction_bins,
     int_bucket,
@@ -262,4 +264,55 @@ QUERY_REGISTRY.update(
             "files-touched cost model: Z-order vs single-key sort pruning",
         ),
     }
+)
+
+
+def q_hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve locality report over the SAME (customer, order-day)
+    8-bit grid as ``zorder_clustering``: code each order with the
+    continuous Hilbert index (``operators/layout.hilbert_code``), cut the
+    curve into the same 64 "files" (``h >> 10``), and report each file's
+    row count and per-dimension min/max span.  Because the Hilbert curve
+    never jumps (consecutive codes are grid neighbors — pinned in
+    tests/test_layout.py), equal-size cuts produce strictly-tighter
+    footer stats than Morton's power-of-two jumps on the same data — the
+    span totals of the two reports are compared in tests, and the same
+    ``buckets_touched`` cost model turns the difference into files
+    skipped.  Plan shape is identical to Z-order: scan → broadcast one-row
+    bounds → map (8 unrolled rotate/reflect levels, pure CASE/floor
+    arithmetic, codegen'd) → 64-group agg."""
+    coded = hilbert_code(_bucketed_orders(spark, sf_dir), "cb", "db", _BITS)
+    return (
+        coded.withColumn("hfile", F.shiftright("h", _Z_SHIFT))
+        .groupBy("hfile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.max("cb") - F.min("cb") + F.lit(1)).alias("cust_span"),
+            (F.max("db") - F.min("db") + F.lit(1)).alias("date_span"),
+        )
+        .select(
+            F.col("hfile").cast("long").alias("hfile"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("cust_span").cast("long").alias("cust_span"),
+            F.col("date_span").cast("long").alias("date_span"),
+        )
+        .orderBy("hfile")
+    )
+
+
+ORACLE_HILBERT_CLUSTERING = f"""
+WITH {_BUCKETED_ORDERS_SQL},
+h AS ({hilbert_sql("q", "cb", "db", _BITS, ["cb", "db"])})
+SELECT CAST(h >> {_Z_SHIFT} AS BIGINT) AS hfile,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(max(cb) - min(cb) + 1 AS BIGINT) AS cust_span,
+       CAST(max(db) - min(db) + 1 AS BIGINT) AS date_span
+FROM h
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERY_REGISTRY["hilbert_clustering"] = QuerySpec(
+    q_hilbert_clustering, ORACLE_HILBERT_CLUSTERING,
+    "Hilbert-curve clustering report (continuous-curve twin of Z-order)",
 )

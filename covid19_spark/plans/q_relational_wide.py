@@ -1626,3 +1626,55 @@ QUERY_REGISTRY["recursive_cte_chain"] = QuerySpec(
     q_recursive_cte_chain, ORACLE_RECURSIVE_CTE_CHAIN,
     "WITH RECURSIVE ancestor chains (Spark 4 recursive CTE vs DuckDB replay)",
 )
+
+
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (``operators/ivm``): the monthly revenue
+    report maintained as MERGEABLE per-key state — history batch lifted
+    once, the new batch lifted separately, states merged, report finalized
+    — never a rescan of history.  The oracle recomputes the report directly
+    over the full table, so the driver differential IS the IVM safety
+    invariant ``finalize(lift(A) ⊕ lift(B)) == finalize(lift(A ∪ B))``,
+    bit-for-bit (DEC-carried sums make the state independent of where the
+    batch boundary fell).
+
+    Scale: each lift shuffles |months|-sized partials (map-side combine);
+    the merge is a union of two |months| frames + one agg.  At 100 TB the
+    history state is a parquet table a few KB per key — the daily job
+    touches only the new batch."""
+    from covid19_spark.operators.ivm import (
+        agg_state,
+        finalize_agg_state,
+        merge_agg_state,
+    )
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    cutoff = "1998-06-01"
+    history = orders.filter(F.col("o_orderdate") < cutoff)
+    delta = orders.filter(F.col("o_orderdate") >= cutoff)
+    state = merge_agg_state(
+        agg_state(history, ["month"], "o_totalprice"),
+        agg_state(delta, ["month"], "o_totalprice"),
+        ["month"],
+    )
+    return finalize_agg_state(state).orderBy("month")
+
+
+ORACLE_INCREMENTAL_AGG_MERGE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       count(*) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_v,
+       min(o_totalprice) AS min_v,
+       max(o_totalprice) AS max_v,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_v
+FROM orders
+GROUP BY 1
+ORDER BY month
+"""
+
+QUERY_REGISTRY["incremental_agg_merge"] = QuerySpec(
+    q_incremental_agg_merge, ORACLE_INCREMENTAL_AGG_MERGE,
+    "incremental aggregate-state maintenance == full recompute",
+)

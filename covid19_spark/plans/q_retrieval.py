@@ -1,0 +1,181 @@
+"""Hybrid-retrieval queries: multi-retriever fusion over the corpus tables.
+
+The serving-side composition of the retrieval family: the lexical ranker
+(BM25, `q_llm_pipeline.q_bm25_topk` shape) and the dense ranker
+(`operators/similarity.cosine_topk`) answer the SAME user query and
+reciprocal-rank fusion (`operators/retrieval.rrf_fuse`) merges the lists.
+
+Cross-engine determinism: ranks are integers (fully tiebroken upstream —
+BM25 scores are DEC-summed then round(6), cosine sims are left-to-right
+double folds), each RRF contribution is one IEEE double division, and the
+fused score is a fixed-order two-term expression sum — no cross-row float
+aggregation anywhere, so the value hash matches bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid19_spark.operators.series import top_k
+from covid19_spark.plans.base import QUERY_REGISTRY, QuerySpec, _t
+
+_TERMS = ("spark", "hash", "window", "vector")
+_QVEC = 3  # embeddings row serving as the dense form of the user query
+_LIST_K = 50  # depth of each retriever's rank list
+_K0 = 60  # RRF constant (Cormack et al. 2009)
+_TOP = 15
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-`_LIST_K` rank list for the fixed 4-term query: the
+    `q_bm25_topk` plan (one tokenize, vocabulary-filtered TF shuffle,
+    broadcast df/avgdl scalars, DEC-exact per-doc sum, round(6)) plus a
+    rank column.  At 100 TB the tf/df/dl frames are the pre-built inverted
+    statistics of the corpus store; this inline build stands in for that
+    index scan."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("__w"),
+    )
+    dl = toks.select("doc_id", F.size("__w").cast("double").alias("dl"))
+    tf = (
+        toks.select("doc_id", F.explode("__w").alias("t"))
+        .filter(F.col("t").isin(*_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).cast("double").alias("n"))
+    df_t = tf.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    avgdl = dl.groupBy().agg(F.avg("dl").alias("avgdl"))
+    k1, b = 1.2, 0.75
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    per_term = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_t), "t")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("s"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("s").cast("decimal(38,18)")).cast("double"), 6
+        ).alias("score")
+    )
+    # two-stage global top-k (TakeOrderedAndProject) — ranking happens over
+    # the <=_LIST_K survivors, never a partition-less window over all
+    # matching docs
+    ranked = top_k(scored, "score", _LIST_K, tiebreak_cols=["doc_id"])
+    return ranked.select(
+        F.lit(_QVEC).cast("long").alias("query_id"),
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 (4 fixed terms) and dense cosine (embedding
+    vec_id=3) each rank their top-50, reciprocal-rank fusion re-orders the
+    union, top-15 served.  Fusion itself touches only the two ≤50-row rank
+    lists (one full-outer merge + one ≤100-row window) — the corpus-sized
+    work stays inside the retrievers, which at scale are index-served
+    (inverted stats / `operators/ann_index`)."""
+    from covid19_spark.operators.retrieval import rrf_fuse
+    from covid19_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dense = cosine_topk(
+        emb, emb.filter(F.col("vec_id") == _QVEC), k=_LIST_K
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    lex = _bm25_ranked(spark, sf_dir)
+    fused = rrf_fuse(
+        [("lex", lex), ("dense", dense)], k0=_K0, top_k=_TOP
+    )
+    return fused.select(
+        "query_id", "doc_id", "lex_rank", "dense_rank", "rrf_score", "fused_rank"
+    ).orderBy("fused_rank")
+
+
+ORACLE_HYBRID_RRF_TOPK = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+tf AS (
+  SELECT doc_id, u.x AS t, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks, unnest(toks.w) AS u(x)
+  WHERE u.x IN ('spark', 'hash', 'window', 'vector')
+  GROUP BY doc_id, u.x
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+df_t AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+lex_scored AS (
+  SELECT tf.doc_id,
+         round(CAST(sum(CAST(
+           ln((n.n - df_t.df + 0.5) / (df_t.df + 0.5) + 1.0)
+           * (tf.tf * (1.2 + 1))
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+         AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+  FROM tf
+  JOIN dl USING (doc_id)
+  JOIN df_t USING (t)
+  CROSS JOIN n CROSS JOIN avgdl
+  GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id, lex_rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
+    FROM lex_scored
+  ) WHERE lex_rank <= 50
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (SELECT v AS qv FROM e WHERE vec_id = 3),
+dense_scored AS (
+  SELECT e.vec_id AS doc_id,
+         list_reduce(list_transform(range(1, 65), i -> qv[i] * v[i]), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(range(1, 65), i -> qv[i] * qv[i]), (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]), (x, y) -> x + y))) AS sim
+  FROM e CROSS JOIN qv
+  WHERE e.vec_id <> 3
+),
+dense AS (
+  SELECT doc_id, dense_rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS dense_rank
+    FROM dense_scored
+  ) WHERE dense_rank <= 50
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+         lex.lex_rank, dense.dense_rank,
+         COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + lex.lex_rank),
+                  CAST(0.0 AS DOUBLE))
+         + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + dense.dense_rank),
+                    CAST(0.0 AS DOUBLE)) AS rrf_score
+  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+)
+SELECT query_id, doc_id, lex_rank, dense_rank, rrf_score, fused_rank FROM (
+  SELECT CAST(3 AS BIGINT) AS query_id, doc_id, lex_rank, dense_rank, rrf_score,
+         row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= 15
+ORDER BY fused_rank
+"""
+
+
+QUERY_REGISTRY["hybrid_rrf_topk"] = QuerySpec(
+    q_hybrid_rrf_topk,
+    ORACLE_HYBRID_RRF_TOPK,
+    "hybrid lexical+dense retrieval fused by RRF",
+)

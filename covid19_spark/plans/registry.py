@@ -36,6 +36,7 @@ from covid19_spark.plans import q_event_analytics  # noqa: F401, E402
 from covid19_spark.plans import q_curation  # noqa: F401, E402
 from covid19_spark.plans import q_temporal  # noqa: F401, E402
 from covid19_spark.plans import q_layout  # noqa: F401, E402
+from covid19_spark.plans import q_retrieval  # noqa: F401, E402
 
 # --- Registration order: LRU by last-driver-verified round --------------------
 #

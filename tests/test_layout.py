@@ -110,3 +110,84 @@ def test_morton_width_guard(spark):
         morton_interleave([F.col("a")], bits=0)
     # 63 code bits (positions 0..62) is the last legal width
     assert morton_interleave_sql(["a"] * 7, bits=9).count("<<") == 63
+
+
+def test_hilbert_bijective_and_continuous(spark):
+    """The defining Hilbert properties on the full 16x16 grid: every cell
+    gets a distinct code in [0, 256) (bijection) and consecutive codes are
+    grid NEIGHBORS (|dx|+|dy| == 1) — the continuity Z-order lacks."""
+    from covid19_spark.operators.layout import hilbert_code
+
+    rows = [(a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {(r.x, r.y): r.h for r in hilbert_code(df, "x", "y", 4).collect()}
+    assert sorted(got.values()) == list(range(256))
+    inv = {v: k for k, v in got.items()}
+    for d in range(255):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_sql_twin_matches_spark(spark):
+    """The generated nested-SELECT replay agrees with the Column walk on
+    every cell of an 8-bit grid corner sample."""
+    import duckdb
+
+    from covid19_spark.operators.layout import hilbert_code, hilbert_sql
+
+    rows = [(a, b) for a in (0, 1, 7, 128, 255) for b in (0, 3, 64, 200, 255)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.h for r in hilbert_code(df, "x", "y", 8).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE g AS SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b in rows)
+        + ") t(x,y)"
+    )
+    twin = {
+        (x, y): h
+        for x, y, h in con.execute(
+            hilbert_sql("g", "x", "y", 8, ["x", "y"])
+        ).fetchall()
+    }
+    assert twin == got
+
+
+def test_hilbert_locality_beats_morton_on_equal_cuts(spark):
+    """Cut both curves over the full 16x16 grid into 16 equal files: the
+    Hilbert files' summed per-dimension spans must be at most Morton's
+    (continuity -> tighter footer stats on the same data)."""
+    from pyspark.sql import functions as F
+
+    from covid19_spark.operators.layout import hilbert_code, morton_interleave
+
+    rows = [(a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    coded = hilbert_code(df, "x", "y", 4).withColumn(
+        "z", morton_interleave([F.col("x"), F.col("y")], 4)
+    )
+
+    def span_total(col):
+        return (
+            coded.withColumn("f", F.floor(F.col(col) / 16))
+            .groupBy("f")
+            .agg(
+                (F.max("x") - F.min("x") + F.max("y") - F.min("y")).alias("s")
+            )
+            .agg(F.sum("s"))
+            .collect()[0][0]
+        )
+
+    assert span_total("h") <= span_total("z")
+
+
+def test_hilbert_width_guard(spark):
+    import pytest
+
+    from covid19_spark.operators.layout import hilbert_code
+
+    df = spark.createDataFrame([(1, 1)], "x long, y long")
+    with pytest.raises(ValueError, match="63-bit"):
+        hilbert_code(df, "x", "y", 32)

@@ -50,6 +50,7 @@ BNLJ_ALLOWED = {
     "cosine_topk",
     "domain_mix_sample",
     "heavy_hitters",
+    "hybrid_rrf_topk",  # bm25 side's one-row n_docs/avgdl scalar broadcasts
     "idle_rich_customers",
     "interpolate_revenue",
     "ivf_cosine_topk",
