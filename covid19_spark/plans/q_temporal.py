@@ -1554,3 +1554,69 @@ QUERY_REGISTRY["scd2_point_in_time"] = QuerySpec(
     q_scd2_point_in_time, ORACLE_SCD2_POINT_IN_TIME,
     "point-in-time SCD2 dimension lookup via as-of join + validity clamp",
 )
+
+
+def q_trained_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier DISTILLATION (operators/train): an expensive quality gate
+    (here the length gate n_chars >= 300 stands in for a teacher model)
+    labels the corpus, and a hashed linear model is TRAINED on those labels
+    with 6 full-batch iterations of exact integer-quantized gradient
+    descent — broadcast parameter vector, one map-side-combined gradient
+    aggregation per iteration, |buckets|-integer driver update (the
+    sanctioned contract-small collect).  Output: every doc's margin,
+    hard-sigmoid activation (micro-units) and predicted label under the
+    LEARNED weights.
+
+    The oracle replays the ENTIRE training recurrence (not just scoring)
+    as an unrolled CTE chain — integer activations, integer gradient sums,
+    floor-division steps — so the driver differential certifies that
+    distributed training is bit-reproducible.  Scale: per iteration one
+    corpus scan; the deployment cost of the distilled filter is the
+    map-only scoring pass."""
+    from covid19_spark.operators.train import (
+        count_features,
+        score_quantized_lr,
+        train_quantized_lr,
+        with_intercept,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labels = docs.select(
+        "doc_id", (F.col("n_chars") >= 300).cast("int").alias("y")
+    ).localCheckpoint(eager=True)
+    feats = with_intercept(
+        count_features(docs, "doc_id", "text", 32), labels, "doc_id", 32
+    ).localCheckpoint(eager=True)
+    weights = train_quantized_lr(feats, labels, "doc_id", 33)
+    return score_quantized_lr(feats, labels, "doc_id", weights).orderBy(
+        "doc_id"
+    )
+
+
+def _oracle_trained_quality_filter() -> str:
+    from covid19_spark.operators.train import md5_bucket_sql, quantized_lr_sql
+
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, u.x AS t
+  FROM documents, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS u(x)
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, {md5_bucket_sql("t", 32)} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2
+  UNION ALL
+  SELECT doc_id, CAST(32 AS BIGINT), CAST(16 AS BIGINT) FROM documents
+),
+labels AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y FROM documents
+),
+{quantized_lr_sql("feats", "labels", "doc_id", 33, 6, lr_den=64)}
+ORDER BY doc_id
+"""
+
+
+QUERY_REGISTRY["trained_quality_filter"] = QuerySpec(
+    q_trained_quality_filter, _oracle_trained_quality_filter(),
+    "integer-quantized GD training of a hashed quality classifier, replayed in SQL",
+)
