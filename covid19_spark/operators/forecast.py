@@ -83,3 +83,105 @@ def holt_linear(
         F.col("h").cast("int").alias("h"),
         (F.col("level") + F.col("h").cast("double") * F.col("trend")).alias("forecast"),
     )
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    y_col: str,
+    period: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (Winters 1960) — the
+    level/trend recurrence of :func:`holt_linear` plus a rolling seasonal
+    state of ``period`` indices:
+
+        lₜ = α·(yₜ − sₜ₋ₘ) + (1−α)·(lₜ₋₁ + bₜ₋₁)
+        bₜ = β·(lₜ − lₜ₋₁) + (1−β)·bₜ₋₁
+        sₜ = γ·(yₜ − lₜ) + (1−γ)·sₜ₋ₘ
+        ŷₜ₊ₕ = lₜ + h·bₜ + sₜ₋ₘ₊₍₍ₕ₋₁₎ mod ₘ₎₊₁
+
+    Classic init from the first two periods: l₀ = mean(period 1),
+    b₀ = (mean(period 2) − mean(period 1)) / m, sᵢ = yᵢ − l₀; the
+    recursion then consumes observations m+1..T.  Keys shorter than 2m
+    observations are dropped (the init is undefined).
+
+    Scale shape identical to ``holt_linear``: per-key collected ordered
+    series (bounded by days-per-key), the fold runs inside the JVM via
+    ``F.aggregate`` — the state struct carries the m-slot seasonal ring
+    as an array, rotated with slice+concat each step.  Zero Python, zero
+    per-row state.
+
+    Determinism: binary-exact default coefficients (α=0.5, β=0.25,
+    γ=0.25), left-to-right double folds everywhere (the period means are
+    folds too, NOT avg()), so the DuckDB recursive-CTE replay of the
+    textually-identical expressions hash-matches at full precision."""
+    key_cols = list(key_cols)
+    m = int(period)
+    if m < 2:
+        raise ValueError(f"holt_winters: period must be >= 2, got {m}")
+    a, one_a = float(alpha), 1.0 - float(alpha)
+    b_, one_b = float(beta), 1.0 - float(beta)
+    g, one_g = float(gamma), 1.0 - float(gamma)
+
+    series = (
+        df.groupBy(*key_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(order_col).alias("o"), F.col(y_col).alias("y"))
+                )
+            ).alias("s")
+        )
+        .filter(F.size("s") >= 2 * m)
+    )
+    ys = F.transform(F.col("s"), lambda r: r["y"].cast("double"))
+
+    def fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, y: acc + y)
+
+    mean1 = fold_sum(F.slice(ys, 1, m)) / F.lit(float(m))
+    mean2 = fold_sum(F.slice(ys, m + 1, m)) / F.lit(float(m))
+    l0 = mean1
+    b0 = (mean2 - mean1) / F.lit(float(m))
+    s0 = F.transform(F.slice(ys, 1, m), lambda y: y - l0)
+    init = F.struct(l0.alias("l"), b0.alias("b"), s0.alias("ss"))
+
+    def step(acc, y):
+        s_head = F.element_at(acc["ss"], 1)
+        new_l = F.lit(a) * (y - s_head) + F.lit(one_a) * (acc["l"] + acc["b"])
+        new_b = F.lit(b_) * (new_l - acc["l"]) + F.lit(one_b) * acc["b"]
+        new_s = F.lit(g) * (y - new_l) + F.lit(one_g) * s_head
+        ring = F.concat(F.slice(acc["ss"], 2, m - 1), F.array(new_s))
+        return F.struct(new_l.alias("l"), new_b.alias("b"), ring.alias("ss"))
+
+    folded = F.aggregate(F.slice(ys, m + 1, F.size(ys) - m), init, step)
+    fitted = series.select(
+        *key_cols,
+        F.size("s").cast("long").alias("n_obs"),
+        folded["l"].alias("level"),
+        folded["b"].alias("trend"),
+        folded["ss"].alias("season"),
+    )
+    h = F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("h")
+    return fitted.select(
+        *key_cols, "n_obs", "level", "trend", "season", h
+    ).select(
+        *key_cols,
+        "n_obs",
+        "level",
+        "trend",
+        F.col("h").cast("int").alias("h"),
+        F.element_at(
+            "season", ((F.col("h") - 1) % F.lit(m)).cast("int") + 1
+        ).alias("seasonal"),
+        (
+            F.col("level")
+            + F.col("h").cast("double") * F.col("trend")
+            + F.element_at("season", ((F.col("h") - 1) % F.lit(m)).cast("int") + 1)
+        ).alias("forecast"),
+    )

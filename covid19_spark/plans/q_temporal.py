@@ -1620,3 +1620,79 @@ QUERY_REGISTRY["trained_quality_filter"] = QuerySpec(
     q_trained_quality_filter, _oracle_trained_quality_filter(),
     "integer-quantized GD training of a hashed quality classifier, replayed in SQL",
 )
+
+
+def q_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive SEASONAL forecast (operators/forecast.py) of
+    the per-type daily event counts: weekly seasonality (m=7), 7-day
+    horizon.  Level/trend/seasonal recurrence folded per key inside the
+    JVM — the state struct carries the 7-slot seasonal ring as an array,
+    rotated by slice+concat each step; zero Python, zero per-row state.
+
+    TRUE cross-engine oracle: DuckDB replays the identical recurrence
+    through a recursive CTE whose row state carries the ring as a LIST —
+    binary-exact coefficients (α=0.5, β=0.25, γ=0.25), left-to-right
+    folds for the period-mean init (NOT avg()), textually identical
+    double expressions: full-precision hash match."""
+    from covid19_spark.operators.forecast import holt_winters_additive
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("date")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    return holt_winters_additive(
+        daily, ["event_type"], "date", "y", period=7, horizon=7
+    ).orderBy("event_type", "h")
+
+
+ORACLE_HOLT_WINTERS_FORECAST = """
+WITH RECURSIVE e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS date, CAST(count(*) AS DOUBLE) AS y
+  FROM e GROUP BY 1, 2
+),
+idxd AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY date) AS idx
+  FROM daily
+),
+series AS (
+  SELECT event_type, list(y ORDER BY date) AS ys,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM daily GROUP BY 1 HAVING count(*) >= 14
+),
+init AS (
+  SELECT event_type, n_obs, 7 AS t,
+         list_reduce(ys[1:7], (x, y) -> x + y) / 7.0 AS l,
+         (list_reduce(ys[8:14], (x, y) -> x + y) / 7.0
+          - list_reduce(ys[1:7], (x, y) -> x + y) / 7.0) / 7.0 AS b,
+         list_transform(ys[1:7],
+           y -> y - list_reduce(ys[1:7], (x, y) -> x + y) / 7.0) AS ss
+  FROM series
+),
+rec AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT r.event_type, r.n_obs, r.t + 1,
+         0.5 * (d.y - r.ss[1]) + 0.5 * (r.l + r.b) AS l,
+         0.25 * ((0.5 * (d.y - r.ss[1]) + 0.5 * (r.l + r.b)) - r.l)
+           + 0.75 * r.b AS b,
+         list_append(r.ss[2:],
+           0.25 * (d.y - (0.5 * (d.y - r.ss[1]) + 0.5 * (r.l + r.b)))
+             + 0.75 * r.ss[1]) AS ss
+  FROM rec r JOIN idxd d ON d.event_type = r.event_type AND d.idx = r.t + 1
+),
+final AS (SELECT event_type, n_obs, l, b, ss FROM rec WHERE t = n_obs)
+SELECT f.event_type, f.n_obs, f.l AS level, f.b AS trend,
+       CAST(h.h AS INT) AS h,
+       f.ss[CAST((h.h - 1) % 7 AS INT) + 1] AS seasonal,
+       f.l + CAST(h.h AS DOUBLE) * f.b
+           + f.ss[CAST((h.h - 1) % 7 AS INT) + 1] AS forecast
+FROM final f, (SELECT unnest(range(1, 8)) AS h) h
+ORDER BY event_type, h
+"""
+
+QUERY_REGISTRY["holt_winters_forecast"] = QuerySpec(
+    q_holt_winters_forecast, ORACLE_HOLT_WINTERS_FORECAST,
+    "Holt-Winters additive seasonal forecast: JVM ring-state fold vs recursive-CTE list replay",
+)

@@ -61,3 +61,65 @@ def test_unordered_input_is_sorted_by_order_col(spark):
     got_s = holt_linear(shuffled, ["k"], "t", "y", horizon=1).collect()[0]
     got_o = holt_linear(ordered, ["k"], "t", "y", horizon=1).collect()[0]
     assert (got_s.level, got_s.trend) == (got_o.level, got_o.trend)
+
+
+def test_holt_winters_hand_case(spark):
+    """m=2, alpha=0.5, beta=0.25, gamma=0.25 on y=[1,2,3,4,5]:
+    init l0=1.5, b0=(3.5-1.5)/2=1.0, s=[-0.5, 0.5]; hand-folding t=3..5
+    gives l=4.40625, b=0.99609375, s=[0.515625, 0.1484375]."""
+    from covid19_spark.operators.forecast import holt_winters_additive
+
+    rows = [(1, i, float(i)) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "k int, t int, y double")
+    out = {
+        r.h: r
+        for r in holt_winters_additive(
+            df, ["k"], "t", "y", period=2, horizon=2
+        ).collect()
+    }
+    # replay the recurrence in python
+    a = b_ = None
+    l, b, s = 1.5, 1.0, [-0.5, 0.5]
+    for y in [3.0, 4.0, 5.0]:
+        sh = s[0]
+        nl = 0.5 * (y - sh) + 0.5 * (l + b)
+        nb = 0.25 * (nl - l) + 0.75 * b
+        ns = 0.25 * (y - nl) + 0.75 * sh
+        l, b, s = nl, nb, s[1:] + [ns]
+    assert out[1].level == l and out[1].trend == b
+    assert out[1].seasonal == s[0] and out[2].seasonal == s[1]
+    assert out[1].forecast == l + 1.0 * b + s[0]
+    assert out[2].forecast == l + 2.0 * b + s[1]
+
+
+def test_holt_winters_recovers_pure_seasonality(spark):
+    """A flat series with an exact period-3 additive pattern: level
+    converges to the mean, trend to ~0, and the h=1..3 forecasts
+    reproduce the pattern ordering."""
+    from covid19_spark.operators.forecast import holt_winters_additive
+
+    pat = [10.0, 20.0, 30.0]
+    rows = [(1, t, pat[t % 3]) for t in range(30)]
+    df = spark.createDataFrame(rows, "k int, t int, y double")
+    out = {
+        r.h: r.forecast
+        for r in holt_winters_additive(
+            df, ["k"], "t", "y", period=3, horizon=3
+        ).collect()
+    }
+    # t=30,31,32 -> pattern positions 0,1,2 -> 10,20,30
+    assert abs(out[1] - 10.0) < 1.5
+    assert abs(out[2] - 20.0) < 1.5
+    assert abs(out[3] - 30.0) < 1.5
+
+
+def test_holt_winters_drops_short_series_and_guards_period(spark):
+    import pytest
+
+    from covid19_spark.operators.forecast import holt_winters_additive
+
+    rows = [(1, t, float(t)) for t in range(5)]  # 5 < 2*3
+    df = spark.createDataFrame(rows, "k int, t int, y double")
+    assert holt_winters_additive(df, ["k"], "t", "y", period=3).count() == 0
+    with pytest.raises(ValueError, match="period"):
+        holt_winters_additive(df, ["k"], "t", "y", period=1)
