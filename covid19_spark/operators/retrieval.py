@@ -94,3 +94,123 @@ def rrf_fuse(
         out.withColumn("fused_rank", F.row_number().over(w))
         .filter(F.col("fused_rank") <= top_k)
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 20,
+    lam: float = 0.75,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified re-ranking (Carbonell &
+    Goldstein, SIGIR 1998): greedily pick the candidate maximizing
+    ``λ·sim(q, d) − (1−λ)·max_{s ∈ selected} sim(d, s)`` — the standard
+    redundancy-suppressing re-rank a RAG stack runs after retrieval.
+
+    Scale shape: the corpus-sized work is the shortlist retrieval
+    (``cosine_topk`` here; the persisted ANN index at 100 TB); MMR itself
+    is inherently sequential but only over each query's ≤``shortlist``
+    candidates, so it runs as a per-row JVM fold (``F.aggregate`` over the
+    step sequence, the ``holt_winters`` ring-state discipline) on the
+    collected candidate array — zero Python, zero extra shuffles beyond
+    the one |queries|-sized groupBy.
+
+    Determinism: binary-exact ``lam`` (default 0.75), left-to-right
+    double folds for every dot product, and the argmax tiebreaks on
+    ``-id`` via lexicographic struct max — the DuckDB twin replays the
+    identical list expressions inside a recursive CTE.
+
+    Output: query_id, mmr_rank (1-based selection order), doc_id,
+    rel (query-candidate cosine), mmr (marginal score at selection).
+    """
+    from covid19_spark.operators.similarity import cosine, cosine_topk
+
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    cands = cosine_topk(corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col)
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    perq = (
+        cands.join(cvecs, "neighbor_id")
+        .groupBy("query_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("rank").alias("r"),
+                        F.col("neighbor_id").alias("id"),
+                        F.col("sim").alias("sim"),
+                        F.col("v").alias("v"),
+                    )
+                )
+            ).alias("cands")
+        )
+    )
+
+    sel_t = "array<struct<id:bigint,v:array<double>>>"
+    out_t = "array<struct<id:bigint,rel:double,mmr:double,step:int>>"
+    # NULL-seeded arrays would poison concat; the fold starts from true
+    # EMPTY typed arrays
+    init = F.struct(
+        F.array().cast(sel_t).alias("sel"), F.array().cast(out_t).alias("out")
+    )
+
+    def step(acc, stepno):
+        rem = F.filter(
+            F.col("cands"),
+            lambda cnd: ~F.array_contains(
+                F.transform(acc["sel"], lambda s: s["id"]), cnd["id"]
+            ),
+        )
+
+        def score(cnd):
+            pen = F.coalesce(
+                F.array_max(
+                    F.transform(acc["sel"], lambda s: cosine(cnd["v"], s["v"]))
+                ),
+                F.lit(0.0),
+            )
+            sc = F.lit(float(lam)) * cnd["sim"] - F.lit(1.0 - float(lam)) * pen
+            return F.struct(
+                sc.alias("s"), (-cnd["id"]).alias("negid"), cnd.alias("c")
+            )
+
+        best = F.array_max(F.transform(rem, score))
+        sel2 = F.concat(
+            acc["sel"],
+            F.array(
+                F.struct(
+                    best["c"]["id"].alias("id"), best["c"]["v"].alias("v")
+                )
+            ),
+        )
+        out2 = F.concat(
+            acc["out"],
+            F.array(
+                F.struct(
+                    best["c"]["id"].alias("id"),
+                    best["c"]["sim"].alias("rel"),
+                    best["s"].alias("mmr"),
+                    stepno.cast("int").alias("step"),
+                )
+            ),
+        )
+        return F.struct(sel2.alias("sel"), out2.alias("out"))
+
+    steps = F.sequence(F.lit(1), F.least(F.lit(int(k)), F.size("cands")))
+    folded = F.aggregate(steps, init, step)
+    return (
+        perq.select("query_id", F.explode(folded["out"]).alias("o"))
+        .select(
+            "query_id",
+            F.col("o.step").alias("mmr_rank"),
+            F.col("o.id").alias("doc_id"),
+            F.col("o.rel").alias("rel"),
+            F.col("o.mmr").alias("mmr"),
+        )
+    )

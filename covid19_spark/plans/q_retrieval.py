@@ -179,3 +179,81 @@ QUERY_REGISTRY["hybrid_rrf_topk"] = QuerySpec(
     ORACLE_HYBRID_RRF_TOPK,
     "hybrid lexical+dense retrieval fused by RRF",
 )
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking (operators/retrieval.mmr_rerank): 4 query
+    vectors, 20-candidate cosine shortlist each, greedy λ=0.75 selection of
+    8.  The sequential greedy runs as a per-row JVM fold over the collected
+    candidate array; the oracle replays the identical list expressions in a
+    recursive CTE carrying (selected, emitted) lists — full-precision
+    cross-engine hash on the marginal scores."""
+    from covid19_spark.operators.retrieval import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    return mmr_rerank(emb, queries, k=8, shortlist=20, lam=0.75).orderBy(
+        "query_id", "mmr_rank"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    def _dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, 65), i -> {x}[i] * {y}[i]),"
+            f" (x, y) -> x + y)"
+        )
+
+    return f"({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})))"
+
+
+_MMR_BEST = f"""list_max(list_transform(
+  list_filter(cands, cnd -> NOT list_contains(list_transform(sel, s -> s.id), cnd.id)),
+  cnd -> {{'s': 0.75 * cnd.sim - 0.25 * COALESCE(
+             list_max(list_transform(sel, s -> {_cos_sql("cnd.v", "s.v")})), 0.0),
+          'negid': -cnd.id, 'c': cnd}}))"""
+
+
+ORACLE_MMR_RERANK = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), qv AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4
+), scored AS (
+  SELECT qv.query_id, e.vec_id AS id, {_cos_sql("qv.qv", "e.v")} AS sim, e.v
+  FROM e JOIN qv ON e.vec_id <> qv.query_id
+), ranked AS (
+  SELECT query_id, id, sim, v,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS r
+  FROM scored
+), perq AS (
+  SELECT query_id,
+         list({{'r': r, 'id': id, 'sim': sim, 'v': v}} ORDER BY r) AS cands
+  FROM ranked WHERE r <= 20 GROUP BY query_id
+), rec AS (
+  SELECT query_id, cands, 0 AS step,
+         CAST([] AS STRUCT(id BIGINT, v DOUBLE[])[]) AS sel,
+         CAST([] AS STRUCT(id BIGINT, rel DOUBLE, mmr DOUBLE, step INTEGER)[]) AS out
+  FROM perq
+  UNION ALL
+  SELECT query_id, cands, step + 1,
+         list_append(sel, {{'id': best.c.id, 'v': best.c.v}}),
+         list_append(out, {{'id': best.c.id, 'rel': best.c.sim,
+                            'mmr': best.s, 'step': CAST(step + 1 AS INTEGER)}})
+  FROM (
+    SELECT r.*, {_MMR_BEST} AS best
+    FROM rec r WHERE step < least(8, len(cands))
+  )
+), final AS (
+  SELECT query_id, out FROM rec WHERE step = least(8, len(cands))
+)
+SELECT query_id, o.step AS mmr_rank, o.id AS doc_id, o.rel AS rel, o.mmr AS mmr
+FROM final, unnest(final.out) AS t(o)
+ORDER BY query_id, mmr_rank
+"""
+
+QUERY_REGISTRY["mmr_rerank"] = QuerySpec(
+    q_mmr_rerank,
+    ORACLE_MMR_RERANK,
+    "MMR diversified re-rank: per-query JVM greedy fold vs recursive-CTE list replay",
+)

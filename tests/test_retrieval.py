@@ -76,3 +76,66 @@ def test_rrf_fusion_stage_is_join_of_reduced_lists(spark):
     lex, dense = _lists(spark)
     plan = rrf_fuse([("lex", lex), ("dense", dense)])._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_mmr_suppresses_redundant_candidate(spark):
+    """Corpus: two near-identical vectors close to the query plus one
+    diverse one. Pure relevance ranks the twin second; MMR (λ=0.5:
+    hand-computed step-2 scores — twin 0.5·0.9940 − 0.5·0.99995 ≈ −0.003,
+    diverse 0.5·0.9578 − 0.5·0.9531 ≈ +0.002) picks the diverse vector."""
+    from covid19_spark.operators.retrieval import mmr_rerank
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (0, q),                         # the query itself (excluded)
+        (1, [1.0, 0.1, 0.0, 0.0]),      # best match
+        (2, [1.0, 0.11, 0.0, 0.0]),     # near-duplicate of 1
+        (3, [1.0, 0.0, 0.3, 0.0]),      # diverse, still relevant
+    ]
+    emb = _emb(spark, rows)
+    out = mmr_rerank(
+        emb, emb.filter("vec_id = 0"), k=3, shortlist=10, lam=0.5
+    ).collect()
+    order = [r.doc_id for r in sorted(out, key=lambda r: r.mmr_rank)]
+    assert order[0] == 1
+    assert order[1] == 3  # NOT the near-duplicate 2
+    assert order[2] == 2
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark):
+    """λ=1 disables the diversity penalty: selection order == cosine rank."""
+    from covid19_spark.operators.retrieval import mmr_rerank
+    from covid19_spark.operators.similarity import cosine_topk
+
+    rows = [(i, [float(i + 1), 1.0, float((i * 7) % 5)]) for i in range(8)]
+    emb = _emb(spark, rows)
+    queries = emb.filter("vec_id = 0")
+    mmr = mmr_rerank(emb, queries, k=5, shortlist=7, lam=1.0).collect()
+    ranked = cosine_topk(emb, queries, k=5).collect()
+    assert [r.doc_id for r in sorted(mmr, key=lambda r: r.mmr_rank)] == [
+        r.neighbor_id for r in sorted(ranked, key=lambda r: r.rank)
+    ]
+
+
+def test_mmr_emits_min_of_k_and_candidates(spark):
+    from covid19_spark.operators.retrieval import mmr_rerank
+
+    rows = [(i, [1.0, float(i)]) for i in range(4)]
+    emb = _emb(spark, rows)
+    out = mmr_rerank(emb, emb.filter("vec_id = 0"), k=10, shortlist=20).collect()
+    assert len(out) == 3  # corpus minus self
+    assert sorted(r.mmr_rank for r in out) == [1, 2, 3]
+
+
+def test_mmr_lam_guard(spark):
+    import pytest
+
+    from covid19_spark.operators.retrieval import mmr_rerank
+
+    emb = _emb(spark, [(0, [1.0])])
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(emb, emb, lam=1.5)
