@@ -257,3 +257,173 @@ QUERY_REGISTRY["mmr_rerank"] = QuerySpec(
     ORACLE_MMR_RERANK,
     "MMR diversified re-rank: per-query JVM greedy fold vs recursive-CTE list replay",
 )
+
+
+def _bm25_scored_for_terms(
+    docs: DataFrame, terms: DataFrame
+) -> DataFrame:
+    """BM25 scores of every doc against a TERM FRAME (not a literal list —
+    the term set may be data-dependent, as in relevance feedback): the
+    q_bm25_topk plan with the vocabulary filter expressed as a broadcast
+    semi-ish join on the term frame.  Output: (doc_id, score) with the
+    DEC-exact round(6) contract."""
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("__w"),
+    )
+    dl = toks.select("doc_id", F.size("__w").cast("double").alias("dl"))
+    tf = (
+        toks.select("doc_id", F.explode("__w").alias("t"))
+        .join(F.broadcast(terms), "t")
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).cast("double").alias("n"))
+    df_t = tf.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    avgdl = dl.groupBy().agg(F.avg("dl").alias("avgdl"))
+    k1, b = 1.2, 0.75
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    per_term = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_t), "t")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("s"),
+        )
+    )
+    return per_term.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("s").cast("decimal(38,18)")).cast("double"), 6
+        ).alias("score")
+    )
+
+
+def q_prf_expanded_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (the RM3 shape, Lavrenko &
+    Croft 2001 / Abdul-Jaleel 2004): (1) BM25 with the 2 seed terms ranks a
+    10-doc feedback set; (2) the 5 expansion terms most CONCENTRATED in the
+    feedback set (count-in-feedback / count-in-corpus, min feedback count 3,
+    seeds excluded — exact integer ratio, fully tiebroken) join the query;
+    (3) BM25 re-runs with the expanded 7-term frame; top-15 served.
+
+    Every stage is relational — the term set of stage 3 is DATA-DEPENDENT,
+    so the vocabulary filter is a broadcast term-frame join rather than a
+    literal isin (the seam a literal-only BM25 cannot express).  Scale:
+    two corpus passes (one per BM25 round) + one feedback-set count; the
+    feedback set itself is ≤10 ids broadcast everywhere; at 100 TB both
+    passes are inverted-index scans."""
+    seeds = ("spark", "hash")
+    docs = _t(spark, sf_dir, "documents")
+    seed_terms = spark.createDataFrame([(t,) for t in seeds], "t string")
+    fb = top_k(
+        _bm25_scored_for_terms(docs, seed_terms), "score", 10,
+        tiebreak_cols=["doc_id"],
+    ).select("doc_id")
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("t"),
+    )
+    global_cnt = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cg"))
+    fb_cnt = (
+        toks.join(F.broadcast(fb), "doc_id")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .filter(F.col("cf") >= 3)
+        .filter(~F.col("t").isin(*seeds))
+    )
+    expansion = top_k(
+        fb_cnt.join(global_cnt, "t").select(
+            "t",
+            (F.col("cf").cast("double") / F.col("cg").cast("double")).alias(
+                "ratio"
+            ),
+        ),
+        "ratio",
+        5,
+        tiebreak_cols=["t"],
+    ).select("t")
+    expanded = seed_terms.unionByName(expansion)
+    final = top_k(
+        _bm25_scored_for_terms(docs, expanded), "score", 15,
+        tiebreak_cols=["doc_id"],
+    )
+    return final.select(
+        "doc_id", "score", F.col("rank").cast("long").alias("rank")
+    ).orderBy("rank")
+
+
+_BM25_SQL_FOR_TERMS = """
+  SELECT tf.doc_id,
+         round(CAST(sum(CAST(
+           ln((n.n - df_t.df + 0.5) / (df_t.df + 0.5) + 1.0)
+           * (tf.tf * (1.2 + 1))
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+         AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+  FROM (
+    SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+    FROM toks JOIN {terms} USING (t) GROUP BY doc_id, t
+  ) tf
+  JOIN dl USING (doc_id)
+  JOIN (
+    SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+    FROM toks JOIN {terms} USING (t) GROUP BY t
+  ) df_t USING (t)
+  CROSS JOIN n CROSS JOIN avgdl
+  GROUP BY tf.doc_id
+"""
+
+ORACLE_PRF_EXPANDED_BM25 = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, u.x AS t
+  FROM documents,
+       unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS u(x)
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+seeds AS (SELECT unnest(['spark', 'hash']) AS t),
+s1 AS ({_BM25_SQL_FOR_TERMS.format(terms="seeds")}),
+fb AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM s1
+  ) WHERE r <= 10
+),
+gcnt AS (SELECT t, count(*) AS cg FROM toks GROUP BY t),
+fcnt AS (
+  SELECT t, count(*) AS cf FROM toks JOIN fb USING (doc_id)
+  GROUP BY t HAVING count(*) >= 3
+),
+expansion AS (
+  SELECT t FROM (
+    SELECT f.t,
+           row_number() OVER (
+             ORDER BY CAST(f.cf AS DOUBLE) / CAST(g.cg AS DOUBLE) DESC, f.t
+           ) AS r
+    FROM fcnt f JOIN gcnt g USING (t)
+    WHERE f.t NOT IN ('spark', 'hash')
+  ) WHERE r <= 5
+),
+expanded AS (SELECT t FROM seeds UNION ALL SELECT t FROM expansion),
+s2 AS ({_BM25_SQL_FOR_TERMS.format(terms="expanded")})
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM s2
+) WHERE rank <= 15
+ORDER BY rank
+"""
+
+QUERY_REGISTRY["prf_expanded_bm25"] = QuerySpec(
+    q_prf_expanded_bm25,
+    ORACLE_PRF_EXPANDED_BM25,
+    "pseudo-relevance-feedback (RM3-shape) expanded BM25 retrieval",
+)

@@ -50,6 +50,7 @@ BNLJ_ALLOWED = {
     "cosine_topk",
     "domain_mix_sample",
     "heavy_hitters",
+    "hilbert_clustering",  # one-row grid-bounds broadcast (zorder twin)
     "hybrid_rrf_topk",  # bm25 side's one-row n_docs/avgdl scalar broadcasts
     "idle_rich_customers",
     "interpolate_revenue",
@@ -62,8 +63,10 @@ BNLJ_ALLOWED = {
     "layout_pruning_gain",
     "leakage_safe_split",
     "lsh_guard_report",
+    "mmr_rerank",  # cosine_topk's broadcast |queries|-row non-equi join
     "pq_adc_crosscheck",
     "pq_cosine_topk",
+    "prf_expanded_bm25",  # one-row n_docs/avgdl scalar broadcasts (bm25 shape)
     "scd2_point_in_time",
     "semantic_dedup_paper_policy",
     "sq8_cosine_topk",

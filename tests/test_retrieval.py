@@ -139,3 +139,65 @@ def test_mmr_lam_guard(spark):
     emb = _emb(spark, [(0, [1.0])])
     with pytest.raises(ValueError, match="lam"):
         mmr_rerank(emb, emb, lam=1.5)
+
+
+def test_bm25_term_frame_join_equals_literal_filter(spark):
+    """The data-dependent term-frame BM25 (prf path) must score identically
+    to the literal-isin formulation on the same term set."""
+    from covid19_spark.plans.q_retrieval import _bm25_scored_for_terms
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark hash spark table"),
+            (2, "hash window row"),
+            (3, "spark spark spark filter"),
+            (4, "agg join scan"),
+        ],
+        "doc_id long, text string",
+    )
+    terms = spark.createDataFrame([("spark",), ("hash",)], "t string")
+    via_frame = {
+        r.doc_id: r.score for r in _bm25_scored_for_terms(docs, terms).collect()
+    }
+
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("__w"),
+    )
+    dl = toks.select("doc_id", F.size("__w").cast("double").alias("dl"))
+    tf = (
+        toks.select("doc_id", F.explode("__w").alias("t"))
+        .filter(F.col("t").isin("spark", "hash"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).cast("double").alias("n"))
+    df_t = tf.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    avgdl = dl.groupBy().agg(F.avg("dl").alias("avgdl"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    k1, b = 1.2, 0.75
+    via_literal = {
+        r.doc_id: r.score
+        for r in (
+            tf.join(dl, "doc_id")
+            .join(F.broadcast(df_t), "t")
+            .crossJoin(F.broadcast(n_docs))
+            .crossJoin(F.broadcast(avgdl))
+            .select(
+                "doc_id",
+                (
+                    idf * (F.col("tf") * (k1 + 1))
+                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+                ).alias("s"),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.round(
+                    F.sum(F.col("s").cast("decimal(38,18)")).cast("double"), 6
+                ).alias("score")
+            )
+        ).collect()
+    }
+    assert via_frame == via_literal
