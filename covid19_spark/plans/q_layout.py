@@ -316,3 +316,132 @@ QUERY_REGISTRY["hilbert_clustering"] = QuerySpec(
     q_hilbert_clustering, ORACLE_HILBERT_CLUSTERING,
     "Hilbert-curve clustering report (continuous-curve twin of Z-order)",
 )
+
+
+def q_bloom_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping via per-file Bloom indexes vs min/max zone maps, on a
+    POINT-LOOKUP key the layout is NOT clustered by: orders are cut into 64
+    "files" by o_orderkey range (the natural ingest order), then probed by
+    customer key — the workload where zone maps prune nothing (every file
+    spans nearly the whole customer domain) and a Bloom index prunes almost
+    everything (Parquet column-index blooms / Delta bloom index role).
+    Probes: the distinct customers of the 5 smallest order keys.  Output
+    per probe: files actually containing it, files a zone-map reader
+    opens, files a Bloom reader opens (⊇ truth by the no-false-skip
+    contract; both pinned in tests).
+
+    Scale: the index build is one map + bit_or agg (≤ m_bits/32 words per
+    file); probing broadcast-joins 3 positions per probe against the words
+    frame.  All arithmetic md5/integer — full cross-engine value oracle."""
+    from covid19_spark.operators.layout import (
+        file_bloom_words,
+        files_bloom_touched,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    )
+    files = orders.crossJoin(F.broadcast(bounds)).select(
+        int_bucket(F.col("o_orderkey"), F.col("mn"), F.col("mx"), 6).alias("file"),
+        "o_custkey",
+    )
+    # three plan branches consume the probe set; materialize the 5-row
+    # TakeOrdered result once (contract-small)
+    probes = (
+        orders.orderBy("o_orderkey")
+        .limit(5)
+        .select(F.col("o_custkey").alias("probe_key"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    words = file_bloom_words(files, "file", "o_custkey", m_bits=8192, k=3)
+    zone = (
+        files.groupBy("file")
+        .agg(F.min("o_custkey").alias("lo"), F.max("o_custkey").alias("hi"))
+        .join(
+            F.broadcast(probes),
+            (F.col("probe_key") >= F.col("lo")) & (F.col("probe_key") <= F.col("hi")),
+        )
+        .groupBy("probe_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("zone_files"))
+    )
+    true_f = (
+        files.join(F.broadcast(probes), files["o_custkey"] == F.col("probe_key"))
+        .groupBy("probe_key")
+        .agg(F.countDistinct("file").cast("long").alias("true_files"))
+    )
+    bloom = files_bloom_touched(words, probes, "probe_key", m_bits=8192, k=3)
+    return (
+        true_f.join(zone, "probe_key")
+        .join(bloom, "probe_key")
+        .select("probe_key", "true_files", "zone_files", "bloom_files")
+        .orderBy("probe_key")
+    )
+
+
+def _oracle_bloom_pruning_gain() -> str:
+    from covid19_spark.operators.layout import file_bloom_pos_sql
+
+    p = [file_bloom_pos_sql("o_custkey", i, 8192) for i in range(3)]
+    q = [file_bloom_pos_sql("probe_key", i, 8192) for i in range(3)]
+    return f"""
+WITH b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders),
+f AS MATERIALIZED (
+  SELECT CAST(floor((o_orderkey - mn) * 64.0 / (mx - mn + 1)) AS BIGINT) AS file,
+         o_custkey
+  FROM orders CROSS JOIN b
+),
+probes AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS probe_key FROM (
+    SELECT o_custkey FROM orders ORDER BY o_orderkey LIMIT 5
+  )
+),
+pos AS (
+  SELECT file, unnest([{p[0]}, {p[1]}, {p[2]}]) AS p FROM f
+),
+words AS MATERIALIZED (
+  SELECT file, CAST(p / 32 AS BIGINT) AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+  FROM pos GROUP BY 1, 2
+),
+stats AS (
+  SELECT file, min(o_custkey) AS lo, max(o_custkey) AS hi FROM f GROUP BY file
+),
+zone AS (
+  SELECT probe_key, CAST(count(*) AS BIGINT) AS zone_files
+  FROM probes JOIN stats ON probe_key BETWEEN lo AND hi
+  GROUP BY probe_key
+),
+truth AS (
+  SELECT probe_key, CAST(count(DISTINCT file) AS BIGINT) AS true_files
+  FROM probes JOIN f ON f.o_custkey = probe_key
+  GROUP BY probe_key
+),
+ppos AS (
+  SELECT probe_key, seed, CAST(p / 32 AS BIGINT) AS word,
+         (CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS mask
+  FROM (
+    SELECT probe_key, 0 AS seed, {q[0]} AS p FROM probes
+    UNION ALL SELECT probe_key, 1, {q[1]} FROM probes
+    UNION ALL SELECT probe_key, 2, {q[2]} FROM probes
+  )
+),
+bloom AS (
+  SELECT probe_key, CAST(count(*) AS BIGINT) AS bloom_files FROM (
+    SELECT probe_key, file FROM words JOIN ppos USING (word)
+    WHERE (bits & mask) <> 0
+    GROUP BY probe_key, file
+    HAVING count(DISTINCT seed) = 3
+  ) GROUP BY probe_key
+)
+SELECT probe_key, true_files, zone_files, bloom_files
+FROM truth JOIN zone USING (probe_key) JOIN bloom USING (probe_key)
+ORDER BY probe_key
+"""
+
+
+QUERY_REGISTRY["bloom_pruning_gain"] = QuerySpec(
+    q_bloom_pruning_gain, _oracle_bloom_pruning_gain(),
+    "per-file Bloom index vs zone maps: files touched on an unclustered point lookup",
+)

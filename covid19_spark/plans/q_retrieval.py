@@ -260,21 +260,25 @@ QUERY_REGISTRY["mmr_rerank"] = QuerySpec(
 
 
 def _bm25_scored_for_terms(
-    docs: DataFrame, terms: DataFrame
+    docs: DataFrame, terms: DataFrame, toks: DataFrame | None = None
 ) -> DataFrame:
     """BM25 scores of every doc against a TERM FRAME (not a literal list —
     the term set may be data-dependent, as in relevance feedback): the
     q_bm25_topk plan with the vocabulary filter expressed as a broadcast
     semi-ish join on the term frame.  Output: (doc_id, score) with the
     DEC-exact round(6) contract."""
-    toks = docs.select(
-        "doc_id",
-        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("__w"),
+    if toks is None:
+        toks = docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+            ).alias("t"),
+        )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl")
     )
-    dl = toks.select("doc_id", F.size("__w").cast("double").alias("dl"))
     tf = (
-        toks.select("doc_id", F.explode("__w").alias("t"))
-        .join(F.broadcast(terms), "t")
+        toks.join(F.broadcast(terms), "t")
         .groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
@@ -321,17 +325,19 @@ def q_prf_expanded_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = ("spark", "hash")
     docs = _t(spark, sf_dir, "documents")
     seed_terms = spark.createDataFrame([(t,) for t in seeds], "t string")
-    fb = top_k(
-        _bm25_scored_for_terms(docs, seed_terms), "score", 10,
-        tiebreak_cols=["doc_id"],
-    ).select("doc_id")
-
+    # five plan branches re-tokenize the corpus otherwise (plans are
+    # trees); materializing the tokenized view once is the single-query
+    # analogue of the inverted index both BM25 rounds would scan at 100 TB
     toks = docs.select(
         "doc_id",
         F.explode(
             F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
         ).alias("t"),
-    )
+    ).localCheckpoint(eager=True)
+    fb = top_k(
+        _bm25_scored_for_terms(docs, seed_terms, toks=toks), "score", 10,
+        tiebreak_cols=["doc_id"],
+    ).select("doc_id")
     global_cnt = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cg"))
     fb_cnt = (
         toks.join(F.broadcast(fb), "doc_id")
@@ -353,7 +359,7 @@ def q_prf_expanded_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("t")
     expanded = seed_terms.unionByName(expansion)
     final = top_k(
-        _bm25_scored_for_terms(docs, expanded), "score", 15,
+        _bm25_scored_for_terms(docs, expanded, toks=toks), "score", 15,
         tiebreak_cols=["doc_id"],
     )
     return final.select(

@@ -191,3 +191,59 @@ def test_hilbert_width_guard(spark):
     df = spark.createDataFrame([(1, 1)], "x long, y long")
     with pytest.raises(ValueError, match="63-bit"):
         hilbert_code(df, "x", "y", 32)
+
+
+def test_file_bloom_no_false_skips_and_bounded(spark):
+    """Bloom contract on a crafted layout: every file truly containing a
+    probe key is touched (no false skips, ever); the words frame stays
+    within m_bits/32 rows per file."""
+    from pyspark.sql import functions as F
+
+    from covid19_spark.operators.layout import (
+        file_bloom_words,
+        files_bloom_touched,
+    )
+
+    rows = [(i % 4, 100 + (i * 7) % 50) for i in range(200)]
+    files = spark.createDataFrame(rows, "file long, k long")
+    words = file_bloom_words(files, "file", "k", m_bits=1024, k=3)
+    per_file = words.groupBy("file").count().collect()
+    assert all(r["count"] <= 1024 // 32 for r in per_file)
+
+    probes = spark.createDataFrame([(105,), (123,), (149,)], "k long")
+    touched = {
+        r.probe_key: r.bloom_files
+        for r in files_bloom_touched(words, probes, "k", m_bits=1024, k=3).collect()
+    }
+    truth = {
+        r.k: r.t
+        for r in files.join(probes, "k")
+        .groupBy("k")
+        .agg(F.countDistinct("file").alias("t"))
+        .collect()
+    }
+    for key, t in truth.items():
+        assert touched.get(key, 0) >= t  # no false skip
+
+
+def test_file_bloom_lane_and_width_guards(spark):
+    import pytest
+
+    from covid19_spark.operators.layout import file_bloom_words
+
+    files = spark.createDataFrame([(0, 1)], "file long, k long")
+    with pytest.raises(ValueError, match="multiple of 32"):
+        file_bloom_words(files, "file", "k", m_bits=100)
+
+
+def test_file_bloom_masks_stay_positive(spark):
+    """32-bit lanes: no mask ever reaches the BIGINT sign bit (the DuckDB
+    `1 << 63` overflow seam the lane width exists to avoid)."""
+    from pyspark.sql import functions as F
+
+    from covid19_spark.operators.layout import file_bloom_words
+
+    rows = [(0, i) for i in range(500)]
+    files = spark.createDataFrame(rows, "file long, k long")
+    words = file_bloom_words(files, "file", "k", m_bits=256, k=5)
+    assert words.filter(F.col("bits") <= 0).count() == 0
