@@ -391,3 +391,64 @@ def files_bloom_touched(
     return hits.groupBy("probe_key").agg(
         F.count(F.lit(1)).cast("long").alias("bloom_files")
     )
+
+
+def zrange_decompose(
+    x0: int, x1: int, y0: int, y1: int, bits: int, max_ranges: int = 64
+) -> "list[tuple[int, int]]":
+    """Decompose the inclusive grid rectangle [x0..x1] × [y0..y1] into
+    disjoint Morton-code ranges covering EXACTLY its cells — the quadtree
+    walk behind every space-filling-curve spatial join: cells fully inside
+    the rectangle emit their whole contiguous z-range, straddling cells
+    recurse into 4 children.  Runs driver-side per QUERY rectangle (the
+    contract-small side — a handful of integers each), and the ranges then
+    broadcast against the point table's z column, where a z-sorted layout
+    turns each range into parquet min/max file pruning.
+
+    ``max_ranges`` caps fragmentation by STOPPING the recursion early once
+    the budget would overflow, emitting the whole (over-covering) cell
+    range instead — callers keep the exact rectangle predicate as the
+    residual filter, so over-coverage costs scan, never correctness.
+    Deterministic pure-integer arithmetic; adjacent emitted ranges are
+    coalesced."""
+    if bits < 1 or 2 * bits > 63:
+        raise ValueError(f"bits out of range: {bits}")
+    side = 1 << bits
+    if not (0 <= x0 <= x1 < side and 0 <= y0 <= y1 < side):
+        raise ValueError("rectangle out of grid bounds")
+
+    def morton(x: int, y: int) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    out: list[tuple[int, int]] = []
+    # stack of quadtree cells: (cell_x, cell_y, cell_bits) — a cell spans
+    # 2^cell_bits per side and its codes are one contiguous z block
+    stack = [(0, 0, bits)]
+    while stack:
+        cx, cy, cb = stack.pop()
+        cs = 1 << cb
+        lo_x, lo_y = cx, cy
+        hi_x, hi_y = cx + cs - 1, cy + cs - 1
+        if hi_x < x0 or lo_x > x1 or hi_y < y0 or lo_y > y1:
+            continue
+        z_lo = morton(lo_x, lo_y)
+        z_hi = z_lo + (1 << (2 * cb)) - 1
+        fully_inside = x0 <= lo_x and hi_x <= x1 and y0 <= lo_y and hi_y <= y1
+        if fully_inside or cb == 0 or len(out) + len(stack) >= max_ranges:
+            out.append((z_lo, z_hi))
+            continue
+        half = cs // 2
+        for dx in (0, half):
+            for dy in (0, half):
+                stack.append((cx + dx, cy + dy, cb - 1))
+    out.sort()
+    merged: list[tuple[int, int]] = []
+    for lo, hi in out:
+        if merged and lo == merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], hi)
+        else:
+            merged.append((lo, hi))
+    return merged

@@ -445,3 +445,73 @@ QUERY_REGISTRY["bloom_pruning_gain"] = QuerySpec(
     q_bloom_pruning_gain, _oracle_bloom_pruning_gain(),
     "per-file Bloom index vs zone maps: files touched on an unclustered point lookup",
 )
+
+
+# Query rectangles for the z-interval spatial join, in the 256×256
+# (customer-bucket, day-bucket) grid: a corner tile, an off-grid-aligned
+# mid box (the worst case for power-of-two decomposition), and a thin band.
+_ZJOIN_RECTS = [
+    (1, 0, 63, 0, 63),
+    (2, 100, 140, 30, 200),
+    (3, 200, 255, 250, 255),
+]
+
+
+def q_zrange_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial (rectangle-containment) join via space-filling-curve range
+    decomposition: each query rectangle decomposes driver-side into exact
+    Morton-code intervals (``layout.zrange_decompose`` — the quadtree walk
+    every z-order spatial index runs), the intervals broadcast against the
+    point table's z column, and the exact rectangle predicate stays as the
+    residual filter (so a fragmentation-capped decomposition costs scan,
+    never correctness).  On a z-sorted layout each interval is parquet
+    min/max file pruning — the 100 TB spatial-join shape, vs the quadratic
+    point×rectangle BNLJ a naive 2-D BETWEEN join compiles to.
+
+    The oracle answers with the DIRECT 2-D predicate — the differential
+    certifies the decomposition is a pure physical strategy."""
+    from covid19_spark.operators.layout import zrange_decompose
+
+    pts = _bucketed_orders(spark, sf_dir)
+    rows = []
+    for rid, x0, x1, y0, y1 in _ZJOIN_RECTS:
+        for lo, hi in zrange_decompose(x0, x1, y0, y1, _BITS, max_ranges=32):
+            rows.append((rid, x0, x1, y0, y1, lo, hi))
+    ranges = spark.createDataFrame(
+        rows, "rect_id long, x0 long, x1 long, y0 long, y1 long, lo long, hi long"
+    )
+    joined = pts.join(
+        F.broadcast(ranges),
+        (F.col("z") >= F.col("lo")) & (F.col("z") <= F.col("hi")),
+    ).filter(
+        # residual exactness: the decomposition may over-cover when capped
+        (F.col("cb") >= F.col("x0")) & (F.col("cb") <= F.col("x1"))
+        & (F.col("db") >= F.col("y0")) & (F.col("db") <= F.col("y1"))
+    )
+    return (
+        joined.groupBy("rect_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+        .orderBy("rect_id")
+    )
+
+
+_ZJOIN_RECTS_SQL = " UNION ALL ".join(
+    f"SELECT CAST({rid} AS BIGINT) AS rect_id, {x0} AS x0, {x1} AS x1, "
+    f"{y0} AS y0, {y1} AS y1"
+    for rid, x0, x1, y0, y1 in _ZJOIN_RECTS
+)
+
+ORACLE_ZRANGE_SPATIAL_JOIN = f"""
+WITH {_BUCKETED_ORDERS_SQL},
+rects AS ({_ZJOIN_RECTS_SQL})
+SELECT rect_id, CAST(count(*) AS BIGINT) AS n_points
+FROM z JOIN rects
+  ON cb BETWEEN x0 AND x1 AND db BETWEEN y0 AND y1
+GROUP BY rect_id
+ORDER BY rect_id
+"""
+
+QUERY_REGISTRY["zrange_spatial_join"] = QuerySpec(
+    q_zrange_spatial_join, ORACLE_ZRANGE_SPATIAL_JOIN,
+    "rectangle join via Morton-range decomposition == direct 2-D predicate",
+)

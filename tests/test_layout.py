@@ -247,3 +247,60 @@ def test_file_bloom_masks_stay_positive(spark):
     files = spark.createDataFrame(rows, "file long, k long")
     words = file_bloom_words(files, "file", "k", m_bits=256, k=5)
     assert words.filter(F.col("bits") <= 0).count() == 0
+
+
+def test_zrange_decompose_exact_coverage():
+    """Uncapped decomposition covers EXACTLY the rectangle's Morton codes
+    (exhaustive over a grid of rectangles at bits=4)."""
+    from covid19_spark.operators.layout import zrange_decompose
+
+    def morton(x, y, bits=4):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for x0, x1, y0, y1 in [
+        (0, 15, 0, 15), (0, 0, 0, 0), (3, 11, 5, 13), (1, 2, 14, 15),
+        (7, 8, 7, 8),  # straddles the top-level quad split
+    ]:
+        ranges = zrange_decompose(x0, x1, y0, y1, 4, max_ranges=1000)
+        covered = set()
+        for lo, hi in ranges:
+            assert lo <= hi
+            covered |= set(range(lo, hi + 1))
+        cells = {
+            morton(x, y) for x in range(x0, x1 + 1) for y in range(y0, y1 + 1)
+        }
+        assert covered == cells
+        # disjoint + coalesced: consecutive ranges never touch
+        for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+            assert l2 > h1 + 1
+
+
+def test_zrange_decompose_cap_overcovers_never_undercovers():
+    from covid19_spark.operators.layout import zrange_decompose
+
+    def morton(x, y, bits=4):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    ranges = zrange_decompose(3, 12, 2, 13, 4, max_ranges=4)
+    cells = {morton(x, y) for x in range(3, 13) for y in range(2, 14)}
+    covered = set()
+    for lo, hi in ranges:
+        covered |= set(range(lo, hi + 1))
+    assert cells <= covered  # residual filter pays the difference
+
+
+def test_zrange_decompose_guards():
+    import pytest
+
+    from covid19_spark.operators.layout import zrange_decompose
+
+    with pytest.raises(ValueError, match="out of grid"):
+        zrange_decompose(0, 16, 0, 3, 4)
+    with pytest.raises(ValueError, match="bits"):
+        zrange_decompose(0, 1, 0, 1, 40)
