@@ -78,6 +78,7 @@ BNLJ_ALLOWED = {
     "unigram_logprob",
     "zip_join",
     "zorder_clustering",
+    "zrange_spatial_join",  # broadcast Morton-interval frame (≤32×3 rows)
 }
 
 
