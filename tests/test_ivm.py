@@ -80,3 +80,54 @@ def test_lift_is_map_side_combined(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "partial" in plan.lower()
+
+
+def test_streaming_state_merge_equals_one_shot_lift(spark, tmp_path):
+    """Three micro-batches through merge_state_batch == one-shot lift over
+    the union, bit-for-bit (the streaming materialized view), and each
+    batch rewrites only its keys' buckets."""
+    from covid19_spark.streaming.ivm_stream import (
+        merge_state_batch,
+        read_report,
+    )
+
+    state = str(tmp_path / "state")
+    batches = [_rows(spark, 0, 30), _rows(spark, 30, 60), _rows(spark, 60, 100)]
+    for b in batches:
+        touched = merge_state_batch(b, state, ["k"], "v", n_buckets=8)
+        assert touched  # keys hash to at most 3 buckets
+        assert len(touched) <= 3
+    streamed = {
+        r.k: (r.n_rows, r.sum_v, r.min_v, r.max_v, r.avg_v)
+        for r in read_report(spark, state).collect()
+    }
+    assert streamed == _report(agg_state(_rows(spark, 0, 100), ["k"], "v"))
+
+
+def test_streaming_state_merge_via_foreachbatch(spark, tmp_path):
+    """End-to-end through a real availableNow stream + foreachBatch."""
+    import os
+
+    from covid19_spark.streaming.ivm_stream import (
+        make_state_merge_sink,
+        read_report,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    _rows(spark, 0, 100).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("k int, v double, u int").parquet(src)
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(make_state_merge_sink(state, ["k"], "v", n_buckets=8))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.k: (r.n_rows, r.sum_v, r.min_v, r.max_v, r.avg_v)
+        for r in read_report(spark, state).collect()
+    }
+    assert got == _report(agg_state(_rows(spark, 0, 100), ["k"], "v"))
