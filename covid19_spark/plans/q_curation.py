@@ -2689,3 +2689,81 @@ QUERY_REGISTRY["weighted_sample"] = QuerySpec(
     q_weighted_sample, ORACLE_WEIGHTED_SAMPLE,
     "Efraimidis-Spirakis weighted sample per source (exact md5 uniforms, cross-engine oracle)",
 )
+
+
+def q_k_anonymity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy gate (operators/privacy): k-anonymity / l-diversity risk of
+    the customer extract under two generalization levels of the balance
+    quasi-identifier (fine: 500-wide bands; generalized: 2000-wide), quasi
+    = (nation, balance band), sensitive = market segment.  One |classes|
+    groupBy per level + a one-row risk report each — the ladder quantifies
+    what coarsening buys (min_k rises, rows_at_risk falls; monotonicity
+    pinned in tests).  Exact integer counts, one IEEE ratio per row."""
+    from covid19_spark.operators.privacy import (
+        anonymity_report,
+        equivalence_classes,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+
+    def level(name: str, width: int) -> DataFrame:
+        quasi = cust.select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / F.lit(float(width))).alias("band"),
+            "c_mktsegment",
+        )
+        classes = equivalence_classes(
+            quasi, ["c_nationkey", "band"], sensitive_col="c_mktsegment"
+        )
+        return anonymity_report(classes).select(
+            F.lit(name).alias("level"),
+            "n_classes", "min_k", "max_k", "n_rows",
+            "rows_at_risk", "rows_homogeneous", "pct_at_risk",
+        )
+
+    return level("band500", 500).unionByName(level("band2000", 2000)).orderBy(
+        "level"
+    )
+
+
+ORACLE_K_ANONYMITY_LADDER = """
+WITH c5 AS (
+  SELECT c_nationkey, CAST(floor(c_acctbal / 500.0) AS BIGINT) AS band,
+         count(*) AS k, count(DISTINCT c_mktsegment) AS l
+  FROM customer GROUP BY 1, 2
+),
+c20 AS (
+  SELECT c_nationkey, CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band,
+         count(*) AS k, count(DISTINCT c_mktsegment) AS l
+  FROM customer GROUP BY 1, 2
+),
+r5 AS (
+  SELECT 'band500' AS level,
+         CAST(count(*) AS BIGINT) AS n_classes,
+         CAST(min(k) AS BIGINT) AS min_k,
+         CAST(max(k) AS BIGINT) AS max_k,
+         CAST(sum(k) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_at_risk,
+         CAST(sum(CASE WHEN l < 2 THEN k ELSE 0 END) AS BIGINT) AS rows_homogeneous
+  FROM c5
+),
+r20 AS (
+  SELECT 'band2000' AS level,
+         CAST(count(*) AS BIGINT) AS n_classes,
+         CAST(min(k) AS BIGINT) AS min_k,
+         CAST(max(k) AS BIGINT) AS max_k,
+         CAST(sum(k) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_at_risk,
+         CAST(sum(CASE WHEN l < 2 THEN k ELSE 0 END) AS BIGINT) AS rows_homogeneous
+  FROM c20
+)
+SELECT level, n_classes, min_k, max_k, n_rows, rows_at_risk, rows_homogeneous,
+       CAST(rows_at_risk AS DOUBLE) / CAST(n_rows AS DOUBLE) AS pct_at_risk
+FROM (SELECT * FROM r5 UNION ALL SELECT * FROM r20)
+ORDER BY level
+"""
+
+QUERY_REGISTRY["k_anonymity_ladder"] = QuerySpec(
+    q_k_anonymity_ladder, ORACLE_K_ANONYMITY_LADDER,
+    "k-anonymity / l-diversity risk report across a generalization ladder",
+)
