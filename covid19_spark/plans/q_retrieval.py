@@ -433,3 +433,73 @@ QUERY_REGISTRY["prf_expanded_bm25"] = QuerySpec(
     ORACLE_PRF_EXPANDED_BM25,
     "pseudo-relevance-feedback (RM3-shape) expanded BM25 retrieval",
 )
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval eval (Kusupati et al. 2022): top-10
+    cosine neighbors computed from 16-, 32- and full 64-dim PREFIXES of the
+    embeddings, each truncated list scored by overlap with the full-dim
+    list — the dimension-vs-recall tradeoff report that decides how much of
+    an MRL embedding a serving index actually needs.  Truncation is
+    ``slice`` on the array column (map-only); each dim level is one
+    broadcast-queries corpus scan; overlaps are integer counts via a join
+    of two ≤40-row rank lists.  The 64-dim row doubles as a determinism
+    sanity (overlap ≡ 10)."""
+    from covid19_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def topk_at(dim: int) -> DataFrame:
+        sliced = emb.select(
+            "vec_id", F.slice("embedding", 1, dim).alias("embedding")
+        )
+        return cosine_topk(
+            sliced, sliced.filter(F.col("vec_id") < 4), k=10
+        ).select("query_id", "neighbor_id")
+
+    full = topk_at(64)
+    out = None
+    for dim in (16, 32, 64):
+        common = (
+            topk_at(dim)
+            .join(full, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+            .select(F.lit(dim).cast("long").alias("dim"), "query_id", "n_common")
+        )
+        out = common if out is None else out.unionByName(common)
+    return out.orderBy("dim", "query_id")
+
+
+ORACLE_MATRYOSHKA_RECALL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ranked AS (
+  SELECT d.dim, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY d.dim, q.vec_id
+           ORDER BY
+             list_reduce(list_transform(range(1, CAST(d.dim + 1 AS INT)), i -> q.v[i] * c.v[i]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1, CAST(d.dim + 1 AS INT)), i -> q.v[i] * q.v[i]), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(1, CAST(d.dim + 1 AS INT)), i -> c.v[i] * c.v[i]), (x, y) -> x + y))) DESC,
+             c.vec_id
+         ) AS rank
+  FROM (SELECT unnest([16, 32, 64]) AS dim) d
+  CROSS JOIN e q
+  JOIN e c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 4
+),
+lists AS (SELECT dim, query_id, neighbor_id FROM ranked WHERE rank <= 10),
+full64 AS (SELECT query_id, neighbor_id FROM lists WHERE dim = 64)
+SELECT CAST(l.dim AS BIGINT) AS dim, l.query_id AS query_id,
+       CAST(count(*) AS BIGINT) AS n_common
+FROM lists l JOIN full64 f
+  ON l.query_id = f.query_id AND l.neighbor_id = f.neighbor_id
+GROUP BY l.dim, l.query_id
+ORDER BY dim, query_id
+"""
+
+QUERY_REGISTRY["matryoshka_recall"] = QuerySpec(
+    q_matryoshka_recall,
+    ORACLE_MATRYOSHKA_RECALL,
+    "matryoshka-prefix retrieval recall vs full-dim top-k",
+)

@@ -1161,6 +1161,61 @@ def test_stream_stream_left_outer_join_flushes_unmatched(stream_env):
     assert got == [(1, 2), (4, None)]
 
 
+def test_stream_stream_full_outer_join_flushes_both_sides(stream_env):
+    """Full-outer interval join: watermark-expired unmatched rows emit
+    null-padded from BOTH buffers — the left-outer test's shape plus an
+    unmatched right row (a purchase with no attributable click)."""
+    from pyspark.sql import types as TT
+
+    from covid19_spark.streaming.joins import interval_join
+
+    spark, d, src, ckpt = stream_env
+    S = TT.StructType(
+        [
+            TT.StructField("id", TT.LongType()),
+            TT.StructField("k", TT.LongType()),
+            TT.StructField("ts", TT.TimestampType()),
+        ]
+    )
+    src_l, src_r = f"{d}/lsrc", f"{d}/rsrc"
+    spark.createDataFrame(
+        [(1, 7, ts("2024-01-01T10:00:00")), (4, 8, ts("2024-01-01T10:05:00"))], S
+    ).coalesce(1).write.parquet(f"{src_l}/f1")
+    spark.createDataFrame(
+        [(2, 7, ts("2024-01-01T10:10:00")), (3, 9, ts("2024-01-01T10:06:00"))], S
+    ).coalesce(1).write.parquet(f"{src_r}/f1")
+    spark.createDataFrame([(99, 99, ts("2024-01-02T10:00:00"))], S).coalesce(
+        1
+    ).write.parquet(f"{src_l}/f2")
+    spark.createDataFrame([(98, 98, ts("2024-01-02T10:00:00"))], S).coalesce(
+        1
+    ).write.parquet(f"{src_r}/f2")
+
+    l = (
+        spark.readStream.schema(S)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_l}/*")
+        .withColumnRenamed("id", "lid")
+    )
+    r = (
+        spark.readStream.schema(S)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_r}/*")
+        .withColumnRenamed("id", "rid")
+    )
+    j = interval_join(
+        l, r, "k", "ts", "ts",
+        max_delay="30 minutes", watermark="10 minutes", how="full_outer",
+    ).select("lid", "rid")
+    out = run_stream_to_memory(spark, j, "full_outer_join_stream", ckpt).collect()
+    got = sorted(
+        ((row.lid, row.rid) for row in out),
+        key=lambda t: (t[0] is None, t),
+    )
+    # 1-2 matched; left 4 flushed null-right; right 3 flushed null-left
+    assert got == [(1, 2), (4, None), (None, 3)]
+
+
 @contextmanager
 def _rocksdb_provider(spark):
     from covid19_spark.streaming.tws_delta import ROCKSDB_PROVIDER
