@@ -1678,3 +1678,75 @@ QUERY_REGISTRY["incremental_agg_merge"] = QuerySpec(
     q_incremental_agg_merge, ORACLE_INCREMENTAL_AGG_MERGE,
     "incremental aggregate-state maintenance == full recompute",
 )
+
+
+def q_part_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift (the pairwise slice of
+    frequent-itemset mining): part TYPES bought together within an order,
+    scored by lift = P(a,b) / (P(a)·P(b)) — the classic recommendation /
+    assortment signal.  Presence is deduped per (order, type) first, the
+    pair stage is a self-join WITHIN the order key (pairs per order bounded
+    by basket size², never corpus²), ordering canonical (type_a < type_b).
+    Top-20 by lift with min pair support 5; all ratios are IEEE divisions
+    of exact integer counts — bit-identical cross-engine."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), F.col("p_type").alias("t")
+    )
+    pres = li.join(F.broadcast(part), "pk").select("ok", "t").distinct()
+    n_orders = pres.select("ok").distinct().count()
+    singles = pres.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    a = pres.select("ok", F.col("t").alias("ta"))
+    b = pres.select("ok", F.col("t").alias("tb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    scored = (
+        pairs.join(F.broadcast(singles.withColumnRenamed("t", "ta").withColumnRenamed("n", "na")), "ta")
+        .join(F.broadcast(singles.withColumnRenamed("t", "tb").withColumnRenamed("n", "nb")), "tb")
+        .select(
+            "ta", "tb",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            (
+                (F.col("n_ab") * F.lit(n_orders)).cast("double")
+                / (F.col("na") * F.col("nb")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("lift").desc(), "ta", "tb").limit(20)
+    )
+
+
+ORACLE_PART_TYPE_COOCCURRENCE = """
+WITH pres AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_type AS t
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT count(DISTINCT ok) AS n_orders FROM pres),
+singles AS (SELECT t, count(*) AS cnt FROM pres GROUP BY t),
+pairs AS (
+  SELECT a.t AS ta, b.t AS tb, count(*) AS n_ab
+  FROM pres a JOIN pres b ON a.ok = b.ok AND a.t < b.t
+  GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT ta, tb, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(n_ab * n.n_orders AS DOUBLE) / CAST(sa.cnt * sb.cnt AS DOUBLE) AS lift
+FROM pairs
+JOIN singles sa ON sa.t = pairs.ta
+JOIN singles sb ON sb.t = pairs.tb
+CROSS JOIN n
+ORDER BY lift DESC, ta, tb
+LIMIT 20
+"""
+
+QUERY_REGISTRY["part_type_cooccurrence"] = QuerySpec(
+    q_part_type_cooccurrence, ORACLE_PART_TYPE_COOCCURRENCE,
+    "market-basket co-occurrence pairs ranked by lift",
+)

@@ -503,3 +503,74 @@ QUERY_REGISTRY["matryoshka_recall"] = QuerySpec(
     ORACLE_MATRYOSHKA_RECALL,
     "matryoshka-prefix retrieval recall vs full-dim top-k",
 )
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/SBERT data-
+    prep stage): for each anchor vector, the top-5 most-similar corpus
+    vectors with a DIFFERENT label — near neighbors that are not matches
+    make the hardest negatives.  Same broadcast-queries corpus-scan shape
+    as `cosine_topk` with the label-disagreement predicate fused into the
+    join condition (filter before rank, so the k survivors are all valid
+    negatives).  At 100 TB the shortlist comes from the ANN index and this
+    becomes a rerank-with-predicate."""
+    from covid19_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+        F.col("label").alias("neg_label"),
+    )
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("neg_label") != F.col("q_label")),
+    ).select(
+        "query_id", "q_label", "neighbor_id", "neg_label",
+        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "q_label", "rank", "neighbor_id", "neg_label", "sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_HARD_NEGATIVES = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, label AS q_label FROM e WHERE vec_id < 4
+), scored AS (
+  SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id, e.label AS neg_label,
+         list_reduce(list_transform(range(1, 65), i -> qv[i] * v[i]), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(range(1, 65), i -> qv[i] * qv[i]), (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]), (x, y) -> x + y))) AS sim
+  FROM e JOIN q ON e.vec_id <> q.query_id AND e.label <> q.q_label
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+  ) AS rank FROM scored
+)
+SELECT query_id, q_label, CAST(rank AS INT) AS rank, neighbor_id, neg_label, sim
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+QUERY_REGISTRY["hard_negatives"] = QuerySpec(
+    q_hard_negatives,
+    ORACLE_HARD_NEGATIVES,
+    "hard-negative mining: nearest different-label neighbors per anchor",
+)
