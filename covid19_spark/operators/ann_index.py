@@ -33,6 +33,7 @@ round-trip against the same fixture oracle as the in-memory operator.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -84,12 +85,18 @@ def write_ivfpq_index(
     train_sample_mod: "int | str | None" = "auto",
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
+    attr_cols: "Sequence[str]" = (),
 ) -> dict:
     """Build the index at ``path`` (overwrite): fit quantizers (or take
     pre-trained ones via ``centroids=``/``codebooks=``), encode the corpus
     in one map pass, write codes partitioned by IVF list. The only
     corpus-sized work is the encode scan; everything else is KB-sized.
-    Returns the meta dict that was persisted."""
+    Returns the meta dict that was persisted.
+
+    ``attr_cols``: metadata columns stored ALONGSIDE the codes (joined on
+    the id in the build pass) — the filtered-vector-search seam: a serving
+    predicate on these columns applies directly to the codes scan, before
+    any distance work (see ``ivfpq_index_topk(codes_filter=...)``)."""
     centroids, codebooks = ivfpq_quantizers(
         corpus, n_centroids, m, n_codes,
         id_col=id_col, vec_col=vec_col,
@@ -112,6 +119,7 @@ def write_ivfpq_index(
         "dim": int(dim),
         "id_col": id_col,
         "vec_col": vec_col,
+        "attr_cols": ",".join(attr_cols),
     }
     # repartition(1), NOT coalesce(1): these frames originate from Python
     # createDataFrame (32 pickled slices on local[32]); coalesce folds all
@@ -122,11 +130,20 @@ def write_ivfpq_index(
     codebooks.repartition(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     spark.createDataFrame(
         [(meta["n_centroids"], meta["m"], meta["n_codes"], meta["dim"],
-          meta["id_col"], meta["vec_col"])],
-        "n_centroids INT, m INT, n_codes INT, dim INT, id_col STRING, vec_col STRING",
+          meta["id_col"], meta["vec_col"], meta["attr_cols"])],
+        "n_centroids INT, m INT, n_codes INT, dim INT, id_col STRING, "
+        "vec_col STRING, attr_cols STRING",
     ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+    encoded = ivfpq_encode(
+        corpus, centroids, codebooks, m, id_col=id_col, vec_col=vec_col
+    )
+    if attr_cols:
+        # one build-time co-shuffle on the id glues the serving attributes
+        # onto the code rows; queries then never touch the vector store to
+        # evaluate predicates
+        encoded = encoded.join(corpus.select(id_col, *attr_cols), id_col)
     (
-        ivfpq_encode(corpus, centroids, codebooks, m, id_col=id_col, vec_col=vec_col)
+        encoded
         # shuffle onto the list id before the partitioned write: without
         # this, partitionBy fans out n_tasks × n_lists files (at 1000
         # executors × 65536 lists that is tens of MILLIONS of near-empty
@@ -184,8 +201,12 @@ def read_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
     """Reopen a persisted index. The codes frame is a lazy parquet scan —
     nothing corpus-sized is materialized until a query prunes it."""
     meta_row = spark.read.parquet(f"{path}/meta").collect()[0]
-    meta = {k: meta_row[k] for k in
-            ("n_centroids", "m", "n_codes", "dim", "id_col", "vec_col")}
+    fields = set(meta_row.__fields__)
+    meta = {"attr_cols": meta_row["attr_cols"] if "attr_cols" in fields else ""}
+    meta.update({
+        k: meta_row[k]
+        for k in ("n_centroids", "m", "n_codes", "dim", "id_col", "vec_col")
+    })
     return IvfPqIndex(
         codes=spark.read.parquet(f"{path}/codes"),
         centroids=spark.read.parquet(f"{path}/centroids"),
@@ -260,10 +281,20 @@ def ivfpq_index_topk(
     n_probes: int = 3,
     shortlist: int = 50,
     prune: str = "static",
+    codes_filter=None,
 ) -> DataFrame:
     """Serve a query batch from a persisted index: probe → ADC over probed
     lists only → exact-cosine rerank against ``corpus`` (the full-precision
     cold store; the index itself holds no vectors).
+
+    ``codes_filter`` (Column or SQL string over the index's ``attr_cols``)
+    is FILTERED VECTOR SEARCH with pre-filter semantics: the predicate
+    applies to the code rows after partition pruning and BEFORE any
+    distance work, so the top-k is exact over the matching subset (every
+    returned neighbor satisfies the predicate — pinned in tests) and
+    non-matching rows cost nothing to score.  Recall is bounded by the
+    probes exactly as in the unfiltered case; highly selective predicates
+    warrant more probes (the standard filtered-ANN tradeoff).
 
     ``prune="static"`` (default) collects the batch's DISTINCT probed list
     ids — at most ``n_centroids`` ints however large the batch, the same
@@ -287,6 +318,10 @@ def ivfpq_index_topk(
         )
     elif prune != "none":
         raise ValueError(f"prune must be 'static' or 'none', got {prune!r}")
+    if codes_filter is not None:
+        codes = codes.filter(
+            F.expr(codes_filter) if isinstance(codes_filter, str) else codes_filter
+        )
     return ivfpq_search(
         codes, index.centroids, index.codebooks, corpus, queries,
         k=k, n_probes=n_probes, m=meta["m"], n_codes=meta["n_codes"],

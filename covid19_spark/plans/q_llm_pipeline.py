@@ -3906,3 +3906,45 @@ QUERY_REGISTRY["containment_pairs"] = QuerySpec(
     q_containment_pairs, ORACLE_CONTAINMENT_PAIRS,
     "asymmetric near-dup: Jaccard containment (excerpt/quotation detection) vs exact oracle",
 )
+
+
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search over the persisted IVF-PQ index (the
+    production ANN feature every serving stack grows next: Milvus/Qdrant
+    filtered queries, FAISS IDSelector): the index is built with the label
+    column stored alongside the codes (``attr_cols``), and the query batch
+    serves top-10 under ``label = 2`` — the predicate applies to the code
+    rows after partition pruning and BEFORE any distance work (pre-filter
+    semantics: exact top-k over the matching subset; every neighbor
+    satisfies the predicate).  Pinned bit-identical to the in-memory ivfpq
+    path over the pre-filtered corpus with the same quantizers in
+    tests/test_ann_index.py; the fixture oracle freezes the values."""
+    import os
+
+    from covid19_spark.operators.ann_index import (
+        ivfpq_index_topk, read_ivfpq_index, write_ivfpq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    queries = emb.filter(F.col("vec_id") < 8)
+    path = f"/tmp/covid19_spark_ann_fidx_{os.path.basename(sf_dir.rstrip('/'))}"
+    write_ivfpq_index(emb, path, n_centroids=16, m=8, n_codes=16,
+                      attr_cols=("label",))
+    idx = read_ivfpq_index(spark, path)
+    return ivfpq_index_topk(
+        idx, emb, queries, k=10, n_probes=3, shortlist=50,
+        codes_filter="label = 2",
+    ).orderBy("query_id", "rank")
+
+
+ORACLE_ANN_FILTERED_TOPK = f"""
+SELECT b.query_id, b.rank, b.neighbor_id, b.sim
+FROM read_parquet('{fixture_path("ann_filtered_topk_sf0.01.parquet")}') b
+JOIN embeddings e ON b.neighbor_id = e.vec_id AND e.label = 2
+ORDER BY b.query_id, b.rank
+"""
+
+QUERY_REGISTRY["ann_filtered_topk"] = QuerySpec(
+    q_ann_filtered_topk, ORACLE_ANN_FILTERED_TOPK,
+    "filtered vector search on the persisted index (label predicate pre-filters codes)",
+)

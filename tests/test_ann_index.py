@@ -320,3 +320,55 @@ ORDER BY query_id, rank
         .orderBy("query_id", "rank").collect()
     ]
     assert [tuple(r) for r in duck] == got
+
+
+def test_filtered_vector_search_prefilter_semantics(spark, tmp_path):
+    """Filtered ANN: build with attr_cols=('label',), serve with a label
+    predicate — every neighbor satisfies the predicate, and the result is
+    bit-identical to the in-memory ivfpq path over the pre-filtered corpus
+    with the SAME quantizers (pre-filter semantics: exact top-k over the
+    matching subset, recall bounded by probes as usual)."""
+    from pyspark.sql import functions as F
+
+    from covid19_spark.operators.ann_index import (
+        ivfpq_index_topk,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from covid19_spark.operators.similarity import ivfpq_cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4)
+    path = str(tmp_path / "fidx")
+    write_ivfpq_index(emb, path, n_centroids=8, m=8, n_codes=16,
+                      attr_cols=("label",))
+    idx = read_ivfpq_index(spark, path)
+    assert idx.meta["attr_cols"] == "label"
+
+    got = ivfpq_index_topk(
+        idx, emb, queries, k=5, n_probes=3, shortlist=50,
+        codes_filter="label = 2",
+    ).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert got and all(labels[r.neighbor_id] == 2 for r in got)
+
+    twin = ivfpq_cosine_topk(
+        emb.filter(F.col("label") == 2), queries, k=5, n_probes=3,
+        shortlist=50, centroids=idx.centroids, codebooks=idx.codebooks,
+    ).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(((r.query_id, r.rank, r.neighbor_id, r.sim) for r in got)) == \
+        sorted(((r.query_id, r.rank, r.neighbor_id, r.sim) for r in twin))
+
+
+def test_meta_attr_cols_backward_compat(spark, tmp_path):
+    """Indexes written without attr_cols read back with attr_cols == ''."""
+    from covid19_spark.operators.ann_index import (
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "plain")
+    write_ivfpq_index(emb, path, n_centroids=8, m=8, n_codes=16)
+    assert read_ivfpq_index(spark, path).meta["attr_cols"] == ""

@@ -38,6 +38,7 @@ FIXTURE_QUERIES = (
     "permissive_decode_stats",
     "pq_cosine_topk",
     "ivfpq_cosine_topk",
+    "ann_filtered_topk",
     "approx_aggregates",
     "wav_audio_features",
     "video_frame_features",
