@@ -40,15 +40,18 @@ ARROW_EVAL_ALLOWED = {"ann_cosine_topk", "lshann_probe_crosscheck"}
 # test_plans.py where the one-row claim is load-bearing.
 BNLJ_ALLOWED = {
     "adaptive_blocking",
+    "ann_filtered_topk",  # ivfpq family one-row norm/threshold broadcasts
     "ann_index_persist_topk",
     "array_prefs_fanout",
     "asof_latest",
     "bigram_backoff_lm",
+    "bloom_pruning_gain",  # broadcast 5-row probe set, non-equi zone check
     "bigram_pmi",
     "bm25_topk",
     "corpus_drift",
     "cosine_topk",
     "domain_mix_sample",
+    "hard_negatives",  # broadcast |queries|-row non-equi label-filter join
     "heavy_hitters",
     "hilbert_clustering",  # one-row grid-bounds broadcast (zorder twin)
     "hybrid_rrf_topk",  # bm25 side's one-row n_docs/avgdl scalar broadcasts
@@ -63,6 +66,7 @@ BNLJ_ALLOWED = {
     "layout_pruning_gain",
     "leakage_safe_split",
     "lsh_guard_report",
+    "matryoshka_recall",  # cosine_topk broadcast queries at 3 dim levels
     "mmr_rerank",  # cosine_topk's broadcast |queries|-row non-equi join
     "pq_adc_crosscheck",
     "pq_cosine_topk",
