@@ -222,6 +222,7 @@ def make_ann_query_sink(
     k: int = 10,
     n_probes: int = 3,
     shortlist: int = 50,
+    codes_filter: "str | None" = None,
 ):
     """foreachBatch sink serving a STREAM of query vectors against the
     persisted index: each micro-batch is answered with ``ivfpq_index_topk``
@@ -248,7 +249,8 @@ def make_ann_query_sink(
         cold = spark.read.parquet(corpus) if isinstance(corpus, str) else corpus
         (
             ivfpq_index_topk(
-                idx, cold, batch_df, k=k, n_probes=n_probes, shortlist=shortlist
+                idx, cold, batch_df, k=k, n_probes=n_probes,
+                shortlist=shortlist, codes_filter=codes_filter,
             )
             .withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("append").parquet(results_path)

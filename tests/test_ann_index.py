@@ -372,3 +372,55 @@ def test_meta_attr_cols_backward_compat(spark, tmp_path):
     path = str(tmp_path / "plain")
     write_ivfpq_index(emb, path, n_centroids=8, m=8, n_codes=16)
     assert read_ivfpq_index(spark, path).meta["attr_cols"] == ""
+
+
+def test_streaming_filtered_serve(spark, tmp_path):
+    """codes_filter flows through the streaming query sink: every served
+    neighbor satisfies the predicate, and the batch answers equal the
+    batch-path filtered query for the same vectors."""
+    from pyspark.sql import functions as F
+
+    from covid19_spark.operators.ann_index import (
+        ivfpq_index_topk,
+        make_ann_query_sink,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx_path = str(tmp_path / "fsidx")
+    cold = str(tmp_path / "cold")
+    res = str(tmp_path / "res")
+    emb.write.parquet(cold)
+    write_ivfpq_index(emb, idx_path, n_centroids=8, m=8, n_codes=16,
+                      attr_cols=("label",))
+
+    src = str(tmp_path / "qsrc")
+    ckpt = str(tmp_path / "ckpt")
+    emb.filter(F.col("vec_id") < 4).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(
+            make_ann_query_sink(idx_path, cold, res, k=5, n_probes=3,
+                                codes_filter="label = 1")
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    served = spark.read.parquet(res)
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    rows = served.collect()
+    assert rows and all(labels[r.neighbor_id] == 1 for r in rows)
+
+    idx = read_ivfpq_index(spark, idx_path)
+    batch = ivfpq_index_topk(
+        idx, spark.read.parquet(cold), emb.filter(F.col("vec_id") < 4),
+        k=5, n_probes=3, codes_filter="label = 1",
+    ).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted((r.query_id, r.rank, r.neighbor_id, r.sim) for r in rows) == \
+        sorted((r.query_id, r.rank, r.neighbor_id, r.sim) for r in batch)
