@@ -574,3 +574,101 @@ QUERY_REGISTRY["hard_negatives"] = QuerySpec(
     ORACLE_HARD_NEGATIVES,
     "hard-negative mining: nearest different-label neighbors per anchor",
 )
+
+
+def _sub(vec: str, i: int) -> str:
+    """SQL slice of 16-dim sub-vector i (0-based) of a 64-dim list."""
+    return f"{vec}[{16 * i + 1}:{16 * i + 16}]"
+
+
+def _cos16_sql(a: str, b: str) -> str:
+    def _dot16(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, 17), i -> {x}[i] * {y}[i]),"
+            f" (x, y) -> x + y)"
+        )
+
+    return f"({_dot16(a, b)} / (sqrt({_dot16(a, a)}) * sqrt({_dot16(b, b)})))"
+
+
+def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim, Khattab & Zaharia 2020)
+    retrieval: each 64-dim embedding is treated as FOUR 16-dim "token
+    vectors"; a document scores ``Σ_qt max_dt cos(qt, dt)`` — every query
+    token finds its best-matching document token, scores summed.  The sum
+    over the 4 query tokens is a FIXED-ORDER expression (never a cross-row
+    float aggregation) and each max is over a 4-element array — exact
+    doubles, replayed verbatim by the oracle.  One broadcast-queries
+    corpus scan, 16 codegen'd sub-vector cosines per pair; top-5 per
+    query, fully tiebroken.  At scale the candidate set comes from a
+    single-vector ANN shortlist and MaxSim is the rerank — this query IS
+    that rerank run corpus-wide to stay oracle-exact."""
+    from covid19_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("dv"),
+    )
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+
+    def sub(col: str, i: int):
+        return F.slice(F.col(col), 16 * i + 1, 16)
+
+    score = None
+    for qi in range(4):
+        best = F.array_max(
+            F.array(*[cosine(sub("qv", qi), sub("dv", dj)) for dj in range(4)])
+        )
+        score = best if score is None else score + best
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id", score.alias("maxsim"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "maxsim")
+        .orderBy("query_id", "rank")
+    )
+
+
+_MAXSIM_TERMS = " + ".join(
+    "list_max(["
+    + ", ".join(_cos16_sql(_sub("qv", qi), _sub("dv", dj)) for dj in range(4))
+    + "])"
+    for qi in range(4)
+)
+
+ORACLE_MAXSIM_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.v AS dv, q.qv,
+         {_MAXSIM_TERMS} AS maxsim
+  FROM e JOIN q ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, maxsim,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY maxsim DESC, neighbor_id
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, maxsim
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+QUERY_REGISTRY["maxsim_topk"] = QuerySpec(
+    q_maxsim_topk,
+    ORACLE_MAXSIM_TOPK,
+    "ColBERT-style MaxSim late-interaction top-k over sub-vector tokens",
+)

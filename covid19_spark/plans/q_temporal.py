@@ -1696,3 +1696,84 @@ QUERY_REGISTRY["holt_winters_forecast"] = QuerySpec(
     q_holt_winters_forecast, ORACLE_HOLT_WINTERS_FORECAST,
     "Holt-Winters additive seasonal forecast: JVM ring-state fold vs recursive-CTE list replay",
 )
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift gate (the standard ML-ops
+    distribution monitor): order values before vs after the 1998-06-01
+    snapshot cut, binned into a FIXED 10-bin grid over the global min/max
+    (fixed-width, not quantile bins — quantile boundaries are not portable
+    across engines; the grid is the layout toolkit's floor arithmetic),
+    per-bin PSI contribution ``(pa − pb)·ln(pa/pb)`` with the standard
+    1e-6 zero-bin floor.  ln() is not correctly-rounded across engines, so
+    contributions round(6) — the documented BM25-class exception; shares
+    (pa, pb) stay exact integer ratios.  One scan + one |bins| aggregate
+    per slice."""
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = "1998-06-01"
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        (F.col("o_orderdate") < cutoff).alias("is_a"),
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("o_totalprice") - F.col("mn"))
+                * 10.0
+                / (F.col("mx") - F.col("mn") + F.lit(1.0))
+            ),
+        ).cast("long").alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.col("is_a").cast("long")).alias("na"),
+        F.sum((~F.col("is_a")).cast("long")).alias("nb"),
+    )
+    totals = counts.agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    eps = 1e-6
+    pa = F.greatest(F.col("na").cast("double") / F.col("ta"), F.lit(eps))
+    pb = F.greatest(F.col("nb").cast("double") / F.col("tb"), F.lit(eps))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE_PSI_DRIFT = """
+WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+binned AS (
+  SELECT (o_orderdate < TIMESTAMP '1998-06-01') AS is_a,
+         LEAST(9, CAST(floor((o_totalprice - mn) * 10.0 / (mx - mn + 1.0)) AS BIGINT)) AS bin
+  FROM orders CROSS JOIN b
+),
+counts AS (
+  SELECT bin,
+         sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS nb
+  FROM binned GROUP BY bin
+),
+t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM counts)
+SELECT bin,
+       CAST(na AS BIGINT) AS na,
+       CAST(nb AS BIGINT) AS nb,
+       round(
+         (GREATEST(CAST(na AS DOUBLE) / ta, 1e-6) - GREATEST(CAST(nb AS DOUBLE) / tb, 1e-6))
+         * ln(GREATEST(CAST(na AS DOUBLE) / ta, 1e-6) / GREATEST(CAST(nb AS DOUBLE) / tb, 1e-6)),
+         6
+       ) AS psi_contrib
+FROM counts CROSS JOIN t
+ORDER BY bin
+"""
+
+QUERY_REGISTRY["psi_drift"] = QuerySpec(
+    q_psi_drift, ORACLE_PSI_DRIFT,
+    "population-stability-index drift between corpus snapshots (fixed grid)",
+)

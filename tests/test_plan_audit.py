@@ -67,10 +67,12 @@ BNLJ_ALLOWED = {
     "leakage_safe_split",
     "lsh_guard_report",
     "matryoshka_recall",  # cosine_topk broadcast queries at 3 dim levels
+    "maxsim_topk",  # broadcast |queries|-row non-equi late-interaction join
     "mmr_rerank",  # cosine_topk's broadcast |queries|-row non-equi join
     "pq_adc_crosscheck",
     "pq_cosine_topk",
-    "prf_expanded_bm25",  # one-row n_docs/avgdl scalar broadcasts (bm25 shape)
+    "prf_expanded_bm25",
+    "psi_drift",  # one-row bounds + one-row totals broadcasts  # one-row n_docs/avgdl scalar broadcasts (bm25 shape)
     "scd2_point_in_time",
     "semantic_dedup_paper_policy",
     "sq8_cosine_topk",
