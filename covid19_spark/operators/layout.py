@@ -203,8 +203,8 @@ def _hilbert_level_exprs(s: int, side: int):
     ``floor(x / s) % 2`` is plain portable arithmetic, and the rotation
     reflects against the FULL grid side (``side − 1``), per the standard
     xy2d recurrence."""
-    rx = f"(CAST(floor(hx / {s}.0) AS BIGINT) % 2)"
-    ry = f"(CAST(floor(hy / {s}.0) AS BIGINT) % 2)"
+    rx = f"(CAST(floor(__hx / {s}.0) AS BIGINT) % 2)"
+    ry = f"(CAST(floor(__hy / {s}.0) AS BIGINT) % 2)"
     # d-contribution: s^2 * ((3*rx) XOR ry), spelled as the CASE square
     quad = (
         f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
@@ -215,12 +215,12 @@ def _hilbert_level_exprs(s: int, side: int):
     # rotation: ry=1 -> unchanged; ry=0,rx=1 -> reflect both then swap;
     # ry=0,rx=0 -> swap only
     nx = (
-        f"(CASE WHEN {ry} = 1 THEN hx "
-        f"WHEN {rx} = 1 THEN {side - 1} - hy ELSE hy END)"
+        f"(CASE WHEN {ry} = 1 THEN __hx "
+        f"WHEN {rx} = 1 THEN {side - 1} - __hy ELSE __hy END)"
     )
     ny = (
-        f"(CASE WHEN {ry} = 1 THEN hy "
-        f"WHEN {rx} = 1 THEN {side - 1} - hx ELSE hx END)"
+        f"(CASE WHEN {ry} = 1 THEN __hy "
+        f"WHEN {rx} = 1 THEN {side - 1} - __hx ELSE __hx END)"
     )
     return quad, nx, ny
 
@@ -243,11 +243,13 @@ def hilbert_code(
     of Morton's pure shift/mask — identical scan shape, slightly wider
     codegen. Fit guard shared with Morton: 2·bits ≤ 63."""
     _check_morton_width(2, bits)
+    # double-underscore work columns: a caller frame with its own hx/hy/hd
+    # must not be clobbered by the unrolled walk
     work = df.withColumns(
         {
-            "hx": F.col(x).cast("long"),
-            "hy": F.col(y).cast("long"),
-            "hd": F.lit(0).cast("long"),
+            "__hx": F.col(x).cast("long"),
+            "__hy": F.col(y).cast("long"),
+            "__hd": F.lit(0).cast("long"),
         }
     )
     for level in reversed(range(bits)):
@@ -255,13 +257,13 @@ def hilbert_code(
         quad, nx, ny = _hilbert_level_exprs(s, 1 << bits)
         work = work.withColumns(
             {
-                "hd": F.expr(f"hd + {s * s} * {quad}"),
-                "hx": F.expr(nx),
-                "hy": F.expr(ny),
+                "__hd": F.expr(f"__hd + {s * s} * {quad}"),
+                "__hx": F.expr(nx),
+                "__hy": F.expr(ny),
             }
         )
-    return work.withColumn(out, F.col("hd").cast("long")).drop(
-        "hx", "hy", "hd"
+    return work.withColumn(out, F.col("__hd").cast("long")).drop(
+        "__hx", "__hy", "__hd"
     )
 
 
@@ -274,17 +276,17 @@ def hilbert_sql(src: str, x: str, y: str, bits: int, carry: Sequence[str]) -> st
     _check_morton_width(2, bits)
     keep = ", ".join(carry)
     cur = (
-        f"SELECT {keep}, CAST({x} AS BIGINT) AS hx, "
-        f"CAST({y} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM {src}"
+        f"SELECT {keep}, CAST({x} AS BIGINT) AS __hx, "
+        f"CAST({y} AS BIGINT) AS __hy, CAST(0 AS BIGINT) AS __hd FROM {src}"
     )
     for level in reversed(range(bits)):
         s = 1 << level
         quad, nx, ny = _hilbert_level_exprs(s, 1 << bits)
         cur = (
-            f"SELECT {keep}, {nx} AS hx, {ny} AS hy, "
-            f"hd + {s * s} * {quad} AS hd FROM ({cur})"
+            f"SELECT {keep}, {nx} AS __hx, {ny} AS __hy, "
+            f"__hd + {s * s} * {quad} AS __hd FROM ({cur})"
         )
-    return f"SELECT {keep}, CAST(hd AS BIGINT) AS h FROM ({cur})"
+    return f"SELECT {keep}, CAST(__hd AS BIGINT) AS h FROM ({cur})"
 
 
 def _seeded_positions(

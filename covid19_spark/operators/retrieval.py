@@ -46,7 +46,9 @@ def rrf_fuse(
     """Fuse named rank lists into one RRF-ordered list per query.
 
     ``ranked``: (name, frame) pairs; each frame has ``query_col``,
-    ``id_col`` and an integer ``rank_col`` (1-based, unique per query).
+    ``id_col`` and an integer ``rank_col`` (1-based, UNIQUE per query —
+    a duplicated (query, id) row would fan out through the full-outer
+    merge chain).
     Output: one row per (query, doc) seen by ANY retriever, with each
     retriever's rank as ``<name>_rank`` (NULL where it did not rank the
     doc), the fused ``rrf_score``, and ``fused_rank`` (row_number over
@@ -130,6 +132,10 @@ def mmr_rerank(
 
     if not (0.0 <= lam <= 1.0):
         raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k < 1:
+        # sequence(1, 0) DESCENDS in Spark ([1, 0]) — a k=0 fold would run
+        # two phantom steps instead of zero
+        raise ValueError(f"k must be >= 1, got {k}")
     cands = cosine_topk(corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col)
     cvecs = corpus.select(
         F.col(id_col).alias("neighbor_id"),
