@@ -185,3 +185,87 @@ def holt_winters_additive(
             + F.element_at("season", ((F.col("h") - 1) % F.lit(m)).cast("int") + 1)
         ).alias("forecast"),
     )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    y_col: str,
+    baseline: int = 28,
+    k_frac: float = 0.125,
+    h_frac: float = 1.0,
+) -> DataFrame:
+    """One-sided CUSUM changepoint detection (Page 1954) per key:
+
+        s₀ = 0;   sₜ = max(0, sₜ₋₁ + (yₜ − μ₀ − k))
+
+    with target μ₀ = mean of the first ``baseline`` observations, slack
+    ``k = k_frac·μ₀`` and alarm threshold ``h = h_frac·μ₀`` — the
+    level-shift monitor that catches a sustained drift long before any
+    single point trips a z-score gate.  The recurrence runs from
+    observation ``baseline+1``; keys shorter than ``baseline+1`` are
+    dropped.
+
+    Same per-key JVM fold as ``holt_linear``/``holt_winters_additive``
+    (collected ordered series, ``F.aggregate``), state carrying the
+    running statistic, the 1-based index of the FIRST alarm (0 = never)
+    and the alarm-day count.  Determinism: μ₀ is a left-to-right fold
+    mean (not avg()), ``k_frac``/``h_frac`` default binary-exact, and
+    max(0, ·) is exact — the whole recurrence replays verbatim in a
+    recursive CTE, no rounding exceptions needed.
+
+    Output: key_cols..., n_obs, mu0, s_final, first_alarm, n_alarms.
+    """
+    key_cols = list(key_cols)
+    b = int(baseline)
+    if b < 1:
+        raise ValueError(f"baseline must be >= 1, got {baseline}")
+
+    series = (
+        df.groupBy(*key_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(order_col).alias("o"), F.col(y_col).alias("y"))
+                )
+            ).alias("s")
+        )
+        .filter(F.size("s") >= b + 1)
+    )
+    ys = F.transform(F.col("s"), lambda r: r["y"].cast("double"))
+    mu0 = (
+        F.aggregate(F.slice(ys, 1, b), F.lit(0.0), lambda acc, y: acc + y)
+        / F.lit(float(b))
+    )
+    kk = F.lit(float(k_frac)) * mu0
+    hh = F.lit(float(h_frac)) * mu0
+    init = F.struct(
+        F.lit(0.0).alias("cs"),
+        F.lit(b).cast("int").alias("t"),
+        F.lit(0).cast("int").alias("first_alarm"),
+        F.lit(0).cast("long").alias("n_alarms"),
+    )
+
+    def step(acc, y):
+        ns = F.greatest(F.lit(0.0), acc["cs"] + (y - mu0 - kk))
+        nt = acc["t"] + F.lit(1)
+        alarmed = ns >= hh
+        return F.struct(
+            ns.alias("cs"),
+            nt.cast("int").alias("t"),
+            F.when(
+                (acc["first_alarm"] == 0) & alarmed, nt.cast("int")
+            ).otherwise(acc["first_alarm"]).alias("first_alarm"),
+            (acc["n_alarms"] + alarmed.cast("long")).alias("n_alarms"),
+        )
+
+    folded = F.aggregate(F.slice(ys, b + 1, F.size(ys) - b), init, step)
+    return series.select(
+        *key_cols,
+        F.size("s").cast("long").alias("n_obs"),
+        mu0.alias("mu0"),
+        folded["cs"].alias("s_final"),
+        folded["first_alarm"].cast("long").alias("first_alarm"),
+        folded["n_alarms"].cast("long").alias("n_alarms"),
+    )

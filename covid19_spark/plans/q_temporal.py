@@ -1777,3 +1777,71 @@ QUERY_REGISTRY["psi_drift"] = QuerySpec(
     q_psi_drift, ORACLE_PSI_DRIFT,
     "population-stability-index drift between corpus snapshots (fixed grid)",
 )
+
+
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift monitor (operators/forecast.cusum_alarms) over the
+    per-type daily event counts: 28-day baseline mean, slack μ₀/8, alarm at
+    μ₀ — the sustained-drift detector that complements the point-outlier
+    gates (rolling_zscore / mad_outliers).  Per-key JVM fold; the oracle
+    replays the identical recurrence in a recursive CTE.  All arithmetic
+    exact (fold-mean baseline, binary-exact fractions, max(0,·)) — full-
+    precision cross-engine hash, no rounding exceptions."""
+    from covid19_spark.operators.forecast import cusum_alarms
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("date")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    return cusum_alarms(
+        daily, ["event_type"], "date", "y", baseline=28
+    ).orderBy("event_type")
+
+
+ORACLE_CUSUM_CHANGEPOINTS = """
+WITH RECURSIVE e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS date, CAST(count(*) AS DOUBLE) AS y
+  FROM e GROUP BY 1, 2
+),
+idxd AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY date) AS idx
+  FROM daily
+),
+series AS (
+  SELECT event_type, list(y ORDER BY date) AS ys,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM daily GROUP BY 1 HAVING count(*) >= 29
+),
+base AS (
+  SELECT event_type, n_obs,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys[1:28]), (x, y) -> x + y) / 28.0 AS mu0
+  FROM series
+),
+rec AS (
+  SELECT event_type, n_obs, mu0, 28 AS t,
+         CAST(0.0 AS DOUBLE) AS cs, 0 AS first_alarm, CAST(0 AS BIGINT) AS n_alarms
+  FROM base
+  UNION ALL
+  SELECT r.event_type, r.n_obs, r.mu0, r.t + 1,
+         GREATEST(CAST(0.0 AS DOUBLE), r.cs + (d.y - r.mu0 - 0.125 * r.mu0)) AS cs,
+         CASE WHEN r.first_alarm = 0
+                   AND GREATEST(CAST(0.0 AS DOUBLE), r.cs + (d.y - r.mu0 - 0.125 * r.mu0)) >= 1.0 * r.mu0
+              THEN r.t + 1 ELSE r.first_alarm END AS first_alarm,
+         r.n_alarms + CASE WHEN GREATEST(CAST(0.0 AS DOUBLE), r.cs + (d.y - r.mu0 - 0.125 * r.mu0)) >= 1.0 * r.mu0
+                           THEN 1 ELSE 0 END AS n_alarms
+  FROM rec r JOIN idxd d ON d.event_type = r.event_type AND d.idx = r.t + 1
+),
+final AS (SELECT event_type, n_obs, mu0, cs, first_alarm, n_alarms FROM rec WHERE t = n_obs)
+SELECT event_type, n_obs, mu0, cs AS s_final,
+       CAST(first_alarm AS BIGINT) AS first_alarm,
+       CAST(n_alarms AS BIGINT) AS n_alarms
+FROM final
+ORDER BY event_type
+"""
+
+QUERY_REGISTRY["cusum_changepoints"] = QuerySpec(
+    q_cusum_changepoints, ORACLE_CUSUM_CHANGEPOINTS,
+    "CUSUM sustained-drift changepoints: JVM fold vs recursive-CTE replay",
+)

@@ -123,3 +123,53 @@ def test_holt_winters_drops_short_series_and_guards_period(spark):
     assert holt_winters_additive(df, ["k"], "t", "y", period=3).count() == 0
     with pytest.raises(ValueError, match="period"):
         holt_winters_additive(df, ["k"], "t", "y", period=1)
+
+
+def test_cusum_hand_case(spark):
+    """baseline=2, y=[10, 10, 11, 30, 30]: mu0=10, k=1.25, h=10.
+    s3 = max(0, 0 + 11-11.25) = 0; s4 = max(0, 0 + 30-11.25) = 18.75 >= 10
+    -> first_alarm=4; s5 = 18.75 + 18.75 = 37.5 (alarm again) -> n_alarms=2."""
+    from covid19_spark.operators.forecast import cusum_alarms
+
+    rows = [(1, t, y) for t, y in enumerate([10.0, 10.0, 11.0, 30.0, 30.0], 1)]
+    df = spark.createDataFrame(rows, "k int, t int, y double")
+    r = cusum_alarms(df, ["k"], "t", "y", baseline=2).collect()[0]
+    assert r.mu0 == 10.0
+    assert r.s_final == 37.5
+    assert r.first_alarm == 4
+    assert r.n_alarms == 2
+
+
+def test_cusum_flat_series_never_alarms(spark):
+    from covid19_spark.operators.forecast import cusum_alarms
+
+    rows = [(1, t, 10.0) for t in range(1, 40)]
+    df = spark.createDataFrame(rows, "k int, t int, y double")
+    r = cusum_alarms(df, ["k"], "t", "y", baseline=10).collect()[0]
+    assert r.first_alarm == 0 and r.n_alarms == 0 and r.s_final == 0.0
+
+
+def test_cusum_catches_sustained_shift_a_zscore_would_miss(spark):
+    """A +20% sustained level shift (each point well inside any 3-sigma
+    band of the noisy baseline) accumulates to an alarm."""
+    from covid19_spark.operators.forecast import cusum_alarms
+
+    base = [10.0, 12.0, 8.0, 11.0, 9.0, 10.0, 12.0, 8.0, 11.0, 9.0]
+    shifted = [12.0, 13.0, 11.5, 12.5, 12.0, 13.0, 11.5, 12.0, 12.5, 13.0]
+    rows = [(1, t, y) for t, y in enumerate(base + shifted, 1)]
+    df = spark.createDataFrame(rows, "k int, t int, y double")
+    r = cusum_alarms(df, ["k"], "t", "y", baseline=10).collect()[0]
+    assert r.first_alarm > 10
+    assert r.n_alarms >= 1
+
+
+def test_cusum_guards_and_short_series(spark):
+    import pytest
+
+    from covid19_spark.operators.forecast import cusum_alarms
+
+    rows = [(1, t, 1.0) for t in range(5)]
+    df = spark.createDataFrame(rows, "k int, t int, y double")
+    assert cusum_alarms(df, ["k"], "t", "y", baseline=10).count() == 0
+    with pytest.raises(ValueError, match="baseline"):
+        cusum_alarms(df, ["k"], "t", "y", baseline=0)
