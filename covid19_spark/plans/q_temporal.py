@@ -1845,3 +1845,62 @@ QUERY_REGISTRY["cusum_changepoints"] = QuerySpec(
     q_cusum_changepoints, ORACLE_CUSUM_CHANGEPOINTS,
     "CUSUM sustained-drift changepoints: JVM fold vs recursive-CTE replay",
 )
+
+
+def q_retention_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier customer-retention curve (operators/survival): per
+    customer, duration = days between first and last order; churn event
+    observed when the last order predates 2001-06-01, else right-censored
+    (still active at the snapshot).  One subject groupBy → contract-small
+    distinct-duration frame → JVM fold carrying (n_risk, survival) — the
+    oracle replays the identical recurrence in a recursive CTE.  Exact
+    integer risk counts; the product multiplies exact d/n ratios in
+    ascending-duration fold order — full-precision hash."""
+    from covid19_spark.operators.survival import kaplan_meier
+
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l")
+    ).select(
+        F.datediff("l", "f").cast("long").alias("dur"),
+        (F.col("l") < F.lit("2001-06-01")).cast("int").alias("churn"),
+    )
+    return kaplan_meier(per_cust, "dur", "churn").orderBy("t")
+
+
+ORACLE_RETENTION_SURVIVAL = """
+WITH RECURSIVE per_cust AS (
+  SELECT datediff('day', min(o_orderdate), max(o_orderdate)) AS dur,
+         CASE WHEN max(o_orderdate) < TIMESTAMP '2001-06-01' THEN 1 ELSE 0 END AS churn
+  FROM orders GROUP BY o_custkey
+),
+by_t AS (
+  SELECT dur AS t, sum(churn) AS d, count(*) AS c FROM per_cust GROUP BY dur
+),
+idxd AS (
+  SELECT t, d, c, row_number() OVER (ORDER BY t) AS idx,
+         count(*) OVER () AS n_times
+  FROM by_t
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM by_t),
+rec AS (
+  SELECT 0 AS idx, CAST(NULL AS BIGINT) AS t, CAST(NULL AS BIGINT) AS n_risk,
+         CAST(NULL AS BIGINT) AS d, n_total AS n, CAST(1.0 AS DOUBLE) AS surv
+  FROM tot
+  UNION ALL
+  SELECT i.idx, i.t, r.n AS n_risk, CAST(i.d AS BIGINT),
+         r.n - i.c AS n,
+         CASE WHEN i.d > 0
+              THEN r.surv * (CAST(1.0 AS DOUBLE) - CAST(i.d AS DOUBLE) / CAST(r.n AS DOUBLE))
+              ELSE r.surv END AS surv
+  FROM rec r JOIN idxd i ON i.idx = r.idx + 1
+)
+SELECT t, n_risk, d, surv AS survival
+FROM rec WHERE idx > 0 AND d > 0
+ORDER BY t
+"""
+
+QUERY_REGISTRY["retention_survival"] = QuerySpec(
+    q_retention_survival, ORACLE_RETENTION_SURVIVAL,
+    "Kaplan-Meier retention curve with right censoring (fold vs recursive CTE)",
+)
