@@ -1750,3 +1750,83 @@ QUERY_REGISTRY["part_type_cooccurrence"] = QuerySpec(
     q_part_type_cooccurrence, ORACLE_PART_TYPE_COOCCURRENCE,
     "market-basket co-occurrence pairs ranked by lift",
 )
+
+
+def q_lorenz_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Lorenz) audit: customers ranked ascending by
+    total order revenue, cut into population deciles, each decile's exact
+    revenue share and the cumulative Lorenz curve — the inequality report
+    behind both the classic 80/20 business readout and a training-corpus
+    domain-concentration gate.  Ranking runs on the |customers| AGGREGATE
+    frame via ``with_ordered_index`` (per-partition numbering + broadcast
+    offsets — NO single-partition window at any scale); decile cut is
+    exact integer arithmetic; shares are DEC-exact sums ratioed once.
+    The Gini coefficient follows from the 10 rows (pinned in tests)."""
+    from pyspark.sql import Window
+
+    from covid19_spark.operators.series import with_ordered_index
+
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
+    )
+    idxd = with_ordered_index(
+        per_cust, [F.col("rev").asc(), F.col("o_custkey").asc()], idx_col="idx"
+    )
+    n = per_cust.count()
+    by_dec = (
+        idxd.select(
+            F.floor(((F.col("idx") - 1) * 10) / F.lit(n)).cast("long").alias("decile"),
+            "rev",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum("rev").cast(DEC).alias("rev_dec"),
+        )
+    )
+    total = by_dec.agg(F.sum("rev_dec").cast(DEC).alias("tot"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        by_dec.crossJoin(F.broadcast(total))
+        .withColumn("cum_dec", F.sum("rev_dec").over(w).cast(DEC))
+        .select(
+            "decile",
+            "n_cust",
+            (F.col("rev_dec").cast("double") / F.col("tot").cast("double")).alias("rev_share"),
+            (F.col("cum_dec").cast("double") / F.col("tot").cast("double")).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_LORENZ_CONCENTRATION = """
+WITH per_cust AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+  FROM orders GROUP BY o_custkey
+),
+idxd AS (
+  SELECT rev, row_number() OVER (ORDER BY rev ASC, o_custkey ASC) AS idx,
+         count(*) OVER () AS n
+  FROM per_cust
+),
+by_dec AS (
+  SELECT CAST(floor(((idx - 1) * 10) / n) AS BIGINT) AS decile,
+         CAST(count(*) AS BIGINT) AS n_cust,
+         CAST(sum(rev) AS DECIMAL(38,6)) AS rev_dec
+  FROM idxd GROUP BY 1
+),
+t AS (SELECT CAST(sum(rev_dec) AS DECIMAL(38,6)) AS tot FROM by_dec)
+SELECT decile, n_cust,
+       CAST(rev_dec AS DOUBLE) / CAST(tot AS DOUBLE) AS rev_share,
+       CAST(CAST(sum(rev_dec) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS DOUBLE)
+         / CAST(tot AS DOUBLE) AS cum_share
+FROM by_dec CROSS JOIN t
+ORDER BY decile
+"""
+
+QUERY_REGISTRY["lorenz_concentration"] = QuerySpec(
+    q_lorenz_concentration, ORACLE_LORENZ_CONCENTRATION,
+    "Lorenz-curve revenue concentration by population decile (exact shares)",
+)

@@ -250,3 +250,29 @@ def test_zip_positional_outer_flags_unmatched(spark):
     assert rows[3] == (3, None, False)
     inner = zip_positional(a, b, ["k"], ["k"], how="inner").collect()
     assert len(inner) == 2
+
+
+def test_lorenz_concentration_gini_and_invariants(spark):
+    """The Lorenz rows reconstruct a valid concentration curve: shares sum
+    to 1, cum_share is increasing and convex-ish (rev_share nondecreasing
+    by decile since customers are revenue-sorted), and the implied Gini is
+    in (0, 1)."""
+    from covid19_spark.plans.registry import QUERY_REGISTRY
+
+    rows = sorted(
+        QUERY_REGISTRY["lorenz_concentration"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(10))
+    assert abs(sum(r.rev_share for r in rows) - 1.0) < 1e-12
+    shares = [r.rev_share for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(shares, shares[1:]))
+    assert abs(rows[-1].cum_share - 1.0) < 1e-12
+    # trapezoidal Gini over the decile curve
+    xs = [0.0] + [(i + 1) / 10 for i in range(10)]
+    ys = [0.0] + [r.cum_share for r in rows]
+    auc = sum((xs[i + 1] - xs[i]) * (ys[i + 1] + ys[i]) / 2 for i in range(10))
+    gini = 1 - 2 * auc
+    assert 0.0 < gini < 1.0
