@@ -65,6 +65,7 @@ BNLJ_ALLOWED = {
     "knn_exact_topk",
     "layout_pruning_gain",
     "leakage_safe_split",
+    "lorenz_concentration",  # one-row grand-total broadcast
     "lsh_guard_report",
     "matryoshka_recall",  # cosine_topk broadcast queries at 3 dim levels
     "maxsim_topk",  # broadcast |queries|-row non-equi late-interaction join
