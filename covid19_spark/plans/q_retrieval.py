@@ -260,13 +260,22 @@ QUERY_REGISTRY["mmr_rerank"] = QuerySpec(
 
 
 def _bm25_scored_for_terms(
-    docs: DataFrame, terms: DataFrame, toks: DataFrame | None = None
+    docs: DataFrame,
+    terms: DataFrame,
+    toks: DataFrame | None = None,
+    dl: DataFrame | None = None,
+    n_docs: DataFrame | None = None,
+    avgdl: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 scores of every doc against a TERM FRAME (not a literal list —
     the term set may be data-dependent, as in relevance feedback): the
     q_bm25_topk plan with the vocabulary filter expressed as a broadcast
     semi-ish join on the term frame.  Output: (doc_id, score) with the
-    DEC-exact round(6) contract."""
+    DEC-exact round(6) contract.
+
+    ``dl``/``n_docs``/``avgdl`` are TERM-INDEPENDENT — a multi-round
+    caller (relevance feedback) computes them once and passes them in,
+    halving the per-round job count; only tf/df depend on the terms."""
     if toks is None:
         toks = docs.select(
             "doc_id",
@@ -274,17 +283,22 @@ def _bm25_scored_for_terms(
                 F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
             ).alias("t"),
         )
-    dl = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("double").alias("dl")
-    )
+    if dl is None:
+        dl = toks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("double").alias("dl")
+        )
     tf = (
         toks.join(F.broadcast(terms), "t")
         .groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
-    n_docs = docs.groupBy().agg(F.count(F.lit(1)).cast("double").alias("n"))
+    if n_docs is None:
+        n_docs = docs.groupBy().agg(
+            F.count(F.lit(1)).cast("double").alias("n")
+        )
     df_t = tf.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    avgdl = dl.groupBy().agg(F.avg("dl").alias("avgdl"))
+    if avgdl is None:
+        avgdl = dl.groupBy().agg(F.avg("dl").alias("avgdl"))
     k1, b = 1.2, 0.75
     idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     per_term = (
@@ -334,8 +348,19 @@ def q_prf_expanded_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
         ).alias("t"),
     ).localCheckpoint(eager=True)
+    # term-independent statistics, shared by BOTH retrieval rounds
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl")
+    ).localCheckpoint(eager=True)
+    n_docs = docs.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    ).localCheckpoint(eager=True)
+    avgdl = dl.groupBy().agg(F.avg("dl").alias("avgdl")).localCheckpoint(
+        eager=True
+    )
+    shared = dict(toks=toks, dl=dl, n_docs=n_docs, avgdl=avgdl)
     fb = top_k(
-        _bm25_scored_for_terms(docs, seed_terms, toks=toks), "score", 10,
+        _bm25_scored_for_terms(docs, seed_terms, **shared), "score", 10,
         tiebreak_cols=["doc_id"],
     ).select("doc_id")
     global_cnt = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cg"))
@@ -359,7 +384,7 @@ def q_prf_expanded_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("t")
     expanded = seed_terms.unionByName(expansion)
     final = top_k(
-        _bm25_scored_for_terms(docs, expanded, toks=toks), "score", 15,
+        _bm25_scored_for_terms(docs, expanded, **shared), "score", 15,
         tiebreak_cols=["doc_id"],
     )
     return final.select(
