@@ -184,3 +184,54 @@ def triangle_count(
             F.col("n_triangles").cast("long").alias("n_triangles"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan 2007),
+    made DETERMINISTIC: every node starts as its own label; each round a
+    node adopts the label with the highest neighbor count, ties broken by
+    the SMALLEST label (vanilla LPA tiebreaks randomly, which would be
+    irreproducible across partitionings, let alone engines).  Fixed
+    iteration count — convergence detection would add a count() action per
+    round for no semantic gain at small k.
+
+    ``edges`` must already contain both directions of each undirected
+    edge (the callers' symmetrized form).  Per round: one edge-list join +
+    one (node, label) count + one argmax window over the per-node label
+    counts — the PageRank shuffle discipline; label state is checkpointed
+    every ``checkpoint_every`` rounds (the ``connected_components`` /
+    ``pagerank`` lineage rule).  Output: (node, label)."""
+    from pyspark.sql import Window
+
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for i in range(iterations):
+        nb = (
+            edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+            .join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            nb.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

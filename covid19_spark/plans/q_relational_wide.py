@@ -1830,3 +1830,81 @@ QUERY_REGISTRY["lorenz_concentration"] = QuerySpec(
     q_lorenz_concentration, ORACLE_LORENZ_CONCENTRATION,
     "Lorenz-curve revenue concentration by population decile (exact shares)",
 )
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities (operators/graph.py)
+    over the symmetrized customer↔supplier trade graph — the fourth graph
+    primitive next to PageRank / triangles / connected components; LPA
+    finds dense trading blocs where components only find reachability.
+    3 synchronous rounds, smallest-label tiebreak (vanilla LPA's random
+    tiebreak would be irreproducible across partitionings, let alone
+    engines).  One edge join + one count + one argmax window per round;
+    the oracle unrolls the SAME rounds as materialized CTEs."""
+    from covid19_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return label_propagation(edges, iterations=3).orderBy("node")
+
+
+ORACLE_LPA_COMMUNITIES = """
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+e AS MATERIALIZED (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+),
+l0 AS MATERIALIZED (
+  SELECT node, node AS label FROM (
+    SELECT DISTINCT src AS node FROM e
+  )
+),
+c1 AS (SELECT e.src AS node, p.label, count(*) AS cnt
+       FROM e JOIN l0 p ON p.node = e.dst GROUP BY 1, 2),
+l1 AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+    FROM c1
+  ) WHERE rn = 1
+),
+c2 AS (SELECT e.src AS node, p.label, count(*) AS cnt
+       FROM e JOIN l1 p ON p.node = e.dst GROUP BY 1, 2),
+l2 AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+    FROM c2
+  ) WHERE rn = 1
+),
+c3 AS (SELECT e.src AS node, p.label, count(*) AS cnt
+       FROM e JOIN l2 p ON p.node = e.dst GROUP BY 1, 2),
+l3 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+    FROM c3
+  ) WHERE rn = 1
+)
+SELECT node, label FROM l3 ORDER BY node
+"""
+
+QUERY_REGISTRY["lpa_communities"] = QuerySpec(
+    q_lpa_communities, ORACLE_LPA_COMMUNITIES,
+    "deterministic label-propagation communities (3 synchronous rounds)",
+)

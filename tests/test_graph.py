@@ -103,3 +103,67 @@ def test_pagerank_deep_run_bounded_lineage_and_same_values(spark):
     }
     checked = {r.node: r.rank for r in deep.collect()}
     assert checked == unchecked
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: after 3 rounds each clique
+    converges to its own smallest label — neighbor-count majority keeps
+    the bridge from merging them.  (3-cliques would NOT work: with every
+    round-1 neighbor count tied at 1, the min-label tiebreak floods the
+    smaller label across the bridge — counts must dominate ties for
+    communities to hold, the known behavior of deterministic LPA.)"""
+    from pyspark.sql import functions as F
+
+    from covid19_spark.operators.graph import label_propagation
+
+    def clique(ns):
+        return [(a, b) for i, a in enumerate(ns) for b in ns[i + 1:]]
+
+    pairs = spark.createDataFrame(
+        clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)],
+        "src long, dst long",
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    got = {r.node: r.label for r in label_propagation(edges, iterations=3).collect()}
+    assert got[1] == got[2] == got[3] == got[4] == 1
+    assert got[10] == got[11] == got[12] == got[13] == 10
+
+
+def test_lpa_deterministic_tiebreak_and_guard(spark):
+    """A 2-path node with one neighbor of each label takes the SMALLEST
+    label (the determinism contract); iterations guard fires."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from covid19_spark.operators.graph import label_propagation
+
+    pairs = spark.createDataFrame([(5, 9), (9, 7)], "src long, dst long")
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    got = {r.node: r.label for r in label_propagation(edges, iterations=1).collect()}
+    assert got[9] == 5  # min(5, 7)
+    with pytest.raises(ValueError, match="iterations"):
+        label_propagation(edges, iterations=0)
+
+
+def test_lpa_deep_run_bounded_lineage(spark):
+    """checkpoint_every keeps the plan from growing one join+window per
+    round without bound (the pagerank/components discipline)."""
+    from pyspark.sql import functions as F
+
+    from covid19_spark.operators.graph import label_propagation
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = label_propagation(edges, iterations=9, checkpoint_every=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # at most ceil(9/3)=3 uncheckpointed rounds of joins in the final plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 8
+    assert out.count() == 13
