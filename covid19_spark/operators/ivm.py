@@ -82,10 +82,16 @@ def merge_agg_state(
     return merged.groupBy(*keys).agg(*aggs)
 
 
-def finalize_agg_state(state: DataFrame) -> DataFrame:
+def finalize_agg_state(
+    state: DataFrame, keys: Sequence[str] | None = None
+) -> DataFrame:
     """Lower state to the report: count, sum, min, max, avg (exact DEC
     sum divided by the count, cast once — identical to what a full
-    recompute yields).  The sketch, if present, lowers to its estimate."""
+    recompute yields).  The sketch, if present, lowers to its estimate.
+
+    ``keys``: the grouping columns.  Pass them explicitly when a key
+    column could collide with a measure name; when omitted they are
+    inferred as every column that is not a known measure."""
     cols = [
         F.col("n_rows"),
         F.col("sum_dec").cast("double").alias("sum_v"),
@@ -93,8 +99,13 @@ def finalize_agg_state(state: DataFrame) -> DataFrame:
         F.col("max_v"),
         (F.col("sum_dec").cast("double") / F.col("n_rows")).alias("avg_v"),
     ]
-    keys = [c for c in state.columns
-            if c not in {"n_rows", "sum_dec", "min_v", "max_v", "distinct_sketch"}]
+    if keys is None:
+        keys = [
+            c for c in state.columns
+            if c not in {"n_rows", "sum_dec", "min_v", "max_v", "distinct_sketch"}
+        ]
+    else:
+        keys = list(keys)
     if "distinct_sketch" in state.columns:
         cols.append(
             F.hll_sketch_estimate("distinct_sketch").alias("approx_distinct")

@@ -127,6 +127,11 @@ def mmr_rerank(
 
     Output: query_id, mmr_rank (1-based selection order), doc_id,
     rel (query-candidate cosine), mmr (marginal score at selection).
+
+    Constraint: ``id_col`` must be an integral type that fits in BIGINT —
+    the fold state is typed ``struct<id:bigint,...>`` and the argmax
+    tiebreak negates the id (``-id``), so string or wider ids are
+    rejected here rather than silently cast.
     """
     from covid19_spark.operators.similarity import cosine, cosine_topk
 
@@ -136,6 +141,12 @@ def mmr_rerank(
         # sequence(1, 0) DESCENDS in Spark ([1, 0]) — a k=0 fold would run
         # two phantom steps instead of zero
         raise ValueError(f"k must be >= 1, got {k}")
+    id_t = dict(corpus.dtypes).get(id_col)
+    if id_t not in {"tinyint", "smallint", "int", "bigint"}:
+        raise TypeError(
+            f"mmr_rerank requires an integral {id_col!r} (fold state is "
+            f"struct<id:bigint,...> and the tiebreak negates it); got {id_t}"
+        )
     cands = cosine_topk(corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col)
     cvecs = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -401,7 +401,7 @@ pos AS (
   SELECT file, unnest([{p[0]}, {p[1]}, {p[2]}]) AS p FROM f
 ),
 words AS MATERIALIZED (
-  SELECT file, CAST(p / 32 AS BIGINT) AS word,
+  SELECT file, CAST(floor(p / 32) AS BIGINT) AS word,
          bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
   FROM pos GROUP BY 1, 2
 ),
@@ -419,7 +419,7 @@ truth AS (
   GROUP BY probe_key
 ),
 ppos AS (
-  SELECT probe_key, seed, CAST(p / 32 AS BIGINT) AS word,
+  SELECT probe_key, seed, CAST(floor(p / 32) AS BIGINT) AS word,
          (CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS mask
   FROM (
     SELECT probe_key, 0 AS seed, {q[0]} AS p FROM probes

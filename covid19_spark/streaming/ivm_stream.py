@@ -26,13 +26,25 @@ from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 from covid19_spark.operators.ivm import (
     agg_state,
     finalize_agg_state,
     merge_agg_state,
 )
+
+
+def _state_exists(spark, state_path: str) -> bool:
+    """True iff the state table directory exists.  Explicit existence
+    check (Hadoop FS, so it honours whatever scheme ``state_path`` uses)
+    rather than catching AnalysisException from the read: a schema
+    mismatch or a partially-written directory must surface as an error,
+    not silently take the first-batch lift-only path and then overwrite
+    prior accumulated state."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(state_path)
+    return p.getFileSystem(hconf).exists(p)
 
 
 def merge_state_batch(
@@ -55,14 +67,14 @@ def merge_state_batch(
     )
     if not touched:
         return []
-    try:
+    if _state_exists(spark, state_path):
         current = spark.read.parquet(state_path).filter(
             F.col(bucket_col).isin([int(b) for b in touched])
         )
         merged = merge_agg_state(
             current.drop(bucket_col), lifted.drop(bucket_col), key_cols
         )
-    except AnalysisException:  # first batch: no state yet
+    else:  # first batch: no state yet
         merged = lifted.drop(bucket_col)
     out = merged.withColumn(
         bucket_col, F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
@@ -92,6 +104,15 @@ def make_state_merge_sink(
     return sink
 
 
-def read_report(spark, state_path: str, bucket_col: str = "kb") -> DataFrame:
-    """The always-current report: ``finalize`` over the persisted state."""
-    return finalize_agg_state(spark.read.parquet(state_path).drop(bucket_col))
+def read_report(
+    spark,
+    state_path: str,
+    bucket_col: str = "kb",
+    key_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """The always-current report: ``finalize`` over the persisted state.
+    Pass ``key_cols`` explicitly when a key name could collide with a
+    state measure column."""
+    return finalize_agg_state(
+        spark.read.parquet(state_path).drop(bucket_col), keys=key_cols
+    )
