@@ -86,6 +86,7 @@ def write_ivfpq_index(
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
     attr_cols: "Sequence[str]" = (),
+    fingerprint: str = "",
 ) -> dict:
     """Build the index at ``path`` (overwrite): fit quantizers (or take
     pre-trained ones via ``centroids=``/``codebooks=``), encode the corpus
@@ -120,6 +121,7 @@ def write_ivfpq_index(
         "id_col": id_col,
         "vec_col": vec_col,
         "attr_cols": ",".join(attr_cols),
+        "fingerprint": fingerprint,
     }
     # repartition(1), NOT coalesce(1): these frames originate from Python
     # createDataFrame (32 pickled slices on local[32]); coalesce folds all
@@ -130,9 +132,10 @@ def write_ivfpq_index(
     codebooks.repartition(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     spark.createDataFrame(
         [(meta["n_centroids"], meta["m"], meta["n_codes"], meta["dim"],
-          meta["id_col"], meta["vec_col"], meta["attr_cols"])],
+          meta["id_col"], meta["vec_col"], meta["attr_cols"],
+          meta["fingerprint"])],
         "n_centroids INT, m INT, n_codes INT, dim INT, id_col STRING, "
-        "vec_col STRING, attr_cols STRING",
+        "vec_col STRING, attr_cols STRING, fingerprint STRING",
     ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
     encoded = ivfpq_encode(
         corpus, centroids, codebooks, m, id_col=id_col, vec_col=vec_col
@@ -202,7 +205,10 @@ def read_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
     nothing corpus-sized is materialized until a query prunes it."""
     meta_row = spark.read.parquet(f"{path}/meta").collect()[0]
     fields = set(meta_row.__fields__)
-    meta = {"attr_cols": meta_row["attr_cols"] if "attr_cols" in fields else ""}
+    meta = {
+        "attr_cols": meta_row["attr_cols"] if "attr_cols" in fields else "",
+        "fingerprint": meta_row["fingerprint"] if "fingerprint" in fields else "",
+    }
     meta.update({
         k: meta_row[k]
         for k in ("n_centroids", "m", "n_codes", "dim", "id_col", "vec_col")
@@ -213,6 +219,62 @@ def read_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
         codebooks=spark.read.parquet(f"{path}/codebooks"),
         meta=meta,
     )
+
+
+def ensure_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    fingerprint: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    attr_cols: "Sequence[str]" = (),
+) -> IvfPqIndex:
+    """Open the index at ``path``, (re)building it first iff absent,
+    partial, or built from a different corpus/params — the build-once
+    contract made safe against stale caches.  ``fingerprint`` names the
+    corpus snapshot (file size+mtime locally; the dataset/table version
+    id at cluster scale) and must be NON-EMPTY: an empty fingerprint
+    would match every prior empty-fingerprint build, silently serving
+    one corpus's queries from another's index.  Params are compared
+    against the persisted meta, so the same path can never serve a
+    mismatched quantizer setup."""
+    if not fingerprint:
+        raise ValueError("ensure_ivfpq_index requires a non-empty fingerprint")
+    spark = corpus.sparkSession
+    try:
+        idx = read_ivfpq_index(spark, path)
+        meta = idx.meta
+        if (
+            meta["fingerprint"] == fingerprint
+            and meta["n_centroids"] == int(n_centroids)
+            and meta["m"] == int(m)
+            and meta["n_codes"] == int(n_codes)
+            and meta["id_col"] == id_col
+            and meta["vec_col"] == vec_col
+            and meta["attr_cols"] == ",".join(attr_cols)
+        ):
+            return idx
+    except Exception:  # noqa: BLE001 — absent/partial index: rebuild below
+        pass
+    write_ivfpq_index(
+        corpus, path, n_centroids=n_centroids, m=m, n_codes=n_codes,
+        id_col=id_col, vec_col=vec_col, attr_cols=attr_cols,
+        fingerprint=fingerprint,
+    )
+    return read_ivfpq_index(spark, path)
+
+
+def corpus_file_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
+    """Local-files corpus snapshot id for ``ensure_ivfpq_index``: size +
+    mtime of the source parquet (the driver regenerates testdata between
+    rounds, so mtime alone is not enough)."""
+    import os
+
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    return f"{st.st_size}:{st.st_mtime_ns}"
 
 
 def make_ann_query_sink(

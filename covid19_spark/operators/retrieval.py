@@ -35,6 +35,58 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def bm25_scores_from_index(
+    spark,
+    index,
+    terms,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 (doc_id, score) for a term set served from a persisted
+    inverted index (``sources/index.InvertedIndex``) — the production
+    twin of the inline-tokenize BM25 plans, hash-identical to them
+    because the index stores exact integral statistics and the score
+    expression (idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), DEC-summed
+    per doc, round(6)) lives HERE, not in the files.
+
+    ``terms``: literal list/tuple (→ static term-bucket PartitionFilters
+    on the postings scan) or a DataFrame with column ``t`` (→ broadcast
+    (tb, t) join — the data-dependent relevance-feedback seam).
+
+    Scale: ONE term-pruned postings scan and nothing else — dl rides on
+    the posting rows (the index's Lucene-norms denormalization), df is a
+    window count over ``t`` on the pruned frame itself (the very rows
+    whose count defines document frequency), and n/avgdl are driver
+    literals from the index's collected scalar row.  The only shuffle is
+    the |matching postings|-sized window/groupBy pair on the already
+    term-filtered rows."""
+    from covid19_spark.sources.index import postings_for_terms
+
+    tf = postings_for_terms(spark, index, terms)
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("t")).cast("double")
+    )
+    idf = F.log(
+        (F.lit(index.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    per_term = tf.select(
+        "doc_id",
+        (
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.lit(index.avgdl))
+            )
+        ).alias("s"),
+    )
+    return per_term.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("s").cast("decimal(38,18)")).cast("double"), 6
+        ).alias("score")
+    )
+
+
 def rrf_fuse(
     ranked: Sequence[tuple[str, DataFrame]],
     k0: int = 60,

@@ -28,48 +28,19 @@ _TOP = 15
 
 
 def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-`_LIST_K` rank list for the fixed 4-term query: the
-    `q_bm25_topk` plan (one tokenize, vocabulary-filtered TF shuffle,
-    broadcast df/avgdl scalars, DEC-exact per-doc sum, round(6)) plus a
-    rank column.  At 100 TB the tf/df/dl frames are the pre-built inverted
-    statistics of the corpus store; this inline build stands in for that
-    index scan."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("__w"),
-    )
-    dl = toks.select("doc_id", F.size("__w").cast("double").alias("dl"))
-    tf = (
-        toks.select("doc_id", F.explode("__w").alias("t"))
-        .filter(F.col("t").isin(*_TERMS))
-        .groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    )
-    n_docs = docs.groupBy().agg(F.count(F.lit(1)).cast("double").alias("n"))
-    df_t = tf.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    avgdl = dl.groupBy().agg(F.avg("dl").alias("avgdl"))
-    k1, b = 1.2, 0.75
-    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    per_term = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(df_t), "t")
-        .crossJoin(F.broadcast(n_docs))
-        .crossJoin(F.broadcast(avgdl))
-        .select(
-            "doc_id",
-            (
-                idf
-                * (F.col("tf") * (k1 + 1))
-                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
-            ).alias("s"),
-        )
-    )
-    scored = per_term.groupBy("doc_id").agg(
-        F.round(
-            F.sum(F.col("s").cast("decimal(38,18)")).cast("double"), 6
-        ).alias("score")
-    )
+    """BM25 top-`_LIST_K` rank list for the fixed 4-term query, served
+    from the PERSISTED inverted index (`sources/index`): the postings
+    scan is statically pruned to the query terms' hash buckets, df is a
+    4-row broadcast, n/avgdl are driver literals — no corpus tokenize in
+    the query path (the index build runs once per corpus and is shared
+    with `bm25_topk`/`prf_expanded_bm25`).  Hash-identical to the inline
+    form: the index stores exact integral statistics; the scoring
+    expression lives in `bm25_scores_from_index`."""
+    from covid19_spark.operators.retrieval import bm25_scores_from_index
+    from covid19_spark.sources.index import ensure_inverted_index
+
+    idx = ensure_inverted_index(spark, sf_dir)
+    scored = bm25_scores_from_index(spark, idx, _TERMS)
     # two-stage global top-k (TakeOrderedAndProject) — ranking happens over
     # the <=_LIST_K survivors, never a partition-less window over all
     # matching docs
@@ -259,120 +230,48 @@ QUERY_REGISTRY["mmr_rerank"] = QuerySpec(
 )
 
 
-def _bm25_scored_for_terms(
-    docs: DataFrame,
-    terms: DataFrame,
-    toks: DataFrame | None = None,
-    dl: DataFrame | None = None,
-    n_docs: DataFrame | None = None,
-    avgdl: DataFrame | None = None,
-) -> DataFrame:
-    """BM25 scores of every doc against a TERM FRAME (not a literal list —
-    the term set may be data-dependent, as in relevance feedback): the
-    q_bm25_topk plan with the vocabulary filter expressed as a broadcast
-    semi-ish join on the term frame.  Output: (doc_id, score) with the
-    DEC-exact round(6) contract.
-
-    ``dl``/``n_docs``/``avgdl`` are TERM-INDEPENDENT — a multi-round
-    caller (relevance feedback) computes them once and passes them in,
-    halving the per-round job count; only tf/df depend on the terms."""
-    if toks is None:
-        toks = docs.select(
-            "doc_id",
-            F.explode(
-                F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
-            ).alias("t"),
-        )
-    if dl is None:
-        dl = toks.groupBy("doc_id").agg(
-            F.count(F.lit(1)).cast("double").alias("dl")
-        )
-    tf = (
-        toks.join(F.broadcast(terms), "t")
-        .groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    )
-    if n_docs is None:
-        n_docs = docs.groupBy().agg(
-            F.count(F.lit(1)).cast("double").alias("n")
-        )
-    df_t = tf.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    if avgdl is None:
-        avgdl = dl.groupBy().agg(F.avg("dl").alias("avgdl"))
-    k1, b = 1.2, 0.75
-    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    per_term = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(df_t), "t")
-        .crossJoin(F.broadcast(n_docs))
-        .crossJoin(F.broadcast(avgdl))
-        .select(
-            "doc_id",
-            (
-                idf
-                * (F.col("tf") * (k1 + 1))
-                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
-            ).alias("s"),
-        )
-    )
-    return per_term.groupBy("doc_id").agg(
-        F.round(
-            F.sum(F.col("s").cast("decimal(38,18)")).cast("double"), 6
-        ).alias("score")
-    )
-
-
 def q_prf_expanded_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudo-relevance-feedback query expansion (the RM3 shape, Lavrenko &
     Croft 2001 / Abdul-Jaleel 2004): (1) BM25 with the 2 seed terms ranks a
     10-doc feedback set; (2) the 5 expansion terms most CONCENTRATED in the
     feedback set (count-in-feedback / count-in-corpus, min feedback count 3,
     seeds excluded — exact integer ratio, fully tiebroken) join the query;
-    (3) BM25 re-runs with the expanded 7-term frame; top-15 served.
+    (3) BM25 re-runs with the expanded 7-term set; top-15 served.
 
-    Every stage is relational — the term set of stage 3 is DATA-DEPENDENT,
-    so the vocabulary filter is a broadcast term-frame join rather than a
-    literal isin (the seam a literal-only BM25 cannot express).  Scale:
-    two corpus passes (one per BM25 round) + one feedback-set count; the
-    feedback set itself is ≤10 ids broadcast everywhere; at 100 TB both
-    passes are inverted-index scans."""
+    Served entirely from the persisted inverted index (`sources/index`) —
+    the corpus is tokenized ONCE per dataset at build time, never per
+    query (the 100 TB posture; the former per-query localCheckpoint of
+    the token-exploded corpus was this query's scale bug).  Round 1 and
+    round 3 are term-bucket-pruned postings scans; the feedback term
+    counts are one postings scan joined to the ≤10-id broadcast feedback
+    set; global term counts come from the prebuilt termstats.  The 5
+    expansion terms are collected driver-side (bounded by construction —
+    the sanctioned contract-small class) so the final round prunes
+    statically like any literal query."""
+    from covid19_spark.operators.retrieval import bm25_scores_from_index
+    from covid19_spark.sources.index import ensure_inverted_index, term_bucket
+
     seeds = ("spark", "hash")
-    docs = _t(spark, sf_dir, "documents")
-    seed_terms = spark.createDataFrame([(t,) for t in seeds], "t string")
-    # five plan branches re-tokenize the corpus otherwise (plans are
-    # trees); materializing the tokenized view once is the single-query
-    # analogue of the inverted index both BM25 rounds would scan at 100 TB
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
-        ).alias("t"),
-    ).localCheckpoint(eager=True)
-    # term-independent statistics, shared by BOTH retrieval rounds
-    dl = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("double").alias("dl")
-    ).localCheckpoint(eager=True)
-    n_docs = docs.groupBy().agg(
-        F.count(F.lit(1)).cast("double").alias("n")
-    ).localCheckpoint(eager=True)
-    avgdl = dl.groupBy().agg(F.avg("dl").alias("avgdl")).localCheckpoint(
-        eager=True
-    )
-    shared = dict(toks=toks, dl=dl, n_docs=n_docs, avgdl=avgdl)
+    idx = ensure_inverted_index(spark, sf_dir)
     fb = top_k(
-        _bm25_scored_for_terms(docs, seed_terms, **shared), "score", 10,
+        bm25_scores_from_index(spark, idx, seeds), "score", 10,
         tiebreak_cols=["doc_id"],
     ).select("doc_id")
-    global_cnt = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cg"))
+    # occurrences of each term inside the feedback set: Σ tf over the ≤10
+    # broadcast fb docs — exact integral doubles, cast back to the long
+    # the inline count produced
     fb_cnt = (
-        toks.join(F.broadcast(fb), "doc_id")
+        idx.postings.join(F.broadcast(fb), "doc_id")
         .groupBy("t")
-        .agg(F.count(F.lit(1)).alias("cf"))
+        .agg(F.sum("tf").cast("long").alias("cf"))
         .filter(F.col("cf") >= 3)
         .filter(~F.col("t").isin(*seeds))
     )
+    # corpus-wide counts from the prebuilt termstats, runtime-pruned by
+    # broadcasting the (tb, t)-stamped feedback vocabulary
+    fbk = F.broadcast(fb_cnt.withColumn("tb", term_bucket(F.col("t"))))
     expansion = top_k(
-        fb_cnt.join(global_cnt, "t").select(
+        idx.termstats.join(fbk, ["tb", "t"]).select(
             "t",
             (F.col("cf").cast("double") / F.col("cg").cast("double")).alias(
                 "ratio"
@@ -382,10 +281,10 @@ def q_prf_expanded_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         5,
         tiebreak_cols=["t"],
     ).select("t")
-    expanded = seed_terms.unionByName(expansion)
+    exp_terms = [r["t"] for r in expansion.collect()]  # ≤5 by construction
     final = top_k(
-        _bm25_scored_for_terms(docs, expanded, **shared), "score", 15,
-        tiebreak_cols=["doc_id"],
+        bm25_scores_from_index(spark, idx, list(seeds) + exp_terms),
+        "score", 15, tiebreak_cols=["doc_id"],
     )
     return final.select(
         "doc_id", "score", F.col("rank").cast("long").alias("rank")
