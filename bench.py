@@ -216,6 +216,28 @@ def main() -> None:
             all_runs[name].append(round(retime, 3))
             timings[name] = round(min(timings[name], retime), 3)
 
+    # Spread arbitration (VERDICT r11 #3): any query whose in-sweep runs
+    # disagreed >1.5x gets ONE isolated re-time at the sweep's end — the
+    # same discipline as the drift pass, but triggered by INTRA-sweep
+    # disagreement instead of cross-sweep history (r11: sq8_cosine_topk
+    # recorded 6.13 s in-sweep vs 5.18 s isolated; r10: pq_cosine_topk
+    # 9.9 -> 2.9). The recorded min includes the re-time and the raw pair
+    # is kept in "spread_retimes" so regression reading never has to
+    # adjudicate a spread-flagged number again.
+    spread_retimes: dict[str, float] = {}
+    for name in sorted(all_runs):
+        rs = all_runs[name]
+        if name in drift_retimes or min(rs) <= 0.5 or max(rs) <= 1.5 * min(rs):
+            continue
+        fn = QUERY_REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        retime = time.perf_counter() - t0
+        _settle()
+        spread_retimes[name] = round(retime, 3)
+        all_runs[name].append(round(retime, 3))
+        timings[name] = round(min(timings[name], retime), 3)
+
     anchor_end = _anchor()
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -241,6 +263,7 @@ def main() -> None:
         "queries": timings,
         "runs": all_runs,
         "spread_flags": spread_flags,
+        "spread_retimes": spread_retimes,
         "drift_retimes": drift_retimes,
         "anchor_sec": anchor_sec,
         "anchor_start_sec": anchor_start,

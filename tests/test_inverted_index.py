@@ -1,0 +1,97 @@
+"""Persisted inverted index (sources/index.py): build/reuse/staleness
+contract + the static term-bucket pruning pin."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def sf_dir(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark hash spark table"),
+            (2, "hash window row"),
+            (3, "spark spark spark filter"),
+            (4, "agg join scan"),
+            (5, ""),  # zero-token doc: counted in n/avgdl, absent from postings
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    docs.toPandas().to_parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_build_stats_exact(spark, sf_dir, tmp_path):
+    from covid19_spark.sources.index import build_inverted_index, read_inverted_index
+
+    path = str(tmp_path / "idx")
+    build_inverted_index(spark, sf_dir, path)
+    idx = read_inverted_index(spark, path)
+    assert idx.n_docs == 5.0
+    # 4+3+4+3+0 tokens over 5 docs
+    assert idx.avgdl == 14.0 / 5.0
+    rows = {
+        (r.t, r.doc_id): (r.tf, r.dl)
+        for r in idx.postings.collect()
+    }
+    assert rows[("spark", 1)] == (2.0, 4.0)  # dl denormalized onto the row
+    assert rows[("spark", 3)] == (3.0, 4.0)
+    stats = {r.t: (r.df, r.cg) for r in idx.termstats.collect()}
+    assert stats["spark"] == (2.0, 5)
+    assert stats["hash"] == (2.0, 2)
+
+
+def test_ensure_reuses_then_rebuilds_on_staleness(spark, sf_dir, tmp_path):
+    from covid19_spark.sources.index import ensure_inverted_index
+
+    path = str(tmp_path / "idx")
+    ensure_inverted_index(spark, sf_dir, path)
+    marker = os.path.getmtime(f"{path}/scalars")
+    ensure_inverted_index(spark, sf_dir, path)  # fingerprint match: no rebuild
+    assert os.path.getmtime(f"{path}/scalars") == marker
+    # touch the corpus → fingerprint mismatch → rebuild
+    os.utime(f"{sf_dir}/documents.parquet")
+    ensure_inverted_index(spark, sf_dir, path)
+    assert os.path.getmtime(f"{path}/scalars") > marker
+
+
+def test_literal_terms_prune_partitions(spark, sf_dir, tmp_path):
+    """The scale contract: a literal-term query's postings scan must carry
+    a static tb PartitionFilters — it opens ≤|terms| bucket dirs at any
+    corpus size."""
+    from covid19_spark.sources.index import (
+        build_inverted_index, literal_term_buckets, read_inverted_index,
+        postings_for_terms,
+    )
+
+    path = str(tmp_path / "idx")
+    build_inverted_index(spark, sf_dir, path)
+    idx = read_inverted_index(spark, path)
+    pruned = postings_for_terms(spark, idx, ["spark", "hash"])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tb" in plan
+    buckets = literal_term_buckets(spark, ["spark", "hash"])
+    assert str(buckets[0]) in plan
+    # and the pruned frame still returns every matching posting
+    assert pruned.count() == 4  # spark:{1,3} hash:{1,2}
+
+
+def test_bucket_cache_matches_catalyst(spark):
+    from covid19_spark.sources.index import _BUCKET_CACHE, literal_term_buckets, term_bucket
+
+    got = literal_term_buckets(spark, ["window", "vector"])
+    again = literal_term_buckets(spark, ["window", "vector"])  # cache path
+    assert got == again
+    truth = [
+        int(v)
+        for v in spark.range(1)
+        .select(term_bucket(F.lit("window")), term_bucket(F.lit("vector")))
+        .collect()[0]
+    ]
+    assert got == sorted(set(truth))
+    assert "window" in _BUCKET_CACHE

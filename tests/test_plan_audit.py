@@ -47,14 +47,15 @@ BNLJ_ALLOWED = {
     "bigram_backoff_lm",
     "bloom_pruning_gain",  # broadcast 5-row probe set, non-equi zone check
     "bigram_pmi",
-    "bm25_topk",
+    # bm25_topk left this list in r12: index-served BM25 replaced the one-row
+    # n_docs/avgdl crossJoins with driver literals (orderBy+limit → TOAP)
     "corpus_drift",
     "cosine_topk",
     "domain_mix_sample",
     "hard_negatives",  # broadcast |queries|-row non-equi label-filter join
     "heavy_hitters",
     "hilbert_clustering",  # one-row grid-bounds broadcast (zorder twin)
-    "hybrid_rrf_topk",  # bm25 side's one-row n_docs/avgdl scalar broadcasts
+    "hybrid_rrf_topk",  # dense cosine side + top_k's tiny per-partition-offset join
     "idle_rich_customers",
     "interpolate_revenue",
     "ivf_cosine_topk",
@@ -72,7 +73,7 @@ BNLJ_ALLOWED = {
     "mmr_rerank",  # cosine_topk's broadcast |queries|-row non-equi join
     "pq_adc_crosscheck",
     "pq_cosine_topk",
-    "prf_expanded_bm25",
+    "prf_expanded_bm25",  # top_k's tiny per-partition-offset non-equi join
     "psi_drift",  # one-row bounds + one-row totals broadcasts  # one-row n_docs/avgdl scalar broadcasts (bm25 shape)
     "scd2_point_in_time",
     "semantic_dedup_paper_policy",

@@ -141,10 +141,15 @@ def test_mmr_lam_guard(spark):
         mmr_rerank(emb, emb, lam=1.5)
 
 
-def test_bm25_term_frame_join_equals_literal_filter(spark):
-    """The data-dependent term-frame BM25 (prf path) must score identically
-    to the literal-isin formulation on the same term set."""
-    from covid19_spark.plans.q_retrieval import _bm25_scored_for_terms
+def test_bm25_term_frame_join_equals_literal_filter(spark, tmp_path):
+    """The index-served BM25 must score identically through BOTH term
+    seams (data-dependent term frame — the prf path — and literal list
+    with static bucket pruning) and match the inline-tokenize
+    formulation the registry oracles replay."""
+    from covid19_spark.operators.retrieval import bm25_scores_from_index
+    from covid19_spark.sources.index import (
+        build_inverted_index, read_inverted_index,
+    )
 
     from pyspark.sql import functions as F
 
@@ -157,10 +162,26 @@ def test_bm25_term_frame_join_equals_literal_filter(spark):
         ],
         "doc_id long, text string",
     )
+    sf_dir = str(tmp_path / "sf")
+    docs.toPandas().to_parquet(f"{tmp_path}/sf_documents.parquet")
+    import os
+
+    os.makedirs(sf_dir)
+    os.rename(f"{tmp_path}/sf_documents.parquet", f"{sf_dir}/documents.parquet")
+    idx_path = str(tmp_path / "idx")
+    build_inverted_index(spark, sf_dir, idx_path)
+    idx = read_inverted_index(spark, idx_path)
+
     terms = spark.createDataFrame([("spark",), ("hash",)], "t string")
     via_frame = {
-        r.doc_id: r.score for r in _bm25_scored_for_terms(docs, terms).collect()
+        r.doc_id: r.score
+        for r in bm25_scores_from_index(spark, idx, terms).collect()
     }
+    via_index_literal = {
+        r.doc_id: r.score
+        for r in bm25_scores_from_index(spark, idx, ["spark", "hash"]).collect()
+    }
+    assert via_frame == via_index_literal
 
     toks = docs.select(
         "doc_id",
