@@ -1111,3 +1111,171 @@ QUERY_REGISTRY["variant_props_stats"] = QuerySpec(
     q_variant_props_stats, ORACLE_VARIANT_PROPS_STATS,
     "Spark 4 VARIANT schema-on-read over JSON props (typed try-extraction) vs DuckDB JSON oracle",
 )
+
+
+def q_ivm_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming/ivm_stream``: the EXACT foreachBatch body
+    (``merge_state_batch`` — lift, touched-bucket read-back, ⊕-merge,
+    dynamic partition overwrite) replayed over three deterministic
+    micro-batches of orders (``o_orderkey % 3``) into a /tmp bucketed
+    state table, then the always-current report read back with
+    ``read_report``.  The oracle recomputes the report over the full
+    table in one shot, so the driver differential pins the streaming
+    sink's core invariant — state accumulated batch-by-batch through the
+    persisted table equals the one-shot aggregate bit-for-bit (DEC-carried
+    sums make the state independent of batch boundaries; the bucket
+    rewrite touches only each batch's keys' buckets).
+
+    Scale: each replayed batch is one |keys|-partial-agg shuffle + a
+    touched-buckets-only read/overwrite — O(batch + touched buckets),
+    never O(table); exactly the streaming job's per-micro-batch cost."""
+    import os
+    import shutil
+
+    from covid19_spark.streaming.ivm_stream import merge_state_batch, read_report
+
+    orders = _t(spark, sf_dir, "orders")
+    path = (
+        f"/tmp/covid19_spark_ivm_replay_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    # a replay must start from empty state — accumulated state from a prior
+    # run would double-count (the idempotency caveat documented in
+    # ivm_stream: replays are per-batch-sequence, not per-batch)
+    shutil.rmtree(path, ignore_errors=True)
+    for b in range(3):
+        merge_state_batch(
+            orders.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == b),
+            path,
+            ["o_orderpriority"],
+            "o_totalprice",
+            n_buckets=8,
+        )
+    return (
+        read_report(spark, path, key_cols=["o_orderpriority"])
+        .select(
+            "o_orderpriority",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "sum_v",
+            "min_v",
+            "max_v",
+            "avg_v",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_IVM_STREAM_REPLAY = """
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_v,
+       min(o_totalprice) AS min_v,
+       max(o_totalprice) AS max_v,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_v
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+QUERY_REGISTRY["ivm_stream_replay"] = QuerySpec(
+    q_ivm_stream_replay, ORACLE_IVM_STREAM_REPLAY,
+    "streaming IVM foreachBatch replayed over 3 batches == one-shot aggregate",
+)
+
+
+def q_mg_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming/heavy_hitters_stream``: the stream's OWN
+    shard hash (``pmod(xxhash64(item), shards)``) and its OWN
+    ``mg_update`` fold, replayed over three deterministic micro-batches
+    (event_id % 3, ordered by event_id within each) via one
+    ``applyInPandas`` per shard — the same accumulate-across-batches
+    state threading the ``applyInPandasWithState`` operator performs,
+    minus the state store.
+
+    Driver-checkable output (the ``heavy_hitters`` guarantee-boolean
+    pattern — MG estimates are fold-order-dependent, the THEOREMS are
+    not): for the exact global top-15 users, ``present_ok`` (an item
+    with true·capacity > N_shard must be in its shard's summary) and
+    ``bound_ok`` (true − N_shard/capacity ≤ est ≤ true; an item's global
+    count IS its shard count, since sharding is by item).  The oracle
+    recomputes the exact counts and states the booleans as literal TRUE,
+    so any violated guarantee is a value-hash mismatch.
+
+    Scale: per-shard state is ≤ capacity pairs (bounded by contract);
+    the pandas fold receives one shard's items — at 100 TB the streaming
+    form shards across executors, this replay pins its semantics."""
+    import pandas as pd
+
+    from covid19_spark.streaming.heavy_hitters_stream import mg_update
+
+    capacity, shards = 64, 8
+    events = _t(spark, sf_dir, "events")
+    sharded = events.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        (F.col("event_id") % 3).alias("batch"),
+        F.col("user_id").cast("string").alias("item"),
+        F.pmod(F.xxhash64(F.col("user_id").cast("string")), F.lit(shards))
+        .cast("int")
+        .alias("shard"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["batch", "event_id"])
+        counters: dict[str, int] = {}
+        n_shard = 0
+        for b in (0, 1, 2):  # micro-batch replay: state threads across folds
+            chunk = pdf[pdf["batch"] == b]
+            n_shard += len(chunk)
+            mg_update(counters, iter(chunk["item"]), capacity)
+        return pd.DataFrame(
+            {
+                "item": list(counters.keys()),
+                "est": [int(v) for v in counters.values()],
+                "n_shard": n_shard,
+            }
+        )
+
+    sketch = sharded.groupBy("shard").applyInPandas(
+        fold, "item string, est long, n_shard long"
+    )
+    exact = (
+        sharded.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("item")).limit(15)
+    return (
+        top.join(sketch, "item", "left")
+        .select(
+            F.col("item").alias("user"),
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            (
+                (F.col("exact_cnt") * capacity <= F.col("n_shard"))
+                | F.col("est").isNotNull()
+            ).alias("present_ok"),
+            F.coalesce(
+                (F.col("est") <= F.col("exact_cnt"))
+                & (
+                    F.col("est") * capacity
+                    >= F.col("exact_cnt") * capacity - F.col("n_shard")
+                ),
+                F.lit(True),  # absent ⇒ not a heavy hitter ⇒ bound vacuous
+            ).alias("bound_ok"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("user"))
+    )
+
+
+ORACLE_MG_STREAM_REPLAY = """
+SELECT CAST(user_id AS VARCHAR) AS user,
+       count(*) AS exact_cnt,
+       TRUE AS present_ok,
+       TRUE AS bound_ok
+FROM events
+GROUP BY user_id
+ORDER BY exact_cnt DESC, user ASC
+LIMIT 15
+"""
+
+QUERY_REGISTRY["mg_stream_replay"] = QuerySpec(
+    q_mg_stream_replay, ORACLE_MG_STREAM_REPLAY,
+    "streaming Misra-Gries shard-state fold replayed in batch: guarantees hold across micro-batches",
+)
