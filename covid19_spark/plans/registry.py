@@ -107,6 +107,27 @@ def load_correctness_artifacts() -> dict[int, set[str]]:
     return out
 
 
+# Queries whose PLAN or ORACLE materially changed in round N: force them
+# into the sweep front until an artifact from round >= N re-verifies them
+# (their last green row predates the change, so the plain LRU — which only
+# knows verification recency, not code recency — would park them at the
+# back for up to ceil(N/W) rounds).  SELF-EXPIRING: once CORRECTNESS_r{N}
+# (or later) lands with a green row, the entry is inert and can be dropped
+# at the next edit — a stale leftover costs one redundant sweep slot, never
+# a missed verification (the r05 stale-hand-list failure mode was the
+# opposite: fresh work parked forever).
+_CHANGED_IN_ROUND: dict[str, int] = {
+    # r12: index-served BM25 family + fingerprint-cached ANN index + bloom
+    # oracle floor-packing fix
+    "bm25_topk": 12,
+    "hybrid_rrf_topk": 12,
+    "prf_expanded_bm25": 12,
+    "ann_index_persist_topk": 12,
+    "ann_filtered_topk": 12,
+    "bloom_pruning_gain": 12,
+}
+
+
 def derive_front_list(
     registry_names: list[str], artifacts: dict[int, set[str]]
 ) -> list[str]:
@@ -126,11 +147,24 @@ def derive_front_list(
         for n in names:
             last_round[n] = max(last_round.get(n, -1), rnd)
 
+    def _stale(n: str) -> bool:
+        # changed after its last verification: the green row predates the
+        # current code, so re-front it even if the newest sweep listed it
+        return last_round.get(n, -1) < _CHANGED_IN_ROUND.get(n, -1)
+
     def _key(n: str) -> tuple[int, int, str]:
         heavy = any(p in n for p in _HEAVY_NAME_PARTS)
-        return (last_round.get(n, -1), 1 if heavy else 0, n)
+        if n not in last_round:
+            rank = -2  # never verified: highest priority (r06 invariant)
+        elif _stale(n):
+            rank = -1  # verified, but the code changed since: next up
+        else:
+            rank = last_round[n]
+        return (rank, 1 if heavy else 0, n)
 
-    return sorted((n for n in registry_names if n not in checked), key=_key)
+    return sorted(
+        (n for n in registry_names if n not in checked or _stale(n)), key=_key
+    )
 
 
 _DRIVER_UNVERIFIED_FIRST = derive_front_list(

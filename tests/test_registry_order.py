@@ -151,3 +151,45 @@ def test_errored_rows_do_not_count_as_verified(tmp_path, monkeypatch):
     assert "good" not in front
     assert set(front) == {"erred", "wrong", "brand_new"}
     assert front[0] == "brand_new"  # never-verified leads
+
+
+def test_changed_queries_refront_until_reverified():
+    """VERDICT r11 #7: a query whose plan/oracle changed in round N must
+    re-enter the sweep front even though an OLDER green row exists — and
+    must leave it again once any artifact from round >= N re-verifies it
+    (the _CHANGED_IN_ROUND entry self-expires)."""
+    import covid19_spark.plans.registry as reg
+
+    arts = {11: {"changed_q", "fresh_q"}}
+    try:
+        reg._CHANGED_IN_ROUND["changed_q"] = 12
+        front = reg.derive_front_list(["changed_q", "fresh_q", "new_q"], arts)
+        assert "changed_q" in front  # stale green row: re-front
+        assert "fresh_q" not in front
+        # re-verified at round 12 -> expires out of the front
+        front2 = reg.derive_front_list(
+            ["changed_q", "fresh_q", "new_q"], {**arts, 12: {"changed_q"}}
+        )
+        assert "changed_q" not in front2
+    finally:
+        del reg._CHANGED_IN_ROUND["changed_q"]
+
+
+def test_live_changed_entries_front_within_sweep_window():
+    """Every _CHANGED_IN_ROUND entry not yet re-verified must sit inside
+    the first SWEEP_WINDOW registry positions, so the next driver sweep
+    actually re-checks the changed plan."""
+    import covid19_spark.plans.registry as reg
+
+    arts = reg.load_correctness_artifacts()
+    last = {}
+    for rnd, names in arts.items():
+        for n in names:
+            last[n] = max(last.get(n, -1), rnd)
+    order = list(QUERY_REGISTRY)
+    for name, rnd in reg._CHANGED_IN_ROUND.items():
+        if name in QUERY_REGISTRY and last.get(name, -1) < rnd:
+            assert order.index(name) < SWEEP_WINDOW, (
+                f"{name} changed in r{rnd} but sits at position "
+                f"{order.index(name)} — outside the sweep window"
+            )
