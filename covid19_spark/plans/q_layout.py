@@ -342,9 +342,21 @@ def q_bloom_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = orders.agg(
         F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
     )
-    files = orders.crossJoin(F.broadcast(bounds)).select(
-        int_bucket(F.col("o_orderkey"), F.col("mn"), F.col("mx"), 6).alias("file"),
-        "o_custkey",
+    # THREE plan branches (bloom words, zone maps, truth) consume the
+    # file-assignment map; materialize it once instead of re-scanning and
+    # re-bucketing orders per branch (plans are trees).  2 int columns per
+    # order — and at scale this frame IS the table's layout metadata pass,
+    # computed once per ingest (Delta/Iceberg compute zone+bloom stats at
+    # write time), so one materialization is the honest cost model.
+    files = (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(
+            int_bucket(F.col("o_orderkey"), F.col("mn"), F.col("mx"), 6).alias(
+                "file"
+            ),
+            "o_custkey",
+        )
+        .localCheckpoint(eager=True)
     )
     # three plan branches consume the probe set; materialize the 5-row
     # TakeOrdered result once (contract-small)
