@@ -192,7 +192,7 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         all_runs[name] = [round(r, 3) for r in runs]
 
-    # Cross-sweep drift pass (VERDICT r10 #2): any query whose min is >2x
+    # Cross-sweep drift pass (VERDICT r10 #2): any query whose min is >1.5x
     # its previous sweep's anchor-normalized min gets ONE isolated re-time
     # here — at the sweep's end, after a settle, away from whatever
     # position-local cleaner/GC storm inflated both in-sweep runs equally.
@@ -206,7 +206,10 @@ def main() -> None:
         prev = prev_norm.get(name)
         if prev is None or prev <= 0 or t <= 1.0:
             continue
-        if t / mid_anchor > 2.0 * prev:
+        # 1.5x (was 2.0x): r12 measured ivfpq_cosine_topk at 11.7 anchors
+        # in-sweep with AGREEING runs vs 6.2 the sweep before and ~5 isolated
+        # — a 1.9x position-local inflation the 2.0x gate waved through.
+        if t / mid_anchor > 1.5 * prev:
             fn = QUERY_REGISTRY[name].fn
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -596,3 +596,60 @@ QUERY_REGISTRY["maxsim_topk"] = QuerySpec(
     ORACLE_MAXSIM_TOPK,
     "ColBERT-style MaxSim late-interaction top-k over sub-vector tokens",
 )
+
+
+def q_inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct differential over the PERSISTED inverted index build
+    (`sources/index.py` — the artifact the whole lexical retrieval family
+    serves from): per-term document frequency, corpus frequency, and a
+    Σ(tf·dl) checksum that pins the per-row doc-length denormalization
+    (a wrong dl on any posting row breaks the sum).  The oracle
+    recomputes all three from a raw tokenize, so a build bug (lost
+    postings, wrong grouping, stale cache served for fresh data) is a
+    value-hash mismatch — the index equivalent of `ivm_stream_replay`'s
+    state-table check.  All quantities are exact integral doubles/longs.
+
+    Scale: one |vocabulary|-sized agg over the grouped postings — the
+    index's own metadata pass, never the raw corpus."""
+    from covid19_spark.sources.index import ensure_inverted_index
+
+    idx = ensure_inverted_index(spark, sf_dir)
+    return (
+        idx.postings.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cg"),
+            F.sum(F.col("tf") * F.col("dl")).cast("long").alias("tfdl"),
+        )
+        .orderBy("t")
+    )
+
+
+ORACLE_INVERTED_INDEX_STATS = """
+WITH toks AS (
+  SELECT doc_id, u.x AS t
+  FROM documents,
+       unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS u(x)
+),
+p AS (
+  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks GROUP BY doc_id, t
+),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+  FROM toks GROUP BY doc_id
+)
+SELECT t,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(p.tf) AS BIGINT) AS cg,
+       CAST(sum(p.tf * dl.dl) AS BIGINT) AS tfdl
+FROM p JOIN dl USING (doc_id)
+GROUP BY t
+ORDER BY t
+"""
+
+QUERY_REGISTRY["inverted_index_stats"] = QuerySpec(
+    q_inverted_index_stats,
+    ORACLE_INVERTED_INDEX_STATS,
+    "persisted inverted-index build vs raw-tokenize recompute (df/cg/Σtf·dl)",
+)
