@@ -424,3 +424,36 @@ def test_streaming_filtered_serve(spark, tmp_path):
     key = lambda r: (r.query_id, r.rank)  # noqa: E731
     assert sorted((r.query_id, r.rank, r.neighbor_id, r.sim) for r in rows) == \
         sorted((r.query_id, r.rank, r.neighbor_id, r.sim) for r in batch)
+
+
+def test_ensure_reuses_matching_index_and_rebuilds_on_change(spark, tmp_path):
+    """ensure_ivfpq_index contract (r12): reuse iff persisted fingerprint
+    AND quantizer params match; rebuild on either changing; refuse an
+    empty fingerprint (it would match every prior empty-fingerprint
+    build and silently serve the wrong corpus)."""
+    import os
+
+    from covid19_spark.operators.ann_index import ensure_ivfpq_index
+
+    emb = load_table(spark, "embeddings", SF).repartition(8, "vec_id")
+    path = str(tmp_path / "ivfpq")
+
+    with pytest.raises(ValueError, match="fingerprint"):
+        ensure_ivfpq_index(emb, path, "", n_centroids=16, m=8, n_codes=16)
+
+    ensure_ivfpq_index(emb, path, "fp1", n_centroids=16, m=8, n_codes=16)
+    marker = os.path.getmtime(f"{path}/meta")
+    # same fingerprint + params: no rebuild
+    idx = ensure_ivfpq_index(emb, path, "fp1", n_centroids=16, m=8, n_codes=16)
+    assert os.path.getmtime(f"{path}/meta") == marker
+    assert idx.meta["fingerprint"] == "fp1"
+    # corpus moved: rebuild
+    ensure_ivfpq_index(emb, path, "fp2", n_centroids=16, m=8, n_codes=16)
+    m2 = os.path.getmtime(f"{path}/meta")
+    assert m2 > marker
+    # param change under the SAME fingerprint: rebuild (never serve a
+    # mismatched quantizer setup from a matching path)
+    ensure_ivfpq_index(emb, path, "fp2", n_centroids=8, m=8, n_codes=16)
+    idx3 = read_ivfpq_index(spark, path)
+    assert idx3.meta["n_centroids"] == 8
+    assert os.path.getmtime(f"{path}/meta") > m2
