@@ -653,3 +653,65 @@ QUERY_REGISTRY["inverted_index_stats"] = QuerySpec(
     ORACLE_INVERTED_INDEX_STATS,
     "persisted inverted-index build vs raw-tokenize recompute (df/cg/Σtf·dl)",
 )
+
+
+def q_bm25_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance differential: build the inverted
+    index on 3/4 of the corpus (doc_id % 4 != 3), APPEND the remaining
+    quarter (`sources/index.append_inverted_index` — the daily-ingest
+    shape: delta tokenized alone, postings appended doc-granularly,
+    vocabulary-/doc-sized derived stats recomputed from the persisted
+    postings, never a corpus re-tokenize), then serve the standard 4-term
+    BM25 top-20 from the maintained index.  The oracle is the FULL-corpus
+    BM25 (`bm25_topk`'s SQL verbatim), so the driver hash pins
+    ``append(build(base), delta) == build(base ∪ delta)`` bit-for-bit —
+    the lexical twin of `ivm_stream_replay`'s state-table invariant and
+    `append_ivfpq_index`'s never-refit contract.
+
+    Scale: the append pass scans only the delta; the derived-stat rewrite
+    is index-sized.  The build here runs per query run (replay must start
+    clean — an append onto a previously-appended index would double-count)
+    on a dedicated scratch path, deliberately part of the measured cost."""
+    import os
+    import shutil
+
+    from covid19_spark.operators.retrieval import bm25_scores_from_index
+    from covid19_spark.sources.index import (
+        append_inverted_index,
+        build_inverted_index_from,
+        read_inverted_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = (
+        f"/tmp/covid19_spark_invidx_incr_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    # derived=False: the base build's doclen/termstats/scalars would be
+    # recomputed and overwritten by the append anyway — skip the 4 wasted
+    # jobs and hand the append the base doc count directly
+    n_base = build_inverted_index_from(
+        docs.filter(F.col("doc_id") % 4 != 3), path, derived=False
+    )
+    append_inverted_index(
+        docs.filter(F.col("doc_id") % 4 == 3), path, n_prev=n_base
+    )
+    idx = read_inverted_index(spark, path)
+    return (
+        bm25_scores_from_index(spark, idx, _TERMS)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def _oracle_bm25_incremental_index() -> str:
+    from covid19_spark.plans.q_llm_pipeline import ORACLE_BM25_TOPK
+
+    return ORACLE_BM25_TOPK
+
+
+QUERY_REGISTRY["bm25_incremental_index"] = QuerySpec(
+    q_bm25_incremental_index,
+    _oracle_bm25_incremental_index(),
+    "incrementally-maintained inverted index == full rebuild (BM25 top-20 differential)",
+)

@@ -99,32 +99,31 @@ def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
-def build_inverted_index(
-    spark: SparkSession, sf_dir: str, path: str | None = None
-) -> str:
-    """One corpus pass → the four datasets.  The only corpus-sized work is
-    the tokenize + (doc_id, t) combine; termstats/doclen derive from the
-    grouped postings (vocabulary- and doc-sized, not token-sized)."""
-    path = path or default_index_path(sf_dir)
-    docs = load_table(spark, "documents", sf_dir)
-    grouped = tokenize(docs).groupBy("doc_id", "t").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
-    )
-    # dl rides on every posting row (the Lucene-norms denormalization) —
-    # a per-doc window over the (doc, t) frame, computed once at build
+def _delta_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, t, tf, dl, tb) posting rows for a document frame — the
+    grouped/denormalized form both the full build and the incremental
+    append write.  dl rides on every posting row (the Lucene-norms
+    denormalization), computed by a per-doc window over the (doc, t)
+    frame; correct for an append because postings are DOC-granular and
+    append deltas carry only new doc ids (caller contract, same as
+    ``ann_index.append_ivfpq_index``)."""
     from pyspark.sql import Window
 
-    postings = grouped.withColumn(
+    grouped = tokenize(docs, id_col, text_col).groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    return grouped.withColumn(
         "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
     ).withColumn("tb", term_bucket(F.col("t")))
-    # one shuffle onto the bucket id before the partitioned write — the
-    # files-per-partition control of ann_index.write_ivfpq_index
-    (
-        postings.repartition("tb")
-        .write.mode("overwrite")
-        .partitionBy("tb")
-        .parquet(f"{path}/postings")
-    )
+
+
+def _rewrite_derived(
+    spark: SparkSession, path: str, n_docs: float, fingerprint: str
+) -> None:
+    """Recompute doclen/termstats/scalars from the PERSISTED postings —
+    doc- and vocabulary-sized aggs, never a corpus re-tokenize.  ``n_docs``
+    is passed in because zero-token documents leave no posting rows but
+    still count toward n/avgdl."""
     persisted = spark.read.parquet(f"{path}/postings")
     doclen = persisted.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     doclen.write.mode("overwrite").parquet(f"{path}/doclen")
@@ -142,21 +141,109 @@ def build_inverted_index(
         .partitionBy("tb")
         .parquet(f"{path}/termstats")
     )
-    n_docs = docs.count()
-    total = spark.read.parquet(f"{path}/doclen").groupBy().agg(
-        F.sum("dl").alias("s")
-    ).collect()[0]["s"]
+    # total tokens = Σtf straight off the postings (exact integral sum —
+    # identical to Σdl over doclen, one less dataset read back)
+    total = persisted.groupBy().agg(F.sum("tf").alias("s")).collect()[0]["s"]
     total = float(total or 0.0)
     # avgdl over ALL docs (zero-token docs contribute dl=0 to the inline
     # avg and no doclen row here — same mean either way)
     avgdl = total / n_docs if n_docs else 0.0
     spark.createDataFrame(
         [(float(n_docs), float(avgdl), float(total),
-          corpus_fingerprint(sf_dir), N_TERM_BUCKETS)],
+          fingerprint, N_TERM_BUCKETS)],
         "n DOUBLE, avgdl DOUBLE, total_tokens DOUBLE, "
         "fingerprint STRING, n_buckets INT",
     ).repartition(1).write.mode("overwrite").parquet(f"{path}/scalars")
+
+
+def build_inverted_index_from(
+    docs: DataFrame,
+    path: str,
+    fingerprint: str = "",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    derived: bool = True,
+) -> float:
+    """One corpus pass over an arbitrary document FRAME → the four
+    datasets.  The only corpus-sized work is the tokenize + (doc_id, t)
+    combine; everything else derives from the grouped postings.  Returns
+    the document count.  ``derived=False`` writes ONLY the postings — for
+    a build that will be appended to immediately (the derived datasets
+    would be recomputed and overwritten by the append anyway); such an
+    index is not servable until an append (or ``_rewrite_derived``)
+    lands the derived datasets."""
+    from covid19_spark.operators.ann_index import _fast_committer
+
+    spark = docs.sparkSession
+    _fast_committer(spark)  # 4 writes per build; v1 job-commit costs ~4.5s each
+    postings = _delta_postings(docs, id_col, text_col)
+    # one shuffle onto the bucket id before the partitioned write — the
+    # files-per-partition control of ann_index.write_ivfpq_index
+    (
+        postings.repartition("tb")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(f"{path}/postings")
+    )
+    n = float(docs.count())
+    if derived:
+        _rewrite_derived(spark, path, n, fingerprint)
+    return n
+
+
+def build_inverted_index(
+    spark: SparkSession, sf_dir: str, path: str | None = None
+) -> str:
+    """Build for an sf_dir's documents table, stamped with the source-file
+    fingerprint ``ensure_inverted_index`` validates against."""
+    path = path or default_index_path(sf_dir)
+    build_inverted_index_from(
+        load_table(spark, "documents", sf_dir), path,
+        fingerprint=corpus_fingerprint(sf_dir),
+    )
     return path
+
+
+def append_inverted_index(
+    docs_delta: DataFrame,
+    path: str,
+    fingerprint: str = "",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_prev: float | None = None,
+) -> None:
+    """Add NEW documents to an existing index without touching its rows —
+    the daily-ingest shape (Lucene's new-segment story at parquet
+    granularity): the delta is tokenized/grouped alone (postings are
+    doc-granular, so new docs append whole rows; nothing existing is
+    rewritten beyond gaining files in its term buckets) and the
+    vocabulary-/doc-sized derived datasets are recomputed from the
+    persisted postings — never a corpus re-tokenize.
+
+    Caller contract: delta ids must be new (append does not dedup — run
+    exact dedup upstream, the ``append_ivfpq_index`` contract).  The
+    result is bit-identical to a full rebuild over base ∪ delta: counts
+    are exact integers and every derived stat is a deterministic function
+    of the postings multiset (pinned by the ``bm25_incremental_index``
+    registry differential)."""
+    from covid19_spark.operators.ann_index import _fast_committer
+
+    spark = docs_delta.sparkSession
+    _fast_committer(spark)
+    if n_prev is None:  # derived-less base builds pass their count in
+        n_prev = float(
+            spark.read.parquet(f"{path}/scalars").collect()[0]["n"]
+        )
+    (
+        _delta_postings(docs_delta, id_col, text_col)
+        .repartition("tb")
+        .write.mode("append")
+        .partitionBy("tb")
+        .parquet(f"{path}/postings")
+    )
+    _rewrite_derived(
+        spark, path, n_prev + float(docs_delta.count()), fingerprint
+    )
 
 
 def read_inverted_index(spark: SparkSession, path: str) -> InvertedIndex:
