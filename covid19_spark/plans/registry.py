@@ -125,6 +125,15 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     "ann_index_persist_topk": 12,
     "ann_filtered_topk": 12,
     "bloom_pruning_gain": 12,
+    # r12: md5 decode switched to conv() — value-identical by construction
+    # (verified locally at sf0.01 AND sf0.1), re-fronted so the driver
+    # re-proves it
+    "trained_quality_filter": 12,
+    "deterministic_sample": 12,
+    "weighted_sample": 12,
+    "corpus_shuffle_audit": 12,
+    "stratified_sample": 12,
+    "domain_mix_sample": 12,
 }
 
 
