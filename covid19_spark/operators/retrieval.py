@@ -87,6 +87,54 @@ def bm25_scores_from_index(
     )
 
 
+def phrase_match_from_index(
+    spark,
+    index,
+    phrase: Sequence[str],
+) -> DataFrame:
+    """Exact phrase retrieval from the positional inverted index
+    (``sources/index`` — the Lucene PhraseQuery shape): a document
+    matches when the phrase's terms appear at CONSECUTIVE positions.
+    Returns (doc_id, n_occurrences) for every matching document.
+
+    Plan shape: one term-bucket-pruned postings scan per phrase term
+    (≤|phrase| bucket directories opened, positions column read only
+    here), inner-joined on doc_id — candidate docs shrink at every join
+    (a doc lacking ANY term drops immediately), then the adjacency test
+    is a per-row array fold: fold_i = intersect(shift(fold_{i-1}), pos_i)
+    — after step i the fold holds the positions where the (i+1)-term
+    prefix ENDS, so |fold_last| counts whole-phrase occurrences.  All
+    JVM array expressions, zero shuffles beyond the |matching postings|
+    joins; exact integer counts (positions are distinct within a doc).
+
+    Repeated terms are fine (``["spark", "spark"]`` self-joins the same
+    pruned posting list under per-step aliases)."""
+    phrase = list(phrase)
+    if len(phrase) < 2:
+        raise ValueError(f"a phrase needs >= 2 terms, got {phrase!r}")
+    from covid19_spark.sources.index import literal_term_buckets
+
+    literal_term_buckets(spark, phrase)  # ONE constant select resolves all
+    joined = None
+    for i, t in enumerate(phrase):
+        b = literal_term_buckets(spark, [t])  # memoized: no job
+        side = index.postings.filter(
+            F.col("tb").isin(b) & (F.col("t") == F.lit(t))
+        ).select("doc_id", F.col("pos").alias(f"__pos{i}"))
+        joined = side if joined is None else joined.join(side, "doc_id")
+    fold = F.col("__pos0")
+    for i in range(1, len(phrase)):
+        fold = F.array_intersect(
+            F.transform(fold, lambda p: p + 1), F.col(f"__pos{i}")
+        )
+    return (
+        joined.select(
+            "doc_id", F.size(fold).cast("long").alias("n_occurrences")
+        )
+        .filter(F.col("n_occurrences") > 0)
+    )
+
+
 def rrf_fuse(
     ranked: Sequence[tuple[str, DataFrame]],
     k0: int = 60,

@@ -715,3 +715,49 @@ QUERY_REGISTRY["bm25_incremental_index"] = QuerySpec(
     _oracle_bm25_incremental_index(),
     "incrementally-maintained inverted index == full rebuild (BM25 top-20 differential)",
 )
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval ("table hash") from the POSITIONAL inverted
+    index (`operators/retrieval.phrase_match_from_index` — the Lucene
+    PhraseQuery shape): per phrase term one term-bucket-pruned postings
+    scan reading the positions column, doc_id inner joins shrink the
+    candidate set, and the adjacency count is a per-row
+    intersect(shift(pos1), pos2) — exact integers, fully tiebroken
+    top-20.  The oracle rebuilds positions with generate_subscripts over
+    the filtered token list and counts the consecutive-position join."""
+    from covid19_spark.operators.retrieval import phrase_match_from_index
+    from covid19_spark.sources.index import ensure_inverted_index
+
+    idx = ensure_inverted_index(spark, sf_dir)
+    return (
+        phrase_match_from_index(spark, idx, ["table", "hash"])
+        .orderBy(F.col("n_occurrences").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+ORACLE_PHRASE_MATCH = """
+WITH f AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS wf
+  FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         unnest(wf) AS t,
+         CAST(generate_subscripts(wf, 1) - 1 AS INT) AS p
+  FROM f
+)
+SELECT a.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+WHERE a.t = 'table' AND b.t = 'hash'
+GROUP BY a.doc_id
+ORDER BY n_occurrences DESC, a.doc_id ASC
+LIMIT 20
+"""
+
+QUERY_REGISTRY["phrase_match"] = QuerySpec(
+    q_phrase_match,
+    ORACLE_PHRASE_MATCH,
+    "exact phrase retrieval from the positional inverted index (Lucene PhraseQuery shape)",
+)

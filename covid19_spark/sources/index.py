@@ -7,7 +7,8 @@ per query is a corpus-sized pass that the index replaces with a
 term-pruned scan over grouped postings.  One tokenize pass produces four
 engine-portable parquet datasets under ``<path>/``:
 
-    postings/   (t STRING, doc_id, tf DOUBLE, dl DOUBLE) PARTITIONED BY tb
+    postings/   (t STRING, doc_id, tf DOUBLE, dl DOUBLE,
+                 pos ARRAY<INT>)                         PARTITIONED BY tb
     doclen/     (doc_id, dl DOUBLE)
     termstats/  (t STRING, df DOUBLE, cg BIGINT) PARTITIONED BY tb
     scalars/    one row: n, avgdl, total_tokens, fingerprint, n_buckets
@@ -17,7 +18,10 @@ stored in the postings lists for the same reason): a BM25 round is then
 ONE term-pruned scan — no doc-length join at query time — at the cost of
 8 bytes per posting.  ``df`` is likewise derived from the pruned tf frame
 itself (a window count over ``t``), so neither small join survives in
-the serving path.
+the serving path.  ``pos`` carries the sorted token positions (Lucene's
+positions list) for phrase/proximity queries; BM25 consumers never read
+the column — parquet column pruning keeps rank-only scans paying for
+(doc_id, tf, dl) alone.
 
 ``tb`` is a hash bucket of the term (``pmod(xxhash64(t), n_buckets)``).
 A literal-term query computes its buckets driver-side and filters
@@ -58,7 +62,7 @@ from pyspark.sql import functions as F
 from covid19_spark.sources.tables import load_table
 
 N_TERM_BUCKETS = 64
-_INDEX_VERSION = 2  # bump on any layout/schema change: stale caches self-invalidate
+_INDEX_VERSION = 3  # bump on any layout/schema change: stale caches self-invalidate
 
 
 class InvertedIndex(NamedTuple):
@@ -99,6 +103,20 @@ def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
+def tokenize_pos(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``tokenize`` with 0-based token positions (indices into the
+    FILTERED token sequence — the DuckDB twin is
+    ``generate_subscripts(list_filter(...), 1) - 1``)."""
+    return docs.select(
+        id_col,
+        F.posexplode(
+            F.filter(F.split(F.lower(text_col), " "), lambda t: t != "")
+        ).alias("p", "t"),
+    )
+
+
 def _delta_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, t, tf, dl, tb) posting rows for a document frame — the
     grouped/denormalized form both the full build and the incremental
@@ -109,8 +127,16 @@ def _delta_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ``ann_index.append_ivfpq_index``)."""
     from pyspark.sql import Window
 
-    grouped = tokenize(docs, id_col, text_col).groupBy("doc_id", "t").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+    grouped = (
+        tokenize_pos(docs, id_col, text_col)
+        .groupBy("doc_id", "t")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("tf"),
+            # sorted token positions per posting (Lucene's positions list)
+            # — what phrase/proximity queries intersect; BM25 consumers
+            # never read the column (parquet column pruning)
+            F.sort_array(F.collect_list("p")).alias("pos"),
+        )
     )
     return grouped.withColumn(
         "dl", F.sum("tf").over(Window.partitionBy("doc_id"))

@@ -95,3 +95,36 @@ def test_bucket_cache_matches_catalyst(spark):
     ]
     assert got == sorted(set(truth))
     assert "window" in _BUCKET_CACHE
+
+
+def test_phrase_match_positions(spark, sf_dir, tmp_path):
+    """Positional phrase retrieval: adjacency counts, 3-term phrases, and
+    repeated-term phrases, hand-checked on the fixture corpus."""
+    from covid19_spark.operators.retrieval import phrase_match_from_index
+    from covid19_spark.sources.index import build_inverted_index, read_inverted_index
+
+    # doc 1: "spark hash spark table"  doc 3: "spark spark spark filter"
+    path = str(tmp_path / "idx")
+    build_inverted_index(spark, sf_dir, path)
+    idx = read_inverted_index(spark, path)
+
+    got = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_match_from_index(spark, idx, ["spark", "hash"]).collect()
+    }
+    assert got == {1: 1}
+    got3 = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_match_from_index(
+            spark, idx, ["spark", "hash", "spark"]
+        ).collect()
+    }
+    assert got3 == {1: 1}
+    # repeated term: "spark spark" occurs twice in doc 3 (positions 0-1, 1-2)
+    rep = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_match_from_index(spark, idx, ["spark", "spark"]).collect()
+    }
+    assert rep == {3: 2}
+    with pytest.raises(ValueError, match="phrase"):
+        phrase_match_from_index(spark, idx, ["spark"])
