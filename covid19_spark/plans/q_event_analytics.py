@@ -1237,13 +1237,23 @@ def q_mg_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = sharded.groupBy("shard").applyInPandas(
         fold, "item string, est long, n_shard long"
     )
+    # n_shard must come from an INDEPENDENT per-shard count joined via the
+    # item's (deterministic) shard id — reading it off the left-joined sketch
+    # row makes present_ok NULL whenever the item is absent from its shard's
+    # summary (absence is the NORMAL case for counts below n_shard/capacity).
+    # Mirrors the heavy_hitters pattern above that crossJoins an independent
+    # n_total.
+    shard_sizes = sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_shard")
+    )
     exact = (
-        sharded.groupBy("item")
+        sharded.groupBy("item", "shard")  # shard is a function of item
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
     )
     top = exact.orderBy(F.desc("exact_cnt"), F.asc("item")).limit(15)
     return (
-        top.join(sketch, "item", "left")
+        top.join(F.broadcast(shard_sizes), "shard")
+        .join(sketch.select("item", "est"), "item", "left")
         .select(
             F.col("item").alias("user"),
             F.col("exact_cnt").cast("long").alias("exact_cnt"),
