@@ -143,8 +143,28 @@ def main() -> None:
     # the min is the plan's honest repeat cost. Cache state is identical for
     # both runs (clearCache between them), so the min never measures a
     # half-cached plan — only warm codegen/IO paths, which is the point.
-    anchor_start = _anchor()
-    _settle()
+    #
+    # Interleaved anchor sampling (VERDICT r12 task #1): a single
+    # start/end anchor pair proved unusable when box conditions drift
+    # WITHIN a sweep (r12 official: anchor 1.823 s at start vs 0.874 s at
+    # end — 2.1x — so one mean anchor over- or under-credits every query
+    # depending on when it ran). The anchor is now re-sampled every
+    # ANCHOR_EVERY queries; each query normalizes by the anchor sample
+    # NEAREST to its sweep position, and the whole series is recorded so
+    # regression reading can see intra-sweep drift directly.
+    ANCHOR_EVERY = 25
+    anchor_samples: list[list[float]] = []  # [queries_completed, anchor_sec]
+
+    def _sample_anchor(pos: int) -> float:
+        a = _anchor()
+        anchor_samples.append([pos, a])
+        _settle()
+        return a
+
+    def _nearest_anchor(pos: int) -> float:
+        return min(anchor_samples, key=lambda s: abs(s[0] - pos))[1]
+
+    anchor_start = _sample_anchor(0)
     # Previous sweep's per-query mins + anchor, for CROSS-SWEEP drift
     # arbitration (VERDICT r10 #2): the intra-sweep rules below re-run only
     # when a query's two runs DISAGREE, which is blind to interference that
@@ -166,7 +186,15 @@ def main() -> None:
         prev_norm = {}
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
-    for name in BENCH_QUERIES:
+    # Sweep position of the run that produced each query's recorded min —
+    # normalization uses the anchor sample nearest THAT position (a min
+    # replaced by an end-of-sweep retime re-normalizes against the
+    # end-of-sweep anchors, not the in-sweep ones).
+    min_pos: dict[str, int] = {}
+    for qi, name in enumerate(BENCH_QUERIES):
+        if qi and qi % ANCHOR_EVERY == 0:
+            _sample_anchor(qi)
+        min_pos[name] = qi
         fn = QUERY_REGISTRY[name].fn
         runs: list[float] = []
         for _ in range(2):
@@ -199,8 +227,8 @@ def main() -> None:
     # Both numbers are recorded ("drift_retimes"), and the headline min
     # includes the re-time, so a position artifact can no longer masquerade
     # as a plan regression for a whole round.
-    mid_anchor = _anchor()
-    _settle()
+    end_pos = len(BENCH_QUERIES)
+    _sample_anchor(end_pos)
     drift_retimes: dict[str, float] = {}
     for name, t in sorted(timings.items()):
         prev = prev_norm.get(name)
@@ -209,7 +237,9 @@ def main() -> None:
         # 1.5x (was 2.0x): r12 measured ivfpq_cosine_topk at 11.7 anchors
         # in-sweep with AGREEING runs vs 6.2 the sweep before and ~5 isolated
         # — a 1.9x position-local inflation the 2.0x gate waved through.
-        if t / mid_anchor > 1.5 * prev:
+        # The gate compares against the anchor nearest the query's own sweep
+        # position, not a global mid-anchor.
+        if t / _nearest_anchor(min_pos[name]) > 1.5 * prev:
             fn = QUERY_REGISTRY[name].fn
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -217,6 +247,8 @@ def main() -> None:
             _settle()
             drift_retimes[name] = round(retime, 3)
             all_runs[name].append(round(retime, 3))
+            if retime < timings[name]:
+                min_pos[name] = end_pos
             timings[name] = round(min(timings[name], retime), 3)
 
     # Spread arbitration (VERDICT r11 #3): any query whose in-sweep runs
@@ -239,16 +271,24 @@ def main() -> None:
         _settle()
         spread_retimes[name] = round(retime, 3)
         all_runs[name].append(round(retime, 3))
+        if retime < timings[name]:
+            min_pos[name] = end_pos
         timings[name] = round(min(timings[name], retime), 3)
 
-    anchor_end = _anchor()
+    anchor_end = _sample_anchor(end_pos + ANCHOR_EVERY)
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # Anchor-normalized view: each query's min divided by the mean anchor —
-    # a unitless, box-hotness-independent number that IS comparable across
-    # rounds (the raw seconds are only comparable when both boxes idle).
-    anchor_sec = round((anchor_start + anchor_end) / 2, 3)
-    queries_norm = {n: round(t / anchor_sec, 3) for n, t in timings.items()}
+    # Anchor-normalized view (r13): each query's min divided by the anchor
+    # sample NEAREST its sweep position — unitless, box-hotness-independent,
+    # robust to INTRA-sweep drift (raw seconds are only comparable when both
+    # boxes idle; a single global anchor is only comparable when the box is
+    # uniformly hot for the whole sweep, which r12 disproved).
+    anchor_sec = round(
+        sum(a for _, a in anchor_samples) / len(anchor_samples), 3
+    )
+    queries_norm = {
+        n: round(t / _nearest_anchor(min_pos[n]), 3) for n, t in timings.items()
+    }
     # "queries" stays min-per-query (round-over-round comparable); "runs"
     # carries every raw run so a load-sensitive query self-identifies
     # (runs disagreeing >2x means the MIN is a best case, not a typical
@@ -271,8 +311,16 @@ def main() -> None:
         "anchor_sec": anchor_sec,
         "anchor_start_sec": anchor_start,
         "anchor_end_sec": anchor_end,
+        # full interleaved anchor series: [queries_completed, anchor_sec]
+        "anchor_samples": anchor_samples,
+        "anchor_every": ANCHOR_EVERY,
+        # per-query min / NEAREST anchor sample (r13 — robust to intra-sweep
+        # drift); "value_norm" keeps the r08-r12 definition (total / mean
+        # anchor) for cross-round continuity, "value_norm_nearest" sums the
+        # per-query nearest-anchor norms.
         "queries_norm": queries_norm,
         "value_norm": round(total / anchor_sec, 3),
+        "value_norm_nearest": round(sum(queries_norm.values()), 3),
         "sf": sf_val,
     }
     # The driver's artifact keeps only a TAIL of stdout, which decapitates a
