@@ -203,12 +203,17 @@ def label_propagation(
 
     ``edges`` must already contain both directions of each undirected
     edge (the callers' symmetrized form).  Per round: one edge-list join +
-    one (node, label) count + one argmax window over the per-node label
-    counts — the PageRank shuffle discipline; label state is checkpointed
-    every ``checkpoint_every`` rounds (the ``connected_components`` /
-    ``pagerank`` lineage rule).  Output: (node, label)."""
-    from pyspark.sql import Window
-
+    ONE aggregation — ``mode(label, deterministic=true)`` is exactly
+    "highest neighbor count, ties to the smallest label", and as a typed
+    imperative aggregate it builds per-node label→count maps MAP-SIDE and
+    merges them reduce-side, so each round pays a single shuffle of
+    partially-aggregated maps instead of the previous
+    count-agg + argmax-window pair (two exchanges + a per-node sort;
+    VERDICT r12 task #2).  Per-node buffer = distinct neighbor labels ≤
+    degree — no worse than what the window sort shuffled as rows.  Label
+    state is checkpointed every ``checkpoint_every`` rounds (the
+    ``connected_components`` / ``pagerank`` lineage rule).
+    Output: (node, label)."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     nodes = (
@@ -217,20 +222,12 @@ def label_propagation(
         .distinct()
     )
     labels = nodes.select("node", F.col("node").alias("label"))
-    w = Window.partitionBy("node").orderBy(
-        F.col("cnt").desc(), F.col("label").asc()
-    )
     for i in range(iterations):
-        nb = (
+        labels = (
             edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
             .join(labels.withColumnRenamed("node", "nbr"), "nbr")
-            .groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        labels = (
-            nb.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("node", "label")
+            .groupBy("node")
+            .agg(F.mode("label", deterministic=True).alias("label"))
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             labels = labels.localCheckpoint(eager=True)

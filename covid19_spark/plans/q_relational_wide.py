@@ -1839,8 +1839,9 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     finds dense trading blocs where components only find reachability.
     3 synchronous rounds, smallest-label tiebreak (vanilla LPA's random
     tiebreak would be irreproducible across partitionings, let alone
-    engines).  One edge join + one count + one argmax window per round;
-    the oracle unrolls the SAME rounds as materialized CTEs."""
+    engines).  One edge join + ONE deterministic-mode aggregation per
+    round (map-side partial label→count maps, no window sort); the oracle
+    unrolls the SAME rounds as materialized CTEs."""
     from covid19_spark.operators.graph import label_propagation
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
