@@ -36,6 +36,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 from typing import NamedTuple
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from covid19_spark.operators.similarity import (
@@ -257,7 +258,10 @@ def ensure_ivfpq_index(
             and meta["attr_cols"] == ",".join(attr_cols)
         ):
             return idx
-    except Exception:  # noqa: BLE001 — absent/partial index: rebuild below
+    # absent/partial/stale-schema cache: rebuild below.  Narrow on purpose
+    # (ADVICE r12): genuine IO/permission/corruption errors must surface,
+    # not silently trigger a full rebuild.
+    except (AnalysisException, FileNotFoundError, IndexError, KeyError):
         pass
     write_ivfpq_index(
         corpus, path, n_centroids=n_centroids, m=m, n_codes=n_codes,

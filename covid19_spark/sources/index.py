@@ -272,6 +272,48 @@ def append_inverted_index(
     )
 
 
+def compact_inverted_index(
+    spark: SparkSession, path: str, file_threshold: int = 8
+) -> dict[str, bool]:
+    """Maintenance job for the appended inverted index: each
+    ``append_inverted_index`` adds one parquet fragment per touched term
+    bucket under ``postings/``, and after enough appends a term-pruned
+    scan becomes file-listing/open bound instead of data bound (the
+    Lucene segment-merge problem at parquet granularity).  Rewrites
+    ``postings/`` into one file per ``tb`` bucket when its fragment count
+    exceeds ``file_threshold`` — temp-write + atomic rename, partitioning
+    preserved so the static ``tb IN (...)`` pruning is unchanged — via
+    the same ``_compact_parquet_dir`` discipline as the dedup index.
+    Replayed-append duplicates collapse on (doc_id, t) in the same pass.
+
+    The derived datasets never need compaction: ``_rewrite_derived``
+    rewrites doclen/termstats/scalars wholesale (mode=overwrite) on every
+    append.  Serving equivalence and ``inverted_index_stats`` stability
+    are pinned by test.  Run between batches, not concurrent with an
+    append (the Delta/Iceberg OPTIMIZE maintenance-window contract).
+
+    Returns {store: compacted?} for observability.
+    """
+    import glob
+
+    from covid19_spark.operators.dedup import _compact_parquet_dir
+
+    # the compacted floor is ONE file per non-empty tb bucket, so the
+    # trigger is fragments > buckets (else a fully-compacted wide index
+    # would re-compact forever); ``file_threshold`` still floors sparse
+    # fixtures
+    n_dirs = len(glob.glob(f"{path}/postings/tb=*"))
+    return {
+        "postings": _compact_parquet_dir(
+            spark,
+            f"{path}/postings",
+            ["doc_id", "t"],
+            partition_by="tb",
+            file_threshold=max(file_threshold, n_dirs),
+        ),
+    }
+
+
 def read_inverted_index(spark: SparkSession, path: str) -> InvertedIndex:
     row = spark.read.parquet(f"{path}/scalars").collect()[0]
     return InvertedIndex(
@@ -290,6 +332,8 @@ def ensure_inverted_index(
     """Open the index for ``sf_dir``, building it first iff absent or
     stale (source-file fingerprint mismatch — the driver regenerates
     testdata between rounds, so a cached index must self-invalidate)."""
+    from pyspark.errors import AnalysisException
+
     path = path or default_index_path(sf_dir)
     want = corpus_fingerprint(sf_dir)
     try:
@@ -297,7 +341,10 @@ def ensure_inverted_index(
         fields = set(row.__fields__)
         if "fingerprint" in fields and row["fingerprint"] == want:
             return read_inverted_index(spark, path)
-    except Exception:  # noqa: BLE001 — absent/partial index: rebuild below
+    # absent/partial/stale-schema cache: rebuild below.  Narrow on purpose
+    # (ADVICE r12): genuine IO/permission/corruption errors must surface,
+    # not silently trigger a full rebuild.
+    except (AnalysisException, FileNotFoundError, IndexError):
         pass
     build_inverted_index(spark, sf_dir, path)
     return read_inverted_index(spark, path)
@@ -339,9 +386,15 @@ def postings_for_terms(
     hash join; the scan still prunes columns/row groups).  df is NOT
     returned — derive it as a window count over ``t`` on this frame
     (exactly the rows whose count defines document frequency), which
-    keeps a BM25 round at one scan, zero joins."""
+    keeps a BM25 round at one scan, zero joins.
+
+    The term frame is de-duplicated on ``t`` before the join: duplicate
+    terms would duplicate posting rows, inflating the derived df window
+    count and double-summing per-term BM25 contributions downstream."""
     if isinstance(terms, DataFrame):
-        keyed = F.broadcast(terms.withColumn("tb", term_bucket(F.col("t"))))
+        keyed = F.broadcast(
+            terms.dropDuplicates(["t"]).withColumn("tb", term_bucket(F.col("t")))
+        )
         return index.postings.join(keyed.select("tb", "t"), ["tb", "t"]).select(
             "doc_id", "t", "tf", "dl"
         )
