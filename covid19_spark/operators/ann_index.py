@@ -244,11 +244,17 @@ def ensure_ivfpq_index(
     mismatched quantizer setup."""
     if not fingerprint:
         raise ValueError("ensure_ivfpq_index requires a non-empty fingerprint")
+    import shutil
+    import time
+
+    from covid19_spark.sources.scratch import (
+        build_scratch_path, publish_if_absent, replace_dir,
+    )
+
     spark = corpus.sparkSession
-    try:
-        idx = read_ivfpq_index(spark, path)
-        meta = idx.meta
-        if (
+
+    def _matches(meta: dict) -> bool:
+        return (
             meta["fingerprint"] == fingerprint
             and meta["n_centroids"] == int(n_centroids)
             and meta["m"] == int(m)
@@ -256,18 +262,43 @@ def ensure_ivfpq_index(
             and meta["id_col"] == id_col
             and meta["vec_col"] == vec_col
             and meta["attr_cols"] == ",".join(attr_cols)
-        ):
+        )
+
+    try:
+        idx = read_ivfpq_index(spark, path)
+        if _matches(idx.meta):
             return idx
     # absent/partial/stale-schema cache: rebuild below.  Narrow on purpose
     # (ADVICE r12): genuine IO/permission/corruption errors must surface,
     # not silently trigger a full rebuild.
     except (AnalysisException, FileNotFoundError, IndexError, KeyError):
         pass
+    # scratch build + rename publish (VERDICT r12 task #4): concurrent cold
+    # builds to the same cache path no longer interleave writes.  If the
+    # path filled in while we built: a concurrent MATCHING build won
+    # (discard ours — never delete files its returned readers still hold)
+    # or the mismatched build is still there (swap it out).
+    tmp = build_scratch_path(path)
     write_ivfpq_index(
-        corpus, path, n_centroids=n_centroids, m=m, n_codes=n_codes,
+        corpus, tmp, n_centroids=n_centroids, m=m, n_codes=n_codes,
         id_col=id_col, vec_col=vec_col, attr_cols=attr_cols,
         fingerprint=fingerprint,
     )
+    if not publish_if_absent(tmp, path):
+        fresh = False
+        try:
+            fresh = _matches(read_ivfpq_index(spark, path).meta)
+        except (AnalysisException, FileNotFoundError, IndexError, KeyError):
+            fresh = False
+        if fresh:
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            replace_dir(tmp, path)
+    for _ in range(3):
+        try:
+            return read_ivfpq_index(spark, path)
+        except (AnalysisException, FileNotFoundError, IndexError, KeyError):
+            time.sleep(0.2)
     return read_ivfpq_index(spark, path)
 
 

@@ -1132,11 +1132,12 @@ def q_ivm_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
+    from covid19_spark.sources.scratch import pid_scratch_path
     from covid19_spark.streaming.ivm_stream import merge_state_batch, read_report
 
     orders = _t(spark, sf_dir, "orders")
-    path = (
-        f"/tmp/covid19_spark_ivm_replay_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = pid_scratch_path(
+        f"ivm_replay_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     # a replay must start from empty state — accumulated state from a prior
     # run would double-count (the idempotency caveat documented in

@@ -671,7 +671,8 @@ def q_bm25_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the append pass scans only the delta; the derived-stat rewrite
     is index-sized.  The build here runs per query run (replay must start
     clean — an append onto a previously-appended index would double-count)
-    on a dedicated scratch path, deliberately part of the measured cost."""
+    on a dedicated scratch path (per-process — two sessions replaying
+    concurrently never collide), deliberately part of the measured cost."""
     import os
     import shutil
 
@@ -681,10 +682,11 @@ def q_bm25_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_inverted_index_from,
         read_inverted_index,
     )
+    from covid19_spark.sources.scratch import pid_scratch_path
 
     docs = _t(spark, sf_dir, "documents")
-    path = (
-        f"/tmp/covid19_spark_invidx_incr_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = pid_scratch_path(
+        f"invidx_incr_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     shutil.rmtree(path, ignore_errors=True)
     # derived=False: the base build's doclen/termstats/scalars would be

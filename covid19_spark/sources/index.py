@@ -332,21 +332,53 @@ def ensure_inverted_index(
     """Open the index for ``sf_dir``, building it first iff absent or
     stale (source-file fingerprint mismatch — the driver regenerates
     testdata between rounds, so a cached index must self-invalidate)."""
+    import shutil
+    import time
+
     from pyspark.errors import AnalysisException
+
+    from covid19_spark.sources.scratch import (
+        build_scratch_path, publish_if_absent, replace_dir,
+    )
 
     path = path or default_index_path(sf_dir)
     want = corpus_fingerprint(sf_dir)
-    try:
-        row = spark.read.parquet(f"{path}/scalars").collect()[0]
-        fields = set(row.__fields__)
-        if "fingerprint" in fields and row["fingerprint"] == want:
+
+    def _is_fresh() -> bool:
+        # absent/partial/stale-schema probes fall through to False.  Narrow
+        # on purpose (ADVICE r12): genuine IO/permission/corruption errors
+        # must surface, not silently trigger a full rebuild.
+        try:
+            row = spark.read.parquet(f"{path}/scalars").collect()[0]
+            return (
+                "fingerprint" in set(row.__fields__)
+                and row["fingerprint"] == want
+            )
+        except (AnalysisException, FileNotFoundError, IndexError):
+            return False
+
+    if _is_fresh():
+        return read_inverted_index(spark, path)
+    # build into a unique scratch dir, then publish by rename (VERDICT r12
+    # task #4): concurrent cold builds to the SAME cache path no longer
+    # interleave Spark overwrites under a reader.  If the path filled in
+    # while we built: a concurrent FRESH build won (discard ours — never
+    # delete files its returned readers still hold) or the stale build is
+    # still there (swap it out).
+    tmp = build_scratch_path(path)
+    build_inverted_index(spark, sf_dir, tmp)
+    if not publish_if_absent(tmp, path):
+        if _is_fresh():
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            replace_dir(tmp, path)
+    # a concurrent replace leaves a brief path-absent window; retry the
+    # open a few times before letting the error surface
+    for _ in range(3):
+        try:
             return read_inverted_index(spark, path)
-    # absent/partial/stale-schema cache: rebuild below.  Narrow on purpose
-    # (ADVICE r12): genuine IO/permission/corruption errors must surface,
-    # not silently trigger a full rebuild.
-    except (AnalysisException, FileNotFoundError, IndexError):
-        pass
-    build_inverted_index(spark, sf_dir, path)
+        except (AnalysisException, FileNotFoundError, IndexError):
+            time.sleep(0.2)
     return read_inverted_index(spark, path)
 
 

@@ -457,3 +457,32 @@ def test_ensure_reuses_matching_index_and_rebuilds_on_change(spark, tmp_path):
     idx3 = read_ivfpq_index(spark, path)
     assert idx3.meta["n_centroids"] == 8
     assert os.path.getmtime(f"{path}/meta") > m2
+
+
+def test_concurrent_cold_ensure_ivfpq(spark, tmp_path):
+    """Two concurrent cold builds of the same IVF-PQ cache path (VERDICT
+    r12 task #4): scratch-build + atomic publish means both callers get a
+    servable, param-matching index and no scratch dirs leak."""
+    import glob
+    from concurrent.futures import ThreadPoolExecutor
+
+    from covid19_spark.operators.ann_index import ensure_ivfpq_index
+
+    emb = load_table(spark, "embeddings", SF).repartition(8, "vec_id")
+    path = str(tmp_path / "ivfpq_conc")
+    with ThreadPoolExecutor(2) as ex:
+        futs = [
+            ex.submit(
+                ensure_ivfpq_index, emb, path, "fpc",
+                n_centroids=16, m=8, n_codes=16,
+            )
+            for _ in range(2)
+        ]
+        idxs = [f.result(timeout=300) for f in futs]
+    n = load_table(spark, "embeddings", SF).count()
+    for idx in idxs:
+        assert idx.meta["fingerprint"] == "fpc"
+        assert idx.meta["n_centroids"] == 16
+        assert idx.codes.count() == n
+    assert glob.glob(f"{path}__build_*") == []
+    assert glob.glob(f"{path}__old_*") == []

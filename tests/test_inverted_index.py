@@ -60,6 +60,32 @@ def test_ensure_reuses_then_rebuilds_on_staleness(spark, sf_dir, tmp_path):
     assert os.path.getmtime(f"{path}/scalars") > marker
 
 
+def test_concurrent_cold_ensure_builds(spark, sf_dir, tmp_path):
+    """Two sessions cold-missing the same cache path concurrently (VERDICT
+    r12 task #4): each builds into its own scratch dir and atomic-renames
+    it in — both callers get a servable index with the exact stats, and no
+    scratch/old dirs leak."""
+    import glob
+    from concurrent.futures import ThreadPoolExecutor
+
+    from covid19_spark.sources.index import ensure_inverted_index
+
+    path = str(tmp_path / "idx")
+    with ThreadPoolExecutor(2) as ex:
+        futs = [
+            ex.submit(ensure_inverted_index, spark, sf_dir, path)
+            for _ in range(2)
+        ]
+        idxs = [f.result(timeout=300) for f in futs]
+    for idx in idxs:
+        assert idx.n_docs == 5.0
+        assert idx.avgdl == 14.0 / 5.0
+        stats = {r.t: (r.df, r.cg) for r in idx.termstats.collect()}
+        assert stats["spark"] == (2.0, 5)
+    assert glob.glob(f"{path}__build_*") == []
+    assert glob.glob(f"{path}__old_*") == []
+
+
 def test_literal_terms_prune_partitions(spark, sf_dir, tmp_path):
     """The scale contract: a literal-term query's postings scan must carry
     a static tb PartitionFilters — it opens ≤|terms| bucket dirs at any
