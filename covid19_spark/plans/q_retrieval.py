@@ -763,3 +763,63 @@ QUERY_REGISTRY["phrase_match"] = QuerySpec(
     ORACLE_PHRASE_MATCH,
     "exact phrase retrieval from the positional inverted index (Lucene PhraseQuery shape)",
 )
+
+
+def q_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity retrieval ("table … hash … scan", ≤2 intervening
+    tokens per hop) from the POSITIONAL inverted index
+    (`operators/retrieval.proximity_match_from_index` — the sloppy-phrase
+    half of the Lucene PhraseQuery surface; slop=0 degenerates to
+    `phrase_match`).  Per term one term-bucket-pruned postings scan;
+    doc_id inner joins shrink candidates; the within-slop test is a
+    per-row array fold filter(pos_i, q → ∃p: 1 ≤ q−p ≤ slop+1) counting
+    DISTINCT match-end positions — exact integers, fully tiebroken
+    top-20.  The oracle replays the same fold as chained DISTINCT
+    position CTEs over generate_subscripts positions."""
+    from covid19_spark.operators.retrieval import proximity_match_from_index
+    from covid19_spark.sources.index import ensure_inverted_index
+
+    idx = ensure_inverted_index(spark, sf_dir)
+    return (
+        proximity_match_from_index(
+            spark, idx, ["table", "hash", "scan"], slop=2
+        )
+        .orderBy(F.col("n_matches").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+ORACLE_PROXIMITY_MATCH = """
+WITH f AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS wf
+  FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         unnest(wf) AS t,
+         CAST(generate_subscripts(wf, 1) - 1 AS INT) AS p
+  FROM f
+),
+s1 AS (SELECT doc_id, p FROM pos WHERE t = 'table'),
+s2 AS (
+  SELECT DISTINCT b.doc_id, b.p
+  FROM pos b JOIN s1 a ON a.doc_id = b.doc_id
+  WHERE b.t = 'hash' AND b.p - a.p BETWEEN 1 AND 3
+),
+s3 AS (
+  SELECT DISTINCT b.doc_id, b.p
+  FROM pos b JOIN s2 a ON a.doc_id = b.doc_id
+  WHERE b.t = 'scan' AND b.p - a.p BETWEEN 1 AND 3
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM s3
+GROUP BY doc_id
+ORDER BY n_matches DESC, doc_id ASC
+LIMIT 20
+"""
+
+QUERY_REGISTRY["proximity_match"] = QuerySpec(
+    q_proximity_match,
+    ORACLE_PROXIMITY_MATCH,
+    "ordered within-slop proximity retrieval from positional postings (sloppy PhraseQuery)",
+)

@@ -215,3 +215,43 @@ def test_phrase_match_positions(spark, sf_dir, tmp_path):
     assert rep == {3: 2}
     with pytest.raises(ValueError, match="phrase"):
         phrase_match_from_index(spark, idx, ["spark"])
+
+
+def test_proximity_match_within_slop(spark, sf_dir, tmp_path):
+    """Sloppy-phrase retrieval: within-slop ordered matches hand-checked
+    on the fixture corpus, and slop=0 degenerates to the exact phrase."""
+    from covid19_spark.operators.retrieval import (
+        phrase_match_from_index, proximity_match_from_index,
+    )
+    from covid19_spark.sources.index import build_inverted_index, read_inverted_index
+
+    # doc 1: "spark hash spark table"  doc 3: "spark spark spark filter"
+    path = str(tmp_path / "idx")
+    build_inverted_index(spark, sf_dir, path)
+    idx = read_inverted_index(spark, path)
+
+    def prox(terms, slop):
+        return {
+            r.doc_id: r.n_matches
+            for r in proximity_match_from_index(spark, idx, terms, slop).collect()
+        }
+
+    # "hash … table" needs one intervening token in doc 1 (p=1 → p=3)
+    assert prox(["hash", "table"], 0) == {}
+    assert prox(["hash", "table"], 1) == {1: 1}
+    # 3-term chain across the doc: spark(0) hash(1) table(3) within slop 1
+    assert prox(["spark", "hash", "table"], 1) == {1: 1}
+    # distinct match-END positions: doc 3 "spark spark spark" at slop 1 —
+    # ends at p=1 (from 0) and p=2 (from 0 or 1): 2, not 3
+    assert prox(["spark", "spark"], 1) == {3: 2, 1: 1}
+    # slop=0 == exact phrase on every pinned phrase_match case
+    for phrase in (["spark", "hash"], ["spark", "spark"], ["spark", "hash", "spark"]):
+        exact = {
+            r.doc_id: r.n_occurrences
+            for r in phrase_match_from_index(spark, idx, phrase).collect()
+        }
+        assert prox(phrase, 0) == exact
+    with pytest.raises(ValueError, match="proximity"):
+        proximity_match_from_index(spark, idx, ["spark"])
+    with pytest.raises(ValueError, match="slop"):
+        proximity_match_from_index(spark, idx, ["spark", "hash"], slop=-1)
