@@ -272,6 +272,41 @@ def append_inverted_index(
     )
 
 
+def make_index_ingest_sink(
+    index_path: str, id_col: str = "doc_id", text_col: str = "text"
+):
+    """foreachBatch sink streaming NEW documents into the persisted
+    inverted index — crawl → searchable-index as a continuous pipeline
+    (VERDICT r12 task #5; the ``make_ann_ingest_sink`` shape for lexical
+    retrieval).  The first non-empty batch BUILDS the index; every later
+    batch appends (``append_inverted_index`` — the delta alone is
+    tokenized, derived stats recomputed index-sized), so a
+    ``bm25_scores_from_index`` serve between batches sees everything
+    ingested so far: a fresh ``read_inverted_index`` per serve is the
+    reopen-per-batch contract of the ANN query sink.
+
+    Exactly-once at the ingest level comes from the stream's checkpoint;
+    a REPLAYED batch re-appends, so chain after a stateful dedup
+    (``crawl_corpus_stream`` already dedups per canonical URL and content
+    fingerprint) or idempotent ids when the source can replay.  Run
+    ``compact_inverted_index`` between batches once fragments accumulate."""
+    import os
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        if os.path.isdir(f"{index_path}/scalars"):
+            append_inverted_index(
+                batch_df, index_path, id_col=id_col, text_col=text_col
+            )
+        else:
+            build_inverted_index_from(
+                batch_df, index_path, id_col=id_col, text_col=text_col
+            )
+
+    return sink
+
+
 def compact_inverted_index(
     spark: SparkSession, path: str, file_threshold: int = 8
 ) -> dict[str, bool]:

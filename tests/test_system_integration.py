@@ -399,3 +399,119 @@ def test_crawl_stream_to_corpus_table(env):
         "Home\n\nalpha beta gamma delta\n\nwas - cited"
     )
     assert rows["https://c.example/p"].doc_id == 4
+
+
+def test_crawl_stream_to_searchable_index(env):
+    """Crawl → searchable-index, continuously (VERDICT r12 task #5): the
+    clean-corpus stream feeds make_index_ingest_sink, BM25 serves from the
+    maintained index BETWEEN batches (post-batch-N searches see batch-N
+    docs), and the final index is bit-identical to a one-shot build over
+    the same corpus — the bm25_incremental_index equivalence, driven
+    through Structured Streaming."""
+    import datetime as _dt
+
+    from covid19_spark.operators.retrieval import bm25_scores_from_index
+    from covid19_spark.sources.index import (
+        build_inverted_index_from,
+        make_index_ingest_sink,
+        read_inverted_index,
+    )
+    from covid19_spark.sources.warc import (
+        encode_warc,
+        encode_warc_record,
+        http_response_block,
+    )
+    from covid19_spark.streaming.crawl_stream import crawl_corpus_stream
+
+    spark, d = env
+    src, ckpt, idx_path = f"{d}/crawl_src", f"{d}/crawl_ckpt", f"{d}/searchidx"
+    os.makedirs(src)
+    t = _dt.datetime.fromisoformat
+
+    def blob(wid, url, words):
+        html = f"<html><body><p>{words}</p></body></html>".encode()
+        return encode_warc(
+            [
+                encode_warc_record(
+                    "response", f"r{wid}", http_response_block(200, "OK", html),
+                    target_uri=url,
+                    content_type="application/http; msgtype=response",
+                )
+            ]
+        )
+
+    def bm25(terms):
+        idx = read_inverted_index(spark, idx_path)  # reopen-per-serve
+        return {
+            r.doc_id: r.score
+            for r in bm25_scores_from_index(spark, idx, terms).collect()
+        }
+
+    schema = "warc_id long, payload binary, fetched_at timestamp"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        crawl_corpus_stream(stream, retention="1 day")
+        .select("doc_id", "clean_text")
+        .writeStream.foreachBatch(
+            make_index_ingest_sink(idx_path, text_col="clean_text")
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        spark.createDataFrame(
+            [
+                (1, blob(1, "https://a.example/p", "shuffle exchange hash join partition"), t("2024-02-01T10:00:00")),
+                (2, blob(2, "https://b.example/p", "codegen stage whole plan fusion"), t("2024-02-01T10:01:00")),
+            ],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # post-batch-1 serve: batch-1 docs searchable, batch-2 terms absent
+        assert set(bm25(["shuffle", "codegen"])) == {1, 2}
+        assert bm25(["watermark"]) == {}
+        spark.createDataFrame(
+            [
+                (3, blob(3, "https://c.example/p", "watermark state store shuffle eviction"), t("2024-02-01T11:00:00")),
+            ],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # post-batch-2: the new doc is searchable, and scores SHIFTED for old
+    # docs too (df/avgdl rewrites are corpus-global — a stale index would
+    # keep batch-1 scores)
+    after = bm25(["shuffle", "watermark"])
+    assert set(after) == {1, 3}
+    # equivalence: streamed-in index == one-shot build over the same corpus
+    idx = read_inverted_index(spark, idx_path)
+    oneshot_path = f"{d}/oneshot"
+    docs_now = spark.createDataFrame(
+        [
+            (1, "shuffle exchange hash join partition"),
+            (2, "codegen stage whole plan fusion"),
+            (3, "watermark state store shuffle eviction"),
+        ],
+        "doc_id long, text string",
+    )
+    build_inverted_index_from(docs_now, oneshot_path)
+    want_idx = read_inverted_index(spark, oneshot_path)
+    assert (idx.n_docs, idx.avgdl) == (want_idx.n_docs, want_idx.avgdl)
+    got_postings = sorted(
+        (r.t, r.doc_id, r.tf, r.dl, tuple(r.pos)) for r in idx.postings.collect()
+    )
+    want_postings = sorted(
+        (r.t, r.doc_id, r.tf, r.dl, tuple(r.pos)) for r in want_idx.postings.collect()
+    )
+    assert got_postings == want_postings
+    assert sorted(
+        (r.doc_id, r.score)
+        for r in bm25_scores_from_index(spark, idx, ["shuffle", "state"]).collect()
+    ) == sorted(
+        (r.doc_id, r.score)
+        for r in bm25_scores_from_index(spark, want_idx, ["shuffle", "state"]).collect()
+    )
