@@ -170,6 +170,61 @@ def test_semantic_dedup_hand_clusters(spark):
     assert sum(v[2] for v in got.values()) == 4
 
 
+def test_semantic_dedup_cached_assignment_bit_identical(spark, tmp_path):
+    """The shared-clustering seam (VERDICT r12 task #6): semantic_dedup
+    over an ensure_semantic_assignment cache is bit-identical to the
+    recomputed path for BOTH keep policies (parquet round-trips IEEE
+    doubles exactly), the cache is reused on a fingerprint match, and an
+    empty fingerprint is refused."""
+    import os
+
+    import pytest as _pytest
+
+    from covid19_spark.operators.similarity import (
+        ensure_semantic_assignment, semantic_dedup,
+    )
+
+    def vec(axis, nudge=0.0):
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[axis] = 1.0
+        v[(axis + 1) % 4] = nudge
+        return v
+
+    rows = [
+        (1, vec(0)), (3, vec(0, 0.02)), (4, vec(0, -0.02)), (5, vec(0, 0.04)),
+        (2, vec(1)), (10, vec(1, 0.03)), (11, vec(1, -0.03)),
+        (20, vec(2)), (21, vec(3)),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "semassign")
+
+    with _pytest.raises(ValueError, match="fingerprint"):
+        ensure_semantic_assignment(corpus, path, "", n_centroids=2)
+
+    assignment = ensure_semantic_assignment(corpus, path, "fp1", n_centroids=2)
+    marker = os.path.getmtime(f"{path}/meta")
+    # fingerprint + params match: no rebuild
+    ensure_semantic_assignment(corpus, path, "fp1", n_centroids=2)
+    assert os.path.getmtime(f"{path}/meta") == marker
+    for policy in ("min_id", "low_centroid_sim"):
+        got = sorted(
+            tuple(r) for r in semantic_dedup(
+                corpus, "vec_id", "embedding", threshold=0.99,
+                keep_policy=policy, assignment=assignment,
+            ).collect()
+        )
+        want = sorted(
+            tuple(r) for r in semantic_dedup(
+                corpus, "vec_id", "embedding", n_centroids=2,
+                threshold=0.99, keep_policy=policy,
+            ).collect()
+        )
+        assert got == want
+    # param change under the same fingerprint: rebuild
+    ensure_semantic_assignment(corpus, path, "fp1", n_centroids=3)
+    assert os.path.getmtime(f"{path}/meta") > marker
+
+
 def test_pq_recall_vs_exact_and_determinism(spark):
     from covid19_spark.operators.similarity import cosine_topk, pq_cosine_topk
     from covid19_spark.sources.tables import load_table
