@@ -117,23 +117,21 @@ def load_correctness_artifacts() -> dict[int, set[str]]:
 # a missed verification (the r05 stale-hand-list failure mode was the
 # opposite: fresh work parked forever).
 _CHANGED_IN_ROUND: dict[str, int] = {
-    # r12: index-served BM25 family + fingerprint-cached ANN index + bloom
-    # oracle floor-packing fix
-    "bm25_topk": 12,
-    "hybrid_rrf_topk": 12,
-    "prf_expanded_bm25": 12,
-    "ann_index_persist_topk": 12,
-    "ann_filtered_topk": 12,
-    "bloom_pruning_gain": 12,
-    # r12: md5 decode switched to conv() — value-identical by construction
-    # (verified locally at sf0.01 AND sf0.1), re-fronted so the driver
-    # re-proves it
-    "trained_quality_filter": 12,
-    "deterministic_sample": 12,
-    "weighted_sample": 12,
-    "corpus_shuffle_audit": 12,
-    "stratified_sample": 12,
-    "domain_mix_sample": 12,
+    # (r12 entries dropped: every one re-verified green in CORRECTNESS_r12.)
+    # r13: mg_stream_replay present_ok fix (independent per-shard counts —
+    # the ADVICE r12 high item, reproduced failing at sf0.1 pre-fix)
+    "mg_stream_replay": 13,
+    # r13: LPA rounds folded into one deterministic-mode aggregation
+    "lpa_communities": 13,
+    # r13: SemDeDup pair now clusters via the shared fingerprint-cached
+    # assignment (values pinned identical locally; driver re-proves)
+    "semantic_dedup": 13,
+    "semantic_dedup_paper_policy": 13,
+    # r13: replay scratch paths moved to per-process dirs; PRF term frame
+    # now deduped before the postings join
+    "bm25_incremental_index": 13,
+    "ivm_stream_replay": 13,
+    "prf_expanded_bm25": 13,
 }
 
 
