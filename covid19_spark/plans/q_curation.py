@@ -2565,7 +2565,14 @@ def q_frontier_policy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = frontier.withColumn(
         "blocked", host_of(F.col("url")).isin(*blocklist)
     )
-    verdicts = robots_allowed(gated, rules, agent="crawler")
+    # verdicts feeds BOTH the final select and the eligible→schedule branch;
+    # without the lineage cut the whole canonicalize+robots subtree (the
+    # repo's largest codegen text, ~63k chars) appears twice in the plan
+    # and COMPILES twice (r05 multi-branch rule + r12 codegen-size tax:
+    # first-run ~14.7 → 12.2 s; warm cost is stage scheduling, unchanged)
+    verdicts = robots_allowed(gated, rules, agent="crawler").localCheckpoint(
+        eager=False
+    )
     eligible = verdicts.filter(~F.col("blocked") & F.col("allowed"))
     # the canonical frontier CONTAINS duplicate URLs (many docs share
     # /p/0) — doc_id tiebreaks the slot order into a total order

@@ -132,6 +132,8 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     "bm25_incremental_index": 13,
     "ivm_stream_replay": 13,
     "prf_expanded_bm25": 13,
+    # r13: verdicts lineage cut (the duplicated 63k-char codegen subtree)
+    "frontier_policy_pipeline": 13,
 }
 
 
