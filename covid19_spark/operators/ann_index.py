@@ -201,6 +201,42 @@ def append_ivfpq_index(
     return n
 
 
+def compact_ivfpq_index(
+    spark: SparkSession, path: str, file_threshold: int = 8
+) -> dict[str, bool]:
+    """Maintenance job for the appended IVF-PQ index — the
+    ``compact_inverted_index`` discipline applied to the codes store:
+    each ``append_ivfpq_index`` adds one parquet fragment per touched
+    list directory, and after enough micro-batches a probe's cost turns
+    file-listing/open bound (the FAISS segment-merge analogue).  Rewrites
+    ``codes/`` into one file per ``centroid_id`` when the fragment count
+    exceeds max(``file_threshold``, list-dir count — the compacted floor,
+    so a fully-compacted wide index never re-compacts), deduplicating
+    replayed-append rows on the index's id column.  Temp-write + atomic
+    rename; the ``centroid_id`` partitioning — and with it the probe's
+    static partition pruning — is preserved.  centroids/codebooks/meta
+    never fragment (rewritten wholesale on build).  Run between batches,
+    not concurrent with an append or serve (the Delta/Iceberg OPTIMIZE
+    maintenance-window contract).
+
+    Returns {store: compacted?} for observability."""
+    import glob
+
+    from covid19_spark.operators.dedup import _compact_parquet_dir
+
+    id_col = read_ivfpq_index(spark, path).meta["id_col"]
+    n_dirs = len(glob.glob(f"{path}/codes/centroid_id=*"))
+    return {
+        "codes": _compact_parquet_dir(
+            spark,
+            f"{path}/codes",
+            [id_col],
+            partition_by="centroid_id",
+            file_threshold=max(file_threshold, n_dirs),
+        ),
+    }
+
+
 def read_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
     """Reopen a persisted index. The codes frame is a lazy parquet scan —
     nothing corpus-sized is materialized until a query prunes it."""

@@ -111,6 +111,50 @@ def test_prune_none_same_answer_and_bad_mode_raises(spark, index_path):
         ivfpq_index_topk(idx, emb, queries, prune="dynamic", **PARAMS)
 
 
+def test_compact_ivfpq_index_serving_unchanged(spark, tmp_path):
+    """Compaction contract for the codes store: repeated appends fragment
+    the list directories; compaction rewrites codes/ to one file per list
+    with query answers, code rows, and the centroid_id partition layout
+    all unchanged — and a fully-compacted index does not re-compact."""
+    import glob
+
+    from covid19_spark.operators.ann_index import compact_ivfpq_index
+
+    emb, queries = _emb_and_queries(spark)
+    path = str(tmp_path / "compidx")
+    write_ivfpq_index(
+        emb.filter(F.col("vec_id") % 4 == 0), path,
+        n_centroids=16, m=8, n_codes=16,
+    )
+    for r in (1, 2, 3):
+        append_ivfpq_index(
+            emb.filter(F.col("vec_id") % 4 == r), path, return_count=False
+        )
+
+    def snapshot():
+        idx = read_ivfpq_index(spark, path)
+        return (
+            sorted(
+                (r.query_id, r.rank, r.neighbor_id, r.sim)
+                for r in ivfpq_index_topk(idx, emb, queries, **PARAMS).collect()
+            ),
+            sorted(
+                (r.vec_id, r.centroid_id, tuple(r.codes))
+                for r in idx.codes.collect()
+            ),
+        )
+
+    frag = lambda: glob.glob(f"{path}/codes/**/*.parquet", recursive=True)  # noqa: E731
+    before = snapshot()
+    n_before = len(frag())
+    assert n_before > 16  # base + 3 appends across 16 lists: fragmented
+    assert compact_ivfpq_index(spark, path) == {"codes": True}
+    assert len(frag()) < n_before
+    assert all("/centroid_id=" in f for f in frag())
+    assert snapshot() == before
+    assert compact_ivfpq_index(spark, path) == {"codes": False}
+
+
 def test_append_equals_full_build_on_same_quantizers(spark, tmp_path):
     """Incremental ingest: build on half the corpus, append the other half —
     queries must answer EXACTLY as a one-shot build over the full corpus
