@@ -135,6 +135,116 @@ def phrase_match_from_index(
     )
 
 
+def bm25_topk_multi(
+    spark,
+    index,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """BM25 top-k for a BATCH of queries from the persisted inverted
+    index — one pruned postings scan answers every query at once.
+    ``queries``: (query_id_col, terms_col ARRAY<STRING>).  Output:
+    (query_id, doc_id, rank, score), rank 1-based per query
+    (score desc, doc_id asc — fully tiebroken), rows with rank > k
+    dropped.
+
+    Plan shape: the batch's DISTINCT terms prune the postings ONCE
+    (broadcast (tb, t) join via ``postings_for_terms``); df and the
+    per-(term, doc) partial score are computed on that per-(t, doc)-unique
+    frame BEFORE the query join (joining first would duplicate posting
+    rows per query and corrupt the df window count — the
+    ``postings_for_terms`` dedup contract, applied at the plan level);
+    then one broadcast join fans partials out to the queries and a
+    per-query DEC-summed aggregate + top-k window finishes.  Per-query
+    scores are bit-identical to ``bm25_scores_from_index`` run alone:
+    same per-term doubles, and DECIMAL(38,18) addition is exact and
+    associative, so the sum order the multi-query shuffle picks cannot
+    change the result (pinned by test)."""
+    from covid19_spark.sources.index import postings_for_terms
+
+    qt = queries.select(
+        F.col(query_id_col), F.explode(terms_col).alias("t")
+    ).dropDuplicates([query_id_col, "t"])
+    tf = postings_for_terms(spark, index, qt.select("t"))
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("t")).cast("double")
+    )
+    idf = F.log(
+        (F.lit(index.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    per_term = tf.select(
+        "t",
+        "doc_id",
+        (
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.lit(index.avgdl))
+            )
+        ).alias("s"),
+    )
+    scores = (
+        per_term.join(F.broadcast(qt), "t")
+        .groupBy(query_id_col, "doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("s").cast("decimal(38,18)")).cast("double"), 6
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "doc_id", "rank", "score")
+    )
+
+
+def make_bm25_query_sink(
+    index_path: str,
+    results_path: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+):
+    """foreachBatch sink serving a STREAM of term-list queries from the
+    persisted inverted index — the lexical twin of
+    ``ann_index.make_ann_query_sink``: each micro-batch is answered with
+    ``bm25_topk_multi`` (per-batch term-bucket pruning: a batch touching
+    7 terms opens ≤7 of the bucket directories) and appended to
+    ``results_path`` with its ``batch_id``.  The index is reopened per
+    batch ON PURPOSE — scalars are a one-row read, and a fresh postings
+    scan is what makes documents ingested by ``make_index_ingest_sink``
+    between batches immediately searchable; an index opened once outside
+    the loop would pin the first batch's file listing."""
+    from covid19_spark.sources.index import read_inverted_index
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        idx = read_inverted_index(spark, index_path)
+        (
+            bm25_topk_multi(
+                spark, idx, batch_df, k=k, k1=k1, b=b,
+                query_id_col=query_id_col, terms_col=terms_col,
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append").parquet(results_path)
+        )
+
+    return sink
+
+
 def proximity_match_from_index(
     spark,
     index,

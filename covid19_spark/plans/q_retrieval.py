@@ -823,3 +823,79 @@ QUERY_REGISTRY["proximity_match"] = QuerySpec(
     ORACLE_PROXIMITY_MATCH,
     "ordered within-slop proximity retrieval from positional postings (sloppy PhraseQuery)",
 )
+
+
+def q_bm25_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25 serving (`operators/retrieval.bm25_topk_multi` — the
+    body of the streaming query sink `make_bm25_query_sink`): THREE
+    term-list queries answered by ONE pruned postings scan — the batch's
+    distinct terms prune once, df and the per-(term, doc) partial score
+    are computed on the per-(t, doc)-unique frame BEFORE the query
+    fan-out, then a broadcast join + per-query DEC-summed aggregate +
+    top-10 window.  Per-query rows are bit-identical to single-query
+    BM25 (DEC addition is associative); the oracle restates each query
+    with the shared BM25 SQL template and unions the top-10s."""
+    from covid19_spark.operators.retrieval import bm25_topk_multi
+    from covid19_spark.sources.index import ensure_inverted_index
+
+    idx = ensure_inverted_index(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [
+            (1, ["spark", "hash"]),
+            (2, ["window", "vector"]),
+            (3, ["table", "scan", "spark"]),
+        ],
+        "query_id long, terms array<string>",
+    )
+    return (
+        bm25_topk_multi(spark, idx, queries, k=10)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "score",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _oracle_bm25_multi_query() -> str:
+    def one(qid: int, terms: list[str]) -> str:
+        lit = ", ".join(f"'{t}'" for t in terms)
+        return f"""
+q{qid}t AS (SELECT unnest([{lit}]) AS t),
+s{qid} AS ({_BM25_SQL_FOR_TERMS.format(terms=f"q{qid}t")}),
+r{qid} AS (
+  SELECT {qid} AS query_id, doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM s{qid}
+)"""
+
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, u.x AS t
+  FROM documents,
+       unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS u(x)
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+{one(1, ["spark", "hash"])},
+{one(2, ["window", "vector"])},
+{one(3, ["table", "scan", "spark"])}
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       CAST(rank AS BIGINT) AS rank, score
+FROM (
+  SELECT * FROM r1 WHERE rank <= 10
+  UNION ALL SELECT * FROM r2 WHERE rank <= 10
+  UNION ALL SELECT * FROM r3 WHERE rank <= 10
+)
+ORDER BY query_id, rank
+"""
+
+
+QUERY_REGISTRY["bm25_multi_query"] = QuerySpec(
+    q_bm25_multi_query,
+    _oracle_bm25_multi_query(),
+    "batched multi-query BM25 from one pruned postings scan (streaming query-sink body)",
+)

@@ -141,6 +141,130 @@ def test_mmr_lam_guard(spark):
         mmr_rerank(emb, emb, lam=1.5)
 
 
+def _mk_index(spark, tmp_path):
+    import os
+
+    from covid19_spark.sources.index import build_inverted_index, read_inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark hash spark table"),
+            (2, "hash window row"),
+            (3, "spark spark spark filter"),
+            (4, "agg join scan"),
+        ],
+        "doc_id long, text string",
+    )
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    docs.toPandas().to_parquet(f"{sf_dir}/documents.parquet")
+    idx_path = str(tmp_path / "idx")
+    build_inverted_index(spark, sf_dir, idx_path)
+    return idx_path, read_inverted_index(spark, idx_path)
+
+
+def test_bm25_topk_multi_matches_single_query(spark, tmp_path):
+    """Multi-query BM25 from the index: each query's rows are bit-identical
+    to bm25_scores_from_index run alone (the per-(term, doc) partials are
+    computed BEFORE the query fan-out, and DEC addition is associative),
+    ranks are fully tiebroken, and queries cannot contaminate each other."""
+    from covid19_spark.operators.retrieval import (
+        bm25_scores_from_index, bm25_topk_multi,
+    )
+
+    idx_path, idx = _mk_index(spark, tmp_path)
+    queries = spark.createDataFrame(
+        [
+            (10, ["spark", "hash"]),
+            (11, ["window"]),
+            (12, ["spark", "hash"]),  # duplicate of 10: identical answers
+            (13, ["nosuchterm"]),
+        ],
+        "query_id long, terms array<string>",
+    )
+    got = bm25_topk_multi(spark, idx, queries, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for q in by_q:
+        by_q[q].sort()
+    want_10 = sorted(
+        ((r.doc_id, r.score) for r in
+         bm25_scores_from_index(spark, idx, ["spark", "hash"]).collect()),
+        key=lambda x: (-x[1], x[0]),
+    )[:3]
+    assert [(d, s) for _, d, s in by_q[10]] == [(d, s) for d, s in want_10]
+    assert by_q[10] == by_q[12]  # identical queries, identical answers
+    assert [d for _, d, _ in by_q[11]] == [2]  # only doc 2 has "window"
+    assert 13 not in by_q  # no postings -> no rows
+
+
+def test_bm25_query_sink_serves_stream_and_sees_ingest(spark, tmp_path):
+    """The lexical serving loop on streams (make_bm25_query_sink): a
+    query-term stream answered per micro-batch matches the batch answers,
+    and documents ingested by make_index_ingest_sink BETWEEN query batches
+    are searchable by the next batch (the reopen-per-batch contract)."""
+    from covid19_spark.operators.retrieval import (
+        bm25_topk_multi, make_bm25_query_sink,
+    )
+    from covid19_spark.sources.index import append_inverted_index, read_inverted_index
+
+    idx_path, _ = _mk_index(spark, tmp_path)
+    schema = "query_id long, terms array<string>"
+    q_src = str(tmp_path / "q_src")
+    results = str(tmp_path / "results")
+
+    # batch 1: two queries against the base corpus
+    spark.createDataFrame(
+        [(10, ["spark", "hash"]), (11, ["eviction"])], schema
+    ).coalesce(1).write.mode("append").parquet(q_src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(q_src)
+        .writeStream.foreachBatch(make_bm25_query_sink(idx_path, results, k=3))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        stream.processAllAvailable()
+        r1 = spark.read.parquet(results).collect()
+        assert {r.query_id for r in r1} == {10}  # "eviction" unknown yet
+        # ingest a new doc between batches, then re-ask for "eviction"
+        append_inverted_index(
+            spark.createDataFrame(
+                [(100, "eviction policy spark")], "doc_id long, text string"
+            ),
+            idx_path,
+        )
+        spark.createDataFrame(
+            [(12, ["eviction"]), (13, ["spark", "hash"])], schema
+        ).coalesce(1).write.mode("append").parquet(q_src)
+        stream.processAllAvailable()
+    finally:
+        stream.stop()
+
+    rows = spark.read.parquet(results).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    assert [d for _, d, _ in sorted(by_q[12])] == [100]  # ingested doc found
+    # batch answers == the batch twin over the CURRENT index
+    idx_now = read_inverted_index(spark, idx_path)
+    want = {
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in bm25_topk_multi(
+            spark, idx_now,
+            spark.createDataFrame([(13, ["spark", "hash"])], schema), k=3,
+        ).collect()
+    }
+    got = {(13, r, d, s) for r, d, s in by_q[13]}
+    assert got == want
+    # query 10 ran BEFORE the ingest: its recorded scores reflect the
+    # 4-doc corpus (n/avgdl moved with the append), so replaying it now
+    # would differ — the results table is an audit log, not a cache
+    assert sorted(by_q[10]) != sorted(by_q[13])
+
+
 def test_bm25_term_frame_join_equals_literal_filter(spark, tmp_path):
     """The index-served BM25 must score identically through BOTH term
     seams (data-dependent term frame — the prf path — and literal list
