@@ -151,7 +151,13 @@ def _rewrite_derived(
     is passed in because zero-token documents leave no posting rows but
     still count toward n/avgdl."""
     persisted = spark.read.parquet(f"{path}/postings")
+    # degenerate store (zero posting rows): partitioned/agg writes of zero
+    # rows emit NO files and the read-back cannot infer a schema — force
+    # one schema-only file per derived dataset instead
+    empty = len(persisted.take(1)) == 0
     doclen = persisted.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    if empty:
+        doclen = doclen.repartition(1)
     doclen.write.mode("overwrite").parquet(f"{path}/doclen")
     termstats = (
         persisted.groupBy("t")
@@ -161,12 +167,17 @@ def _rewrite_derived(
         )
         .withColumn("tb", term_bucket(F.col("t")))
     )
-    (
-        termstats.repartition("tb")
-        .write.mode("overwrite")
-        .partitionBy("tb")
-        .parquet(f"{path}/termstats")
-    )
+    if empty:
+        termstats.repartition(1).write.mode("overwrite").parquet(
+            f"{path}/termstats"
+        )
+    else:
+        (
+            termstats.repartition("tb")
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(f"{path}/termstats")
+        )
     # total tokens = Σtf straight off the postings (exact integral sum —
     # identical to Σdl over doclen, one less dataset read back)
     total = persisted.groupBy().agg(F.sum("tf").alias("s")).collect()[0]["s"]
@@ -203,14 +214,24 @@ def build_inverted_index_from(
     spark = docs.sparkSession
     _fast_committer(spark)  # 4 writes per build; v1 job-commit costs ~4.5s each
     postings = _delta_postings(docs, id_col, text_col)
-    # one shuffle onto the bucket id before the partitioned write — the
-    # files-per-partition control of ann_index.write_ivfpq_index
-    (
-        postings.repartition("tb")
-        .write.mode("overwrite")
-        .partitionBy("tb")
-        .parquet(f"{path}/postings")
-    )
+    if len(postings.take(1)) == 0:
+        # degenerate corpus (every document tokenizes to nothing): a
+        # partitioned write of zero rows emits NO files, and the read-back
+        # cannot infer a schema.  Write ONE schema-only file instead (tb
+        # rides as a data column; pruning filters still apply over the
+        # zero rows) so the index stays servable.
+        postings.repartition(1).write.mode("overwrite").parquet(
+            f"{path}/postings"
+        )
+    else:
+        # one shuffle onto the bucket id before the partitioned write — the
+        # files-per-partition control of ann_index.write_ivfpq_index
+        (
+            postings.repartition("tb")
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(f"{path}/postings")
+        )
     n = float(docs.count())
     if derived:
         _rewrite_derived(spark, path, n, fingerprint)
@@ -254,19 +275,31 @@ def append_inverted_index(
     registry differential)."""
     from covid19_spark.operators.ann_index import _fast_committer
 
+    import glob
+
     spark = docs_delta.sparkSession
     _fast_committer(spark)
     if n_prev is None:  # derived-less base builds pass their count in
         n_prev = float(
             spark.read.parquet(f"{path}/scalars").collect()[0]["n"]
         )
-    (
-        _delta_postings(docs_delta, id_col, text_col)
-        .repartition("tb")
-        .write.mode("append")
-        .partitionBy("tb")
-        .parquet(f"{path}/postings")
+    delta = _delta_postings(docs_delta, id_col, text_col)
+    # a degenerate (zero-token) base is stored as ONE schema-only
+    # unpartitioned file (see build_inverted_index_from); the first real
+    # append must establish the partitioned layout with OVERWRITE — an
+    # append would mix root files with tb= directories
+    empty_base = not glob.glob(f"{path}/postings/tb=*") and (
+        spark.read.parquet(f"{path}/postings").take(1) == []
     )
+    if empty_base and len(delta.take(1)) == 0:
+        pass  # nothing to add; keep the schema-only store
+    else:
+        (
+            delta.repartition("tb")
+            .write.mode("overwrite" if empty_base else "append")
+            .partitionBy("tb")
+            .parquet(f"{path}/postings")
+        )
     _rewrite_derived(
         spark, path, n_prev + float(docs_delta.count()), fingerprint
     )

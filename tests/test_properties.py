@@ -582,3 +582,75 @@ def test_g3_uncompressed_roundtrip_property(h, w, seed, density):
         assert len(unc) <= len(plain)
         assert np.array_equal(g3_decode(unc, w, h, two_d=two_d), bm)
         assert np.array_equal(g3_decode(plain, w, h, two_d=two_d), bm)
+
+
+words_st = st.sampled_from(["a", "b", "c", "d"])
+corpus_st = st.lists(
+    st.lists(words_st, min_size=0, max_size=12), min_size=1, max_size=6
+)
+phrase_st = st.lists(words_st, min_size=2, max_size=3)
+
+
+@given(corpus_st, phrase_st, st.integers(min_value=0, max_value=2))
+@SETTINGS
+def test_positional_retrieval_matches_python_model(spark, corpus, terms, slop):
+    """phrase/proximity retrieval from the positional index vs the direct
+    position-fold model: for every random corpus, proximity(slop) counts
+    exactly the model's distinct match-end positions, phrase equals the
+    slop=0 degenerate, and match sets are monotone in slop."""
+    import shutil
+    import tempfile
+
+    from covid19_spark.operators.retrieval import (
+        phrase_match_from_index, proximity_match_from_index,
+    )
+    from covid19_spark.sources.index import (
+        build_inverted_index_from, read_inverted_index,
+    )
+
+    def model(doc_words, terms, slop):
+        pos: dict[str, list[int]] = {}
+        for i, w in enumerate(doc_words):
+            pos.setdefault(w, []).append(i)
+        cur = list(pos.get(terms[0], []))
+        for t in terms[1:]:
+            cur = [
+                q for q in pos.get(t, [])
+                if any(1 <= q - p <= slop + 1 for p in cur)
+            ]
+        return len(cur)
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    path = tempfile.mkdtemp(prefix="proptest_idx_")
+    try:
+        build_inverted_index_from(docs, path)
+        idx = read_inverted_index(spark, path)
+        got = {
+            r.doc_id: r.n_matches
+            for r in proximity_match_from_index(spark, idx, terms, slop).collect()
+        }
+        want = {
+            i: model(ws, terms, slop)
+            for i, ws in enumerate(corpus)
+            if model(ws, terms, slop) > 0
+        }
+        assert got == want
+        if slop == 0:
+            exact = {
+                r.doc_id: r.n_occurrences
+                for r in phrase_match_from_index(spark, idx, terms).collect()
+            }
+            assert exact == want
+        # monotone: widening the window never loses a matching doc
+        wider = {
+            r.doc_id
+            for r in proximity_match_from_index(
+                spark, idx, terms, slop + 1
+            ).collect()
+        }
+        assert set(got) <= wider
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
