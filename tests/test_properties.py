@@ -654,3 +654,50 @@ def test_positional_retrieval_matches_python_model(spark, corpus, terms, slop):
         assert set(got) <= wider
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@given(
+    corpus_st,
+    st.lists(
+        st.lists(words_st, min_size=1, max_size=3), min_size=1, max_size=3
+    ),
+)
+@SETTINGS
+def test_bm25_multi_matches_single_property(spark, corpus, query_terms):
+    """Batched BM25 == per-query BM25, bit-for-bit, on random corpora and
+    random term lists (the DEC-associativity claim under arbitrary data,
+    including repeated terms within a query and shared terms across
+    queries)."""
+    import shutil
+    import tempfile
+
+    from covid19_spark.operators.retrieval import (
+        bm25_scores_from_index, bm25_topk_multi,
+    )
+    from covid19_spark.sources.index import (
+        build_inverted_index_from, read_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    path = tempfile.mkdtemp(prefix="proptest_bm25_")
+    try:
+        build_inverted_index_from(docs, path)
+        idx = read_inverted_index(spark, path)
+        queries = spark.createDataFrame(
+            [(qi, terms) for qi, terms in enumerate(query_terms)],
+            "query_id long, terms array<string>",
+        )
+        multi = {}
+        for r in bm25_topk_multi(spark, idx, queries, k=100).collect():
+            multi.setdefault(r.query_id, {})[r.doc_id] = r.score
+        for qi, terms in enumerate(query_terms):
+            single = {
+                r.doc_id: r.score
+                for r in bm25_scores_from_index(spark, idx, terms).collect()
+            }
+            assert multi.get(qi, {}) == single
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
