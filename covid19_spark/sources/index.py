@@ -211,26 +211,29 @@ def build_inverted_index_from(
     lands the derived datasets."""
     from covid19_spark.operators.ann_index import _fast_committer
 
+    import glob
+
     spark = docs.sparkSession
     _fast_committer(spark)  # 4 writes per build; v1 job-commit costs ~4.5s each
     postings = _delta_postings(docs, id_col, text_col)
-    if len(postings.take(1)) == 0:
-        # degenerate corpus (every document tokenizes to nothing): a
-        # partitioned write of zero rows emits NO files, and the read-back
-        # cannot infer a schema.  Write ONE schema-only file instead (tb
-        # rides as a data column; pruning filters still apply over the
-        # zero rows) so the index stays servable.
+    # one shuffle onto the bucket id before the partitioned write — the
+    # files-per-partition control of ann_index.write_ivfpq_index
+    (
+        postings.repartition("tb")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(f"{path}/postings")
+    )
+    if not glob.glob(f"{path}/postings/tb=*"):
+        # degenerate corpus (every document tokenizes to nothing): the
+        # partitioned write of zero rows emitted NO files, and the
+        # read-back could not infer a schema.  Write ONE schema-only file
+        # instead (tb rides as a data column; pruning filters still apply
+        # over the zero rows) so the index stays servable.  Checked by
+        # glob AFTER the write — an eager emptiness probe on the postings
+        # frame would cost a tokenize+shuffle job on every normal build.
         postings.repartition(1).write.mode("overwrite").parquet(
             f"{path}/postings"
-        )
-    else:
-        # one shuffle onto the bucket id before the partitioned write — the
-        # files-per-partition control of ann_index.write_ivfpq_index
-        (
-            postings.repartition("tb")
-            .write.mode("overwrite")
-            .partitionBy("tb")
-            .parquet(f"{path}/postings")
         )
     n = float(docs.count())
     if derived:
@@ -291,14 +294,18 @@ def append_inverted_index(
     empty_base = not glob.glob(f"{path}/postings/tb=*") and (
         spark.read.parquet(f"{path}/postings").take(1) == []
     )
-    if empty_base and len(delta.take(1)) == 0:
-        pass  # nothing to add; keep the schema-only store
-    else:
-        (
-            delta.repartition("tb")
-            .write.mode("overwrite" if empty_base else "append")
-            .partitionBy("tb")
-            .parquet(f"{path}/postings")
+    (
+        delta.repartition("tb")
+        .write.mode("overwrite" if empty_base else "append")
+        .partitionBy("tb")
+        .parquet(f"{path}/postings")
+    )
+    if empty_base and not glob.glob(f"{path}/postings/tb=*"):
+        # zero-token delta onto the degenerate base: the overwrite emitted
+        # no files — restore the schema-only store (post-write glob check,
+        # same rationale as build_inverted_index_from)
+        delta.repartition(1).write.mode("overwrite").parquet(
+            f"{path}/postings"
         )
     _rewrite_derived(
         spark, path, n_prev + float(docs_delta.count()), fingerprint
