@@ -167,3 +167,29 @@ def test_lpa_deep_run_bounded_lineage(spark):
     # at most ceil(9/3)=3 uncheckpointed rounds of joins in the final plan
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 8
     assert out.count() == 13
+
+
+def test_lpa_hub_with_all_distinct_labels(spark):
+    """The mode-aggregate skew case: a star hub whose round-1 neighbor
+    labels are ALL DISTINCT (the widest possible tie, and the largest
+    per-group mode buffer — one entry per neighbor). Round 1: the hub
+    takes the smallest leaf id, every leaf takes the hub's id; a second
+    round then floods the smallest id back — all deterministic."""
+    from pyspark.sql import functions as F
+
+    from covid19_spark.operators.graph import label_propagation
+
+    n = 20_000
+    hub = n + 7
+    pairs = spark.range(n).select(
+        F.lit(hub).alias("src"), F.col("id").alias("dst")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    got = {r.node: r.label for r in label_propagation(edges, iterations=1).collect()}
+    assert got[hub] == 0          # smallest of 20k distinct tied labels
+    assert got[0] == hub and got[n - 1] == hub  # leaves adopt the hub
+    got2 = {r.node: r.label for r in label_propagation(edges, iterations=2).collect()}
+    assert got2[hub] == hub       # hub's only-label neighborhood is now hub
+    assert all(v == 0 for k, v in got2.items() if k != hub)
