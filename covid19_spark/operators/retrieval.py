@@ -307,6 +307,59 @@ def proximity_match_from_index(
     )
 
 
+def unordered_window_count_from_index(
+    spark,
+    index,
+    term_a: str,
+    term_b: str,
+    window: int = 8,
+) -> DataFrame:
+    """Unordered-window co-occurrence counts from the positional index —
+    the ``uw(N)`` feature of the Sequential Dependence Model (Metzler &
+    Croft 2005, "A Markov random field model for term dependencies"):
+    for each document, the number of position pairs (p ∈ pos(term_a),
+    q ∈ pos(term_b)) with p ≠ q and |p − q| ≤ window − 1.  Exact integer
+    counts, engine-portable (the DuckDB twin is a position self-join with
+    the same predicate — for term_a == term_b both (p, q) and (q, p)
+    count, consistently in both engines).
+
+    Plan shape: two term-bucket-pruned postings scans, one doc_id inner
+    join, one per-row array fold (aggregate over pos_a of the pos_b
+    within-window filter size) — zero shuffles beyond the candidate
+    join.  Returns (doc_id, n_uw) for docs containing both terms with at
+    least one qualifying pair."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    from covid19_spark.sources.index import literal_term_buckets
+
+    literal_term_buckets(spark, [term_a, term_b])
+    sides = []
+    for i, t in enumerate((term_a, term_b)):
+        b = literal_term_buckets(spark, [t])
+        sides.append(
+            index.postings.filter(
+                F.col("tb").isin(b) & (F.col("t") == F.lit(t))
+            ).select("doc_id", F.col("pos").alias(f"__pos{i}"))
+        )
+    joined = sides[0].join(sides[1], "doc_id")
+    w = window - 1
+    n_uw = F.aggregate(
+        F.col("__pos0"),
+        F.lit(0),
+        lambda acc, p: acc
+        + F.size(
+            F.filter(
+                F.col("__pos1"),
+                lambda q: (F.abs(q - p) <= F.lit(w)) & (q != p),
+            )
+        ),
+    )
+    return (
+        joined.select("doc_id", n_uw.cast("long").alias("n_uw"))
+        .filter(F.col("n_uw") > 0)
+    )
+
+
 def rrf_fuse(
     ranked: Sequence[tuple[str, DataFrame]],
     k0: int = 60,

@@ -899,3 +899,112 @@ QUERY_REGISTRY["bm25_multi_query"] = QuerySpec(
     _oracle_bm25_multi_query(),
     "batched multi-query BM25 from one pruned postings scan (streaming query-sink body)",
 )
+
+
+def q_sdm_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential Dependence Model ranking (Metzler & Croft 2005, the MRF
+    term-dependency model — the classic learned-sparse-era ranker): for
+    the query ("spark", "hash"), λ-weighted unigram BM25 + ordered
+    adjacency (od1 = exact-phrase occurrences, `phrase_match_from_index`)
+    + unordered window-8 co-occurrence (uw8,
+    `unordered_window_count_from_index`), every feature served from the
+    SAME positional inverted index:
+
+        sdm = round(0.85·bm25 + 0.10·ln(1+od1) + 0.05·ln(1+uw8), 6)
+
+    Docs containing either term compete (BM25 frame is the base; the
+    dependence features LEFT-join on, absent → 0 — SDM's unigram
+    fallback).  All three features are one term-pruned scan family over
+    the same two posting lists; exact integer counts; the oracle restates
+    the BM25 template plus two position joins and the identical
+    combination expression."""
+    from covid19_spark.operators.retrieval import (
+        bm25_scores_from_index,
+        phrase_match_from_index,
+        unordered_window_count_from_index,
+    )
+    from covid19_spark.sources.index import ensure_inverted_index
+
+    idx = ensure_inverted_index(spark, sf_dir)
+    bm25 = bm25_scores_from_index(spark, idx, ["spark", "hash"])
+    od = phrase_match_from_index(spark, idx, ["spark", "hash"]).select(
+        "doc_id", F.col("n_occurrences").alias("od1")
+    )
+    uw = unordered_window_count_from_index(
+        spark, idx, "spark", "hash", window=8
+    ).select("doc_id", F.col("n_uw").alias("uw8"))
+    feats = (
+        bm25.join(od, "doc_id", "left")
+        .join(uw, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("score").alias("bm25"),
+            F.coalesce("od1", F.lit(0)).cast("long").alias("od1"),
+            F.coalesce("uw8", F.lit(0)).cast("long").alias("uw8"),
+        )
+    )
+    sdm = F.round(
+        0.85 * F.col("bm25")
+        + 0.10 * F.log(F.lit(1.0) + F.col("od1"))
+        + 0.05 * F.log(F.lit(1.0) + F.col("uw8")),
+        6,
+    )
+    return (
+        feats.withColumn("sdm", sdm)
+        .orderBy(F.col("sdm").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+ORACLE_SDM_RANKING = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, u.x AS t
+  FROM documents,
+       unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS u(x)
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+seeds AS (SELECT unnest(['spark', 'hash']) AS t),
+s AS ({_BM25_SQL_FOR_TERMS.format(terms="seeds")}),
+f AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS wf
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(wf) AS t,
+         CAST(generate_subscripts(wf, 1) - 1 AS INT) AS p
+  FROM f
+),
+pa AS (SELECT doc_id, p FROM pos WHERE t = 'spark'),
+pb AS (SELECT doc_id, p FROM pos WHERE t = 'hash'),
+od AS (
+  SELECT pa.doc_id, count(*) AS od1
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND pb.p = pa.p + 1
+  GROUP BY pa.doc_id
+),
+uw AS (
+  SELECT pa.doc_id, count(*) AS uw8
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+    AND abs(pb.p - pa.p) <= 7 AND pa.p <> pb.p
+  GROUP BY pa.doc_id
+)
+SELECT doc_id,
+       score AS bm25,
+       CAST(coalesce(od1, 0) AS BIGINT) AS od1,
+       CAST(coalesce(uw8, 0) AS BIGINT) AS uw8,
+       round(
+         0.85 * score
+         + 0.10 * ln(1.0 + coalesce(od1, 0))
+         + 0.05 * ln(1.0 + coalesce(uw8, 0)),
+       6) AS sdm
+FROM s LEFT JOIN od USING (doc_id) LEFT JOIN uw USING (doc_id)
+ORDER BY sdm DESC, doc_id ASC
+LIMIT 20
+"""
+
+QUERY_REGISTRY["sdm_ranking"] = QuerySpec(
+    q_sdm_ranking,
+    ORACLE_SDM_RANKING,
+    "Sequential Dependence Model: BM25 + ordered/unordered window features from one positional index",
+)

@@ -217,6 +217,43 @@ def test_phrase_match_positions(spark, sf_dir, tmp_path):
         phrase_match_from_index(spark, idx, ["spark"])
 
 
+def test_unordered_window_counts(spark, sf_dir, tmp_path):
+    """SDM uw(N) feature: pair counts hand-checked on the fixture corpus,
+    including the same-term case where both (p, q) and (q, p) count."""
+    import pytest as _pytest
+
+    from covid19_spark.operators.retrieval import (
+        unordered_window_count_from_index,
+    )
+    from covid19_spark.sources.index import build_inverted_index, read_inverted_index
+
+    # doc 1: "spark hash spark table"  doc 3: "spark spark spark filter"
+    path = str(tmp_path / "idx")
+    build_inverted_index(spark, sf_dir, path)
+    idx = read_inverted_index(spark, path)
+
+    def uw(a, b, window):
+        return {
+            r.doc_id: r.n_uw
+            for r in unordered_window_count_from_index(
+                spark, idx, a, b, window
+            ).collect()
+        }
+
+    # spark{0,2} x hash{1}: both pairs within any window >= 2
+    assert uw("spark", "hash", 8) == {1: 2}
+    assert uw("spark", "hash", 2) == {1: 2}
+    # order of args is symmetric for distinct terms
+    assert uw("hash", "spark", 8) == {1: 2}
+    # same term: ordered pairs both ways — doc3 spark{0,1,2}: 6 pairs
+    # within w=2; doc1 spark{0,2}: 2 pairs
+    assert uw("spark", "spark", 3) == {3: 6, 1: 2}
+    # window 2 (adjacent only): doc3 (0,1),(1,0),(1,2),(2,1) = 4
+    assert uw("spark", "spark", 2) == {3: 4}
+    with _pytest.raises(ValueError, match="window"):
+        unordered_window_count_from_index(spark, idx, "spark", "hash", 1)
+
+
 def test_proximity_match_within_slop(spark, sf_dir, tmp_path):
     """Sloppy-phrase retrieval: within-slop ordered matches hand-checked
     on the fixture corpus, and slop=0 degenerates to the exact phrase."""
