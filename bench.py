@@ -314,6 +314,9 @@ def main() -> None:
         # full interleaved anchor series: [queries_completed, anchor_sec]
         "anchor_samples": anchor_samples,
         "anchor_every": ANCHOR_EVERY,
+        # sweep position of each query's recorded min (end-of-sweep when a
+        # retime won) — lets an auditor recompute queries_norm exactly
+        "min_pos": min_pos,
         # per-query min / NEAREST anchor sample (r13 — robust to intra-sweep
         # drift); "value_norm" keeps the r08-r12 definition (total / mean
         # anchor) for cross-round continuity, "value_norm_nearest" sums the

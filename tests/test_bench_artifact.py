@@ -54,20 +54,37 @@ def test_bench_local_schema():
         # the recorded headline number is the min of the raw runs
         assert abs(min(rs) - art["queries"][name]) < 1e-6, name
     assert art["spread_flags"] == _flags(art["runs"])
-    # calibration anchor (VERDICT r08 task #2): a fixed pure-Spark workload
-    # timed at sweep start and end; every query also reported normalized by
-    # it so rounds on differently-loaded boxes compare directly
+    # calibration anchor, interleaved form (VERDICT r08 task #2, reworked
+    # r13 task #1): the fixed pure-Spark workload is re-sampled every
+    # anchor_every queries; each query normalizes by the sample NEAREST
+    # the sweep position of its recorded min (min_pos), and the whole
+    # [position, sec] series is recorded so intra-sweep drift is visible.
     for key in (
         "anchor_sec", "anchor_start_sec", "anchor_end_sec",
-        "queries_norm", "value_norm",
+        "anchor_samples", "anchor_every", "min_pos",
+        "queries_norm", "value_norm", "value_norm_nearest",
     ):
         assert key in art, f"bench artifact missing {key!r}"
-    assert art["anchor_sec"] > 0
-    assert (
-        abs(art["anchor_sec"] - (art["anchor_start_sec"] + art["anchor_end_sec"]) / 2)
-        < 5e-3
-    )
-    assert set(art["queries_norm"]) == set(art["queries"])
-    for name, norm in art["queries_norm"].items():
-        assert abs(norm - round(art["queries"][name] / art["anchor_sec"], 3)) < 1e-6
+    samples = art["anchor_samples"]
+    assert len(samples) >= 3 and all(a > 0 for _, a in samples)
+    assert samples[0][0] == 0 and samples[0][1] == art["anchor_start_sec"]
+    assert samples[-1][1] == art["anchor_end_sec"]
+    # headline anchor_sec is the MEAN of every sample (value_norm keeps the
+    # r08-r12 definition total/anchor_sec for cross-round continuity)
+    assert abs(
+        art["anchor_sec"] - round(sum(a for _, a in samples) / len(samples), 3)
+    ) < 5e-3
     assert abs(art["value_norm"] - round(art["value"] / art["anchor_sec"], 3)) < 1e-6
+    assert set(art["queries_norm"]) == set(art["queries"])
+    assert set(art["min_pos"]) == set(art["queries"])
+
+    def nearest(pos):
+        return min(samples, key=lambda s: abs(s[0] - pos))[1]
+
+    for name, norm in art["queries_norm"].items():
+        want = round(art["queries"][name] / nearest(art["min_pos"][name]), 3)
+        assert abs(norm - want) < 1e-6, name
+    assert abs(
+        art["value_norm_nearest"]
+        - round(sum(art["queries_norm"].values()), 3)
+    ) < 1e-6
