@@ -360,6 +360,102 @@ def unordered_window_count_from_index(
     )
 
 
+def snippet_windows_from_index(
+    spark,
+    index,
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    width: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Search-result snippet extraction (hit highlighting) from the
+    positional index: for the BM25 top-``k`` documents, find the
+    ``width``-token window containing the MOST query-term occurrences
+    (ties → earliest start) and cut the snippet text from the document.
+    Output: (doc_id, score, rank, best_start, n_hits, snippet).
+
+    Deterministic by construction: candidate window starts are exactly
+    the query-term positions (an optimal window can always be shifted to
+    start ON a hit), hits are exact integers, and the (max hits, min
+    start) argmax is a lexicographic struct max — no floats beyond the
+    BM25 score itself.
+
+    Scale shape: ranking + positions are index-served (term-pruned
+    scans); ONLY the k winning documents' text is touched — the
+    re-tokenize for the cut is top-k-sized, never corpus-sized (Lucene
+    stores char offsets in the index to avoid even that; at parquet
+    granularity re-splitting k strings is cheaper than carrying offsets
+    on every posting)."""
+    from covid19_spark.operators.series import top_k
+    from covid19_spark.sources.index import literal_term_buckets
+
+    terms = list(dict.fromkeys(terms))
+    # two-stage top-k (TakeOrderedAndProject), never a full-frame rank —
+    # the matched-docs frame grows with df at scale
+    top = top_k(
+        bm25_scores_from_index(spark, index, terms),
+        "score", k, tiebreak_cols=["doc_id"],
+    )
+    # per-term positions for the top docs only (left: a top doc may lack
+    # some terms), merged into one sorted hit-position list per doc
+    merged = top
+    for i, t in enumerate(terms):
+        b = literal_term_buckets(spark, [t])
+        side = index.postings.filter(
+            F.col("tb").isin(b) & (F.col("t") == F.lit(t))
+        ).select("doc_id", F.col("pos").alias(f"__pos{i}"))
+        merged = merged.join(side, "doc_id", "left")
+    all_pos = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                *[
+                    F.coalesce(F.col(f"__pos{i}"), F.array().cast("array<int>"))
+                    for i in range(len(terms))
+                ]
+            )
+        )
+    )
+    merged = merged.withColumn("__hits", all_pos)
+    w = width - 1
+    best = F.array_max(
+        F.transform(
+            F.col("__hits"),
+            lambda p: F.struct(
+                F.size(
+                    F.filter(
+                        F.col("__hits"), lambda q: (q >= p) & (q <= p + F.lit(w))
+                    )
+                ).alias("h"),
+                (-p).alias("negp"),
+            ),
+        )
+    )
+    scored = merged.select(
+        "doc_id", "score", "rank",
+        (-best["negp"]).cast("long").alias("best_start"),
+        best["h"].cast("long").alias("n_hits"),
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    )
+    return (
+        scored.join(
+            docs.select(F.col(id_col).alias("doc_id"), text_col), "doc_id"
+        )
+        .select(
+            "doc_id", "score",
+            F.col("rank").cast("long").alias("rank"),
+            "best_start", "n_hits",
+            F.array_join(
+                F.slice(toks, F.col("best_start") + 1, width), " "
+            ).alias("snippet"),
+        )
+        .orderBy("rank")
+    )
+
+
 def rrf_fuse(
     ranked: Sequence[tuple[str, DataFrame]],
     k0: int = 60,

@@ -1008,3 +1008,83 @@ QUERY_REGISTRY["sdm_ranking"] = QuerySpec(
     ORACLE_SDM_RANKING,
     "Sequential Dependence Model: BM25 + ordered/unordered window features from one positional index",
 )
+
+
+def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hit-highlighting snippets for the BM25 top-10
+    (`operators/retrieval.snippet_windows_from_index`): the best 10-token
+    window per winning doc — most query-term occurrences, earliest start
+    on ties; candidate starts are exactly the hit positions, so the
+    argmax is a per-row lexicographic struct max over the index's
+    position lists.  Only the 10 winners' text is re-tokenized for the
+    cut (top-k-sized, never corpus-sized).  The oracle replays ranking
+    (BM25 template), the window argmax (hit-position self-join), and the
+    identical list-slice cut."""
+    from covid19_spark.operators.retrieval import snippet_windows_from_index
+    from covid19_spark.sources.index import ensure_inverted_index
+
+    idx = ensure_inverted_index(spark, sf_dir)
+    return snippet_windows_from_index(
+        spark, idx, _t(spark, sf_dir, "documents"),
+        ["spark", "hash"], k=10, width=10,
+    )
+
+
+ORACLE_SEARCH_SNIPPETS = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, u.x AS t
+  FROM documents,
+       unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS u(x)
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+seeds AS (SELECT unnest(['spark', 'hash']) AS t),
+s AS ({_BM25_SQL_FOR_TERMS.format(terms="seeds")}),
+top AS (
+  SELECT doc_id, score, rank FROM (
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM s
+  ) WHERE rank <= 10
+),
+f AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS wf
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(wf) AS t,
+         CAST(generate_subscripts(wf, 1) - 1 AS INT) AS p
+  FROM f
+),
+hitpos AS (
+  SELECT DISTINCT doc_id, p FROM pos WHERE t IN ('spark', 'hash')
+),
+wins AS (
+  SELECT a.doc_id, a.p AS start, count(*) AS hits
+  FROM hitpos a JOIN hitpos b
+    ON a.doc_id = b.doc_id AND b.p BETWEEN a.p AND a.p + 9
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, start, hits FROM (
+    SELECT doc_id, start, hits,
+           row_number() OVER (
+             PARTITION BY doc_id ORDER BY hits DESC, start ASC
+           ) AS rn
+    FROM wins
+  ) WHERE rn = 1
+)
+SELECT t.doc_id, t.score, CAST(t.rank AS BIGINT) AS rank,
+       CAST(b.start AS BIGINT) AS best_start,
+       CAST(b.hits AS BIGINT) AS n_hits,
+       array_to_string(list_slice(f.wf, b.start + 1, b.start + 10), ' ') AS snippet
+FROM top t JOIN best b USING (doc_id) JOIN f USING (doc_id)
+ORDER BY rank
+"""
+
+QUERY_REGISTRY["search_snippets"] = QuerySpec(
+    q_search_snippets,
+    ORACLE_SEARCH_SNIPPETS,
+    "hit-highlighting snippet windows for the BM25 top-k (index positions + top-k-sized text cut)",
+)

@@ -217,6 +217,39 @@ def test_phrase_match_positions(spark, sf_dir, tmp_path):
         phrase_match_from_index(spark, idx, ["spark"])
 
 
+def test_snippet_windows(spark, sf_dir, tmp_path):
+    """Best-window snippet extraction hand-checked: max query-term hits,
+    earliest start on ties, snippet cut at the token slice."""
+    from covid19_spark.operators.retrieval import snippet_windows_from_index
+    from covid19_spark.sources.index import build_inverted_index, read_inverted_index
+
+    path = str(tmp_path / "idx")
+    build_inverted_index(spark, sf_dir, path)
+    idx = read_inverted_index(spark, path)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # width 2 over doc 1 "spark hash spark table": windows [0,1] and [1,2]
+    # both hold 2 hits -> earliest start wins
+    rows = {
+        r.doc_id: (r.best_start, r.n_hits, r.snippet)
+        for r in snippet_windows_from_index(
+            spark, idx, docs, ["spark", "hash"], k=3, width=2
+        ).collect()
+    }
+    assert rows[1] == (0, 2, "spark hash")
+    assert rows[3] == (0, 2, "spark spark")  # spark{0,1,2}: [0,1] first
+    assert rows[2] == (0, 1, "hash window")  # only one hit position
+    # wide window swallows every hit; slice truncates at the doc end
+    wide = {
+        r.doc_id: (r.best_start, r.n_hits, r.snippet)
+        for r in snippet_windows_from_index(
+            spark, idx, docs, ["spark", "hash"], k=3, width=10
+        ).collect()
+    }
+    assert wide[1] == (0, 3, "spark hash spark table")
+    assert wide[3] == (0, 3, "spark spark spark filter")
+
+
 def test_unordered_window_counts(spark, sf_dir, tmp_path):
     """SDM uw(N) feature: pair counts hand-checked on the fixture corpus,
     including the same-term case where both (p, q) and (q, p) count."""
