@@ -56,6 +56,7 @@ BNLJ_ALLOWED = {
     "heavy_hitters",
     "hilbert_clustering",  # one-row grid-bounds broadcast (zorder twin)
     "hybrid_rrf_topk",  # dense cosine side + top_k's tiny per-partition-offset join
+    "search_snippets",  # top_k's per-partition-offset join (<= n_partitions rows)
     "idle_rich_customers",
     "interpolate_revenue",
     "ivf_cosine_topk",
