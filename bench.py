@@ -162,7 +162,17 @@ def main() -> None:
         return a
 
     def _nearest_anchor(pos: int) -> float:
-        return min(anchor_samples, key=lambda s: abs(s[0] - pos))[1]
+        # Median of the 3 samples nearest pos (VERDICT r13 task #1): a
+        # single nearest sample inherits single-sample noise — r13's series
+        # carried one 0.575 s outlier (0.68x the sweep mean) that inflated
+        # ~25 sub-second queries' norms x1.8-x2.5 on unchanged plans. The
+        # median of the 3 nearest is robust to one bad sample while still
+        # tracking intra-sweep drift (the r12 failure a global mean anchor
+        # can't see). With <3 samples (early in the sweep) it degrades to
+        # the median of what exists.
+        near = sorted(anchor_samples, key=lambda s: abs(s[0] - pos))[:3]
+        vals = sorted(a for _, a in near)
+        return vals[len(vals) // 2]
 
     anchor_start = _sample_anchor(0)
     # Previous sweep's per-query mins + anchor, for CROSS-SWEEP drift
@@ -317,12 +327,23 @@ def main() -> None:
         # sweep position of each query's recorded min (end-of-sweep when a
         # retime won) — lets an auditor recompute queries_norm exactly
         "min_pos": min_pos,
-        # per-query min / NEAREST anchor sample (r13 — robust to intra-sweep
-        # drift); "value_norm" keeps the r08-r12 definition (total / mean
-        # anchor) for cross-round continuity, "value_norm_nearest" sums the
+        # per-query min / median-of-3-nearest anchor samples (r14 — robust
+        # to intra-sweep drift AND to a single outlier sample; r13 used the
+        # single nearest sample). "value_norm" is total / mean-of-ALL-anchor-
+        # samples — NOTE the denominator definition changed in r13 (r08-r12
+        # used mean(start, end) of two samples; r13+ averages the full
+        # interleaved series), so cross-round value_norm reads straddling
+        # r12/r13 compare slightly different statistics (ADVICE r13).
+        # "value_norm_legacy" recomputes the old mean(start, end) divisor
+        # for exact r08-r12 continuity. "value_norm_nearest" sums the
         # per-query nearest-anchor norms.
         "queries_norm": queries_norm,
+        # which per-query divisor rule produced queries_norm: "median3"
+        # (r14+, median of 3 nearest samples) vs "nearest1" (r13, absent
+        # key) — lets auditors/tests recompute old artifacts exactly.
+        "norm_rule": "median3",
         "value_norm": round(total / anchor_sec, 3),
+        "value_norm_legacy": round(total / ((anchor_start + anchor_end) / 2), 3),
         "value_norm_nearest": round(sum(queries_norm.values()), 3),
         "sf": sf_val,
     }

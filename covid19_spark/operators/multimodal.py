@@ -5,13 +5,17 @@ The container has no codec libraries, so the REAL decode paths are the
 formats a pure-stdlib reader can handle: uncompressed 24-bpp BMP, full PNG
 (all five color types incl. palette, depths 1-16, Adam7 interlace — the
 chart format the reference serves, covid19-visualizer Visualizer.java:469,520 / ChartRequest.java:23),
-baseline + progressive + lossless-SOF3 JPEG (operators/jpeg.py),
-RIFF/WAVE audio (PCM 8/16/24/32-bit + IEEE float + G.711 A-law/mu-law +
-IMA ADPCM), and Motion-JPEG AVI video (RIFF container walk + per-frame
-JPEG decode, real frame sampling). Arithmetic-coded JPEG, MP3-in-WAV, and
-inter-frame video codecs (H.264/VP9) remain clearly-marked
-``NotImplementedError`` seams with deterministic fakes for the test path. Everything Spark-side is real and
-tested: schemas, batch iteration, partition sizing, UDF signatures.
+baseline + progressive + lossless-SOF3 JPEG (operators/jpeg.py) plus
+arithmetic-coded JPEG — the full ITU-T T.81 Annex D/E/F decoder+encoder in
+operators/jpeg_arith.py (oracle-green `jpeg_entropy_matrix`) — TIFF
+(incl. tiled + CCITT G3/G4), GIF, RIFF/WAVE audio (PCM 8/16/24/32-bit +
+IEEE float + G.711 A-law/mu-law + IMA ADPCM), and Motion-JPEG AVI video
+(RIFF container walk + per-frame JPEG decode, real frame sampling). The
+seams that truly remain ``NotImplementedError`` (with deterministic fakes
+for the test path) are compressed-audio-in-WAV (MP3/AAC payloads) and
+inter-frame video codecs (H.264/VP9) — formats whose decoders are out of
+pure-stdlib reach. Everything Spark-side is real and tested: schemas,
+batch iteration, partition sizing, UDF signatures.
 
 Scale design: media blobs dominate bytes, not rows — so (1) metadata-only
 predicates must prune *before* any decode (keep metadata in top-level columns,

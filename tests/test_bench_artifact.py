@@ -37,6 +37,29 @@ def test_spread_flag_rule():
     assert _flags(runs) == ["load_sensitive"]
 
 
+def test_median3_divisor_smooths_single_outlier():
+    # mirror of bench.py's _nearest_anchor — keep the two in sync.
+    # r13's failure mode: one 0.575 s sample in an ~0.84 s series made every
+    # query nearest that position read x1.5 "slower" on an unchanged plan.
+    samples = [[0, 0.85], [25, 0.83], [50, 0.575], [75, 0.86], [100, 0.84]]
+
+    def divisor(pos):
+        near = sorted(samples, key=lambda s: abs(s[0] - pos))[:3]
+        vals = sorted(a for _, a in near)
+        return vals[len(vals) // 2]
+
+    # queries near the outlier position normalize by a neighboring healthy
+    # sample, not the outlier itself
+    assert divisor(50) == 0.83
+    assert divisor(49) == 0.83
+    assert divisor(60) == 0.83
+    # far from the outlier, untouched
+    assert divisor(0) == 0.83  # median of [0.85, 0.83, 0.575] -> 0.83
+    assert divisor(100) == 0.84
+    # degrades sanely with a short series (early in the sweep)
+    assert divisor(0) > 0
+
+
 @pytest.mark.skipif(
     not os.path.exists(BENCH_LOCAL), reason="no local bench artifact yet"
 )
@@ -78,11 +101,23 @@ def test_bench_local_schema():
     assert set(art["queries_norm"]) == set(art["queries"])
     assert set(art["min_pos"]) == set(art["queries"])
 
-    def nearest(pos):
-        return min(samples, key=lambda s: abs(s[0] - pos))[1]
+    # r14 (VERDICT r13 task #1): the per-query divisor is the MEDIAN of the
+    # 3 samples nearest the query's min_pos ("median3"), robust to a single
+    # outlier sample (r13's 0.575 s sample inflated ~25 sub-second queries'
+    # norms x1.8-x2.5). Artifacts record which rule produced queries_norm;
+    # an r13 artifact (no norm_rule key) recomputes under the old
+    # single-nearest rule.
+    rule = art.get("norm_rule", "nearest1")
+
+    def divisor(pos):
+        if rule == "nearest1":
+            return min(samples, key=lambda s: abs(s[0] - pos))[1]
+        near = sorted(samples, key=lambda s: abs(s[0] - pos))[:3]
+        vals = sorted(a for _, a in near)
+        return vals[len(vals) // 2]
 
     for name, norm in art["queries_norm"].items():
-        want = round(art["queries"][name] / nearest(art["min_pos"][name]), 3)
+        want = round(art["queries"][name] / divisor(art["min_pos"][name]), 3)
         assert abs(norm - want) < 1e-6, name
     assert abs(
         art["value_norm_nearest"]
