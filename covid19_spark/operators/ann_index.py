@@ -392,18 +392,38 @@ def make_ann_query_sink(
     return sink
 
 
-def make_ann_ingest_sink(index_path: str):
+def make_ann_ingest_sink(
+    index_path: str,
+    compact_every: int | None = 8,
+    file_threshold: int = 8,
+):
     """foreachBatch sink streaming NEW vectors into the persisted index:
     each micro-batch is encoded with the index's persisted quantizers and
     appended (``append_ivfpq_index`` semantics — never refits, see its
     contract note on upstream dedup). Exactly-once at the ingest level
     comes from the stream's checkpoint: a replayed batch re-appends, so
     pair with dedup_within_watermark upstream or idempotent ids when the
-    source can replay."""
+    source can replay.
+
+    Auto-compaction (VERDICT r13 task #2, the ``make_index_ingest_sink``
+    discipline): after every ``compact_every``-th append the sink runs
+    ``compact_ivfpq_index`` itself — the fragment-count check is gated by
+    the cadence, the rewrite by the threshold — so a long-lived ingest
+    stream keeps ``codes/`` at ~one file per list directory without an
+    external maintenance job.  ``compact_every=None`` restores the manual
+    discipline."""
+
+    appends_seen = [0]  # driver-side state: foreachBatch runs on the driver
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.take(1):
             append_ivfpq_index(batch_df, index_path, return_count=False)
+            appends_seen[0] += 1
+            if compact_every and appends_seen[0] % compact_every == 0:
+                compact_ivfpq_index(
+                    batch_df.sparkSession, index_path,
+                    file_threshold=file_threshold,
+                )
 
     return sink
 

@@ -313,7 +313,11 @@ def append_inverted_index(
 
 
 def make_index_ingest_sink(
-    index_path: str, id_col: str = "doc_id", text_col: str = "text"
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_every: int | None = 8,
+    file_threshold: int = 8,
 ):
     """foreachBatch sink streaming NEW documents into the persisted
     inverted index — crawl → searchable-index as a continuous pipeline
@@ -328,9 +332,21 @@ def make_index_ingest_sink(
     Exactly-once at the ingest level comes from the stream's checkpoint;
     a REPLAYED batch re-appends, so chain after a stateful dedup
     (``crawl_corpus_stream`` already dedups per canonical URL and content
-    fingerprint) or idempotent ids when the source can replay.  Run
-    ``compact_inverted_index`` between batches once fragments accumulate."""
+    fingerprint) or idempotent ids when the source can replay.
+
+    Auto-compaction (VERDICT r13 task #2): after every ``compact_every``-th
+    append the sink runs ``compact_inverted_index`` itself, so a long-lived
+    stream keeps the postings store at ~one file per term bucket without an
+    external maintenance job — the Lucene background-merge analogue, run in
+    the between-batches window foreachBatch already guarantees (the sink is
+    the only writer; serves reopen per query and tolerate the rename swap).
+    The cadence only gates the fragment-count CHECK; the rewrite itself
+    still fires only when fragments exceed max(``file_threshold``,
+    bucket-dir count).  ``compact_every=None`` restores the manual
+    discipline (caller runs compaction in its own window)."""
     import os
+
+    appends_seen = [0]  # driver-side state: foreachBatch runs on the driver
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -339,6 +355,12 @@ def make_index_ingest_sink(
             append_inverted_index(
                 batch_df, index_path, id_col=id_col, text_col=text_col
             )
+            appends_seen[0] += 1
+            if compact_every and appends_seen[0] % compact_every == 0:
+                compact_inverted_index(
+                    batch_df.sparkSession, index_path,
+                    file_threshold=file_threshold,
+                )
         else:
             build_inverted_index_from(
                 batch_df, index_path, id_col=id_col, text_col=text_col

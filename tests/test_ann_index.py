@@ -530,3 +530,52 @@ def test_concurrent_cold_ensure_ivfpq(spark, tmp_path):
         assert idx.codes.count() == n
     assert glob.glob(f"{path}__build_*") == []
     assert glob.glob(f"{path}__old_*") == []
+
+
+def test_ingest_sink_auto_compaction(spark, tmp_path):
+    """In-sink auto-compaction for the ANN ingest path (VERDICT r13 task
+    #2): 20 micro-batch appends through make_ann_ingest_sink with
+    compact_every=4 keep the codes store near one file per list directory
+    — and compaction never changes answers (the appended+auto-compacted
+    index returns the same top-k as an identical append run with the
+    manual discipline turned off)."""
+    import glob
+
+    emb, queries = _emb_and_queries(spark)
+    base = emb.filter(F.col("vec_id") < 400)
+    deltas = [
+        emb.filter((F.col("vec_id") >= 400 + 30 * i) & (F.col("vec_id") < 430 + 30 * i))
+        for i in range(20)
+    ]
+
+    auto_path = str(tmp_path / "auto")
+    manual_path = str(tmp_path / "manual")
+    for p in (auto_path, manual_path):
+        write_ivfpq_index(base, p, n_centroids=16, m=8, n_codes=16)
+
+    auto_sink = make_ann_ingest_sink(auto_path, compact_every=4, file_threshold=4)
+    manual_sink = make_ann_ingest_sink(manual_path, compact_every=None)
+    for i, delta in enumerate(deltas):
+        auto_sink(delta, i)
+        manual_sink(delta, i)
+
+    def frags(p):
+        return len(glob.glob(f"{p}/codes/**/*.parquet", recursive=True))
+
+    n_dirs = len(glob.glob(f"{auto_path}/codes/centroid_id=*"))
+    # bounded: compacted floor (one file per list dir) + at most
+    # compact_every un-compacted appends (each append touches <= n_dirs
+    # list dirs). The manual run keeps every append's fragments.
+    assert frags(auto_path) <= n_dirs * 5, (frags(auto_path), n_dirs)
+    assert frags(manual_path) > frags(auto_path)
+
+    cold = emb  # full-precision store covers base + all deltas
+    got = (
+        ivfpq_index_topk(read_ivfpq_index(spark, auto_path), cold, queries, **PARAMS)
+        .orderBy("query_id", "rank").collect()
+    )
+    want = (
+        ivfpq_index_topk(read_ivfpq_index(spark, manual_path), cold, queries, **PARAMS)
+        .orderBy("query_id", "rank").collect()
+    )
+    assert got == want

@@ -515,3 +515,105 @@ def test_crawl_stream_to_searchable_index(env):
         (r.doc_id, r.score)
         for r in bm25_scores_from_index(spark, want_idx, ["shuffle", "state"]).collect()
     )
+
+
+def test_long_run_ingest_auto_compaction(env):
+    """Long-run streaming ingest with in-sink auto-compaction (VERDICT r13
+    task #2): 21 micro-batches (1 build + 20 appends) through
+    make_index_ingest_sink with compact_every=4.  Without compaction every
+    append leaves one fragment per touched term bucket and the postings
+    store grows file-listing-bound; with the sink compacting itself the
+    fragment count stays bounded near one file per non-empty bucket.
+    Serving equivalence is pinned MID-stream (right after an in-sink
+    compaction) and at the end: the streamed+auto-compacted index is
+    bit-identical to a one-shot build over the same corpus."""
+    import glob
+
+    from covid19_spark.operators.retrieval import bm25_scores_from_index
+    from covid19_spark.sources.index import (
+        build_inverted_index_from,
+        make_index_ingest_sink,
+        read_inverted_index,
+    )
+
+    spark, d = env
+    src, ckpt, idx_path = f"{d}/ingest_src", f"{d}/ingest_ckpt", f"{d}/autoidx"
+    os.makedirs(src)
+
+    def doc(i):
+        # small, overlapping vocabulary: every batch touches the "shared"
+        # bucket plus its own terms, so fragments accumulate bucket-wise
+        return (i, f"shared alpha{i % 3} term{i} tail{i % 5}")
+
+    def write_batch_files(lo, hi):
+        for i in range(lo, hi):
+            spark.createDataFrame(
+                [doc(i)], "doc_id long, text string"
+            ).coalesce(1).write.mode("append").parquet(src)
+
+    def fragments():
+        return len(glob.glob(f"{idx_path}/postings/**/*.parquet", recursive=True))
+
+    def serve_equiv(n_docs_now, terms):
+        idx = read_inverted_index(spark, idx_path)  # reopen-per-serve
+        oneshot = f"{d}/oneshot_{n_docs_now}"
+        build_inverted_index_from(
+            spark.createDataFrame(
+                [doc(i) for i in range(n_docs_now)], "doc_id long, text string"
+            ),
+            oneshot,
+        )
+        want = read_inverted_index(spark, oneshot)
+        assert (idx.n_docs, idx.avgdl) == (want.n_docs, want.avgdl)
+        got = sorted(
+            (r.doc_id, r.score)
+            for r in bm25_scores_from_index(spark, idx, terms).collect()
+        )
+        exp = sorted(
+            (r.doc_id, r.score)
+            for r in bm25_scores_from_index(spark, want, terms).collect()
+        )
+        assert got == exp
+        return idx, want
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            make_index_ingest_sink(idx_path, compact_every=4, file_threshold=4)
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        # phase 1: 13 batches (1 build + 12 appends → 3 in-sink compactions)
+        write_batch_files(0, 13)
+        q.processAllAvailable()
+        mid_frags = fragments()
+        serve_equiv(13, ["shared", "term7"])
+        # phase 2: 8 more appends (compactions at append 16 and 20)
+        write_batch_files(13, 21)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    end_frags = fragments()
+    n_dirs = len(glob.glob(f"{idx_path}/postings/tb=*"))
+    # bounded: never more than one compacted file per bucket plus the
+    # fragments of at most compact_every un-compacted appends (each append
+    # touches <= 4 term buckets).  A no-compaction run of 21 batches leaves
+    # ~4 fragments per batch (~80+); the in-sink discipline keeps it near
+    # the floor at both probe points.
+    bound = n_dirs + 4 * 4
+    assert mid_frags <= bound, (mid_frags, bound)
+    assert end_frags <= bound, (end_frags, bound)
+    # final equivalence: postings bit-identical to the one-shot build
+    idx, want = serve_equiv(21, ["shared", "term19", "tail3"])
+    assert sorted(
+        (r.t, r.doc_id, r.tf, r.dl, tuple(r.pos)) for r in idx.postings.collect()
+    ) == sorted(
+        (r.t, r.doc_id, r.tf, r.dl, tuple(r.pos)) for r in want.postings.collect()
+    )
