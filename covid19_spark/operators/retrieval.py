@@ -369,6 +369,7 @@ def snippet_windows_from_index(
     width: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    use_offsets: bool = True,
 ) -> DataFrame:
     """Search-result snippet extraction (hit highlighting) from the
     positional index: for the BM25 top-``k`` documents, find the
@@ -383,28 +384,50 @@ def snippet_windows_from_index(
     BM25 score itself.
 
     Scale shape: ranking + positions are index-served (term-pruned
-    scans); ONLY the k winning documents' text is touched — the
-    re-tokenize for the cut is top-k-sized, never corpus-sized (Lucene
-    stores char offsets in the index to avoid even that; at parquet
-    granularity re-splitting k strings is cheaper than carrying offsets
-    on every posting)."""
+    scans), and with ``use_offsets=True`` (default; index v4, VERDICT r13
+    task #4) the cut itself is too: the window's tokens are sliced from
+    the index's per-doc start-offset/length arrays (``doclen.toff`` /
+    ``doclen.tlen`` — Lucene's stored offsets) and extracted with
+    per-token ``substr`` against the document text, so NOTHING is
+    re-tokenized — the serve reads ``width`` tokens' worth of chars from
+    each of the k winners however long the documents are.  Token-wise
+    extraction (not one start-to-end substring) is what keeps the output
+    bit-identical to the re-tokenize path: runs of separators collapse to
+    the single spaces ``array_join`` emits.  ``use_offsets=False`` keeps
+    the v3 re-tokenize fallback (top-k-sized, for offset-less indexes);
+    equality of the two paths is pinned by test.
+
+    The k winners are COLLECTED driver-side (k rows — the sanctioned
+    bounded class of the PRF term collect / the ANN probed-list collect)
+    and re-seeded as a literal frame whose ids prune every downstream
+    scan with a static ``doc_id IN (...)``: the doc-store text read and
+    the doclen offset read touch k documents' row groups, not the
+    corpus — without the pushdown both stores are corpus-scanned just to
+    keep k rows after the broadcast join, which is the difference between
+    k seeks and a full pass at 100 TB."""
     from covid19_spark.operators.series import top_k
     from covid19_spark.sources.index import literal_term_buckets
 
     terms = list(dict.fromkeys(terms))
     # two-stage top-k (TakeOrderedAndProject), never a full-frame rank —
     # the matched-docs frame grows with df at scale
-    top = top_k(
+    ranked = top_k(
         bm25_scores_from_index(spark, index, terms),
         "score", k, tiebreak_cols=["doc_id"],
     )
+    winners = ranked.collect()  # ≤ k rows, by construction
+    top = spark.createDataFrame(winners, schema=ranked.schema)
+    doc_ids = [r["doc_id"] for r in winners]
     # per-term positions for the top docs only (left: a top doc may lack
     # some terms), merged into one sorted hit-position list per doc
     merged = top
     for i, t in enumerate(terms):
         b = literal_term_buckets(spark, [t])
         side = index.postings.filter(
-            F.col("tb").isin(b) & (F.col("t") == F.lit(t))
+            F.col("tb").isin(b)
+            & (F.col("t") == F.lit(t))
+            # winners-only row groups on top of the term-bucket pruning
+            & F.col("doc_id").isin(doc_ids)
         ).select("doc_id", F.col("pos").alias(f"__pos{i}"))
         merged = merged.join(side, "doc_id", "left")
     all_pos = F.array_sort(
@@ -437,20 +460,46 @@ def snippet_windows_from_index(
         (-best["negp"]).cast("long").alias("best_start"),
         best["h"].cast("long").alias("n_hits"),
     )
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    joined = scored.join(
+        docs.filter(F.col(id_col).isin(doc_ids)).select(
+            F.col(id_col).alias("doc_id"), text_col
+        ),
+        "doc_id",
     )
-    return (
-        scored.join(
-            docs.select(F.col(id_col).alias("doc_id"), text_col), "doc_id"
+    if use_offsets:
+        # v4 serving path: slice the window's (start, len) pairs from the
+        # index's per-doc offset arrays and substr each token out of the
+        # text — zero tokenization at serve time.  The doclen scan is
+        # statically pruned to the k winners (column pruning keeps
+        # dl-only readers unaffected by toff/tlen).
+        joined = joined.join(
+            index.doclen.filter(F.col("doc_id").isin(doc_ids)).select(
+                "doc_id", "toff", "tlen"
+            ),
+            "doc_id",
         )
-        .select(
+        lowered = F.lower(F.col(text_col))
+        snippet = F.array_join(
+            F.zip_with(
+                F.slice("toff", F.col("best_start") + 1, width),
+                F.slice("tlen", F.col("best_start") + 1, width),
+                lambda o, l: lowered.substr(o + 1, l),
+            ),
+            " ",
+        )
+    else:
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+        )
+        snippet = F.array_join(
+            F.slice(toks, F.col("best_start") + 1, width), " "
+        )
+    return (
+        joined.select(
             "doc_id", "score",
             F.col("rank").cast("long").alias("rank"),
             "best_start", "n_hits",
-            F.array_join(
-                F.slice(toks, F.col("best_start") + 1, width), " "
-            ).alias("snippet"),
+            snippet.alias("snippet"),
         )
         .orderBy("rank")
     )

@@ -1016,10 +1016,13 @@ def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     window per winning doc — most query-term occurrences, earliest start
     on ties; candidate starts are exactly the hit positions, so the
     argmax is a per-row lexicographic struct max over the index's
-    position lists.  Only the 10 winners' text is re-tokenized for the
-    cut (top-k-sized, never corpus-sized).  The oracle replays ranking
-    (BM25 template), the window argmax (hit-position self-join), and the
-    identical list-slice cut."""
+    position lists.  The cut is offset-served (index v4): the window's
+    tokens substr out of the winners' text at the index's stored
+    start-offset/length arrays — NOTHING re-tokenized at serve time,
+    bit-identical to the v3 re-tokenize fallback (pinned in
+    tests/test_retrieval.py).  The oracle replays ranking (BM25
+    template), the window argmax (hit-position self-join), and the
+    equivalent list-slice cut."""
     from covid19_spark.operators.retrieval import snippet_windows_from_index
     from covid19_spark.sources.index import ensure_inverted_index
 

@@ -8,8 +8,8 @@ term-pruned scan over grouped postings.  One tokenize pass produces four
 engine-portable parquet datasets under ``<path>/``:
 
     postings/   (t STRING, doc_id, tf DOUBLE, dl DOUBLE,
-                 pos ARRAY<INT>)                         PARTITIONED BY tb
-    doclen/     (doc_id, dl DOUBLE)
+                 pos ARRAY<INT>, off ARRAY<INT>)         PARTITIONED BY tb
+    doclen/     (doc_id, dl DOUBLE, toff ARRAY<INT>, tlen ARRAY<INT>)
     termstats/  (t STRING, df DOUBLE, cg BIGINT) PARTITIONED BY tb
     scalars/    one row: n, avgdl, total_tokens, fingerprint, n_buckets
 
@@ -21,7 +21,14 @@ itself (a window count over ``t``), so neither small join survives in
 the serving path.  ``pos`` carries the sorted token positions (Lucene's
 positions list) for phrase/proximity queries; BM25 consumers never read
 the column — parquet column pruning keeps rank-only scans paying for
-(doc_id, tf, dl) alone.
+(doc_id, tf, dl) alone.  ``off`` (index v4, VERDICT r13 task #4) carries
+the matching START char offsets into ``lower(text)`` — Lucene's
+``IndexOptions...AND_OFFSETS`` — aligned element-for-element with
+``pos``; ``doclen``'s ``toff``/``tlen`` are the per-document token
+start-offset/length arrays (the stored-field offsets Lucene's postings
+highlighter reads), derived from the persisted postings, which let
+snippet extraction cut hit windows by ``substr`` without re-tokenizing
+even the winning documents.
 
 ``tb`` is a hash bucket of the term (``pmod(xxhash64(t), n_buckets)``).
 A literal-term query computes its buckets driver-side and filters
@@ -62,15 +69,15 @@ from pyspark.sql import functions as F
 from covid19_spark.sources.tables import load_table
 
 N_TERM_BUCKETS = 64
-_INDEX_VERSION = 3  # bump on any layout/schema change: stale caches self-invalidate
+_INDEX_VERSION = 4  # bump on any layout/schema change: stale caches self-invalidate
 
 
 class InvertedIndex(NamedTuple):
     """An opened index: lazy postings/doclen/termstats scans + the scalar
     statistics (one collected row — contract-small)."""
 
-    postings: DataFrame  # tb, t, doc_id, tf
-    doclen: DataFrame  # doc_id, dl
+    postings: DataFrame  # tb, t, doc_id, tf, dl, pos, off
+    doclen: DataFrame  # doc_id, dl, toff, tlen
     termstats: DataFrame  # tb, t, df, cg
     n_docs: float
     avgdl: float
@@ -117,6 +124,42 @@ def tokenize_pos(
     )
 
 
+def tokenize_pos_off(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``tokenize_pos`` plus each token's START char offset into
+    ``lower(text)`` (0-based).  The raw single-space split is position-
+    exact by construction: token ``i``'s offset is the prefix sum of
+    ``len + 1`` over the UNFILTERED tokens before it (empty tokens are
+    zero-length but still consume their separator), computed as one
+    per-doc window prefix sum — the same doc-keyed exchange the postings
+    group-by needs anyway.  ``p`` keeps the FILTERED-sequence semantics
+    of ``tokenize_pos`` (row_number over surviving tokens in raw order),
+    so downstream ``pos`` arrays are bit-identical to the v3 build."""
+    from pyspark.sql import Window
+
+    raw = docs.select(
+        id_col,
+        F.posexplode(F.split(F.lower(text_col), " ")).alias("pr", "t"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pr")
+    raw = raw.withColumn(
+        "off",
+        F.coalesce(
+            F.sum(F.length("t") + 1).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("int"),
+    )
+    return raw.filter(F.col("t") != "").select(
+        id_col,
+        (F.row_number().over(w) - 1).alias("p"),
+        "t",
+        "off",
+    )
+
+
 def _delta_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, t, tf, dl, tb) posting rows for a document frame — the
     grouped/denormalized form both the full build and the incremental
@@ -128,14 +171,22 @@ def _delta_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     from pyspark.sql import Window
 
     grouped = (
-        tokenize_pos(docs, id_col, text_col)
+        tokenize_pos_off(docs, id_col, text_col)
         .groupBy("doc_id", "t")
         .agg(
             F.count(F.lit(1)).cast("double").alias("tf"),
-            # sorted token positions per posting (Lucene's positions list)
-            # — what phrase/proximity queries intersect; BM25 consumers
-            # never read the column (parquet column pruning)
-            F.sort_array(F.collect_list("p")).alias("pos"),
+            # sorted (position, offset) pairs per posting — pos is Lucene's
+            # positions list (what phrase/proximity queries intersect), off
+            # the aligned start-char offsets (v4); BM25 consumers read
+            # neither (parquet column pruning)
+            F.sort_array(F.collect_list(F.struct("p", "off"))).alias("po"),
+        )
+        .select(
+            "doc_id",
+            "t",
+            "tf",
+            F.transform("po", lambda x: x["p"]).alias("pos"),
+            F.transform("po", lambda x: x["off"]).alias("off"),
         )
     )
     return grouped.withColumn(
@@ -155,7 +206,32 @@ def _rewrite_derived(
     # rows emit NO files and the read-back cannot infer a schema — force
     # one schema-only file per derived dataset instead
     empty = len(persisted.take(1)) == 0
-    doclen = persisted.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # doclen (v4) also carries the per-doc token start-offset/length
+    # arrays for substr-based snippet cutting: explode each posting's
+    # aligned (pos, off) pairs — occurrence-sized, i.e. the same Σtf data
+    # volume the postings scan itself reads, never a corpus re-tokenize —
+    # and reassemble them in token order.  dl = occurrence count ≡ Σtf.
+    occ = persisted.select(
+        "doc_id",
+        F.length("t").alias("l"),
+        F.explode(F.arrays_zip("pos", "off")).alias("z"),
+    )
+    doclen = (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("dl"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("z.pos").alias("p"),
+                                        F.col("z.off").alias("o"), "l"))
+            ).alias("po"),
+        )
+        .select(
+            "doc_id",
+            "dl",
+            F.transform("po", lambda x: x["o"]).alias("toff"),
+            F.transform("po", lambda x: x["l"]).alias("tlen"),
+        )
+    )
     if empty:
         doclen = doclen.repartition(1)
     doclen.write.mode("overwrite").parquet(f"{path}/doclen")

@@ -325,3 +325,82 @@ def test_proximity_match_within_slop(spark, sf_dir, tmp_path):
         proximity_match_from_index(spark, idx, ["spark"])
     with pytest.raises(ValueError, match="slop"):
         proximity_match_from_index(spark, idx, ["spark", "hash"], slop=-1)
+
+
+def test_postings_offsets_substr_roundtrip(spark, tmp_path):
+    """Index v4 offsets contract: for every posting occurrence,
+    substr(lower(text), off+1, len(t)) recovers the token exactly —
+    including under runs of separators, leading/trailing spaces, and
+    repeated terms (offsets are into the single-space raw split, where
+    empty tokens are zero-length but still consume their separator)."""
+    from covid19_spark.sources.index import (
+        build_inverted_index_from, read_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark   hash  spark"),
+            (2, " leading and trailing "),
+            (3, "tabs\tstay inside tokens"),
+            (4, ""),
+            (5, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "offidx")
+    build_inverted_index_from(docs, path)
+    idx = read_inverted_index(spark, path)
+    cut = (
+        idx.postings.select("doc_id", "t", F.explode("off").alias("o"))
+        .join(docs, "doc_id")
+        .select(
+            "t",
+            F.lower("text").substr(F.col("o") + 1, F.length("t")).alias("cut"),
+        )
+    )
+    assert cut.filter(F.col("cut") != F.col("t")).count() == 0
+    assert cut.count() == 10  # every occurrence checked, not a vacuous pass
+    # doclen's per-doc arrays align with the filtered token sequence
+    row = {r.doc_id: r for r in idx.doclen.collect()}
+    assert row[1].toff == [0, 8, 14] and row[1].tlen == [5, 4, 5]
+    assert row[2].toff == [1, 9, 13] and row[2].tlen == [7, 3, 8]
+    assert 4 not in row  # zero-token doc: no doclen row (pre-v4 contract)
+
+
+def test_snippet_offsets_path_equals_retokenize(spark, tmp_path):
+    """VERDICT r13 task #4 'done' pin: the offset-served snippet cut is
+    bit-identical to the v3 re-tokenize path on a separator-hostile
+    corpus (multi-space runs collapse to array_join's single spaces in
+    BOTH paths because extraction is token-wise, never start-to-end)."""
+    from covid19_spark.operators.retrieval import snippet_windows_from_index
+    from covid19_spark.sources.index import (
+        build_inverted_index_from, read_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Spark   hash JOIN  shuffle exchange partition spark hash"),
+            (2, "window  row frame hash"),
+            (3, " leading space  and    multi   spaces hash spark "),
+            (4, "no query terms at all"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "snipidx")
+    build_inverted_index_from(docs, path)
+    idx = read_inverted_index(spark, path)
+    for width in (2, 4, 50):
+        on = sorted(
+            map(tuple, snippet_windows_from_index(
+                spark, idx, docs, ["hash", "spark"], k=4, width=width,
+                use_offsets=True,
+            ).collect())
+        )
+        off = sorted(
+            map(tuple, snippet_windows_from_index(
+                spark, idx, docs, ["hash", "spark"], k=4, width=width,
+                use_offsets=False,
+            ).collect())
+        )
+        assert on == off, width
+        assert on  # non-vacuous
