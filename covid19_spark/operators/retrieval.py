@@ -87,6 +87,93 @@ def bm25_scores_from_index(
     )
 
 
+def bm25f_scores_from_index(
+    spark,
+    index,
+    terms: Sequence[str],
+    weights: dict,
+    k1: float = 1.2,
+    b=0.75,
+) -> DataFrame:
+    """BM25F (doc_id, score) for a term set served from a persisted
+    FIELDED index (``sources/index.FieldedIndex``) — the weighted
+    multi-field extension of Robertson, Zaragoza & Taylor (CIKM 2004,
+    "Simple BM25 extension to multiple weighted fields"), the Lucene
+    multi-field query shape: per-field term frequencies are
+    length-normalized with THEIR field's b and avgdl, combined as the
+    weighted sum ``tfc = Σ_f w_f · tf_f / (1 − b_f + b_f·dl_f/avgdl_f)``,
+    then saturated ONCE per (term, doc):
+    ``score = Σ_t idf(t) · tfc·(k1+1) / (k1 + tfc)``.
+
+    ``weights``: field → weight (fields absent from the dict score 0 and
+    are pruned from the scan).  ``b``: one float for every field or a
+    per-field dict.  idf uses the document frequency over ANY field
+    (count of distinct docs containing the term — the combined frame's
+    window count), with the main index's (N − df + 0.5)/(df + 0.5) + 1
+    shape.  Degenerate equivalences pinned by test: ONE field covering
+    the whole text ≡ plain BM25, and any field PARTITION of the token
+    stream with equal weights at b=0 ≡ plain BM25 at b=0 (length
+    normalization is the only thing fields change when weights are
+    flat).
+
+    Scale shape: the main index's one-scan discipline — a single
+    term-bucket-pruned fpostings scan (static ``tb IN``/``t IN`` +
+    ``field IN`` filters), per-field normalization as a when-chain over
+    the few static fields (JVM expressions, no stats join), DEC-summed
+    combine and total so the shuffle's order cannot move the hash."""
+    from covid19_spark.sources.index import literal_term_buckets
+
+    terms = list(dict.fromkeys(terms))
+    fields = list(weights)
+    if not fields:
+        raise ValueError("bm25f needs at least one weighted field")
+    b_of = dict(b) if isinstance(b, dict) else {f: float(b) for f in fields}
+    missing = [f for f in fields if f not in index.avgdl]
+    if missing:
+        raise ValueError(f"fields absent from the index: {missing}")
+    buckets = literal_term_buckets(spark, terms)
+    pruned = index.postings.filter(
+        F.col("tb").isin(buckets)
+        & F.col("t").isin(terms)
+        & F.col("field").isin(fields)
+    ).select("t", "field", "doc_id", "tf", "dl")
+
+    def chain(mapping):
+        expr = F.lit(None).cast("double")
+        for f in fields:
+            expr = F.when(F.col("field") == f, F.lit(float(mapping[f]))).otherwise(expr)
+        return expr
+
+    avgdl = chain({f: index.avgdl[f] for f in fields})
+    bb = chain(b_of)
+    wgt = chain({f: float(weights[f]) for f in fields})
+    tfn = F.col("tf") / (F.lit(1.0) - bb + bb * F.col("dl") / avgdl)
+    combined = (
+        pruned.select("t", "doc_id", (wgt * tfn).alias("wtfn"))
+        .groupBy("t", "doc_id")
+        .agg(
+            F.sum(F.col("wtfn").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("tfc")
+        )
+    )
+    combined = combined.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("t")).cast("double")
+    )
+    idf = F.log(
+        (F.lit(index.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    per_term = combined.select(
+        "doc_id",
+        (idf * F.col("tfc") * (k1 + 1) / (F.col("tfc") + k1)).alias("s"),
+    )
+    return per_term.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("s").cast("decimal(38,18)")).cast("double"), 6
+        ).alias("score")
+    )
+
+
 def phrase_match_from_index(
     spark,
     index,
@@ -144,6 +231,7 @@ def bm25_topk_multi(
     b: float = 0.75,
     query_id_col: str = "query_id",
     terms_col: str = "terms",
+    include_empty: bool = False,
 ) -> DataFrame:
     """BM25 top-k for a BATCH of queries from the persisted inverted
     index — one pruned postings scan answers every query at once.
@@ -151,6 +239,15 @@ def bm25_topk_multi(
     (query_id, doc_id, rank, score), rank 1-based per query
     (score desc, doc_id asc — fully tiebroken), rows with rank > k
     dropped.
+
+    Absent-query contract (ADVICE r13): by default a query whose terms
+    match NO postings contributes no output rows at all — zero-hit and
+    never-asked are indistinguishable downstream.  ``include_empty=True``
+    anti-joins the query frame back and emits ONE marker row per
+    hitless query (query_id, doc_id=NULL, rank=NULL, score=NULL), so a
+    consumer can assert every asked query was answered;
+    ``make_bm25_query_sink`` turns this on — a stream's results log must
+    distinguish 'answered with zero hits' from 'query lost'.
 
     Plan shape: the batch's DISTINCT terms prune the postings ONCE
     (broadcast (tb, t) join via ``postings_for_terms``); df and the
@@ -200,11 +297,32 @@ def bm25_topk_multi(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
-    return (
+    out = (
         scores.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "doc_id", "rank", "score")
     )
+    if include_empty:
+        # one NULL-marker row per query that matched nothing: batch-sized
+        # anti-join (the scored side is the broadcast — ≤ |batch| distinct
+        # query ids survive the top-k)
+        hitless = (
+            qt.select(query_id_col)
+            .distinct()
+            .join(
+                F.broadcast(out.select(query_id_col).distinct()),
+                query_id_col,
+                "left_anti",
+            )
+            .select(
+                query_id_col,
+                F.lit(None).cast(dict(out.dtypes)["doc_id"]).alias("doc_id"),
+                F.lit(None).cast("int").alias("rank"),
+                F.lit(None).cast("double").alias("score"),
+            )
+        )
+        out = out.unionByName(hitless)
+    return out
 
 
 def make_bm25_query_sink(
@@ -225,7 +343,12 @@ def make_bm25_query_sink(
     batch ON PURPOSE — scalars are a one-row read, and a fresh postings
     scan is what makes documents ingested by ``make_index_ingest_sink``
     between batches immediately searchable; an index opened once outside
-    the loop would pin the first batch's file listing."""
+    the loop would pin the first batch's file listing.
+
+    Every query in the batch appears in the results log: hitless queries
+    land as a NULL-marker row (``include_empty=True`` — ADVICE r13: a
+    consumer must be able to distinguish 'answered with zero hits' from
+    'query lost')."""
     from covid19_spark.sources.index import read_inverted_index
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -237,6 +360,7 @@ def make_bm25_query_sink(
             bm25_topk_multi(
                 spark, idx, batch_df, k=k, k1=k1, b=b,
                 query_id_col=query_id_col, terms_col=terms_col,
+                include_empty=True,
             )
             .withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("append").parquet(results_path)

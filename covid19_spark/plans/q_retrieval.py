@@ -1091,3 +1091,122 @@ QUERY_REGISTRY["search_snippets"] = QuerySpec(
     ORACLE_SEARCH_SNIPPETS,
     "hit-highlighting snippet windows for the BM25 top-k (index positions + top-k-sized text cut)",
 )
+
+
+_BM25F_TERMS = ("spark", "hash", "join")
+_BM25F_TITLE_LEN = 8
+_BM25F_WEIGHTS = {"title": 2.5, "body": 1.0}
+
+
+def bm25f_fields():
+    """The derived title/body field split shared by the query and its
+    tests: title = first 8 filtered tokens, body = the rest (the corpus
+    has one text column; a real deployment passes its actual columns).
+    Joining the token slices with single spaces makes re-tokenizing the
+    field text recover exactly those tokens — the DuckDB twin slices the
+    same filtered list."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda t: t != ""
+    )
+    return {
+        "title": F.array_join(F.slice(toks, 1, _BM25F_TITLE_LEN), " "),
+        "body": F.array_join(
+            F.slice(
+                toks,
+                _BM25F_TITLE_LEN + 1,
+                F.greatest(F.size(toks) - _BM25F_TITLE_LEN, F.lit(0)),
+            ),
+            " ",
+        ),
+    }
+
+
+def q_bm25f_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F fielded ranking (Robertson, Zaragoza & Taylor, CIKM 2004)
+    served from the persisted FIELDED index
+    (`sources/index.ensure_fielded_index` — per-field postings, one
+    additional field column, field-length norms): title hits weighted
+    2.5x body hits, per-field length normalization, one saturation per
+    (term, doc).  The serve is the main index's single statically-pruned
+    scan (`operators/retrieval.bm25f_scores_from_index`); top-20 via
+    two-stage top_k.  Degenerate-equivalence properties (one whole-text
+    field ≡ plain BM25; equal weights at b=0 ≡ plain BM25 at b=0) are
+    pinned in tests/test_retrieval.py."""
+    from covid19_spark.operators.retrieval import bm25f_scores_from_index
+    from covid19_spark.sources.index import ensure_fielded_index
+
+    idx = ensure_fielded_index(
+        spark, sf_dir, bm25f_fields(),
+        fields_sig=f"title{_BM25F_TITLE_LEN}_body:v1",
+    )
+    scored = bm25f_scores_from_index(
+        spark, idx, list(_BM25F_TERMS), weights=_BM25F_WEIGHTS
+    )
+    ranked = top_k(scored, "score", 20, tiebreak_cols=["doc_id"])
+    return ranked.select(
+        "doc_id", "score", F.col("rank").cast("long").alias("rank")
+    ).orderBy("rank")
+
+
+ORACLE_BM25F_RANKING = """
+WITH wf AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+  FROM documents
+),
+ft AS MATERIALIZED (
+  SELECT doc_id, 'title' AS field, u.x AS t
+  FROM wf, unnest(list_slice(w, 1, 8)) AS u(x)
+  UNION ALL
+  SELECT doc_id, 'body' AS field, u.x AS t
+  FROM wf, unnest(list_slice(w, 9, len(w))) AS u(x)
+),
+tf AS (
+  SELECT doc_id, field, t, CAST(count(*) AS DOUBLE) AS tf
+  FROM ft WHERE t IN ('spark', 'hash', 'join')
+  GROUP BY doc_id, field, t
+),
+dl AS (
+  SELECT doc_id, field, CAST(count(*) AS DOUBLE) AS dl
+  FROM ft GROUP BY doc_id, field
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+avgf AS (
+  SELECT field, CAST(sum(dl) AS DOUBLE) / (SELECT n FROM n) AS avgdl
+  FROM dl GROUP BY field
+),
+rows_ AS (
+  SELECT tf.doc_id, tf.t,
+         (CASE tf.field WHEN 'title' THEN 2.5 ELSE 1.0 END)
+         * (tf.tf / (1 - 0.75 + 0.75 * dl.dl / avgf.avgdl)) AS wtfn
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id AND tf.field = dl.field
+  JOIN avgf ON tf.field = avgf.field
+),
+comb AS (
+  SELECT doc_id, t,
+         CAST(sum(CAST(wtfn AS DECIMAL(38,18))) AS DOUBLE) AS tfc
+  FROM rows_ GROUP BY doc_id, t
+),
+dfq AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM comb GROUP BY t),
+scored AS (
+  SELECT comb.doc_id,
+         round(CAST(sum(CAST(
+           ln((n.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+           * comb.tfc * (1.2 + 1) / (comb.tfc + 1.2)
+         AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+  FROM comb JOIN dfq USING (t) CROSS JOIN n
+  GROUP BY comb.doc_id
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 20
+ORDER BY rank
+"""
+
+QUERY_REGISTRY["bm25f_ranking"] = QuerySpec(
+    q_bm25f_ranking,
+    ORACLE_BM25F_RANKING,
+    "BM25F weighted multi-field ranking from the persisted fielded index (title 2.5x body)",
+)

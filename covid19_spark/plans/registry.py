@@ -117,23 +117,24 @@ def load_correctness_artifacts() -> dict[int, set[str]]:
 # a missed verification (the r05 stale-hand-list failure mode was the
 # opposite: fresh work parked forever).
 _CHANGED_IN_ROUND: dict[str, int] = {
-    # (r12 entries dropped: every one re-verified green in CORRECTNESS_r12.)
-    # r13: mg_stream_replay present_ok fix (independent per-shard counts —
-    # the ADVICE r12 high item, reproduced failing at sf0.1 pre-fix)
-    "mg_stream_replay": 13,
-    # r13: LPA rounds folded into one deterministic-mode aggregation
-    "lpa_communities": 13,
-    # r13: SemDeDup pair now clusters via the shared fingerprint-cached
-    # assignment (values pinned identical locally; driver re-proves)
-    "semantic_dedup": 13,
-    "semantic_dedup_paper_policy": 13,
-    # r13: replay scratch paths moved to per-process dirs; PRF term frame
-    # now deduped before the postings join
-    "bm25_incremental_index": 13,
-    "ivm_stream_replay": 13,
-    "prf_expanded_bm25": 13,
-    # r13: verdicts lineage cut (the duplicated 63k-char codegen subtree)
-    "frontier_policy_pipeline": 13,
+    # (r13 entries dropped: every one re-verified green in CORRECTNESS_r13.)
+    # r14: index v4 — postings gain the aligned `off` char-offset arrays,
+    # doclen gains per-doc toff/tlen; every query serving from the
+    # rebuilt store re-fronts (values provably unchanged locally — the
+    # driver re-proves), and search_snippets' PLAN changed outright
+    # (offset-served cut + collected-winner static doc_id pruning).
+    "search_snippets": 14,
+    "bm25_topk": 14,
+    "frequent_terms": 14,
+    "prf_expanded_bm25": 14,
+    "hybrid_rrf_topk": 14,
+    "inverted_index_stats": 14,
+    "bm25_incremental_index": 14,
+    "phrase_match": 14,
+    "proximity_match": 14,
+    "bm25_multi_query": 14,
+    "sdm_ranking": 14,
+    # (bm25f_ranking is new in r14: never-verified rank already leads.)
 }
 
 

@@ -228,7 +228,14 @@ def test_bm25_query_sink_serves_stream_and_sees_ingest(spark, tmp_path):
     try:
         stream.processAllAvailable()
         r1 = spark.read.parquet(results).collect()
-        assert {r.query_id for r in r1} == {10}  # "eviction" unknown yet
+        # EVERY asked query appears (ADVICE r13): "eviction" is unknown
+        # yet, so query 11 lands as the NULL marker row — answered with
+        # zero hits, not lost
+        assert {r.query_id for r in r1} == {10, 11}
+        markers = [r for r in r1 if r.query_id == 11]
+        assert len(markers) == 1 and markers[0].doc_id is None
+        assert markers[0].rank is None and markers[0].score is None
+        assert all(r.doc_id is not None for r in r1 if r.query_id == 10)
         # ingest a new doc between batches, then re-ask for "eviction"
         append_inverted_index(
             spark.createDataFrame(
@@ -346,3 +353,161 @@ def test_bm25_term_frame_join_equals_literal_filter(spark, tmp_path):
         ).collect()
     }
     assert via_frame == via_literal
+
+
+# --- BM25F (fielded retrieval) ------------------------------------------
+
+
+def _bm25f_env(spark, tmp_path):
+    from covid19_spark.sources.index import (
+        build_fielded_index_from,
+        build_inverted_index_from,
+        read_fielded_index,
+        read_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark hash", "join scan exchange shuffle partition"),
+            (2, "window frame", "spark spark hash join row"),
+            (3, "hash join", "hash table probe build side"),
+            (4, "plain text", "nothing relevant here at all"),
+            (5, "spark", ""),
+        ],
+        "doc_id long, title string, body string",
+    )
+    docs = docs.withColumn(
+        "text",
+        F.concat_ws(" ", "title", "body"),
+    )
+    fpath = str(tmp_path / "fidx")
+    build_fielded_index_from(
+        docs, fpath, {"title": F.col("title"), "body": F.col("body")}
+    )
+    upath = str(tmp_path / "uidx")
+    build_inverted_index_from(docs, upath)
+    wpath = str(tmp_path / "widx")  # whole text as ONE field
+    build_fielded_index_from(docs, wpath, {"all": F.col("text")})
+    return (
+        docs,
+        read_fielded_index(spark, fpath),
+        read_inverted_index(spark, upath),
+        read_fielded_index(spark, wpath),
+    )
+
+
+def test_bm25f_single_field_equals_plain_bm25(spark, tmp_path):
+    """Degenerate pin: ONE field covering the whole text at weight 1 is
+    plain BM25 (the (k1+1) numerator is kept for exactly this) — scores
+    agree to relative 1e-9 (the two forms differ only in IEEE division
+    order) and rankings agree exactly."""
+    from covid19_spark.operators.retrieval import (
+        bm25_scores_from_index, bm25f_scores_from_index,
+    )
+
+    docs, _, uidx, widx = _bm25f_env(spark, tmp_path)
+    terms = ["spark", "hash", "join"]
+    plain = {
+        r.doc_id: r.score
+        for r in bm25_scores_from_index(spark, uidx, terms).collect()
+    }
+    fielded = {
+        r.doc_id: r.score
+        for r in bm25f_scores_from_index(
+            spark, widx, terms, weights={"all": 1.0}
+        ).collect()
+    }
+    assert set(plain) == set(fielded)
+    for d in plain:
+        assert fielded[d] == pytest.approx(plain[d], rel=1e-9), d
+
+
+def test_bm25f_flat_weights_b0_equals_plain_b0(spark, tmp_path):
+    """With b=0 (no length normalization) a field PARTITION of the token
+    stream at equal weights must reproduce plain BM25 at b=0: tfc
+    degenerates to Σ_f tf_f = tf."""
+    from covid19_spark.operators.retrieval import (
+        bm25_scores_from_index, bm25f_scores_from_index,
+    )
+
+    docs, fidx, uidx, _ = _bm25f_env(spark, tmp_path)
+    terms = ["spark", "hash", "join"]
+    plain = {
+        r.doc_id: r.score
+        for r in bm25_scores_from_index(spark, uidx, terms, b=0.0).collect()
+    }
+    fielded = {
+        r.doc_id: r.score
+        for r in bm25f_scores_from_index(
+            spark, fidx, terms, weights={"title": 1.0, "body": 1.0}, b=0.0
+        ).collect()
+    }
+    assert set(plain) == set(fielded)
+    for d in plain:
+        assert fielded[d] == pytest.approx(plain[d], rel=1e-9), d
+
+
+def test_bm25f_title_weight_promotes_title_hits(spark, tmp_path):
+    """The point of the field weights: docs hitting in the (short,
+    upweighted) title outrank body-only hitters as the title weight
+    grows; per-field length normalization means a title hit already
+    counts more than a hit buried in a long body at equal weights."""
+    from covid19_spark.operators.retrieval import bm25f_scores_from_index
+
+    docs, fidx, _, _ = _bm25f_env(spark, tmp_path)
+    hi = {
+        r.doc_id: r.score
+        for r in bm25f_scores_from_index(
+            spark, fidx, ["spark"], weights={"title": 5.0, "body": 1.0}
+        ).collect()
+    }
+    # doc 5: 'spark' is its ENTIRE title; doc 2: 'spark' twice, body only
+    assert hi[5] > hi[2]
+    lo = {
+        r.doc_id: r.score
+        for r in bm25f_scores_from_index(
+            spark, fidx, ["spark"], weights={"title": 0.0, "body": 1.0}
+        ).collect()
+    }
+    # title-only hitters vanish when the title weight is zero
+    assert lo[2] > 0 and lo.get(5, 0.0) == 0.0
+
+
+def test_bm25f_guards(spark, tmp_path):
+    from covid19_spark.operators.retrieval import bm25f_scores_from_index
+
+    _, fidx, _, _ = _bm25f_env(spark, tmp_path)
+    with pytest.raises(ValueError, match="at least one"):
+        bm25f_scores_from_index(spark, fidx, ["spark"], weights={})
+    with pytest.raises(ValueError, match="absent from the index"):
+        bm25f_scores_from_index(
+            spark, fidx, ["spark"], weights={"headline": 1.0}
+        )
+
+
+def test_bm25_topk_multi_include_empty_markers(spark, tmp_path):
+    """Absent-query contract (ADVICE r13): default drops hitless queries;
+    include_empty=True emits exactly one NULL marker row each, and
+    hit-bearing queries' rows are unchanged either way."""
+    from covid19_spark.operators.retrieval import bm25_topk_multi
+    from covid19_spark.sources.index import read_inverted_index
+
+    idx_path, _ = _mk_index(spark, tmp_path)
+    idx = read_inverted_index(spark, idx_path)
+    queries = spark.createDataFrame(
+        [(1, ["spark"]), (2, ["zzz_nothing"]), (3, ["also_absent"])],
+        "query_id long, terms array<string>",
+    )
+    dropped = bm25_topk_multi(spark, idx, queries, k=3).collect()
+    assert {r.query_id for r in dropped} == {1}
+    kept = bm25_topk_multi(
+        spark, idx, queries, k=3, include_empty=True
+    ).collect()
+    assert {r.query_id for r in kept} == {1, 2, 3}
+    markers = sorted(
+        (r.query_id,) for r in kept if r.doc_id is None
+    )
+    assert markers == [(2,), (3,)]
+    assert sorted(
+        (r.query_id, r.rank, r.doc_id, r.score) for r in kept if r.doc_id is not None
+    ) == sorted((r.query_id, r.rank, r.doc_id, r.score) for r in dropped)
