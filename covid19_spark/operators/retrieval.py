@@ -87,6 +87,104 @@ def bm25_scores_from_index(
     )
 
 
+def lm_dirichlet_scores_from_index(
+    spark,
+    index,
+    terms: Sequence[str],
+    mu: float = 2000.0,
+) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing (Zhai &
+    Lafferty, SIGIR 2001 — Lucene's ``LMDirichletSimilarity``) served
+    from the persisted inverted index:
+
+        score(q, d) = Σ_{t ∈ q∩C} log(1 + tf(t,d) / (μ·p(t|C)))
+                      + |q| · log(μ / (dl + μ))
+
+    with ``p(t|C) = cg(t) / total_tokens`` (collection statistics the
+    index's ``termstats``/``scalars`` already store).  Conventions, both
+    replayed by the oracle: query terms absent from the collection
+    contribute nothing to the sum (p(t|C)=0 has no finite smoothed
+    value), and ``|q|`` is the count of DISTINCT query terms — a literal,
+    so an out-of-vocabulary term shifts every candidate by the same
+    constant and never reorders.  Candidates are docs matching ≥1 query
+    term (the matched-postings frame itself).
+
+    Scale shape: the BM25 discipline — one term-bucket-pruned postings
+    scan (dl denormalized, so no doclen join), one ≤|terms|-row broadcast
+    from the equally-pruned termstats for cg, DEC-summed per-doc total.
+    Determinism: each per-term contribution is a fixed expression of
+    exact integral tf/cg/total, the sum is DECIMAL(38,18), and the
+    length correction is one expression appended after the aggregate —
+    round(6) last."""
+    from covid19_spark.sources.index import (
+        literal_term_buckets, postings_for_terms,
+    )
+
+    terms = list(dict.fromkeys(terms))
+    if mu <= 0:
+        raise ValueError(f"mu must be positive, got {mu}")
+    if not index.total_tokens:
+        raise ValueError(
+            "index carries no total_tokens scalar (pre-v4 build?)"
+        )
+    tf = postings_for_terms(spark, index, terms)
+    buckets = literal_term_buckets(spark, terms)
+    cg = index.termstats.filter(
+        F.col("tb").isin(buckets) & F.col("t").isin(terms)
+    ).select("t", "cg")
+    nq = float(len(terms))
+    # μ·p(t|C) — exact integral cg over exact integral total, one IEEE
+    # division then one multiply, identical order in the oracle
+    mu_pc = F.lit(float(mu)) * (
+        F.col("cg").cast("double") / F.lit(index.total_tokens)
+    )
+    per_term = tf.join(F.broadcast(cg), "t").select(
+        "doc_id",
+        "dl",
+        F.log(F.lit(1.0) + F.col("tf") / mu_pc).alias("s"),
+    )
+    return per_term.groupBy("doc_id").agg(
+        F.round(
+            (
+                F.sum(F.col("s").cast("decimal(38,18)")).cast("double")
+                + F.lit(nq)
+                * F.log(F.lit(float(mu)) / (F.max("dl") + F.lit(float(mu))))
+            ),
+            6,
+        ).alias("score")
+    )
+
+
+def prefix_expand_terms(
+    spark,
+    index,
+    prefix: str,
+    max_expansions: int = 10,
+) -> DataFrame:
+    """Prefix-query term expansion (Lucene ``PrefixQuery`` with the
+    blended-rewrite cap): every indexed term starting with ``prefix``,
+    capped at the ``max_expansions`` highest-df terms (ties → term asc —
+    fully deterministic, unlike Lucene's seg-order tiebreak).  Returns a
+    one-column frame ``t`` for the data-dependent BM25 path
+    (``bm25_scores_from_index`` broadcasts it onto the postings scan).
+
+    Scale honesty: a PREFIX cannot prune hash buckets (xxhash scatters
+    lexicographic neighbors by design), so the expansion scans
+    ``termstats`` — VOCABULARY-sized, not corpus-sized (the reason the
+    stats dataset exists separately from postings; Lucene walks its term
+    dictionary the same way).  The cap is a two-stage top-k, so the
+    driver never sees more than ``max_expansions`` terms anywhere."""
+    from covid19_spark.operators.series import top_k
+
+    if not prefix:
+        raise ValueError("empty prefix would expand the whole vocabulary")
+    matched = index.termstats.filter(
+        F.col("t").startswith(prefix)
+    ).select("t", "df")
+    capped = top_k(matched, "df", max_expansions, tiebreak_cols=["t"])
+    return capped.select("t")
+
+
 def bm25f_scores_from_index(
     spark,
     index,

@@ -1210,3 +1210,141 @@ QUERY_REGISTRY["bm25f_ranking"] = QuerySpec(
     ORACLE_BM25F_RANKING,
     "BM25F weighted multi-field ranking from the persisted fielded index (title 2.5x body)",
 )
+
+
+_LMD_TERMS = ("spark", "hash", "join")
+_LMD_MU = 2000.0
+
+
+def q_lm_dirichlet_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query-likelihood ranking (Zhai & Lafferty SIGIR 2001,
+    Lucene LMDirichletSimilarity) from the persisted index
+    (`operators/retrieval.lm_dirichlet_scores_from_index`): the
+    collection language model p(t|C) comes from the index's cg/total
+    scalars, candidates and tf/dl from one term-bucket-pruned postings
+    scan, cg from an equally-pruned <=|q|-row termstats broadcast.
+    Top-20; both the per-term log expression and the |q|-scaled length
+    correction are replayed verbatim by the oracle."""
+    from covid19_spark.operators.retrieval import (
+        lm_dirichlet_scores_from_index,
+    )
+    from covid19_spark.sources.index import ensure_inverted_index
+
+    idx = ensure_inverted_index(spark, sf_dir)
+    scored = lm_dirichlet_scores_from_index(
+        spark, idx, list(_LMD_TERMS), mu=_LMD_MU
+    )
+    ranked = top_k(scored, "score", 20, tiebreak_cols=["doc_id"])
+    return ranked.select(
+        "doc_id", "score", F.col("rank").cast("long").alias("rank")
+    ).orderBy("rank")
+
+
+ORACLE_LM_DIRICHLET_RANKING = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, u.x AS t
+  FROM documents,
+       unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS u(x)
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+total AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
+tf AS (
+  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE t IN ('spark', 'hash', 'join')
+  GROUP BY doc_id, t
+),
+cg AS (
+  SELECT t, CAST(count(*) AS DOUBLE) AS cg
+  FROM toks WHERE t IN ('spark', 'hash', 'join')
+  GROUP BY t
+),
+scored AS (
+  SELECT tf.doc_id,
+         round(
+           CAST(sum(CAST(
+             ln(1.0 + tf.tf / (2000.0 * (cg.cg / total.total)))
+           AS DECIMAL(38,18))) AS DOUBLE)
+           + 3.0 * ln(2000.0 / (dl.dl + 2000.0)),
+         6) AS score
+  FROM tf
+  JOIN cg USING (t)
+  JOIN dl USING (doc_id)
+  CROSS JOIN total
+  GROUP BY tf.doc_id, dl.dl
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 20
+ORDER BY rank
+"""
+
+QUERY_REGISTRY["lm_dirichlet_ranking"] = QuerySpec(
+    q_lm_dirichlet_ranking,
+    ORACLE_LM_DIRICHLET_RANKING,
+    "Dirichlet-smoothed query-likelihood ranking from the index's collection statistics",
+)
+
+
+_PREFIX = "s"
+_PREFIX_CAP = 8
+
+
+def q_prefix_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-query retrieval (Lucene PrefixQuery with the capped
+    blended rewrite): expand the prefix against the index's termstats —
+    a VOCABULARY-sized scan, the honest cost of a prefix over hash
+    buckets (Lucene walks its term dictionary the same way) — cap at the
+    8 highest-df terms (df desc, term asc — fully tiebroken), then BM25
+    via the data-dependent term-frame path (broadcast (tb, t) join onto
+    the postings scan, runtime bucket pruning).  Top-20."""
+    from covid19_spark.operators.retrieval import (
+        bm25_scores_from_index, prefix_expand_terms,
+    )
+    from covid19_spark.sources.index import ensure_inverted_index
+
+    idx = ensure_inverted_index(spark, sf_dir)
+    expansion = prefix_expand_terms(
+        spark, idx, _PREFIX, max_expansions=_PREFIX_CAP
+    )
+    scored = bm25_scores_from_index(spark, idx, expansion)
+    ranked = top_k(scored, "score", 20, tiebreak_cols=["doc_id"])
+    return ranked.select(
+        "doc_id", "score", F.col("rank").cast("long").alias("rank")
+    ).orderBy("rank")
+
+
+ORACLE_PREFIX_BM25 = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, u.x AS t
+  FROM documents,
+       unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS u(x)
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+expanded AS (
+  SELECT t FROM (
+    SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df,
+           row_number() OVER (
+             ORDER BY CAST(count(DISTINCT doc_id) AS DOUBLE) DESC, t ASC
+           ) AS rn
+    FROM toks WHERE t LIKE 's%'
+    GROUP BY t
+  ) WHERE rn <= 8
+),
+s AS ({_BM25_SQL_FOR_TERMS.format(terms="expanded")})
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM s
+) WHERE rank <= 20
+ORDER BY rank
+"""
+
+QUERY_REGISTRY["prefix_bm25"] = QuerySpec(
+    q_prefix_bm25,
+    ORACLE_PREFIX_BM25,
+    "prefix-query BM25: capped highest-df term expansion from termstats, data-dependent term-frame serve",
+)

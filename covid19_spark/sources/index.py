@@ -82,6 +82,10 @@ class InvertedIndex(NamedTuple):
     n_docs: float
     avgdl: float
     n_buckets: int
+    # Σ over the collection of every term's occurrence count — the |C| of
+    # language-model smoothing (p(t|C) = cg/total_tokens). Defaulted so
+    # hand-built tuples predating r14 stay valid.
+    total_tokens: float = 0.0
 
 
 def term_bucket(col) -> F.Column:
@@ -496,6 +500,7 @@ def read_inverted_index(spark: SparkSession, path: str) -> InvertedIndex:
         n_docs=float(row["n"]),
         avgdl=float(row["avgdl"]),
         n_buckets=int(row["n_buckets"]),
+        total_tokens=float(row["total_tokens"]),
     )
 
 

@@ -511,3 +511,103 @@ def test_bm25_topk_multi_include_empty_markers(spark, tmp_path):
     assert sorted(
         (r.query_id, r.rank, r.doc_id, r.score) for r in kept if r.doc_id is not None
     ) == sorted((r.query_id, r.rank, r.doc_id, r.score) for r in dropped)
+
+
+# --- LM Dirichlet + prefix queries --------------------------------------
+
+
+def _mk_lmd_index(spark, tmp_path):
+    import os
+
+    from covid19_spark.sources.index import build_inverted_index, read_inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], "doc_id long, text string"
+    )
+    sf_dir = str(tmp_path / "lmdsf")
+    os.makedirs(sf_dir, exist_ok=True)
+    docs.toPandas().to_parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "lmdidx")
+    build_inverted_index(spark, sf_dir, path)
+    return read_inverted_index(spark, path)
+
+
+def test_lm_dirichlet_hand_case(spark, tmp_path):
+    """Zhai-Lafferty hand computation: corpus {1: 'a b a', 2: 'b c'},
+    total=5, cg(a)=2, cg(c)=1; query ['a','c'], mu=2:
+    doc1 = ln(1 + 2/(2*0.4)) + 2*ln(2/(3+2)); doc2 = ln(1 + 1/(2*0.2))
+    + 2*ln(2/(2+2)) — both per-term logs happen to be ln(3.5)."""
+    import math
+
+    from covid19_spark.operators.retrieval import (
+        lm_dirichlet_scores_from_index,
+    )
+
+    idx = _mk_lmd_index(spark, tmp_path)
+    assert idx.total_tokens == 5.0
+    got = {
+        r.doc_id: r.score
+        for r in lm_dirichlet_scores_from_index(
+            spark, idx, ["a", "c"], mu=2.0
+        ).collect()
+    }
+    want1 = round(math.log(3.5) + 2.0 * math.log(2.0 / 5.0), 6)
+    want2 = round(math.log(3.5) + 2.0 * math.log(2.0 / 4.0), 6)
+    assert got == {1: pytest.approx(want1, abs=1e-9),
+                   2: pytest.approx(want2, abs=1e-9)}
+
+
+def test_lm_dirichlet_oov_shifts_never_reorders(spark, tmp_path):
+    """An out-of-vocabulary query term contributes nothing to the sum but
+    still counts in |q|: every candidate shifts by the same
+    ln(mu/(dl+mu)) multiple, so only docs' length correction scales —
+    candidates and ORDER match the in-vocabulary query."""
+    from covid19_spark.operators.retrieval import (
+        lm_dirichlet_scores_from_index,
+    )
+
+    idx = _mk_lmd_index(spark, tmp_path)
+    base = {
+        r.doc_id: r.score
+        for r in lm_dirichlet_scores_from_index(spark, idx, ["a"], mu=2.0).collect()
+    }
+    oov = {
+        r.doc_id: r.score
+        for r in lm_dirichlet_scores_from_index(
+            spark, idx, ["a", "zzz"], mu=2.0
+        ).collect()
+    }
+    assert set(base) == set(oov) == {1}  # only doc 1 contains 'a'
+    assert oov[1] < base[1]  # extra |q| count deepens the correction
+    with pytest.raises(ValueError, match="mu"):
+        lm_dirichlet_scores_from_index(spark, idx, ["a"], mu=0.0)
+
+
+def test_prefix_expand_cap_and_equivalence(spark, tmp_path):
+    """Prefix expansion: highest-df terms win the cap (df desc, t asc
+    tiebreak), and prefix BM25 == literal BM25 over the expanded set."""
+    from covid19_spark.operators.retrieval import (
+        bm25_scores_from_index, prefix_expand_terms,
+    )
+
+    idx_path, idx = _mk_index(spark, tmp_path)
+    # corpus terms: spark(df 2), scan(1), hash(2), window(1), row(1), ...
+    exp = [r.t for r in prefix_expand_terms(spark, idx, "s", max_expansions=1).collect()]
+    assert exp == ["spark"]  # df 2 beats scan's df 1
+    exp2 = sorted(
+        r.t for r in prefix_expand_terms(spark, idx, "s", max_expansions=10).collect()
+    )
+    assert exp2 == ["scan", "spark"]
+    via_frame = {
+        r.doc_id: r.score
+        for r in bm25_scores_from_index(
+            spark, idx, prefix_expand_terms(spark, idx, "s", max_expansions=10)
+        ).collect()
+    }
+    via_literal = {
+        r.doc_id: r.score
+        for r in bm25_scores_from_index(spark, idx, ["scan", "spark"]).collect()
+    }
+    assert via_frame == via_literal
+    with pytest.raises(ValueError, match="prefix"):
+        prefix_expand_terms(spark, idx, "")
