@@ -272,6 +272,97 @@ def bm25f_scores_from_index(
     )
 
 
+def dismax_scores_from_index(
+    spark,
+    index,
+    terms: Sequence[str],
+    weights: dict,
+    tie_break: float = 0.0,
+    k1: float = 1.2,
+    b=0.75,
+) -> DataFrame:
+    """Disjunction-max fielded scoring (Lucene ``DisjunctionMaxQuery``,
+    the other half of the fielded surface next to BM25F): per (term,
+    doc) the score is the BEST single field's weighted contribution plus
+    ``tie_break`` times the others —
+
+        dmax(t, d) = max_f s_f + tie_break · (Σ_f s_f − max_f s_f),
+        s_f = w_f · idf_f-free per-field BM25 kernel
+            = w_f · tfn_f·(k1+1)/(k1 + tfn_f),
+        tfn_f = tf_f / (1 − b_f + b_f·dl_f/avgdl_f)
+
+    and the document score is ``Σ_t idf(t) · dmax(t, d)`` (idf over
+    any-field df, as BM25F).  ``tie_break=0`` is pure best-field —
+    a title hit is NOT reinforced by the same word in the body —
+    ``tie_break=1`` degenerates to the SUM of per-field kernels (pinned
+    by test; note BM25F instead sums before saturating).
+
+    Plan shape is ``bm25f_scores_from_index`` exactly: one statically
+    pruned fpostings scan, per-field when-chain stats, a (t, doc)
+    combine whose max/sum pair is computed from the same DEC-exact
+    per-field values, df window, DEC-summed total.  Determinism: the max
+    is over ≤|fields| DEC-cast values, tie_break applies as one fixed
+    expression."""
+    from covid19_spark.sources.index import literal_term_buckets
+
+    terms = list(dict.fromkeys(terms))
+    fields = list(weights)
+    if not fields:
+        raise ValueError("dismax needs at least one weighted field")
+    if not (0.0 <= tie_break <= 1.0):
+        raise ValueError(f"tie_break must be in [0, 1], got {tie_break}")
+    b_of = dict(b) if isinstance(b, dict) else {f: float(b) for f in fields}
+    missing = [f for f in fields if f not in index.avgdl]
+    if missing:
+        raise ValueError(f"fields absent from the index: {missing}")
+    buckets = literal_term_buckets(spark, terms)
+    pruned = index.postings.filter(
+        F.col("tb").isin(buckets)
+        & F.col("t").isin(terms)
+        & F.col("field").isin(fields)
+    ).select("t", "field", "doc_id", "tf", "dl")
+
+    def chain(mapping):
+        expr = F.lit(None).cast("double")
+        for f in fields:
+            expr = F.when(F.col("field") == f, F.lit(float(mapping[f]))).otherwise(expr)
+        return expr
+
+    avgdl = chain({f: index.avgdl[f] for f in fields})
+    bb = chain(b_of)
+    wgt = chain({f: float(weights[f]) for f in fields})
+    tfn = F.col("tf") / (F.lit(1.0) - bb + bb * F.col("dl") / avgdl)
+    kernel = wgt * (tfn * (k1 + 1) / (tfn + k1))
+    combined = (
+        pruned.select("t", "doc_id", kernel.alias("s_f"))
+        .groupBy("t", "doc_id")
+        .agg(
+            F.max(F.col("s_f").cast("decimal(38,18)")).cast("double").alias("mx"),
+            F.sum(F.col("s_f").cast("decimal(38,18)")).cast("double").alias("sm"),
+        )
+        .select(
+            "t",
+            "doc_id",
+            (
+                F.col("mx")
+                + F.lit(float(tie_break)) * (F.col("sm") - F.col("mx"))
+            ).alias("dmax"),
+        )
+    )
+    combined = combined.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("t")).cast("double")
+    )
+    idf = F.log(
+        (F.lit(index.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    per_term = combined.select("doc_id", (idf * F.col("dmax")).alias("s"))
+    return per_term.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("s").cast("decimal(38,18)")).cast("double"), 6
+        ).alias("score")
+    )
+
+
 def phrase_match_from_index(
     spark,
     index,

@@ -1348,3 +1348,95 @@ QUERY_REGISTRY["prefix_bm25"] = QuerySpec(
     ORACLE_PREFIX_BM25,
     "prefix-query BM25: capped highest-df term expansion from termstats, data-dependent term-frame serve",
 )
+
+
+def q_dismax_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction-max fielded retrieval (Lucene DisjunctionMaxQuery)
+    over the same persisted title/body fielded index as `bm25f_ranking`:
+    per (term, doc) the BEST field's weighted BM25 kernel wins, others
+    contribute tie_break=0.3 of their kernel — the query shape for "a
+    title hit should not be double-counted by its body echo".  One
+    statically pruned fpostings scan; top-20."""
+    from covid19_spark.operators.retrieval import dismax_scores_from_index
+    from covid19_spark.sources.index import ensure_fielded_index
+
+    idx = ensure_fielded_index(
+        spark, sf_dir, bm25f_fields(),
+        fields_sig=f"title{_BM25F_TITLE_LEN}_body:v1",
+    )
+    scored = dismax_scores_from_index(
+        spark, idx, list(_BM25F_TERMS),
+        weights={"title": 2.0, "body": 1.0}, tie_break=0.3,
+    )
+    ranked = top_k(scored, "score", 20, tiebreak_cols=["doc_id"])
+    return ranked.select(
+        "doc_id", "score", F.col("rank").cast("long").alias("rank")
+    ).orderBy("rank")
+
+
+ORACLE_DISMAX_FIELDED = """
+WITH wf AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+  FROM documents
+),
+ft AS MATERIALIZED (
+  SELECT doc_id, 'title' AS field, u.x AS t
+  FROM wf, unnest(list_slice(w, 1, 8)) AS u(x)
+  UNION ALL
+  SELECT doc_id, 'body' AS field, u.x AS t
+  FROM wf, unnest(list_slice(w, 9, len(w))) AS u(x)
+),
+tf AS (
+  SELECT doc_id, field, t, CAST(count(*) AS DOUBLE) AS tf
+  FROM ft WHERE t IN ('spark', 'hash', 'join')
+  GROUP BY doc_id, field, t
+),
+dl AS (
+  SELECT doc_id, field, CAST(count(*) AS DOUBLE) AS dl
+  FROM ft GROUP BY doc_id, field
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+avgf AS (
+  SELECT field, CAST(sum(dl) AS DOUBLE) / (SELECT n FROM n) AS avgdl
+  FROM dl GROUP BY field
+),
+rows_ AS (
+  SELECT tf.doc_id, tf.t,
+         (CASE tf.field WHEN 'title' THEN 2.0 ELSE 1.0 END)
+         * ((tf.tf / (1 - 0.75 + 0.75 * dl.dl / avgf.avgdl)) * (1.2 + 1)
+            / ((tf.tf / (1 - 0.75 + 0.75 * dl.dl / avgf.avgdl)) + 1.2)) AS s_f
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id AND tf.field = dl.field
+  JOIN avgf ON tf.field = avgf.field
+),
+comb AS (
+  SELECT doc_id, t,
+         CAST(max(CAST(s_f AS DECIMAL(38,18))) AS DOUBLE) AS mx,
+         CAST(sum(CAST(s_f AS DECIMAL(38,18))) AS DOUBLE) AS sm
+  FROM rows_ GROUP BY doc_id, t
+),
+dmaxed AS (
+  SELECT doc_id, t, mx + 0.3 * (sm - mx) AS dmax FROM comb
+),
+dfq AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM dmaxed GROUP BY t),
+scored AS (
+  SELECT dmaxed.doc_id,
+         round(CAST(sum(CAST(
+           ln((n.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) * dmaxed.dmax
+         AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+  FROM dmaxed JOIN dfq USING (t) CROSS JOIN n
+  GROUP BY dmaxed.doc_id
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 20
+ORDER BY rank
+"""
+
+QUERY_REGISTRY["dismax_fielded"] = QuerySpec(
+    q_dismax_fielded,
+    ORACLE_DISMAX_FIELDED,
+    "disjunction-max fielded retrieval (best field wins, tie_break echoes) from the fielded index",
+)

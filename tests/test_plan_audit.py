@@ -57,6 +57,7 @@ BNLJ_ALLOWED = {
     "hilbert_clustering",  # one-row grid-bounds broadcast (zorder twin)
     "hybrid_rrf_topk",  # dense cosine side + top_k's tiny per-partition-offset join
     "bm25f_ranking",  # top_k's per-partition-offset join (<= n_partitions rows)
+    "dismax_fielded",  # top_k's per-partition-offset join (<= n_partitions rows)
     "lm_dirichlet_ranking",  # top_k's per-partition-offset join (<= n_partitions rows)
     "prefix_bm25",  # top_k's per-partition-offset join (<= n_partitions rows)
     # search_snippets left this list in r14: the top-k is collected (bounded

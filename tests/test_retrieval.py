@@ -611,3 +611,90 @@ def test_prefix_expand_cap_and_equivalence(spark, tmp_path):
     assert via_frame == via_literal
     with pytest.raises(ValueError, match="prefix"):
         prefix_expand_terms(spark, idx, "")
+
+
+def test_dismax_best_field_and_tiebreak(spark, tmp_path):
+    """DisMax semantics hand-pinned: docs A (term in title only) and B
+    (term in title AND body, same title) — at tie_break=0 the body echo
+    adds NOTHING (scores equal: best-field-wins), at tie_break>0 it
+    does; tie_break=1 degenerates to the per-field kernel SUM."""
+    from covid19_spark.operators.retrieval import dismax_scores_from_index
+    from covid19_spark.sources.index import (
+        build_fielded_index_from, read_fielded_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x", "filler words only"),       # A: title hit only
+            (2, "x", "x filler words"),          # B: title + body echo
+            (3, "y", "unrelated body text"),
+        ],
+        "doc_id long, title string, body string",
+    )
+    path = str(tmp_path / "dmidx")
+    build_fielded_index_from(
+        docs, path, {"title": F.col("title"), "body": F.col("body")}
+    )
+    idx = read_fielded_index(spark, path)
+    w = {"title": 1.0, "body": 1.0}
+
+    def scores(tie):
+        return {
+            r.doc_id: r.score
+            for r in dismax_scores_from_index(
+                spark, idx, ["x"], weights=w, tie_break=tie
+            ).collect()
+        }
+
+    s0 = scores(0.0)
+    # same title, same title-field dl → identical best-field kernels; the
+    # body echo is suppressed entirely
+    assert s0[1] == s0[2]
+    s5 = scores(0.5)
+    assert s5[2] > s5[1]  # echo now contributes
+    # tie_break=1: dmax = mx + (sm - mx) = sm — the kernel sum; B gains
+    # exactly the body kernel over A (both idf-scaled identically)
+    s1 = scores(1.0)
+    assert s1[2] > s5[2] > s0[2]
+    assert s1[1] == s0[1]  # single-field doc indifferent to tie_break
+
+
+def test_dismax_single_field_equals_bm25f_and_plain(spark, tmp_path):
+    """With ONE whole-text field at weight 1 there is nothing to
+    disjunct: DisMax == BM25F == plain BM25 (to IEEE op-order)."""
+    from covid19_spark.operators.retrieval import (
+        bm25_scores_from_index,
+        bm25f_scores_from_index,
+        dismax_scores_from_index,
+    )
+
+    _, _, uidx, widx = _bm25f_env(spark, tmp_path)
+    terms = ["spark", "hash", "join"]
+    plain = {
+        r.doc_id: r.score
+        for r in bm25_scores_from_index(spark, uidx, terms).collect()
+    }
+    for fn in (bm25f_scores_from_index, dismax_scores_from_index):
+        got = {
+            r.doc_id: r.score
+            for r in fn(spark, widx, terms, weights={"all": 1.0}).collect()
+        }
+        assert set(got) == set(plain)
+        for d in plain:
+            assert got[d] == pytest.approx(plain[d], rel=1e-9), (fn, d)
+
+
+def test_dismax_guards(spark, tmp_path):
+    from covid19_spark.operators.retrieval import dismax_scores_from_index
+
+    _, fidx, _, _ = _bm25f_env(spark, tmp_path)
+    with pytest.raises(ValueError, match="at least one"):
+        dismax_scores_from_index(spark, fidx, ["spark"], weights={})
+    with pytest.raises(ValueError, match="tie_break"):
+        dismax_scores_from_index(
+            spark, fidx, ["spark"], weights={"title": 1.0}, tie_break=1.5
+        )
+    with pytest.raises(ValueError, match="absent"):
+        dismax_scores_from_index(
+            spark, fidx, ["spark"], weights={"headline": 1.0}
+        )
