@@ -714,6 +714,103 @@ def build_fielded_index_from(
     return n
 
 
+def append_fielded_index(
+    docs_delta: DataFrame,
+    path: str,
+    fields: dict,
+    fingerprint: str = "",
+    id_col: str = "doc_id",
+) -> None:
+    """Add NEW documents to an existing fielded index — the
+    ``append_inverted_index`` contract per field: the delta alone is
+    tokenized (per-field postings are doc-granular, so new docs append
+    whole rows), fieldstats/scalars recomputed from the PERSISTED
+    fpostings (index-sized, never a corpus re-tokenize).  Caller
+    contract: delta ids must be new, and ``fields`` must be the SAME
+    definitions the base was built with (the ensure-cache folds them
+    into the fingerprint).  Bit-identical to a full rebuild over
+    base ∪ delta — counts are exact integers and every derived stat is a
+    deterministic function of the fpostings multiset (pinned by test)."""
+    from covid19_spark.operators.ann_index import _fast_committer
+
+    import glob
+
+    from pyspark.sql import Window
+
+    spark = docs_delta.sparkSession
+    _fast_committer(spark)
+    n_prev = float(spark.read.parquet(f"{path}/scalars").collect()[0]["n"])
+    parts = []
+    for fname, expr in fields.items():
+        col = F.expr(expr) if isinstance(expr, str) else expr
+        toks = docs_delta.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.filter(F.split(F.lower(col), " "), lambda t: t != "")
+            ).alias("t"),
+        )
+        grouped = (
+            toks.groupBy("doc_id", "t")
+            .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+            .withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+            .withColumn("field", F.lit(fname))
+        )
+        parts.append(grouped.select("doc_id", "t", "field", "tf", "dl"))
+    delta = parts[0]
+    for p in parts[1:]:
+        delta = delta.unionByName(p)
+    delta = delta.withColumn("tb", term_bucket(F.col("t")))
+    empty_base = not glob.glob(f"{path}/fpostings/tb=*") and (
+        spark.read.parquet(f"{path}/fpostings").take(1) == []
+    )
+    (
+        delta.repartition("tb")
+        .write.mode("overwrite" if empty_base else "append")
+        .partitionBy("tb")
+        .parquet(f"{path}/fpostings")
+    )
+    if empty_base and not glob.glob(f"{path}/fpostings/tb=*"):
+        delta.repartition(1).write.mode("overwrite").parquet(
+            f"{path}/fpostings"
+        )
+    persisted = spark.read.parquet(f"{path}/fpostings")
+    (
+        persisted.groupBy("field")
+        .agg(F.sum("tf").alias("total_tokens"))
+        .repartition(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/fieldstats")
+    )
+    spark.createDataFrame(
+        [(n_prev + float(docs_delta.count()), fingerprint, N_TERM_BUCKETS)],
+        "n DOUBLE, fingerprint STRING, n_buckets INT",
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/scalars")
+
+
+def compact_fielded_index(
+    spark: SparkSession, path: str, file_threshold: int = 8
+) -> dict[str, bool]:
+    """``compact_inverted_index`` applied to the fielded store: rewrite
+    ``fpostings/`` to one file per term bucket once appends fragment it
+    past max(``file_threshold``, bucket-dir count), deduplicating
+    replayed-append rows on (doc_id, t, field).  Same temp-write +
+    atomic-rename, partitioning preserved."""
+    import glob
+
+    from covid19_spark.operators.dedup import _compact_parquet_dir
+
+    n_dirs = len(glob.glob(f"{path}/fpostings/tb=*"))
+    return {
+        "fpostings": _compact_parquet_dir(
+            spark,
+            f"{path}/fpostings",
+            ["doc_id", "t", "field"],
+            partition_by="tb",
+            file_threshold=max(file_threshold, n_dirs),
+        ),
+    }
+
+
 def read_fielded_index(spark: SparkSession, path: str) -> FieldedIndex:
     row = spark.read.parquet(f"{path}/scalars").collect()[0]
     n = float(row["n"])

@@ -698,3 +698,64 @@ def test_dismax_guards(spark, tmp_path):
         dismax_scores_from_index(
             spark, fidx, ["spark"], weights={"headline": 1.0}
         )
+
+
+def test_fielded_append_equals_rebuild_and_compaction(spark, tmp_path):
+    """Fielded-index maintenance parity with the main index: an append
+    is bit-identical to a one-shot rebuild over base ∪ delta (postings
+    multiset, field avgdl, and DisMax/BM25F serving), and compaction
+    bounds the fragment count without moving a score."""
+    import glob
+
+    from covid19_spark.operators.retrieval import bm25f_scores_from_index
+    from covid19_spark.sources.index import (
+        append_fielded_index,
+        build_fielded_index_from,
+        compact_fielded_index,
+        read_fielded_index,
+    )
+
+    fields = {"title": F.col("title"), "body": F.col("body")}
+    schema = "doc_id long, title string, body string"
+    base = spark.createDataFrame(
+        [(1, "spark hash", "join scan exchange"), (2, "window", "spark hash row")],
+        schema,
+    )
+    deltas = [
+        spark.createDataFrame([(3 + i, f"spark d{i}", f"hash body d{i} join")], schema)
+        for i in range(6)
+    ]
+    inc = str(tmp_path / "finc")
+    build_fielded_index_from(base, inc, fields)
+    for d in deltas:
+        append_fielded_index(d, inc, fields)
+    oneshot = str(tmp_path / "fone")
+    all_docs = base
+    for d in deltas:
+        all_docs = all_docs.unionByName(d)
+    build_fielded_index_from(all_docs, oneshot, fields)
+
+    got_idx, want_idx = read_fielded_index(spark, inc), read_fielded_index(spark, oneshot)
+    assert got_idx.n_docs == want_idx.n_docs == 8.0
+    assert got_idx.avgdl == want_idx.avgdl
+
+    def postings_set(idx):
+        return sorted(
+            (r.t, r.field, r.doc_id, r.tf, r.dl) for r in idx.postings.collect()
+        )
+
+    assert postings_set(got_idx) == postings_set(want_idx)
+    w = {"title": 2.0, "body": 1.0}
+    serve = lambda idx: sorted(  # noqa: E731
+        (r.doc_id, r.score)
+        for r in bm25f_scores_from_index(spark, idx, ["spark", "hash"], weights=w).collect()
+    )
+    assert serve(got_idx) == serve(want_idx)
+
+    # compaction: fragments bounded to one file per bucket, serving fixed
+    before = len(glob.glob(f"{inc}/fpostings/**/*.parquet", recursive=True))
+    res = compact_fielded_index(spark, inc, file_threshold=2)
+    after = len(glob.glob(f"{inc}/fpostings/**/*.parquet", recursive=True))
+    n_dirs = len(glob.glob(f"{inc}/fpostings/tb=*"))
+    assert res["fpostings"] and after == n_dirs and after < before
+    assert serve(read_fielded_index(spark, inc)) == serve(want_idx)
