@@ -787,6 +787,43 @@ def append_fielded_index(
     ).repartition(1).write.mode("overwrite").parquet(f"{path}/scalars")
 
 
+def make_fielded_ingest_sink(
+    index_path: str,
+    fields: dict,
+    id_col: str = "doc_id",
+    compact_every: int | None = 8,
+    file_threshold: int = 8,
+):
+    """foreachBatch sink streaming NEW documents into the persisted
+    FIELDED index — ``make_index_ingest_sink`` for the BM25F/DisMax
+    store: first non-empty batch builds, later batches append
+    (delta-only per-field tokenize), and the sink auto-compacts itself
+    every ``compact_every`` appends.  Same exactly-once caveat (chain
+    after dedup or idempotent ids); a BM25F serve between batches
+    reopens via ``read_fielded_index`` and sees everything ingested."""
+    import os
+
+    appends_seen = [0]  # driver-side state: foreachBatch runs on the driver
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        if os.path.isdir(f"{index_path}/scalars"):
+            append_fielded_index(batch_df, index_path, fields, id_col=id_col)
+            appends_seen[0] += 1
+            if compact_every and appends_seen[0] % compact_every == 0:
+                compact_fielded_index(
+                    batch_df.sparkSession, index_path,
+                    file_threshold=file_threshold,
+                )
+        else:
+            build_fielded_index_from(
+                batch_df, index_path, fields, id_col=id_col
+            )
+
+    return sink
+
+
 def compact_fielded_index(
     spark: SparkSession, path: str, file_threshold: int = 8
 ) -> dict[str, bool]:

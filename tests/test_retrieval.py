@@ -759,3 +759,62 @@ def test_fielded_append_equals_rebuild_and_compaction(spark, tmp_path):
     n_dirs = len(glob.glob(f"{inc}/fpostings/tb=*"))
     assert res["fpostings"] and after == n_dirs and after < before
     assert serve(read_fielded_index(spark, inc)) == serve(want_idx)
+
+
+def test_fielded_ingest_sink_stream(spark, tmp_path):
+    """Streaming ingest into the fielded index (make_fielded_ingest_sink):
+    build-then-append through a real file-source stream, post-stream
+    serving equals a one-shot build, auto-compaction keeps fragments at
+    the one-file-per-bucket floor."""
+    import glob
+    import os
+
+    from covid19_spark.operators.retrieval import bm25f_scores_from_index
+    from covid19_spark.sources.index import (
+        build_fielded_index_from,
+        make_fielded_ingest_sink,
+        read_fielded_index,
+    )
+
+    fields = {"title": F.col("title"), "body": F.col("body")}
+    schema = "doc_id long, title string, body string"
+    rows = [
+        (i, f"spark title{i}", f"hash join body{i} word{i % 3}")
+        for i in range(10)
+    ]
+    src = str(tmp_path / "fsrc")
+    os.makedirs(src)
+    for r in rows:
+        spark.createDataFrame([r], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    idx_path = str(tmp_path / "fstream_idx")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream.foreachBatch(
+            make_fielded_ingest_sink(
+                idx_path, fields, compact_every=3, file_threshold=3
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "fckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    oneshot = str(tmp_path / "fstream_one")
+    build_fielded_index_from(spark.createDataFrame(rows, schema), oneshot, fields)
+    w = {"title": 2.0, "body": 1.0}
+    serve = lambda p: sorted(  # noqa: E731
+        (r.doc_id, r.score)
+        for r in bm25f_scores_from_index(
+            spark, read_fielded_index(spark, p), ["spark", "hash"], weights=w
+        ).collect()
+    )
+    assert serve(idx_path) == serve(oneshot)
+    frags = len(glob.glob(f"{idx_path}/fpostings/**/*.parquet", recursive=True))
+    n_dirs = len(glob.glob(f"{idx_path}/fpostings/tb=*"))
+    # 9 appends, compactions at 3/6/9: at most compact_every appends'
+    # fragments above the one-file-per-bucket floor
+    assert frags <= n_dirs + 3 * 4, (frags, n_dirs)
