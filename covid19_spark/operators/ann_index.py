@@ -107,13 +107,24 @@ def write_ivfpq_index(
     )
     spark = corpus.sparkSession
     _fast_committer(spark)
+    # meta is ONE row — written driver-side (meta_io); its dim field is
+    # derived from a driver peek at the codebooks row instead of the
+    # former dedicated limit(1).collect() job.  centroids/codebooks stay
+    # SPARK-written on purpose: their persisted row order is semantically
+    # load-bearing (consumers collect_list them into per-row lookup
+    # arrays), and the repartition(1) write order is the order every
+    # existing fixture/index was built with — rewriting them driver-side
+    # in collect order changed served results (measured, reverted).
+    import pyarrow as pa
+
+    from covid19_spark.sources.meta_io import write_meta_table
+
+    cb_first = codebooks.select("cvec").limit(1).collect()
     # dim is reconstructed as sub_dim·m — when the input dimension is not a
     # multiple of m this is the ENCODED width (PQ's slice drops the tail,
     # same as the in-memory operators), which is the width that matters to
     # every consumer of the index
-    dim = codebooks.select(
-        (F.size("cvec") * m).alias("d")
-    ).limit(1).collect()[0]["d"]
+    dim = len(cb_first[0]["cvec"]) * m if cb_first else 0
     meta = {
         "n_centroids": int(n_centroids),
         "m": int(m),
@@ -131,13 +142,21 @@ def write_ivfpq_index(
     # evaluates the slices in parallel and shuffles one tiny block each.
     centroids.repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
     codebooks.repartition(1).write.mode("overwrite").parquet(f"{path}/codebooks")
-    spark.createDataFrame(
-        [(meta["n_centroids"], meta["m"], meta["n_codes"], meta["dim"],
-          meta["id_col"], meta["vec_col"], meta["attr_cols"],
-          meta["fingerprint"])],
-        "n_centroids INT, m INT, n_codes INT, dim INT, id_col STRING, "
-        "vec_col STRING, attr_cols STRING, fingerprint STRING",
-    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+    write_meta_table(
+        f"{path}/meta",
+        pa.table(
+            {
+                "n_centroids": pa.array([meta["n_centroids"]], pa.int32()),
+                "m": pa.array([meta["m"]], pa.int32()),
+                "n_codes": pa.array([meta["n_codes"]], pa.int32()),
+                "dim": pa.array([meta["dim"]], pa.int32()),
+                "id_col": pa.array([meta["id_col"]], pa.string()),
+                "vec_col": pa.array([meta["vec_col"]], pa.string()),
+                "attr_cols": pa.array([meta["attr_cols"]], pa.string()),
+                "fingerprint": pa.array([meta["fingerprint"]], pa.string()),
+            }
+        ),
+    )
     encoded = ivfpq_encode(
         corpus, centroids, codebooks, m, id_col=id_col, vec_col=vec_col
     )
@@ -180,14 +199,21 @@ def append_ivfpq_index(
     as the corpus itself). Quantizer drift is the refresh seam: when the
     corpus distribution moves far enough that recall sags, rebuild with
     ``write_ivfpq_index`` (overwrite) — the classic reindex tradeoff."""
+    from pyspark.sql import Observation
+
     spark = corpus_delta.sparkSession
     _fast_committer(spark)
     idx = read_ivfpq_index(spark, path)
     meta = idx.meta
-    # the count exists only for the return value — a second full scan of
-    # the delta; streaming ingest (one call per micro-batch) passes
-    # return_count=False so each batch is scanned exactly once
-    n = corpus_delta.count() if return_count else None
+    # the count for the return value is OBSERVED on the encode pass
+    # (CollectMetrics on the delta rows flowing into the append write)
+    # instead of a dedicated second scan of the delta
+    obs = None
+    if return_count:
+        obs = Observation()
+        corpus_delta = corpus_delta.observe(
+            obs, F.count(F.lit(1)).alias("n")
+        )
     (
         ivfpq_encode(
             corpus_delta, idx.centroids, idx.codebooks, meta["m"],
@@ -198,7 +224,7 @@ def append_ivfpq_index(
         .partitionBy("centroid_id")
         .parquet(f"{path}/codes")
     )
-    return n
+    return int(obs.get["n"]) if obs is not None else None
 
 
 def compact_ivfpq_index(
@@ -239,12 +265,16 @@ def compact_ivfpq_index(
 
 def read_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
     """Reopen a persisted index. The codes frame is a lazy parquet scan —
-    nothing corpus-sized is materialized until a query prunes it."""
-    meta_row = spark.read.parquet(f"{path}/meta").collect()[0]
-    fields = set(meta_row.__fields__)
+    nothing corpus-sized is materialized until a query prunes it.  The
+    one-row meta dataset is read driver-side (meta_io): every serve
+    reopens the index, so the former one-row Spark collect was a fixed
+    per-query job."""
+    from covid19_spark.sources.meta_io import read_meta_rows
+
+    meta_row = read_meta_rows(f"{path}/meta")[0]
     meta = {
-        "attr_cols": meta_row["attr_cols"] if "attr_cols" in fields else "",
-        "fingerprint": meta_row["fingerprint"] if "fingerprint" in fields else "",
+        "attr_cols": meta_row.get("attr_cols") or "",
+        "fingerprint": meta_row.get("fingerprint") or "",
     }
     meta.update({
         k: meta_row[k]

@@ -164,6 +164,25 @@ def tokenize_pos_off(
     )
 
 
+def _pa_scalars_table(n: float, avgdl: float, total: float, fingerprint: str):
+    """The scalars dataset as an arrow table with the exact Spark-schema
+    twin (n DOUBLE, avgdl DOUBLE, total_tokens DOUBLE, fingerprint STRING,
+    n_buckets INT) — keeps driver-written stores readable by
+    ``spark.read.parquet`` and DuckDB identically to the Spark-written
+    ones from earlier rounds."""
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "n": pa.array([n], pa.float64()),
+            "avgdl": pa.array([avgdl], pa.float64()),
+            "total_tokens": pa.array([total], pa.float64()),
+            "fingerprint": pa.array([fingerprint], pa.string()),
+            "n_buckets": pa.array([N_TERM_BUCKETS], pa.int32()),
+        }
+    )
+
+
 def _delta_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, t, tf, dl, tb) posting rows for a document frame — the
     grouped/denormalized form both the full build and the incremental
@@ -205,11 +224,22 @@ def _rewrite_derived(
     doc- and vocabulary-sized aggs, never a corpus re-tokenize.  ``n_docs``
     is passed in because zero-token documents leave no posting rows but
     still count toward n/avgdl."""
+    import glob
+
+    from pyspark.sql import Observation
+
+    from covid19_spark.sources.meta_io import write_meta_table
+
     persisted = spark.read.parquet(f"{path}/postings")
     # degenerate store (zero posting rows): partitioned/agg writes of zero
     # rows emit NO files and the read-back cannot infer a schema — force
-    # one schema-only file per derived dataset instead
-    empty = len(persisted.take(1)) == 0
+    # one schema-only file per derived dataset instead.  Detected by the
+    # tb= directory glob (a partitioned write emits tb= dirs iff it wrote
+    # rows; the degenerate store is one root schema-only file) instead of
+    # the former ``take(1)`` probe — same answer, zero Spark jobs (r14:
+    # every job saved in this maintenance path is ~0.3-0.5 s of fixed
+    # submission overhead at bench scale).
+    empty = not glob.glob(f"{path}/postings/tb=*")
     # doclen (v4) also carries the per-doc token start-offset/length
     # arrays for substr-based snippet cutting: explode each posting's
     # aligned (pos, off) pairs — occurrence-sized, i.e. the same Σtf data
@@ -238,7 +268,6 @@ def _rewrite_derived(
     )
     if empty:
         doclen = doclen.repartition(1)
-    doclen.write.mode("overwrite").parquet(f"{path}/doclen")
     termstats = (
         persisted.groupBy("t")
         .agg(
@@ -247,30 +276,56 @@ def _rewrite_derived(
         )
         .withColumn("tb", term_bucket(F.col("t")))
     )
-    if empty:
-        termstats.repartition(1).write.mode("overwrite").parquet(
-            f"{path}/termstats"
-        )
-    else:
-        (
-            termstats.repartition("tb")
-            .write.mode("overwrite")
-            .partitionBy("tb")
-            .parquet(f"{path}/termstats")
-        )
-    # total tokens = Σtf straight off the postings (exact integral sum —
-    # identical to Σdl over doclen, one less dataset read back)
-    total = persisted.groupBy().agg(F.sum("tf").alias("s")).collect()[0]["s"]
-    total = float(total or 0.0)
+    # total tokens = Σtf ≡ Σcg, observed ON the termstats write itself
+    # (CollectMetrics rides the same job) instead of the former dedicated
+    # ``postings.groupBy().sum(tf).collect()`` job: one fewer full read of
+    # the postings store per rewrite, and the value is identical — cg is
+    # the exact integral per-term Σtf, so Σcg over longs equals the double
+    # Σtf bit-for-bit for any real corpus (counts ≪ 2^53).
+    obs = Observation()
+    termstats = termstats.observe(obs, F.sum("cg").alias("s"))
+
+    def _write_doclen() -> None:
+        doclen.write.mode("overwrite").parquet(f"{path}/doclen")
+
+    def _write_termstats() -> None:
+        if empty:
+            termstats.repartition(1).write.mode("overwrite").parquet(
+                f"{path}/termstats"
+            )
+        else:
+            (
+                termstats.repartition("tb")
+                .write.mode("overwrite")
+                .partitionBy("tb")
+                .parquet(f"{path}/termstats")
+            )
+
+    # The two derived writes are independent jobs over the same persisted
+    # postings (different grouping keys, different output dirs): submit
+    # them from two driver threads so the second job back-fills executors
+    # freed by the first one's task tail (guide §2.6) instead of paying
+    # two full job latencies in sequence.  Job descriptions/locals are
+    # thread-local; exceptions propagate via the futures.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_doclen = pool.submit(_write_doclen)
+        f_termstats = pool.submit(_write_termstats)
+        f_doclen.result()
+        f_termstats.result()
+    total = float(obs.get["s"] or 0.0)
     # avgdl over ALL docs (zero-token docs contribute dl=0 to the inline
     # avg and no doclen row here — same mean either way)
     avgdl = total / n_docs if n_docs else 0.0
-    spark.createDataFrame(
-        [(float(n_docs), float(avgdl), float(total),
-          fingerprint, N_TERM_BUCKETS)],
-        "n DOUBLE, avgdl DOUBLE, total_tokens DOUBLE, "
-        "fingerprint STRING, n_buckets INT",
-    ).repartition(1).write.mode("overwrite").parquet(f"{path}/scalars")
+    # one metadata row: written driver-side (meta_io), NOT through a Spark
+    # job — the former createDataFrame→repartition(1)→write cost ~0.5-0.7 s
+    # of shuffle/commit overhead per call for 40 bytes of data
+    write_meta_table(
+        f"{path}/scalars",
+        _pa_scalars_table(float(n_docs), float(avgdl), float(total),
+                          fingerprint),
+    )
 
 
 def build_inverted_index_from(
@@ -293,8 +348,18 @@ def build_inverted_index_from(
 
     import glob
 
+    from pyspark.sql import Observation
+
     spark = docs.sparkSession
     _fast_committer(spark)  # 4 writes per build; v1 job-commit costs ~4.5s each
+    # the document count is OBSERVED on the docs rows flowing into the
+    # postings write (CollectMetrics above the caller's frame) instead of
+    # a dedicated ``docs.count()`` job afterwards — the tokenize pass
+    # already reads every doc row exactly once (r14 job-count cut)
+    obs = Observation()
+    docs = docs.select(F.col(id_col), F.col(text_col)).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    )
     postings = _delta_postings(docs, id_col, text_col)
     # one shuffle onto the bucket id before the partitioned write — the
     # files-per-partition control of ann_index.write_ivfpq_index
@@ -315,7 +380,7 @@ def build_inverted_index_from(
         postings.repartition(1).write.mode("overwrite").parquet(
             f"{path}/postings"
         )
-    n = float(docs.count())
+    n = float(obs.get["n"])
     if derived:
         _rewrite_derived(spark, path, n, fingerprint)
     return n
@@ -360,12 +425,20 @@ def append_inverted_index(
 
     import glob
 
+    from pyspark.sql import Observation
+
+    from covid19_spark.sources.meta_io import read_meta_rows
+
     spark = docs_delta.sparkSession
     _fast_committer(spark)
     if n_prev is None:  # derived-less base builds pass their count in
-        n_prev = float(
-            spark.read.parquet(f"{path}/scalars").collect()[0]["n"]
-        )
+        n_prev = float(read_meta_rows(f"{path}/scalars")[0]["n"])
+    # delta count observed on the append write (same job-count cut as the
+    # build path)
+    obs = Observation()
+    docs_delta = docs_delta.select(F.col(id_col), F.col(text_col)).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    )
     delta = _delta_postings(docs_delta, id_col, text_col)
     # a degenerate (zero-token) base is stored as ONE schema-only
     # unpartitioned file (see build_inverted_index_from); the first real
@@ -388,7 +461,7 @@ def append_inverted_index(
             f"{path}/postings"
         )
     _rewrite_derived(
-        spark, path, n_prev + float(docs_delta.count()), fingerprint
+        spark, path, n_prev + float(obs.get["n"]), fingerprint
     )
 
 
@@ -492,7 +565,12 @@ def compact_inverted_index(
 
 
 def read_inverted_index(spark: SparkSession, path: str) -> InvertedIndex:
-    row = spark.read.parquet(f"{path}/scalars").collect()[0]
+    from covid19_spark.sources.meta_io import read_meta_rows
+
+    # scalars is ONE metadata row by contract: read it driver-side instead
+    # of submitting a Spark job per open (every serve query opens the
+    # index, so this was a fixed per-query job)
+    row = read_meta_rows(f"{path}/scalars")[0]
     return InvertedIndex(
         postings=spark.read.parquet(f"{path}/postings"),
         doclen=spark.read.parquet(f"{path}/doclen"),
@@ -525,14 +603,14 @@ def ensure_inverted_index(
     def _is_fresh() -> bool:
         # absent/partial/stale-schema probes fall through to False.  Narrow
         # on purpose (ADVICE r12): genuine IO/permission/corruption errors
-        # must surface, not silently trigger a full rebuild.
+        # must surface, not silently trigger a full rebuild.  Driver-side
+        # metadata read (meta_io) — no Spark job per freshness probe.
+        from covid19_spark.sources.meta_io import read_meta_rows
+
         try:
-            row = spark.read.parquet(f"{path}/scalars").collect()[0]
-            return (
-                "fingerprint" in set(row.__fields__)
-                and row["fingerprint"] == want
-            )
-        except (AnalysisException, FileNotFoundError, IndexError):
+            row = read_meta_rows(f"{path}/scalars")[0]
+            return row.get("fingerprint") == want
+        except (FileNotFoundError, IndexError):
             return False
 
     if _is_fresh():
@@ -620,6 +698,47 @@ def postings_for_terms(
 # ---------------------------------------------------------------------------
 
 
+def _write_fielded_derived(
+    spark: SparkSession, path: str, n: float, fingerprint: str
+) -> None:
+    """fieldstats + scalars for the fielded store: ONE vocabulary-sized
+    aggregation job collects the per-field token totals (≤|fields| rows —
+    contract-small), then both metadata datasets are written driver-side
+    (meta_io) — replaces two Spark write jobs (~0.5-0.7 s fixed cost each)
+    with one tiny collect."""
+    import pyarrow as pa
+
+    from covid19_spark.sources.meta_io import write_meta_table
+
+    stats = (
+        spark.read.parquet(f"{path}/fpostings")
+        .groupBy("field")
+        .agg(F.sum("tf").alias("total_tokens"))
+        .collect()
+    )
+    write_meta_table(
+        f"{path}/fieldstats",
+        pa.table(
+            {
+                "field": pa.array([r["field"] for r in stats], pa.string()),
+                "total_tokens": pa.array(
+                    [float(r["total_tokens"]) for r in stats], pa.float64()
+                ),
+            }
+        ),
+    )
+    write_meta_table(
+        f"{path}/scalars",
+        pa.table(
+            {
+                "n": pa.array([float(n)], pa.float64()),
+                "fingerprint": pa.array([fingerprint], pa.string()),
+                "n_buckets": pa.array([N_TERM_BUCKETS], pa.int32()),
+            }
+        ),
+    )
+
+
 class FieldedIndex(NamedTuple):
     """An opened fielded index: lazy per-field postings scan + collected
     scalar statistics (one row per field — contract-small)."""
@@ -698,19 +817,8 @@ def build_fielded_index_from(
         posts.repartition(1).write.mode("overwrite").parquet(
             f"{path}/fpostings"
         )
-    persisted = spark.read.parquet(f"{path}/fpostings")
-    (
-        persisted.groupBy("field")
-        .agg(F.sum("tf").alias("total_tokens"))
-        .repartition(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/fieldstats")
-    )
     n = float(docs.count())
-    spark.createDataFrame(
-        [(n, fingerprint, N_TERM_BUCKETS)],
-        "n DOUBLE, fingerprint STRING, n_buckets INT",
-    ).repartition(1).write.mode("overwrite").parquet(f"{path}/scalars")
+    _write_fielded_derived(spark, path, n, fingerprint)
     return n
 
 
@@ -737,9 +845,11 @@ def append_fielded_index(
 
     from pyspark.sql import Window
 
+    from covid19_spark.sources.meta_io import read_meta_rows
+
     spark = docs_delta.sparkSession
     _fast_committer(spark)
-    n_prev = float(spark.read.parquet(f"{path}/scalars").collect()[0]["n"])
+    n_prev = float(read_meta_rows(f"{path}/scalars")[0]["n"])
     parts = []
     for fname, expr in fields.items():
         col = F.expr(expr) if isinstance(expr, str) else expr
@@ -773,18 +883,9 @@ def append_fielded_index(
         delta.repartition(1).write.mode("overwrite").parquet(
             f"{path}/fpostings"
         )
-    persisted = spark.read.parquet(f"{path}/fpostings")
-    (
-        persisted.groupBy("field")
-        .agg(F.sum("tf").alias("total_tokens"))
-        .repartition(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/fieldstats")
+    _write_fielded_derived(
+        spark, path, n_prev + float(docs_delta.count()), fingerprint
     )
-    spark.createDataFrame(
-        [(n_prev + float(docs_delta.count()), fingerprint, N_TERM_BUCKETS)],
-        "n DOUBLE, fingerprint STRING, n_buckets INT",
-    ).repartition(1).write.mode("overwrite").parquet(f"{path}/scalars")
 
 
 def make_fielded_ingest_sink(
@@ -849,9 +950,13 @@ def compact_fielded_index(
 
 
 def read_fielded_index(spark: SparkSession, path: str) -> FieldedIndex:
-    row = spark.read.parquet(f"{path}/scalars").collect()[0]
+    from covid19_spark.sources.meta_io import read_meta_rows
+
+    # both datasets are contract-small metadata: driver-side reads, no
+    # Spark job per open (see read_inverted_index)
+    row = read_meta_rows(f"{path}/scalars")[0]
     n = float(row["n"])
-    stats = spark.read.parquet(f"{path}/fieldstats").collect()
+    stats = read_meta_rows(f"{path}/fieldstats")
     return FieldedIndex(
         postings=spark.read.parquet(f"{path}/fpostings"),
         n_docs=n,
@@ -889,13 +994,12 @@ def ensure_fielded_index(
     want = f"{corpus_fingerprint(sf_dir)}:{fields_sig}"
 
     def _is_fresh() -> bool:
+        from covid19_spark.sources.meta_io import read_meta_rows
+
         try:
-            row = spark.read.parquet(f"{path}/scalars").collect()[0]
-            return (
-                "fingerprint" in set(row.__fields__)
-                and row["fingerprint"] == want
-            )
-        except (AnalysisException, FileNotFoundError, IndexError):
+            row = read_meta_rows(f"{path}/scalars")[0]
+            return row.get("fingerprint") == want
+        except (FileNotFoundError, IndexError):
             return False
 
     if _is_fresh():
