@@ -82,13 +82,19 @@ def pagerank(
         .select("src", "dst", (F.col("w") / F.col("wu")).alias("nw"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
+    obs = Observation()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    n = nodes.count()  # scalar by contract (|V| is a count, not a frame)
+    # scalar by contract (|V| is a count, not a frame); observed on the
+    # checkpoint job instead of a separate count() action (r14)
+    n = int(obs.get["n"])
     base = (1.0 - damping) / n
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
@@ -216,16 +222,23 @@ def label_propagation(
     Output: (node, label)."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
-    )
+    # The edge frame is consumed by EVERY round's join plus the node
+    # derivation — Spark plans are trees, so an unmaterialized edge
+    # lineage (often a join+distinct over fact tables) would be recomputed
+    # once per consumer (measured on lpa_communities: the
+    # lineitem⋈orders+distinct subplan appeared 4× in the final plan).
+    # One eager localCheckpoint materializes it exactly once — the same
+    # lineage rule pagerank/connected_components already apply.
+    edges = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("nbr")
+    ).localCheckpoint(eager=True)
+    # edges carry both directions by caller contract, so src alone covers
+    # every node — the former src∪dst union scanned the frame twice.
+    nodes = edges.select("node").distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
     for i in range(iterations):
         labels = (
-            edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
-            .join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            edges.join(labels.withColumnRenamed("node", "nbr"), "nbr")
             .groupBy("node")
             .agg(F.mode("label", deterministic=True).alias("label"))
         )

@@ -81,7 +81,6 @@ def cosine_near_dup_pairs(
     # a single dot fold (instead of dot + two norm folds) — 3x less of the
     # dominant cost. Same elementwise/fold order as the DuckDB oracle.
     v = F.col(vec_col).cast("array<double>")
-    norm = F.sqrt(dot(v, v))
     # Repartition BEFORE normalizing: the downstream self-join is CPU-bound
     # (a dot fold per matched pair) but byte-tiny, so Spark broadcasts one
     # side and pins the fold onto the probe side's scan partitions — for a
@@ -97,9 +96,17 @@ def cosine_near_dup_pairs(
     # semantic_dedup feeding a k-means assignment — recompute-per-consumer
     # is the dominant cost; blocks are freed by the ContextCleaner when
     # the result frame dies.
+    # norm bound once per row via aggregate's finish lambda — a transform
+    # referencing the norm expression would re-fold it per element (the
+    # _normalized_vec lesson, r14); same value dag, bit-identical sims
     base = df.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col), *[F.col(c) for c in block_cols],
-        F.transform(v, lambda x: x / norm).alias("__v"),
+        F.aggregate(
+            F.zip_with(v, v, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+            lambda s: F.transform(v, lambda x: x / F.sqrt(s)),
+        ).alias("__v"),
     ).localCheckpoint(eager=False)
     if block_cols and max_block is not None:
         oversized = (
@@ -971,15 +978,32 @@ def _pq_assign(subs: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
 def _normalized_vec(vec_col: str):
     """L2-normalized double array — the shared pre-slice transform of
     ``_pq_subvectors`` and the map-only encoders (identical fold order, so
-    the bits match)."""
+    the bits match).
+
+    The squared-norm fold is BOUND once per row via ``aggregate``'s
+    ``finish`` lambda: a plain ``transform(v, x -> x / norm_expr)`` would
+    re-evaluate the whole norm subexpression (zip_with + fold over the
+    array) once per ELEMENT — interpreted HOF evaluation has no
+    cross-lambda subexpression elimination, and the measured cost was
+    ~1 ms/row on 64-dim vectors, ~64× the necessary work (r14; this one
+    expression dominated the whole SQ8/PQ/IVF query family).  The value
+    dag per element is unchanged (same fold order, same guarded divide),
+    so results are bit-identical."""
     v = F.col(vec_col).cast("array<double>")
-    norm = F.sqrt(
-        F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
+
+    def _finish(s):
+        # zero-norm guard: 0-vector → 0-vector (not NaN), matching the
+        # driver fit twin (_fit_quantizers_driver) bit-for-bit
+        norm = F.sqrt(s)
+        safe = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
+        return F.transform(v, lambda x: x / safe)
+
+    return F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+        _finish,
     )
-    # zero-norm guard: 0-vector → 0-vector (not NaN), matching the driver
-    # fit twin (_fit_quantizers_driver) bit-for-bit
-    safe = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
-    return F.transform(v, lambda x: x / safe)
 
 
 def _pq_codes_expr(m: int, nv_col: str = "__nv", cb_col: str = "__cb"):
