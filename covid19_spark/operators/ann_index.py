@@ -224,6 +224,11 @@ def append_ivfpq_index(
         .partitionBy("centroid_id")
         .parquet(f"{path}/codes")
     )
+    # append adds code files without touching meta, so the stamp-validated
+    # handle cache cannot see it — invalidate explicitly
+    from covid19_spark.sources.handles import invalidate_store
+
+    invalidate_store(path)
     return int(obs.get["n"]) if obs is not None else None
 
 
@@ -250,9 +255,11 @@ def compact_ivfpq_index(
 
     from covid19_spark.operators.dedup import _compact_parquet_dir
 
+    from covid19_spark.sources.handles import invalidate_store
+
     id_col = read_ivfpq_index(spark, path).meta["id_col"]
     n_dirs = len(glob.glob(f"{path}/codes/centroid_id=*"))
-    return {
+    out = {
         "codes": _compact_parquet_dir(
             spark,
             f"{path}/codes",
@@ -261,6 +268,9 @@ def compact_ivfpq_index(
             file_threshold=max(file_threshold, n_dirs),
         ),
     }
+    # fragment rewrite leaves meta untouched — see append_ivfpq_index
+    invalidate_store(path)
+    return out
 
 
 def read_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
@@ -330,9 +340,21 @@ def ensure_ivfpq_index(
             and meta["attr_cols"] == ",".join(attr_cols)
         )
 
+    from covid19_spark.sources import handles
+
     try:
+        # process-level handle cache (sources/handles): reopening costs
+        # ~3 spark.read.parquet calls of fixed per-serve overhead; the
+        # lazy handle is plan re-use, validated by the meta stamp
+        # (rebuilds rewrite meta) — appends/compaction invalidate
+        # explicitly since they leave meta untouched
+        stamp = handles.meta_stamp(f"{path}/meta")
+        cached = handles.get_store(spark, path, stamp)
+        if cached is not None and _matches(cached.meta):
+            return cached
         idx = read_ivfpq_index(spark, path)
         if _matches(idx.meta):
+            handles.put_store(spark, path, stamp, idx)
             return idx
     # absent/partial/stale-schema cache: rebuild below.  Narrow on purpose
     # (ADVICE r12): genuine IO/permission/corruption errors must surface,

@@ -1695,8 +1695,30 @@ def q_part_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("pk"), F.col("p_type").alias("t")
     )
-    pres = li.join(F.broadcast(part), "pk").select("ok", "t").distinct()
-    n_orders = pres.select("ok").distinct().count()
+    # pres feeds FOUR consumers (the n_orders action, singles, and both
+    # sides of the pair self-join) — Spark plans are trees, so without a
+    # persist each branch re-runs the lineitem⋈part + distinct (guide
+    # §1.2: the uncached-multi-consumer pattern; measured 4 lineitem
+    # scans → 1).  The n_orders action doubles as the cache
+    # materialization; the cache is released before returning via the
+    # eager localCheckpoint below (cache-hygiene contract).
+    from pyspark.storagelevel import StorageLevel
+
+    pres = (
+        li.join(F.broadcast(part), "pk")
+        .select("ok", "t")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # n_orders rides the one plan as a broadcast one-row scalar aggregate
+    # (the registry's sanctioned crossJoin class) instead of a separate
+    # driver action — one job for the whole query, during which the pres
+    # cache materializes once for all four consumers
+    n1 = (
+        pres.select("ok")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("__n_orders"))
+    )
     singles = pres.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
     a = pres.select("ok", F.col("t").alias("ta"))
     b = pres.select("ok", F.col("t").alias("tb"))
@@ -1710,18 +1732,23 @@ def q_part_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         pairs.join(F.broadcast(singles.withColumnRenamed("t", "ta").withColumnRenamed("n", "na")), "ta")
         .join(F.broadcast(singles.withColumnRenamed("t", "tb").withColumnRenamed("n", "nb")), "tb")
+        .crossJoin(F.broadcast(n1))
         .select(
             "ta", "tb",
             F.col("n_ab").cast("long").alias("n_ab"),
             (
-                (F.col("n_ab") * F.lit(n_orders)).cast("double")
+                (F.col("n_ab") * F.col("__n_orders")).cast("double")
                 / (F.col("na") * F.col("nb")).cast("double")
             ).alias("lift"),
         )
     )
-    return (
-        scored.orderBy(F.col("lift").desc(), "ta", "tb").limit(20)
+    out = (
+        scored.orderBy(F.col("lift").desc(), "ta", "tb")
+        .limit(20)
+        .localCheckpoint(eager=True)
     )
+    pres.unpersist()
+    return out
 
 
 ORACLE_PART_TYPE_COOCCURRENCE = """

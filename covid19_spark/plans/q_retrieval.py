@@ -527,25 +527,48 @@ def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query, fully tiebroken.  At scale the candidate set comes from a
     single-vector ANN shortlist and MaxSim is the rerank — this query IS
     that rerank run corpus-wide to stay oracle-exact."""
-    from covid19_spark.operators.similarity import cosine
+    from covid19_spark.operators.similarity import dot
 
     emb = _t(spark, sf_dir, "embeddings")
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").cast("array<double>").alias("dv"),
-    )
-    q = emb.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("qv"),
-    )
 
-    def sub(col: str, i: int):
-        return F.slice(F.col(col), 16 * i + 1, 16)
+    def subs(col: str, prefix: str):
+        v = F.col(col).cast("array<double>")
+        return [F.slice(v, 16 * i + 1, 16).alias(f"{prefix}{i}") for i in range(4)]
+
+    def norms(prefix: str, nprefix: str):
+        # sqrt(dot(x, x)) bound ONCE per row per sub-vector: the inline
+        # ``cosine(a, b)`` form re-folds BOTH operand norms inside every
+        # one of the 16 (query-token, doc-token) cells — 48 interpreted
+        # HOF folds per pair where 24 suffice (guide §4: interpreted HOF
+        # evaluation has no cross-expression subexpression elimination).
+        # The value dag per cell is unchanged — dot/(sqrt(nq)·sqrt(nd))
+        # with identical left-to-right folds — so scores are bit-identical.
+        return [
+            F.sqrt(dot(F.col(f"{prefix}{i}"), F.col(f"{prefix}{i}"))).alias(
+                f"{nprefix}{i}"
+            )
+            for i in range(4)
+        ]
+
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), *subs("embedding", "d")
+    )
+    c = c.select("neighbor_id", "d0", "d1", "d2", "d3", *norms("d", "dn"))
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), *subs("embedding", "q")
+    )
+    q = q.select("query_id", "q0", "q1", "q2", "q3", *norms("q", "qn"))
 
     score = None
     for qi in range(4):
         best = F.array_max(
-            F.array(*[cosine(sub("qv", qi), sub("dv", dj)) for dj in range(4)])
+            F.array(
+                *[
+                    dot(F.col(f"q{qi}"), F.col(f"d{dj}"))
+                    / (F.col(f"qn{qi}") * F.col(f"dn{dj}"))
+                    for dj in range(4)
+                ]
+            )
         )
         score = best if score is None else score + best
     scored = c.join(

@@ -463,6 +463,9 @@ def append_inverted_index(
     _rewrite_derived(
         spark, path, n_prev + float(obs.get["n"]), fingerprint
     )
+    from covid19_spark.sources.handles import invalidate_store
+
+    invalidate_store(path)
 
 
 def make_index_ingest_sink(
@@ -552,8 +555,10 @@ def compact_inverted_index(
     # trigger is fragments > buckets (else a fully-compacted wide index
     # would re-compact forever); ``file_threshold`` still floors sparse
     # fixtures
+    from covid19_spark.sources.handles import invalidate_store
+
     n_dirs = len(glob.glob(f"{path}/postings/tb=*"))
-    return {
+    out = {
         "postings": _compact_parquet_dir(
             spark,
             f"{path}/postings",
@@ -562,6 +567,10 @@ def compact_inverted_index(
             file_threshold=max(file_threshold, n_dirs),
         ),
     }
+    # compaction rewrites postings fragments without touching scalars, so
+    # the stamp-validated handle cache cannot see it — invalidate explicitly
+    invalidate_store(path)
+    return out
 
 
 def read_inverted_index(spark: SparkSession, path: str) -> InvertedIndex:
@@ -614,7 +623,19 @@ def ensure_inverted_index(
             return False
 
     if _is_fresh():
-        return read_inverted_index(spark, path)
+        # process-level handle cache (sources/handles): reopening the
+        # store costs ~3 spark.read.parquet calls (~0.25 s of fixed
+        # per-serve overhead); the lazy handle is plan re-use, validated
+        # by the scalars stamp (appends/rebuilds rewrite scalars) and
+        # invalidated by compaction
+        from covid19_spark.sources import handles
+
+        stamp = handles.meta_stamp(f"{path}/scalars")
+        idx = handles.get_store(spark, path, stamp)
+        if idx is None:
+            idx = read_inverted_index(spark, path)
+            handles.put_store(spark, path, stamp, idx)
+        return idx
     # build into a unique scratch dir, then publish by rename (VERDICT r12
     # task #4): concurrent cold builds to the SAME cache path no longer
     # interleave Spark overwrites under a reader.  If the path filled in
@@ -886,6 +907,9 @@ def append_fielded_index(
     _write_fielded_derived(
         spark, path, n_prev + float(docs_delta.count()), fingerprint
     )
+    from covid19_spark.sources.handles import invalidate_store
+
+    invalidate_store(path)
 
 
 def make_fielded_ingest_sink(
@@ -937,8 +961,10 @@ def compact_fielded_index(
 
     from covid19_spark.operators.dedup import _compact_parquet_dir
 
+    from covid19_spark.sources.handles import invalidate_store
+
     n_dirs = len(glob.glob(f"{path}/fpostings/tb=*"))
-    return {
+    out = {
         "fpostings": _compact_parquet_dir(
             spark,
             f"{path}/fpostings",
@@ -947,6 +973,9 @@ def compact_fielded_index(
             file_threshold=max(file_threshold, n_dirs),
         ),
     }
+    # see compact_inverted_index: the stamp cannot see a fragment rewrite
+    invalidate_store(path)
+    return out
 
 
 def read_fielded_index(spark: SparkSession, path: str) -> FieldedIndex:
@@ -1003,7 +1032,15 @@ def ensure_fielded_index(
             return False
 
     if _is_fresh():
-        return read_fielded_index(spark, path)
+        # handle cache — see ensure_inverted_index
+        from covid19_spark.sources import handles
+
+        stamp = handles.meta_stamp(f"{path}/scalars", f"{path}/fieldstats")
+        idx = handles.get_store(spark, path, stamp)
+        if idx is None:
+            idx = read_fielded_index(spark, path)
+            handles.put_store(spark, path, stamp, idx)
+        return idx
     tmp = build_scratch_path(path)
     build_fielded_index_from(
         load_table(spark, "documents", sf_dir), tmp, fields,
