@@ -69,7 +69,15 @@ def ngram_jaccard_pairs(
             "ngram_jaccard_pairs requires non-empty block_cols: unblocked "
             "pairwise Jaccard is O(n^2); generate candidates with LSH first"
         )
-    sh = df.select(
+    # Hash-partition by the block key BEFORE shingling: the pairwise
+    # verify work downstream otherwise inherits the INPUT partitioning —
+    # a small/few-file source pins the whole O(B²)-per-block stage (and
+    # the tokenize) to 1-2 scan tasks (measured: the entire same-block
+    # join of fuzzy_name_match ran in ONE task off a single parquet
+    # split).  Same rationale as shingle_frame; the guard aggregate and
+    # the self-join probe side reuse this exchange.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(n_parts, *block_cols).select(
         F.col(id_col), *[F.col(c) for c in block_cols], word_shingles(F.col(text_col), n).alias("sh")
     )
     if max_block is not None:
@@ -127,7 +135,10 @@ def containment_pairs(
             "containment_pairs requires non-empty block_cols: unblocked "
             "pairwise containment is O(n^2); generate candidates with LSH first"
         )
-    sh = df.select(
+    # Same block-key repartition as ngram_jaccard_pairs — the O(B²)
+    # verify stage must not inherit a 1-2-split input partitioning.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(n_parts, *block_cols).select(
         F.col(id_col), *[F.col(c) for c in block_cols], word_shingles(F.col(text_col), n).alias("sh")
     )
     if max_block is not None:
@@ -186,7 +197,13 @@ def blocked_edit_distance_pairs(
             "unblocked pairwise edit distance is O(n^2); block on a cheap "
             "key (phonetic code, sorted-token prefix, LSH bucket) first"
         )
-    rows = df.select(F.col(id_col), *[F.col(c) for c in block_cols], F.col(value_col))
+    # Block-key repartition (see ngram_jaccard_pairs): the same-block
+    # pair join + Levenshtein otherwise run in the input's scan tasks —
+    # one small parquet split = one task doing every comparison.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    rows = df.repartition(n_parts, *block_cols).select(
+        F.col(id_col), *[F.col(c) for c in block_cols], F.col(value_col)
+    )
     if max_block is not None:
         oversized = (
             rows.groupBy(*block_cols)

@@ -59,12 +59,25 @@ def merge_state_batch(
     ``state_path``; returns the rewritten bucket ids."""
     key_cols = list(key_cols)
     spark = batch.sparkSession
-    lifted = agg_state(batch, key_cols, measure).withColumn(
-        bucket_col, F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
+    from pyspark.sql import Observation
+
+    # The lift is materialized ONCE (eager localCheckpoint) and the
+    # touched-bucket set rides that job as an Observation metric — the
+    # former shape ran a dedicated distinct+collect job for the bucket
+    # list and then re-computed the whole lift inside the merge
+    # checkpoint (two lift evaluations + one extra fixed-cost job per
+    # micro-batch).
+    obs = Observation()
+    lifted = (
+        agg_state(batch, key_cols, measure)
+        .withColumn(
+            bucket_col,
+            F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int"),
+        )
+        .observe(obs, F.collect_set(bucket_col).alias("kb_set"))
+        .localCheckpoint(eager=True)
     )
-    touched = sorted(
-        r[0] for r in lifted.select(bucket_col).distinct().collect()
-    )
+    touched = sorted(int(b) for b in obs.get["kb_set"])
     if not touched:
         return []
     if _state_exists(spark, state_path):
