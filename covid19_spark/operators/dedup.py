@@ -369,16 +369,46 @@ def lsh_candidate_pairs(
     ``(band, bucket, bucket_size)`` frame of what the guard removed (see
     ``drop_oversized_buckets``).
     """
-    # The band self-join carries ONLY (id, band, bucket) — thin fixed-width
-    # rows. Signatures (k longs per doc) are re-joined per UNIQUE candidate
-    # pair afterwards: candidate pairs are orders of magnitude fewer than
-    # banded rows, so this keeps k×8 bytes/row out of the big shuffle.
+    pairs = lsh_candidate_pair_ids(
+        sig_df, id_col, num_hashes, bands, max_bucket, dropped_report
+    )
+    sig_a = sig_df.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig_df.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
+    scored = pairs.join(sig_a, "doc_a").join(sig_b, "doc_b")
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    return scored.select(
+        "doc_a", "doc_b", (agree / F.lit(num_hashes)).alias("est_jaccard")
+    )
+
+
+def lsh_candidate_pair_ids(
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int | None = 10_000,
+    dropped_report: list | None = None,
+) -> DataFrame:
+    """Distinct candidate ``(doc_a, doc_b)`` id pairs from the banded
+    self-join — WITHOUT the per-pair signature re-joins that score
+    ``est_jaccard``.  Callers that verify candidates with exact Jaccard
+    anyway (``lsh_dedup_pipeline``) must use this form: the two
+    |pairs| ⋈ signatures joins are inner joins the optimizer cannot prune
+    even when the estimator column is dropped, so requesting the scored
+    frame and discarding the score still paid both joins.
+
+    The band self-join carries ONLY (id, band, bucket) — thin fixed-width
+    rows; one pathological bucket is removed by the ``max_bucket`` guard
+    before the join (see ``lsh_candidate_pairs``).
+    """
     banded = band_buckets(sig_df, id_col, num_hashes, bands)
     banded = drop_oversized_buckets(
         banded, ["band", "bucket"], max_bucket, dropped_report
     )
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -390,15 +420,6 @@ def lsh_candidate_pairs(
             F.col(f"b.{id_col}").alias("doc_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-    )
-    sig_a = sig_df.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
-    sig_b = sig_df.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
-    scored = pairs.join(sig_a, "doc_a").join(sig_b, "doc_b")
-    agree = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
-    )
-    return scored.select(
-        "doc_a", "doc_b", (agree / F.lit(num_hashes)).alias("est_jaccard")
     )
 
 
@@ -635,9 +656,12 @@ def _lsh_verified_pairs_with_handle(
     sigs = minhash_signatures_from_shingles(sh, id_col, "__sh", num_hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cands = lsh_candidate_pairs(
+    # id pairs only — the exact-Jaccard verify below supersedes the
+    # est_jaccard estimator, so the scored form's two signature re-joins
+    # would be pure waste (see lsh_candidate_pair_ids)
+    cands = lsh_candidate_pair_ids(
         sigs, id_col, num_hashes, bands, max_bucket, dropped_report
-    ).select("doc_a", "doc_b")
+    )
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sh_b"))
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))

@@ -73,21 +73,27 @@ def pagerank(
     # so a plain sum is already order-independent and engine-identical.
     # Normalize out-weights ONCE (nw = w / W(u)) instead of re-joining the
     # out-weight frame inside every iteration — the per-round plan shrinks
-    # to one join + one aggregate. edges_n and nodes are eager
-    # localCheckpoints because every round (and the final left join)
-    # re-reads them; both free with the result's lineage.
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("wu"))
-    edges_n = (
-        edges.join(out_w, "src")
-        .select("src", "dst", (F.col("w") / F.col("wu")).alias("nw"))
-        .localCheckpoint(eager=True)
-    )
+    # to one join + one aggregate.  The normalization is a WINDOW sum per
+    # src (one exchange) rather than the former groupBy + self-join (two
+    # shuffled sides + a join); the window's sum is the same exact
+    # integral-double total, so nw is bit-identical.  edges_n and nodes
+    # are eager localCheckpoints because every round (and the final left
+    # join) re-reads them; both free with the result's lineage.
+    from pyspark.sql import Window
+
+    w_src = Window.partitionBy("src")
+    edges_n = edges.select(
+        "src", "dst", (F.col("w") / F.sum("w").over(w_src)).alias("nw")
+    ).localCheckpoint(eager=True)
     from pyspark.sql import Observation
 
+    # Every node has an out-edge by the documented contract (no dangling
+    # nodes), so any id appearing as dst also appears as src — distinct
+    # over src alone IS the node set; the former src∪dst union doubled
+    # the distinct's input for no additional coverage.
     obs = Observation()
     nodes = (
         edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
         .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)

@@ -15,6 +15,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def fan_out_small_scan(df: DataFrame, *key_cols) -> DataFrame:
+    """Scale-adaptive parallelism floor for heavy per-row / partial-agg
+    work rooted at a small scan.
+
+    A scan's task count is its file-split count, and parquet cannot split
+    below a row group — so a table that fits one row group pins EVERY
+    downstream narrow stage (codec decode, percentile/HLL partial
+    buffers, pairwise verifies) to a single task no matter how many cores
+    the cluster has.  When the planned partition count is already at or
+    above the session's default parallelism (any real-scale scan), this
+    is a NO-OP — the repartition exists only where the data is provably
+    too small for the exchange to matter.  With ``key_cols`` the fan-out
+    hash-partitions (aligning later keyed work); without, round-robin
+    (deterministic under retries via sort-before-repartition).
+    """
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *key_cols) if key_cols else df.repartition(n)
+
+
 def date_spine(
     df: DataFrame,
     start_expr,

@@ -178,7 +178,12 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB you run only the sketch half (``sketch_aggregates`` below —
     single partial-agg pass, bounded state per group; its plan contract is
     pinned by tests/test_approx.py)."""
-    events = _t(spark, sf_dir, "events")
+    from covid19_spark.operators.series import fan_out_small_scan
+
+    # the HLL/t-digest/exact-distinct PARTIAL buffers are the heavy side
+    # of this plan and would otherwise build inside the scan's single
+    # parquet-split task; no-op at real scale (see fan_out_small_scan)
+    events = fan_out_small_scan(_t(spark, sf_dir, "events"))
     sketches = sketch_aggregates(events)
     exact = events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),

@@ -570,7 +570,7 @@ def q_lsh_guard_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic over the live doc domain. Output grain: one row per
     (kind, cluster size): dropped-bucket counts and surviving pair
     counts."""
-    from covid19_spark.operators.dedup import lsh_candidate_pairs
+    from covid19_spark.operators.dedup import lsh_candidate_pair_ids
 
     docs = (
         _t(spark, sf_dir, "documents").select("doc_id")
@@ -586,7 +586,8 @@ def q_lsh_guard_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = docs.select("doc_id", sig.cast("array<long>").alias("sig"))
     rep: list = []
-    pairs = lsh_candidate_pairs(
+    # id pairs only (survived/dropped counts, no est_jaccard) — r14
+    pairs = lsh_candidate_pair_ids(
         sigs, "doc_id", num_hashes=32, bands=8, max_bucket=20,
         dropped_report=rep,
     )
@@ -3363,7 +3364,10 @@ def q_lsh_guard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster size and band coverage are pinned by test. Scale: the report
     is the guard's own broadcast-side aggregation — evaluating it costs
     one banded-frame aggregation, nothing quadratic."""
-    from covid19_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+    from covid19_spark.operators.dedup import (
+        lsh_candidate_pair_ids,
+        minhash_signatures,
+    )
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -3379,7 +3383,9 @@ def q_lsh_guard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each recompute the shingle+hash pass (the q_minhash_lsh lifecycle)
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=32, shingle_n=3).localCheckpoint(eager=True)
     report: list = []
-    pairs = lsh_candidate_pairs(
+    # id pairs only (no est_jaccard consumer) — the scored form's two
+    # signature re-joins are unprunable inner joins (r14)
+    pairs = lsh_candidate_pair_ids(
         sigs, "doc_id", num_hashes=32, bands=8, max_bucket=40, dropped_report=report
     )
     kept = pairs.agg(F.count(F.lit(1)).alias("kept_pairs"))

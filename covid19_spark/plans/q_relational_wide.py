@@ -1793,14 +1793,25 @@ def q_lorenz_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from covid19_spark.operators.series import with_ordered_index
 
+    from pyspark.sql import Observation
+
     orders = _t(spark, sf_dir, "orders")
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
+    # |customers| rides the aggregate's materialization as an Observation:
+    # the former separate count() action recomputed the whole orders
+    # groupBy a second time (the ranking branch re-derived it again —
+    # plans are trees), so one eager checkpoint feeds count, ranking and
+    # decile cut from a single orders scan.
+    obs = Observation()
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     idxd = with_ordered_index(
         per_cust, [F.col("rev").asc(), F.col("o_custkey").asc()], idx_col="idx"
     )
-    n = per_cust.count()
+    n = int(obs.get["n"])
     by_dec = (
         idxd.select(
             F.floor(((F.col("idx") - 1) * 10) / F.lit(n)).cast("long").alias("decile"),
