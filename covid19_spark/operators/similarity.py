@@ -39,6 +39,97 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+# ---------------------------------------------------------------------------
+# SQL-text expression builders (r14).
+#
+# Plan CONSTRUCTION is driver-side work (guide §7.3): every F.* call is one
+# py4j round-trip (~1 ms on this box) and the scoring expressions below run to
+# hundreds of nodes — building the IVF-PQ query tree through nested F.* calls
+# measured ~1.5 s per query call (cProfile: 3,170 py4j round-trips, ~half the
+# family's warm wall time). Each builder renders the SAME expression as its
+# former F.* form and F.expr parses it in ONE round-trip; lambda-variable
+# names differ but operators, operand order and types are identical, so
+# results are bit-for-bit unchanged (pinned by the vector-family fixture
+# oracles, the pq/ivfpq crosscheck queries, and test_similarity).
+#
+# Literal-type gotcha the builders respect: a bare SQL ``0.0`` parses as
+# DECIMAL(1,1); the ``D`` suffix (``0.0D``) is required to reproduce
+# ``F.lit(0.0)``'s DoubleType.
+# ---------------------------------------------------------------------------
+
+
+_E = F.expr
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of ``dot(a, b)`` — the identical left-to-right fold."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """SQL text of ``cosine(a, b)``."""
+    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+
+
+def _cast_vec_sql(vec_col: str) -> str:
+    return f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+
+
+def _norm_sql(vec_col: str, guard: bool = True) -> str:
+    """L2-normalize SQL — the ``_normalized_vec`` shape: the squared-norm
+    fold is bound ONCE via ``aggregate``'s finish lambda (per-element value
+    dag unchanged → bit-identical). ``guard`` adds the 0-vector→0-vector
+    rule; pass False where the caller's original form divides unguarded."""
+    v = _cast_vec_sql(vec_col)
+    div = "(CASE WHEN sqrt(s) = 0.0D THEN 1.0D ELSE sqrt(s) END)" if guard else "sqrt(s)"
+    return (
+        f"aggregate(zip_with({v}, {v}, (a, b) -> a * b), 0.0D, (a, x) -> a + x, "
+        f"s -> transform({v}, x -> x / {div}))"
+    )
+
+
+def _nearest_centroids_sql(v: str = "__v", cs: str = "__cs") -> str:
+    """Sorted array<struct<negs, centroid_id>> over a broadcast centroid
+    struct-array column — the shared ``ivf_assign`` ranking expression."""
+    return (
+        f"sort_array(transform({cs}, cc -> named_struct("
+        f"'negs', -{_dot_sql(v, 'cc.__c')}, 'centroid_id', cc.centroid_id)))"
+    )
+
+
+def _sub_slice_sql(nv: str, m: int, s: str) -> str:
+    """PQ subvector slice ``s`` (0-based) of a normalized vector column."""
+    w = f"CAST(size({nv}) / {m} AS INT)"
+    return f"slice({nv}, CAST({s} * {w} + 1 AS INT), {w})"
+
+
+def _pq_codes_sql(m: int, nv_col: str = "__nv", cb_col: str = "__cb") -> str:
+    """SQL text of ``_pq_codes_expr`` (see its docstring for semantics)."""
+    return (
+        f"transform(sequence(0, {m - 1}), s -> element_at(sort_array(transform("
+        f"filter({cb_col}, e -> e.sub = s), e -> named_struct('d2', "
+        f"aggregate(zip_with({_sub_slice_sql(nv_col, m, 's')}, e.cvec, (a, b) -> a - b), "
+        f"0.0D, (a, x) -> a + x * x), 'code', e.code))), 1).code)"
+    )
+
+
+def _adc_tab_sql(m: int, qn: str = "__qn", cb: str = "__cb") -> str:
+    """Flat ADC lookup table: dot(q_sub(s), codeword) ordered by (sub, code)."""
+    return (
+        f"transform(sort_array(transform({cb}, e -> struct(e.sub, e.code, e.cvec))), "
+        f"e -> aggregate(zip_with({_sub_slice_sql(qn, m, 'e.sub')}, e.cvec, "
+        f"(a, b) -> a * b), 0.0D, (a, x) -> a + x))"
+    )
+
+
+def _adc_score_sql(m: int, n_codes: int, tab: str = "__tab", codes: str = "codes") -> str:
+    """Σ_s tab[s * n_codes + codes[s]] — the m-lookup ADC score fold."""
+    return (
+        f"aggregate(sequence(0, {m - 1}), 0.0D, (acc, s) -> acc + element_at({tab}, "
+        f"CAST(s * {n_codes} + element_at({codes}, CAST(s + 1 AS INT)) + 1 AS INT)))"
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -80,7 +171,6 @@ def cosine_near_dup_pairs(
     # Normalize ONCE per vector before the join: the per-pair work drops to
     # a single dot fold (instead of dot + two norm folds) — 3x less of the
     # dominant cost. Same elementwise/fold order as the DuckDB oracle.
-    v = F.col(vec_col).cast("array<double>")
     # Repartition BEFORE normalizing: the downstream self-join is CPU-bound
     # (a dot fold per matched pair) but byte-tiny, so Spark broadcasts one
     # side and pins the fold onto the probe side's scan partitions — for a
@@ -101,12 +191,7 @@ def cosine_near_dup_pairs(
     # _normalized_vec lesson, r14); same value dag, bit-identical sims
     base = df.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col), *[F.col(c) for c in block_cols],
-        F.aggregate(
-            F.zip_with(v, v, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-            lambda s: F.transform(v, lambda x: x / F.sqrt(s)),
-        ).alias("__v"),
+        _E(_norm_sql(vec_col, guard=False)).alias("__v"),
     ).localCheckpoint(eager=False)
     if block_cols and max_block is not None:
         oversized = (
@@ -135,7 +220,7 @@ def cosine_near_dup_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             *[F.col(f"a.{c}").alias(c) for c in block_cols],
-            dot(F.col("a.__v"), F.col("b.__v")).alias("sim"),
+            _E(_dot_sql("a.__v", "b.__v")).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -161,7 +246,7 @@ def cosine_topk(
     )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select("query_id", "neighbor_id", _E(_cos_sql("qv", "cv")).alias("sim"))
     )
     from pyspark.sql import Window
 
@@ -292,7 +377,7 @@ def ann_cosine_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "qv", "cv")
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select("query_id", "neighbor_id", _E(_cos_sql("qv", "cv")).alias("sim"))
     )
     from pyspark.sql import Window
 
@@ -335,19 +420,7 @@ def ivf_assign(
     scored = v.crossJoin(F.broadcast(c_row)).select(
         id_col,
         "__v",
-        F.slice(
-            F.sort_array(
-                F.transform(
-                    "__cs",
-                    lambda cc: F.struct(
-                        (-dot(F.col("__v"), cc["__c"])).alias("negs"),
-                        cc["centroid_id"].alias("centroid_id"),
-                    ),
-                )
-            ),
-            1,
-            n_probes,
-        ).alias("__probes"),
+        _E(f"slice({_nearest_centroids_sql()}, 1, {int(n_probes)})").alias("__probes"),
     )
     return scored.select(
         id_col,
@@ -372,9 +445,8 @@ def _elementwise_mean(assigned: DataFrame, group_cols: list[str], arr_col: str) 
         .agg(F.avg("__x").alias("__m"))
         .groupBy(*group_cols)
         .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("__pos", "__m"))),
-                lambda s: s["__m"],
+            _E(
+                "transform(sort_array(collect_list(struct(__pos, __m))), s -> s.__m)"
             ).alias("cvec")
         )
     )
@@ -500,10 +572,7 @@ def ivf_cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                dot(F.col("qv"), F.col("cv"))
-                / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("cv"), F.col("cv"))))
-            ).alias("sim"),
+            _E(_cos_sql("qv", "cv")).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -716,18 +785,9 @@ def ivfpq_encode(
         .crossJoin(F.broadcast(cb_row))
         .select(
             F.col(id_col),
-            F.element_at(
-                F.sort_array(
-                    F.transform(
-                        "__cs",
-                        lambda cc: F.struct(
-                            (-dot(F.col("__v"), cc["__c"])).alias("negs"),
-                            cc["centroid_id"].alias("centroid_id"),
-                        ),
-                    )
-                ),
-                1,
-            )["centroid_id"].alias("centroid_id"),
+            _E(f"element_at({_nearest_centroids_sql()}, 1).centroid_id").alias(
+                "centroid_id"
+            ),
             _pq_codes_expr(m).alias("codes"),
         )
     )
@@ -758,29 +818,19 @@ def ivfpq_search(
     cb_row = codebooks.select(F.struct("sub", "code", "cvec").alias("__e")).agg(
         F.collect_list("__e").alias("__cb")
     )
-    qv = F.col(vec_col).cast("array<double>")
-    qnorm = F.sqrt(F.aggregate(F.zip_with(qv, qv, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x))
+    # norm bound once via the aggregate finish lambda (the _normalized_vec
+    # lesson — the former transform re-folded qnorm per element); same
+    # per-element value dag (x / sqrt(Σx²), unguarded), bit-identical
     qn = queries.select(
-        F.col(id_col).alias("query_id"), F.transform(qv, lambda x: x / qnorm).alias("__qn")
+        F.col(id_col).alias("query_id"),
+        _E(_norm_sql(vec_col, guard=False)).alias("__qn"),
     )
     probes = ivf_assign(queries, centroids, id_col, vec_col, n_probes=n_probes).select(
         F.col(id_col).alias("query_id"), "centroid_id"
     )
-    sub_slice = lambda s: F.slice(  # noqa: E731
-        "__qn",
-        (s * (F.size("__qn") / m).cast("int") + 1).cast("int"),
-        (F.size("__qn") / m).cast("int"),
-    )
     q_tabs = qn.crossJoin(F.broadcast(cb_row)).select(
         "query_id",
-        F.transform(
-            F.sort_array(F.transform("__cb", lambda e: F.struct(e["sub"], e["code"], e["cvec"]))),
-            lambda e: F.aggregate(
-                F.zip_with(sub_slice(e["sub"]), e["cvec"], lambda a, b: a * b),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-        ).alias("__tab"),
+        _E(_adc_tab_sql(m)).alias("__tab"),
     )
     # probe join: only codes in the query's probed lists are scored
     probe_tabs = probes.join(F.broadcast(q_tabs), "query_id")
@@ -790,14 +840,7 @@ def ivfpq_search(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                F.lit(0.0),
-                lambda acc, s: acc
-                + F.element_at(
-                    "__tab", (s * n_codes + F.element_at("codes", (s + 1).cast("int")) + 1).cast("int")
-                ),
-            ).alias("adc_score"),
+            _E(_adc_score_sql(m, n_codes)).alias("adc_score"),
         )
         # (query, neighbor) is structurally unique: codes carry the
         # n_probes=1 list assignment, so each neighbor meets a query at
@@ -821,7 +864,7 @@ def ivfpq_search(
     reranked = (
         short.join(c_full, "neighbor_id")
         .join(F.broadcast(q_full), "query_id")
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select("query_id", "neighbor_id", _E(_cos_sql("qv", "cv")).alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -924,15 +967,11 @@ def _pq_subvectors(
     makes ADC dot products approximate cosine, and fitting codebooks on raw
     subvectors while encoding normalized ones silently degrades quantization
     for any corpus that is not already unit-norm. Map-only."""
-    v = F.col(vec_col).cast("array<double>")
-    norm = F.sqrt(
-        F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
-    )
-    # zero-norm guard: see _normalized_vec (same rule, same driver twin)
-    safe = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
-    normed = df.select(
-        F.col(id_col), F.transform(v, lambda x: x / safe).alias("__nv")
-    )
+    # zero-norm guard: see _normalized_vec (same rule, same driver twin).
+    # The former transform re-folded the guarded norm per ELEMENT (the
+    # _normalized_vec lesson); the finish-lambda form in _norm_sql binds it
+    # once — same per-element value dag, bit-identical subvectors.
+    normed = df.select(F.col(id_col), _E(_norm_sql(vec_col)).alias("__nv"))
     return normed.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
@@ -940,11 +979,7 @@ def _pq_subvectors(
     ).select(
         F.col(id_col),
         "sub",
-        F.slice(
-            "__nv",
-            (F.col("sub") * (F.size("__nv") / m).cast("int") + 1).cast("int"),
-            (F.size("__nv") / m).cast("int"),
-        ).alias("sv"),
+        _E(_sub_slice_sql("__nv", m, "sub")).alias("sv"),
     )
 
 
@@ -955,23 +990,15 @@ def _pq_assign(subs: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
     cb_row = codebooks.select(
         F.struct("sub", "code", "cvec").alias("__e")
     ).agg(F.collect_list("__e").alias("__cb"))
-    sq = lambda d: F.aggregate(d, F.lit(0.0), lambda a, x: a + x * x)  # noqa: E731
     return subs.crossJoin(F.broadcast(cb_row)).select(
         F.col(id_col),
         "sub",
         "sv",
-        F.element_at(
-            F.sort_array(
-                F.transform(
-                    F.filter("__cb", lambda e: e["sub"] == F.col("sub")),
-                    lambda e: F.struct(
-                        sq(F.zip_with("sv", e["cvec"], lambda a, b: a - b)).alias("d2"),
-                        e["code"].alias("code"),
-                    ),
-                )
-            ),
-            1,
-        )["code"].alias("code"),
+        _E(
+            "element_at(sort_array(transform(filter(__cb, e -> e.sub = sub), "
+            "e -> named_struct('d2', aggregate(zip_with(sv, e.cvec, (a, b) -> a - b), "
+            "0.0D, (a, x) -> a + x * x), 'code', e.code))), 1).code"
+        ).alias("code"),
     )
 
 
@@ -988,22 +1015,10 @@ def _normalized_vec(vec_col: str):
     ~1 ms/row on 64-dim vectors, ~64× the necessary work (r14; this one
     expression dominated the whole SQ8/PQ/IVF query family).  The value
     dag per element is unchanged (same fold order, same guarded divide),
-    so results are bit-identical."""
-    v = F.col(vec_col).cast("array<double>")
-
-    def _finish(s):
-        # zero-norm guard: 0-vector → 0-vector (not NaN), matching the
-        # driver fit twin (_fit_quantizers_driver) bit-for-bit
-        norm = F.sqrt(s)
-        safe = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
-        return F.transform(v, lambda x: x / safe)
-
-    return F.aggregate(
-        F.zip_with(v, v, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda a, x: a + x,
-        _finish,
-    )
+    so results are bit-identical. Built as SQL text (one parse) — see the
+    _E builder block; the zero-norm guard (0-vector → 0-vector, matching the
+    driver fit twin bit-for-bit) lives in ``_norm_sql``."""
+    return _E(_norm_sql(vec_col))
 
 
 def _pq_codes_expr(m: int, nv_col: str = "__nv", cb_col: str = "__cb"):
@@ -1013,28 +1028,8 @@ def _pq_codes_expr(m: int, nv_col: str = "__nv", cb_col: str = "__cb"):
     slicing, and tie-break as ``_pq_assign``, evaluated per row with zero
     explode/groupBy. This keeps corpus encoding a pure map pass: the
     earlier explode→assign→groupBy(id) reassembly shuffled |corpus|·m rows
-    just to glue codes back together."""
-    sq = lambda d: F.aggregate(d, F.lit(0.0), lambda a, x: a + x * x)  # noqa: E731
-    sub_slice = lambda s: F.slice(  # noqa: E731
-        nv_col,
-        (s * (F.size(nv_col) / m).cast("int") + 1).cast("int"),
-        (F.size(nv_col) / m).cast("int"),
-    )
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.element_at(
-            F.sort_array(
-                F.transform(
-                    F.filter(cb_col, lambda e: e["sub"] == s),
-                    lambda e: F.struct(
-                        sq(F.zip_with(sub_slice(s), e["cvec"], lambda a, b: a - b)).alias("d2"),
-                        e["code"].alias("code"),
-                    ),
-                )
-            ),
-            1,
-        )["code"],
-    )
+    just to glue codes back together. Built as SQL text (one parse)."""
+    return _E(_pq_codes_sql(m, nv_col, cb_col))
 
 
 def pq_encode(
@@ -1088,12 +1083,12 @@ def sq8_minmax(
         .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
     )
     return per_dim.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
-        ).alias("mins"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
-        ).alias("maxs"),
+        _E("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)").alias(
+            "mins"
+        ),
+        _E("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)").alias(
+            "maxs"
+        ),
     )
 
 
@@ -1109,33 +1104,22 @@ def _sq8_codes_expr(vec_col: str) -> Column:
     # re-inline the whole normalization subexpression once per element
     # (64× tree duplication — measured 100+ s of codegen/eval on a 2k-row
     # corpus), while zip_with evaluates each input array once per row.
-    paired = F.zip_with(
-        _normalized_vec(vec_col),
-        F.col("mins"),
-        lambda x, mn: F.struct(x.alias("x"), mn.alias("mn")),
-    )
-    return F.zip_with(
-        paired,
-        F.col("maxs"),
-        lambda s, mx: (
-            F.when(
-                mx > s["mn"],
-                # clamp BOTH ends (FAISS semantics): with pretrained
-                # ``minmax=`` bounds, serving-time vectors can fall outside
-                # the trained range — below-min must saturate to 0, not go
-                # negative and break the byte contract. Inline-trained
-                # corpora never hit either clamp's off-branch, so the
-                # cross-engine oracle is unchanged.
-                F.greatest(
-                    F.lit(0),
-                    F.least(
-                        F.lit(255), F.floor((s["x"] - s["mn"]) / (mx - s["mn"]) * 256)
-                    ),
-                ),
-            )
-            .otherwise(0)
-            .cast("int")
-        ),
+    # Clamp BOTH ends (FAISS semantics): with pretrained ``minmax=`` bounds,
+    # serving-time vectors can fall outside the trained range — below-min
+    # must saturate to 0, not go negative and break the byte contract.
+    # Inline-trained corpora never hit either clamp's off-branch, so the
+    # cross-engine oracle is unchanged.
+    return _E(_sq8_codes_sql(vec_col))
+
+
+def _sq8_codes_sql(vec_col: str) -> str:
+    """SQL text of ``_sq8_codes_expr`` (composable into larger one-parse
+    expressions, e.g. ``sq8_topk``'s decode)."""
+    return (
+        f"zip_with(zip_with({_norm_sql(vec_col)}, mins, "
+        f"(x, mn) -> named_struct('x', x, 'mn', mn)), maxs, "
+        f"(s, mx) -> CAST(CASE WHEN mx > s.mn THEN greatest(0, least(255, "
+        f"floor((s.x - s.mn) / (mx - s.mn) * 256))) ELSE 0 END AS INT))"
     )
 
 
@@ -1177,17 +1161,12 @@ def sq8_topk(
     # work collapses to a plain zip_with dot — without this the ADC decode
     # re-evaluates |Q|× per neighbor and the scan is ~5× the flops of
     # brute-force cosine instead of matching it
-    code_mn = F.zip_with(
-        _sq8_codes_expr(vec_col),
-        F.col("mins"),
-        lambda c, mn: F.struct(c.alias("c"), mn.alias("mn")),
-    )
     decoded = corpus.crossJoin(F.broadcast(mm)).select(
         F.col(id_col).alias("neighbor_id"),
-        F.zip_with(
-            code_mn,
-            F.col("maxs"),
-            lambda s, mx: s["mn"] + (s["c"] + F.lit(0.5)) * (mx - s["mn"]) / F.lit(256.0),
+        _E(
+            f"zip_with(zip_with({_sq8_codes_sql(vec_col)}, mins, "
+            f"(c, mn) -> named_struct('c', c, 'mn', mn)), maxs, "
+            f"(s, mx) -> s.mn + (s.c + 0.5D) * (mx - s.mn) / 256.0D)"
         ).alias("dv"),
     )
     # queries stay full precision (normalized)
@@ -1199,7 +1178,7 @@ def sq8_topk(
     ).select(
         "query_id",
         "neighbor_id",
-        dot(F.col("qn"), F.col("dv")).alias("adc"),
+        _E(_dot_sql("qn", "dv")).alias("adc"),
     )
     w_s = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id").asc()
@@ -1218,7 +1197,7 @@ def sq8_topk(
     reranked = (
         short.join(c_full, "neighbor_id")
         .join(F.broadcast(q_full), "query_id")
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select("query_id", "neighbor_id", _E(_cos_sql("qv", "cv")).alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -1330,32 +1309,21 @@ def pq_cosine_topk(
         )
     codes = pq_encode(corpus, codebooks, m, id_col, vec_col)
 
-    qv = F.col(vec_col).cast("array<double>")
-    qnorm = F.sqrt(F.aggregate(F.zip_with(qv, qv, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x))
+    # norm bound once via the aggregate finish lambda (the _normalized_vec
+    # lesson); same per-element value dag (x / sqrt(Σx²), unguarded)
     qn = queries.select(
-        F.col(id_col).alias("query_id"), F.transform(qv, lambda x: x / qnorm).alias("__qn")
+        F.col(id_col).alias("query_id"),
+        _E(_norm_sql(vec_col, guard=False)).alias("__qn"),
     )
     cb_row = codebooks.select(F.struct("sub", "code", "cvec").alias("__e")).agg(
         F.collect_list("__e").alias("__cb")
     )
     # ADC table: for sub s, code c → dot(q_sub, codeword). Stored as a flat
     # array indexed [s * n_codes + c] for O(1) element_at lookups.
-    sub_slice = lambda s: F.slice(  # noqa: E731
-        "__qn",
-        (s * (F.size("__qn") / m).cast("int") + 1).cast("int"),
-        (F.size("__qn") / m).cast("int"),
-    )
     q_tabs = qn.crossJoin(F.broadcast(cb_row)).select(
         "query_id",
         "__qn",
-        F.transform(
-            F.sort_array(F.transform("__cb", lambda e: F.struct(e["sub"], e["code"], e["cvec"]))),
-            lambda e: F.aggregate(
-                F.zip_with(sub_slice(e["sub"]), e["cvec"], lambda a, b: a * b),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-        ).alias("__tab"),
+        _E(_adc_tab_sql(m)).alias("__tab"),
     )
     adc = (
         codes.crossJoin(F.broadcast(q_tabs.select("query_id", "__tab")))
@@ -1363,14 +1331,7 @@ def pq_cosine_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                F.lit(0.0),
-                lambda acc, s: acc
-                + F.element_at(
-                    "__tab", (s * n_codes + F.element_at("codes", (s + 1).cast("int")) + 1).cast("int")
-                ),
-            ).alias("adc_score"),
+            _E(_adc_score_sql(m, n_codes)).alias("adc_score"),
         )
     )
     w_short = Window.partitionBy("query_id").orderBy(
@@ -1390,7 +1351,7 @@ def pq_cosine_topk(
     reranked = (
         short.join(c_full, "neighbor_id")
         .join(F.broadcast(q_full), "query_id")
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select("query_id", "neighbor_id", _E(_cos_sql("qv", "cv")).alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -1596,12 +1557,10 @@ def semantic_dedup(
         assigned.crossJoin(F.broadcast(c_row))
         .select(
             F.col(id_col),
-            F.element_at(
-                F.filter("__cs", lambda cc: cc["centroid_id"] == F.col("centroid_id")), 1
-            )["__c"].alias("__c"),
+            _E("element_at(filter(__cs, cc -> cc.centroid_id = centroid_id), 1).__c").alias("__c"),
             "vec",
         )
-        .select(F.col(id_col), cosine(F.col("vec"), F.col("__c")).alias("__csim"))
+        .select(F.col(id_col), _E(_cos_sql("vec", "__c")).alias("__csim"))
     )
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("__csim").asc(), F.col(id_col).asc()
