@@ -295,13 +295,15 @@ def minhash_signatures_from_shingles(
         sh = sh_df.repartition(n_parts, id_col)
     sh = sh.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("sh"))
     hashed = sh.select(id_col, F.xxhash64(F.col("sh")).alias("h0"))
+    # SQL-text construction (one parse per agg instead of ~4 py4j
+    # round-trips each — see similarity._E): same min(xxhash64(h0, i))
+    # aggregates, bit-identical signatures
     mins = [
-        F.min(F.xxhash64(F.col("h0"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+        F.expr(f"min(xxhash64(h0, {i}))").alias(f"h{i}") for i in range(num_hashes)
     ]
     sig = hashed.groupBy(id_col).agg(*mins)
-    return sig.select(
-        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    arr = ", ".join(f"h{i}" for i in range(num_hashes))
+    return sig.select(F.col(id_col), F.expr(f"array({arr})").alias("sig"))
 
 
 def minhash_signatures(
@@ -328,19 +330,20 @@ def band_buckets(
     (``lsh_candidate_pairs``) and the streaming history probe
     (``streaming/dedup_lsh_stream``)."""
     rows_per_band = num_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(
-                    *[
-                        F.element_at("sig", bi * rows_per_band + j + 1)
-                        for j in range(rows_per_band)
-                    ]
-                ).alias("bucket"),
+    # SQL-text construction (one parse instead of ~8 py4j round-trips per
+    # band struct): same per-band xxhash64 over the same element_at slots
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('band', {bi}, 'bucket', xxhash64("
+            + ", ".join(
+                f"element_at(sig, {bi * rows_per_band + j + 1})"
+                for j in range(rows_per_band)
             )
+            + "))"
             for bi in range(bands)
-        ]
+        )
+        + ")"
     )
     return sig_df.select(id_col, F.explode(band_structs).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
@@ -433,22 +436,26 @@ def simhash(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 2) -> Da
     sh = df.repartition(n_parts, id_col).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
     )
-    h = F.xxhash64("sh")
-
     def bit_mask(bit: int) -> int:
         # bit 63 must be the sign bit in a signed 64-bit literal
         return (1 << bit) if bit < 63 else -(1 << 63)
 
+    # SQL-text construction (the 64 vote aggregates + 64-term OR chain were
+    # ~8,000 py4j round-trips ≈ 1.9 s of pure plan building per call — see
+    # similarity._E): same CASE/±1 sums over the same masks, bit-identical
     votes = [
-        F.sum(F.when(h.bitwiseAND(F.lit(bit_mask(bit))) != 0, 1).otherwise(-1)).alias(f"b{bit}")
+        F.expr(
+            f"sum(CASE WHEN (xxhash64(sh) & {bit_mask(bit)}) != 0 THEN 1 ELSE -1 END)"
+        ).alias(f"b{bit}")
         for bit in range(64)
     ]
     per_doc = sh.groupBy(id_col).agg(*votes)
-    sig = None
-    for bit in range(64):
-        term = F.when(F.col(f"b{bit}") > 0, F.lit(bit_mask(bit))).otherwise(F.lit(0))
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return per_doc.select(F.col(id_col), sig.cast("long").alias("simhash"))
+    or_chain = " | ".join(
+        f"(CASE WHEN b{bit} > 0 THEN {bit_mask(bit)} ELSE 0 END)" for bit in range(64)
+    )
+    return per_doc.select(
+        F.col(id_col), F.expr(f"CAST(({or_chain}) AS BIGINT)").alias("simhash")
+    )
 
 
 def hamming_band_keys(col: str) -> "F.Column":
@@ -458,14 +465,14 @@ def hamming_band_keys(col: str) -> "F.Column":
     fingerprint, per-frame video). Pigeonhole guarantee: a pair within
     Hamming 3 always shares at least one exact sub-band; greater distances
     are recalled probabilistically."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftrightunsigned(col, i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-            )
+    return F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('band', {i}, "
+            f"'key', shiftrightunsigned(`{col}`, {i * 16}) & 65535)"
             for i in range(4)
-        ]
+        )
+        + ")"
     )
 
 
