@@ -40,11 +40,101 @@ from pyspark.sql import functions as F
 #: query-string keys that never identify content (analytics/click tracking)
 TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid)="
 
+#: scheme prefix of a URL (RFC 3986 scheme grammar), used by every parser here
+_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
 
-def canonical_url(url: Column) -> Column:
+
+def _sq(pat: str) -> str:
+    """Single-quoted SQL string literal of ``pat`` — backslashes doubled so
+    the parser's escape processing yields the original regex text."""
+    return "'" + pat.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+# ---------------------------------------------------------------------------
+# SQL-text builders (r14): the URL/robots expressions below run to dozens of
+# nodes, and building them through F.* calls costs one ~1 ms py4j round-trip
+# per node (guide §7.3 — plan construction is driver work; measured ~1.5 s
+# per frontier_policy_pipeline call). Each builder renders the SAME
+# expression as the Column form and F.expr parses it once. The Column forms
+# are kept for ad-hoc Column operands; tests pin both paths equal on the
+# golden URL corpus, and every registry query uses the SQL path end-to-end
+# against its DuckDB oracle. Repeated sub-fragments mirror the Column form
+# exactly: reusing a python Column variable also duplicates the subtree.
+# ---------------------------------------------------------------------------
+
+
+def canonical_url_sql(u: str) -> str:
+    """SQL text of ``canonical_url`` over the SQL fragment ``u``
+    (a column name or any expression text)."""
+    u0 = f"split(trim({u}), '#')[0]"
+    scheme_cap_re = _sq(r"^([A-Za-z][A-Za-z0-9+.\-]*)://")
+    scheme = f"lower(regexp_extract({u0}, {scheme_cap_re}, 1))"
+    scheme_re = _sq(_SCHEME_RE)
+    rest = f"regexp_replace({u0}, {scheme_re}, '')"
+    hp0 = f"lower(regexp_replace(regexp_extract({rest}, '^([^/?]*)', 1), '^.*@', ''))"
+    hostport = (
+        f"CASE WHEN {scheme} = 'https' AND endswith({hp0}, ':443') "
+        f"THEN regexp_replace({hp0}, ':443$', '') "
+        f"WHEN {scheme} = 'http' AND endswith({hp0}, ':80') "
+        f"THEN regexp_replace({hp0}, ':80$', '') ELSE {hp0} END"
+    )
+    path_q = f"regexp_replace({rest}, '^[^/?]*', '')"
+    path0 = f"regexp_replace(regexp_extract({path_q}, '^([^?]*)', 1), '/+$', '')"
+    path = f"CASE WHEN {path0} = '' THEN '/' ELSE {path0} END"
+    query_re = _sq(r"\?(.*)$")
+    query = f"regexp_extract({path_q}, {query_re}, 1)"
+    tracking_re = _sq(TRACKING_PARAM_RE)
+    kept = (
+        f"filter(split({query}, '&'), "
+        f"p -> p != '' AND NOT (p RLIKE {tracking_re}))"
+    )
+    qnorm = f"array_join({kept}, '&')"
+    return (
+        f"CASE WHEN ({u}) IS NULL THEN CAST(NULL AS STRING) ELSE concat({scheme}, "
+        f"CASE WHEN {scheme} = '' THEN '' ELSE '://' END, {hostport}, {path}, "
+        f"CASE WHEN {qnorm} = '' THEN '' ELSE concat('?', {qnorm}) END) END"
+    )
+
+
+def host_of_sql(u: str) -> str:
+    """SQL text of ``host_of`` over the SQL fragment ``u``."""
+    scheme_re = _sq(_SCHEME_RE)
+    rest = f"regexp_replace(trim({u}), {scheme_re}, '')"
+    auth = f"regexp_extract({rest}, '^([^/?#]*)', 1)"
+    host = f"regexp_replace({auth}, '^.*@', '')"
+    return f"lower(regexp_extract({host}, '^([^:]*)', 1))"
+
+
+def path_of_sql(u: str) -> str:
+    """SQL text of ``path_of`` over the SQL fragment ``u``."""
+    scheme_re = _sq(_SCHEME_RE)
+    path_re = _sq(r"^[^/?#]*(/[^?#]*)?")
+    rest = f"regexp_replace(trim({u}), {scheme_re}, '')"
+    path = f"regexp_extract({rest}, {path_re}, 1)"
+    return f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+
+
+def domain_suffixes_sql(u: str, max_labels: int = 6) -> str:
+    """SQL text of ``domain_suffixes`` over the SQL fragment ``u``."""
+    dot_re = _sq(r"\.")
+    labels = f"split({host_of_sql(u)}, {dot_re})"
+    return (
+        f"transform(sequence(1, least(size({labels}), {int(max_labels)})), "
+        f"k -> array_join(slice({labels}, size({labels}) - k + 1, k), '.'))"
+    )
+
+
+def canonical_url(url: "Column | str") -> Column:
     """Canonical form of a URL column per the module-docstring spec.
     Malformed inputs (no ``scheme://``) canonicalize on a best-effort
-    basis (treated as scheme-less host+path); NULL stays NULL."""
+    basis (treated as scheme-less host+path); NULL stays NULL.
+
+    Pass a SQL fragment string (column name / expression text) to build
+    the whole expression in ONE parse — the hot-path form every registry
+    query uses; a Column operand keeps the F.*-built twin (tests pin the
+    two paths equal on the golden URL corpus)."""
+    if isinstance(url, str):
+        return F.expr(canonical_url_sql(url))
     u = F.split(F.trim(url), "#").getItem(0)  # fragment off first
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
@@ -144,23 +234,26 @@ def html_paragraphs(html: Column) -> Column:
     )
 
 
-def host_of(url: Column) -> Column:
+def host_of(url: "Column | str") -> Column:
     """Lowercased host of a URL column (userinfo and port stripped) — the
     join key of domain-policy filters. Scheme-less inputs best-effort like
-    ``canonical_url``.
+    ``canonical_url``. A str operand is a SQL fragment built in one parse
+    (see ``canonical_url``).
 
     The RFC 3986 userinfo component (``user:pass@host``) MUST be stripped
     here: a blocklist gate that keys on the raw authority fails OPEN for
     ``https://x@bad.com/`` (the classic blocklist-bypass vector). Greedy
     ``^.*@`` within the authority matches to the LAST ``@`` — the WHATWG
     URL parsing of a userinfo that itself contains unencoded ``@``."""
+    if isinstance(url, str):
+        return F.expr(host_of_sql(url))
     rest = F.regexp_replace(F.trim(url), r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
     auth = F.regexp_extract(rest, r"^([^/?#]*)", 1)
     host = F.regexp_replace(auth, r"^.*@", "")
     return F.lower(F.regexp_extract(host, r"^([^:]*)", 1))
 
 
-def domain_suffixes(url: Column, max_labels: int = 6) -> Column:
+def domain_suffixes(url: "Column | str", max_labels: int = 6) -> Column:
     """Array of registrable-suffix candidates of a URL's host, shortest
     first: for ``a.b.example.com`` → ``[com, example.com, b.example.com,
     a.b.example.com]`` (capped at ``max_labels`` labels). A blocklist entry
@@ -170,6 +263,8 @@ def domain_suffixes(url: Column, max_labels: int = 6) -> Column:
     join explodes ≤ ``max_labels`` short strings per URL, hash-joinable
     against a broadcast blocklist — the 100 TB shape (a regex-per-entry
     scan would be |blocklist|×|corpus|)."""
+    if isinstance(url, str):
+        return F.expr(domain_suffixes_sql(url, max_labels))
     labels = F.split(host_of(url), r"\.")
     n = F.size(labels)
     return F.transform(
@@ -198,7 +293,7 @@ def filter_blocked_domains(
     cand = (
         df.select(F.col(url_col).alias("_fbd_url"))
         .distinct()
-        .select(u, F.explode(domain_suffixes(u)).alias("_fbd_sfx"))
+        .select(u, F.explode(domain_suffixes("_fbd_url")).alias("_fbd_sfx"))
     )
     blocked = (
         cand.join(
@@ -214,10 +309,13 @@ def filter_blocked_domains(
     )
 
 
-def path_of(url: Column) -> Column:
+def path_of(url: "Column | str") -> Column:
     """The path component of a URL (query/fragment stripped, empty → ``/``)
     — the matching key of robots.txt rules. Case preserved (robots paths
-    are case-sensitive per the RFC 9309 match semantics)."""
+    are case-sensitive per the RFC 9309 match semantics). A str operand is
+    a SQL fragment built in one parse (see ``canonical_url``)."""
+    if isinstance(url, str):
+        return F.expr(path_of_sql(url))
     rest = F.regexp_replace(F.trim(url), r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
     path = F.regexp_extract(rest, r"^[^/?#]*(/[^?#]*)?", 1)
     return F.when(path == "", F.lit("/")).otherwise(path)
@@ -264,30 +362,16 @@ def _robots_directive_groups(
     """Shared robots.txt line/group machinery: (grouped directive lines
     with ``grp`` ids, agents-per-group frame). Group ids increment at the
     FIRST user-agent line of each stacked header block."""
+    kind_re = _sq(r"(?i)^(user-agent|allow|disallow|crawl-delay)\s*:")
+    value_re = _sq(r"(?i)^(?:user-agent|allow|disallow|crawl-delay)\s*:\s*(\S*)")
     lines = (
         robots.select(
             F.col(host_col).alias("host"),
             F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "line"),
         )
-        .withColumn("line", F.trim(F.regexp_replace("line", "#.*", "")))
-        .withColumn(
-            "kind",
-            F.lower(
-                F.regexp_extract(
-                    "line", r"(?i)^(user-agent|allow|disallow|crawl-delay)\s*:", 1
-                )
-            ),
-        )
-        .withColumn(
-            "value",
-            F.trim(
-                F.regexp_extract(
-                    "line",
-                    r"(?i)^(?:user-agent|allow|disallow|crawl-delay)\s*:\s*(\S*)",
-                    1,
-                )
-            ),
-        )
+        .withColumn("line", F.expr("trim(regexp_replace(line, '#.*', ''))"))
+        .withColumn("kind", F.expr(f"lower(regexp_extract(line, {kind_re}, 1))"))
+        .withColumn("value", F.expr(f"trim(regexp_extract(line, {value_re}, 1))"))
         .filter(F.col("kind") != "")
     )
     from pyspark.sql import Window
@@ -380,33 +464,25 @@ def robots_allowed(
     # the RFC's empty-group semantics (distinct from a missing host, whose
     # _rules is NULL — same verdict, different provenance)
     host_rules = effective.groupBy("host").agg(
-        F.collect_list(
-            F.when(
-                F.col("path").isNotNull(),
-                F.struct(
-                    F.length("path").alias("l"),
-                    (F.col("directive") == "allow").cast("int").alias("a"),
-                    F.col("path").alias("rule"),
-                ),
-            )
+        F.expr(
+            "collect_list(CASE WHEN path IS NOT NULL THEN named_struct("
+            "'l', length(path), 'a', CAST(directive = 'allow' AS INT), "
+            "'rule', path) END)"
         ).alias("_rules")
     )
-    u = urls.withColumn("_r_host", host_of(F.col(url_col))).withColumn(
-        "_r_path", path_of(F.col(url_col))
+    u = urls.withColumn("_r_host", host_of(f"`{url_col}`")).withColumn(
+        "_r_path", path_of(f"`{url_col}`")
     )
     joined = u.join(
         F.broadcast(host_rules), u["_r_host"] == host_rules["host"], "left"
     )
     # null _rules (host without robots) propagates: filter→null,
     # array_max→null, verdict→allowed (the RFC's missing-file fail-open)
-    matching = F.filter(
-        F.col("_rules"), lambda r: F.col("_r_path").startswith(r["rule"])
-    )
-    best = F.array_max(matching)
+    best = "array_max(filter(_rules, r -> startswith(_r_path, r.rule)))"
     return joined.select(
         *[c for c in urls.columns],
-        (best.isNull() | (best["a"] == 1)).alias("allowed"),
-        best["rule"].alias("matched_rule"),
+        F.expr(f"({best} IS NULL OR {best}.a = 1)").alias("allowed"),
+        F.expr(f"{best}.rule").alias("matched_rule"),
     )
 
 
@@ -451,7 +527,7 @@ def politeness_schedule(
         )
         .select("host", F.coalesce(F.col("_ad"), F.col("_sd")).alias("delay_s"))
     )
-    u = urls.withColumn("_p_host", host_of(F.col(url_col)))
+    u = urls.withColumn("_p_host", host_of(f"`{url_col}`"))
     order = [F.col(url_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
     slot = (
         F.row_number().over(Window.partitionBy("_p_host").orderBy(*order)) - 1

@@ -1072,21 +1072,23 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents").select("doc_id")
         .filter(F.col("doc_id") < 600)
     )
-    d = F.col("doc_id")
-    url = F.concat(
-        F.lit("HTTPS://WWW.Site"), (d % 5).cast("string"), F.lit(".Com"),
-        F.when(d % 3 == 0, F.lit(":443"))
-         .when(d % 3 == 1, F.lit(""))
-         .otherwise(F.lit(":8080")),
-        F.lit("/A/b"), (d % 10).cast("string"),
-        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.when(d % 3 == 0, F.concat(F.lit("?utm_source=x&id="), (d % 20).cast("string")))
-         .when(d % 3 == 1, F.concat(F.lit("?id="), (d % 20).cast("string")))
-         .otherwise(F.lit("")),
-        F.when(d % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    # SQL-text twin of the former F.concat/F.when template (one parse —
+    # the construction-cost discipline of operators/web.py r14); identical
+    # literals and CASE arms, so URLs and hashes are unchanged
+    url_sql = (
+        "concat('HTTPS://WWW.Site', CAST(doc_id % 5 AS STRING), '.Com', "
+        "CASE WHEN doc_id % 3 = 0 THEN ':443' WHEN doc_id % 3 = 1 THEN '' "
+        "ELSE ':8080' END, '/A/b', CAST(doc_id % 10 AS STRING), "
+        "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END, "
+        "CASE WHEN doc_id % 3 = 0 THEN concat('?utm_source=x&id=', "
+        "CAST(doc_id % 20 AS STRING)) WHEN doc_id % 3 = 1 THEN "
+        "concat('?id=', CAST(doc_id % 20 AS STRING)) ELSE '' END, "
+        "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"
     )
     urls = docs.select(
-        d.alias("doc_id"), url.alias("url"), canonical_url(url).alias("canonical")
+        F.col("doc_id"),
+        F.expr(url_sql).alias("url"),
+        canonical_url(f"({url_sql})").alias("canonical"),
     )
     groups = urls.groupBy("canonical").agg(
         F.count(F.lit(1)).cast("long").alias("group_size")
@@ -1760,7 +1762,7 @@ def crawl_corpus_build(docs: DataFrame) -> DataFrame:
     cleaned = pages.select(
         "doc_id",
         "url",
-        canonical_url(F.col("url")).alias("canonical"),
+        canonical_url("url").alias("canonical"),
         clean.alias("clean_text"),
     ).withColumn(
         "n_words", F.size(F.split(F.col("clean_text"), r"\s+")).cast("long")
@@ -2061,26 +2063,28 @@ def q_domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: spec-level — DuckDB restates blocked/rule straight from the
     URL construction arithmetic, never running the suffix machinery, so
     the driver cross-checks two implementations of the written policy."""
-    from covid19_spark.operators.web import domain_suffixes, host_of
+    from covid19_spark.operators.web import domain_suffixes_sql, host_of
 
     blocklist = ["dom3.com", "dom7.com", "s1.dom4.com", "evil.net"]
-    d = F.col("doc_id")
-    url = F.concat(
-        F.lit("HTTPS://S"), (d % 4).cast("string"),
-        F.lit(".Dom"), (d % 10).cast("string"),
-        F.lit(".Com:443/p/"), d.cast("string"), F.lit("?utm_source=x"),
+    # SQL-text twin of the former F.concat template (see url_canonical_dedup)
+    url_sql = (
+        "concat('HTTPS://S', CAST(doc_id % 4 AS STRING), '.Dom', "
+        "CAST(doc_id % 10 AS STRING), '.Com:443/p/', "
+        "CAST(doc_id AS STRING), '?utm_source=x')"
     )
     docs = (
         _t(spark, sf_dir, "documents").select("doc_id")
         .filter(F.col("doc_id") < 600)
     )
-    sfx = domain_suffixes(url)
-    matched = F.filter(sfx, lambda s: s.isin(*blocklist))
+    in_list = ", ".join(f"'{b}'" for b in blocklist)
+    matched = (
+        f"filter({domain_suffixes_sql(f'({url_sql})')}, s -> s IN ({in_list}))"
+    )
     return docs.select(
         "doc_id",
-        host_of(url).alias("host"),
-        (F.size(matched) > 0).cast("long").alias("blocked"),
-        F.array_min(matched).alias("rule"),
+        host_of(f"({url_sql})").alias("host"),
+        F.expr(f"CAST(size({matched}) > 0 AS BIGINT)").alias("blocked"),
+        F.expr(f"array_min({matched})").alias("rule"),
     ).orderBy("doc_id")
 
 
@@ -2219,8 +2223,8 @@ def q_robots_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         robots_allowed(urls, rules, agent="crawler")
         .select(
             "doc_id",
-            host_of(F.col("url")).alias("host"),
-            path_of(F.col("url")).alias("path"),
+            host_of("url").alias("host"),
+            path_of("url").alias("path"),
             F.col("allowed"),
             "matched_rule",
         )
@@ -2535,20 +2539,19 @@ def q_frontier_policy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         robots_rules,
     )
 
-    d = F.col("doc_id")
-    raw_url = F.concat(
-        F.lit("HTTPS://Dom"), (d % 10).cast("string"), F.lit(".com:443"),
-        F.when(d % 4 == 0, F.concat(F.lit("/p/"), (d % 5).cast("string")))
-        .when(d % 4 == 1, F.lit("/private"))
-        .when(d % 4 == 2, F.concat(F.lit("/private/ok/"), (d % 7).cast("string")))
-        .otherwise(F.lit("/")),
-        F.lit("?utm_source=x"),
+    # SQL-text twin of the former F.concat/F.when template (one parse)
+    raw_url_sql = (
+        "concat('HTTPS://Dom', CAST(doc_id % 10 AS STRING), '.com:443', "
+        "CASE WHEN doc_id % 4 = 0 THEN concat('/p/', CAST(doc_id % 5 AS STRING)) "
+        "WHEN doc_id % 4 = 1 THEN '/private' "
+        "WHEN doc_id % 4 = 2 THEN concat('/private/ok/', CAST(doc_id % 7 AS STRING)) "
+        "ELSE '/' END, '?utm_source=x')"
     )
     frontier = (
         _t(spark, sf_dir, "documents")
         .select("doc_id")
         .filter(F.col("doc_id") < 400)
-        .select("doc_id", canonical_url(raw_url).alias("url"))
+        .select("doc_id", canonical_url(f"({raw_url_sql})").alias("url"))
     )
     blocklist = ["dom3.com", "dom7.com"]
     robots = spark.createDataFrame(
@@ -2563,7 +2566,7 @@ def q_frontier_policy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     delays = robots_crawl_delays(polite)
 
     gated = frontier.withColumn(
-        "blocked", host_of(F.col("url")).isin(*blocklist)
+        "blocked", host_of("url").isin(*blocklist)
     )
     # verdicts feeds BOTH the final select and the eligible→schedule branch;
     # without the lineage cut the whole canonicalize+robots subtree (the

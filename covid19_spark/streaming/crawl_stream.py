@@ -79,7 +79,7 @@ def crawl_corpus_stream(
             "doc_id",
             ts_col,
             "url",
-            canonical_url(F.col("url")).alias("canonical"),
+            canonical_url("url").alias("canonical"),
             clean.alias("clean_text"),
         )
         .withColumn(
