@@ -47,9 +47,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from covid19_spark.operators.text import tokenize
-
-
 def _kgram_structs(toks: Column, k: int) -> Column:
     """ARRAY<STRUCT<pos INT, kh STRING>> of 1-based k-gram window hashes.
 
@@ -72,6 +69,20 @@ def _kgram_structs(toks: Column, k: int) -> Column:
     return F.flatten(F.transform(F.array(toks), grams))
 
 
+def _kgram_structs_sql(toks_sql: str, k: int) -> str:
+    """One-parse SQL twin of ``_kgram_structs`` over a token-array SQL
+    fragment — same guarded index sequence, same md5(concat_ws) windows
+    (construction-cost discipline, see operators/similarity._E). The
+    array+transform binding is preserved so the token expression still
+    evaluates once per row."""
+    return (
+        f"flatten(transform(array({toks_sql}), t -> "
+        f"CASE WHEN size(t) >= {k} THEN transform(sequence(1, size(t) - {k - 1}), "
+        f"i -> named_struct('pos', i, 'kh', md5(concat_ws(' ', slice(t, i, {k}))))) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, kh: STRING>>) END))"
+    )
+
+
 def kgram_stream_from_tokens(
     tok_df: DataFrame, id_col: str, tokens_col: str, k: int = 8
 ) -> DataFrame:
@@ -80,7 +91,8 @@ def kgram_stream_from_tokens(
     needs the token arrays (``span_dedup``'s rebuild) tokenize once."""
     return (
         tok_df.select(
-            id_col, F.explode(_kgram_structs(F.col(tokens_col), k)).alias("g")
+            id_col,
+            F.explode(F.expr(_kgram_structs_sql(f"`{tokens_col}`", k))).alias("g"),
         )
         .select(id_col, F.col("g.pos").alias("pos"), F.col("g.kh").alias("kh"))
     )
@@ -91,7 +103,7 @@ def kgram_stream(
 ) -> DataFrame:
     """``(id_col, pos, kh)`` — one row per k-gram window occurrence,
     tokenizing ``text_col`` inline. Map-only explode."""
-    toks = tokenize(F.col(text_col))
+    toks = F.expr(f"split(lower(`{text_col}`), ' ')")  # tokenize(), one parse
     return kgram_stream_from_tokens(
         df.select(id_col, toks.alias("__toks")), id_col, "__toks", k
     )
@@ -208,7 +220,8 @@ def span_dedup(
     spans are computed over the lowercased token stream).
     """
     base = df.select(
-        F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
+        F.col(id_col),
+        F.expr(f"split(lower(`{text_col}`), ' ')").alias("__toks"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     grams = kgram_stream_from_tokens(base, id_col, "__toks", k).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -220,22 +233,23 @@ def span_dedup(
         F.sum("span_tokens").alias("dup_tokens"),
     )
     joined = base.join(per_doc, id_col, "left")
-    empty_spans = F.array().cast("array<struct<span_start:bigint,span_end:bigint>>")
-    sp = F.coalesce(F.col("__spans"), empty_spans)
-    covered = lambda i: F.exists(  # noqa: E731
-        sp, lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"])
+    # one-parse SQL twins of the former F.* rebuild expressions — same
+    # coalesce(empty-array) guard, same (t, i) positional filter
+    sp = (
+        "coalesce(__spans, CAST(array() AS "
+        "ARRAY<STRUCT<span_start: BIGINT, span_end: BIGINT>>))"
     )
-    kept = F.filter(F.col("__toks"), lambda t, i: ~covered(i))
+    kept = (
+        f"filter(__toks, (t, i) -> NOT exists({sp}, "
+        f"s -> i + 1 >= s.span_start AND i + 1 <= s.span_end))"
+    )
     out = joined.select(
         id_col,
-        F.concat_ws(" ", kept).alias("text"),
-        F.size("__toks").cast("long").alias("n_tokens"),
-        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
-        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
-        (
-            F.coalesce(F.col("dup_tokens"), F.lit(0))
-            / F.size("__toks")
-        ).alias("dup_frac"),
+        F.expr(f"concat_ws(' ', {kept})").alias("text"),
+        F.expr("CAST(size(__toks) AS BIGINT)").alias("n_tokens"),
+        F.expr("CAST(coalesce(dup_tokens, 0) AS BIGINT)").alias("dup_tokens"),
+        F.expr("CAST(coalesce(n_spans, 0) AS BIGINT)").alias("n_spans"),
+        F.expr("coalesce(dup_tokens, 0) / size(__toks)").alias("dup_frac"),
     )
     if materialize:
         # session hygiene: evaluate eagerly and release both heavy caches

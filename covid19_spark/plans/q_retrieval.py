@@ -438,7 +438,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     join condition (filter before rank, so the k survivors are all valid
     negatives).  At 100 TB the shortlist comes from the ANN index and this
     becomes a rerank-with-predicate."""
-    from covid19_spark.operators.similarity import cosine
+    from covid19_spark.operators.similarity import _cos_sql
 
     emb = _t(spark, sf_dir, "embeddings")
     c = emb.select(
@@ -457,7 +457,8 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("neg_label") != F.col("q_label")),
     ).select(
         "query_id", "q_label", "neighbor_id", "neg_label",
-        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        # one-parse SQL twin of cosine(qv, cv) — same folds (r14)
+        F.expr(_cos_sql("qv", "cv")).alias("sim"),
     )
     from pyspark.sql import Window
 
@@ -527,13 +528,20 @@ def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query, fully tiebroken.  At scale the candidate set comes from a
     single-vector ANN shortlist and MaxSim is the rerank — this query IS
     that rerank run corpus-wide to stay oracle-exact."""
-    from covid19_spark.operators.similarity import dot
+    from covid19_spark.operators.similarity import _dot_sql
 
     emb = _t(spark, sf_dir, "embeddings")
 
-    def subs(col: str, prefix: str):
-        v = F.col(col).cast("array<double>")
-        return [F.slice(v, 16 * i + 1, 16).alias(f"{prefix}{i}") for i in range(4)]
+    # SQL-text construction (one parse per expression — the r14
+    # construction-cost discipline, see operators/similarity._E); the
+    # expressions are the SAME slices/folds as the former F.* forms.
+    def subs(prefix: str):
+        return [
+            F.expr(f"slice(CAST(embedding AS ARRAY<DOUBLE>), {16 * i + 1}, 16)").alias(
+                f"{prefix}{i}"
+            )
+            for i in range(4)
+        ]
 
     def norms(prefix: str, nprefix: str):
         # sqrt(dot(x, x)) bound ONCE per row per sub-vector: the inline
@@ -544,36 +552,30 @@ def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The value dag per cell is unchanged — dot/(sqrt(nq)·sqrt(nd))
         # with identical left-to-right folds — so scores are bit-identical.
         return [
-            F.sqrt(dot(F.col(f"{prefix}{i}"), F.col(f"{prefix}{i}"))).alias(
+            F.expr(f"sqrt({_dot_sql(f'{prefix}{i}', f'{prefix}{i}')})").alias(
                 f"{nprefix}{i}"
             )
             for i in range(4)
         ]
 
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), *subs("embedding", "d")
-    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), *subs("d"))
     c = c.select("neighbor_id", "d0", "d1", "d2", "d3", *norms("d", "dn"))
     q = emb.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("query_id"), *subs("embedding", "q")
+        F.col("vec_id").alias("query_id"), *subs("q")
     )
     q = q.select("query_id", "q0", "q1", "q2", "q3", *norms("q", "qn"))
 
-    score = None
-    for qi in range(4):
-        best = F.array_max(
-            F.array(
-                *[
-                    dot(F.col(f"q{qi}"), F.col(f"d{dj}"))
-                    / (F.col(f"qn{qi}") * F.col(f"dn{dj}"))
-                    for dj in range(4)
-                ]
-            )
+    score_sql = " + ".join(
+        "array_max(array("
+        + ", ".join(
+            f"{_dot_sql(f'q{qi}', f'd{dj}')} / (qn{qi} * dn{dj})" for dj in range(4)
         )
-        score = best if score is None else score + best
+        + "))"
+        for qi in range(4)
+    )
     scored = c.join(
         F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
-    ).select("query_id", "neighbor_id", score.alias("maxsim"))
+    ).select("query_id", "neighbor_id", F.expr(score_sql).alias("maxsim"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
