@@ -85,7 +85,8 @@ def with_ordered_index(
     2. each partition numbers its own rows (window partitioned by
        ``spark_partition_id`` — parallel);
     3. per-partition row counts (one tiny row per partition) are turned into
-       cumulative offsets with a triangular self-join and broadcast back.
+       cumulative offsets with a running-sum window over that ≤ n_partitions-
+       row frame and broadcast back (equi-join on the partition id).
 
     Ties in ``order_cols`` get arbitrary-but-consistent indices
     (``row_number`` semantics within a partition).
@@ -95,24 +96,36 @@ def with_ordered_index(
     w = Window.partitionBy("_pid").orderBy(*order)
     w_all = Window.partitionBy("_pid")
     # row_number and the partition size share ONE exchange + sort pass
-    numbered = sdf.withColumn("_local", F.row_number().over(w)).withColumn(
-        "_cnt", F.count(F.lit(1)).over(w_all)
+    # (fused into one projection — every extra DataFrame op re-analyzes
+    # the whole upstream plan on the driver, the r14 construction tax)
+    numbered = sdf.select(
+        "*",
+        F.row_number().over(w).alias("_local"),
+        F.count(F.lit(1)).over(w_all).alias("_cnt"),
     )
-    # one row per partition, no extra aggregation shuffle
-    counts = numbered.filter(F.col("_local") == 1).select("_pid", "_cnt")
-    lower = counts.select(F.col("_pid").alias("_lo_pid"), F.col("_cnt").alias("_lo_cnt"))
+    # one row per partition, no extra aggregation shuffle; the cumulative
+    # offset is a window over that ≤ n_partitions-row frame — tiny at ANY
+    # scale by construction (one row per range partition), unlike the big
+    # frame this function exists to keep out of single-task windows. The
+    # former triangular self-join + groupBy computed the same sums with
+    # an extra join and aggregate in the broadcast build.
     offsets = (
-        counts.join(lower, F.col("_lo_pid") < F.col("_pid"), "left")
-        .groupBy("_pid")
-        .agg(F.coalesce(F.sum("_lo_cnt"), F.lit(0)).alias("_off"))
+        numbered.filter(F.col("_local") == 1)
+        .select("_pid", "_cnt")
+        .select(
+            "_pid",
+            F.expr(
+                "coalesce(sum(_cnt) OVER (ORDER BY _pid ROWS BETWEEN "
+                "UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT))"
+            ).alias("_off"),
+        )
     )
     # the offsets branch re-reads the same exchanges (ReusedExchange); range
     # partition assignment is deterministic for a given input, so both
     # branches see identical _pid labels even on recompute
-    return (
-        numbered.join(F.broadcast(offsets), "_pid")
-        .withColumn(idx_col, (F.col("_off") + F.col("_local")).cast("long"))
-        .drop("_pid", "_local", "_cnt", "_off")
+    return numbered.join(F.broadcast(offsets), "_pid").select(
+        *[F.col(c) for c in df.columns],
+        (F.col("_off") + F.col("_local")).cast("long").alias(idx_col),
     )
 
 

@@ -55,11 +55,13 @@ BNLJ_ALLOWED = {
     "hard_negatives",  # broadcast |queries|-row non-equi label-filter join
     "heavy_hitters",
     "hilbert_clustering",  # one-row grid-bounds broadcast (zorder twin)
-    "hybrid_rrf_topk",  # dense cosine side + top_k's tiny per-partition-offset join
-    "bm25f_ranking",  # top_k's per-partition-offset join (<= n_partitions rows)
-    "dismax_fielded",  # top_k's per-partition-offset join (<= n_partitions rows)
-    "lm_dirichlet_ranking",  # top_k's per-partition-offset join (<= n_partitions rows)
-    "prefix_bm25",  # top_k's per-partition-offset join (<= n_partitions rows)
+    "hybrid_rrf_topk",  # dense cosine side (broadcast |queries|-row non-equi)
+    # bm25f_ranking / dismax_fielded / lm_dirichlet_ranking / prefix_bm25 /
+    # prf_expanded_bm25 / topk_users / zip_join left this list in r14:
+    # with_ordered_index's cumulative offsets are now a window over the
+    # <= n_partitions-row counts frame joined back on _pid (equi, broadcast
+    # hash) instead of the triangular non-equi self-join that compiled to
+    # the BNLJ.
     # search_snippets left this list in r14: the top-k is collected (bounded
     # k rows) and re-seeded as a literal frame for static doc_id pruning, so
     # top_k's per-partition-offset BNLJ no longer appears in the served plan
@@ -80,7 +82,6 @@ BNLJ_ALLOWED = {
     "mmr_rerank",  # cosine_topk's broadcast |queries|-row non-equi join
     "pq_adc_crosscheck",
     "pq_cosine_topk",
-    "prf_expanded_bm25",  # top_k's tiny per-partition-offset non-equi join
     "psi_drift",  # one-row bounds + one-row totals broadcasts  # one-row n_docs/avgdl scalar broadcasts (bm25 shape)
     "scd2_point_in_time",
     "semantic_dedup_paper_policy",
@@ -88,10 +89,8 @@ BNLJ_ALLOWED = {
     "tfidf_top_terms",
     "token_budget_mix",
     "top_revenue_suppliers",
-    "topk_users",
     "triangle_count",
     "unigram_logprob",
-    "zip_join",
     "zorder_clustering",
     "zrange_spatial_join",  # broadcast Morton-interval frame (≤32×3 rows)
 }

@@ -117,11 +117,22 @@ GLOBAL_WINDOW_RE = r"Window \[[^\[]*windowspecdefinition\((?:[a-zA-Z_#0-9]+ (?:A
 
 def _global_windows(plan):
     """Window nodes whose windowspecdefinition starts with an ORDER BY column
-    (no partition expressions) — the single-partition WindowExec shape."""
+    (no partition expressions) — the single-partition WindowExec shape.
+
+    Carve-out: ``with_ordered_index``'s cumulative-offset window orders by
+    the internal ``_pid`` column over the per-partition counts frame, which
+    holds at most one row per range partition (≤ n_partitions rows at ANY
+    data scale by construction) — a bounded single-task window, not the
+    full-frame shape this guard exists to forbid."""
     import re
 
     hits = [l.strip() for l in plan.splitlines() if re.match(r"^\W*(?:\+-|:-)?\s*Window ", l.strip())]
-    return [h for h in hits if re.search(GLOBAL_WINDOW_RE, h)]
+    return [
+        h
+        for h in hits
+        if re.search(GLOBAL_WINDOW_RE, h)
+        and not re.search(r"windowspecdefinition\(_pid#\d+ ", h)
+    ]
 
 
 def test_no_partitionless_windows_in_topk_and_zip(spark):
