@@ -812,65 +812,77 @@ def ivfpq_search(
     probe assignment, ADC table-lookup scoring of only the probed lists,
     exact-cosine rerank of the shortlist against the full-precision
     ``corpus`` (cold storage). Extracted verbatim from ``ivfpq_cosine_topk``
-    so persisted and in-memory paths are the SAME plan, bit-identical."""
-    from pyspark.sql import Window
+    so persisted and in-memory paths are the SAME plan, bit-identical.
 
-    cb_row = codebooks.select(F.struct("sub", "code", "cvec").alias("__e")).agg(
-        F.collect_list("__e").alias("__cb")
-    )
-    # norm bound once via the aggregate finish lambda (the _normalized_vec
-    # lesson — the former transform re-folded qnorm per element); same
-    # per-element value dag (x / sqrt(Σx²), unguarded), bit-identical
-    qn = queries.select(
-        F.col(id_col).alias("query_id"),
-        _E(_norm_sql(vec_col, guard=False)).alias("__qn"),
-    )
-    probes = ivf_assign(queries, centroids, id_col, vec_col, n_probes=n_probes).select(
-        F.col(id_col).alias("query_id"), "centroid_id"
-    )
-    q_tabs = qn.crossJoin(F.broadcast(cb_row)).select(
-        "query_id",
-        _E(_adc_tab_sql(m)).alias("__tab"),
-    )
-    # probe join: only codes in the query's probed lists are scored
-    probe_tabs = probes.join(F.broadcast(q_tabs), "query_id")
-    adc = (
-        codes.join(F.broadcast(probe_tabs), "centroid_id")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            _E(_adc_score_sql(m, n_codes)).alias("adc_score"),
-        )
-        # (query, neighbor) is structurally unique: codes carry the
-        # n_probes=1 list assignment, so each neighbor meets a query at
-        # most once — the former dropDuplicates was a redundant full
-        # shuffle of the widest frame in the query.
-    )
-    w_short = Window.partitionBy("query_id").orderBy(
-        F.col("adc_score").desc(), F.col("neighbor_id").asc()
-    )
-    short = (
-        adc.withColumn("__r", F.row_number().over(w_short))
-        .filter(F.col("__r") <= shortlist)
-        .select("query_id", "neighbor_id")
-    )
-    c_full = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    )
-    q_full = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
-    reranked = (
-        short.join(c_full, "neighbor_id")
-        .join(F.broadcast(q_full), "query_id")
-        .select("query_id", "neighbor_id", _E(_cos_sql("qv", "cv")).alias("sim"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        reranked.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "sim")
+    Built as ONE ``spark.sql`` statement over the five input frames
+    (Spark 4 DataFrame args — no temp views): the former ~20-op DataFrame
+    chain re-analyzed its whole upstream tree once per op in the JVM,
+    ~0.35-0.8 s of pure driver time per serve call (cProfile: py4j
+    round-trips + per-Dataset analysis); one statement is parsed and
+    analyzed once (measured 0.35 -> 0.20 s on checkpointed inputs, more
+    with deep upstream lineage). Same operators in the same order — the
+    scoring expressions are the identical ``_*_sql`` fragment texts, the
+    joins/windows/filters the identical shapes with explicit BROADCAST
+    hints where the op chain used ``F.broadcast`` — so results are
+    bit-identical (prototype collect()-compared equal; vector-family
+    oracle rows pin it per query). The (query, neighbor) pair is
+    structurally unique (codes carry the n_probes=1 list assignment), so
+    there is deliberately no dropDuplicates — same as the op-chain form."""
+    text = f"""
+WITH __cbrow AS (
+  SELECT collect_list(named_struct('sub', sub, 'code', code, 'cvec', cvec)) AS __cb
+  FROM {{__codebooks}}
+),
+__crow AS (
+  SELECT collect_list(named_struct('centroid_id', centroid_id, '__c', CAST(cvec AS ARRAY<DOUBLE>))) AS __cs
+  FROM {{__centroids}}
+),
+__probes AS (
+  SELECT /*+ BROADCAST(c) */ `{id_col}` AS query_id, __p.centroid_id AS centroid_id
+  FROM (SELECT `{id_col}`, CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS __v FROM {{__queries}}) q
+  CROSS JOIN __crow c
+  LATERAL VIEW explode(slice({_nearest_centroids_sql()}, 1, {int(n_probes)})) AS __p
+),
+__qtabs AS (
+  SELECT /*+ BROADCAST(c) */ query_id, {_adc_tab_sql(m)} AS __tab
+  FROM (SELECT `{id_col}` AS query_id, {_norm_sql(vec_col, guard=False)} AS __qn FROM {{__queries}}) q
+  CROSS JOIN __cbrow c
+),
+__ptabs AS (
+  SELECT p.query_id, p.centroid_id, t.__tab
+  FROM __probes p JOIN __qtabs t USING (query_id)
+),
+__adc AS (
+  SELECT /*+ BROADCAST(pt) */ pt.query_id, c.`{id_col}` AS neighbor_id,
+         {_adc_score_sql(m, n_codes, tab='pt.__tab')} AS adc_score
+  FROM {{__codes}} c JOIN __ptabs pt USING (centroid_id)
+  WHERE c.`{id_col}` != pt.query_id
+),
+__short AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC) AS __r
+        FROM __adc)
+  WHERE __r <= {int(shortlist)}
+),
+__rr AS (
+  SELECT /*+ BROADCAST(q) */ s.query_id, s.neighbor_id, {_cos_sql('q.qv', 'c.cv')} AS sim
+  FROM __short s
+  JOIN (SELECT `{id_col}` AS neighbor_id, CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS cv FROM {{__corpus}}) c
+    USING (neighbor_id)
+  JOIN (SELECT `{id_col}` AS query_id, CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS qv FROM {{__queries}}) q
+    USING (query_id)
+)
+SELECT query_id, rank, neighbor_id, sim
+FROM (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM __rr)
+WHERE rank <= {int(k)}
+"""
+    return codes.sparkSession.sql(
+        text,
+        __codes=codes, __centroids=centroids, __codebooks=codebooks,
+        __corpus=corpus, __queries=queries,
     )
 
 
