@@ -549,37 +549,52 @@ def ivf_cosine_topk(
     Output: query_id, rank, neighbor_id, sim (same shape as ``cosine_topk``
     for recall comparison).
     """
-    from pyspark.sql import Window
-
     if centroids is None:
         # two consumers (lists + probes) of a k-row frame whose lineage is
         # the whole Lloyd chain — train once (see ivfpq_cosine_topk)
         centroids = ivf_train_centroids(
             corpus, n_centroids, id_col, vec_col
         ).localCheckpoint(eager=False)
-    lists = ivf_assign(corpus, centroids, id_col, vec_col, n_probes=1).select(
-        F.col(id_col).alias("neighbor_id"), "centroid_id", F.col("vec").alias("cv")
-    )
-    probes = ivf_assign(queries, centroids, id_col, vec_col, n_probes=n_probes).select(
-        F.col(id_col).alias("query_id"), "centroid_id", F.col("vec").alias("qv")
-    )
-    scored = (
-        lists.join(probes, "centroid_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        # (query, neighbor) is structurally unique here: lists are built
-        # with n_probes=1, so each neighbor lives in exactly ONE centroid
-        # list and can meet a query at most once — no dedup shuffle needed.
-        .select(
-            "query_id",
-            "neighbor_id",
-            _E(_cos_sql("qv", "cv")).alias("sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "sim")
+    # One spark.sql statement for assign + candidate join + rerank (the
+    # ivfpq_search construction-cost rationale — see its docstring): the
+    # lists/probes CTEs are ``ivf_assign``'s exact expression text
+    # (broadcast one-row centroid struct array, slice of the sorted ranking,
+    # explode), the candidate join the same hash join on centroid_id with
+    # the same != filter, the top-k the same window. (query, neighbor) is
+    # structurally unique here: lists are built with n_probes=1, so each
+    # neighbor lives in exactly ONE centroid list and can meet a query at
+    # most once — no dedup shuffle needed. Same operators, same fragment
+    # texts → bit-identical (family oracle + fixtures pin it).
+    text = f"""
+WITH __crow AS (
+  SELECT collect_list(named_struct('centroid_id', centroid_id, '__c', CAST(cvec AS ARRAY<DOUBLE>))) AS __cs
+  FROM {{__centroids}}
+),
+__lists AS (
+  SELECT /*+ BROADCAST(c) */ `{id_col}` AS neighbor_id, __p.centroid_id AS centroid_id, __v AS cv
+  FROM (SELECT `{id_col}`, CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS __v FROM {{__corpus}}) v
+  CROSS JOIN __crow c
+  LATERAL VIEW explode(slice({_nearest_centroids_sql()}, 1, 1)) AS __p
+),
+__probes AS (
+  SELECT /*+ BROADCAST(c) */ `{id_col}` AS query_id, __p.centroid_id AS centroid_id, __v AS qv
+  FROM (SELECT `{id_col}`, CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS __v FROM {{__queries}}) q
+  CROSS JOIN __crow c
+  LATERAL VIEW explode(slice({_nearest_centroids_sql()}, 1, {int(n_probes)})) AS __p
+),
+__scored AS (
+  SELECT p.query_id, l.neighbor_id, {_cos_sql('p.qv', 'l.cv')} AS sim
+  FROM __lists l JOIN __probes p USING (centroid_id)
+  WHERE l.neighbor_id != p.query_id
+)
+SELECT query_id, rank, neighbor_id, sim
+FROM (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM __scored)
+WHERE rank <= {int(k)}
+"""
+    return corpus.sparkSession.sql(
+        text, __corpus=corpus, __queries=queries, __centroids=centroids
     )
 
 
@@ -1284,8 +1299,6 @@ def pq_cosine_topk(
     delta is environmental sweep drift, not a plan change — the bench
     artifact's per-query ``runs`` spread now records this directly.
     """
-    from pyspark.sql import Window
-
     if codebooks is None:
         # Index build (VERDICT r10 #3, mirroring ivfpq_cosine_topk's r9
         # fix): the training sample is SMALL BY CONTRACT — the "auto"
@@ -1319,57 +1332,57 @@ def pq_cosine_topk(
             ],
             "sub INT, code INT, cvec ARRAY<DOUBLE>",
         )
-    codes = pq_encode(corpus, codebooks, m, id_col, vec_col)
-
-    # norm bound once via the aggregate finish lambda (the _normalized_vec
-    # lesson); same per-element value dag (x / sqrt(Σx²), unguarded)
-    qn = queries.select(
-        F.col(id_col).alias("query_id"),
-        _E(_norm_sql(vec_col, guard=False)).alias("__qn"),
-    )
-    cb_row = codebooks.select(F.struct("sub", "code", "cvec").alias("__e")).agg(
-        F.collect_list("__e").alias("__cb")
-    )
-    # ADC table: for sub s, code c → dot(q_sub, codeword). Stored as a flat
-    # array indexed [s * n_codes + c] for O(1) element_at lookups.
-    q_tabs = qn.crossJoin(F.broadcast(cb_row)).select(
-        "query_id",
-        "__qn",
-        _E(_adc_tab_sql(m)).alias("__tab"),
-    )
-    adc = (
-        codes.crossJoin(F.broadcast(q_tabs.select("query_id", "__tab")))
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            _E(_adc_score_sql(m, n_codes)).alias("adc_score"),
-        )
-    )
-    w_short = Window.partitionBy("query_id").orderBy(
-        F.col("adc_score").desc(), F.col("neighbor_id").asc()
-    )
-    short = (
-        adc.withColumn("__r", F.row_number().over(w_short))
-        .filter(F.col("__r") <= shortlist)
-        .select("query_id", "neighbor_id")
-    )
-    c_full = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    )
-    q_full = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
-    reranked = (
-        short.join(c_full, "neighbor_id")
-        .join(F.broadcast(q_full), "query_id")
-        .select("query_id", "neighbor_id", _E(_cos_sql("qv", "cv")).alias("sim"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        reranked.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "sim")
+    # One spark.sql statement for encode + ADC + shortlist + rerank (the
+    # ivfpq_search construction-cost rationale — see its docstring): the
+    # encode CTE is ``pq_encode``'s exact expression text (GUARDED norm,
+    # identical codes), the query tables the unguarded-norm ADC build, the
+    # codes × query-tables cross join keeps its BROADCAST hint so the plan
+    # stays the allowlisted one-row-per-query BNLJ shape. Same operators,
+    # same fragment texts → bit-identical (family oracle + fixtures pin it).
+    text = f"""
+WITH __cbrow AS (
+  SELECT collect_list(named_struct('sub', sub, 'code', code, 'cvec', cvec)) AS __cb
+  FROM {{__codebooks}}
+),
+__codes AS (
+  SELECT /*+ BROADCAST(cb) */ `{id_col}`, {_pq_codes_sql(m)} AS codes
+  FROM (SELECT `{id_col}`, {_norm_sql(vec_col)} AS __nv FROM {{__corpus}}) v
+  CROSS JOIN __cbrow cb
+),
+__qtabs AS (
+  SELECT /*+ BROADCAST(cb) */ query_id, {_adc_tab_sql(m)} AS __tab
+  FROM (SELECT `{id_col}` AS query_id, {_norm_sql(vec_col, guard=False)} AS __qn FROM {{__queries}}) q
+  CROSS JOIN __cbrow cb
+),
+__adc AS (
+  SELECT /*+ BROADCAST(t) */ t.query_id, c.`{id_col}` AS neighbor_id,
+         {_adc_score_sql(m, n_codes, tab='t.__tab')} AS adc_score
+  FROM __codes c CROSS JOIN __qtabs t
+  WHERE c.`{id_col}` != t.query_id
+),
+__short AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC) AS __r
+        FROM __adc)
+  WHERE __r <= {int(shortlist)}
+),
+__rr AS (
+  SELECT /*+ BROADCAST(q) */ s.query_id, s.neighbor_id, {_cos_sql('q.qv', 'c.cv')} AS sim
+  FROM __short s
+  JOIN (SELECT `{id_col}` AS neighbor_id, CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS cv FROM {{__corpus}}) c
+    USING (neighbor_id)
+  JOIN (SELECT `{id_col}` AS query_id, CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS qv FROM {{__queries}}) q
+    USING (query_id)
+)
+SELECT query_id, rank, neighbor_id, sim
+FROM (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM __rr)
+WHERE rank <= {int(k)}
+"""
+    return corpus.sparkSession.sql(
+        text, __corpus=corpus, __queries=queries, __codebooks=codebooks
     )
 
 
